@@ -1,0 +1,69 @@
+"""SparkSession construction and per-session semantics configuration.
+
+jx semantics (SURVEY.md §1.4) require non-ANSI math (division by zero /
+overflow -> NULL, never error) — the reference's `mo_math` (u) is
+null-decisive throughout.  Spark 4 defaults ANSI *on*, so both our own
+sessions and driver-provided sessions are normalized via ``prepare``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: runtime-settable confs applied to ANY session our queries run under
+RUNTIME_CONFS = {
+    # jx null math: 1/0 -> Null, bad casts -> Null (mo_math semantics (u))
+    "spark.sql.ansi.enabled": "false",
+    # deterministic timestamp behavior vs the DuckDB oracle
+    "spark.sql.session.timeZone": "UTC",
+    # runtime re-planning: partition coalescing, skew-join splitting
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Arrow for any pandas interchange (LLM ops use pandas UDFs)
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def prepare(spark: SparkSession) -> SparkSession:
+    """Apply jx-semantics runtime confs to an existing session.
+
+    Called at the top of every registered query so driver-provided
+    sessions (unknown config) execute with engine semantics.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf not runtime-settable on this build — keep going
+    return spark
+
+
+def get_spark(
+    app_name: str = "mo-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    Defaults target the test rig (local[$SPARK_GRAFT_CPUS]); on a real
+    cluster the same confs apply, with shuffle partitions sized by the
+    driver instead (AQE coalesces the rest).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 4)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return prepare(builder.getOrCreate())

@@ -1,0 +1,3 @@
+"""Importing this package populates the query registry (all suites)."""
+
+import mo_etl_spark.suites.tpch  # noqa: F401

@@ -1,0 +1,50 @@
+"""Canonical test-corpus tables (TESTDATA.md / FIXTURES.md).
+
+The reference's notion of a "container" (u, jx_base containers; docs
+queried `from` a named collection) maps to named DataFrames / temp
+views here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: dimension tables small enough to broadcast at EVERY scale factor
+#: (region/nation are fixed-size; supplier/part grow ~linearly but stay
+#: dimension-scale — at 100 TB fact scale these remain << the 64 MB
+#: broadcast threshold relative to lineitem/orders/events)
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan: Catalyst pushes predicates and prunes
+    columns into the scan (verify via .explain → PushedFilters/ReadSchema)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose the corpus as temp views so ``spark.sql`` works directly
+    (the engine's SQL surface — SURVEY.md §2.1 register_views)."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
