@@ -23,6 +23,9 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     # Arrow for any pandas interchange (LLM ops use pandas UDFs)
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.parquet carries TIMESTAMP(NANOS) which the Spark reader
+    # rejects; read as long and convert in tables.load_table
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

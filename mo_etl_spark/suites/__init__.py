@@ -1,3 +1,4 @@
 """Importing this package populates the query registry (all suites)."""
 
+import mo_etl_spark.suites.jx_queries  # noqa: F401
 import mo_etl_spark.suites.tpch  # noqa: F401

@@ -1,0 +1,249 @@
+"""Driver-contract queries expressed in the jx query language itself —
+proving the jx dict -> DataFrame compiler (jx/expressions.py,
+jx/query.py) end-to-end against the DuckDB oracle.
+
+Each query here is the exact shape a reference user would send to
+jx_python.jx.run / ActiveData (u); the oracle encodes the SAME jx
+semantics in SQL (null-safe eq, decisive boolean, 0-based rownum...)
+per SURVEY.md §7.3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mo_etl_spark.jx import jx_run
+from mo_etl_spark.registry import query
+from mo_etl_spark.session import prepare
+from mo_etl_spark.tables import load_table
+
+
+def _tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    prepare(spark)
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+@query(
+    "jx_filter_select",
+    oracle="""
+    SELECT event_id,
+           upper(event_type) AS loud_type,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events
+    WHERE event_type IN ('click', 'purchase') AND value > 100.0
+    """,
+    tags=("jx", "filter", "select"),
+)
+def jx_filter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jx projection+filter: where/in/gt + computed selects (u, jx_python jx.filter)."""
+    return jx_run(
+        {
+            "from": "events",
+            "where": {"and": [{"in": {"event_type": ["click", "purchase"]}}, {"gt": ["value", 100.0]}]},
+            "select": [
+                "event_id",
+                {"name": "loud_type", "value": {"upper": "event_type"}},
+                {
+                    "name": "value_cents",
+                    "value": {"integer": {"round": [{"mult": ["value", 100]}, 0]}},
+                },
+            ],
+        },
+        spark=spark,
+        tables=_tables(spark, sf_dir, "events"),
+    )
+
+
+@query(
+    "jx_groupby_aggs",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           count(DISTINCT user_id) AS users,
+           sum(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           median(value) AS med_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("jx", "groupby"),
+)
+def jx_groupby_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jx groupby with count/cardinality/sum/min/max/median aggregates
+    (u, jx_python jx.groupby + ActiveData aggs); sum lifted to exact
+    integer cents for oracle stability."""
+    return jx_run(
+        {
+            "from": "events",
+            "groupby": ["event_type"],
+            "select": [
+                {"name": "n", "aggregate": "count"},
+                {"name": "users", "value": "user_id", "aggregate": "cardinality"},
+                {
+                    "name": "total_cents",
+                    "value": {"integer": {"round": [{"mult": ["value", 100]}, 0]}},
+                    "aggregate": "sum",
+                },
+                {"name": "min_value", "value": "value", "aggregate": "minimum"},
+                {"name": "max_value", "value": "value", "aggregate": "maximum"},
+                {"name": "med_value", "value": "value", "aggregate": "median"},
+            ],
+        },
+        spark=spark,
+        tables=_tables(spark, sf_dir, "events"),
+    )
+
+
+@query(
+    "jx_edges_day_cube",
+    oracle="""
+    WITH dom AS (
+        SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                      TIMESTAMP '2024-02-01',
+                                      INTERVAL 1 DAY)) AS day
+    ), agg AS (
+        SELECT date_trunc('day', ts) AS day, count(*) AS n,
+               sum(CAST(round(value*100) AS BIGINT)) AS total_cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    )
+    SELECT dom.day, coalesce(agg.n, 0) AS n, agg.total_cents
+    FROM dom LEFT JOIN agg USING (day)
+    WHERE dom.day < TIMESTAMP '2024-02-01'
+    """,
+    tags=("jx", "edges", "cube"),
+)
+def jx_edges_day_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jx edges with a complete time domain — every day in January gets
+    a row even with zero events (u, jx_base/domains.py time domain;
+    SURVEY.md §2.4 edges).  Spark: groupBy + generated-domain left join."""
+    return jx_run(
+        {
+            "from": "events",
+            "where": {"eq": {"event_type": "purchase"}},
+            "edges": [
+                {
+                    "name": "day",
+                    "value": "ts",
+                    "domain": {
+                        "type": "time",
+                        "min": "2024-01-01",
+                        "max": "2024-02-01",
+                        "interval": "day",
+                    },
+                }
+            ],
+            "select": [
+                {"name": "n", "aggregate": "count"},
+                {
+                    "name": "total_cents",
+                    "value": {"integer": {"round": [{"mult": ["value", 100]}, 0]}},
+                    "aggregate": "sum",
+                },
+            ],
+        },
+        spark=spark,
+        tables=_tables(spark, sf_dir, "events"),
+    )
+
+
+@query(
+    "jx_window_rownum",
+    oracle="""
+    SELECT event_id, user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS seq
+    FROM events
+    """,
+    tags=("jx", "window"),
+)
+def jx_window_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jx window clause: 0-based per-user rownum ordered by time (u,
+    jx_python/windows.py), tie-broken by event_id for determinism."""
+    return jx_run(
+        {
+            "from": "events",
+            "select": ["event_id", "user_id"],
+            "window": [
+                {
+                    "name": "seq",
+                    "aggregate": "rownum",
+                    "edges": ["user_id"],
+                    "sort": ["ts", "event_id"],
+                }
+            ],
+        },
+        spark=spark,
+        tables=_tables(spark, sf_dir, "events"),
+    )
+
+
+@query(
+    "jx_json_extract",
+    oracle="""
+    SELECT event_id, json_extract_string(props, '$.k') AS k
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    """,
+    tags=("jx", "json"),
+)
+def jx_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from a JSON-string column (u, mo_json;
+    events.props is a JSON doc) — stays JVM-side via get_json_object."""
+    return jx_run(
+        {
+            "from": "events",
+            "where": {"exists": {"get_json": ["props", {"literal": "$.k"}]}},
+            "select": [
+                "event_id",
+                {"name": "k", "value": {"get_json": ["props", {"literal": "$.k"}]}},
+            ],
+        },
+        spark=spark,
+        tables=_tables(spark, sf_dir, "events"),
+    )
+
+
+@query(
+    "jx_deep_from_nested",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus, l.l_linenumber,
+           CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_cents
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey <= 1000
+    """,
+    tags=("jx", "nested", "deep_from"),
+)
+def jx_deep_from_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-array round trip: build the jx 'snowflake' document shape
+    (orders with an embedded lines array — how jx-sqlite/mo-dots store
+    one-to-many (u)), then query it with a deep ``from`` path that
+    unnests back to rows.  Spark: collect_list(struct) + explode_outer,
+    all Catalyst-visible."""
+    t = _tables(spark, sf_dir, "orders", "lineitem")
+    orders = t["orders"].where(F.col("o_orderkey") <= 1000)
+    nested = (
+        orders.join(
+            t["lineitem"].where(F.col("l_orderkey") <= 1000),
+            orders.o_orderkey == F.col("l_orderkey"),
+            "inner",
+        )
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber"),
+                    F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+                )
+            ).alias("lines")
+        )
+    )
+    return jx_run(
+        {
+            "from": "order_docs.lines",
+            "select": ["o_orderkey", "o_orderstatus", "l_linenumber", "price_cents"],
+        },
+        spark=spark,
+        tables={"order_docs": nested},
+    )

@@ -35,8 +35,19 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan: Catalyst pushes predicates and prunes
-    columns into the scan (verify via .explain → PushedFilters/ReadSchema)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    columns into the scan (verify via .explain → PushedFilters/ReadSchema).
+
+    events.ts is TIMESTAMP(NANOS) in the parquet; Spark timestamps are
+    microsecond, so it is read as long (nanosAsLong conf in session.py)
+    and truncated to a µs timestamp here.  Oracle queries must not
+    return raw ns-precision ts values (DuckDB keeps the nanos).
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
