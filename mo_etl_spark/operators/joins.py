@@ -1,0 +1,148 @@
+"""Join operators beyond Spark's native surface (SURVEY.md §2.3).
+
+The jx language has no general join clause (u — ActiveData documents
+denormalized/nested storage instead); the SQL joins come free from
+DataFrame.join / Catalyst.  This module adds the two join shapes Spark
+lacks natively, built scale-first:
+
+- ``asof_join``: most-recent-right-row-before-left-row.  Implemented as
+  union + partitioned window scan — ONE shuffle on the key columns,
+  no UDF, no BroadcastNestedLoop; this is the standard big-data as-of
+  technique and survives 100 TB (state per key is one row).
+- ``range_join``: interval/band join on a time/numeric column.
+  Implemented by bucketing both sides to ``bucket_width`` and
+  equi-joining on (keys, bucket ± neighbor) then refining the exact
+  predicate — turns an O(n·m) theta join into a co-partitioned hash
+  join; bucket width should be >= the band width so each left row
+  probes at most ceil(width/bucket)+1 buckets.
+- ``top_k_per_group``: row_number over (partition, total order) <= k —
+  Catalyst plans a partial top-k under AQE instead of a full sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_ts <= left_ts`` within the same ``on`` keys (left outer).
+
+    Equivalent to DuckDB/pandas ``ASOF JOIN`` / ``merge_asof``
+    (backward).  Plan: union both sides tagged, window per key ordered
+    by (ts, side) with ``last(right_payload, ignorenulls)`` over an
+    unbounded-preceding frame, keep left rows.  Right rows at exactly
+    the same timestamp sort BEFORE left rows, so ties match.
+    """
+    on = list(on)
+    r_payload_t = right.select(F.struct(*right.columns).alias("p")).schema[0].dataType
+
+    l2 = left.select(
+        *[F.col(c) for c in on],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*[c for c in left.columns]).alias("__l"),
+        F.lit(None).cast(r_payload_t).alias("__r"),
+    )
+    r2 = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l2.schema["__l"].dataType).alias("__l"),
+        F.struct(*[c for c in right.columns]).alias("__r"),
+    )
+    u = l2.unionByName(r2)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w)).where(
+        F.col("__side") == 1
+    )
+    out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
+    out_cols += [F.col(f"__m.{c}").alias(f"{right_prefix}{c}") for c in right.columns]
+    return matched.select(*out_cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_point: Column | str,
+    right_point: Column | str,
+    lower: Column,
+    upper: Column,
+    bucket_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Band join: match right rows with ``lower <= right_point - left_point
+    <= upper`` (all in the same integer units, e.g. epoch millis).
+
+    Scale path: both sides get an integer bucket = point div
+    bucket_width; the right side is expanded to every bucket its match
+    window can touch (sequence over the span — with bucket_width >=
+    band width that is <= 2 buckets), then a plain equi-join on
+    (keys..., bucket) followed by the exact band predicate.  Shuffles
+    once per side on (keys, bucket); no nested-loop join at any scale.
+    """
+    on = list(on)
+    lp = F.col(left_point) if isinstance(left_point, str) else left_point
+    rp = F.col(right_point) if isinstance(right_point, str) else right_point
+
+    lb = left.withColumn("__lp", lp.cast("long")).withColumn(
+        "__bucket", F.floor(F.col("__lp") / bucket_width).cast("long")
+    )
+    # left row l matches right points in [l+lower, l+upper] — expand the
+    # RIGHT side to each bucket of [rp-upper, rp-lower] so the equi-join
+    # on the LEFT bucket covers the band
+    rb = (
+        right.withColumn("__rp", rp.cast("long"))
+        .withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("__rp") - upper) / bucket_width).cast("long"),
+                    F.floor((F.col("__rp") - lower) / bucket_width).cast("long"),
+                )
+            ),
+        )
+    )
+    cond = (F.col("__rp") - F.col("__lp") >= lower) & (
+        F.col("__rp") - F.col("__lp") <= upper
+    )
+    joined = lb.join(rb, on=on + ["__bucket"], how="inner").where(cond)
+    out = joined.select(
+        *[lb[c] for c in left.columns if c not in on],
+        *[F.col(c) for c in on],
+        *[rb[c].alias(f"r_{c}") for c in right.columns if c not in on],
+    )
+    if how == "inner":
+        return out
+    raise ValueError(f"range_join supports inner only, got {how!r}")
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition: Sequence[str],
+    order: Sequence[Column],
+    k: int,
+    rank_name: str = "rnk",
+) -> DataFrame:
+    """Top-k rows per group via row_number over a TOTAL order (callers
+    must include a tiebreaker for determinism — SURVEY.md §4.3)."""
+    w = Window.partitionBy(*partition).orderBy(*order)
+    return (
+        df.withColumn(rank_name, F.row_number().over(w))
+        .where(F.col(rank_name) <= k)
+    )

@@ -1,4 +1,6 @@
 """Importing this package populates the query registry (all suites)."""
 
+import mo_etl_spark.suites.aggregates  # noqa: F401
 import mo_etl_spark.suites.jx_queries  # noqa: F401
+import mo_etl_spark.suites.relational  # noqa: F401
 import mo_etl_spark.suites.tpch  # noqa: F401

@@ -1,0 +1,329 @@
+"""M3 aggregation surface (SURVEY.md §2.4): every jx aggregate plus
+the SQL cube/rollup/grouping-sets surface from mo-sql-parsing (u).
+
+Float-parity strategy per query noted inline; variance is computed by
+explicit integer-cents formula so both engines do the identical double
+ops (var_samp built-ins use different online algorithms — SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mo_etl_spark.functions.numeric import cents
+from mo_etl_spark.registry import query
+from mo_etl_spark.session import prepare
+from mo_etl_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str):
+    prepare(spark)
+    dfs = [load_table(spark, sf_dir, n) for n in names]
+    return dfs[0] if len(dfs) == 1 else dfs
+
+
+@query(
+    "agg_global_lineitem",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty,
+           sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS price_cents
+    FROM lineitem
+    """,
+    tags=("groupby", "cardinality"),
+)
+def agg_global_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-groupby) aggregation — jx select-with-aggregate and no
+    edges (u, jx_python jx.run)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.sum(cents("l_extendedprice")).alias("price_cents"),
+    )
+
+
+@query(
+    "agg_stats_per_nation",
+    oracle="""
+    SELECT s_nationkey,
+           count(s_acctbal) AS n,
+           sum(CAST(round(s_acctbal*100) AS BIGINT)) AS sum_cents,
+           round(CAST(sum(CAST(round(s_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0/count(s_acctbal), 6) AS avg_bal,
+           min(s_acctbal) AS min_bal,
+           max(s_acctbal) AS max_bal,
+           round((CAST(sum(CAST(round(s_acctbal*100) AS BIGINT) * CAST(round(s_acctbal*100) AS BIGINT)) AS DOUBLE)
+                  - CAST(sum(CAST(round(s_acctbal*100) AS BIGINT)) AS DOUBLE)
+                    * CAST(sum(CAST(round(s_acctbal*100) AS BIGINT)) AS DOUBLE) / count(s_acctbal))
+                 / (count(s_acctbal) - 1) / 10000.0, 4) AS var_bal
+    FROM supplier
+    GROUP BY s_nationkey
+    HAVING count(s_acctbal) > 1
+    """,
+    tags=("stats", "variance"),
+)
+def agg_stats_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jx 'stats' aggregate expanded to columns (u, mo_math.stats.Stats
+    z-moment accumulation: n, Σx, Σx² — reproduced here as exact
+    integer sums; sample variance from the moments)."""
+    supplier = _t(spark, sf_dir, "supplier")
+    c = cents("s_acctbal")
+    n = F.count("s_acctbal")
+    sum_c = F.sum(c)
+    sum_sq = F.sum(c * c)
+    var = F.round(
+        (sum_sq.cast("double") - sum_c.cast("double") * sum_c.cast("double") / n)
+        / (n - 1)
+        / 10000.0,
+        4,
+    )
+    return (
+        supplier.groupBy("s_nationkey")
+        .agg(
+            n.alias("n"),
+            sum_c.alias("sum_cents"),
+            F.round(sum_c.cast("double") / 100.0 / n, 6).alias("avg_bal"),
+            F.min("s_acctbal").alias("min_bal"),
+            F.max("s_acctbal").alias("max_bal"),
+            var.alias("var_bal"),
+        )
+        .where(F.col("n") > 1)
+    )
+
+
+@query(
+    "agg_percentiles_by_type",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.75), 6) AS p75,
+           round(median(value), 6) AS med
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("percentile", "median"),
+)
+def agg_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (jx 'percentile' aggregate (u,
+    ActiveData aggs)); both engines use linear interpolation, rounded
+    to absorb last-ulp interpolation differences."""
+    events = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    return events.groupBy("event_type").agg(
+        F.round(F.percentile(v, F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile(v, F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile(v, F.lit(0.75)), 6).alias("p75"),
+        F.round(F.median(v), 6).alias("med"),
+    )
+
+
+@query(
+    "agg_union_set_per_user",
+    oracle="""
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS types,
+           count(DISTINCT event_type) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("union", "list", "cardinality"),
+)
+def agg_union_set_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jx 'union' aggregate — set of values seen (u, ActiveData) —
+    array_sort(collect_set) for deterministic output (SURVEY §4.3)."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@query(
+    "agg_first_last_per_user",
+    oracle="""
+    SELECT user_id,
+           arg_min(event_type, ts) AS first_type,
+           arg_max(event_type, ts) AS last_type,
+           count(*) AS n
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("first", "last"),
+)
+def agg_first_last_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jx first/last aggregates under an explicit time order (u, jx
+    aggs; nondeterministic without order — SURVEY §7.3): min_by/max_by,
+    a single hash-agg pass, no window shuffle."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.min_by("event_type", "ts").alias("first_type"),
+        F.max_by("event_type", "ts").alias("last_type"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_rollup_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           grouping(o_orderstatus) AS g_status,
+           grouping(o_orderpriority) AS g_priority,
+           count(*) AS n,
+           sum(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("rollup", "grouping"),
+)
+def agg_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping indicators (SQL surface via mo-sql-parsing
+    (u); Spark df.rollup)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents("o_totalprice")).alias("total_cents"),
+    )
+
+
+@query(
+    "agg_cube_lineitem_flags",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) AS g_flag,
+           grouping(l_linestatus) AS g_status,
+           count(*) AS n,
+           sum(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("cube", "grouping"),
+)
+def agg_cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over the two flag columns (df.cube); sum_qty is integral
+    doubles -> exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
+@query(
+    "agg_grouping_sets_sql",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("grouping_sets", "sql"),
+)
+def agg_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the engine's SQL surface (spark.sql is the
+    engine's SQL entry point — SURVEY.md §7.4: Spark IS the parser)."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "agg_edges_month_cube",
+    oracle="""
+    WITH dom AS (
+        SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+                                      TIMESTAMP '2001-09-01',
+                                      INTERVAL 1 MONTH)) AS month
+    ), agg AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               count(*) AS n,
+               sum(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+        FROM orders GROUP BY 1
+    )
+    SELECT dom.month, coalesce(agg.n, 0) AS n, agg.total_cents
+    FROM dom LEFT JOIN agg USING (month)
+    WHERE dom.month < TIMESTAMP '2001-09-01'
+    """,
+    tags=("edges", "cube", "time_domain"),
+)
+def agg_edges_month_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete calendar-month domain over the full o_orderdate span —
+    the jx edges time domain (u, jx_base/domains.py) via the jx query
+    runner; empty months still get n=0 rows."""
+    from mo_etl_spark.jx import jx_run
+
+    orders = _t(spark, sf_dir, "orders")
+    return jx_run(
+        {
+            "from": "orders",
+            "edges": [
+                {
+                    "name": "month",
+                    "value": "o_orderdate",
+                    "domain": {
+                        "type": "time",
+                        "min": "1995-01-01",
+                        "max": "2001-09-01",
+                        "interval": "month",
+                    },
+                }
+            ],
+            "select": [
+                {"name": "n", "aggregate": "count"},
+                {
+                    "name": "total_cents",
+                    "value": {"integer": {"round": [{"mult": ["o_totalprice", 100]}, 0]}},
+                    "aggregate": "sum",
+                },
+            ],
+        },
+        spark=spark,
+        tables={"orders": orders},
+    )
+
+
+@query(
+    "agg_count_values_props",
+    oracle="""
+    SELECT json_extract_string(props, '$.k') AS k, count(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("count_values", "json"),
+)
+def agg_count_values_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jx count_values — per-value frequency (u, ActiveData), over a
+    JSON-extracted key."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy(
+        F.get_json_object("props", "$.k").alias("k")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query("agg_approx_cardinality", oracle=None, tags=("cardinality", "approx"))
+def agg_approx_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ cardinality — the scale path for jx 'cardinality'
+    (the reference's ES-backed cardinality is approximate too (u)).
+    No DuckDB oracle (different sketch) -> rows-only check; sanity is
+    asserted in unit tests against exact counts."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+    )

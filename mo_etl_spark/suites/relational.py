@@ -1,0 +1,415 @@
+"""M2 relational spine: the SQL join surface + sorts/limits/set ops
+(SURVEY.md §2.3/2.6/2.7).
+
+Reference provenance: the SQL join/set-op surface enters the mo-*
+ecosystem through mo-sql-parsing (u) and jx-sqlite's snowflake joins
+(u); pagination/sort/limit are jx query clauses (u, jx_python/jx.py).
+Spark-first execution notes per query; all dimension joins broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mo_etl_spark.functions.numeric import cents
+from mo_etl_spark.operators.joins import asof_join, range_join, top_k_per_group
+from mo_etl_spark.registry import query
+from mo_etl_spark.session import prepare
+from mo_etl_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str):
+    prepare(spark)
+    dfs = [load_table(spark, sf_dir, n) for n in names]
+    return dfs[0] if len(dfs) == 1 else dfs
+
+
+@query(
+    "join_q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           sum(CAST(round(l.l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS revenue_c4,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    """,
+    tags=("join_inner", "groupby"),
+)
+def join_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped 3-way inner join. Plan: customer is dimension-side
+    (broadcast), orders⋈lineitem shuffles on orderkey; revenue in exact
+    cents⁴ integers (sum of cents*(100-disc_cents))."""
+    customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    ep, disc = cents("l_extendedprice"), cents("l_discount")
+    return (
+        lineitem.where(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+        .join(
+            orders.where(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.where(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(ep * (100 - disc)).alias("revenue_c4"))
+    )
+
+
+@query(
+    "join_q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           sum(CAST(round(l.l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS revenue_c4
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+    tags=("join_inner", "join_broadcast", "groupby"),
+)
+def join_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 6-way join, revenue by nation for one region/year.
+    supplier/nation/region broadcast (BROADCAST_DIMS); the only big
+    shuffle is orders⋈lineitem on orderkey."""
+    customer, orders, lineitem, supplier, nation, region = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    ep, disc = cents("l_extendedprice"), cents("l_discount")
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        lineitem.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(ep * (100 - disc)).alias("revenue_c4"))
+    )
+
+
+@query(
+    "join_left_customer_order_counts",
+    oracle="""
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
+           sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS total_cents
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+    tags=("join_left", "groupby"),
+)
+def join_left_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping order-less customers (count 0, sum NULL —
+    decisive aggregates skip missing (u, mo_math))."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(cents("o_totalprice")).alias("total_cents"),
+        )
+    )
+
+
+@query(
+    "join_semi_customers_with_urgent",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+    tags=("join_semi",),
+)
+def join_semi_customers_with_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence join (jx 'in'-subquery shape via mo-sql-parsing (u)) ->
+    left_semi: no row duplication, right side never materialized wide."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return customer.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti_customers_no_open_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+    tags=("join_anti",),
+)
+def join_anti_customers_no_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no open ('P') orders (non-empty at
+    every sf, unlike parts-never-ordered)."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    open_orders = orders.where(F.col("o_orderstatus") == "P")
+    return customer.join(
+        open_orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_theta_supplier_pairs",
+    oracle="""
+    SELECT s1.s_nationkey AS nationkey, count(*) AS n_pairs
+    FROM supplier s1 JOIN supplier s2
+      ON s1.s_nationkey = s2.s_nationkey AND s1.s_acctbal < s2.s_acctbal
+    GROUP BY s1.s_nationkey
+    """,
+    tags=("join_theta",),
+)
+def join_theta_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi predicate join. The equi part (nationkey) keys the hash
+    join; only the residual inequality is post-filtered — Catalyst does
+    exactly this given the mixed condition."""
+    supplier = _t(spark, sf_dir, "supplier")
+    s1 = supplier.alias("s1")
+    s2 = supplier.alias("s2")
+    return (
+        s1.join(
+            s2,
+            (F.col("s1.s_nationkey") == F.col("s2.s_nationkey"))
+            & (F.col("s1.s_acctbal") < F.col("s2.s_acctbal")),
+        )
+        .groupBy(F.col("s1.s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query(
+    "join_cross_region_nation",
+    oracle="""
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+    tags=("join_cross",),
+)
+def join_cross_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (both sides tiny -> broadcast NL join is fine)."""
+    region, nation = _t(spark, sf_dir, "region", "nation")
+    return region.crossJoin(nation).select("r_name", "n_name")
+
+
+@query(
+    "join_asof_purchase_last_click",
+    oracle="""
+    SELECT p.event_id, c.event_id AS click_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+    tags=("join_asof",),
+)
+def join_asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (engine addition, SURVEY.md §2.3): for every purchase,
+    the user's most recent click at-or-before it.  Union+window — one
+    shuffle on user_id (operators/joins.py asof_join)."""
+    events = _t(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    out = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts", right_prefix="m_"
+    )
+    return out.select("event_id", F.col("m_click_event_id").alias("click_event_id"))
+
+
+@query(
+    "join_range_clicks_before_purchase",
+    oracle="""
+    SELECT p.event_id, count(c.event_id) AS n_clicks
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND epoch_ms(c.ts) - epoch_ms(p.ts) BETWEEN -600000 AND 0
+    GROUP BY p.event_id
+    """,
+    tags=("join_range",),
+)
+def join_range_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/band join (engine addition): clicks within the 10 minutes
+    before each purchase, counted.  Bucketed equi-join (600s buckets)
+    instead of a nested-loop theta join (operators/joins.py range_join).
+    Point values are integer epoch-millis on BOTH engines so µs-vs-ns
+    precision cannot skew the band edges."""
+    events = _t(spark, sf_dir, "events")
+    ems = F.unix_micros(F.col("ts")) / 1000  # epoch ms (float mid-step ok: /1000 exact for µs)
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.floor(ems).cast("long").alias("pms")
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.floor(ems).cast("long").alias("cms")
+    )
+    matched = range_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_point="pms",
+        right_point="cms",
+        lower=F.lit(-600000),
+        upper=F.lit(0),
+        bucket_width=600000,
+    )
+    counts = matched.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+    # left-outer semantics: purchases with zero clicks keep a 0 row
+    return (
+        purchases.select("event_id")
+        .join(counts, "event_id", "left")
+        .select("event_id", F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"))
+    )
+
+
+@query(
+    "top_k_orders",
+    oracle="""
+    SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+    FROM orders
+    ORDER BY price_cents DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("top_k", "sort", "limit"),
+)
+def top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort+limit fused: Catalyst plans TakeOrderedAndProject — no full
+    sort at any scale.  Tie-broken by orderkey for determinism."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", cents("o_totalprice").alias("price_cents"))
+        .orderBy(F.col("price_cents").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "top_k_per_group_orders",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey,
+             CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey) AS rnk
+      FROM orders)
+    WHERE rnk <= 3
+    """,
+    tags=("top_k_per_group", "window"),
+)
+def top_k_per_group_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer (engine addition, SURVEY.md §2.6)."""
+    orders = _t(spark, sf_dir, "orders")
+    df = orders.select(
+        "o_custkey", "o_orderkey", cents("o_totalprice").alias("price_cents")
+    )
+    return top_k_per_group(
+        df,
+        partition=["o_custkey"],
+        order=[F.col("price_cents").desc(), F.col("o_orderkey")],
+        k=3,
+        rank_name="rnk",
+    )
+
+
+@query(
+    "pagination_offset_limit",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus FROM orders
+    ORDER BY o_orderkey LIMIT 25 OFFSET 1000
+    """,
+    tags=("skip", "limit", "sort"),
+)
+def pagination_offset_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination (jx skip+limit (u, ActiveData)); Spark 3.4+ offset."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+        .offset(1000)
+        .limit(25)
+    )
+
+
+@query(
+    "distinct_order_status_priority",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    tags=("distinct",),
+)
+def distinct_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct == jx groupby-with-no-aggregates (u, jx_python)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@query(
+    "setop_union_all_keys",
+    oracle="""
+    SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+    """,
+    tags=("union_all",),
+)
+def setop_union_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, supplier = _t(spark, sf_dir, "customer", "supplier")
+    return customer.select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")
+    ).unionByName(
+        supplier.select(
+            F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side")
+        )
+    )
+
+
+@query(
+    "setop_intersect_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("intersect",),
+)
+def setop_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, supplier = _t(spark, sf_dir, "customer", "supplier")
+    return customer.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@query(
+    "setop_except_brand_sizes",
+    oracle="""
+    SELECT p_size FROM part WHERE p_brand = 'Brand#11'
+    EXCEPT
+    SELECT p_size FROM part WHERE p_brand = 'Brand#12'
+    """,
+    tags=("except",),
+)
+def setop_except_brand_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    # subtract == EXCEPT DISTINCT (SQL semantics; exceptAll would keep
+    # surplus duplicates of values that DO appear on the right)
+    return part.where(F.col("p_brand") == "Brand#11").select("p_size").subtract(
+        part.where(F.col("p_brand") == "Brand#12").select("p_size")
+    )
