@@ -1,0 +1,254 @@
+"""M5 scalar function library coverage (SURVEY.md §2.8): the jx
+expression surface (u, jx_base/expressions/* — one small module per
+op) exercised through driver-contract queries, grouped by family.
+Everything stays in built-in Column functions (WholeStageCodegen)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mo_etl_spark.registry import query
+from mo_etl_spark.session import prepare
+from mo_etl_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    prepare(spark)
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "scalar_string_family",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS u,
+           lower(p_brand) AS l,
+           length(p_name) AS n_chars,
+           substr(p_name, 1, 5) AS first5,
+           substr(p_name, greatest(length(p_name) - 2, 1), 3) AS last3,
+           concat(p_brand, '|', p_type) AS brand_type,
+           CASE WHEN strpos(p_name, 'a') > 0 THEN strpos(p_name, 'a') - 1 ELSE NULL END AS find_a,
+           starts_with(p_type, 'STANDARD') AS is_std,
+           p_type LIKE '%BRUSHED%' AS is_brushed,
+           trim(p_name) AS trimmed,
+           len(string_split(p_name, ' ')) AS n_words
+    FROM part
+    """,
+    tags=("scalar", "string"),
+)
+def scalar_string_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String ops: length/left/right/concat/find/prefix/contains/trim/
+    split (u, jx StringOps; find returns 0-based index or Null)."""
+    part = _t(spark, sf_dir, "part")
+    name = F.col("p_name")
+    return part.select(
+        "p_partkey",
+        F.upper(name).alias("u"),
+        F.lower("p_brand").alias("l"),
+        F.length(name).alias("n_chars"),
+        name.substr(1, 5).alias("first5"),
+        name.substr(F.greatest(F.length(name) - 2, F.lit(1)), F.lit(3)).alias("last3"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.when(F.instr(name, "a") > 0, F.instr(name, "a") - 1).alias("find_a"),
+        F.col("p_type").startswith("STANDARD").alias("is_std"),
+        F.col("p_type").contains("BRUSHED").alias("is_brushed"),
+        F.trim(name).alias("trimmed"),
+        F.size(F.split(name, " ")).alias("n_words"),
+    )
+
+
+@query(
+    "scalar_math_family",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_quantity - 25) AS abs_dev,
+           CAST(sign(l_quantity - 25) AS DOUBLE) AS sgn,
+           round(sqrt(l_quantity), 6) AS sqrt_qty,
+           round(exp(l_discount), 6) AS exp_disc,
+           round(ln(l_quantity), 6) AS ln_qty,
+           round(log10(l_quantity), 6) AS log10_qty,
+           l_quantity ** 2 AS qty_sq,
+           CAST(l_quantity AS BIGINT) % 7 AS mod7,
+           ((CAST(l_quantity AS BIGINT) % 7) + 7) % 7 AS pmod7,
+           floor(l_quantity / 10) * 10 AS floor10,
+           CAST(ceil(l_quantity / 7) AS BIGINT) AS ceil7,
+           (CAST(round(l_extendedprice*100) AS BIGINT) * 10) // CAST(l_quantity AS BIGINT) AS unit_price_mc
+    FROM lineitem
+    WHERE l_orderkey <= 2000
+    """,
+    tags=("scalar", "math"),
+)
+def scalar_math_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math ops (u, mo_math): abs/sign/sqrt/exp/log/pow/mod/floor-to-
+    multiple/ceil, div-by-zero -> Null.  Transcendentals rounded to 6
+    digits (libm vs JVM last-ulp).  l_quantity is integral -> qty_sq,
+    mod, floor exact."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 2000)
+    q = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(q - 25).alias("abs_dev"),
+        # duckdb sign() yields integer; align as double on the SQL side
+        F.signum(q - 25).alias("sgn"),
+        F.round(F.sqrt(q), 6).alias("sqrt_qty"),
+        F.round(F.exp("l_discount"), 6).alias("exp_disc"),
+        F.round(F.log(q), 6).alias("ln_qty"),
+        F.round(F.log10(q), 6).alias("log10_qty"),
+        F.pow(q, 2).alias("qty_sq"),
+        (q.cast("long") % 7).alias("mod7"),
+        F.pmod(q.cast("long"), 7).alias("pmod7"),
+        (F.floor(q / 10) * 10).cast("double").alias("floor10"),
+        F.ceil(q / 7).alias("ceil7"),
+        # unit price in exact integer milli-cents: round(x, 2) of a
+        # division is NOT cross-engine stable at true decimal ties
+        F.expr(
+            "(cast(round(l_extendedprice*100) as bigint) * 10)"
+            " div cast(l_quantity as bigint)"
+        ).alias("unit_price_mc"),
+    )
+
+
+@query(
+    "scalar_date_family",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS y,
+           month(o_orderdate) AS m,
+           day(o_orderdate) AS d,
+           quarter(o_orderdate) AS q,
+           isodow(o_orderdate) AS iso_dow,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start,
+           o_orderdate + INTERVAL 1 MONTH AS next_month,
+           o_orderdate + INTERVAL 7 DAY AS next_week,
+           date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_95,
+           CAST(epoch(o_orderdate) AS BIGINT) AS unix_s,
+           strftime(o_orderdate, '%Y-%m') AS ym
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    tags=("scalar", "date"),
+)
+def scalar_date_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time ops (u, mo_times): extract parts, truncation (jx floor
+    on a time domain), calendar month add (month-aware Duration),
+    absolute-interval add, diff, unix seconds, formatting.
+    o_orderdate is ms-precision -> all outputs µs-safe."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("d"),
+        F.quarter(d).alias("q"),
+        (F.weekday(d) + 1).alias("iso_dow"),  # Spark weekday Mon=0; ISO Mon=1
+        F.date_trunc("month", d).alias("month_start"),
+        F.date_trunc("week", d).alias("week_start"),
+        F.add_months(d, 1).cast("timestamp").alias("next_month"),
+        (d + F.expr("INTERVAL 7 DAYS")).alias("next_week"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).cast("long").alias(
+            "days_since_95"
+        ),
+        F.unix_timestamp(d).alias("unix_s"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+    )
+
+
+@query(
+    "scalar_null_family",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           coalesce(nullif(l_discount, 0.0), -1.0) AS disc_or_flag,
+           CASE WHEN l_tax > 0.05 THEN 'high' WHEN l_tax > 0.02 THEN 'mid' ELSE 'low' END AS tax_band,
+           least(l_discount, l_tax) AS lo,
+           greatest(l_discount, l_tax) AS hi,
+           (nullif(l_discount, 0.0) IS NULL) AS no_disc,
+           (l_discount IS NOT DISTINCT FROM l_tax) AS disc_eq_tax
+    FROM lineitem WHERE l_orderkey <= 2000
+    """,
+    tags=("scalar", "null"),
+)
+def scalar_null_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling family: coalesce/nullif/case/least/greatest/
+    missing/null-safe-eq (u, jx CoalesceOp WhenOp MissingOp EqOp —
+    IS NOT DISTINCT FROM is the oracle twin of jx eq)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 2000)
+    disc, tax = F.col("l_discount"), F.col("l_tax")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(F.nullif(disc, F.lit(0.0)), F.lit(-1.0)).alias("disc_or_flag"),
+        F.when(tax > 0.05, "high").when(tax > 0.02, "mid").otherwise("low").alias("tax_band"),
+        F.least(disc, tax).alias("lo"),
+        F.greatest(disc, tax).alias("hi"),
+        F.nullif(disc, F.lit(0.0)).isNull().alias("no_disc"),
+        disc.eqNullSafe(tax).alias("disc_eq_tax"),
+    )
+
+
+@query(
+    "scalar_array_family",
+    oracle="""
+    SELECT p_partkey,
+           string_split(p_name, ' ') AS words,
+           len(string_split(p_name, ' ')) AS n_words,
+           list_sort(string_split(p_name, ' ')) AS sorted_words,
+           list_sort(list_distinct(string_split(p_name, ' '))) AS uniq_words,
+           list_contains(string_split(p_name, ' '), 'green') AS has_green,
+           list_sort(list_transform(string_split(p_name, ' '), w -> upper(w))) AS upper_words,
+           list_sort(list_filter(string_split(p_name, ' '), w -> length(w) > 5)) AS long_words,
+           string_split(p_name, ' ')[1] AS first_word,
+           list_sum(list_transform(string_split(p_name, ' '), w -> length(w))) AS total_chars
+    FROM part
+    """,
+    tags=("scalar", "array"),
+)
+def scalar_array_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family (u, mo_dots FlatList implicit mapping + jx):
+    split/size/sort/distinct/contains/transform/filter/element_at/
+    aggregate — all higher-order built-ins, no UDF."""
+    part = _t(spark, sf_dir, "part")
+    words = F.split("p_name", " ")
+    return part.select(
+        "p_partkey",
+        words.alias("words"),
+        F.size(words).alias("n_words"),
+        F.array_sort(words).alias("sorted_words"),
+        F.array_sort(F.array_distinct(words)).alias("uniq_words"),
+        F.array_contains(words, "green").alias("has_green"),
+        F.array_sort(F.transform(words, lambda w: F.upper(w))).alias("upper_words"),
+        F.array_sort(F.filter(words, lambda w: F.length(w) > 5)).alias("long_words"),
+        F.element_at(words, 1).alias("first_word"),
+        F.aggregate(
+            words, F.lit(0), lambda acc, w: acc + F.length(w)
+        ).alias("total_chars"),
+    )
+
+
+@query(
+    "scalar_json_family",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           json_valid(props) AS is_valid
+    FROM events WHERE event_id <= 3000
+    """,
+    tags=("scalar", "json"),
+)
+def scalar_json_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family (u, mo_json): path extraction, typed cast, validity.
+    get_json_object / from_json stay JVM-side."""
+    events = _t(spark, sf_dir, "events").where(F.col("event_id") <= 3000)
+    k = F.get_json_object("props", "$.k")
+    parsed = F.from_json("props", "k BIGINT")
+    return events.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("long").alias("k_int"),
+        (k.cast("long") % 10).alias("k_mod"),
+        parsed.isNotNull().alias("is_valid"),
+    )

@@ -1,0 +1,200 @@
+"""M4 window functions (SURVEY.md §2.5): the jx window clause surface
+(u, jx_python/windows.py — name/value/edges/sort/aggregate/range) as
+Spark Window specs, plus gap-based sessionization (engine addition).
+
+All time arithmetic uses integer epoch-millis on both engines so the
+events.ts µs-vs-ns difference cannot skew results; money uses integer
+cents (functions/numeric.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mo_etl_spark.functions.numeric import cents
+from mo_etl_spark.registry import query
+from mo_etl_spark.session import prepare
+from mo_etl_spark.tables import load_table
+
+#: integer epoch milliseconds of events.ts (µs timestamp -> exact)
+_EMS = (F.unix_micros(F.col("ts")) / F.lit(1000)).cast("long")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    return load_table(spark, sf_dir, "events")
+
+
+@query(
+    "win_running_total_per_user",
+    oracle="""
+    SELECT event_id, user_id,
+           sum(CAST(round(value*100) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+    FROM events
+    """,
+    tags=("window_agg", "cumulative"),
+)
+def win_running_total_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jx cumulative window: range {min: null, max: 0} (u)."""
+    events = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id", "user_id", F.sum(cents("value")).over(w).alias("running_cents")
+    )
+
+
+@query(
+    "win_moving_window_per_user",
+    oracle="""
+    SELECT event_id, user_id,
+           sum(CAST(round(value*100) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS moving_cents,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS moving_n
+    FROM events
+    """,
+    tags=("moving", "window_agg"),
+)
+def win_moving_window_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jx moving window: range {min: -6, max: 0} (u)."""
+    events = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.sum(cents("value")).over(w).alias("moving_cents"),
+        F.count(F.lit(1)).over(w).alias("moving_n"),
+    )
+
+
+@query(
+    "win_lead_lag_gaps",
+    oracle="""
+    SELECT event_id, user_id,
+           lag(event_type)  OVER w AS prev_type,
+           lead(event_type) OVER w AS next_type,
+           epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS gap_ms
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window_lead_lag",),
+)
+def win_lead_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jx rows[offset] / lead-lag (u); gap as integer ms."""
+    events = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ems = _EMS
+    return events.select(
+        "event_id",
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (ems - F.lag(ems).over(w)).alias("gap_ms"),
+    )
+
+
+@query(
+    "win_rank_suite",
+    oracle="""
+    SELECT event_id, event_type,
+           rank()         OVER (PARTITION BY event_type ORDER BY CAST(round(value*100) AS BIGINT) DESC) AS rnk,
+           dense_rank()   OVER (PARTITION BY event_type ORDER BY CAST(round(value*100) AS BIGINT) DESC) AS drnk,
+           round(percent_rank() OVER (PARTITION BY event_type ORDER BY CAST(round(value*100) AS BIGINT) DESC), 6) AS prnk,
+           ntile(4)       OVER (PARTITION BY event_type ORDER BY CAST(round(value*100) AS BIGINT) DESC, event_id) AS quartile
+    FROM events
+    """,
+    tags=("window_rank", "window_percentile"),
+)
+def win_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/percent_rank/ntile — jx window rank shapes (u).
+    rank() ties on equal cents are identical in both engines; ntile
+    needs the event_id tiebreak for a total order."""
+    events = _events(spark, sf_dir)
+    c = cents("value")
+    w = Window.partitionBy("event_type").orderBy(c.desc())
+    wt = Window.partitionBy("event_type").orderBy(c.desc(), "event_id")
+    return events.select(
+        "event_id",
+        "event_type",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.ntile(4).over(wt).alias("quartile"),
+    )
+
+
+@query(
+    "win_first_last_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_event,
+           last_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event
+    FROM events
+    """,
+    tags=("window_first_last",),
+)
+def win_first_last_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(w).alias("last_event"),
+    )
+
+
+@query(
+    "win_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    )
+    SELECT event_id, user_id,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+    FROM flagged
+    """,
+    tags=("sessionize",),
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (engine addition, SURVEY.md §2.5): a
+    30-minute silence starts a new session.  lag + cumulative sum —
+    one shuffle on user_id, linear per-partition scan; the batch twin
+    of F.session_window (streaming suite)."""
+    events = _events(spark, sf_dir)
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ems = _EMS
+    gap = ems - F.lag(ems).over(order)
+    new_session = F.when(gap > 30 * 60 * 1000, 1).otherwise(0)
+    return (
+        events.withColumn("__new", new_session)
+        .select(
+            "event_id",
+            "user_id",
+            F.sum("__new").over(cum).alias("session_idx"),
+        )
+    )
