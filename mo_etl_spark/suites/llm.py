@@ -1,0 +1,398 @@
+"""M7 LLM-data-pipeline contract queries (SURVEY.md §2.11).
+
+The corpus ``documents`` table has NO exact or near duplicates (500
+distinct normalized hashes — verified), so the dedup queries build a
+deterministic augmented corpus inside the query: exact-dup variants
+(case/whitespace-mangled copies, id+10000) and near-dup variants
+(first ~80% of words, id+20000).  The oracle performs the IDENTICAL
+construction in SQL, so the operators are exercised on data that
+actually contains what they detect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mo_etl_spark.operators import dedup as D
+from mo_etl_spark.operators import similarity as S
+from mo_etl_spark.operators import text as X
+from mo_etl_spark.operators.multimodal import decode_batch, with_binary_payload
+from mo_etl_spark.registry import query
+from mo_etl_spark.session import prepare
+from mo_etl_spark.tables import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _with_exact_dups(docs: DataFrame) -> DataFrame:
+    """documents ∪ mangled copies of docs 0..99 (id+10000): upper-cased
+    with doubled spaces — same normalized content."""
+    mangled = (
+        docs.where(F.col("doc_id") < 100)
+        .select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat(F.lit("  "), F.upper(F.regexp_replace("text", " ", "  "))).alias("text"),
+        )
+    )
+    return docs.select("doc_id", "text").unionByName(mangled)
+
+
+_SQL_EXACT_DUPS = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000 AS doc_id,
+           concat('  ', upper(regexp_replace(text, ' ', '  ', 'g'))) AS text
+    FROM documents WHERE doc_id < 100
+"""
+
+
+def _with_near_dups(docs: DataFrame) -> DataFrame:
+    """documents ∪ truncated copies of docs 0..99 (id+20000): first 80%
+    of whitespace tokens — token-jaccard ≈ 0.8 against the source."""
+    words = F.split(F.col("text"), " ")
+    trunc = F.array_join(
+        F.slice(words, 1, F.greatest(F.floor(F.size(words) * 4 / 5).cast("int"), F.lit(1))), " "
+    )
+    near = docs.where(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), trunc.alias("text")
+    )
+    return docs.select("doc_id", "text").unionByName(near)
+
+
+_SQL_NEAR_DUPS = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 20000 AS doc_id,
+           array_to_string(
+             list_slice(string_split(text, ' '), 1,
+                        greatest(CAST(floor(len(string_split(text, ' ')) * 4 / 5) AS INT), 1)),
+             ' ') AS text
+    FROM documents WHERE doc_id < 100
+"""
+
+
+@query(
+    "llm_dedup_exact",
+    oracle=f"""
+    WITH corpus AS ({_SQL_EXACT_DUPS})
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+           min(doc_id) AS keeper_id,
+           count(*) AS n_dups
+    FROM corpus
+    GROUP BY 1
+    """,
+    tags=("dedup_exact",),
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalized-content hash groupBy; keeper = min id.
+    100 mangled copies collapse onto their sources (n_dups=2)."""
+    return D.dedup_exact(_with_exact_dups(_docs(spark, sf_dir)))
+
+
+@query(
+    "llm_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH corpus AS ({_SQL_NEAR_DUPS}),
+    toks AS (
+        SELECT doc_id AS id, unnest(list_distinct(string_split(
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS tok
+        FROM corpus
+    ),
+    sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        FROM toks a JOIN toks b USING (tok)
+        WHERE a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+           round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+    """,
+    tags=("dedup_ngram_jaccard",),
+)
+def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-Jaccard near-dup pairs via inverted-index join (the
+    scalable exact method; candidate count bounded by shared-token
+    pairs, not C(N,2))."""
+    return D.jaccard_pairs(_with_near_dups(_docs(spark, sf_dir)), threshold=0.5)
+
+
+@query("llm_dedup_minhash", oracle=None, tags=("dedup_minhash",))
+def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32)+LSH(8 bands) candidates, exact-Jaccard verified at
+    0.5.  Deterministic (fixed xxhash64 seeds) but sketch-specific ->
+    rows-only; unit tests assert it recovers the planted near-dups."""
+    return D.minhash_lsh_pairs(_with_near_dups(_docs(spark, sf_dir)))
+
+
+@query("llm_dedup_simhash", oracle=None, tags=("dedup_simhash",))
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (sign-sum of token hashes)."""
+    return D.simhash64(_with_near_dups(_docs(spark, sf_dir)))
+
+
+_SQL_COSINE = """
+    round(
+      list_sum(list_transform(range(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+    , 6)
+"""
+
+
+@query(
+    "llm_sim_topk",
+    oracle=f"""
+    SELECT * FROM (
+      SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+             {_SQL_COSINE} AS cos_sim,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_SQL_COSINE} DESC, b.vec_id) AS rnk
+      FROM embeddings a CROSS JOIN embeddings b
+      WHERE a.vec_id <> b.vec_id AND a.vec_id < 50)
+    WHERE rnk <= 5
+    """,
+    tags=("sim_topk",),
+)
+def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 neighbors for the first 50 query
+    vectors.  zip_with+aggregate sequential double sums mirror the
+    oracle's formula; order by (rounded cos, c_id) is total."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec"))
+    return S.brute_force_topk(q, c, k=5).select("q_id", "c_id", "cos_sim", "rnk")
+
+
+@query(
+    "llm_knn_classify",
+    oracle=f"""
+    WITH topk AS (
+      SELECT * FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_SQL_COSINE} DESC, b.vec_id) AS rnk
+        FROM embeddings a CROSS JOIN embeddings b
+        WHERE a.vec_id <> b.vec_id)
+      WHERE rnk <= 10
+    ),
+    votes AS (
+      SELECT t.q_id, e.label, count(*) AS votes
+      FROM topk t JOIN embeddings e ON e.vec_id = t.c_id
+      GROUP BY 1, 2
+    )
+    SELECT q_id, label AS pred_label, votes FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY votes DESC, label) AS r
+      FROM votes)
+    WHERE r = 1
+    """,
+    tags=("knn_classify",),
+)
+def llm_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-NN majority-label classification over all 500 vectors (ties
+    -> smaller label)."""
+    return S.knn_classify(_emb(spark, sf_dir), k=10)
+
+
+@query(
+    "llm_embed_normalize",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(range(1, 65),
+                 i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))), 6) AS norm,
+           round(CAST(embedding[1] AS DOUBLE)
+                 / sqrt(list_sum(list_transform(range(1, 65),
+                       i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))), 6) AS e1_normed
+    FROM embeddings
+    """,
+    tags=("embed_normalize",),
+)
+def llm_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization via higher-order functions (no UDF)."""
+    emb = _emb(spark, sf_dir)
+    v = S.as_double(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.round(S.l2_norm(v), 6).alias("norm"),
+        F.round(F.element_at(S.normalize(v), 1), 6).alias("e1_normed"),
+    )
+
+
+@query("llm_sim_lsh_buckets", oracle=None, tags=("sim_lsh",))
+def llm_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for ANN: sign-random-projection buckets (12 planes,
+    seed 42).  Output = bucket histogram; candidate generation joins on
+    the bucket id instead of cross-joining the corpus."""
+    b = S.hyperplane_lsh_buckets(_emb(spark, sf_dir), dim=64)
+    return b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+_STOPS_SQL = "'" + "','".join(X.EN_STOPWORDS) + "'"
+
+
+@query(
+    "llm_text_stats",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS n_tokens,
+           round(CAST(length(text) AS DOUBLE)
+                 / len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')), 6) AS mean_tok_len,
+           length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
+    FROM documents
+    """,
+    tags=("text_stats",),
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char-class statistics — all JVM-side regex/array ops."""
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    n_toks = X.token_count(t)
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        F.round(F.length(t) / n_toks, 6).alias("mean_tok_len"),
+        F.length(F.regexp_replace(F.lower(t), r"[^a-z]", "")).alias("n_alpha"),
+        F.length(F.regexp_replace(t, r"[^0-9]", "")).alias("n_digits"),
+    )
+
+
+@query(
+    "llm_text_quality_lang",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           round(CAST(len(list_filter(toks, x -> x IN ({_STOPS_SQL}))) AS DOUBLE) / len(toks), 6) AS stop_ratio,
+           CASE WHEN CAST(len(list_filter(toks, x -> x IN ({_STOPS_SQL}))) AS DOUBLE) / len(toks) >= 0.05
+                THEN 'en' ELSE 'unk' END AS lang_pred,
+           round((CASE WHEN n_chars BETWEEN 100 AND 1000 THEN 1.0 ELSE 0.5 END
+                  + CASE WHEN CAST(n_chars AS DOUBLE)/len(toks) BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END
+                  + CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)/n_chars) / 3.0, 6) AS quality
+    FROM t
+    """,
+    tags=("lang_id", "quality_score"),
+)
+def llm_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID + composite quality score."""
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.round(X.stopword_ratio(t), 6).alias("stop_ratio"),
+        X.lang_id(t).alias("lang_pred"),
+        X.quality_score(t).alias("quality"),
+    )
+
+
+@query(
+    "llm_text_tokenize_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+           md5(array_to_string(list_sort(list_distinct(string_split(
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))), ' ')) AS fingerprint
+    FROM documents
+    """,
+    tags=("token_count", "fingerprint"),
+)
+def llm_text_tokenize_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting + key-collision fingerprint."""
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.size(X.bpe_ish_tokens(t)).alias("n_bpe_tokens"),
+        X.fingerprint(t).alias("fingerprint"),
+    )
+
+
+@query(
+    "llm_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT source, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    docfreq AS (SELECT tok, count(DISTINCT source) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(DISTINCT source) AS n_sources FROM documents)
+    SELECT * FROM (
+      SELECT tf.source, tf.tok,
+             round(tf * ln(CAST(n.n_sources AS DOUBLE) / df), 6) AS tfidf,
+             row_number() OVER (PARTITION BY tf.source
+                                ORDER BY round(tf * ln(CAST(n.n_sources AS DOUBLE) / df), 6) DESC, tf.tok) AS rnk
+      FROM tf JOIN docfreq USING (tok) CROSS JOIN n)
+    WHERE rnk <= 5
+    """,
+    tags=("tfidf_terms",),
+)
+def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tf-idf terms per source — explode/groupBy/join, no ML lib.
+    idf denominator = per-source document frequency."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "source", F.explode(D.tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("tok").agg(F.countDistinct("source").alias("df"))
+    n_sources = docs.select(F.countDistinct("source").alias("n_sources"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n_sources))
+        .select(
+            "source",
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("n_sources").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    return D.top_k_rows(
+        scored, ["source"], [F.col("tfidf").desc(), F.col("tok")], 5
+    ).select("source", "tok", "tfidf", "rnk")
+
+
+@query(
+    "llm_multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+    tags=("multimodal_col",),
+)
+def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: payload + metadata struct, then an
+    Arrow-batched mapInPandas 'decode' (deterministic stub).  The md5/
+    byte-length outputs are oracle-checked; width/height are stub-only
+    and excluded from the contract columns."""
+    docs = with_binary_payload(_docs(spark, sf_dir))
+    return decode_batch(docs).select("doc_id", "n_bytes", "content_md5")
