@@ -1,0 +1,99 @@
+"""Streaming operators (SURVEY.md §2.9).
+
+Reference streaming is pipeline-level (u — ActiveData-ETL consumes
+queues with mo-threads Thread/Queue/Signal and processes S3 blocks
+incrementally; mo-streams gives pull pipelines).  Here the same
+capabilities map to Structured Streaming: sources -> transformations
+-> sinks with checkpointing; watermarks + event-time windows are
+engine additions using Spark-native concepts.
+
+Every windowing function below is BATCH-FIRST: it takes any DataFrame
+(static or streaming) and returns the transformed DataFrame, so the
+identical code path serves the DuckDB-oracle-checked batch queries and
+the readStream smoke tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str,
+    width: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """Non-overlapping event-time windows (epoch-aligned grid)."""
+    return df.groupBy(F.window(ts_col, width).alias("win"), *keys).agg(*aggs)
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str,
+    width: str,
+    slide: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """Overlapping windows: each event lands in width/slide windows."""
+    return df.groupBy(F.window(ts_col, width, slide).alias("win"), *keys).agg(*aggs)
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """Gap-based session windows (merges events closer than ``gap``).
+    Batch twin of the window-function sessionize (suites/windows.py)."""
+    return df.groupBy(F.session_window(ts_col, gap).alias("win"), *keys).agg(*aggs)
+
+
+def stateful_dedup(
+    df: DataFrame, keys: Sequence[str], watermark: tuple[str, str] | None = None
+) -> DataFrame:
+    """Exactly-once by key: batch dropDuplicates; with ``watermark=
+    (ts_col, delay)`` on a stream, state is bounded by the watermark
+    (late duplicates beyond it age out — the 100 TB/unbounded path)."""
+    if watermark is not None:
+        df = df.withWatermark(*watermark)
+    return df.dropDuplicates(list(keys))
+
+
+def file_stream_source(
+    spark: SparkSession, path: str, schema, fmt: str = "parquet"
+) -> DataFrame:
+    """Incremental file-drop source — the Spark-native analog of the
+    reference's S3-block queue consumption (u, ActiveData-ETL
+    s3_bucket + pulse: workers pick up new blocks as they appear)."""
+    return spark.readStream.schema(schema).format(fmt).load(path)
+
+
+def foreach_batch_etl(
+    stream_df: DataFrame,
+    transform: Callable[[DataFrame, int], DataFrame],
+    sink: Callable[[DataFrame, int], None],
+    checkpoint: str,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Per-microbatch transform+sink — the ActiveData block-ETL shape
+    (u: transform(source_key, source, dest) per S3 block) with
+    exactly-once bookkeeping via the checkpoint dir."""
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        sink(transform(batch_df, batch_id), batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(run).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,121 @@
+"""M8 source/sink contract queries (SURVEY.md §2.1): round trips
+through NDJSON-gz (the reference's S3 block format (u)), CSV, and
+parquet sinks.  Each query WRITES via the engine sink then READS back
+via the engine source; the oracle reads the original parquet — so a
+hash match proves the round trip is lossless.
+
+Writes go under .cache/ inside the repo (gitignored, overwrite-mode,
+keyed by sf so concurrent sf runs don't collide).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mo_etl_spark.registry import query
+from mo_etl_spark.session import prepare
+from mo_etl_spark.sources import (
+    scan_csv,
+    scan_jsonlines,
+    sink_csv,
+    sink_jsonlines,
+    sink_parquet,
+)
+from mo_etl_spark.tables import load_table
+
+_CACHE = "/root/repo/.cache"
+
+
+def _dir(sf_dir: str, name: str) -> str:
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return os.path.join(_CACHE, tag, name)
+
+
+@query(
+    "source_jsonlines_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(round(value*100) AS BIGINT) AS value_cents
+    FROM events
+    """,
+    tags=("scan_jsonlines", "sink_jsonlines"),
+)
+def source_jsonlines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> gzipped NDJSON -> read back.  Money lifted to integer
+    cents BEFORE writing so the JSON round trip is exact by
+    construction (doubles would round-trip too via shortest-repr, but
+    ints make the oracle trivially safe)."""
+    prepare(spark)
+    path = _dir(sf_dir, "events_ndjson")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    sink_jsonlines(events, path, gzip=True)
+    schema = "event_id BIGINT, user_id BIGINT, event_type STRING, value_cents BIGINT"
+    return scan_jsonlines(spark, path, schema=schema)
+
+
+@query(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_size,
+           CAST(round(p_retailprice*100) AS BIGINT) AS price_cents
+    FROM part
+    """,
+    tags=("scan_csv", "sink_csv"),
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part -> CSV with header -> read back with explicit schema (no
+    inference scan — the 100 TB pattern)."""
+    prepare(spark)
+    path = _dir(sf_dir, "part_csv")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+    )
+    sink_csv(part, path)
+    schema = "p_partkey BIGINT, p_name STRING, p_brand STRING, p_size INT, price_cents BIGINT"
+    return scan_csv(spark, path, schema=schema)
+
+
+@query(
+    "sink_parquet_roundtrip",
+    oracle="""
+    SELECT n_name, count(*) AS n_suppliers,
+           sum(CAST(round(s_acctbal*100) AS BIGINT)) AS total_cents
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("sink_parquet", "scan_parquet"),
+)
+def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate -> parquet sink -> parquet scan (the engine's
+    materialization path; lineage would be recorded by the caller à la
+    ActiveData etl field (u))."""
+    prepare(spark)
+    from mo_etl_spark.functions.numeric import cents
+
+    path = _dir(sf_dir, "supplier_agg_parquet")
+    supplier, nation = (
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+    agg = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(cents("s_acctbal")).alias("total_cents"),
+        )
+    )
+    sink_parquet(agg, path)
+    return spark.read.parquet(path)

@@ -1,0 +1,111 @@
+"""Actual Structured Streaming smoke tests: the batch-first window
+functions run unchanged on readStream inputs; foreachBatch ETL moves
+microbatches through a transform into a sink with checkpointing."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="moetl_stream_", dir="/root/repo/.cache")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _feed_dir(spark, sf_dir, tmpdir):
+    """Stage events parquet as a file-drop directory (the S3-block
+    analog) and return (path, schema)."""
+    from mo_etl_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    path = f"{tmpdir}/feed"
+    events.write.mode("overwrite").parquet(path)
+    return path, events.schema
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir, tmpdir):
+    from mo_etl_spark.streaming import file_stream_source, tumbling_agg
+    from mo_etl_spark.tables import load_table
+
+    path, schema = _feed_dir(spark, sf_dir, tmpdir)
+    stream = file_stream_source(spark, path, schema).withWatermark("ts", "1 hour")
+    out = tumbling_agg(
+        stream, "ts", "1 hour", ["event_type"], [F.count(F.lit(1)).alias("n")]
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tumbling_smoke")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["win"]["start"], r["event_type"]): r["n"]
+        for r in spark.sql("select * from tumbling_smoke").collect()
+    }
+    batch = tumbling_agg(
+        load_table(spark, sf_dir, "events"),
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n")],
+    )
+    want = {(r["win"]["start"], r["event_type"]): r["n"] for r in batch.collect()}
+    assert got == want  # stream (availableNow, complete) == batch
+
+
+def test_foreach_batch_etl(spark, sf_dir, tmpdir):
+    from mo_etl_spark.streaming import file_stream_source, foreach_batch_etl
+
+    path, schema = _feed_dir(spark, sf_dir, tmpdir)
+    stream = file_stream_source(spark, path, schema)
+    out_path = f"{tmpdir}/out"
+
+    def transform(df, batch_id):
+        return df.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", F.lit(batch_id).alias("etl_batch")
+        )
+
+    def sink(df, batch_id):
+        df.write.mode("append").parquet(out_path)
+
+    q = foreach_batch_etl(stream, transform, sink, checkpoint=f"{tmpdir}/ckpt2")
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_path)
+    from mo_etl_spark.tables import load_table
+
+    want = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    assert got.count() == want.count()
+    assert set(got.columns) == {"event_id", "user_id", "etl_batch"}
+
+
+def test_stateful_dedup_stream(spark, sf_dir, tmpdir):
+    from mo_etl_spark.streaming import file_stream_source, stateful_dedup
+    from mo_etl_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    # redeliver 20% of events (at-least-once queue shape)
+    feed = events.unionByName(events.where(F.col("event_id") % 5 == 0))
+    path = f"{tmpdir}/dupfeed"
+    feed.write.mode("overwrite").parquet(path)
+    stream = file_stream_source(spark, path, events.schema)
+    deduped = stateful_dedup(stream, ["event_id"], watermark=("ts", "1 hour"))
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_smoke")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/ckpt3")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("select count(*) n from dedup_smoke").collect()[0]["n"]
+    assert n == events.count()
