@@ -8,6 +8,8 @@ dicts to lazy DataFrame plans; Catalyst owns everything downstream.
 """
 
 from mo_etl_spark.jx.expressions import jx_expr
+from mo_etl_spark.jx.fluent import Q
+from mo_etl_spark.jx.formats import format_result
 from mo_etl_spark.jx.query import jx_run
 
-__all__ = ["jx_expr", "jx_run"]
+__all__ = ["Q", "format_result", "jx_expr", "jx_run"]

@@ -9,3 +9,4 @@ import mo_etl_spark.suites.sources  # noqa: F401
 import mo_etl_spark.suites.streaming_batch  # noqa: F401
 import mo_etl_spark.suites.windows  # noqa: F401
 import mo_etl_spark.suites.tpch  # noqa: F401
+import mo_etl_spark.suites.udfs  # noqa: F401

@@ -1,0 +1,107 @@
+"""§2.10 UDF/UDAF/UDTF surface — the reference's extensibility model
+(u: jx_python interprets plain Python lambdas over docs; ActiveData-ETL
+transforms are Python functions (source_key, source, dest) -> keys).
+
+Spark mapping: Arrow-vectorized pandas UDFs only (row-at-a-time Python
+is banned in this engine at any scale).  Each contract query keeps its
+Python math in EXACT integers so the DuckDB oracle hash-matches —
+proving the plumbing end-to-end, not just "it ran".
+mapInPandas (UDTF shape) is covered by llm_multimodal_decode.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from mo_etl_spark.registry import query
+from mo_etl_spark.session import prepare
+from mo_etl_spark.tables import load_table
+
+
+def _price_band_cents_fn(price: pd.Series) -> pd.Series:
+    """Scalar pandas UDF body: bucket a cents price into 5000-cent
+    bands (vectorized integer ops -> deterministic).  The pandas_udf
+    wrapper is created inside the query — decorating at module level
+    breaks executor re-imports (no active session there)."""
+    cents = (price * 100).round().astype("int64")
+    return (cents // 5000) * 5000
+
+
+@query(
+    "udf_scalar_price_band",
+    oracle="""
+    SELECT o_orderkey,
+           (CAST(round(o_totalprice*100) AS BIGINT) // 5000) * 5000 AS band_cents
+    FROM orders WHERE o_orderkey <= 3000
+    """,
+    tags=("udf_scalar",),
+)
+def udf_scalar_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched scalar pandas UDF (the reference's per-doc Python
+    function shape, vectorized)."""
+    prepare(spark)
+    band = pandas_udf(_price_band_cents_fn, "long")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 3000)
+    return orders.select("o_orderkey", band("o_totalprice").alias("band_cents"))
+
+
+def _sum_cents_fn(price: pd.Series) -> int:
+    """Grouped-agg pandas UDF (UDAF) body: exact integer sum."""
+    return int((price * 100).round().astype("int64").sum())
+
+
+@query(
+    "udf_grouped_agg_sum",
+    oracle="""
+    SELECT o_orderpriority,
+           sum(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("udaf",),
+)
+def udf_grouped_agg_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas_udf GROUPED_AGG — custom aggregate over Arrow batches."""
+    prepare(spark)
+    sum_cents = pandas_udf(_sum_cents_fn, "long", functionType=None)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        sum_cents("o_totalprice").alias("total_cents")
+    )
+
+
+def _per_user_sequence(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map transform: per-user event sequencing + running count
+    of purchases — integer state machine, deterministic."""
+    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    pdf["seq"] = range(len(pdf))
+    pdf["purchases_so_far"] = (pdf["event_type"] == "purchase").cumsum().astype("int64")
+    return pdf[["event_id", "user_id", "seq", "purchases_so_far"]]
+
+
+@query(
+    "udf_grouped_map_sequence",
+    oracle="""
+    SELECT event_id, user_id,
+           row_number() OVER w - 1 AS seq,
+           count(*) FILTER (WHERE event_type = 'purchase')
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchases_so_far
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("grouped_map", "applyInPandas"),
+)
+def udf_grouped_map_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map (the ETL per-group transform shape) —
+    each user's events arrive as one pandas frame; output schema is
+    declared, shuffle is one hash partition by user_id."""
+    prepare(spark)
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").applyInPandas(
+        _per_user_sequence,
+        "event_id BIGINT, user_id BIGINT, seq BIGINT, purchases_so_far BIGINT",
+    )

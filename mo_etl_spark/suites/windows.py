@@ -17,8 +17,12 @@ from mo_etl_spark.registry import query
 from mo_etl_spark.session import prepare
 from mo_etl_spark.tables import load_table
 
-#: integer epoch milliseconds of events.ts (µs timestamp -> exact)
-_EMS = (F.unix_micros(F.col("ts")) / F.lit(1000)).cast("long")
+def _EMS():
+    """Integer epoch milliseconds of events.ts (µs timestamp -> exact).
+    A function, not a module constant: Column construction needs an
+    active session, and executors re-import this package when
+    deserializing pandas UDFs from sibling modules."""
+    return (F.unix_micros(F.col("ts")) / F.lit(1000)).cast("long")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,7 +99,7 @@ def win_lead_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """jx rows[offset] / lead-lag (u); gap as integer ms."""
     events = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ems = _EMS
+    ems = _EMS()
     return events.select(
         "event_id",
         "user_id",
@@ -187,7 +191,7 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _events(spark, sf_dir)
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ems = _EMS
+    ems = _EMS()
     gap = ems - F.lag(ems).over(order)
     new_session = F.when(gap > 30 * 60 * 1000, 1).otherwise(0)
     return (

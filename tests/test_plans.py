@@ -1,0 +1,97 @@
+"""Physical-plan assertions (SURVEY.md §4.3 / M9): the plans the
+engine produces must be the plans you'd want at 100 TB — predicates
+pushed into the parquet scan, columns pruned, dimension joins
+broadcast, no cartesian products outside the explicitly-exact
+brute-force similarity ops."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def sf001():
+    return "/root/testdata/sf0.001"
+
+
+def test_q1_pushdown_and_pruning(spark, sf001):
+    from mo_etl_spark.suites.tpch import q1_pricing_summary
+
+    df = q1_pricing_summary(spark, sf001)
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must not read l_orderkey/l_partkey/...
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_q5_broadcasts_dimensions(spark, sf001):
+    from mo_etl_spark.suites.relational import join_q5_local_supplier_volume
+
+    plan = plan_of(join_q5_local_supplier_volume(spark, sf001))
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_single_shuffle(spark, sf001):
+    from mo_etl_spark.suites.relational import join_asof_purchase_last_click
+
+    plan = plan_of(join_asof_purchase_last_click(spark, sf001))
+    # union+window technique: no join node at all, exactly one exchange
+    # feeding the window sort (plus AQE reads)
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf001):
+    from mo_etl_spark.suites.relational import join_range_clicks_before_purchase
+
+    plan = plan_of(join_range_clicks_before_purchase(spark, sf001))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_uses_take_ordered(spark, sf001):
+    from mo_etl_spark.suites.relational import top_k_orders
+
+    plan = plan_of(top_k_orders(spark, sf001))
+    assert "TakeOrderedAndProject" in plan  # no full sort at any scale
+
+
+def test_filter_pushdown_through_jx(spark, sf001):
+    """The jx compiler's predicates reach the parquet scan too."""
+    from mo_etl_spark.jx import jx_run
+    from mo_etl_spark.tables import load_table
+
+    events = load_table(spark, sf001, "events")
+    df = jx_run(
+        {"from": events, "where": {"eq": {"event_type": "purchase"}},
+         "select": ["event_id"]}
+    )
+    plan = plan_of(df)
+    # jx eq is null-safe -> pushes down as EqualNullSafe
+    assert "PushedFilters" in plan and "EqualNullSafe(event_type,purchase)" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "props" not in read_schema  # pruned
+
+
+def test_no_python_udf_in_core_suites(spark, sf001):
+    """Core relational/agg/window plans contain no Python evaluation
+    (UDF suites and multimodal are the sanctioned exceptions)."""
+    import mo_etl_spark.registry as R
+
+    core = [
+        n
+        for n, s in R.all_queries().items()
+        if not n.startswith(("udf_", "llm_multimodal"))
+    ]
+    for name in core[:: max(1, len(core) // 12)]:  # sample across suites
+        df = R.QUERIES[name].fn(spark, sf001)
+        plan = plan_of(df)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
