@@ -4,6 +4,7 @@ microbatches through a transform into a sink with checkpointing."""
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -13,6 +14,7 @@ from pyspark.sql import functions as F
 
 @pytest.fixture()
 def tmpdir():
+    os.makedirs("/root/repo/.cache", exist_ok=True)
     d = tempfile.mkdtemp(prefix="moetl_stream_", dir="/root/repo/.cache")
     yield d
     shutil.rmtree(d, ignore_errors=True)
