@@ -165,3 +165,44 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 def top_k_rows(df: DataFrame, partition: list[str], order: list[Column], k: int) -> DataFrame:
     w = Window.partitionBy(*partition).orderBy(*order)
     return df.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
+def embed_cosine_dups(
+    df: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (SURVEY.md §2.11
+    dedup family): pairs (a, b) with cosine >= threshold, reduced to a
+    keep-min-id decision per duplicate — (dup_id, keep_id, cos_sim).
+
+    Plan: norms precomputed per vector; candidate pairs via a.id < b.id
+    self cross-join (the exact baseline — at 100 TB the pair source
+    swaps to hyperplane_lsh_buckets / IVF cells, same downstream).
+    """
+    from mo_etl_spark.operators.similarity import dot, l2_norm
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")).withColumn(
+        "na", l2_norm(F.col("va"))
+    )
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")).withColumn(
+        "nb", l2_norm(F.col("vb"))
+    )
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                round_digits,
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+    return pairs.groupBy(F.col("id_b").alias("dup_id")).agg(
+        F.min("id_a").alias("keep_id"), F.max("cos").alias("cos_sim")
+    )

@@ -247,3 +247,98 @@ def jx_deep_from_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark=spark,
         tables={"order_docs": nested},
     )
+
+
+@query(
+    "jx_select_leaves",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus   AS "status.o_orderstatus",
+           o_orderpriority AS "status.o_orderpriority",
+           CAST(round(o_totalprice * 100) AS BIGINT) AS "money.price_cents"
+    FROM orders WHERE o_orderkey <= 500
+    """,
+    tags=("jx", "select_leaves"),
+)
+def jx_select_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``{"select": {"value": {"leaves": "."}}}`` — flatten every nested
+    leaf to a dotted top-level name (u, mo_dots.leaves; SURVEY.md §2.2
+    select_leaves).  Builds a nested order document first, then the jx
+    leaves projection recovers the dotted flat view — a pure schema walk,
+    no shuffle, no UDF."""
+    t = _tables(spark, sf_dir, "orders")
+    docs = t["orders"].where(F.col("o_orderkey") <= 500).select(
+        "o_orderkey",
+        F.struct("o_orderstatus", "o_orderpriority").alias("status"),
+        F.struct(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents")
+        ).alias("money"),
+    )
+    return jx_run(
+        {"from": "order_docs", "select": {"value": {"leaves": "."}}},
+        spark=spark,
+        tables={"order_docs": docs},
+    )
+
+
+@query(
+    "jx_edges_set_range_cube",
+    oracle="""
+    WITH dom AS (
+        SELECT p.priority, CAST(i.i * 100000 AS DOUBLE) AS bucket
+        FROM (SELECT unnest(['1-URGENT','2-HIGH','3-MEDIUM',
+                             '4-NOT SPECIFIED','5-LOW']) AS priority) p
+        CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS i) i
+    ), agg AS (
+        SELECT o_orderpriority AS priority,
+               floor(o_totalprice / 100000) * 100000 AS bucket,
+               count(*) AS n,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+        FROM orders
+        WHERE o_totalprice >= 0 AND o_totalprice < 500000
+        GROUP BY 1, 2
+    )
+    SELECT dom.priority, dom.bucket, coalesce(agg.n, 0) AS n, agg.total_cents
+    FROM dom LEFT JOIN agg USING (priority, bucket)
+    """,
+    tags=("jx", "edges", "set_domain", "range_domain"),
+)
+def jx_edges_set_range_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-edge cube crossing a SET domain (explicit partitions) with a
+    RANGE domain (numeric buckets) — the complete 5x5 domain product
+    materializes even for empty parts (u, jx_base/domains.py set+range
+    domains; SURVEY.md §2.4 edges).  Spark: one hash agg + a left join
+    against the generated domain product (25 rows -> broadcast)."""
+    return jx_run(
+        {
+            "from": "orders",
+            "edges": [
+                {
+                    "name": "priority",
+                    "value": "o_orderpriority",
+                    "domain": {
+                        "type": "set",
+                        "partitions": [
+                            "1-URGENT", "2-HIGH", "3-MEDIUM",
+                            "4-NOT SPECIFIED", "5-LOW",
+                        ],
+                    },
+                },
+                {
+                    "name": "bucket",
+                    "value": "o_totalprice",
+                    "domain": {"type": "range", "min": 0, "max": 500000, "interval": 100000},
+                },
+            ],
+            "select": [
+                {"name": "n", "aggregate": "count"},
+                {
+                    "name": "total_cents",
+                    "value": {"integer": {"round": [{"mult": ["o_totalprice", 100]}, 0]}},
+                    "aggregate": "sum",
+                },
+            ],
+        },
+        spark=spark,
+        tables=_tables(spark, sf_dir, "orders"),
+    )

@@ -411,3 +411,50 @@ def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     and excluded from the contract columns."""
     docs = with_binary_payload(_docs(spark, sf_dir))
     return decode_batch(docs).select("doc_id", "n_bytes", "content_md5")
+
+
+@query(
+    "llm_dedup_embed_cosine",
+    oracle="""
+    WITH aug AS (
+        SELECT vec_id,
+               list_transform(range(1, 65),
+                              i -> CAST(embedding[i] AS DOUBLE)) AS v
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000,
+               list_transform(range(1, 65),
+                   i -> CASE WHEN i = 1 THEN CAST(embedding[1] AS DOUBLE) + 0.1
+                             ELSE CAST(embedding[i] AS DOUBLE) END)
+        FROM embeddings WHERE vec_id < 50
+    ), pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+                     / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
+                        * sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))),
+                     6) AS cos
+        FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    )
+    SELECT id_b AS dup_id, min(id_a) AS keep_id, max(cos) AS cos_sim
+    FROM pairs WHERE cos >= 0.99
+    GROUP BY id_b
+    """,
+    tags=("dedup_embed_cosine",),
+)
+def llm_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup (SURVEY.md §2.11).  The corpus
+    has no natural near-dups (max pairwise cosine 0.51 — verified), so
+    the query plants deterministic ones: vectors 0..49 re-appear as
+    vec_id+10000 with component 1 shifted by +0.1 (cosine ~0.9999).
+    Detection: all-pairs cosine >= 0.99 -> keep-min-id decision table.
+    At 100 TB the pair source becomes the LSH/IVF bucket join."""
+    emb = _emb(spark, sf_dir)
+    v = S.as_double(F.col("embedding"))
+    base = emb.select("vec_id", v.alias("v"))
+    perturbed = emb.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            v, lambda x, i: F.when(i == 0, x + F.lit(0.1)).otherwise(x)
+        ).alias("v"),
+    )
+    return D.embed_cosine_dups(base.unionByName(perturbed), threshold=0.99)

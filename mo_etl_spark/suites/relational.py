@@ -413,3 +413,76 @@ def setop_except_brand_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.where(F.col("p_brand") == "Brand#11").select("p_size").subtract(
         part.where(F.col("p_brand") == "Brand#12").select("p_size")
     )
+
+
+@query(
+    "join_full_customer_status",
+    oracle="""
+    WITH f AS (SELECT o_custkey, count(*) AS f_orders
+               FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+         o AS (SELECT o_custkey, count(*) AS o_orders
+               FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey)
+    SELECT coalesce(f.o_custkey, o.o_custkey) AS o_custkey,
+           f.f_orders, o.o_orders
+    FROM f FULL JOIN o ON f.o_custkey = o.o_custkey
+    """,
+    tags=("join_full",),
+)
+def join_full_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates sharing a key (u,
+    mo_sql_parsing ``full join``; SURVEY.md §2.3 join_left/right/full).
+    Customers with only finished orders, only open orders, or both —
+    genuinely asymmetric sides, nulls preserved (no fillna).  Spark
+    USING-join coalesces the key column; sort-merge on o_custkey (both
+    sides pre-aggregated so the shuffle is on already-reduced rows)."""
+    orders = _t(spark, sf_dir, "orders")
+    f = (
+        orders.where(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("f_orders"))
+    )
+    o = (
+        orders.where(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("o_orders"))
+    )
+    return f.join(o, on=["o_custkey"], how="full")
+
+
+@query(
+    "join_right_part_sales",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand,
+           coalesce(s.lines_sold, 0) AS lines_sold,
+           coalesce(s.qty_sum, 0) AS qty_sum
+    FROM (SELECT l_partkey, count(*) AS lines_sold,
+                 sum(CAST(round(l_quantity) AS BIGINT)) AS qty_sum
+          FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01'
+          GROUP BY l_partkey) s
+    RIGHT JOIN part p ON s.l_partkey = p.p_partkey
+    """,
+    tags=("join_right",),
+)
+def join_right_part_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join keeping every part, including the ~350 with no
+    sales in the window (u, mo_sql_parsing ``right join``).  The right
+    side (part) is dimension-sized -> at scale this flips to a left
+    join with the fact side pre-aggregated; Catalyst plans the same."""
+    part, lineitem = _t(spark, sf_dir, "part", "lineitem")
+    sold = (
+        lineitem.where(F.col("l_shipdate") < "1995-06-01")
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("lines_sold"),
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty_sum"),
+        )
+    )
+    return (
+        sold.join(part, sold.l_partkey == part.p_partkey, "right")
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.coalesce("lines_sold", F.lit(0)).alias("lines_sold"),
+            F.coalesce("qty_sum", F.lit(0)).alias("qty_sum"),
+        )
+    )
