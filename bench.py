@@ -27,6 +27,17 @@ def main() -> None:
     qs = entrymod.queries()
     names = HEADLINE or list(qs)
 
+    # one-time warmup (untimed): JVM codegen, parquet reader, and the
+    # Arrow python-worker pool all pay a first-use cost that would
+    # otherwise be billed to whichever query happens to run first
+    try:
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+        spark.range(64).mapInPandas(
+            lambda it: it, "id long"
+        ).count()
+    except Exception as e:
+        print(f"# bench warmup skipped: {e!r}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     t_all = time.time()
     for name in names:

@@ -110,10 +110,13 @@ def minhash_lsh_pairs(
     """MinHash-LSH candidate pairs, exact-Jaccard verified.
 
     banding: k/bands rows per band; band key = xxhash64(band rows).
-    Candidates = pairs sharing >=1 band bucket (shuffle on band hash —
-    bucket sizes are the only skew risk; at 100 TB add a bucket-size
-    cap).  Each candidate is then verified with exact Jaccard so the
-    output is deterministic given seeds.
+    Candidates = pairs sharing >=1 band bucket.  All bands join in ONE
+    self-join keyed on (band_index, band_hash) — posexplode turns the
+    signature row into `bands` keyed rows, so the whole candidate
+    generation is a single shuffle of bands·N rows instead of `bands`
+    separate join stages.  Bucket sizes are the only skew risk; at
+    100 TB add a bucket-size cap.  Each candidate is then verified with
+    exact Jaccard so the output is deterministic given seeds.
     """
     rows_per_band = k // bands
     sig = minhash_signatures(df, text_col, id_col, k)
@@ -123,14 +126,17 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    banded = sig.select("id", *band_cols)
-    pairs = None
-    for b in range(bands):
-        left = banded.select(F.col("id").alias("id_a"), F.col(f"b{b}").alias("bk"))
-        right = banded.select(F.col("id").alias("id_b"), F.col(f"b{b}").alias("bk"))
-        p = left.join(right, "bk").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    candidates = pairs.distinct()
+    banded = sig.select(
+        "id", F.posexplode(F.array(*band_cols)).alias("band", "bk")
+    )
+    left = banded.select(F.col("id").alias("id_a"), "band", "bk")
+    right = banded.select(F.col("id").alias("id_b"), "band", "bk")
+    candidates = (
+        left.join(right, ["band", "bk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     exact = jaccard_pairs(df, text_col, id_col, threshold=verify_threshold)
     return candidates.join(exact, ["id_a", "id_b"]).select(
         "id_a", "id_b", "jaccard"
@@ -178,30 +184,14 @@ def embed_cosine_dups(
     dedup family): pairs (a, b) with cosine >= threshold, reduced to a
     keep-min-id decision per duplicate — (dup_id, keep_id, cos_sim).
 
-    Plan: norms precomputed per vector; candidate pairs via a.id < b.id
-    self cross-join (the exact baseline — at 100 TB the pair source
-    swaps to hyperplane_lsh_buckets / IVF cells, same downstream).
+    Plan: blocked-GEMM threshold pairs (similarity.threshold_pairs —
+    the exact baseline; at 100 TB the pair source swaps to
+    hyperplane_lsh_buckets / IVF cells, same downstream).
     """
-    from mo_etl_spark.operators.similarity import dot, l2_norm
+    from mo_etl_spark.operators.similarity import threshold_pairs
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")).withColumn(
-        "na", l2_norm(F.col("va"))
-    )
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")).withColumn(
-        "nb", l2_norm(F.col("vb"))
-    )
-    pairs = (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
-                round_digits,
-            ).alias("cos"),
-        )
-        .where(F.col("cos") >= threshold)
+    pairs = threshold_pairs(
+        df, threshold, id_col=id_col, vec_col=vec_col, round_digits=round_digits
     )
     return pairs.groupBy(F.col("id_b").alias("dup_id")).agg(
         F.min("id_a").alias("keep_id"), F.max("cos").alias("cos_sim")

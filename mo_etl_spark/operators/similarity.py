@@ -1,22 +1,33 @@
 """Similarity search over embedding columns (SURVEY.md §2.11).
 
-Baseline: exact brute-force cosine top-k — blocked cross join with the
-dot product in built-in higher-order functions (zip_with + aggregate:
-sequential left-to-right summation, mirroring the oracle's formula so
-doubles match bit-for-bit before rounding).
+Baseline: exact brute-force cosine top-k as a **block-nested-loop
+GEMM**: both sides are blocked by hashed id, each (query-block,
+corpus-block) pair meets in one `cogroup().applyInPandas` task that
+runs a numpy float64 matrix multiply, emits a map-side partial top-k
+(or threshold-filtered pairs), and a final window reduces to the
+global top-k.  Shuffle volume is nq x n_c_blocks x k rows — never the
+nq x nc score matrix — so the same plan runs on a 1000-executor
+cluster by raising the block counts.  (A pure higher-order-function
+form — zip_with + aggregate — is kept for per-row uses; it evaluates
+interpreted per element, ~50x slower per pair than the Arrow+BLAS
+path.)
 
-Scale path: random-hyperplane LSH bucketing (deterministic planes from
-a fixed seed) — candidates only within matching buckets, turning the
-O(N·Q) cross join into a bucket equi-join; brute force within bucket.
-At 100 TB-class corpora you'd additionally IVF-partition (k-means
-coarse quantizer) — the bucketing operator below is the same plumbing
-with a different assignment function.
+Scale path for sublinear candidate generation: random-hyperplane LSH
+bucketing (deterministic planes from a fixed seed) — candidates only
+within matching buckets, turning the O(N·Q) cross join into a bucket
+equi-join; the GEMM kernel scores within buckets.  At 100 TB-class
+corpora you'd additionally IVF-partition (k-means coarse quantizer) —
+the bucketing operator below is the same plumbing with a different
+assignment function.
 """
 
 from __future__ import annotations
 
 import math
 import random
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -52,6 +63,57 @@ def normalize(vec: Column) -> Column:
     return F.transform(vec, lambda x: x / n)
 
 
+def _round_half_away(x: np.ndarray, digits: int) -> np.ndarray:
+    """Round half away from zero — the F.round / DuckDB round() rule
+    (np.round is half-to-even, which would diverge on exact halves)."""
+    scale = 10.0**digits
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
+def _blocked_cogroup(
+    queries: DataFrame,
+    corpus: DataFrame,
+    q_id: str,
+    c_id: str,
+    vec: str,
+    n_q_blocks: int,
+    n_c_blocks: int,
+):
+    """Block-nested-loop pairing: each side gets a deterministic block
+    id (murmur3 hash of its id) and is replicated across the OTHER
+    side's blocks, so cogroup key (qb, cb) brings every query block
+    together with every corpus block exactly once.  n_q_blocks x
+    n_c_blocks tasks; per-task memory is (nq/NQB + nc/NCB) vectors."""
+    q = queries.select(
+        F.col(q_id).alias("q_id"),
+        F.col(vec).alias("qv"),
+        F.pmod(F.hash(F.col(q_id)), F.lit(n_q_blocks)).alias("qb"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_c_blocks - 1))).alias("cb"),
+    )
+    c = corpus.select(
+        F.col(c_id).alias("c_id"),
+        F.col(vec).alias("cv"),
+        F.pmod(F.hash(F.col(c_id)), F.lit(n_c_blocks)).alias("cb"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_q_blocks - 1))).alias("qb"),
+    )
+    return q.groupBy("qb", "cb").cogroup(c.groupBy("qb", "cb"))
+
+
+def _cosine_block(left: pd.DataFrame, right: pd.DataFrame, round_digits: int):
+    """float64 GEMM over one block pair -> (qids, cids, rounded cos
+    matrix).  Elements are cast to double BEFORE multiplying — same as
+    the oracle's CAST(x AS DOUBLE); dot first, then divide by the norm
+    product, mirroring the per-pair formula shape."""
+    Q = np.array(left["qv"].tolist(), dtype=np.float64)
+    C = np.array(right["cv"].tolist(), dtype=np.float64)
+    dots = Q @ C.T
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    cn = np.sqrt((C * C).sum(axis=1))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = _round_half_away(dots / np.outer(qn, cn), round_digits)
+    return left["q_id"].to_numpy(), right["c_id"].to_numpy(), cos
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -60,33 +122,77 @@ def brute_force_topk(
     c_id: str = "c_id",
     vec: str = "vec",
     round_digits: int = 6,
+    n_q_blocks: int = 4,
+    n_c_blocks: int = 8,
 ) -> DataFrame:
-    """Exact cosine top-k per query vector.
+    """Exact cosine top-k per query vector (self-pairs excluded).
 
-    Plan: broadcast the smaller side if it fits (Catalyst/AQE decides;
-    corpus blocks of ~10k rows keep each task's pair count bounded),
-    ordering by (rounded cosine DESC, c_id) — a total order, so results
-    are deterministic and cross-engine comparable.
+    Plan: blocked GEMM (module docstring) -> per-block partial top-k
+    (the global top-k is a subset of the union of block top-ks) ->
+    global row_number over (rounded cos DESC, c_id) — a total order,
+    so results are deterministic and cross-engine comparable.
     """
-    # norms precomputed per vector (not per pair) — sqrt(Σx²) is
-    # deterministic, so dot/(qn·cn) is bitwise-identical to the
-    # per-pair formula while doing 1/3 of the aggregate work
-    q = queries.select(F.col(q_id), as_double(F.col(vec)).alias("qv")).withColumn(
-        "qn", l2_norm(F.col("qv"))
+
+    def partial_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"q_id": [], "c_id": [], "cos_sim": []})
+        if left.empty or right.empty:
+            return empty
+        right = right.sort_values("c_id")  # stable argsort => ties -> smaller c_id
+        qids, cids, cos = _cosine_block(left, right, round_digits)
+        cos[qids[:, None] == cids[None, :]] = -np.inf  # exclude self
+        kk = min(k, cos.shape[1])
+        idx = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+        take = cos[np.arange(len(qids))[:, None], idx]
+        keep = np.isfinite(take).ravel()
+        return pd.DataFrame(
+            {
+                "q_id": np.repeat(qids, kk)[keep],
+                "c_id": cids[idx].ravel()[keep],
+                "cos_sim": take.ravel()[keep],
+            }
+        )
+
+    partials = _blocked_cogroup(
+        queries, corpus, q_id, c_id, vec, n_q_blocks, n_c_blocks
+    ).applyInPandas(partial_topk, "q_id long, c_id long, cos_sim double")
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
+    out = (
+        partials.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .withColumnRenamed("q_id", q_id)
+        .withColumnRenamed("c_id", c_id)
     )
-    c = corpus.select(F.col(c_id), as_double(F.col(vec)).alias("cv")).withColumn(
-        "cn", l2_norm(F.col("cv"))
-    )
-    pairs = q.crossJoin(c).where(F.col(q_id) != F.col(c_id))
-    scored = pairs.select(
-        q_id,
-        c_id,
-        F.round(
-            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_digits
-        ).alias("cos_sim"),
-    )
-    w = Window.partitionBy(q_id).orderBy(F.col("cos_sim").desc(), F.col(c_id))
-    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+    return out
+
+
+def threshold_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    round_digits: int = 6,
+    n_q_blocks: int = 4,
+    n_c_blocks: int = 8,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with rounded cosine >= threshold — the
+    pair source for embedding-cosine dedup.  Same blocked GEMM; output
+    is already sparse (only matching pairs leave the task), so no
+    reduce stage is needed."""
+
+    def block_pairs(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        if left.empty or right.empty:
+            return empty
+        qids, cids, cos = _cosine_block(left, right, round_digits)
+        mask = (qids[:, None] < cids[None, :]) & (cos >= threshold)
+        ai, bi = np.nonzero(mask)
+        return pd.DataFrame(
+            {"id_a": qids[ai], "id_b": cids[bi], "cos": cos[ai, bi]}
+        )
+
+    return _blocked_cogroup(
+        df, df, id_col, id_col, vec_col, n_q_blocks, n_c_blocks
+    ).applyInPandas(block_pairs, "id_a long, id_b long, cos double")
 
 
 def hyperplane_lsh_buckets(
@@ -101,14 +207,24 @@ def hyperplane_lsh_buckets(
     planes from ``seed``).  Vectors in the same bucket are cosine-close
     with high probability; join buckets to get candidates."""
     rng = random.Random(seed)
-    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
-    v = as_double(F.col(vec_col))
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        # literal plane coefficients -> expanded codegen-able projection
-        proj = sum((v[j] * F.lit(p[j]) for j in range(1, dim)), start=v[0] * F.lit(p[0]))
-        bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(0)
-    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    planes = np.array(
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+    )  # (n_planes, dim), deterministic; broadcast to every task via closure
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def assign(batches):
+        for pdf in batches:
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            bits = (V @ planes.T) > 0  # (n, n_planes) sign projections
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "bucket": (bits * weights).sum(axis=1)}
+            )
+
+    # output carries (id, bucket) only — candidate joins re-attach the
+    # vector by id, so the bucket shuffle never moves the embeddings
+    return df.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, bucket long"
+    )
 
 
 def knn_classify(
