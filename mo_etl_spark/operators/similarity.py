@@ -114,24 +114,10 @@ def _cosine_block(left: pd.DataFrame, right: pd.DataFrame, round_digits: int):
     return left["q_id"].to_numpy(), right["c_id"].to_numpy(), cos
 
 
-def brute_force_topk(
-    queries: DataFrame,
-    corpus: DataFrame,
-    k: int,
-    q_id: str = "q_id",
-    c_id: str = "c_id",
-    vec: str = "vec",
-    round_digits: int = 6,
-    n_q_blocks: int = 4,
-    n_c_blocks: int = 8,
-) -> DataFrame:
-    """Exact cosine top-k per query vector (self-pairs excluded).
-
-    Plan: blocked GEMM (module docstring) -> per-block partial top-k
-    (the global top-k is a subset of the union of block top-ks) ->
-    global row_number over (rounded cos DESC, c_id) — a total order,
-    so results are deterministic and cross-engine comparable.
-    """
+def _partial_topk_fn(k: int, round_digits: int, exclude_self: bool):
+    """Factory for the per-block partial top-k pandas function shared
+    by the blocked brute force and the IVF cell scoring — the global
+    top-k is a subset of the union of per-block top-ks."""
 
     def partial_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"q_id": [], "c_id": [], "cos_sim": []})
@@ -139,7 +125,8 @@ def brute_force_topk(
             return empty
         right = right.sort_values("c_id")  # stable argsort => ties -> smaller c_id
         qids, cids, cos = _cosine_block(left, right, round_digits)
-        cos[qids[:, None] == cids[None, :]] = -np.inf  # exclude self
+        if exclude_self:
+            cos[qids[:, None] == cids[None, :]] = -np.inf
         kk = min(k, cos.shape[1])
         idx = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
         take = cos[np.arange(len(qids))[:, None], idx]
@@ -152,17 +139,99 @@ def brute_force_topk(
             }
         )
 
-    partials = _blocked_cogroup(
-        queries, corpus, q_id, c_id, vec, n_q_blocks, n_c_blocks
-    ).applyInPandas(partial_topk, "q_id long, c_id long, cos_sim double")
+    return partial_topk
+
+
+def _global_topk(partials: DataFrame, k: int, q_id: str, c_id: str) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
-    out = (
+    return (
         partials.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
-        .withColumnRenamed("q_id", q_id)
-        .withColumnRenamed("c_id", c_id)
+        # one aliased select, not two renames: the caller's q_id name may
+        # itself be "c_id" (e.g. IVF cell assignment), which a sequential
+        # rename would turn into an ambiguous duplicate
+        .select(
+            F.col("q_id").alias(q_id), F.col("c_id").alias(c_id), "cos_sim", "rnk"
+        )
     )
-    return out
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    vec: str = "vec",
+    round_digits: int = 6,
+    n_q_blocks: int = 4,
+    n_c_blocks: int = 8,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k per query vector (self-pairs excluded unless
+    ``exclude_self=False`` — e.g. scoring against a centroid table
+    whose ids are unrelated to query ids).
+
+    Plan: blocked GEMM (module docstring) -> per-block partial top-k ->
+    global row_number over (rounded cos DESC, c_id) — a total order,
+    so results are deterministic and cross-engine comparable.
+    """
+    partials = _blocked_cogroup(
+        queries, corpus, q_id, c_id, vec, n_q_blocks, n_c_blocks
+    ).applyInPandas(
+        _partial_topk_fn(k, round_digits, exclude_self),
+        "q_id long, c_id long, cos_sim double",
+    )
+    return _global_topk(partials, k, q_id, c_id)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    nprobe: int = 4,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    cent_id: str = "cent_id",
+    vec: str = "vec",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-flat approximate top-k: the 100 TB-scale ANN path.
+
+    1. assignment — every corpus vector joins its single nearest
+       centroid (its *cell*); at scale this is the index build, done
+       once and persisted, partitioned by cell.
+    2. probing — each query picks its ``nprobe`` nearest centroids.
+    3. scoring — cogroup BY CELL: a query meets only the corpus
+       vectors inside its probed cells, so scored pairs drop from
+       nq·nc to ~nq·nprobe·(nc/n_cells); within a cell the same GEMM
+       partial-top-k kernel runs, and a global window reduces probes.
+
+    Centroids are supplied by the caller (a k-means coarse quantizer
+    at scale; any deterministic subset works for the contract — the
+    recall/latency trade is nprobe's).  Exact within probed cells;
+    approximate only in cell pruning — standard IVF semantics.
+    """
+    cells = brute_force_topk(
+        corpus, centroids, k=1, q_id=c_id, c_id=cent_id, vec=vec,
+        round_digits=round_digits, n_q_blocks=4, n_c_blocks=1, exclude_self=False,
+    ).select(F.col(c_id), F.col(cent_id).alias("cell"))
+    probes = brute_force_topk(
+        queries, centroids, k=nprobe, q_id=q_id, c_id=cent_id, vec=vec,
+        round_digits=round_digits, n_q_blocks=4, n_c_blocks=1, exclude_self=False,
+    ).select(F.col(q_id), F.col(cent_id).alias("cell"))
+    q_side = queries.join(probes, q_id).select(
+        F.col(q_id).alias("q_id"), F.col(vec).alias("qv"), "cell"
+    )
+    c_side = corpus.join(cells, c_id).select(
+        F.col(c_id).alias("c_id"), F.col(vec).alias("cv"), "cell"
+    )
+    partials = q_side.groupBy("cell").cogroup(c_side.groupBy("cell")).applyInPandas(
+        _partial_topk_fn(k, round_digits, exclude_self=True),
+        "q_id long, c_id long, cos_sim double",
+    )
+    return _global_topk(partials, k, q_id, c_id)
 
 
 def threshold_pairs(

@@ -49,3 +49,37 @@ def sink_jsonlines(df: DataFrame, path: str, mode: str = "overwrite", gzip: bool
 
 def sink_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def scan_sqlite(spark: SparkSession, db_path: str, table_or_sql: str) -> DataFrame:
+    """jx-sqlite container scan (u, jx_sqlite/container.py: jx queries
+    execute against a SQLite 'snowflake' store).
+
+    SQLite is an embedded single-file engine, so this is inherently a
+    driver-side ingest: read via the stdlib sqlite3 + pandas, then
+    parallelize with createDataFrame (Arrow).  Intended for the
+    reference's actual sqlite use — config/dimension-sized containers;
+    a 100 TB fact table would never live in SQLite.  Accepts a table
+    name or a full SELECT."""
+    import sqlite3
+
+    import pandas as pd
+
+    sql = (
+        table_or_sql
+        if table_or_sql.lstrip().lower().startswith("select")
+        else f"SELECT * FROM {table_or_sql}"
+    )
+    with sqlite3.connect(db_path) as conn:
+        pdf = pd.read_sql_query(sql, conn)
+    return spark.createDataFrame(pdf)
+
+
+def sink_sqlite(df: DataFrame, db_path: str, table: str, mode: str = "replace") -> None:
+    """Write a (dimension-sized) DataFrame into a SQLite table — the
+    return leg of the jx-sqlite container mapping.  Driver-side
+    toPandas + to_sql; same size caveat as scan_sqlite."""
+    import sqlite3
+
+    with sqlite3.connect(db_path) as conn:
+        df.toPandas().to_sql(table, conn, if_exists=mode, index=False)

@@ -7,6 +7,7 @@ import mo_etl_spark.suites.relational  # noqa: F401
 import mo_etl_spark.suites.scalars  # noqa: F401
 import mo_etl_spark.suites.sources  # noqa: F401
 import mo_etl_spark.suites.streaming_batch  # noqa: F401
+import mo_etl_spark.suites.streaming_real  # noqa: F401
 import mo_etl_spark.suites.windows  # noqa: F401
 import mo_etl_spark.suites.tpch  # noqa: F401
 import mo_etl_spark.suites.udfs  # noqa: F401

@@ -458,3 +458,68 @@ def llm_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
     )
     return D.embed_cosine_dups(base.unionByName(perturbed), threshold=0.99)
+
+
+_SQL_COS_EC = _SQL_COSINE.replace("a.embedding", "ea.embedding").replace(
+    "b.embedding", "ec.embedding"
+)
+
+
+@query(
+    "llm_sim_ivf_topk",
+    oracle=f"""
+    WITH cents_ AS (
+      SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id < 16
+    ),
+    cells AS (
+      SELECT c_id, cent_id AS cell FROM (
+        SELECT ea.vec_id AS c_id, ec.cent_id,
+               row_number() OVER (PARTITION BY ea.vec_id
+                                  ORDER BY {_SQL_COS_EC.replace('ec.embedding', 'ec.embedding')} DESC, ec.cent_id) AS r
+        FROM embeddings ea CROSS JOIN cents_ ec)
+      WHERE r = 1
+    ),
+    probes AS (
+      SELECT q_id, cent_id AS cell FROM (
+        SELECT ea.vec_id AS q_id, ec.cent_id,
+               row_number() OVER (PARTITION BY ea.vec_id
+                                  ORDER BY {_SQL_COS_EC} DESC, ec.cent_id) AS r
+        FROM embeddings ea CROSS JOIN cents_ ec
+        WHERE ea.vec_id < 50)
+      WHERE r <= 4
+    ),
+    cand AS (
+      SELECT p.q_id, cl.c_id
+      FROM probes p JOIN cells cl USING (cell)
+      WHERE p.q_id <> cl.c_id
+    )
+    SELECT q_id, c_id, cos_sim, rnk FROM (
+      SELECT cand.q_id, cand.c_id,
+             {_SQL_COSINE} AS cos_sim,
+             row_number() OVER (PARTITION BY cand.q_id
+                                ORDER BY {_SQL_COSINE} DESC, cand.c_id) AS rnk
+      FROM cand
+      JOIN embeddings a ON a.vec_id = cand.q_id
+      JOIN embeddings b ON b.vec_id = cand.c_id)
+    WHERE rnk <= 5
+    """,
+    tags=("sim_ivf",),
+)
+def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN top-5 for the first 50 queries: 16 deterministic
+    coarse centroids (vec_id < 16 — a k-means quantizer at scale),
+    nprobe=4.  Scoring meets only vectors in probed cells — the
+    sublinear scale path, exact within cells (operators/similarity.py
+    ivf_topk).  The oracle reproduces assignment, probing, and scoring
+    in SQL, so cell pruning itself is hash-checked."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec"))
+    cents_ = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("vec")
+    )
+    return S.ivf_topk(q, c, cents_, k=5, nprobe=4).select(
+        "q_id", "c_id", "cos_sim", "rnk"
+    )

@@ -486,3 +486,56 @@ def join_right_part_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("qty_sum", F.lit(0)).alias("qty_sum"),
         )
     )
+
+
+@query(
+    "setop_union_distinct_priorities",
+    oracle="""
+    SELECT o_orderpriority AS priority FROM orders WHERE o_orderstatus = 'F'
+    UNION
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("union_distinct",),
+)
+def setop_union_distinct_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — jx 'union' / parser ``union`` (u,
+    mo_sql_parsing).  unionByName + distinct; Catalyst plans a single
+    hash-aggregate over the concatenation (one shuffle)."""
+    orders = _t(spark, sf_dir, "orders")
+    f = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderpriority").alias("priority")
+    )
+    o = orders.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderpriority").alias("priority")
+    )
+    return f.unionByName(o).distinct()
+
+
+@query(
+    "join_broadcast_region_suppliers",
+    oracle="""
+    SELECT r.r_name, n.n_name, count(*) AS n_suppliers,
+           sum(CAST(round(s.s_acctbal*100) AS BIGINT)) AS acctbal_cents
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    tags=("join_broadcast",),
+)
+def join_broadcast_region_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hint joins (SURVEY §2.3 join_broadcast): both
+    dims are marked F.broadcast, so the fact side never shuffles for
+    the join — the plan is scan(supplier) -> BroadcastHashJoin x2 ->
+    partial agg -> one shuffle on the group keys.  At 100 TB this is
+    the difference between a map-side pipeline and a 3-way sort-merge."""
+    supplier, nation, region = _t(spark, sf_dir, "supplier", "nation", "region")
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(cents("s_acctbal")).alias("acctbal_cents"),
+        )
+    )

@@ -119,3 +119,26 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink_parquet(agg, path)
     return spark.read.parquet(path)
+
+
+@query(
+    "source_sqlite_roundtrip",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    """,
+    tags=("scan_sqlite", "sink_sqlite"),
+)
+def source_sqlite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation -> SQLite file -> scan back (the jx-sqlite container
+    mapping (u, jx_sqlite/container.py): dimension-sized data in an
+    embedded store).  Ints surface as BIGINT after the pandas leg, so
+    the oracle casts to match."""
+    prepare(spark)
+    from mo_etl_spark.sources import scan_sqlite, sink_sqlite
+
+    os.makedirs(_dir(sf_dir, "sqlite"), exist_ok=True)
+    db = os.path.join(_dir(sf_dir, "sqlite"), "dims.db")
+    sink_sqlite(load_table(spark, sf_dir, "nation"), db, "nation")
+    return scan_sqlite(spark, db, "nation")

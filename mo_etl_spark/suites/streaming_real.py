@@ -1,0 +1,155 @@
+"""REAL Structured Streaming contract queries (SURVEY.md §2.9).
+
+Unlike suites/streaming_batch.py (batch-equivalent forms), these run an
+actual ``readStream`` micro-batch pipeline with ``availableNow`` — the
+bounded-backfill trigger — so source discovery, watermarking, state
+store, checkpointing, and sinks all genuinely execute, yet the query
+terminates and yields a static DataFrame the driver can hash-check
+against a DuckDB oracle.
+
+The streamed corpus is the events table re-materialized as a file-drop
+feed (the reference's queue-of-S3-blocks shape (u, ActiveData-ETL
+pulse + s3_bucket: workers consume blocks as they appear)).  Each
+invocation uses a fresh checkpoint dir so the backfill reprocesses the
+whole feed deterministically; a long-running deployment would keep the
+checkpoint to get incremental exactly-once instead.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mo_etl_spark.functions.numeric import cents
+from mo_etl_spark.registry import query
+from mo_etl_spark.session import prepare
+from mo_etl_spark.streaming import file_stream_source, foreach_batch_etl
+from mo_etl_spark.tables import load_table
+
+_CACHE = "/root/repo/.cache"
+
+_FEED_SCHEMA = "event_id BIGINT, user_id BIGINT, event_type STRING, ts TIMESTAMP, value_cents BIGINT"
+
+
+def _feed(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize events as the parquet file-drop feed (overwrite —
+    idempotent per sf)."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = os.path.join(_CACHE, tag, "stream_feed")
+    load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", cents("value").alias("value_cents")
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _scratch(name: str) -> str:
+    """Fresh run-scoped dir; sweeps the previous run's dirs of the same
+    name so repeated invocations don't accumulate (the sink dir must
+    outlive the query — its DataFrame is returned lazily)."""
+    root = os.path.join(_CACHE, "stream_scratch")
+    os.makedirs(root, exist_ok=True)
+    for old in os.listdir(root):
+        if old.startswith(f"{name}-"):
+            shutil.rmtree(os.path.join(root, old), ignore_errors=True)
+    d = os.path.join(root, f"{name}-{uuid.uuid4().hex[:8]}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+@query(
+    "stream_real_watermark_daily",
+    oracle="""
+    SELECT epoch_ms(time_bucket(INTERVAL 1 DAY, ts)) AS win_start_ms,
+           event_type,
+           count(*) AS n,
+           sum(CAST(round(value*100) AS BIGINT)) AS total_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("stream_source", "watermark", "tumbling_window"),
+)
+def stream_real_watermark_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream(parquet feed) -> withWatermark(1 hour) -> daily
+    tumbling agg -> memory sink, availableNow; returns the materialized
+    sink table.  Complete output mode so every window emits in the
+    bounded backfill (the watermark bounds state on an unbounded run)."""
+    prepare(spark)
+    feed = _feed(spark, sf_dir)
+    ckpt = _scratch("wm_daily_ckpt")
+    qname = "stream_real_watermark_daily_sink"
+    stream = file_stream_source(spark, feed, _FEED_SCHEMA)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value_cents").alias("total_cents"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(qname).select(
+        (F.unix_micros(F.col("win.start")) / 1000).cast("long").alias("win_start_ms"),
+        "event_type",
+        "n",
+        "total_cents",
+    )
+
+
+@query(
+    "stream_real_foreachbatch_etl",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(round(value*100) AS BIGINT)) AS total_cents,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("foreachBatch_etl", "sink_parquet", "stream_source"),
+)
+def stream_real_foreachbatch_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ActiveData block-ETL shape (u: transform(source_key, source,
+    dest) per S3 block, lineage recorded in doc.etl) on Structured
+    Streaming: readStream -> foreachBatch(transform -> parquet append),
+    then aggregate the sink.  The transform stamps an ``etl`` lineage
+    struct (batch id + source feed); the contract aggregate is
+    batch-split-invariant, so the oracle needs no streaming knowledge."""
+    prepare(spark)
+    feed = _feed(spark, sf_dir)
+    ckpt = _scratch("feb_ckpt")
+    out = _scratch("feb_out")
+
+    def transform(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        return batch_df.withColumn(
+            "etl",
+            F.struct(
+                F.lit(batch_id).alias("batch_id"), F.lit(feed).alias("source")
+            ),
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    stream = file_stream_source(spark, feed, _FEED_SCHEMA)
+    q = foreach_batch_etl(stream, transform, sink, checkpoint=ckpt)
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value_cents").alias("total_cents"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

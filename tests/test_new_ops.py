@@ -1,0 +1,135 @@
+"""Behavior tests for the round-1 late additions: IVF ANN recall vs
+brute force, the SQLite connector round trip, and the real Structured
+Streaming contract queries (availableNow backfill)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    from mo_etl_spark.tables import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_ivf_recall_vs_brute_force(spark, emb):
+    """nprobe=4 of 16 cells must recover most exact neighbors — and
+    every IVF hit it does return must carry the exact cosine score."""
+    from mo_etl_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec"))
+    cents_ = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("vec")
+    )
+    exact = {
+        (r["q_id"], r["c_id"]): r["cos_sim"]
+        for r in brute_force_topk(q, c, k=5).collect()
+    }
+    approx = {
+        (r["q_id"], r["c_id"]): r["cos_sim"]
+        for r in ivf_topk(q, c, cents_, k=5, nprobe=4).collect()
+    }
+    hits = set(exact) & set(approx)
+    recall = len(hits) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} suspiciously low"
+    for pair in hits:  # scores are exact where cells overlap
+        assert exact[pair] == approx[pair]
+
+
+def test_ivf_probes_bound_candidates(spark, emb):
+    """A query's neighbors must all come from its probed cells."""
+    from mo_etl_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec"))
+    cents_ = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("vec")
+    )
+    cells = {
+        r["c_id"]: r["cell"]
+        for r in brute_force_topk(
+            c, cents_, k=1, q_id="c_id", c_id="cent_id", exclude_self=False
+        )
+        .select("c_id", F.col("cent_id").alias("cell"))
+        .collect()
+    }
+    probes = {}
+    for r in (
+        brute_force_topk(q, cents_, k=4, c_id="cent_id", exclude_self=False)
+        .select("q_id", F.col("cent_id").alias("cell"))
+        .collect()
+    ):
+        probes.setdefault(r["q_id"], set()).add(r["cell"])
+    for r in ivf_topk(q, c, cents_, k=5, nprobe=4).collect():
+        assert cells[r["c_id"]] in probes[r["q_id"]]
+
+
+def test_sqlite_roundtrip_lossless(spark, sf_dir, tmp_path):
+    from mo_etl_spark.sources import scan_sqlite, sink_sqlite
+    from mo_etl_spark.tables import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    db = str(tmp_path / "t.db")
+    sink_sqlite(nation, db, "nation")
+    back = scan_sqlite(spark, db, "nation")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+    # SELECT passthrough
+    two = scan_sqlite(spark, db, "SELECT n_name FROM nation WHERE n_regionkey = 0")
+    assert two.columns == ["n_name"]
+
+
+def test_stream_real_queries_match_batch(spark, sf_dir):
+    """The availableNow streaming pipelines must equal their batch
+    twins computed directly on the events table."""
+    from mo_etl_spark.registry import all_queries
+    from mo_etl_spark.tables import load_table
+
+    qs = all_queries()
+    events = load_table(spark, sf_dir, "events")
+
+    got = {
+        (r["win_start_ms"], r["event_type"]): (r["n"], r["total_cents"])
+        for r in qs["stream_real_watermark_daily"].fn(spark, sf_dir).collect()
+    }
+    want = {
+        (r["win_start_ms"], r["event_type"]): (r["n"], r["total_cents"])
+        for r in events.groupBy(
+            F.window("ts", "1 day").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+        )
+        .select(
+            (F.unix_micros(F.col("win.start")) / 1000).cast("long").alias("win_start_ms"),
+            "event_type",
+            "n",
+            "total_cents",
+        )
+        .collect()
+    }
+    assert got == want
+
+    feb = {
+        r["event_type"]: (r["n"], r["total_cents"], r["n_users"])
+        for r in qs["stream_real_foreachbatch_etl"].fn(spark, sf_dir).collect()
+    }
+    base = {
+        r["event_type"]: (r["n"], r["total_cents"], r["n_users"])
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .collect()
+    }
+    assert feb == base
