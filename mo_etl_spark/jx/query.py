@@ -113,7 +113,13 @@ def _norm_edges(edges: Any) -> list[dict]:
             out.append({"name": e.replace(".", "_"), "value": e})
         else:
             d = dict(e)
-            d.setdefault("name", d.get("value", "edge").replace(".", "_"))
+            if "name" not in d:
+                # only derivable from a string-path value; expression
+                # edges must name themselves
+                v = d.get("value", "edge")
+                if not isinstance(v, str):
+                    raise ValueError(f"edge with expression value needs a name: {e!r}")
+                d["name"] = v.replace(".", "_")
             out.append(d)
     return out
 
@@ -219,6 +225,10 @@ def _edge_key_and_domain(
         key = value
         parts = dom["partitions"]
         domain_df = spark.createDataFrame([(p,) for p in parts], [name])
+    elif dtype == "boolean":
+        # (u, jx_base/domains.py boolean domain): exactly two parts
+        key = value.cast("boolean")
+        domain_df = spark.sql(f"SELECT explode(array(true, false)) AS {name}")
     elif dtype in ("time", "range", "duration"):
         lo, hi = dom["min"], dom["max"]
         interval = dom["interval"]

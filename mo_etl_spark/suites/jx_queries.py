@@ -342,3 +342,46 @@ def jx_edges_set_range_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark=spark,
         tables=_tables(spark, sf_dir, "orders"),
     )
+
+
+@query(
+    "jx_edges_boolean_cube",
+    oracle="""
+    WITH dom AS (SELECT unnest([true, false]) AS is_purchase),
+    agg AS (
+        SELECT event_type = 'purchase' AS is_purchase,
+               count(*) AS n,
+               sum(CAST(round(value*100) AS BIGINT)) AS total_cents
+        FROM events
+        GROUP BY 1
+    )
+    SELECT dom.is_purchase, coalesce(agg.n, 0) AS n, agg.total_cents
+    FROM dom LEFT JOIN agg USING (is_purchase)
+    """,
+    tags=("jx", "edges", "boolean_domain"),
+)
+def jx_edges_boolean_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean edge domain — exactly two parts, both present even when
+    empty (u, jx_base/domains.py boolean domain; SURVEY.md §2.4)."""
+    return jx_run(
+        {
+            "from": "events",
+            "edges": [
+                {
+                    "name": "is_purchase",
+                    "value": {"eq": {"event_type": "purchase"}},
+                    "domain": {"type": "boolean"},
+                }
+            ],
+            "select": [
+                {"name": "n", "aggregate": "count"},
+                {
+                    "name": "total_cents",
+                    "value": {"integer": {"round": [{"mult": ["value", 100]}, 0]}},
+                    "aggregate": "sum",
+                },
+            ],
+        },
+        spark=spark,
+        tables=_tables(spark, sf_dir, "events"),
+    )
