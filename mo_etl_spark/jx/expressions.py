@@ -435,11 +435,63 @@ OPS = {
 }
 
 
+# scalar ops that implicitly map over a multi-valued operand (u,
+# mo_dots FlatList: a path through an array applies per element;
+# SURVEY.md §1.4 item 6).  Closed allow-list — ops whose per-element
+# application is well-defined with the remaining operands scalar.
+_MAPPABLE = {
+    "abs", "sign", "sqrt", "exp", "log", "log10", "negate", "ceiling",
+    "number", "integer", "double", "long", "string",
+    "length", "lower", "upper", "trim",
+    "add", "sum", "mult", "multiply", "sub", "subtract", "minus",
+    "div", "divide", "mod", "pow", "power", "round", "floor",
+    "left", "right", "not_left", "not_right", "prefix", "suffix", "find",
+    "gt", "gte", "lt", "lte",
+}
+
+
+def _element_type(df: DataFrame | None, path: Any):
+    """Element DataType if ``path`` is a dot-path to an ArrayType column."""
+    if df is None or not isinstance(path, str):
+        return None
+    field: Any = T.StructType(df.schema.fields)
+    for part in path.split("."):
+        if not isinstance(field, T.StructType):
+            return None
+        try:
+            field = field[part].dataType
+        except KeyError:
+            return None
+    return field.elementType if isinstance(field, T.ArrayType) else None
+
+
+def _implicit_map(op: str, arg: Any, df: DataFrame | None) -> Column | None:
+    """Compile scalar-op-over-array-path as F.transform (per-element),
+    when exactly one operand is an array path and the rest are scalars.
+    Returns None when implicit mapping does not apply."""
+    args = [arg] if isinstance(arg, str) else arg
+    if not isinstance(args, list):
+        return None
+    arr_idxs = [i for i, a in enumerate(args) if _element_type(df, a) is not None]
+    if len(arr_idxs) != 1:
+        return None
+    i = arr_idxs[0]
+    arr = F.col(args[i])
+
+    def per_element(x: Column) -> Column:
+        new_args = list(args)
+        new_args[i] = x  # jx_expr passes Columns through
+        return OPS[op](new_args[0] if isinstance(arg, str) else new_args, df)
+
+    return F.transform(arr, per_element)
+
+
 def jx_expr(expr: Any, df: DataFrame | None = None) -> Column:
     """Compile a jx expression to a pyspark Column.
 
-    ``df`` (optional) supplies the schema for string-aware ``missing``.
-    Unknown operators raise — the jx op set is closed (SURVEY.md §2.10).
+    ``df`` (optional) supplies the schema for string-aware ``missing``
+    and for implicit array mapping.  Unknown operators raise — the jx
+    op set is closed (SURVEY.md §2.10).
     """
     if isinstance(expr, Column):
         return expr
@@ -460,6 +512,11 @@ def jx_expr(expr: Any, df: DataFrame | None = None) -> Column:
             return _op_concat(expr["concat"], df, separator=expr.get("separator", ""))
         op_keys = [k for k in expr if k in OPS]
         if len(op_keys) == 1:
-            return OPS[op_keys[0]](expr[op_keys[0]], df)
+            op = op_keys[0]
+            if op in _MAPPABLE:
+                mapped = _implicit_map(op, expr[op], df)
+                if mapped is not None:
+                    return mapped
+            return OPS[op](expr[op], df)
         raise ValueError(f"unknown jx expression: {expr!r}")
     raise ValueError(f"unknown jx expression: {expr!r}")

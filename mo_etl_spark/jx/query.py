@@ -18,6 +18,7 @@ Clauses (u, ActiveData jx query docs):
 
 from __future__ import annotations
 
+from functools import reduce
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -216,14 +217,17 @@ def _edge_key_and_domain(
     name = e["name"]
     dom = e.get("domain", {}) or {}
     dtype = dom.get("type", "default")
+    allow_nulls = bool(e.get("allowNulls", dom.get("allowNulls", False)))
     value = jx_expr(e.get("value", name), df)
 
     if dtype == "default":
         key = value
         domain_df = df.select(key.alias(name)).distinct()
     elif dtype == "set":
-        key = value
         parts = dom["partitions"]
+        # out-of-set values route to the null part (only surfaced when
+        # allowNulls adds that part to the domain)
+        key = F.when(value.isin(*parts), value)
         domain_df = spark.createDataFrame([(p,) for p in parts], [name])
     elif dtype == "boolean":
         # (u, jx_base/domains.py boolean domain): exactly two parts
@@ -234,30 +238,33 @@ def _edge_key_and_domain(
         interval = dom["interval"]
         if dtype == "time":
             unit = interval if isinstance(interval, str) else "day"
-            if unit in ("month", "year"):
-                # calendar-aware buckets (mo_times Duration (u))
-                key = F.date_trunc(unit, value)
-                domain_df = spark.sql(
-                    f"SELECT explode(sequence(timestamp'{lo}', timestamp'{hi}',"
-                    f" interval 1 {unit})) AS {name}"
-                ).where(F.col(name) < F.lit(hi).cast("timestamp"))
-            else:
-                key = F.date_trunc(unit, value)
-                domain_df = spark.sql(
-                    f"SELECT explode(sequence(timestamp'{lo}', timestamp'{hi}',"
-                    f" interval 1 {unit})) AS {name}"
-                ).where(F.col(name) < F.lit(hi).cast("timestamp"))
+            key = F.date_trunc(unit, value)  # calendar-aware incl. month/year (mo_times (u))
+            key = F.when(
+                (value >= F.lit(lo).cast("timestamp"))
+                & (value < F.lit(hi).cast("timestamp")),
+                key,
+            )
+            domain_df = spark.sql(
+                f"SELECT explode(sequence(timestamp'{lo}', timestamp'{hi}',"
+                f" interval 1 {unit})) AS {name}"
+            ).where(F.col(name) < F.lit(hi).cast("timestamp"))
         else:
             step = float(interval)
-            key = F.floor((value - lo) / step) * step + lo
+            key = F.when(
+                (value >= lo) & (value < hi), F.floor((value - lo) / step) * step + lo
+            )
             domain_df = spark.sql(
                 f"SELECT explode(sequence(0, cast(ceil(({hi}-{lo})/{step}) as int)-1)) AS i"
             ).select((F.col("i") * step + lo).alias(name))
-        key = key.alias(name)
-        return key, domain_df
     else:
         raise ValueError(f"unknown domain type: {dtype!r}")
-    return key.alias(name), domain_df
+    if allow_nulls and dtype != "default":
+        # jx cubes carry an explicit null part: missing / out-of-domain
+        # values land on a NULL-keyed row (u, jx_base/domains.py)
+        dt = dict(domain_df.dtypes)[name]
+        null_row = spark.range(1).select(F.lit(None).cast(dt).alias(name))
+        domain_df = domain_df.unionByName(null_row)
+    return key.alias(name), domain_df, allow_nulls
 
 
 def jx_run(
@@ -296,11 +303,12 @@ def jx_run(
             df = df.groupBy(*keys).agg(*aggs)
     elif edges:
         assert spark is not None, "edges queries need a SparkSession"
-        keys, domains = [], []
+        keys, domains, nullable_edges = [], [], []
         for e in edges:
-            k, dom = _edge_key_and_domain(e, df, spark)
+            k, dom, allow_nulls = _edge_key_and_domain(e, df, spark)
             keys.append(k)
             domains.append(dom)
+            nullable_edges.append(allow_nulls)
         aggs = [_agg_col(s, df) for s in selects if "aggregate" in s]
         agg_df = df.groupBy(*keys).agg(*aggs)
         # complete domain: cross product of edge domains (small), left join
@@ -308,7 +316,17 @@ def jx_run(
         for d in domains[1:]:
             domain_df = domain_df.crossJoin(d)
         names = [e["name"] for e in edges]
-        df = domain_df.join(agg_df, on=names, how="left")
+        if any(nullable_edges):
+            # the null part only matches under null-safe equality
+            cond = reduce(
+                lambda a, b: a & b,
+                [domain_df[n].eqNullSafe(agg_df[n]) for n in names],
+            )
+            df = domain_df.join(agg_df, cond, "left")
+            for n in names:
+                df = df.drop(agg_df[n])
+        else:
+            df = domain_df.join(agg_df, on=names, how="left")
         # counts default to 0 on empty parts (u, jx cube semantics)
         fills = {
             s["name"]: 0

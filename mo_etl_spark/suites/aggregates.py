@@ -327,3 +327,31 @@ def agg_approx_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
     )
+
+
+@query(
+    "agg_salted_skew_sum",
+    oracle="""
+    SELECT event_type,
+           sum(CAST(round(value*100) AS BIGINT)) AS total_cents,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("groupby", "skew_salting"),
+)
+def agg_salted_skew_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation (operators/skew.py): events has
+    ~5 event types over 100k+ rows — the pathological hot-key shape at
+    scale.  Stage 1 spreads each key over 16 salts; stage 2 carries 16
+    rows per key.  Integer-cents sums make the result bit-identical to
+    the direct groupBy oracle."""
+    from mo_etl_spark.operators.skew import salted_sum_count
+
+    events = _t(spark, sf_dir, "events")
+    return salted_sum_count(
+        events.select("event_type", cents("value").alias("vc")),
+        keys=["event_type"],
+        sums={"total_cents": F.sum("vc")},
+        count_alias="n",
+    )

@@ -385,3 +385,103 @@ def jx_edges_boolean_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark=spark,
         tables=_tables(spark, sf_dir, "events"),
     )
+
+
+@query(
+    "jx_edges_range_null_part",
+    oracle="""
+    WITH dom AS (
+        SELECT CAST(i * 100000 AS DOUBLE) AS bucket
+        FROM (SELECT unnest(generate_series(0, 3)) AS i)
+        UNION ALL SELECT NULL
+    ), agg AS (
+        SELECT CASE WHEN o_totalprice >= 0 AND o_totalprice < 400000
+                    THEN floor(o_totalprice / 100000) * 100000 END AS bucket,
+               count(*) AS n,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT dom.bucket, coalesce(agg.n, 0) AS n, agg.total_cents
+    FROM dom LEFT JOIN agg ON dom.bucket IS NOT DISTINCT FROM agg.bucket
+    """,
+    tags=("jx", "edges", "range_domain", "null_part"),
+)
+def jx_edges_range_null_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-domain cube WITH the explicit null part (u, jx cube
+    semantics: allowNulls routes missing / out-of-domain values to a
+    NULL-keyed part instead of dropping them).  Orders above the 400k
+    domain ceiling land on the NULL row; the oracle's null-safe join
+    (IS NOT DISTINCT FROM) mirrors the engine's eqNullSafe domain
+    join."""
+    return jx_run(
+        {
+            "from": "orders",
+            "edges": [
+                {
+                    "name": "bucket",
+                    "value": "o_totalprice",
+                    "allowNulls": True,
+                    "domain": {"type": "range", "min": 0, "max": 400000, "interval": 100000},
+                }
+            ],
+            "select": [
+                {"name": "n", "aggregate": "count"},
+                {
+                    "name": "total_cents",
+                    "value": {"integer": {"round": [{"mult": ["o_totalprice", 100]}, 0]}},
+                    "aggregate": "sum",
+                },
+            ],
+        },
+        spark=spark,
+        tables=_tables(spark, sf_dir, "orders"),
+    )
+
+
+@query(
+    "jx_implicit_array_map",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS n_dims,
+           round(CAST(embedding[1] AS DOUBLE) * 2, 6) AS e1_x2,
+           round(CAST(embedding[64] AS DOUBLE) * 2, 6) AS e64_x2
+    FROM embeddings
+    """,
+    tags=("jx", "implicit_array_map"),
+)
+def jx_implicit_array_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mo-dots implicit array mapping (u, FlatList; SURVEY.md §1.4
+    item 6): the scalar expression {"mult": ["embedding", 2]} applied
+    to an array column maps per element (compiled to F.transform —
+    stays JVM-side).  x*2 is exact in float, so the widen-after vs
+    widen-before orders agree with the oracle bit-for-bit."""
+    return jx_run(
+        {
+            "from": "embeddings",
+            "select": [
+                "vec_id",
+                {"name": "n_dims", "value": {"count_array": "embedding"}},
+                {
+                    "name": "e1_x2",
+                    "value": {
+                        "round": [
+                            {"number": {"first_array": {"mult": ["embedding", 2]}}},
+                            6,
+                        ]
+                    },
+                },
+                {
+                    "name": "e64_x2",
+                    "value": {
+                        "round": [
+                            {"number": {"last_array": {"mult": ["embedding", 2]}}},
+                            6,
+                        ]
+                    },
+                },
+            ],
+        },
+        spark=spark,
+        tables=_tables(spark, sf_dir, "embeddings"),
+    )

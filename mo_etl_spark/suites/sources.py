@@ -142,3 +142,34 @@ def source_sqlite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = os.path.join(_dir(sf_dir, "sqlite"), "dims.db")
     sink_sqlite(load_table(spark, sf_dir, "nation"), db, "nation")
     return scan_sqlite(spark, db, "nation")
+
+
+@query(
+    "source_partitioned_pruning",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n,
+           sum(CAST(round(value*100) AS BIGINT)) AS total_cents
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+    tags=("sink_parquet", "scan_parquet", "partition_pruning"),
+)
+def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned sink + partition-pruned scan — the
+    dominant 100 TB layout (ActiveData's rollover indexes / S3 key
+    prefixes (u) are the same idea).  events is written partitioned by
+    event_type; the read-back filter prunes to ONE directory before any
+    IO (plan shows PartitionFilters, verified in tests/test_plans)."""
+    prepare(spark)
+    path = _dir(sf_dir, "events_by_type")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    events.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).where(F.col("event_type") == "purchase")
+    return back.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value_cents").alias("total_cents")
+    )

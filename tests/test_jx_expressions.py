@@ -195,3 +195,49 @@ def test_date_literal_and_relative(spark):
 def test_unknown_op_raises(spark, abx):
     with pytest.raises(ValueError):
         jx_expr({"frobnicate": ["a"]}, abx)
+
+
+# --- implicit array mapping (mo_dots FlatList (u); SURVEY.md §1.4) ----
+
+
+@pytest.fixture(scope="module")
+def arr_df(spark):
+    return spark.createDataFrame(
+        [(1, [1.0, 2.0, 4.0], ["a", "Bc"]), (2, [0.5, None], ["x", None])],
+        "id long, nums array<double>, tags array<string>",
+    )
+
+
+def test_implicit_map_scalar_mult(spark, arr_df):
+    from mo_etl_spark.jx.expressions import jx_expr
+
+    out = arr_df.select(jx_expr({"mult": ["nums", 2]}, arr_df).alias("v")).collect()
+    assert out[0]["v"] == [2.0, 4.0, 8.0]
+    # decisive mult skips the missing element operand: mult([Null, 2]) -> 2
+    assert out[1]["v"] == [1.0, 2.0]
+
+
+def test_implicit_map_upper(spark, arr_df):
+    from mo_etl_spark.jx.expressions import jx_expr
+
+    out = arr_df.select(jx_expr({"upper": "tags"}, arr_df).alias("v")).collect()
+    assert out[0]["v"] == ["A", "BC"]
+    assert out[1]["v"] == ["X", None]
+
+
+def test_implicit_map_div_by_zero(spark, arr_df):
+    from mo_etl_spark.jx.expressions import jx_expr
+
+    out = arr_df.select(jx_expr({"div": ["nums", 0]}, arr_df).alias("v")).collect()
+    assert out[0]["v"] == [None, None, None]
+
+
+def test_implicit_map_requires_single_array(spark, arr_df):
+    from mo_etl_spark.jx.expressions import jx_expr
+
+    # two array operands -> no implicit mapping; compiles as plain op
+    # (array arithmetic is not defined) and Spark raises on analysis
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        arr_df.select(jx_expr({"mult": ["nums", "nums"]}, arr_df)).collect()

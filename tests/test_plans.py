@@ -95,3 +95,36 @@ def test_no_python_udf_in_core_suites(spark, sf001):
         plan = plan_of(df)
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_partitioned_sink_scan_prunes_partitions(spark, sf001):
+    from mo_etl_spark.suites.sources import source_partitioned_pruning
+
+    df = source_partitioned_pruning(spark, sf001)
+    plan = plan_of(df)
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    # the filter must prune at the PARTITION level (directory skip),
+    # not ride along as a post-scan data filter
+    assert "PartitionFilters: [isnotnull(event_type" in scan
+    assert "= purchase)" in scan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "event_id" not in read_schema  # unused column pruned
+
+
+def test_salted_agg_is_two_stage(spark, sf001):
+    from mo_etl_spark.suites.aggregates import agg_salted_skew_sum
+
+    plan = plan_of(agg_salted_skew_sum(spark, sf001))
+    # stage 1 shuffles on (event_type, _salt), stage 2 on event_type
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exchanges) == 2
+    assert any("_salt" in l for l in exchanges)
+    assert any("_salt" not in l for l in exchanges)
+
+
+def test_broadcast_hint_query_builds_broadcasts(spark, sf001):
+    from mo_etl_spark.suites.relational import join_broadcast_region_suppliers
+
+    plan = plan_of(join_broadcast_region_suppliers(spark, sf001))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
