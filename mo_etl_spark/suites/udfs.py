@@ -6,7 +6,6 @@ Spark mapping: Arrow-vectorized pandas UDFs only (row-at-a-time Python
 is banned in this engine at any scale).  Each contract query keeps its
 Python math in EXACT integers so the DuckDB oracle hash-matches —
 proving the plumbing end-to-end, not just "it ran".
-mapInPandas (UDTF shape) is covered by llm_multimodal_decode.
 """
 
 from __future__ import annotations
@@ -104,4 +103,43 @@ def udf_grouped_map_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("user_id").applyInPandas(
         _per_user_sequence,
         "event_id BIGINT, user_id BIGINT, seq BIGINT, purchases_so_far BIGINT",
+    )
+
+
+def _doc_to_token_rows(batches):
+    """UDTF body (doc -> many docs, the ActiveData-ETL transform shape
+    (u): one source block fans out to N result docs).  Pure-Python
+    tokenization per Arrow batch; emits one row per (doc, position)."""
+    for pdf in batches:
+        toks = pdf["text"].str.lower().str.strip().str.split(r"\s+", regex=True)
+        n = toks.str.len()
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].repeat(n),
+                "pos": [p for t in toks for p in range(len(t))],
+                "tok": [w for t in toks for w in t],
+            }
+        )
+        yield out
+
+
+@query(
+    "udf_flatmap_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(generate_series(0, len(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) - 1)) AS BIGINT) AS pos,
+           unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+    FROM documents WHERE doc_id < 200
+    """,
+    tags=("udtf", "mapInPandas"),
+)
+def udf_flatmap_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas UDTF: each document row fans out to one row per
+    token position — the doc->many-docs ETL transform surface.  Arrow
+    batches in and out; no row-at-a-time Python."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return docs.select("doc_id", "text").mapInPandas(
+        _doc_to_token_rows, "doc_id long, pos long, tok string"
     )
