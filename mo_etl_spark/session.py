@@ -69,6 +69,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # managed tables (bucketed-join tests) live under .cache, and the
+        # embedded-metastore derby files go with them — keeps the repo
+        # root clean of spark-warehouse/ and metastore_db/
+        .config("spark.sql.warehouse.dir", "/root/repo/.cache/warehouse")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Dderby.system.home=/root/repo/.cache/derby",
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -173,3 +173,38 @@ def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"), F.sum("value_cents").alias("total_cents")
     )
+
+
+@query(
+    "sql_register_views",
+    oracle="""
+    SELECT n.n_name,
+           count(DISTINCT c.c_custkey) AS n_customers,
+           count(o.o_orderkey) AS n_orders
+    FROM nation n
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY n.n_name
+    """,
+    tags=("register_views", "sql_surface"),
+)
+def sql_register_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry surface (SURVEY.md §2.1 register_views + §3.2
+    user surface 3): all tables registered as temp views, then the
+    query text goes straight to spark.sql — Spark IS the SQL parser,
+    which is how the mo-sql-parsing capability is covered (§7.4)."""
+    prepare(spark)
+    from mo_etl_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               count(DISTINCT c.c_custkey) AS n_customers,
+               count(o.o_orderkey) AS n_orders
+        FROM nation n
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY n.n_name
+        """
+    )

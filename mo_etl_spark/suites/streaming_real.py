@@ -36,13 +36,15 @@ _FEED_SCHEMA = "event_id BIGINT, user_id BIGINT, event_type STRING, ts TIMESTAMP
 
 
 def _feed(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize events as the parquet file-drop feed (overwrite —
-    idempotent per sf)."""
+    """Materialize events as the parquet file-drop feed.  Write-once
+    per sf: the testdata is immutable, so a completed feed (_SUCCESS
+    present) is reused — both stream queries then skip the rewrite."""
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     path = os.path.join(_CACHE, tag, "stream_feed")
-    load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "ts", cents("value").alias("value_cents")
-    ).write.mode("overwrite").parquet(path)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "ts", cents("value").alias("value_cents")
+        ).write.mode("overwrite").parquet(path)
     return path
 
 

@@ -128,3 +128,35 @@ def test_broadcast_hint_query_builds_broadcasts(spark, sf001):
     plan = plan_of(join_broadcast_region_suppliers(spark, sf001))
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf001):
+    """Bucketed managed tables co-locate the join: both sides are
+    written bucketBy(8, key) so the SortMergeJoin needs NO Exchange —
+    the 100 TB pattern for repeated large-x-large equi-joins."""
+    from mo_etl_spark.tables import load_table
+
+    import shutil
+
+    orders = load_table(spark, sf001, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf001, "lineitem").select("l_orderkey", "l_quantity")
+    for t in ("bkt_orders", "bkt_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # the embedded metastore is per-session but warehouse files
+        # persist — a stale location blocks re-creation
+        shutil.rmtree(f"/root/repo/.cache/warehouse/{t}", ignore_errors=True)
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("bkt_orders")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("bkt_lineitem")
+    joined = spark.table("bkt_orders").join(
+        spark.table("bkt_lineitem"),
+        spark.table("bkt_orders").o_orderkey == spark.table("bkt_lineitem").l_orderkey,
+    )
+    # disable broadcast so the join strategy under test is SMJ
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
