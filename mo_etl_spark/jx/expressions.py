@@ -340,6 +340,27 @@ def _op_date(arg, df):
     return F.lit(parse_date(arg))  # constant-folded engine-side
 
 
+_TMPL_RE = re.compile(r"\{\{([\w.]+)\}\}")
+
+
+def _op_template(arg, df):
+    """mo-logs ``{{var}}`` template expansion (u, mo_logs
+    expand_template): literal text with dot-path holes, compiled to a
+    concat of literals and string-cast columns; missing values render
+    empty (the concat stays non-null)."""
+    pattern = arg["pattern"] if isinstance(arg, dict) else str(arg)
+    parts: list[Column] = []
+    last = 0
+    for m in _TMPL_RE.finditer(pattern):
+        if m.start() > last:
+            parts.append(F.lit(pattern[last : m.start()]))
+        parts.append(F.coalesce(F.col(m.group(1)).cast("string"), F.lit("")))
+        last = m.end()
+    if last < len(pattern):
+        parts.append(F.lit(pattern[last:]))
+    return F.concat(*parts) if parts else F.lit("")
+
+
 def _op_get_json(arg, df):
     # {"get_json": [doc_expr, {"literal": "$.path"}]} or {"get_json": {"var": "$.path"}}
     if isinstance(arg, dict):
@@ -428,6 +449,8 @@ OPS = {
     "count_array": _unary(F.size),
     "first_array": _unary(lambda c: F.element_at(c, 1)),
     "last_array": _unary(lambda c: F.element_at(c, -1)),
+    # templating (mo_logs (u))
+    "template": _op_template,
     # json (mo_json (u))
     "json": _unary(F.to_json),
     "get_json": lambda a, df: _op_get_json(a, df),

@@ -252,3 +252,25 @@ def scalar_json_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k.cast("long") % 10).alias("k_mod"),
         parsed.isNotNull().alias("is_valid"),
     )
+
+
+@query(
+    "scalar_template_expand",
+    oracle="""
+    SELECT o_orderkey,
+           'order ' || coalesce(CAST(o_orderkey AS VARCHAR), '')
+             || ' [' || coalesce(o_orderstatus, '')
+             || '] by customer ' || coalesce(CAST(o_custkey AS VARCHAR), '') AS msg
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    tags=("scalar", "template"),
+)
+def scalar_template_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mo-logs {{var}} templating (u, mo_logs expand_template) as a jx
+    expression: holes compile to string-cast columns, missing renders
+    empty — one concat, fully JVM-side."""
+    from mo_etl_spark.jx.expressions import jx_expr
+
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    tmpl = {"template": "order {{o_orderkey}} [{{o_orderstatus}}] by customer {{o_custkey}}"}
+    return orders.select("o_orderkey", jx_expr(tmpl, orders).alias("msg"))
