@@ -66,3 +66,63 @@ def fingerprint(c: Column) -> Column:
     (the classic OpenRefine-style clustering key)."""
     key = F.array_join(F.array_sort(F.array_distinct(tokens(c))), " ")
     return F.md5(key)
+
+
+def chunk_tokens(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 50,
+    stride: int = 40,
+):
+    """Overlapping token-window chunking — the context-window prep step
+    of a training-data pipeline: one output row per (doc, chunk), text
+    = ``chunk_size`` whitespace tokens starting every ``stride``
+    (chunk_size - stride tokens of overlap; the tail chunk may be
+    short).  Pure sequence/slice/array_join — JVM-side, and the fan-out
+    is a narrow transform (no shuffle): at 100 TB each input partition
+    chunks independently."""
+    from mo_etl_spark.operators.dedup import normalize_text
+
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(stride)).cast("int")
+    return df.select(
+        F.col(id_col),
+        words.alias("_w"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.array_join(
+            F.slice(F.col("_w"), F.col("chunk_idx") * stride + 1, chunk_size), " "
+        ).alias("chunk_text"),
+        F.least(
+            F.size("_w") - F.col("chunk_idx") * stride, F.lit(chunk_size)
+        ).alias("n_tokens"),
+    )
+
+
+#: deterministic, engine-portable PII patterns (emails / NANP-ish phone)
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(c: Column) -> Column:
+    """Redact PII spans (scrub step of a corpus pipeline).  Plain
+    regexp_replace chain — vectorized JVM regex, no UDF."""
+    out = c
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def deterministic_sample(df, id_col: str = "doc_id", percent: int = 10, modulus: int = 97):
+    """Stable corpus downsampling: keep rows whose Knuth-multiplicative
+    id hash lands under ``percent`` of ``modulus``.  Pure arithmetic —
+    reproducible across engines/runs/partitionings, pushes down to the
+    scan as a data filter, and never shuffles; the standard way to cut
+    a 100 TB corpus to an n% training slice."""
+    bucket = F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(modulus))
+    return df.where(bucket < percent)

@@ -523,3 +523,93 @@ def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(q, c, cents_, k=5, nprobe=4).select(
         "q_id", "c_id", "cos_sim", "rnk"
     )
+
+
+@query(
+    "llm_chunk_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, w,
+             unnest(generate_series(0, CAST(ceil(len(w) / 40.0) AS INT) - 1)) AS chunk_idx
+      FROM toks
+    )
+    SELECT doc_id, chunk_idx,
+           array_to_string(list_slice(w, chunk_idx*40 + 1, chunk_idx*40 + 50), ' ') AS chunk_text,
+           least(len(w) - chunk_idx*40, 50) AS n_tokens
+    FROM idx
+    """,
+    tags=("chunking",),
+)
+def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (50-token windows every 40 —
+    context-window prep).  Narrow fan-out: each partition chunks
+    independently, no shuffle (operators/text.py chunk_tokens)."""
+    return X.chunk_tokens(_docs(spark, sf_dir))
+
+
+@query(
+    "llm_pii_scrub",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-0147' AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g')) AS scrubbed_md5,
+           len(regexp_extract_all(text,
+                 '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+             + len(regexp_extract_all(text, '\\b\\d{3}-\\d{4}\\b')) AS n_redactions
+    FROM seeded
+    """,
+    tags=("pii_scrub",),
+)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a corpus with planted emails/phones (the
+    synthetic text has none — seeded deterministically per doc, same
+    construction in the oracle).  Output is the scrub-result hash plus
+    the redaction count; all JVM-side regex."""
+    docs = _docs(spark, sf_dir)
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-0147"),
+        ).alias("text"),
+    )
+    email_pat, phone_pat = (p for p, _ in X.PII_PATTERNS)
+    return seeded.select(
+        "doc_id",
+        F.md5(X.pii_scrub(F.col("text"))).alias("scrubbed_md5"),
+        (
+            F.size(F.regexp_extract_all("text", F.lit(email_pat), F.lit(0)))
+            + F.size(F.regexp_extract_all("text", F.lit(phone_pat), F.lit(0)))
+        ).cast("long").alias("n_redactions"),
+    )
+
+
+@query(
+    "llm_deterministic_sample",
+    oracle="""
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE (doc_id * 2654435761) % 97 < 10
+    """,
+    tags=("sampling",),
+)
+def llm_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% corpus slice by Knuth-multiplicative id hash — stable
+    across runs/partitionings/engines, no shuffle, filter pushes to the
+    scan (operators/text.py deterministic_sample)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return X.deterministic_sample(docs)
