@@ -1,0 +1,83 @@
+"""Scale-readiness audit: greps every registered query's PHYSICAL plan
+for patterns that would hurt at 100 TB.
+
+Flags:
+- CARTESIAN  CartesianProduct / BroadcastNestedLoopJoin — quadratic
+  pair generation; acceptable only in the explicitly-exact brute-force
+  similarity baselines and the declared theta/cross-join queries.
+- PYROW      BatchEvalPython — row-at-a-time Python UDF (banned; Arrow
+  variants show as ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas).
+- EXCH>N     more than N shuffle exchanges — usually a missed broadcast
+  or a stage that should reuse a partitioning.
+
+Usage: python tools/audit_plans.py [--sf DIR] [-x N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+#: queries whose cartesian/nested-loop is the contract, each with why:
+CARTESIAN_OK = {
+    "join_cross_region_nation",  # declared CROSS JOIN (5x25 dims)
+    "join_theta_supplier_pairs",  # declared non-equi theta join
+    "jx_edges_set_range_cube",  # 5x5 domain-table product (constant size)
+    "llm_tfidf_top_terms",  # 1-row n_sources aggregate broadcast-crossed in
+    "stream_stateful_dedup",  # crossJoin of two 1-row count aggregates
+}
+
+#: queries allowed to exceed the exchange budget, each with why:
+EXCHANGES_OK = {
+    # IVF assembles its index build (cell assignment + probe top-k)
+    # inline; at scale those stages run once and persist co-partitioned
+    # by cell, leaving the serving path at 2 exchanges
+    "llm_sim_ivf_topk",
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("-x", "--max-exchanges", type=int, default=6)
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry
+    from mo_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="plan-audit")
+    qs = entry.queries()
+    names = args.names or list(qs)
+
+    n_flags = 0
+    for name in names:
+        try:
+            df = qs[name](spark, args.sf)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:
+            print(f"ERROR    {name}: {e!r}")
+            n_flags += 1
+            continue
+        flags = []
+        if ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan) and (
+            name not in CARTESIAN_OK
+        ):
+            flags.append("CARTESIAN")
+        if "BatchEvalPython" in plan:
+            flags.append("PYROW")
+        n_exch = plan.count("Exchange hashpartitioning") + plan.count(
+            "Exchange rangepartitioning"
+        )
+        if n_exch > args.max_exchanges and name not in EXCHANGES_OK:
+            flags.append(f"EXCH={n_exch}")
+        if flags:
+            n_flags += 1
+            print(f"FLAG     {name}: {', '.join(flags)}")
+    print(f"\naudited {len(names)} queries, {n_flags} flagged")
+
+
+if __name__ == "__main__":
+    main()
