@@ -97,3 +97,32 @@ def foreach_batch_etl(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stateful_count(
+    stream_df: DataFrame,
+    key_col: str,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): a per-key
+    running event counter held in the state store — the
+    arbitrary-stateful shape for operators the built-in windows can't
+    express.  Each micro-batch updates the count and emits the key's
+    new total; state survives across batches via the checkpoint."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    def update(key, pdfs, state: GroupState):
+        n = sum(len(pdf) for pdf in pdfs)
+        (total,) = state.get if state.exists else (0,)
+        total += n
+        state.update((total,))
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [total]})
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} long, n_events long",
+        stateStructType="n_events long",
+        outputMode="update",
+        timeoutConf=timeout,
+    )

@@ -155,3 +155,42 @@ def stream_real_foreachbatch_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@query(
+    "stream_real_stateful_count",
+    oracle="""
+    SELECT user_id, count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("stateful_custom", "applyInPandasWithState"),
+)
+def stream_real_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming (streaming.stateful_count): per-user
+    totals held in the state store, updated per micro-batch, emitted in
+    update mode to a memory sink.  availableNow processes the whole
+    feed, so the final row per user equals the batch count — keeping an
+    arbitrary-stateful operator inside the hash-checked set."""
+    prepare(spark)
+    from mo_etl_spark.streaming import stateful_count
+
+    feed = _feed(spark, sf_dir)
+    ckpt = _scratch("stateful_ckpt")
+    qname = "stream_real_stateful_count_sink"
+    stream = file_stream_source(spark, feed, _FEED_SCHEMA)
+    counted = stateful_count(stream, "user_id")
+    q = (
+        counted.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    # update mode appends one row per (key, batch); the LAST total per
+    # key is the final state - dedupe by max batch emission order
+    sink = spark.table(qname)
+    return sink.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
