@@ -23,7 +23,6 @@ assignment function.
 
 from __future__ import annotations
 
-import math
 import random
 
 import numpy as np

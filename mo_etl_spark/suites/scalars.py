@@ -274,3 +274,37 @@ def scalar_template_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
     tmpl = {"template": "order {{o_orderkey}} [{{o_orderstatus}}] by customer {{o_custkey}}"}
     return orders.select("o_orderkey", jx_expr(tmpl, orders).alias("msg"))
+
+
+@query(
+    "scalar_month_arithmetic_clamping",
+    oracle="""
+    SELECT m,
+           last_day(make_date(2024, m, 1)) AS month_end,
+           CAST(last_day(make_date(2024, m, 1)) + INTERVAL 1 MONTH AS TIMESTAMP) AS plus_1m,
+           CAST(last_day(make_date(2024, m, 1)) + INTERVAL 13 MONTH AS TIMESTAMP) AS plus_13m,
+           CAST(last_day(make_date(2024, m, 1)) - INTERVAL 1 MONTH AS TIMESTAMP) AS minus_1m
+    FROM (SELECT unnest(generate_series(1, 12)) AS m)
+    """,
+    tags=("scalar", "date", "month_arithmetic"),
+)
+def scalar_month_arithmetic_clamping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-aware Duration arithmetic at the clamping edges (u,
+    mo_times calendar Durations; SURVEY §7.3 flagged add_months vs
+    INTERVAL MONTH parity as must-verify): every 2024 month-end
+    (incl. leap Feb 29) shifted ±1 and +13 months.  Spark add_months
+    and DuckDB INTERVAL both clamp to the target month's last valid
+    day — this query pins that agreement."""
+    prepare(spark)
+    base = F.last_day(F.make_date(F.lit(2024), F.col("m"), F.lit(1)))
+    return (
+        spark.range(1, 13)
+        .select(F.col("id").cast("int").alias("m"))
+        .select(
+            "m",
+            base.alias("month_end"),
+            F.add_months(base, 1).cast("timestamp").alias("plus_1m"),
+            F.add_months(base, 13).cast("timestamp").alias("plus_13m"),
+            F.add_months(base, -1).cast("timestamp").alias("minus_1m"),
+        )
+    )
