@@ -1,0 +1,45 @@
+"""Dynamic-schema JSON shredding (SURVEY.md §1.1: jx-sqlite's dynamic
+"snowflake" schema (u, jx_sqlite) — a new key appearing in the data
+becomes a new column).
+
+Spark mapping: schemas are static per plan, so evolution is a two-step
+pipeline — a bounded DISCOVERY pass over the corpus finds the key set
+(a driver-side schema decision, exactly like spark.read.json's
+inference pass; the collected result is the key list, never data),
+then the SHRED projection extracts one typed column per key.  At
+100 TB the discovery pass is a cheap distinct over exploded key names
+(map-side combined), run once and cached with the table's metadata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def discover_json_keys(df: DataFrame, col: str) -> list[str]:
+    """Distinct JSON object keys across the corpus, sorted.  The one
+    deliberate driver-side action in this module: its output is schema
+    (a handful of key names), not data."""
+    rows = (
+        df.where(F.col(col).isNotNull())
+        .select(F.explode(F.json_object_keys(F.col(col))).alias("k"))
+        .distinct()
+        .collect()
+    )
+    return sorted(r["k"] for r in rows)
+
+
+def shred_json(df: DataFrame, col: str, keys: list[str] | None = None) -> DataFrame:
+    """Project one column per JSON key (``<col>_<key>``, string-typed —
+    callers cast where the type is known).  ``keys=None`` runs
+    discovery first: the new-key -> new-column evolution step."""
+    if keys is None:
+        keys = discover_json_keys(df, col)
+    return df.select(
+        "*",
+        *[
+            F.get_json_object(F.col(col), f"$.{k}").alias(f"{col}_{k}")
+            for k in keys
+        ],
+    )

@@ -485,3 +485,50 @@ def jx_implicit_array_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark=spark,
         tables=_tables(spark, sf_dir, "embeddings"),
     )
+
+
+@query(
+    "jx_dynamic_shred_props",
+    oracle="""
+    WITH evolved AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_id % 3 = 0
+                  THEN regexp_replace(props, '}$', ', "extra": "u' || CAST(user_id AS VARCHAR) || '"}')
+                  ELSE props END AS props
+      FROM events
+    )
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           json_extract_string(props, '$.extra') AS extra
+    FROM evolved
+    """,
+    tags=("jx", "dynamic_schema", "shred"),
+)
+def jx_dynamic_shred_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic snowflake-schema evolution (u, jx_sqlite: new key ->
+    new column; operators/shred.py).  A third of the rows gain an
+    'extra' key (same textual construction in the oracle); key
+    DISCOVERY then finds {extra, k} and the shred projects both, null
+    where absent.  Discovery is the one driver-side schema decision —
+    its result is the key list, not data."""
+    from mo_etl_spark.operators.shred import shred_json
+
+    prepare(spark)
+    events = _tables(spark, sf_dir, "events")["events"]
+    evolved = events.select(
+        "event_id",
+        "user_id",
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.regexp_replace(
+                "props", r"\}$",
+                F.concat(F.lit(', "extra": "u'), F.col("user_id").cast("string"), F.lit('"}')),
+            ),
+        ).otherwise(F.col("props")).alias("props"),
+    )
+    shredded = shred_json(evolved, "props")  # discovers [extra, k]
+    return shredded.select(
+        "event_id",
+        F.col("props_k").cast("long").alias("k"),
+        F.col("props_extra").alias("extra"),
+    )

@@ -133,3 +133,35 @@ def test_stream_real_queries_match_batch(spark, sf_dir):
         .collect()
     }
     assert feb == base
+
+
+def test_typed_json_roundtrip(spark):
+    """mo-json typed encoding: encode -> typed keys present; decode ->
+    original values, including nested structs and arrays."""
+    from pyspark.sql import functions as F
+    from mo_etl_spark.functions.typed_json import typed_decode, typed_encode
+
+    df = spark.createDataFrame(
+        [
+            (1, ("abc", 2.5, True, [1.0, 2.0], ("x", 7.0))),
+            (2, (None, None, False, [], ("y", None))),
+        ],
+        "id long, doc struct<s: string, n: double, b: boolean,"
+        " a: array<double>, o: struct<os: string, onum: double>>",
+    )
+    dt = df.schema["doc"].dataType
+    enc = df.select("id", typed_encode(F.col("doc"), dt).alias("tj"))
+    rows = {r["id"]: r["tj"] for r in enc.collect()}
+    assert '"~s~":"abc"' in rows[1]
+    assert '"~n~":2.5' in rows[1]
+    assert '"~b~":true' in rows[1]
+    assert '"~a~":' in rows[1]
+    assert '"~e~":1' in rows[1]
+    assert '"~s~"' not in rows[2].split('"o"')[0]  # null s omitted
+
+    back = enc.select("id", typed_decode(F.col("tj"), dt).alias("doc"))
+    got = {r["id"]: r["doc"] for r in back.collect()}
+    want = {r["id"]: r["doc"] for r in df.collect()}
+    assert got[1] == want[1]
+    assert got[2]["s"] is None and got[2]["b"] is False
+    assert got[2]["o"]["os"] == "y"
