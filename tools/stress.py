@@ -1,0 +1,109 @@
+"""Scale stress harness: runs the engine's heavy primitives at
+10-20M-row synthetic scale on local[32] — evidence that the operator
+designs (salted aggregation, windowed sessionize, blocked-GEMM top-k)
+hold when the data is 100-1000x the bench scale factor, not just at
+sf0.1.  Data is generated distributed (spark.range + arithmetic — no
+driver materialization, deterministic, no files).
+
+Usage: python tools/stress.py [--rows 20000000] [--vecs 100000]
+Prints one JSON line of wall-clock seconds per primitive.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def synth_events(spark, n: int):
+    """n rows, ~100k users, user 0 owns 10% of all rows (the hot key)."""
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 10 == 0, 0)
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(100_000)))
+        .alias("user_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") % 2_000_000).alias("ts"),
+        (F.pmod(F.col("id"), F.lit(100_000)).cast("double") / 100).alias("value"),
+    )
+
+
+def synth_vectors(spark, n: int, dim: int = 64):
+    """Deterministic pseudo-random unit-ish vectors from id arithmetic."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: (F.pmod(F.xxhash64(F.col("id") * 64 + i), F.lit(997)) / 997.0),
+        ).alias("vec"),
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=20_000_000)
+    ap.add_argument("--vecs", type=int, default=100_000)
+    ap.add_argument("--queries", type=int, default=1_000)
+    args = ap.parse_args()
+
+    from mo_etl_spark.operators.similarity import brute_force_topk
+    from mo_etl_spark.operators.skew import salted_sum_count
+    from mo_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="stress")
+    spark.range(1000).count()  # warm
+    t: dict[str, float] = {}
+
+    events = synth_events(spark, args.rows)
+
+    t0 = time.time()
+    direct = events.groupBy("user_id").agg(
+        F.sum((F.col("value") * 100).cast("long")).alias("total_cents")
+    )
+    n_direct = direct.count()
+    t["groupby_direct"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    salted = salted_sum_count(
+        events.select("user_id", (F.col("value") * 100).cast("long").alias("vc")),
+        keys=["user_id"],
+        sums={"total_cents": F.sum("vc")},
+    )
+    n_salted = salted.count()
+    t["groupby_salted"] = round(time.time() - t0, 2)
+    assert n_direct == n_salted, (n_direct, n_salted)
+
+    t0 = time.time()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sessions = events.withColumn(
+        "gap",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800
+        ).cast("int"),
+    ).withColumn("session_idx", F.sum(F.coalesce("gap", F.lit(0))).over(w))
+    sessions.agg(F.max("session_idx")).collect()
+    t["window_sessionize"] = round(time.time() - t0, 2)
+
+    vecs = synth_vectors(spark, args.vecs)
+    q = vecs.where(F.col("vec_id") < args.queries).select(
+        F.col("vec_id").alias("q_id"), F.col("vec")
+    )
+    c = vecs.select(F.col("vec_id").alias("c_id"), F.col("vec"))
+    t0 = time.time()
+    topk = brute_force_topk(q, c, k=10, n_q_blocks=4, n_c_blocks=16)
+    n_topk = topk.count()
+    t["gemm_topk_pairs_" + str(args.queries * args.vecs)] = round(time.time() - t0, 2)
+    assert n_topk == args.queries * 10
+
+    print(json.dumps({"rows": args.rows, "vecs": args.vecs, "timings": t}))
+
+
+if __name__ == "__main__":
+    main()
