@@ -274,9 +274,8 @@ def hyperplane_lsh_buckets(
     """Sign-random-projection bucket id per vector (deterministic
     planes from ``seed``).  Vectors in the same bucket are cosine-close
     with high probability; join buckets to get candidates."""
-    rng = random.Random(seed)
     planes = np.array(
-        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+        lsh_planes(dim, n_planes, seed)
     )  # (n_planes, dim), deterministic; broadcast to every task via closure
     weights = (1 << np.arange(n_planes)).astype(np.int64)
 
@@ -293,6 +292,52 @@ def hyperplane_lsh_buckets(
     return df.select(id_col, vec_col).mapInPandas(
         assign, f"{id_col} long, bucket long"
     )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 42,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    vec: str = "vec",
+    round_digits: int = 6,
+) -> DataFrame:
+    """LSH-bucketed approximate top-k, end to end: both sides bucket by
+    sign-random-projection (same deterministic planes), candidates are
+    same-bucket pairs only, scored with the GEMM partial-top-k kernel
+    cogrouped BY BUCKET.  Single-probe (a query sees only its own
+    bucket) — recall is tuned by lowering ``n_planes``; multiprobe or
+    band-OR variants add candidates the same way minhash banding does.
+    At corpus scale this is the LSH alternative to ivf_topk: no
+    training, but buckets are unbalanced where IVF cells are sized."""
+    qb = hyperplane_lsh_buckets(
+        queries, dim, n_planes=n_planes, seed=seed, id_col=q_id, vec_col=vec
+    )
+    cb = hyperplane_lsh_buckets(
+        corpus, dim, n_planes=n_planes, seed=seed, id_col=c_id, vec_col=vec
+    )
+    q_side = queries.join(qb, q_id).select(
+        F.col(q_id).alias("q_id"), F.col(vec).alias("qv"), "bucket"
+    )
+    c_side = corpus.join(cb, c_id).select(
+        F.col(c_id).alias("c_id"), F.col(vec).alias("cv"), "bucket"
+    )
+    partials = q_side.groupBy("bucket").cogroup(c_side.groupBy("bucket")).applyInPandas(
+        _partial_topk_fn(k, round_digits, exclude_self=True),
+        "q_id long, c_id long, cos_sim double",
+    )
+    return _global_topk(partials, k, q_id, c_id)
+
+
+def lsh_planes(dim: int, n_planes: int = 12, seed: int = 42) -> list[list[float]]:
+    """The deterministic hyperplanes (shared by operator and any
+    external oracle that wants to reproduce the bucketing)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
 def knn_classify(

@@ -613,3 +613,53 @@ def llm_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan (operators/text.py deterministic_sample)."""
     docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
     return X.deterministic_sample(docs)
+
+
+def _lsh_bucket_sql(dim: int = 64, n_planes: int = 4, seed: int = 42) -> str:
+    """DuckDB expression reproducing hyperplane_lsh_buckets' bucket id
+    with the same deterministic plane constants (full-precision repr
+    round-trips float64 exactly)."""
+    from mo_etl_spark.operators.similarity import lsh_planes
+
+    terms = []
+    for i, p in enumerate(lsh_planes(dim, n_planes, seed)):
+        dot = " + ".join(
+            f"({p[j]!r} * CAST(embedding[{j + 1}] AS DOUBLE))" for j in range(dim)
+        )
+        terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@query(
+    "llm_sim_lsh_topk",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket
+      FROM embeddings
+    )
+    SELECT q_id, c_id, cos_sim, rnk FROM (
+      SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+             {_SQL_COSINE} AS cos_sim,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_SQL_COSINE} DESC, b.vec_id) AS rnk
+      FROM bucketed a JOIN bucketed b USING (bucket)
+      WHERE a.vec_id < 50 AND a.vec_id <> b.vec_id)
+    WHERE rnk <= 5
+    """,
+    tags=("sim_lsh_topk",),
+)
+def llm_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LSH-bucketed ANN top-5: sign-random-projection with
+    4 planes (16 buckets — sized so single-probe still yields
+    candidates at the t2 corpus size), candidates = same-bucket pairs,
+    GEMM scoring within bucket.  The oracle reproduces the bucketing
+    with the identical plane constants, so the sketch itself is
+    hash-checked — the LSH analog of llm_sim_ivf_topk."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec"))
+    return S.lsh_topk(q, c, k=5, dim=64, n_planes=4).select(
+        "q_id", "c_id", "cos_sim", "rnk"
+    )
