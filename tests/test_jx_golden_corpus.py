@@ -1,0 +1,174 @@
+"""jx golden-output conformance corpus — the reference's test shape
+(u, §5.1: jx repos share hundreds of cases `{data, query,
+expecting_list / expecting_table / expecting_cube}` over tiny inline
+fixtures).  Each case here is exactly that: inline docs -> jx dict ->
+expected output in the declared format.  Cases marked `sorted_by`
+compare order-insensitively after sorting by that key (Spark row order
+is nondeterministic without an explicit sort clause, as in jx)."""
+
+from __future__ import annotations
+
+import pytest
+
+DOCS = [
+    {"a": 1.0, "b": 10.0, "name": "alpha", "tag": "x", "arr": [1.0, 2.0]},
+    {"a": 2.0, "b": None, "name": "beta", "tag": "y", "arr": [3.0]},
+    {"a": None, "b": 30.0, "name": "", "tag": "x", "arr": None},
+    {"a": 4.0, "b": 40.0, "name": "delta", "tag": "z", "arr": [4.0, 5.0]},
+]
+
+SCHEMA = "a double, b double, name string, tag string, arr array<double>"
+
+CASES = [
+    {
+        "name": "filter_gt_select",
+        "query": {"from": "docs", "where": {"gt": ["a", 1]}, "select": ["name", "a"],
+                  "sort": "a"},
+        "expecting_list": [{"name": "beta", "a": 2.0}, {"name": "delta", "a": 4.0}],
+    },
+    {
+        "name": "where_null_cond_drops",
+        "query": {"from": "docs", "where": {"gt": ["a", 0]}, "select": ["a"], "sort": "a"},
+        # a=None row dropped (null condition is not-true)
+        "expecting_list": [{"a": 1.0}, {"a": 2.0}, {"a": 4.0}],
+    },
+    {
+        "name": "decisive_or_in_where",
+        "query": {"from": "docs",
+                  "where": {"or": [{"gt": ["a", 3]}, {"gt": ["b", 25]}]},
+                  "select": ["tag"], "sort": "tag"},
+        # row3: a missing, b=30 -> or(missing, true) = true
+        "expecting_list": [{"tag": "x"}, {"tag": "z"}],
+    },
+    {
+        "name": "missing_empty_string",
+        "query": {"from": "docs", "where": {"missing": "name"}, "select": ["b"]},
+        "expecting_list": [{"b": 30.0}],  # "" is missing
+    },
+    {
+        "name": "eq_null_safe",
+        "query": {"from": "docs", "where": {"eq": ["b", {"literal": None}]},
+                  "select": ["name"]},
+        "expecting_list": [{"name": "beta"}],  # missing == missing
+    },
+    {
+        "name": "computed_select_decisive_add",
+        "query": {"from": "docs",
+                  "select": [{"name": "s", "value": {"add": ["a", "b"]}}],
+                  "sort": [{"field": "s", "sort": 1}]},
+        # add skips missing: (1+10)=11, (2+null)=2, (null+30)=30, 44
+        "expecting_list": [{"s": 2.0}, {"s": 11.0}, {"s": 30.0}, {"s": 44.0}],
+    },
+    {
+        "name": "groupby_agg",
+        "query": {"from": "docs", "groupby": "tag",
+                  "select": [{"name": "n", "aggregate": "count"},
+                             {"name": "bsum", "value": "b", "aggregate": "sum"}]},
+        "sorted_by": "tag",
+        "expecting_list": [
+            {"tag": "x", "n": 2, "bsum": 40.0},
+            {"tag": "y", "n": 1, "bsum": None},  # all-null sum -> null
+            {"tag": "z", "n": 1, "bsum": 40.0},
+        ],
+    },
+    {
+        "name": "edges_set_domain_empty_and_null_part",
+        "query": {"from": "docs",
+                  "edges": [{"name": "tag", "value": "tag", "allowNulls": True,
+                             "domain": {"type": "set", "partitions": ["x", "y", "w"]}}],
+                  "select": [{"name": "n", "aggregate": "count"}]},
+        "sorted_by": "tag",
+        # w = empty part (0); z routes to the null part
+        "expecting_list": [
+            {"tag": None, "n": 1},
+            {"tag": "w", "n": 0},
+            {"tag": "x", "n": 2},
+            {"tag": "y", "n": 1},
+        ],
+    },
+    {
+        "name": "window_rownum",
+        "query": {"from": "docs", "select": ["name", "tag"],
+                  "window": [{"name": "seq", "aggregate": "rownum",
+                              "edges": ["tag"], "sort": ["name"]}],
+                  "sort": ["tag", "name"]},
+        "expecting_list": [
+            {"name": "", "tag": "x", "seq": 0},
+            {"name": "alpha", "tag": "x", "seq": 1},
+            {"name": "beta", "tag": "y", "seq": 0},
+            {"name": "delta", "tag": "z", "seq": 0},
+        ],
+    },
+    {
+        "name": "sort_desc_limit",
+        "query": {"from": "docs", "select": ["a"],
+                  "sort": [{"field": "a", "sort": -1}], "limit": 2},
+        "expecting_list": [{"a": 4.0}, {"a": 2.0}],
+    },
+    {
+        "name": "implicit_array_map",
+        "query": {"from": "docs", "where": {"eq": {"name": "alpha"}},
+                  "select": [{"name": "doubled", "value": {"mult": ["arr", 2]}}]},
+        "expecting_list": [{"doubled": [2.0, 4.0]}],
+    },
+    {
+        "name": "when_else_template",
+        "query": {"from": "docs", "where": {"exists": "a"},
+                  "select": [
+                      {"name": "kind",
+                       "value": {"when": {"gte": ["a", 2]}, "then": {"literal": "big"},
+                                 "else": {"literal": "small"}}},
+                      {"name": "msg", "value": {"template": "{{name}}:{{tag}}"}},
+                  ],
+                  "sort": "msg"},
+        "expecting_list": [
+            {"kind": "small", "msg": "alpha:x"},
+            {"kind": "big", "msg": "beta:y"},
+            {"kind": "big", "msg": "delta:z"},
+        ],
+    },
+    {
+        "name": "format_table",
+        "query": {"from": "docs", "where": {"eq": {"tag": "x"}},
+                  "select": ["tag", "b"], "sort": "b", "format": "table"},
+        "expecting_table": {"header": ["tag", "b"], "data": [["x", 10.0], ["x", 30.0]]},
+    },
+    {
+        "name": "format_cube_set_edge",
+        "query": {"from": "docs",
+                  "edges": [{"name": "tag", "value": "tag",
+                             "domain": {"type": "set", "partitions": ["x", "y", "z"]}}],
+                  "select": [{"name": "n", "aggregate": "count"}],
+                  "format": "cube"},
+        "expecting_cube": {"data": {"n": [2, 1, 1]}},  # domains sorted x,y,z
+    },
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [tuple(d.get(k) for k in ("a", "b", "name", "tag", "arr")) for d in DOCS]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@pytest.mark.parametrize("case", CASES, ids=[c["name"] for c in CASES])
+def test_golden(case, spark, docs_df):
+    from mo_etl_spark.jx.formats import format_result
+    from mo_etl_spark.jx.query import jx_run
+
+    df = jx_run(case["query"], spark=spark, tables={"docs": docs_df})
+    if "expecting_list" in case:
+        got = [r.asDict(recursive=True) for r in df.collect()]
+        want = case["expecting_list"]
+        if "sorted_by" in case:
+            key = case["sorted_by"]
+            sk = lambda r: (r[key] is None, str(r[key]))  # noqa: E731
+            got, want = sorted(got, key=sk), sorted(want, key=sk)
+        assert got == want
+    elif "expecting_table" in case:
+        assert format_result(df, case["query"]) == case["expecting_table"]
+    elif "expecting_cube" in case:
+        cube = format_result(df, case["query"])
+        assert cube["data"] == case["expecting_cube"]["data"]
+    else:
+        raise AssertionError("case declares no expectation")
