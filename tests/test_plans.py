@@ -160,3 +160,38 @@ def test_bucketed_join_has_no_shuffle(spark, sf001):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The engine's AQE config must split a skewed sort-merge join at
+    runtime (the 100 TB answer to hot join keys the salting operator
+    doesn't cover).  Synthetic 500k-row fact with 90% of rows on one
+    key; thresholds lowered so the local data qualifies; the FINAL
+    adaptive plan must show the skew-split markers."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    prev = {k: spark.conf.get(k) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(500_000).select(
+            F.when(F.col("id") % 10 < 9, 0)
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(1000)))
+            .alias("key"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("p"),
+        )
+        dim = spark.range(1000).select(F.col("id").alias("key"), F.col("id").alias("v"))
+        j = fact.join(dim, "key")
+        assert len(j.collect()) == 500_000
+        plan = plan_of(j)
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
