@@ -305,18 +305,27 @@ def lsh_topk(
     c_id: str = "c_id",
     vec: str = "vec",
     round_digits: int = 6,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k, end to end: both sides bucket by
     sign-random-projection (same deterministic planes), candidates are
     same-bucket pairs only, scored with the GEMM partial-top-k kernel
-    cogrouped BY BUCKET.  Single-probe (a query sees only its own
-    bucket) — recall is tuned by lowering ``n_planes``; multiprobe or
-    band-OR variants add candidates the same way minhash banding does.
-    At corpus scale this is the LSH alternative to ivf_topk: no
-    training, but buckets are unbalanced where IVF cells are sized."""
+    cogrouped BY BUCKET.  ``multiprobe=m`` additionally probes the m
+    buckets that differ in one of the first m plane bits — the
+    standard recall lever (each extra probe costs one more bucket of
+    candidates; a corpus vector lives in exactly one bucket, so pairs
+    never duplicate).  At corpus scale this is the LSH alternative to
+    ivf_topk: no training, but buckets are unbalanced where IVF cells
+    are sized."""
     qb = hyperplane_lsh_buckets(
         queries, dim, n_planes=n_planes, seed=seed, id_col=q_id, vec_col=vec
     )
+    if multiprobe > 0:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(multiprobe)],
+        )
+        qb = qb.select(q_id, F.explode(probes).alias("bucket"))
     cb = hyperplane_lsh_buckets(
         corpus, dim, n_planes=n_planes, seed=seed, id_col=c_id, vec_col=vec
     )

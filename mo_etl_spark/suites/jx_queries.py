@@ -532,3 +532,53 @@ def jx_dynamic_shred_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("props_k").cast("long").alias("k"),
         F.col("props_extra").alias("extra"),
     )
+
+
+@query(
+    "jx_edges_week_cube",
+    oracle="""
+    WITH dom AS (
+        SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                      TIMESTAMP '2024-02-05',
+                                      INTERVAL 7 DAY)) AS week
+    ), agg AS (
+        SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+               count(*) AS n,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1
+    )
+    SELECT dom.week, coalesce(agg.n, 0) AS n, agg.n_users
+    FROM dom LEFT JOIN agg USING (week)
+    WHERE dom.week < TIMESTAMP '2024-02-05'
+    """,
+    tags=("jx", "edges", "time_domain", "week"),
+)
+def jx_edges_week_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-unit time domain (u, mo_times week Duration): calendar
+    weeks align to Monday identically in Spark date_trunc('week') and
+    DuckDB — verified 2024-01-01 (a Monday) and mid-week stamps.
+    Complete domain: every week in the window, empty ones at 0."""
+    return jx_run(
+        {
+            "from": "events",
+            "edges": [
+                {
+                    "name": "week",
+                    "value": "ts",
+                    "domain": {
+                        "type": "time",
+                        "min": "2024-01-01",
+                        "max": "2024-02-05",
+                        "interval": "week",
+                    },
+                }
+            ],
+            "select": [
+                {"name": "n", "aggregate": "count"},
+                {"name": "n_users", "value": "user_id", "aggregate": "cardinality"},
+            ],
+        },
+        spark=spark,
+        tables=_tables(spark, sf_dir, "events"),
+    )

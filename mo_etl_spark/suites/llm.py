@@ -663,3 +663,43 @@ def llm_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(q, c, k=5, dim=64, n_planes=4).select(
         "q_id", "c_id", "cos_sim", "rnk"
     )
+
+
+@query(
+    "llm_sim_lsh_multiprobe",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_lsh_bucket_sql(n_planes=6)} AS bucket
+      FROM embeddings
+    ),
+    probes AS (
+      SELECT vec_id AS pq_id, xor(bucket, f.f) AS bucket
+      FROM bucketed, (SELECT unnest([0, 1, 2, 4]) AS f) f
+      WHERE vec_id < 50
+    )
+    SELECT q_id, c_id, cos_sim, rnk FROM (
+      SELECT p.pq_id AS q_id, b.vec_id AS c_id,
+             {_SQL_COSINE.replace("a.embedding", "a2.embedding")} AS cos_sim,
+             row_number() OVER (PARTITION BY p.pq_id
+                                ORDER BY {_SQL_COSINE.replace("a.embedding", "a2.embedding")} DESC, b.vec_id) AS rnk
+      FROM probes p
+      JOIN bucketed b USING (bucket)
+      JOIN embeddings a2 ON a2.vec_id = p.pq_id
+      WHERE p.pq_id <> b.vec_id)
+    WHERE rnk <= 5
+    """,
+    tags=("sim_lsh_multiprobe",),
+)
+def llm_sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe LSH top-5: 6 planes (64 buckets) with 3 extra
+    bit-flip probes per query — more candidates than single-probe at
+    the same bucket granularity, the standard recall lever.  Oracle
+    reproduces planes, probing (xor on the same bits), and scoring."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec"))
+    return S.lsh_topk(q, c, k=5, dim=64, n_planes=6, multiprobe=3).select(
+        "q_id", "c_id", "cos_sim", "rnk"
+    )
