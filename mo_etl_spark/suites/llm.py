@@ -703,3 +703,42 @@ def llm_sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(q, c, k=5, dim=64, n_planes=6, multiprobe=3).select(
         "q_id", "c_id", "cos_sim", "rnk"
     )
+
+
+@query(
+    "llm_dedup_jaccard_dfcap",
+    oracle=f"""
+    WITH corpus AS ({_SQL_NEAR_DUPS}),
+    toks AS (
+        SELECT doc_id AS id, unnest(list_distinct(string_split(
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS tok
+        FROM corpus
+    ),
+    sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+    rare AS (SELECT tok FROM (SELECT tok, count(*) AS df FROM toks GROUP BY tok)
+             WHERE df <= 460),
+    capped AS (SELECT id, tok FROM toks JOIN rare USING (tok)),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        FROM capped a JOIN capped b USING (tok)
+        WHERE a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+           round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+    """,
+    tags=("dedup_ngram_jaccard", "df_cap"),
+)
+def llm_dedup_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard near-dup with the document-frequency cap engaged (the
+    100 TB skew bound: tokens in > 460 docs never enter the pair
+    join, cutting the hot-token candidate blowup).  Sizes stay
+    uncapped, so the score is a conservative underestimate — the
+    oracle reproduces exactly that hybrid."""
+    return D.jaccard_pairs(
+        _with_near_dups(_docs(spark, sf_dir)), threshold=0.5, df_cap=460
+    )

@@ -165,3 +165,26 @@ def test_typed_json_roundtrip(spark):
     assert got[1] == want[1]
     assert got[2]["s"] is None and got[2]["b"] is False
     assert got[2]["o"]["os"] == "y"
+
+
+def test_lsh_multiprobe_recall_dominates_single(spark, emb):
+    """Extra probes can only ADD candidates, so multiprobe recall vs
+    exact top-k must be >= single-probe recall, and every returned
+    score stays exact."""
+    from mo_etl_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    q = emb.where(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec"))
+    exact = {(r["q_id"], r["c_id"]) for r in brute_force_topk(q, c, k=5).collect()}
+    single = {
+        (r["q_id"], r["c_id"])
+        for r in lsh_topk(q, c, k=5, dim=64, n_planes=6).collect()
+    }
+    multi = {
+        (r["q_id"], r["c_id"])
+        for r in lsh_topk(q, c, k=5, dim=64, n_planes=6, multiprobe=3).collect()
+    }
+    assert len(multi & exact) >= len(single & exact)
+    assert len(multi) >= len(single)
