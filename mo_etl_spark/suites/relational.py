@@ -539,3 +539,34 @@ def join_broadcast_region_suppliers(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum(cents("s_acctbal")).alias("acctbal_cents"),
         )
     )
+
+
+@query(
+    "setop_union_heterogeneous_docs",
+    oracle="""
+    SELECT c_custkey AS entity_id, c_mktsegment AS segment,
+           CAST(NULL AS DOUBLE) AS acctbal, 'customer' AS side
+    FROM customer
+    UNION ALL
+    SELECT s_suppkey, CAST(NULL AS VARCHAR), s_acctbal, 'supplier'
+    FROM supplier
+    """,
+    tags=("union_all", "heterogeneous_schema"),
+)
+def setop_union_heterogeneous_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous-document union (u, mo_dots list concat: docs with
+    DIFFERENT key sets coexist; missing keys read as Null).  Spark:
+    unionByName(allowMissingColumns=True) — each side's absent columns
+    materialize as nulls, no manual padding."""
+    customer, supplier = _t(spark, sf_dir, "customer", "supplier")
+    c = customer.select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("customer").alias("side"),
+    )
+    s = supplier.select(
+        F.col("s_suppkey").alias("entity_id"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("side"),
+    )
+    return c.unionByName(s, allowMissingColumns=True)
