@@ -184,8 +184,8 @@ _SQL_COSINE = """
 )
 def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 neighbors for the first 50 query
-    vectors.  zip_with+aggregate sequential double sums mirror the
-    oracle's formula; order by (rounded cos, c_id) is total."""
+    vectors via the blocked-GEMM kernel (float64 matmul per block pair,
+    map-side partial top-k); order by (rounded cos, c_id) is total."""
     emb = _emb(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
