@@ -76,3 +76,122 @@ def decode_batch(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(run, DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("thumb_w", T.IntegerType()),
+        T.StructField("thumb_h", T.IntegerType()),
+        T.StructField("thumb_md5", T.StringType()),
+    ]
+)
+
+
+def resize_image(payload: bytes, size: tuple[int, int]) -> bytes:
+    """Real resize slot — image libs absent in this environment."""
+    raise NotImplementedError("resize requires PIL/opencv; see fake_resize")
+
+
+def fake_resize(payload: bytes, size: tuple[int, int]) -> bytes:
+    """Deterministic stand-in: the 'thumbnail' is the payload tagged
+    with the target size — stable bytes, so the output hash is
+    reproducible by any engine."""
+    return payload + f"@{size[0]}x{size[1]}".encode()
+
+
+def resize_batch(df: DataFrame, size: tuple[int, int] = (16, 16), id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas resize stage: same Arrow plumbing as decode_batch;
+    emits target dims + thumbnail content hash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = pdf["payload"].map(lambda p: fake_resize(p, size))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "thumb_w": size[0],
+                    "thumb_h": size[1],
+                    "thumb_md5": thumbs.map(lambda b: hashlib.md5(b).hexdigest()),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def frame_sample_batch(
+    df: DataFrame, interval_ms: int = 1000, id_col: str = "doc_id"
+) -> DataFrame:
+    """Video frame sampling plumbing: each payload fans out to one row
+    per sampled frame (the doc->many-frames UDTF shape).  The decoder
+    is stubbed deterministically — frame count = payload_bytes % 5 + 1,
+    frame content = payload tagged with the index — so the fan-out,
+    batch shape, and per-frame hashing are real and cross-engine
+    checkable; swapping in pyav/ffmpeg changes one inner function."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, hashes = [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                n_frames = len(payload) % 5 + 1
+                for i in range(n_frames):
+                    ids.append(did)
+                    idxs.append(i)
+                    tss.append(i * interval_ms)
+                    hashes.append(
+                        hashlib.md5(payload + b"#" + str(i).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame_ts_ms": tss,
+                    "frame_md5": hashes,
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, FRAMES_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def audio_features_batch(df: DataFrame, n_features: int = 4, id_col: str = "doc_id") -> DataFrame:
+    """Audio feature-extraction plumbing (MFCC-shaped output): stubbed
+    deterministic features from the content hash; real librosa/torch
+    extraction drops into the same mapInPandas slot."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(
+                lambda p: [
+                    int.from_bytes(hashlib.md5(p + bytes([i])).digest()[:4], "big")
+                    / 2**32
+                    for i in range(n_features)
+                ]
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_samples": pdf["payload"].map(len).astype("int64") * 100,
+                    "features": feats,
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, AUDIO_SCHEMA)

@@ -742,3 +742,50 @@ def llm_dedup_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(
         _with_near_dups(_docs(spark, sf_dir)), threshold=0.5, df_cap=460
     )
+
+
+@query(
+    "llm_multimodal_frames",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text,
+             CAST(octet_length(encode(text)) % 5 + 1 AS BIGINT) AS n_frames
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(f.i AS BIGINT) AS frame_idx,
+           CAST(f.i * 1000 AS BIGINT) AS frame_ts_ms,
+           md5(text || '#' || CAST(f.i AS VARCHAR)) AS frame_md5
+    FROM base, LATERAL (SELECT unnest(generate_series(0, n_frames - 1)) AS i) f
+    """,
+    tags=("multimodal_col", "frame_sample"),
+)
+def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: binary payload fans out to one
+    row per sampled frame via mapInPandas (stubbed decoder, real
+    fan-out/batch/hash plumbing — operators/multimodal.py).  Frame
+    hashes are byte-reproducible, so the oracle checks the fan-out."""
+    from mo_etl_spark.operators.multimodal import frame_sample_batch
+
+    docs = with_binary_payload(_docs(spark, sf_dir))
+    return frame_sample_batch(docs)
+
+
+@query(
+    "llm_multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           16 AS thumb_w, 16 AS thumb_h,
+           md5(text || '@16x16') AS thumb_md5
+    FROM documents
+    """,
+    tags=("multimodal_col", "resize"),
+)
+def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing: mapInPandas thumbnail stage with a
+    deterministic stub thumbnail (payload tagged with target size), so
+    the emitted content hash is oracle-checkable."""
+    from mo_etl_spark.operators.multimodal import resize_batch
+
+    docs = with_binary_payload(_docs(spark, sf_dir))
+    return resize_batch(docs, size=(16, 16))

@@ -99,3 +99,19 @@ def test_multimodal_decode_schema_and_determinism(spark, docs):
     assert rows1 == rows2  # deterministic stub
     assert out.columns == ["doc_id", "n_bytes", "content_md5", "width", "height"]
     assert all(1 <= r[3] <= 64 and 1 <= r[4] <= 64 for r in rows1)
+
+
+def test_audio_features_plumbing(spark, docs):
+    """Audio feature stub: deterministic MFCC-shaped output with the
+    declared schema and one row per input doc."""
+    from mo_etl_spark.operators.multimodal import audio_features_batch, with_binary_payload
+
+    out = audio_features_batch(with_binary_payload(docs.limit(20))).collect()
+    assert len(out) == 20
+    for r in out:
+        assert len(r["features"]) == 4
+        assert all(0.0 <= f < 1.0 for f in r["features"])
+        assert r["n_samples"] > 0
+    # deterministic across runs
+    again = audio_features_batch(with_binary_payload(docs.limit(20))).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
