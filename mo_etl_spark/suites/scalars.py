@@ -308,3 +308,30 @@ def scalar_month_arithmetic_clamping(spark: SparkSession, sf_dir: str) -> DataFr
             F.add_months(base, -1).cast("timestamp").alias("minus_1m"),
         )
     )
+
+
+@query(
+    "scalar_variant_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k2,
+           props IS NOT NULL AS has_props
+    FROM events WHERE event_id <= 4000
+    """,
+    tags=("scalar", "json", "variant"),
+)
+def scalar_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 VariantType for dynamic JSON (the modern engine-native
+    answer to mo-json's dynamic documents): props parses ONCE into a
+    binary variant, then typed extractions are cheap — at scale this
+    beats per-path get_json_object re-parsing, and the variant column
+    is storable/shreddable.  Oracle = plain JSON extraction."""
+    events = _t(spark, sf_dir, "events").where(F.col("event_id") <= 4000)
+    v = F.parse_json("props")
+    return events.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k"),
+        (F.try_variant_get(v, "$.k", "bigint") * 2).alias("k2"),
+        v.isNotNull().alias("has_props"),
+    )
