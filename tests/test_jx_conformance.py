@@ -228,3 +228,60 @@ def test_nary_decisive_fuzz(spark, triples):
         assert (r["p"] is None) == (want_p is None)
         if want_p is not None:
             assert r["p"] == pytest.approx(want_p, rel=1e-12, abs=1e-9)
+
+
+# --- unicode string-op fuzz -------------------------------------------
+# The reference is pure Python (code-point string semantics).  Spark's
+# UTF8String also counts CODE POINTS (verified incl. astral-plane
+# emoji / mathematical alphanumerics), so slicing ops must agree with
+# Python slices for any non-surrogate text.
+
+unicode_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=24
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(unicode_text, st.integers(0, 30)), min_size=1, max_size=20))
+def test_string_slicing_unicode_fuzz(spark, rows):
+    from mo_etl_spark.jx.expressions import jx_expr
+
+    df = spark.createDataFrame(rows, "s string, n int")
+    got = df.select(
+        "s",
+        "n",
+        jx_expr({"length": "s"}, df).alias("len"),
+        jx_expr({"left": ["s", "n"]}, df).alias("l"),
+        jx_expr({"right": ["s", "n"]}, df).alias("r"),
+        jx_expr({"not_left": ["s", "n"]}, df).alias("nl"),
+        jx_expr({"not_right": ["s", "n"]}, df).alias("nr"),
+        jx_expr({"find": {"s": "a"}}, df).alias("f"),
+    ).collect()
+    for row in got:
+        s, n = row["s"], row["n"]
+        assert row["len"] == len(s)
+        assert row["l"] == s[:n]
+        assert row["r"] == (s[-n:] if n else "")
+        assert row["nl"] == s[n:]
+        assert row["nr"] == (s[:-n] if n else s)
+        i = s.find("a")
+        assert row["f"] == (None if i < 0 else i)
+
+
+def test_string_case_mapping_fixed_set(spark):
+    """Case ops on a fixed verified set (full fuzz would be hostage to
+    Unicode-table versions across JVM/Python)."""
+    from mo_etl_spark.jx.expressions import jx_expr
+
+    vals = ["Hello", "héllo", "ß", "ﬁre", "ΣΙΣΥΦΟΣ", "a😀B"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {
+        r["s"]: (r["u"], r["lo"])
+        for r in df.select(
+            "s",
+            jx_expr({"upper": "s"}, df).alias("u"),
+            jx_expr({"lower": "s"}, df).alias("lo"),
+        ).collect()
+    }
+    for v in vals:
+        assert got[v] == (v.upper(), v.lower()), v
