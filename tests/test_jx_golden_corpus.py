@@ -172,3 +172,66 @@ def test_golden(case, spark, docs_df):
         assert cube["data"] == case["expecting_cube"]["data"]
     else:
         raise AssertionError("case declares no expectation")
+
+
+# --- null-safe navigation & sort-null golden cases --------------------
+
+
+def test_sort_nulls_are_least(spark, docs_df):
+    """jx sort: nulls are 'least' — first ascending, last descending
+    (u, jx_python/jx.py sort)."""
+    from mo_etl_spark.jx.query import jx_run
+
+    asc = [r["a"] for r in jx_run(
+        {"from": docs_df, "select": ["a"], "sort": "a"}).collect()]
+    desc = [r["a"] for r in jx_run(
+        {"from": docs_df, "select": ["a"], "sort": [{"field": "a", "sort": -1}]}
+    ).collect()]
+    assert asc == [None, 1.0, 2.0, 4.0]
+    assert desc == [4.0, 2.0, 1.0, None]
+
+
+def test_null_safe_navigation(spark):
+    """mo-dots Null absorption (u, mo_dots/nones.py: Null.x.y[3] -> Null):
+    dot-paths through missing structs and out-of-bounds element access
+    yield Null, never an error."""
+    from mo_etl_spark.jx.expressions import jx_expr
+
+    df = spark.createDataFrame(
+        [
+            (1, {"b": {"c": 7.0}}, [1.0, 2.0]),
+            (2, None, [3.0]),
+            (3, {"b": None}, None),
+        ],
+        "id long, a struct<b: struct<c: double>>, arr array<double>",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            jx_expr("a.b.c", df).alias("deep"),
+            jx_expr({"add": ["a.b.c", 1]}, df).alias("deep_plus"),
+            jx_expr({"first_array": "arr"}, df).alias("head"),
+            jx_expr({"last_array": "arr"}, df).alias("tail"),
+        ).collect()
+    }
+    assert rows[1]["deep"] == 7.0 and rows[1]["deep_plus"] == 8.0
+    assert rows[2]["deep"] is None
+    # decisive add: missing operand skipped -> the known operand (1)
+    assert rows[2]["deep_plus"] == 1.0
+    assert rows[3]["deep"] is None
+    assert rows[3]["head"] is None and rows[3]["tail"] is None
+
+
+def test_element_at_out_of_bounds_is_null(spark):
+    """Array index past the end -> Null (ANSI off), matching FlatList."""
+    from pyspark.sql import functions as F
+    from mo_etl_spark.session import prepare
+
+    prepare(spark)
+    df = spark.createDataFrame([([1.0, 2.0],)], "arr array<double>")
+    r = df.select(
+        F.element_at("arr", 5).alias("past"),
+        F.element_at("arr", -5).alias("before"),
+    ).collect()[0]
+    assert r["past"] is None and r["before"] is None
