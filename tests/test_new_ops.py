@@ -188,3 +188,69 @@ def test_lsh_multiprobe_recall_dominates_single(spark, emb):
     }
     assert len(multi & exact) >= len(single & exact)
     assert len(multi) >= len(single)
+
+
+def test_jx_over_sqlite_container(spark, sf_dir, tmp_path):
+    """The jx-sqlite shape end to end: jx query dict executed against a
+    SQLite container (scanned into a DataFrame, queried with jx_run)."""
+    from mo_etl_spark.jx.query import jx_run
+    from mo_etl_spark.sources import scan_sqlite, sink_sqlite
+    from mo_etl_spark.tables import load_table
+
+    db = str(tmp_path / "c.db")
+    sink_sqlite(load_table(spark, sf_dir, "nation"), db, "nation")
+    container = scan_sqlite(spark, db, "nation")
+    out = jx_run(
+        {
+            "from": "nation",
+            "where": {"lt": ["n_regionkey", 2]},
+            "groupby": "n_regionkey",
+            "select": [{"name": "n", "aggregate": "count"}],
+        },
+        spark=spark,
+        tables={"nation": container},
+    ).collect()
+    got = {r["n_regionkey"]: r["n"] for r in out}
+    assert got == {0: 5, 1: 5}
+
+
+def test_jx_query_on_streaming_dataframe(spark, sf_dir, tmp_path):
+    """jx compiles to plain DataFrame ops, so the same query dict runs
+    on a readStream input unchanged — jx over Structured Streaming."""
+    from mo_etl_spark.jx.query import jx_run
+    from mo_etl_spark.streaming import file_stream_source
+    from mo_etl_spark.tables import load_table
+
+    feed = str(tmp_path / "feed")
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    events.write.parquet(feed)
+    stream = file_stream_source(spark, feed, "event_id BIGINT, event_type STRING")
+    assert stream.isStreaming
+    agg = jx_run(
+        {
+            "from": stream,
+            "where": {"exists": "event_type"},
+            "groupby": "event_type",
+            "select": [{"name": "n", "aggregate": "count"}],
+        }
+    )
+    assert agg.isStreaming
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("jx_stream_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["event_type"]: r["n"] for r in spark.table("jx_stream_sink").collect()}
+    want = {
+        r["event_type"]: r["n"]
+        for r in jx_run(
+            {"from": events, "where": {"exists": "event_type"},
+             "groupby": "event_type",
+             "select": [{"name": "n", "aggregate": "count"}]}
+        ).collect()
+    }
+    assert got == want
