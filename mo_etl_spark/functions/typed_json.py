@@ -31,22 +31,26 @@ EXISTS = "~e~"
 
 
 def _encode(col: Column, dt: T.DataType) -> Column:
+    # every branch is null-guarded: a MISSING value encodes as NULL so
+    # to_json omits the key entirely (missing-is-absent), rather than
+    # emitting an empty/existence-marked wrapper for it
     if isinstance(dt, T.StructType):
         parts = [F.lit(1).alias(EXISTS)]
         for f in dt.fields:
             parts.append(_encode(col[f.name], f.dataType).alias(f.name))
-        return F.struct(*parts)
+        return F.when(col.isNotNull(), F.struct(*parts))
     if isinstance(dt, T.ArrayType):
-        return F.struct(
-            F.transform(col, lambda x: _encode(x, dt.elementType)).alias(ARR)
+        return F.when(
+            col.isNotNull(),
+            F.struct(F.transform(col, lambda x: _encode(x, dt.elementType)).alias(ARR)),
         )
     if isinstance(dt, T.BooleanType):
-        return F.struct(col.alias(BOOL))
+        return F.when(col.isNotNull(), F.struct(col.alias(BOOL)))
     if isinstance(dt, T.StringType):
-        return F.struct(col.alias(STR))
+        return F.when(col.isNotNull(), F.struct(col.alias(STR)))
     if isinstance(dt, (T.NumericType,)):
         # jx numbers are doubles (SURVEY §1.2)
-        return F.struct(col.cast("double").alias(NUM))
+        return F.when(col.isNotNull(), F.struct(col.cast("double").alias(NUM)))
     raise ValueError(f"typed JSON: unsupported type {dt}")
 
 
@@ -71,8 +75,13 @@ def _typed_schema(dt: T.DataType) -> T.DataType:
 
 def _decode(col: Column, dt: T.DataType) -> Column:
     if isinstance(dt, T.StructType):
-        return F.struct(
-            *[_decode(col[f.name], f.dataType).alias(f.name) for f in dt.fields]
+        # absent object (key omitted at encode) -> NULL, not a struct
+        # of all-null fields
+        return F.when(
+            col.isNotNull(),
+            F.struct(
+                *[_decode(col[f.name], f.dataType).alias(f.name) for f in dt.fields]
+            ),
         )
     if isinstance(dt, T.ArrayType):
         return F.transform(col[ARR], lambda x: _decode(x, dt.elementType))

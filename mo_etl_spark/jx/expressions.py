@@ -462,6 +462,11 @@ OPS = {
 # mo_dots FlatList: a path through an array applies per element;
 # SURVEY.md §1.4 item 6).  Closed allow-list — ops whose per-element
 # application is well-defined with the remaining operands scalar.
+# KNOWN LIMIT: mapping triggers only when the array operand is a bare
+# dot-path at THIS op's level; a composed array-valued sub-expression
+# (e.g. mult over the result of an array-mapped abs) is not detected
+# and fails analysis — nest the scalar ops inside one mapped op
+# instead.
 _MAPPABLE = {
     "abs", "sign", "sqrt", "exp", "log", "log10", "negate", "ceiling",
     "number", "integer", "double", "long", "string",

@@ -30,16 +30,34 @@ def discover_json_keys(df: DataFrame, col: str) -> list[str]:
     return sorted(r["k"] for r in rows)
 
 
+import re as _re
+
+
+def _json_path(key: str) -> str:
+    """Bracket-quote the key so dots/brackets/dollars inside it address
+    the LITERAL top-level key instead of being parsed as path syntax.
+    Keys containing a single quote can't be addressed by Spark's
+    get_json_object path grammar at all — reject loudly."""
+    if "'" in key:
+        raise ValueError(f"JSON key not addressable by get_json_object: {key!r}")
+    return f"$['{key}']"
+
+
+def _safe_alias(col: str, key: str) -> str:
+    return f"{col}_" + _re.sub(r"\W", "_", key)
+
+
 def shred_json(df: DataFrame, col: str, keys: list[str] | None = None) -> DataFrame:
-    """Project one column per JSON key (``<col>_<key>``, string-typed —
-    callers cast where the type is known).  ``keys=None`` runs
-    discovery first: the new-key -> new-column evolution step."""
+    """Project one column per JSON key (``<col>_<key>`` with non-word
+    characters underscored, string-typed — callers cast where the type
+    is known).  ``keys=None`` runs discovery first: the new-key ->
+    new-column evolution step."""
     if keys is None:
         keys = discover_json_keys(df, col)
     return df.select(
         "*",
         *[
-            F.get_json_object(F.col(col), f"$.{k}").alias(f"{col}_{k}")
+            F.get_json_object(F.col(col), _json_path(k)).alias(_safe_alias(col, k))
             for k in keys
         ],
     )

@@ -102,7 +102,16 @@ def _cosine_block(left: pd.DataFrame, right: pd.DataFrame, round_digits: int):
     """float64 GEMM over one block pair -> (qids, cids, rounded cos
     matrix).  Elements are cast to double BEFORE multiplying — same as
     the oracle's CAST(x AS DOUBLE); dot first, then divide by the norm
-    product, mirroring the per-pair formula shape."""
+    product, mirroring the per-pair formula shape.
+
+    PARITY NOTE: numpy's BLAS/pairwise summation differs from a SQL
+    engine's left-to-right list_sum in the last ~1 ulp (~1e-16).  A
+    cross-engine mismatch therefore requires the TRUE cosine to sit
+    within that ulp of a round-half boundary on the 1e-6 grid —
+    probability ~2e-10 per pair (~1e-3 cumulative at the t2 scale's
+    few-million pairs).  Accepted: the sequential-sum form was measured
+    ~10x slower (interpreted HOF per element), and the same ulp risk
+    exists between ANY two engines' summation orders."""
     Q = np.array(left["qv"].tolist(), dtype=np.float64)
     C = np.array(right["cv"].tolist(), dtype=np.float64)
     dots = Q @ C.T

@@ -60,7 +60,13 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Skewed equi-join: big side salted deterministically, small side
-    replicated across all salt values, join on (keys..., salt)."""
+    replicated across all salt values, join on (keys..., salt).
+
+    Only ``inner`` and ``left`` (big-side-preserving) joins are valid:
+    an outer join that preserves the SMALL side would emit one
+    null-extended row per salt replica for every unmatched small key."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"salted_join supports inner/left joins, not {how!r}")
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     b = big.withColumn("_salt", salt)
     s = small.withColumn(

@@ -123,6 +123,11 @@ def deterministic_sample(df, id_col: str = "doc_id", percent: int = 10, modulus:
     id hash lands under ``percent`` of ``modulus``.  Pure arithmetic —
     reproducible across engines/runs/partitionings, pushes down to the
     scan as a data filter, and never shuffles; the standard way to cut
-    a 100 TB corpus to an n% training slice."""
-    bucket = F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(modulus))
+    a 100 TB corpus to an n% training slice.
+
+    (a*b) mod m is computed as ((a mod m)*(b mod m)) mod m so the
+    product never exceeds m² — id*2654435761 would overflow int64 for
+    ids >= ~3.5e9 (raising under ANSI, silently wrapping otherwise)."""
+    factor = 2654435761 % modulus
+    bucket = F.pmod(F.pmod(F.col(id_col), F.lit(modulus)) * F.lit(factor), F.lit(modulus))
     return df.where(bucket < percent)

@@ -60,19 +60,35 @@ def scan_sqlite(spark: SparkSession, db_path: str, table_or_sql: str) -> DataFra
     parallelize with createDataFrame (Arrow).  Intended for the
     reference's actual sqlite use — config/dimension-sized containers;
     a 100 TB fact table would never live in SQLite.  Accepts a table
-    name or a full SELECT."""
+    name or a full SELECT (statement detected as 'select' + whitespace,
+    so tables named e.g. 'selections' route correctly)."""
+    import re
     import sqlite3
+    from contextlib import closing
 
     import pandas as pd
 
-    sql = (
-        table_or_sql
-        if table_or_sql.lstrip().lower().startswith("select")
-        else f"SELECT * FROM {table_or_sql}"
-    )
-    with sqlite3.connect(db_path) as conn:
+    is_stmt = re.match(r"\s*select\s", table_or_sql, re.IGNORECASE)
+    sql = table_or_sql if is_stmt else f"SELECT * FROM {table_or_sql}"
+    with closing(sqlite3.connect(db_path)) as conn:  # ctx mgr alone only commits
         pdf = pd.read_sql_query(sql, conn)
-    return spark.createDataFrame(pdf)
+        if pdf.empty:
+            # createDataFrame can't infer types from zero rows; derive
+            # the schema from the cursor's declared column types
+            decls = conn.execute(sql + " LIMIT 0").description or []
+            to_spark = {"INTEGER": "long", "REAL": "double", "BLOB": "binary"}
+            cols = []
+            for d, col in zip(decls, pdf.columns):
+                decl = ""
+                if not is_stmt:
+                    row = conn.execute(
+                        f"SELECT type FROM pragma_table_info(?) WHERE name = ?",
+                        (table_or_sql, col),
+                    ).fetchone()
+                    decl = (row[0] or "").upper() if row else ""
+                cols.append(f"`{col}` {to_spark.get(decl, 'string')}")
+            return spark.createDataFrame([], ", ".join(cols))
+        return spark.createDataFrame(pdf)
 
 
 def sink_sqlite(df: DataFrame, db_path: str, table: str, mode: str = "replace") -> None:
@@ -80,6 +96,8 @@ def sink_sqlite(df: DataFrame, db_path: str, table: str, mode: str = "replace") 
     return leg of the jx-sqlite container mapping.  Driver-side
     toPandas + to_sql; same size caveat as scan_sqlite."""
     import sqlite3
+    from contextlib import closing
 
-    with sqlite3.connect(db_path) as conn:
+    with closing(sqlite3.connect(db_path)) as conn:
         df.toPandas().to_sql(table, conn, if_exists=mode, index=False)
+        conn.commit()

@@ -349,7 +349,7 @@ def jx_edges_set_range_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH dom AS (SELECT unnest([true, false]) AS is_purchase),
     agg AS (
-        SELECT event_type = 'purchase' AS is_purchase,
+        SELECT event_type IS NOT DISTINCT FROM 'purchase' AS is_purchase,
                count(*) AS n,
                sum(CAST(round(value*100) AS BIGINT)) AS total_cents
         FROM events

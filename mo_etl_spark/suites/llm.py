@@ -475,7 +475,7 @@ _SQL_COS_EC = _SQL_COSINE.replace("a.embedding", "ea.embedding").replace(
       SELECT c_id, cent_id AS cell FROM (
         SELECT ea.vec_id AS c_id, ec.cent_id,
                row_number() OVER (PARTITION BY ea.vec_id
-                                  ORDER BY {_SQL_COS_EC.replace('ec.embedding', 'ec.embedding')} DESC, ec.cent_id) AS r
+                                  ORDER BY {_SQL_COS_EC} DESC, ec.cent_id) AS r
         FROM embeddings ea CROSS JOIN cents_ ec)
       WHERE r = 1
     ),

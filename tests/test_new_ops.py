@@ -254,3 +254,77 @@ def test_jx_query_on_streaming_dataframe(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_typed_json_null_struct_roundtrip(spark):
+    """NULL nested structs/arrays must be ABSENT in the encoding (no
+    ~e~ existence marker) and decode back to NULL, not an all-null
+    struct."""
+    from pyspark.sql import functions as F
+    from mo_etl_spark.functions.typed_json import typed_decode, typed_encode
+
+    df = spark.createDataFrame(
+        [(1, (None, None)), (2, (("z", 1.0), [2.0]))],
+        "id long, doc struct<o: struct<os: string, onum: double>, a: array<double>>",
+    )
+    dt = df.schema["doc"].dataType
+    enc = df.select("id", typed_encode(F.col("doc"), dt).alias("tj"))
+    rows = {r["id"]: r["tj"] for r in enc.collect()}
+    assert '"o"' not in rows[1] and '"a"' not in rows[1]  # absent, not {}
+    back = {
+        r["id"]: r["doc"]
+        for r in enc.select("id", typed_decode(F.col("tj"), dt).alias("doc")).collect()
+    }
+    assert back[1]["o"] is None and back[1]["a"] is None
+    assert back[2]["o"]["os"] == "z" and back[2]["a"] == [2.0]
+
+
+def test_shred_handles_dotted_and_bracket_keys(spark):
+    from mo_etl_spark.operators.shred import discover_json_keys, shred_json
+
+    df = spark.createDataFrame(
+        [('{"a.b": 1, "plain": 2, "x[0]": 3}',), ('{"plain": 9}',)], "props string"
+    )
+    keys = discover_json_keys(df, "props")
+    assert keys == ["a.b", "plain", "x[0]"]
+    out = shred_json(df, "props", keys).collect()
+    cols = set(out[0].asDict())
+    assert {"props_a_b", "props_plain", "props_x_0_"} <= cols
+    vals = sorted(
+        ((r["props_a_b"], r["props_plain"]) for r in out),
+        key=lambda t: t[1],
+    )
+    assert vals == [("1", "2"), (None, "9")]
+
+
+def test_scan_sqlite_empty_table(spark, tmp_path):
+    import sqlite3
+
+    from mo_etl_spark.sources import scan_sqlite
+
+    db = str(tmp_path / "e.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE empty_t (id INTEGER, name TEXT, score REAL)")
+    out = scan_sqlite(spark, db, "empty_t")
+    assert out.count() == 0
+    assert dict(out.dtypes) == {"id": "bigint", "name": "string", "score": "double"}
+    # table whose NAME starts with 'select' routes as a table, not SQL
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE selections (k INTEGER)")
+        conn.execute("INSERT INTO selections VALUES (7)")
+        conn.commit()
+    assert scan_sqlite(spark, db, "selections").collect()[0]["k"] == 7
+
+
+def test_deterministic_sample_large_ids_no_overflow(spark):
+    from mo_etl_spark.operators.text import deterministic_sample
+
+    big = spark.range(4_000_000_000_000, 4_000_000_000_100).selectExpr("id AS doc_id")
+    out = deterministic_sample(big)  # must not overflow / raise under ANSI
+    n = out.count()
+    assert 0 <= n <= 100
+    # congruence with the mathematical definition on small ids
+    small = spark.range(0, 1000).selectExpr("id AS doc_id")
+    got = {r["doc_id"] for r in deterministic_sample(small).collect()}
+    want = {i for i in range(1000) if (i * 2654435761) % 97 < 10}
+    assert got == want
