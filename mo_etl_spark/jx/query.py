@@ -244,9 +244,12 @@ def _edge_key_and_domain(
                 & (value < F.lit(hi).cast("timestamp")),
                 key,
             )
+            # Spark interval literals have no 'quarter' unit even though
+            # date_trunc does — generate quarter domains with 3-month steps
+            step = {"quarter": "3 month"}.get(unit, f"1 {unit}")
             domain_df = spark.sql(
                 f"SELECT explode(sequence(timestamp'{lo}', timestamp'{hi}',"
-                f" interval 1 {unit})) AS {name}"
+                f" interval {step})) AS {name}"
             ).where(F.col(name) < F.lit(hi).cast("timestamp"))
         else:
             step = float(interval)

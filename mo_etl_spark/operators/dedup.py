@@ -168,6 +168,64 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return sums.select("id", fp.alias("simhash"))
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs — the last
+    stage of a real dedup pipeline: pair lists become canonical dedup
+    GROUPS (component = min reachable id, the keeper).
+
+    Algorithm: iterative min-label propagation PLUS pointer jumping
+    (comp <- comp(comp)) each round — the hash-to-min family, which
+    converges in O(log n) rounds instead of O(diameter), so a
+    100 TB-scale run with million-node components needs ~20 rounds,
+    not a million.  Each round is two shuffles (neighbor min + jump
+    join); ``localCheckpoint`` truncates the growing lineage so round
+    N's plan does not replay rounds 1..N-1.  Convergence is detected
+    by the monotonically decreasing sum of labels (one tiny agg per
+    round).  Fully deterministic: min is order-insensitive.
+
+    Returns (id, component, csize) for every node that appears in at
+    least one pair (singletons are not dup candidates).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+        .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("s").alias("id")).distinct().withColumn("comp", F.col("id"))
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "s"), "s")
+            .groupBy(F.col("d").alias("id"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        merged = labels.join(nbr, "id", "left").select(
+            "id", F.least("comp", F.coalesce("nbr_comp", F.col("comp"))).alias("comp")
+        )
+        hop = merged.select(F.col("id").alias("jid"), F.col("comp").alias("jcomp"))
+        labels = (
+            merged.join(hop, merged["comp"] == hop["jid"], "left")
+            .select("id", F.least(F.col("comp"), F.coalesce("jcomp", F.col("comp"))).alias("comp"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    # component sizes: AQE picks broadcast when the component table is
+    # small; at scale (billions of components) it stays a shuffle join
+    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("csize"))
+    return labels.join(sizes, "comp").select(
+        "id", F.col("comp").alias("component"), "csize"
+    )
+
+
 def top_k_rows(df: DataFrame, partition: list[str], order: list[Column], k: int) -> DataFrame:
     w = Window.partitionBy(*partition).orderBy(*order)
     return df.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)

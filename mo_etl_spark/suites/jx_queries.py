@@ -535,6 +535,62 @@ def jx_dynamic_shred_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "jx_edges_quarter_cube",
+    oracle="""
+    WITH dom AS (
+        SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+                                      TIMESTAMP '2001-10-01',
+                                      INTERVAL 3 MONTH)) AS quarter
+    ), agg AS (
+        SELECT date_trunc('quarter', o_orderdate) AS quarter,
+               count(*) AS n,
+               sum(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+        FROM orders GROUP BY 1
+    )
+    SELECT dom.quarter, coalesce(agg.n, 0) AS n, agg.total_cents
+    FROM dom LEFT JOIN agg USING (quarter)
+    WHERE dom.quarter < TIMESTAMP '2001-10-01'
+    """,
+    tags=("jx", "edges", "time_domain", "quarter"),
+)
+def jx_edges_quarter_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter-unit time domain (u, mo_times quarter Duration —
+    calendar-aware like month).  Spark's interval literal has no
+    QUARTER unit, so the domain generator steps 3 months while the
+    bucket key uses date_trunc('quarter'); DuckDB agrees on quarter
+    boundaries.  Money summed in integer cents for float stability."""
+    from mo_etl_spark.jx import jx_run
+
+    return jx_run(
+        {
+            "from": "orders",
+            "edges": [
+                {
+                    "name": "quarter",
+                    "value": "o_orderdate",
+                    "domain": {
+                        "type": "time",
+                        "min": "1995-01-01",
+                        "max": "2001-10-01",
+                        "interval": "quarter",
+                    },
+                }
+            ],
+            "select": [
+                {"name": "n", "aggregate": "count"},
+                {
+                    "name": "total_cents",
+                    "value": {"integer": {"round": [{"mult": ["o_totalprice", 100]}, 0]}},
+                    "aggregate": "sum",
+                },
+            ],
+        },
+        spark=spark,
+        tables=_tables(spark, sf_dir, "orders"),
+    )
+
+
+@query(
     "jx_edges_week_cube",
     oracle="""
     WITH dom AS (

@@ -142,6 +142,67 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(_with_near_dups(_docs(spark, sf_dir)), threshold=0.5)
 
 
+@query(
+    "llm_dedup_cluster",
+    oracle=f"""
+    WITH RECURSIVE corpus AS (
+        {_SQL_NEAR_DUPS}
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id,
+               concat('  ', upper(regexp_replace(text, ' ', '  ', 'g'))) AS text
+        FROM documents WHERE doc_id < 100
+    ),
+    toks AS (
+        SELECT doc_id AS id, unnest(list_distinct(string_split(
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS tok
+        FROM corpus
+    ),
+    sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        FROM toks a JOIN toks b USING (tok)
+        WHERE a.id < b.id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.99
+    ),
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT s AS id, s AS peer FROM edges
+        UNION
+        SELECT r.id, e.d AS peer FROM reach r JOIN edges e ON e.s = r.peer
+    ),
+    comp AS (SELECT id, min(peer) AS component FROM reach GROUP BY id)
+    SELECT id, component, count(*) OVER (PARTITION BY component) AS csize
+    FROM comp
+    """,
+    tags=("dedup_cluster", "connected_components"),
+)
+def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-group assignment — the stage AFTER pair generation that
+    every production dedup pipeline needs: connected components over
+    near-dup pairs, component label = min reachable doc id (the
+    keeper).  Spark side is min-label propagation + pointer jumping
+    (operators/dedup.connected_components, O(log n) rounds); the
+    oracle is the same closure via a DuckDB recursive CTE.  Corpus =
+    base docs ∪ truncated near-dups ∪ mangled exact-dups, so
+    components chain multi-hop (largest is >30 nodes at sf0.01)."""
+    corpus = _with_near_dups(_docs(spark, sf_dir)).unionByName(
+        _with_exact_dups(_docs(spark, sf_dir)).where(F.col("doc_id") >= 10000)
+    )
+    pairs = D.jaccard_pairs(corpus, threshold=0.99)
+    return D.connected_components(pairs)
+
+
 @query("llm_dedup_minhash", oracle=None, tags=("dedup_minhash",))
 def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8 bands) candidates, exact-Jaccard verified at
