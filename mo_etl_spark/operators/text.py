@@ -102,6 +102,67 @@ def chunk_tokens(
     )
 
 
+def _token_ngrams(tok_col: str, n: int) -> Column:
+    """Sliding token n-grams over an array column, as strings.
+    Guarded: fewer than n tokens -> empty array (sequence(1,0) would
+    otherwise count DOWN in Spark and fabricate a gram)."""
+    expr = F.expr(
+        f"transform(sequence(1, size({tok_col}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({tok_col}, i, {n})))"
+    )
+    return F.when(F.size(tok_col) >= n, expr).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_metrics(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style repetition quality metrics (Rae et al. 2021,
+    'Scaling Language Models' §A1.1 repetition filters — public paper):
+    per document, the fraction of token 2-grams taken by the single
+    most frequent 2-gram (`top2_frac`), the fraction of 2-grams that
+    are repeats (`rep2_frac`), the top 3-gram fraction (`top3_frac`),
+    and the distinct-token ratio — plus the keep/drop decision at the
+    paper's 0.20 / 0.18 thresholds.
+
+    Plan shape: explode n-grams -> groupBy (doc, gram) with map-side
+    partial aggregation -> per-doc max/sum.  Shuffle volume is bounded
+    by the corpus token count (each token starts at most one 2-gram and
+    one 3-gram) — no quadratic blowup, no UDF; scales linearly to
+    100 TB.  All fractions are ratios of exact ints, rounded to 6dp for
+    cross-engine stability.
+    """
+    base = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t"))
+
+    def gram_stats(n: int, prefix: str):
+        g = base.select("id", F.explode(_token_ngrams("t", n)).alias("g"))
+        c = g.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
+        return c.groupBy("id").agg(
+            F.max("c").alias(f"{prefix}_top"),
+            F.sum("c").alias(f"{prefix}_tot"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(f"{prefix}_rep"),
+        )
+
+    sizes = base.select(
+        "id",
+        F.size("t").alias("n_tokens"),
+        (F.size(F.array_distinct("t")) / F.size("t")).alias("_dr"),
+    )
+    out = (
+        sizes.join(gram_stats(2, "g2"), "id", "left")
+        .join(gram_stats(3, "g3"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.round("_dr", 6).alias("distinct_ratio"),
+            F.round(F.col("g2_top") / F.col("g2_tot"), 6).alias("top2_frac"),
+            F.round(F.col("g2_rep") / F.col("g2_tot"), 6).alias("rep2_frac"),
+            F.round(F.col("g3_top") / F.col("g3_tot"), 6).alias("top3_frac"),
+        )
+    )
+    keep = (F.coalesce(F.col("top2_frac"), F.lit(0.0)) <= 0.20) & (
+        F.coalesce(F.col("top3_frac"), F.lit(0.0)) <= 0.18
+    )
+    return out.withColumn("keep", keep)
+
+
 #: deterministic, engine-portable PII patterns (emails / NANP-ish phone)
 PII_PATTERNS = (
     (r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
@@ -131,3 +192,30 @@ def deterministic_sample(df, id_col: str = "doc_id", percent: int = 10, modulus:
     factor = 2654435761 % modulus
     bucket = F.pmod(F.pmod(F.col(id_col), F.lit(modulus)) * F.lit(factor), F.lit(modulus))
     return df.where(bucket < percent)
+
+
+def stratified_sample(
+    df,
+    rates: dict[str, int],
+    default_percent: int = 10,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    modulus: int = 97,
+):
+    """Per-stratum deterministic sampling — the corpus-mixing step of a
+    training pipeline ("keep 50% of wikipedia, 5% of commoncrawl"):
+    each group keeps ``rates[group]`` percent (``default_percent``
+    otherwise) of its rows, chosen by the same Knuth-multiplicative id
+    hash as deterministic_sample, so slices are stable across runs AND
+    nested (a group's 10% slice is a subset of its 20% slice).
+
+    Pure integer arithmetic on (id, group): keep iff
+    bucket * 100 < percent * modulus — exact cross-engine, no shuffle,
+    and the whole predicate evaluates inside the scan stage at 100 TB.
+    """
+    factor = 2654435761 % modulus
+    bucket = F.pmod(F.pmod(F.col(id_col), F.lit(modulus)) * F.lit(factor), F.lit(modulus))
+    pct = F.lit(default_percent)
+    for grp, p in sorted(rates.items()):
+        pct = F.when(F.col(group_col) == grp, F.lit(p)).otherwise(pct)
+    return df.where(bucket * 100 < pct * modulus)

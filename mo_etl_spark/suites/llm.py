@@ -387,6 +387,82 @@ def llm_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_stratified_sample",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    WHERE ((doc_id % 97) * (2654435761 % 97)) % 97 * 100
+          < (CASE WHEN source = 'src0' THEN 50
+                  WHEN source = 'src1' THEN 25
+                  WHEN source = 'src2' THEN 0
+                  ELSE 10 END) * 97
+    """,
+    tags=("sampling", "stratified"),
+)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (corpus mixing): 50% of src0,
+    25% of src1, src2 dropped entirely, 10% of everything else — stable
+    nested slices by multiplicative id hash, predicate evaluated in the
+    scan stage (operators/text.stratified_sample)."""
+    sampled = X.stratified_sample(
+        _docs(spark, sf_dir), rates={"src0": 50, "src1": 25, "src2": 0}
+    )
+    return sampled.select("doc_id", "source")
+
+
+@query(
+    "llm_quality_repetition",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id AS id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ),
+    g2 AS (
+      SELECT id, unnest(list_transform(range(1, greatest(len(t), 1)),
+                   i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS g
+      FROM base
+    ),
+    c2 AS (SELECT id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+    m2 AS (SELECT id, max(c) AS top, sum(c) AS tot,
+                  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS rep
+           FROM c2 GROUP BY id),
+    g3 AS (
+      SELECT id, unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                   i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS g
+      FROM base
+    ),
+    c3 AS (SELECT id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+    m3 AS (SELECT id, max(c) AS top, sum(c) AS tot,
+                  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS rep
+           FROM c3 GROUP BY id),
+    sizes AS (
+      SELECT id, len(t) AS n_tokens,
+             CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dr
+      FROM base
+    )
+    SELECT s.id AS doc_id, s.n_tokens,
+           round(s.dr, 6) AS distinct_ratio,
+           round(CAST(m2.top AS DOUBLE) / m2.tot, 6) AS top2_frac,
+           round(CAST(m2.rep AS DOUBLE) / m2.tot, 6) AS rep2_frac,
+           round(CAST(m3.top AS DOUBLE) / m3.tot, 6) AS top3_frac,
+           (coalesce(round(CAST(m2.top AS DOUBLE) / m2.tot, 6), 0) <= 0.20
+            AND coalesce(round(CAST(m3.top AS DOUBLE) / m3.tot, 6), 0) <= 0.18) AS keep
+    FROM sizes s
+    LEFT JOIN m2 USING (id)
+    LEFT JOIN m3 USING (id)
+    """,
+    tags=("quality_gopher", "repetition"),
+)
+def llm_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (top/repeated n-gram fractions +
+    distinct-token ratio + keep decision) — operators/text.py
+    repetition_metrics; explode->groupBy plan, shuffle linear in corpus
+    token count."""
+    return X.repetition_metrics(_docs(spark, sf_dir))
+
+
+@query(
     "llm_text_tokenize_fingerprint",
     oracle="""
     SELECT doc_id,

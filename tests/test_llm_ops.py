@@ -115,3 +115,64 @@ def test_audio_features_plumbing(spark, docs):
     # deterministic across runs
     again = audio_features_batch(with_binary_payload(docs.limit(20))).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_connected_components_chain_and_island(spark):
+    """A 6-node path (0-1-2-3-4-5) plus a 2-node island (10-11): every
+    path node must label 0 even though 5 is five hops away (pointer
+    jumping, not just 1-hop propagation), and the island stays apart."""
+    from mo_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {r["id"]: (r["component"], r["csize"]) for r in connected_components(pairs).collect()}
+    assert got == {
+        0: (0, 6), 1: (0, 6), 2: (0, 6), 3: (0, 6), 4: (0, 6), 5: (0, 6),
+        10: (10, 2), 11: (10, 2),
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 40-node path converges well inside max_iter thanks to pointer
+    jumping (plain propagation alone would need 39 rounds)."""
+    from mo_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(39)], ["id_a", "id_b"])
+    out = connected_components(pairs, max_iter=12).collect()
+    assert len(out) == 40
+    assert {r["component"] for r in out} == {0}
+    assert all(r["csize"] == 40 for r in out)
+
+
+def test_repetition_metrics_degenerate_doc(spark):
+    """'spam spam spam spam' is all one 2-gram -> top2_frac 1.0, drop;
+    a doc with no repeated 2-gram keeps."""
+    from mo_etl_spark.operators.text import repetition_metrics
+
+    unique_21 = " ".join(f"w{i}" for i in range(21))  # 20 distinct 2-grams
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, unique_21)],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in repetition_metrics(docs).collect()}
+    assert got[1]["top2_frac"] == 1.0 and got[1]["rep2_frac"] == 1.0
+    assert got[1]["keep"] is False
+    assert got[1]["distinct_ratio"] == 0.25
+    assert got[2]["top2_frac"] == 0.05 and got[2]["rep2_frac"] == 0.0
+    assert got[2]["keep"] is True
+
+
+def test_stratified_sample_rates_and_nesting(spark, docs):
+    """Rates apply per group (src2 drops to zero) and slices nest: the
+    10% slice of a group is a subset of its 25% slice."""
+    from mo_etl_spark.operators.text import stratified_sample
+
+    base = docs.select("doc_id", "source")
+    s_small = stratified_sample(base, rates={}, default_percent=10)
+    s_big = stratified_sample(base, rates={}, default_percent=25)
+    small_ids = {r["doc_id"] for r in s_small.collect()}
+    big_ids = {r["doc_id"] for r in s_big.collect()}
+    assert small_ids < big_ids
+    dropped = stratified_sample(base, rates={"src2": 0}).where(F.col("source") == "src2")
+    assert dropped.count() == 0
