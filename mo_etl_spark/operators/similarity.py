@@ -69,6 +69,59 @@ def _round_half_away(x: np.ndarray, digits: int) -> np.ndarray:
     return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
 
 
+def tune_blocks(
+    n_q: int,
+    n_c: int,
+    dim: int,
+    target_task_bytes: int = 64 << 20,
+    min_tasks: int = 32,
+) -> tuple[int, int]:
+    """Choose (n_q_blocks, n_c_blocks) from corpus statistics so the
+    blocked GEMM neither OOMs nor under-parallelizes.
+
+    Constraints, in order:
+    1. each side's per-task vector slab fits a quarter of the budget
+       (two slabs + the score matrix + numpy temporaries ≈ the budget);
+    2. the per-task score matrix (nq/NQB · nc/NCB · 8B) fits half the
+       budget — this is the term that explodes at scale;
+    3. at least ``min_tasks`` block pairs so a cluster has work.
+
+    The doubling loop keeps blocks near powers of two, which keeps
+    block sizes even under the murmur3 block assignment.  Raising
+    min_tasks raises replication (each query row ships to NCB tasks,
+    each corpus row to NQB) — shuffle volume is the price of
+    parallelism, so min_tasks should track executor count, not be
+    maxed 'just in case'.
+    """
+    vec_bytes = 8 * dim
+    quarter = max(target_task_bytes // 4, vec_bytes)
+    nqb = max(1, -(-n_q * vec_bytes // quarter))
+    ncb = max(1, -(-n_c * vec_bytes // quarter))
+    while (n_q / nqb) * (n_c / ncb) * 8 > target_task_bytes / 2:
+        if n_q / nqb >= n_c / ncb:
+            nqb *= 2
+        else:
+            ncb *= 2
+    while nqb * ncb < min_tasks and (nqb < n_q or ncb < n_c):
+        if n_q / nqb >= n_c / ncb:
+            nqb *= 2
+        else:
+            ncb *= 2
+    return min(nqb, max(n_q, 1)), min(ncb, max(n_c, 1))
+
+
+def auto_blocks(
+    queries: DataFrame, corpus: DataFrame, vec: str, **kwargs
+) -> tuple[int, int]:
+    """tune_blocks driven by live statistics: row counts (metadata-only
+    on parquet scans) and the observed vector dimension.  Intended for
+    interactive use; pipelines that know their sizes should pass
+    explicit block counts and skip the two count jobs."""
+    dim_row = corpus.select(F.size(F.col(vec)).alias("d")).first()
+    dim = dim_row["d"] if dim_row else 1
+    return tune_blocks(queries.count(), corpus.count(), dim, **kwargs)
+
+
 def _blocked_cogroup(
     queries: DataFrame,
     corpus: DataFrame,
@@ -172,8 +225,8 @@ def brute_force_topk(
     c_id: str = "c_id",
     vec: str = "vec",
     round_digits: int = 6,
-    n_q_blocks: int = 4,
-    n_c_blocks: int = 8,
+    n_q_blocks: int | None = 4,
+    n_c_blocks: int | None = 8,
     exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k per query vector (self-pairs excluded unless
@@ -184,6 +237,8 @@ def brute_force_topk(
     global row_number over (rounded cos DESC, c_id) — a total order,
     so results are deterministic and cross-engine comparable.
     """
+    if n_q_blocks is None or n_c_blocks is None:
+        n_q_blocks, n_c_blocks = auto_blocks(queries, corpus, vec)
     partials = _blocked_cogroup(
         queries, corpus, q_id, c_id, vec, n_q_blocks, n_c_blocks
     ).applyInPandas(
@@ -248,8 +303,8 @@ def threshold_pairs(
     id_col: str = "vec_id",
     vec_col: str = "v",
     round_digits: int = 6,
-    n_q_blocks: int = 4,
-    n_c_blocks: int = 8,
+    n_q_blocks: int | None = 4,
+    n_c_blocks: int | None = 8,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with rounded cosine >= threshold — the
     pair source for embedding-cosine dedup.  Same blocked GEMM; output
@@ -267,6 +322,8 @@ def threshold_pairs(
             {"id_a": qids[ai], "id_b": cids[bi], "cos": cos[ai, bi]}
         )
 
+    if n_q_blocks is None or n_c_blocks is None:
+        n_q_blocks, n_c_blocks = auto_blocks(df, df, vec_col)
     return _blocked_cogroup(
         df, df, id_col, id_col, vec_col, n_q_blocks, n_c_blocks
     ).applyInPandas(block_pairs, "id_a long, id_b long, cos double")

@@ -158,6 +158,64 @@ def stream_real_foreachbatch_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_real_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                      OVER (PARTITION BY user_id ORDER BY ts) > 1800000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, epoch_ms(min(ts)) AS session_start_ms, count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_idx
+    """,
+    tags=("session_window", "stream_source", "watermark"),
+)
+def stream_real_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE streaming session windows: readStream(feed) ->
+    withWatermark -> F.session_window(30 min) -> memory sink,
+    availableNow.  Session-window streams forbid update mode (merges
+    would strand stale rows); complete mode rewrites the final merged
+    sessions each micro-batch, so the bounded backfill ends with
+    exactly the batch sessionization — which is the oracle.  On an
+    unbounded run the watermark is what bounds session state."""
+    prepare(spark)
+    feed = _feed(spark, sf_dir)
+    ckpt = _scratch("session_ckpt")
+    qname = "stream_real_session_window_sink"
+    stream = file_stream_source(spark, feed, _FEED_SCHEMA)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    final = spark.table(qname)
+    return final.select(
+        "user_id",
+        (F.unix_micros(F.col("win.start")) / 1000).cast("long").alias("session_start_ms"),
+        "n_events",
+    )
+
+
+@query(
     "stream_real_stateful_count",
     oracle="""
     SELECT user_id, count(*) AS n_events

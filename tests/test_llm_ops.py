@@ -176,3 +176,42 @@ def test_stratified_sample_rates_and_nesting(spark, docs):
     assert small_ids < big_ids
     dropped = stratified_sample(base, rates={"src2": 0}).where(F.col("source") == "src2")
     assert dropped.count() == 0
+
+
+def test_tune_blocks_sizing():
+    """Block tuning respects the memory budget and the min-task floor."""
+    from mo_etl_spark.operators.similarity import tune_blocks
+
+    # tiny corpus: memory never binds, min_tasks drives the split
+    nqb, ncb = tune_blocks(50, 500, 64, min_tasks=32)
+    assert nqb * ncb >= 32
+    assert nqb <= 50 and ncb <= 500
+
+    # 10M x 10M at dim 1024: the score matrix must be throttled
+    nqb, ncb = tune_blocks(10_000_000, 10_000_000, 1024)
+    per_task_q = 10_000_000 / nqb
+    per_task_c = 10_000_000 / ncb
+    assert per_task_q * 1024 * 8 <= 16 << 20  # quarter of 64MB budget
+    assert per_task_c * 1024 * 8 <= 16 << 20
+    assert per_task_q * per_task_c * 8 <= 32 << 20  # half budget
+
+    # degenerate: empty sides stay at 1 block, never 0
+    assert tune_blocks(0, 0, 64) >= (1, 1)
+
+
+def test_auto_blocks_end_to_end(spark, sf_dir):
+    """brute_force_topk with auto-tuned blocks returns the same top-k
+    as the fixed-block plan."""
+    from mo_etl_spark.operators.similarity import brute_force_topk
+    from mo_etl_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec"))
+    fixed = sorted(map(tuple, brute_force_topk(q, c, k=3).collect()))
+    auto = sorted(
+        map(tuple, brute_force_topk(q, c, k=3, n_q_blocks=None, n_c_blocks=None).collect())
+    )
+    assert fixed == auto
