@@ -570,3 +570,110 @@ def setop_union_heterogeneous_docs(spark: SparkSession, sf_dir: str) -> DataFram
         F.lit("supplier").alias("side"),
     )
     return c.unionByName(s, allowMissingColumns=True)
+
+
+@query(
+    "join_q7_nation_trade",
+    oracle="""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS revenue_c4
+    FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2, 3
+    """,
+    tags=("join_inner", "join_broadcast", "groupby"),
+)
+def join_q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped nation-pair trade volume by ship year.  Both
+    nation copies broadcast; the directional pair filter applies AFTER
+    the joins (a pre-filter on either nation alone would also prune the
+    opposite direction).  Big shuffles: lineitem⋈orders on orderkey
+    only — supplier and customer ride broadcast joins."""
+    supplier, lineitem, orders, customer, nation = _t(
+        spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation"
+    )
+    ep, disc = cents("l_extendedprice"), cents("l_discount")
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(ep * (100 - disc)).alias("revenue_c4"))
+    )
+
+
+@query(
+    "join_q17_small_quantity_revenue",
+    oracle="""
+    WITH thresh AS (
+      SELECT l_partkey, 0.2 * avg(l_quantity) AS lim
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT count(*) AS n_small,
+           round(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)) / 7.0, 2) AS avg_yearly_cents
+    FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN thresh t ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13'
+      AND l.l_quantity < t.lim
+    """,
+    tags=("join_inner", "join_broadcast", "correlated_subquery", "groupby"),
+)
+def join_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped correlated-subquery decorrelation: the
+    per-part average-quantity threshold is an aggregate of the SAME
+    fact table, joined back — the standard rewrite Spark's optimizer
+    produces for correlated scalar subqueries, written explicitly so
+    the plan is visible.  l_quantity is integral and counts are small,
+    so avg (exact int sum / count) and the 0.2× threshold are
+    bit-deterministic across engines.  Part is dimension-side
+    (broadcast) and ALSO pre-filters the threshold aggregate — at
+    100 TB the per-part average is only computed for the brand's ~3%
+    of parts, not the whole fact table (the oracle aggregates all
+    parts; unused thresholds don't change the result)."""
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    brand_parts = part.where(F.col("p_brand") == "Brand#13")
+    thresh = (
+        lineitem.join(
+            F.broadcast(brand_parts.select(F.col("p_partkey").alias("t_partkey"))),
+            F.col("t_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("t_partkey")
+        .agg((F.avg("l_quantity") * 0.2).alias("lim"))
+    )
+    return (
+        lineitem.join(
+            F.broadcast(brand_parts),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(thresh, F.col("t_partkey") == F.col("l_partkey"))
+        .where(F.col("l_quantity") < F.col("lim"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.round(F.sum(cents("l_extendedprice")) / 7.0, 2).alias("avg_yearly_cents"),
+        )
+    )
