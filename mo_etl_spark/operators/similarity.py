@@ -297,6 +297,66 @@ def ivf_topk(
     return _global_topk(partials, k, q_id, c_id)
 
 
+def kmeans_train(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Spherical k-means coarse-quantizer trainer — produces the
+    centroid table ivf_topk consumes (its caller-supplied ``centroids``
+    argument).  Lloyd's iterations with cosine assignment:
+
+    - init: the k smallest-id vectors (deterministic, no RNG);
+    - assign: every vector to its max-cosine centroid via the SAME
+      blocked-GEMM kernel as serving (ties -> smaller centroid id);
+    - update: per-dimension mean of each cell's members, ROUNDED to
+      ``round_digits`` so the trained centroids are bit-reproducible
+      across engines (a SQL oracle can replay training exactly);
+    - fixed iteration count, no convergence test — determinism over
+      last-mile objective (standard for coarse quantizers, whose cells
+      only need to be balanced-ish, not optimal).
+
+    Scale: per iteration one GEMM pass (n·k scores, never materialized
+    beyond per-task blocks) + one (cell, dim) aggregation whose output
+    is k·dim rows — both linear in corpus size; lineage is cut per
+    iteration.  Empty cells drop out (their centroid has no members),
+    exactly as in the SQL replay.
+    """
+    cents = corpus.where(F.col(id_col) < k).select(
+        F.col(id_col).alias("cent_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    body = corpus.select(
+        F.col(id_col).alias("m_id"), as_double(F.col(vec_col)).alias("mv")
+    )
+    for _ in range(iters):
+        assign = brute_force_topk(
+            body.select(F.col("m_id").alias("q_id"), F.col("mv").alias("vec")),
+            cents.select(F.col("cent_id").alias("c_id"), F.col("cv").alias("vec")),
+            k=1,
+            exclude_self=False,
+            n_q_blocks=4,
+            n_c_blocks=1,
+            round_digits=round_digits,
+        ).select(F.col("q_id").alias("m_id"), F.col("c_id").alias("cell"))
+        members = body.join(assign, "m_id")
+        cents = (
+            members.select("cell", F.posexplode("mv").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("x"), round_digits).alias("val"))
+            .groupBy("cell")
+            .agg(F.sort_array(F.collect_list(F.struct("pos", "val"))).alias("pv"))
+            .select(
+                F.col("cell").alias("cent_id"),
+                F.expr("transform(pv, s -> s.val)").alias("cv"),
+            )
+            .localCheckpoint()
+        )
+    return cents
+
+
 def threshold_pairs(
     df: DataFrame,
     threshold: float,

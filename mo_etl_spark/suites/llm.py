@@ -926,3 +926,80 @@ def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = with_binary_payload(_docs(spark, sf_dir))
     return resize_batch(docs, size=(16, 16))
+
+
+def _km_cos(e: str, c: str) -> str:
+    return (
+        f"round(list_sum(list_transform(range(1,65), i -> {e}.v[i] * {c}.v[i]))"
+        f" / (sqrt(list_sum(list_transform(range(1,65), i -> {e}.v[i] * {e}.v[i])))"
+        f" * sqrt(list_sum(list_transform(range(1,65), i -> {c}.v[i] * {c}.v[i])))), 6)"
+    )
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    """SQL replay of kmeans_train: the trainer's deterministic design
+    (id init, rounded centroid updates, fixed iterations) makes full
+    training expressible as unrolled CTEs — so TRAINING ITSELF is
+    hash-checked, not just an assignment given fixed centroids."""
+    parts = [
+        "emb AS (SELECT vec_id, list_transform(range(1,65),"
+        " i -> CAST(embedding[i] AS DOUBLE)) AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cent_id, v FROM emb WHERE vec_id < {k})",
+    ]
+    cur = "c0"
+    for it in range(1, iters + 1):
+        parts.append(
+            f"a{it} AS (SELECT vec_id, cell FROM ("
+            f" SELECT e.vec_id, c.cent_id AS cell,"
+            f" row_number() OVER (PARTITION BY e.vec_id"
+            f" ORDER BY {_km_cos('e', 'c')} DESC, c.cent_id) AS r"
+            f" FROM emb e CROSS JOIN {cur} c) t WHERE r = 1)"
+        )
+        parts.append(
+            f"u{it} AS (SELECT a.cell, d.i, round(avg(e.v[d.i]), 6) AS val"
+            f" FROM a{it} a JOIN emb e USING (vec_id)"
+            f" CROSS JOIN (SELECT unnest(range(1,65)) AS i) d"
+            f" GROUP BY a.cell, d.i)"
+        )
+        parts.append(
+            f"c{it} AS (SELECT cell AS cent_id, list(val ORDER BY i) AS v"
+            f" FROM u{it} GROUP BY cell)"
+        )
+        cur = f"c{it}"
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+    SELECT vec_id, cell, cos_sim FROM (
+      SELECT e.vec_id, c.cent_id AS cell, {_km_cos('e', 'c')} AS cos_sim,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_km_cos('e', 'c')} DESC, c.cent_id) AS r
+      FROM emb e CROSS JOIN {cur} c) t
+    WHERE r = 1
+    """
+    )
+
+
+@query(
+    "llm_sim_kmeans_assign",
+    oracle=_kmeans_sql(k=8, iters=2),
+    tags=("sim_ivf", "kmeans", "quantizer_training"),
+)
+def llm_sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-quantizer TRAINING + final cell assignment, end to end
+    hash-checked: kmeans_train (2 Lloyd's iterations, cosine
+    assignment, rounded centroid updates) then every vector's trained
+    cell + cosine.  The oracle replays the identical training in
+    unrolled SQL CTEs — deterministic by construction (id-based init,
+    no RNG, fixed iterations)."""
+    emb = _emb(spark, sf_dir)
+    cents = S.kmeans_train(emb, k=8, iters=2)
+    final = S.brute_force_topk(
+        emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")),
+        cents.select(F.col("cent_id").alias("c_id"), F.col("cv").alias("vec")),
+        k=1,
+        exclude_self=False,
+        n_q_blocks=4,
+        n_c_blocks=1,
+    )
+    return final.select(
+        F.col("q_id").alias("vec_id"), F.col("c_id").alias("cell"), "cos_sim"
+    )

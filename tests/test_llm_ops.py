@@ -215,3 +215,33 @@ def test_auto_blocks_end_to_end(spark, sf_dir):
         map(tuple, brute_force_topk(q, c, k=3, n_q_blocks=None, n_c_blocks=None).collect())
     )
     assert fixed == auto
+
+
+def test_kmeans_train_deterministic_and_useful(spark, sf_dir):
+    """Trainer contracts: k centroids out, bit-deterministic across
+    runs, and the mean within-cell cosine beats assignment to the raw
+    init centroids (training actually moved them)."""
+    from mo_etl_spark.operators.similarity import brute_force_topk, kmeans_train
+    from mo_etl_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c1 = kmeans_train(emb, k=8, iters=2)
+    c2 = kmeans_train(emb, k=8, iters=2)
+    rows1 = sorted(map(tuple, c1.collect()))
+    rows2 = sorted(map(tuple, c2.collect()))
+    assert rows1 == rows2
+    assert len(rows1) == 8
+
+    q = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec"))
+
+    def mean_cos(cents):
+        rows = brute_force_topk(
+            q, cents, k=1, exclude_self=False, n_q_blocks=4, n_c_blocks=1
+        ).collect()
+        return sum(r["cos_sim"] for r in rows) / len(rows)
+
+    init = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec")
+    )
+    trained = c1.select(F.col("cent_id").alias("c_id"), F.col("cv").alias("vec"))
+    assert mean_cos(trained) > mean_cos(init)
