@@ -111,3 +111,52 @@ def test_stateful_dedup_stream(spark, sf_dir, tmpdir):
     q.awaitTermination(120)
     n = spark.sql("select count(*) n from dedup_smoke").collect()[0]["n"]
     assert n == events.count()
+
+
+def test_incremental_feed_exactly_once(spark, sf_dir, tmpdir):
+    """Two availableNow runs over ONE checkpoint: run 2 must process
+    ONLY the files dropped after run 1 (incremental source discovery),
+    and the union of both runs equals the full feed exactly once —
+    the reference's queue-of-blocks consumption contract (u,
+    ActiveData-ETL: each S3 block processed once, resume from cursor)."""
+    from mo_etl_spark.streaming import file_stream_source, foreach_batch_etl
+    from mo_etl_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    feed = f"{tmpdir}/incfeed"
+    out = f"{tmpdir}/incout"
+    ckpt = f"{tmpdir}/incckpt"
+    first = events.where(F.col("event_id") % 2 == 0)
+    second = events.where(F.col("event_id") % 2 == 1)
+    first.write.mode("overwrite").parquet(feed)
+    # drop the commit marker so the later append looks like new blocks
+    # arriving in the same live directory
+    os.remove(f"{feed}/_SUCCESS")
+
+    def transform(df, batch_id):
+        return df.select("event_id", F.lit(batch_id).alias("run_batch"))
+
+    def sink(df, batch_id):
+        df.write.mode("append").parquet(out)
+
+    q1 = foreach_batch_etl(
+        file_stream_source(spark, feed, events.schema), transform, sink, checkpoint=ckpt
+    )
+    q1.awaitTermination(120)
+    n_after_run1 = spark.read.parquet(out).count()
+    assert n_after_run1 == first.count()
+    max_batch_run1 = spark.read.parquet(out).agg(F.max("run_batch")).collect()[0][0]
+
+    second.write.mode("append").parquet(feed)
+    q2 = foreach_batch_etl(
+        file_stream_source(spark, feed, events.schema), transform, sink, checkpoint=ckpt
+    )
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    # exactly-once: every event id exactly once across both runs
+    assert got.count() == events.count()
+    assert got.select("event_id").distinct().count() == events.count()
+    # run 2 really was incremental: its rows are only the new files'
+    run2 = got.where(F.col("run_batch") > max_batch_run1)
+    assert run2.count() == second.count()
