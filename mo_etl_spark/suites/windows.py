@@ -202,3 +202,41 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("__new").over(cum).alias("session_idx"),
         )
     )
+
+
+@query(
+    "win_percentile_values",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           median(l_quantity)
+             OVER (PARTITION BY l_returnflag, l_linestatus) AS med_qty,
+           quantile_cont(l_quantity, 0.25)
+             OVER (PARTITION BY l_returnflag, l_linestatus) AS p25_qty,
+           quantile_cont(l_quantity, 0.75)
+             OVER (PARTITION BY l_returnflag, l_linestatus) AS p75_qty,
+           l_quantity > median(l_quantity)
+             OVER (PARTITION BY l_returnflag, l_linestatus) AS above_med
+    FROM lineitem
+    """,
+    tags=("window_percentile", "window_agg"),
+)
+def win_percentile_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jx window percentile (u, jx_python/windows.py percentile
+    aggregate): exact interpolated median/quartiles OVER a partition,
+    plus each row's position relative to its group median.  l_quantity
+    is integral, so the interpolated quantiles are exact doubles on
+    both engines.  Unordered whole-partition frame — Spark computes
+    one sort per partition, no per-row re-aggregation."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag", "l_linestatus")
+    med = F.median("l_quantity").over(w)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        med.alias("med_qty"),
+        F.expr("percentile(l_quantity, 0.25)").over(w).alias("p25_qty"),
+        F.expr("percentile(l_quantity, 0.75)").over(w).alias("p75_qty"),
+        (F.col("l_quantity") > med).alias("above_med"),
+    )

@@ -195,3 +195,35 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf001):
+    """Spark injects a runtime Bloom filter on the fact side of a
+    shuffle join when the build side is selectively filtered — the
+    semi-join reduction that cuts probe-side shuffle volume at 100 TB.
+    Local thresholds are tuned down to reproduce the big-cluster
+    decision (the application-side scan there exceeds the default
+    threshold naturally); broadcast is disabled because a broadcast
+    hash join already prunes without needing the bloom filter."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf001}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf001}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        plan = plan_of(j)
+        assert "bloom" in plan.lower()  # BloomFilterMightContain on the scan side
+        # and it still computes the right thing
+        assert j.collect()[0]["o_orderpriority"] == "1-URGENT"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
