@@ -10,4 +10,5 @@ import mo_etl_spark.suites.streaming_batch  # noqa: F401
 import mo_etl_spark.suites.streaming_real  # noqa: F401
 import mo_etl_spark.suites.windows  # noqa: F401
 import mo_etl_spark.suites.tpch  # noqa: F401
+import mo_etl_spark.suites.tpch_extra  # noqa: F401
 import mo_etl_spark.suites.udfs  # noqa: F401

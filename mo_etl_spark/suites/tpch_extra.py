@@ -1,0 +1,445 @@
+"""TPC-H-shaped analog queries, second batch (SURVEY.md §2.3/§2.4).
+
+Capability parity: the SQL surface entering the mo-* ecosystem through
+mo-sql-parsing (u) — EXISTS / NOT EXISTS subqueries, scalar-subquery
+thresholds, HAVING, disjunctive multi-column predicates, two-level
+aggregation — adapted to the testdata's TPC-H-subset columns
+(FIXTURES.md: no l_commitdate/l_receiptdate/l_shipmode/partsupp, so
+Q4/Q12's late-delivery predicate is re-expressed on
+``l_shipdate − o_orderdate`` and Q9's supplycost on ``p_retailprice``).
+
+Spark-first notes per query; all money aggregates use the exact
+integer-cents convention from functions/numeric.py so double rounding
+can never diverge between Spark and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mo_etl_spark.functions.numeric import cents
+from mo_etl_spark.registry import query
+from mo_etl_spark.session import prepare
+from mo_etl_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str):
+    prepare(spark)
+    dfs = [load_table(spark, sf_dir, n) for n in names]
+    return dfs[0] if len(dfs) == 1 else dfs
+
+
+@query(
+    "join_q4_priority_late_ship",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    tags=("join_semi", "groupby", "exists_subquery"),
+)
+def join_q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped order-priority check: orders in a half-year
+    window having at least one line shipped >60 days after the order
+    date (the subset schema has no commit/receipt dates — FIXTURES.md).
+
+    EXISTS compiles to a LEFT SEMI join on orderkey.  The correlated
+    inequality references the outer column, so it rides the join
+    condition itself (mixed equi+theta semi join) — Spark executes the
+    equi part as the shuffle key and the date comparison as a
+    post-probe filter; at 100 TB both sides prune: the orders window
+    filter pushes to its scan, and only matching orderkeys shuffle."""
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    return (
+        o.join(
+            lineitem,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "join_q9_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           year(l.l_shipdate) AS o_year,
+           sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount*100) AS BIGINT))
+               - 10 * CAST(round(p.p_retailprice*100) AS BIGINT)
+                    * CAST(l.l_quantity AS BIGINT)) AS profit_c4
+    FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+    tags=("join_inner", "join_broadcast", "groupby"),
+)
+def join_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped profit by supplier nation and ship year.  The
+    subset schema has no partsupp.ps_supplycost, so unit cost is
+    modeled as p_retailprice/10 (FIXTURES.md) — the join/agg shape is
+    identical.  All three dimensions (part after its LIKE filter,
+    supplier, nation) broadcast; the only shuffle is the final 2-key
+    hash aggregate.  Integer-cents arithmetic throughout: revenue is
+    dollars×1e4 (cents × percent-cents) and unit cost retailprice/10
+    is retail_cents×10×qty at the same 1e4 scale — the profit sum
+    stays an exact BIGINT in both engines, never a float."""
+    lineitem, part, supplier, nation = _t(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation"
+    )
+    ep, disc = cents("l_extendedprice"), cents("l_discount")
+    red = part.where(F.col("p_name").like("%red%"))
+    profit = ep * (100 - disc) - (
+        10 * cents("p_retailprice") * F.col("l_quantity").cast("bigint")
+    )
+    return (
+        lineitem.join(F.broadcast(red), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).alias("profit_c4"))
+    )
+
+
+@query(
+    "join_q10_returned_revenue",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS revenue_c4
+    FROM customer c
+      JOIN orders o   ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue_c4 DESC, c.c_custkey
+    LIMIT 20
+    """,
+    tags=("join_inner", "join_broadcast", "groupby", "top_k"),
+)
+def join_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped top-20 customers by returned-item revenue in
+    one order year.  The returnflag filter applies at the lineitem
+    scan (pushed to parquet), the orderdate filter at the orders scan;
+    nation broadcasts.  Sort is TakeOrderedAndProject (top-k, no full
+    sort), with the custkey tie-break making the LIMIT deterministic —
+    exact-integer revenue means ties are real and must be broken for
+    cross-engine hash parity."""
+    customer, orders, lineitem, nation = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation"
+    )
+    ep, disc = cents("l_extendedprice"), cents("l_discount")
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = lineitem.where(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(ep * (100 - disc)).alias("revenue_c4"))
+        .orderBy(F.desc("revenue_c4"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "join_q12_late_ship_by_status",
+    oracle="""
+    SELECT l.l_linestatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+    tags=("join_inner", "groupby", "conditional_agg"),
+)
+def join_q12_late_ship_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped priority split of late shipments (the subset
+    schema has no l_shipmode/l_commitdate — grouped by l_linestatus
+    with the >60-day ship delay standing in for the receipt/commit
+    comparison).  The conditional counts are map-side CASE sums inside
+    one hash aggregate — one shuffle on orderkey for the join, one on
+    the single group key."""
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "join_q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("join_left", "groupby", "two_level_agg"),
+)
+def join_q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped customer order-count distribution (the join
+    predicate filters urgent orders INSIDE the left join, preserving
+    zero-order customers — the classic outer-join-with-ON-filter
+    shape the subset schema can express without o_comment).
+    count(o_orderkey) counts only matched rows, so no-order customers
+    land in the c_count=0 bucket.  Two-level aggregation: the first
+    groupBy shuffles on custkey, the second on the tiny c_count
+    domain — AQE coalesces the second exchange to a handful of
+    partitions."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        customer.join(
+            orders.where(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "join_q14_conditional_share",
+    oracle="""
+    SELECT round(
+             100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN CAST(round(l.l_extendedprice*100) AS BIGINT)
+                                   * (100 - CAST(round(l.l_discount*100) AS BIGINT))
+                              ELSE 0 END)
+                   / sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount*100) AS BIGINT))),
+             6) AS promo_share_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+    tags=("join_inner", "join_broadcast", "conditional_agg"),
+)
+def join_q14_conditional_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped promo revenue share for one ship month.  Both
+    sums are exact BIGINTs (integer-cents), so the final division is
+    one double op on identical operands in both engines — the round(6)
+    then matches bit-for-bit.  Part broadcasts; the month filter
+    pushes to the lineitem scan, and the whole query is a single
+    global aggregate (no group key → one-row partial+final agg, no
+    data shuffle beyond 32 partial rows)."""
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    ep, disc = cents("l_extendedprice"), cents("l_discount")
+    rev = ep * (100 - disc)
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+                / F.sum(rev),
+                6,
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+@query(
+    "join_q18_large_orders",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(round(o.o_totalprice*100) AS BIGINT) AS total_c2,
+           sum(l.l_quantity) AS sum_qty
+    FROM customer c
+      JOIN orders o   ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 250
+    )
+    GROUP BY 1, 2, 3, 4
+    """,
+    tags=("join_inner", "join_semi", "groupby", "having"),
+)
+def join_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped large-volume orders: orders whose total line
+    quantity exceeds 250 (99th percentile of this data), joined back
+    to customer.  The IN-subquery (HAVING over the fact table)
+    compiles to a semi join of lineitem against its own aggregate —
+    Spark shares the shuffle key (orderkey) between the aggregate,
+    the semi join, and the final join, so the fact table partitioning
+    is reused rather than re-shuffled.  sum(l_quantity) is a sum of
+    small integral doubles — exact in IEEE754, safe to hash-compare."""
+    customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("s"))
+        .where(F.col("s") > 250)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        lineitem.join(big, F.col("l_orderkey") == F.col("big_orderkey"), "left_semi")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            cents("o_totalprice").alias("total_c2"),
+        )
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+    )
+
+
+@query(
+    "join_q19_disjunctive_revenue",
+    oracle="""
+    SELECT sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS revenue_c4,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 40)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+    tags=("join_inner", "join_broadcast", "disjunctive_filter"),
+)
+def join_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped disjunctive-predicate revenue (three
+    brand/size/quantity arms OR-ed together, columns from BOTH join
+    sides in every arm).  Catalyst extracts the common l_quantity
+    bounds (1..50 — vacuous here) and the per-side conjuncts it can:
+    the brand∈{...} ∪ size∈{...} envelope pushes to the part scan
+    while the full disjunction evaluates post-join.  Part broadcasts,
+    so the disjunction never forces a shuffle."""
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    ep, disc = cents("l_extendedprice"), cents("l_discount")
+    arm = lambda b, s0, s1, q0, q1: (  # noqa: E731
+        (F.col("p_brand") == b)
+        & F.col("p_size").between(s0, s1)
+        & F.col("l_quantity").between(q0, q1)
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .where(
+            arm("Brand#1", 1, 15, 1, 20)
+            | arm("Brand#2", 10, 30, 10, 40)
+            | arm("Brand#3", 20, 50, 20, 50)
+        )
+        .agg(
+            F.sum(ep * (100 - disc)).alias("revenue_c4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "join_q22_idle_rich_customers",
+    oracle="""
+    WITH threshold AS (
+      SELECT avg(c_acctbal) AS lim FROM customer WHERE c_acctbal > 0
+    )
+    SELECT n.n_name AS nation,
+           count(*) AS numcust,
+           sum(CAST(round(c.c_acctbal*100) AS BIGINT)) AS totacctbal_c2
+    FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      CROSS JOIN threshold t
+    WHERE c.c_acctbal > t.lim
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+    GROUP BY n.n_name
+    """,
+    tags=("join_anti", "join_broadcast", "scalar_subquery", "groupby"),
+)
+def join_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped dormant high-balance accounts: customers above
+    the positive-balance average with no order since 2001, summed per
+    nation (the subset schema has no c_phone, so the country-code
+    grouping becomes the nation dimension — FIXTURES.md).
+
+    The scalar-subquery threshold is computed once and broadcast as a
+    single-row cross join (Spark literally broadcasts one row — no
+    collect() on the driver, so the plan stays fully lazy and
+    cluster-side at 100 TB).  NOT EXISTS with its date filter pushed
+    into the subquery scan compiles to a LEFT ANTI join on custkey.
+    avg() divides the same exact integer-cent sum by the same count in
+    both engines → bit-identical IEEE double threshold."""
+    customer, nation, orders = _t(spark, sf_dir, "customer", "nation", "orders")
+    lim = (
+        customer.where(F.col("c_acctbal") > 0)
+        .agg((F.avg("c_acctbal")).alias("lim"))
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return (
+        customer.crossJoin(F.broadcast(lim))
+        .where(F.col("c_acctbal") > F.col("lim"))
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(cents("c_acctbal")).alias("totacctbal_c2"),
+        )
+    )

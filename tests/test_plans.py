@@ -227,3 +227,32 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf001):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_q4_semi_join_not_nested_loop(spark, sf001):
+    from mo_etl_spark.suites.tpch_extra import join_q4_priority_late_ship
+
+    plan = plan_of(join_q4_priority_late_ship(spark, sf001))
+    # EXISTS with mixed equi+theta condition must still key the join on
+    # orderkey (hash/SMJ LeftSemi), never a nested loop over the fact
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q19_pushes_envelope_to_part_scan(spark, sf001):
+    from mo_etl_spark.suites.tpch_extra import join_q19_disjunctive_revenue
+
+    plan = plan_of(join_q19_disjunctive_revenue(spark, sf001))
+    # part side broadcasts, and the disjunction's common envelope
+    # (brand/size Or-chain) reaches the part parquet scan as a pushed filter
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan and "Or(" in plan
+
+
+def test_q22_threshold_stays_distributed(spark, sf001):
+    from mo_etl_spark.suites.tpch_extra import join_q22_idle_rich_customers
+
+    plan = plan_of(join_q22_idle_rich_customers(spark, sf001))
+    # one-row scalar threshold rides a broadcast nested loop (1-row build
+    # side — fine); the NOT EXISTS compiles to LeftAnti on custkey
+    assert "LeftAnti" in plan

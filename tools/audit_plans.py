@@ -27,6 +27,7 @@ CARTESIAN_OK = {
     "jx_edges_set_range_cube",  # 5x5 domain-table product (constant size)
     "llm_tfidf_top_terms",  # 1-row n_sources aggregate broadcast-crossed in
     "stream_stateful_dedup",  # crossJoin of two 1-row count aggregates
+    "join_q22_idle_rich_customers",  # 1-row scalar-subquery threshold broadcast-crossed in
 }
 
 #: queries allowed to exceed the exchange budget, each with why:
