@@ -1003,3 +1003,31 @@ def llm_sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         F.col("q_id").alias("vec_id"), F.col("c_id").alias("cell"), "cos_sim"
     )
+
+
+@query(
+    "llm_multimodal_audio",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) * 100 AS n_samples,
+           [CAST(CONCAT('0x', substr(md5(text || chr(0)), 1, 8)) AS BIGINT) / 4294967296.0,
+            CAST(CONCAT('0x', substr(md5(text || chr(1)), 1, 8)) AS BIGINT) / 4294967296.0,
+            CAST(CONCAT('0x', substr(md5(text || chr(2)), 1, 8)) AS BIGINT) / 4294967296.0,
+            CAST(CONCAT('0x', substr(md5(text || chr(3)), 1, 8)) AS BIGINT) / 4294967296.0
+           ] AS features
+    FROM documents
+    """,
+    tags=("multimodal_col", "udf_mapinpandas"),
+)
+def llm_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature-extraction plumbing (SURVEY.md §2.11): Arrow-
+    batched mapInPandas emitting an MFCC-shaped fixed-width feature
+    vector per payload.  The extractor is a deterministic content-hash
+    stub (librosa/torchaudio drop into the same slot), which makes even
+    the float features oracle-checkable: each one is a 32-bit integer
+    over 2^32 — exact in IEEE754 — and DuckDB reproduces the identical
+    md5-derived ints from the same utf-8 payload bytes."""
+    from mo_etl_spark.operators.multimodal import audio_features_batch
+
+    docs = with_binary_payload(_docs(spark, sf_dir))
+    return audio_features_batch(docs)

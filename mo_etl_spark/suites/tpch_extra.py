@@ -443,3 +443,221 @@ def join_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents("c_acctbal")).alias("totacctbal_c2"),
         )
     )
+
+
+@query(
+    "join_q2_min_balance_supplier",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    cand AS (
+      SELECT ps.l_partkey AS p_key, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM ps
+        JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT c.p_key AS p_partkey, c.s_suppkey, c.s_name, c.n_name,
+           CAST(round(c.s_acctbal*100) AS BIGINT) AS acctbal_c2
+    FROM cand c
+      JOIN (SELECT p_key, min(s_acctbal) AS m FROM cand GROUP BY p_key) t
+        ON c.p_key = t.p_key AND c.s_acctbal = t.m
+    """,
+    tags=("join_inner", "join_broadcast", "correlated_subquery", "argmin"),
+)
+def join_q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped argmin: for every part, the EUROPE supplier with
+    the minimum account balance among suppliers that actually shipped
+    it (the subset schema has no partsupp/ps_supplycost — the
+    lineitem-derived part↔supplier association stands in, FIXTURES.md).
+
+    The correlated MIN subquery decorrelates to a self-join of the
+    candidate set against its own per-part aggregate — both branches
+    share the part-key shuffle, and supplier/nation/region ride
+    broadcasts into the candidate build.  The equality rejoin is on the
+    raw stored double (no arithmetic), so cross-engine equality is
+    exact; ties (two suppliers at the same min balance) are all kept,
+    same as the reference query."""
+    lineitem, supplier, nation, region = _t(
+        spark, sf_dir, "lineitem", "supplier", "nation", "region"
+    )
+    ps = lineitem.select("l_partkey", "l_suppkey").distinct()
+    eu = (
+        supplier.join(
+            F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey")
+        )
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .where(F.col("r_name") == "EUROPE")
+    )
+    cand = ps.join(F.broadcast(eu), F.col("s_suppkey") == F.col("l_suppkey")).select(
+        F.col("l_partkey").alias("p_key"), "s_suppkey", "s_name", "s_acctbal", "n_name"
+    )
+    mins = cand.groupBy(F.col("p_key").alias("m_key")).agg(F.min("s_acctbal").alias("m"))
+    return (
+        cand.join(
+            mins,
+            (F.col("p_key") == F.col("m_key")) & (F.col("s_acctbal") == F.col("m")),
+        )
+        .select(
+            F.col("p_key").alias("p_partkey"),
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            cents("s_acctbal").alias("acctbal_c2"),
+        )
+    )
+
+
+@query(
+    "join_q8_market_share",
+    oracle="""
+    SELECT year(o.o_orderdate) AS o_year,
+           round(CAST(sum(CASE WHEN ns.n_name = 'NATION_1'
+                          THEN CAST(round(l.l_extendedprice*100) AS BIGINT)
+                               * (100 - CAST(round(l.l_discount*100) AS BIGINT))
+                          ELSE 0 END) AS DOUBLE)
+                 / sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount*100) AS BIGINT))),
+                 6) AS mkt_share
+    FROM lineitem l
+      JOIN orders o    ON o.o_orderkey = l.l_orderkey
+      JOIN customer c  ON c.c_custkey = o.o_custkey
+      JOIN nation nc   ON nc.n_nationkey = c.c_nationkey
+      JOIN region r    ON r.r_regionkey = nc.n_regionkey
+      JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns   ON ns.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'EUROPE'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("join_inner", "join_broadcast", "conditional_agg"),
+)
+def join_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped market share: NATION_1 suppliers' slice of all
+    revenue flowing to EUROPE customers, per order year.  Six-table
+    join where only lineitem⋈orders shuffles — customer rides a
+    broadcast too at this scale (at 100 TB customer would be the
+    second shuffle; the plan degrades gracefully because nothing here
+    forces it).  Numerator and denominator are exact integer-cent
+    sums aggregated in ONE pass (conditional CASE inside the same
+    hash aggregate — not two scans), so the final per-year division
+    is one double op on identical operands in both engines."""
+    lineitem, orders, customer, nation, region, supplier = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region", "supplier"
+    )
+    ep, disc = cents("l_extendedprice"), cents("l_discount")
+    rev = ep * (100 - disc)
+    nc = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    ns = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    return (
+        lineitem.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nc), F.col("c_nk") == F.col("c_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("c_rk"))
+        .where(F.col("r_name") == "EUROPE")
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nk") == F.col("s_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "join_q11_important_part_value",
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey,
+             sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                 * CAST(l_quantity AS BIGINT)) AS value_c2
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, value_c2
+    FROM v
+    WHERE value_c2 > (SELECT 0.0007 * sum(value_c2) FROM v)
+    """,
+    tags=("groupby", "scalar_subquery", "having"),
+)
+def join_q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shaped 'important stock' filter: parts whose shipped
+    value exceeds 0.07% of the total shipped value (partsupp's
+    availqty×supplycost becomes lineitem's quantity×price —
+    FIXTURES.md).  The HAVING-against-global-scalar decorrelates to
+    the per-part aggregate cross-joined with its own one-row grand
+    total — Spark computes the grand total as a second aggregation of
+    the ALREADY-GROUPED 2000-row result (re-aggregation, not a second
+    fact-table scan) and broadcasts the single row.  Both sums are
+    exact BIGINTs; the 0.0007× threshold is one double multiply of
+    identical operands in either engine."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    v = lineitem.groupBy("l_partkey").agg(
+        F.sum(
+            cents("l_extendedprice") * F.col("l_quantity").cast("bigint")
+        ).alias("value_c2")
+    )
+    total = v.agg((F.lit(0.0007) * F.sum("value_c2")).alias("lim"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .where(F.col("value_c2") > F.col("lim"))
+        .select("l_partkey", "value_c2")
+    )
+
+
+@query(
+    "join_q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(round(l_discount*100) AS BIGINT))) AS total_rev_c4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev_c4
+    FROM supplier s JOIN rev r ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_rev_c4 = (SELECT max(total_rev_c4) FROM rev)
+    """,
+    tags=("groupby", "scalar_subquery", "join_broadcast"),
+)
+def join_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped top supplier: the supplier(s) with maximum
+    revenue in one ship quarter, via the revenue 'view' compared
+    against its own max (all qualifying ties kept — with exact
+    integer-cent revenue, equality is well-defined cross-engine,
+    which is exactly why Q15 is dangerous with float sums).
+
+    Referencing the revenue view twice (once for max, once to filter)
+    would make Catalyst duplicate the subtree and scan lineitem twice;
+    instead the global max is an unpartitioned window over the ALREADY
+    AGGREGATED relation, so the single-partition exchange only ever
+    carries one row per supplier (a few KB even at 100 TB fact scale)
+    and lineitem is scanned exactly once.  Supplier attaches by
+    broadcast."""
+    lineitem, supplier = _t(spark, sf_dir, "lineitem", "supplier")
+    from pyspark.sql import Window
+
+    ep, disc = cents("l_extendedprice"), cents("l_discount")
+    rev = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(ep * (100 - disc)).alias("total_rev_c4"))
+    )
+    return (
+        rev.withColumn("mx", F.max("total_rev_c4").over(Window.partitionBy()))
+        .where(F.col("total_rev_c4") == F.col("mx"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev_c4")
+    )

@@ -256,3 +256,22 @@ def test_q22_threshold_stays_distributed(spark, sf001):
     # one-row scalar threshold rides a broadcast nested loop (1-row build
     # side — fine); the NOT EXISTS compiles to LeftAnti on custkey
     assert "LeftAnti" in plan
+
+
+def test_q2_argmin_shares_partkey_shuffle(spark, sf001):
+    from mo_etl_spark.suites.tpch_extra import join_q2_min_balance_supplier
+
+    plan = plan_of(join_q2_min_balance_supplier(spark, sf001))
+    # candidate set and its per-part MIN join on the part key; the
+    # dimension chain (supplier/nation/region) must all broadcast
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q15_no_lineitem_rescan(spark, sf001):
+    from mo_etl_spark.suites.tpch_extra import join_q15_top_supplier
+
+    plan = plan_of(join_q15_top_supplier(spark, sf001))
+    # the max comes from re-aggregating the 100-row revenue view, not a
+    # second pass over the fact table: exactly one lineitem scan
+    assert plan.count("lineitem.parquet") == 1 or plan.count("Scan parquet") == 1

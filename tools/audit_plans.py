@@ -28,6 +28,8 @@ CARTESIAN_OK = {
     "llm_tfidf_top_terms",  # 1-row n_sources aggregate broadcast-crossed in
     "stream_stateful_dedup",  # crossJoin of two 1-row count aggregates
     "join_q22_idle_rich_customers",  # 1-row scalar-subquery threshold broadcast-crossed in
+    "join_q11_important_part_value",  # 1-row grand-total threshold broadcast-crossed in
+    "join_q15_top_supplier",  # 1-row max-revenue scalar broadcast-crossed in
 }
 
 #: queries allowed to exceed the exchange budget, each with why:
