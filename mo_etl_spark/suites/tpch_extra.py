@@ -661,3 +661,228 @@ def join_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", "total_rev_c4")
     )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT sum(CAST(round(l_extendedprice*100) AS BIGINT)
+               * CAST(round(l_discount*100) AS BIGINT)) AS revenue_c4,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+    tags=("filter", "global_agg", "pushdown"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped forecast revenue change: a pure scan-filter-sum
+    with no join at all.  All three predicates (ship year, discount
+    band, quantity cap) push to the parquet scan as row-group filters,
+    so at 100 TB this reads only the row groups whose min/max stats
+    overlap one ship year — the canonical pushdown showcase.  The
+    discount band compares integer cents (round(disc*100)) on BOTH
+    sides so no 0.05000001-style float edge can diverge between
+    engines; revenue is the exact cents×cents BIGINT sum."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    disc = cents("l_discount")
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & disc.between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(cents("l_extendedprice") * disc).alias("revenue_c4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "join_q16_supplier_count",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type NOT LIKE 'MEDIUM%'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                               WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+    tags=("join_anti", "join_broadcast", "count_distinct", "groupby"),
+)
+def join_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped supplier diversity count per part attribute
+    triple (the subset schema has no partsupp — the part↔supplier
+    association is derived from lineitem; no s_comment, so the
+    complaint exclusion becomes negative-balance suppliers,
+    FIXTURES.md).
+
+    NOT IN over a non-null key column compiles to a LEFT ANTI join
+    against the (tiny, broadcast) exclusion set — safe here because
+    s_suppkey is never null; with nullable keys NOT IN would need the
+    null-aware anti-join form.  The DISTINCT (partkey, suppkey)
+    projection collapses the fact table BEFORE the dimension join, so
+    the expensive count-distinct aggregates ~1 row per association
+    rather than ~4 lineitems per association; part broadcasts after
+    its selective brand/type/size filter."""
+    lineitem, part, supplier = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    ps = lineitem.select("l_partkey", "l_suppkey").distinct()
+    bad = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = part.where(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("MEDIUM%")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    return (
+        ps.join(F.broadcast(bad), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "join_q20_excess_shippers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey,
+             sum(l_quantity) AS qty_all,
+             sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                       AND l_shipdate <  TIMESTAMP '1998-01-01'
+                      THEN l_quantity ELSE 0 END) AS qty_1997
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE 'red%')
+      GROUP BY 1, 2
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM shipped
+                          WHERE qty_1997 > 0.5 * qty_all)
+    """,
+    tags=("join_semi", "join_broadcast", "correlated_subquery", "conditional_agg"),
+)
+def join_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-shaped correlated-threshold semi join: suppliers for
+    whom some 'red' part's 1997 shipments exceed half of ALL their
+    shipments of that part (no partsupp.ps_availqty in the subset
+    schema, so the 0.5×sum(l_quantity) correlated subquery compares
+    against the supplier's own all-time quantity — same decorrelation
+    shape, FIXTURES.md).
+
+    The correlated scalar subquery decorrelates into ONE conditional
+    aggregate per (part, supplier) — both the year slice and the
+    all-time total come out of a single grouped pass over the
+    red-part lineitems (no second scan, no re-shuffle).  The IN
+    becomes a LEFT SEMI join to supplier; nation broadcasts.
+    l_quantity values are small integral doubles and 0.5 is a power
+    of two, so qty_1997 > 0.5*qty_all is exact in IEEE754 in both
+    engines."""
+    lineitem, part, supplier, nation = _t(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation"
+    )
+    red = part.where(F.col("p_name").like("red%")).select("p_partkey")
+    in_1997 = (
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    shipped = (
+        lineitem.join(F.broadcast(red), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum("l_quantity").alias("qty_all"),
+            F.sum(F.when(in_1997, F.col("l_quantity")).otherwise(F.lit(0.0))).alias(
+                "qty_1997"
+            ),
+        )
+    )
+    excess = (
+        shipped.where(F.col("qty_1997") > 0.5 * F.col("qty_all"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(excess, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@query(
+    "join_q21_waiting_suppliers",
+    oracle="""
+    WITH flags AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT l_orderkey, l_suppkey, late,
+             count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+             sum(late) OVER (PARTITION BY l_orderkey) AS n_late
+      FROM flags
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+    WHERE w.late = 1 AND w.n_supp > 1 AND w.n_late = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 25
+    """,
+    tags=("join_inner", "window_agg", "groupby", "top_k"),
+)
+def join_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped 'suppliers who kept orders waiting': on
+    finalized multi-supplier orders, the supplier who was the ONLY
+    late one (ship >90 days after order date stands in for the
+    receipt-vs-commit comparison the subset schema lacks).
+
+    Classic Q21 is EXISTS + NOT EXISTS self-joins — three passes over
+    the fact table.  Spark-first it collapses to ONE pass: a grouped
+    late-flag per (order, supplier), then per-order supplier/late
+    counts as window aggregates OVER THE SAME orderkey partitioning
+    (the window exchange reuses the groupBy shuffle — .explain shows
+    a single Exchange), then the only-late-supplier filter.  Supplier
+    attaches by broadcast and the final top-25 is
+    TakeOrderedAndProject with s_name tie-break for determinism."""
+    lineitem, orders, supplier = _t(spark, sf_dir, "lineitem", "orders", "supplier")
+    from pyspark.sql import Window
+
+    flags = (
+        lineitem.join(
+            orders.where(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    return (
+        flags.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("late").over(w))
+        .where((F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(25)
+    )
