@@ -275,3 +275,54 @@ def test_q15_no_lineitem_rescan(spark, sf001):
     # the max comes from re-aggregating the 100-row revenue view, not a
     # second pass over the fact table: exactly one lineitem scan
     assert plan.count("lineitem.parquet") == 1 or plan.count("Scan parquet") == 1
+
+
+def test_q6_all_predicates_pushed(spark, sf001):
+    from mo_etl_spark.suites.tpch_extra import q6_forecast_revenue
+
+    plan = plan_of(q6_forecast_revenue(spark, sf001))
+    # pure scan-filter-agg: the ship-year and quantity bounds must reach
+    # the parquet scan (the cents(discount) band is an expression, so it
+    # filters post-scan), and there is no join at all
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    # (the PushedFilters list is truncated in toString — assert the lead
+    # filters and that both pushdown columns appear)
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "IsNotNull(l_quantity)" in pushed
+    assert "Join" not in plan
+
+
+def test_q16_exclusion_is_broadcast_anti(spark, sf001):
+    from mo_etl_spark.suites.tpch_extra import join_q16_supplier_count
+
+    plan = plan_of(join_q16_supplier_count(spark, sf001))
+    # NOT IN over non-null keys compiles to a broadcast LeftAnti against
+    # the tiny negative-balance supplier set; part side also broadcasts
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_single_fact_pass(spark, sf001):
+    from mo_etl_spark.suites.tpch_extra import join_q20_excess_shippers
+
+    plan = plan_of(join_q20_excess_shippers(spark, sf001))
+    # the correlated 0.5x-sum threshold decorrelates into ONE conditional
+    # aggregate: exactly one lineitem scan, and both the red-part filter
+    # and the supplier semi join stay hash-keyed
+    assert plan.count("lineitem.parquet") == 1
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q21_window_reuses_groupby_shuffle(spark, sf001):
+    from mo_etl_spark.suites.tpch_extra import join_q21_waiting_suppliers
+
+    df = join_q21_waiting_suppliers(spark, sf001)
+    plan = plan_of(df)
+    # the per-order window aggregates must ride the orderkey partitioning
+    # rather than forcing their own exchange: the only exchanges are the
+    # join/groupBy shuffles, and the final top-25 is TakeOrdered
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # one pass over the fact table (classic Q21 needs three)
+    assert plan.count("lineitem.parquet") == 1
