@@ -41,7 +41,10 @@ def _feed(spark: SparkSession, sf_dir: str) -> str:
     present) is reused — both stream queries then skip the rewrite."""
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     path = os.path.join(_CACHE, tag, "stream_feed")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    success = os.path.join(path, "_SUCCESS")
+    src = os.path.join(sf_dir, "events.parquet")
+    stale = os.path.exists(success) and os.path.getmtime(success) < os.path.getmtime(src)
+    if stale or not os.path.exists(success):
         load_table(spark, sf_dir, "events").select(
             "event_id", "user_id", "event_type", "ts", cents("value").alias("value_cents")
         ).write.mode("overwrite").parquet(path)

@@ -37,16 +37,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan: Catalyst pushes predicates and prunes
     columns into the scan (verify via .explain → PushedFilters/ReadSchema).
 
-    events.ts is TIMESTAMP(NANOS) in the parquet; Spark timestamps are
-    microsecond, so it is read as long (nanosAsLong conf in session.py)
-    and truncated to a µs timestamp here.  Oracle queries must not
-    return raw ns-precision ts values (DuckDB keeps the nanos).
+    events.ts has shipped as TIMESTAMP(NANOS) (Spark reads it as long
+    under the nanosAsLong conf in session.py) and as naive
+    TIMESTAMP(MICROS) (Spark reads TIMESTAMP_NTZ).  Both are normalized
+    here to a UTC TIMESTAMP_LTZ so every downstream epoch/window
+    expression (unix_micros, F.window) sees one type; with
+    spark.sql.session.timeZone=UTC the NTZ->LTZ cast is exact.
     """
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
