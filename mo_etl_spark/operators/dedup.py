@@ -143,6 +143,224 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_md5_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH with an ORACLE-REPRODUCIBLE hash family: permutation
+    i of token t is the md5 hex string of ``"i:t"``, and the signature
+    component is the lexicographic MIN of those 32-char strings (md5
+    hex is lowercase fixed-width in every engine, so string min == a
+    uniform 128-bit hash min).  Same plan shape as minhash_lsh_pairs
+    (explode -> k min-aggs -> posexplode bands -> one bucket self-join
+    -> exact-Jaccard verify), but every intermediate is exactly
+    re-computable in portable SQL — this is the variant the DuckDB
+    oracle hash-checks end to end; the xxhash64 variant stays the
+    cheaper scale path (integer min beats 32-byte string min).
+    """
+    rows_per_band = k // bands
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    sig = toks.groupBy("id").agg(*aggs)
+    band_cols = [
+        F.md5(F.concat(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])).alias(
+            f"b{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("id", F.posexplode(F.array(*band_cols)).alias("band", "bk"))
+    left = banded.select(F.col("id").alias("id_a"), "band", "bk")
+    right = banded.select(F.col("id").alias("id_b"), "band", "bk")
+    candidates = (
+        left.join(right, ["band", "bk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    exact = jaccard_pairs(df, text_col, id_col, threshold=verify_threshold)
+    return candidates.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+def minhash_md5_oracle_sql(
+    corpus_sql: str, k: int = 16, bands: int = 4, verify_threshold: float = 0.5
+) -> str:
+    """DuckDB twin of minhash_md5_lsh_pairs over ``corpus_sql``
+    (a SELECT yielding doc_id, text) — generated so k/bands stay in
+    lockstep with the Spark operator."""
+    rows_per_band = k // bands
+    sig_cols = ",\n               ".join(
+        f"min(md5(concat('{i}:', tok))) AS h{i}" for i in range(k)
+    )
+    band_selects = "\n        UNION ALL\n        ".join(
+        "SELECT id, {b} AS band, md5(concat({cols})) AS bk FROM sig".format(
+            b=b,
+            cols=", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    toks AS (
+        SELECT doc_id AS id, unnest(list_distinct(string_split(
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS tok
+        FROM corpus
+    ),
+    sig AS (
+        SELECT id, {sig_cols}
+        FROM toks GROUP BY id
+    ),
+    banded AS (
+        {band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM banded a JOIN banded b USING (band, bk)
+        WHERE a.id < b.id
+    ),
+    sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        FROM toks a JOIN toks b USING (tok)
+        WHERE a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b,
+           round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+    FROM cand c
+    JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sizes sa ON sa.id = c.id_a
+    JOIN sizes sb ON sb.id = c.id_b
+    WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= {verify_threshold}
+    """
+
+
+#: shared hex-digit lookup: 1-based find in both engines (Spark instr /
+#: DuckDB strpos), minus 1 -> nibble value 0..15
+_HEXES = "0123456789abcdef"
+
+
+def simhash_md5_bits(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash with an oracle-reproducible hash: token hash =
+    first 16 hex chars of md5(token); bit i (i = 4*j + b for hex char
+    j, nibble bit b) votes +1/-1; fingerprint = 64-char '0'/'1' string
+    (MSB-free string form sidesteps signed-64 portability).  Pure
+    DataFrame: explode -> 64 conditional sums -> concat.  One shuffle."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    ).select("id", F.substring(F.md5("tok"), 1, 16).alias("th"))
+    votes = []
+    for i in range(64):
+        j, b = divmod(i, 4)
+        nib = F.instr(F.lit(_HEXES), F.substring(F.col("th"), j + 1, 1)) - 1
+        bit = F.floor(nib / (2**b)) % 2
+        votes.append(F.sum(bit * 2 - 1).alias(f"v{i}"))
+    sums = toks.groupBy("id").agg(*votes)
+    fp = F.concat(
+        *[F.when(F.col(f"v{i}") > 0, F.lit("1")).otherwise(F.lit("0")) for i in range(64)]
+    )
+    return sums.select("id", fp.alias("fp"))
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distance: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs at hamming distance <= max_distance (< 4):
+    4x16-bit chunk banding (pigeonhole: <=3 differing bits can touch at
+    most 3 of the 4 chunks, so >=1 chunk matches exactly) generates
+    candidates in ONE bucket self-join; exact hamming verifies.
+    Shuffle volume = 4N + bucket pairs, never C(N,2).  Larger distances
+    need more/smaller chunks (b+1 bands for distance <= b)."""
+    fps = simhash_md5_bits(df, text_col, id_col)
+    chunks = fps.select(
+        "id",
+        "fp",
+        F.posexplode(
+            F.array(*[F.substring("fp", 16 * c + 1, 16) for c in range(4)])
+        ).alias("chunk", "cv"),
+    )
+    left = chunks.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"), "chunk", "cv")
+    right = chunks.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"), "chunk", "cv")
+    cand = (
+        left.join(right, ["chunk", "cv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    ham = F.expr(
+        "aggregate(sequence(1, 64), 0, (acc, i) ->"
+        " acc + IF(substring(fp_a, i, 1) <> substring(fp_b, i, 1), 1, 0))"
+    )
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_md5_oracle_sql(corpus_sql: str, max_distance: int | None = None) -> str:
+    """DuckDB twin of simhash_md5_bits / simhash_hamming_pairs.  With
+    max_distance=None returns fingerprints (id, fp); else verified
+    pairs (id_a, id_b, hamming) — banding is purely a candidate-recall
+    device (complete for distance < bands), so the oracle verifies over
+    all pairs directly and must equal the banded+verified plan."""
+    bit_chars = ",\n             ".join(
+        "CASE WHEN v{i} > 0 THEN '1' ELSE '0' END".format(i=i) for i in range(64)
+    )
+    votes = []
+    for i in range(64):
+        j, b = divmod(i, 4)
+        votes.append(
+            f"sum((CAST(floor((strpos('{_HEXES}', substring(th, {j + 1}, 1)) - 1)"
+            f" / {2 ** b}) AS BIGINT) % 2) * 2 - 1) AS v{i}"
+        )
+    votes_sql = ",\n               ".join(votes)
+    base = f"""
+    WITH corpus AS ({corpus_sql}),
+    toks AS (
+        SELECT doc_id AS id, unnest(list_distinct(string_split(
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS tok
+        FROM corpus
+    ),
+    th AS (SELECT id, substring(md5(tok), 1, 16) AS th FROM toks),
+    sums AS (
+        SELECT id, {votes_sql}
+        FROM th GROUP BY id
+    ),
+    fps AS (
+        SELECT id, concat({bit_chars}) AS fp
+        FROM sums
+    )"""
+    if max_distance is None:
+        return base + "\n    SELECT id, fp FROM fps"
+    return (
+        base
+        + f"""
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(list_sum(list_transform(range(1, 65),
+                i -> CASE WHEN substring(a.fp, i, 1) <> substring(b.fp, i, 1)
+                     THEN 1 ELSE 0 END)) AS INT) AS hamming
+    FROM fps a JOIN fps b ON a.id < b.id
+    WHERE list_sum(list_transform(range(1, 65),
+          i -> CASE WHEN substring(a.fp, i, 1) <> substring(b.fp, i, 1)
+               THEN 1 ELSE 0 END)) <= {max_distance}
+    """
+    )
+
+
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash: per token hash, each bit votes ±1; fingerprint
     bit = sign of the vote sum.  Pure DataFrame: explode tokens, one

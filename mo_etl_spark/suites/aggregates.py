@@ -355,3 +355,191 @@ def agg_salted_skew_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         sums={"total_cents": F.sum("vc")},
         count_alias="n",
     )
+
+
+@query(
+    "agg_pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (o_orderstatus = 'F') AS f_n,
+           count(*) FILTER (o_orderstatus = 'O') AS o_n,
+           count(*) FILTER (o_orderstatus = 'P') AS p_n,
+           coalesce(sum(CAST(round(o_totalprice*100) AS BIGINT))
+                    FILTER (o_orderstatus = 'F'), 0) AS f_cents,
+           coalesce(sum(CAST(round(o_totalprice*100) AS BIGINT))
+                    FILTER (o_orderstatus = 'O'), 0) AS o_cents,
+           coalesce(sum(CAST(round(o_totalprice*100) AS BIGINT))
+                    FILTER (o_orderstatus = 'P'), 0) AS p_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("pivot", "groupby", "conditional_agg"),
+)
+def agg_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT — the cube/crosstab reshaping surface (jx cube results
+    reshape a dimension into columns; SURVEY §1.3 cube formatter).
+    ``pivot(col, values)`` with PINNED values: Catalyst folds it into
+    one hash aggregate of conditional aggs (no extra shuffle vs plain
+    groupBy, no distinct-scan to discover values — at 100 TB pinning
+    values is the difference between one pass and two)."""
+    orders = _t(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(cents("o_totalprice")), F.lit(0)).alias("cents"),
+        )
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.col("F_n").alias("f_n"),
+        F.col("O_n").alias("o_n"),
+        F.col("P_n").alias("p_n"),
+        F.col("F_cents").alias("f_cents"),
+        F.col("O_cents").alias("o_cents"),
+        F.col("P_cents").alias("p_cents"),
+    )
+
+
+@query(
+    "agg_unpivot_part_measures",
+    oracle="""
+    WITH long AS (
+        SELECT p_brand, 'retail_cents' AS metric,
+               CAST(round(p_retailprice*100) AS BIGINT) AS val
+        FROM part
+        UNION ALL
+        SELECT p_brand, 'size' AS metric, CAST(p_size AS BIGINT) AS val
+        FROM part
+    )
+    SELECT p_brand, metric, count(*) AS n, sum(val) AS total,
+           min(val) AS vmin, max(val) AS vmax
+    FROM long
+    GROUP BY p_brand, metric
+    """,
+    tags=("unpivot", "melt", "groupby"),
+)
+def agg_unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — wide measures to long (metric, value) rows, the
+    inverse reshaping of pivot, then a tall aggregate.  ``unpivot`` is
+    a narrow transformation (row fan-out, NO shuffle); the only
+    exchange is the final groupBy."""
+    part = _t(spark, sf_dir, "part")
+    long = part.select(
+        "p_brand",
+        cents("p_retailprice").alias("retail_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    ).unpivot(["p_brand"], ["retail_cents", "size"], "metric", "val")
+    return long.groupBy("p_brand", "metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("val").alias("total"),
+        F.min("val").alias("vmin"),
+        F.max("val").alias("vmax"),
+    )
+
+
+@query(
+    "agg_mode_per_flag",
+    oracle="""
+    SELECT l_returnflag, qty AS mode_qty, n
+    FROM (
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+               count(*) AS n,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY count(*) DESC, qty) AS rnk
+        FROM lineitem
+        GROUP BY l_returnflag, qty
+    )
+    WHERE rnk = 1
+    """,
+    tags=("mode", "groupby", "top_k_per_group"),
+)
+def agg_mode_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE (most frequent value; ties -> smallest) per
+    group.  Built-in F.mode is tie-nondeterministic, so the engine form
+    is count-then-rank: groupBy (map-side combined) + a tiny window
+    over one row per distinct value — never a per-row window."""
+    li = _t(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    counts = li.groupBy("l_returnflag", F.col("l_quantity").cast("long").alias("qty")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("n"), F.asc("qty"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("l_returnflag", F.col("qty").alias("mode_qty"), "n")
+    )
+
+
+@query(
+    "agg_corr_covar_exact",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               sum(CAST(l_quantity AS BIGINT)) AS sx,
+               sum(CAST(round(l_extendedprice) AS BIGINT)) AS sy,
+               sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+               sum(CAST(round(l_extendedprice) AS BIGINT)
+                   * CAST(round(l_extendedprice) AS BIGINT)) AS syy,
+               sum(CAST(l_quantity AS BIGINT)
+                   * CAST(round(l_extendedprice) AS BIGINT)) AS sxy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_qty_price,
+           round((CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0), 6) AS covar_samp_qty_price
+    FROM m
+    """,
+    tags=("corr", "covariance", "stats", "groupby"),
+)
+def agg_corr_covar_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance from EXACT integer
+    moments (n, Σx, Σy, Σx², Σy², Σxy as int64 — order-independent),
+    then one identical double-precision formula on both engines.
+    Built-in corr/covar_samp use engine-specific online update orders
+    whose float results drift in the last ulp; the moments form is the
+    cross-engine-stable way (same trick as the variance queries).
+    Prices enter as whole dollars so Σy² stays far from int64 range
+    even at 100 TB row counts."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.round("l_extendedprice").cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            (nd * sxy - sx * sy)
+            / (F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+        F.round((sxy - sx * sy / nd) / (nd - F.lit(1.0)), 6).alias(
+            "covar_samp_qty_price"
+        ),
+    )

@@ -217,6 +217,52 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash64(_with_near_dups(_docs(spark, sf_dir)))
 
 
+@query(
+    "llm_dedup_minhash_checked",
+    oracle=D.minhash_md5_oracle_sql(_SQL_NEAR_DUPS, k=16, bands=8, verify_threshold=0.8),
+    tags=("dedup_minhash", "lsh_banding"),
+)
+def llm_dedup_minhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH with the md5 hash family (permutation i of token t =
+    md5('i:t'), signature = lexicographic min) so the ENTIRE sketch
+    pipeline — signatures, band keys, bucket join, exact-Jaccard verify
+    — is hash-checked against the DuckDB oracle, not rows-only.  16
+    hashes / 8 bands of 2 (recall 1-(1-j^2)^8 ~ 0.9997 at j=0.8)
+    recovers every planted near-dup above the verify threshold;
+    the xxhash64 variant (llm_dedup_minhash) stays the cheaper scale
+    path."""
+    return D.minhash_md5_lsh_pairs(
+        _with_near_dups(_docs(spark, sf_dir)), k=16, bands=8, verify_threshold=0.8
+    )
+
+
+@query(
+    "llm_dedup_simhash_checked",
+    oracle=D.simhash_md5_oracle_sql(_SQL_NEAR_DUPS),
+    tags=("dedup_simhash",),
+)
+def llm_dedup_simhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-reproducible 64-bit SimHash fingerprints: token hash =
+    first 16 md5 hex chars, per-bit +/-1 votes, fingerprint emitted as
+    a 64-char bit string — every bit hash-checked against DuckDB
+    computing the identical arithmetic."""
+    return D.simhash_md5_bits(_with_near_dups(_docs(spark, sf_dir)))
+
+
+@query(
+    "llm_dedup_simhash_hamming",
+    oracle=D.simhash_md5_oracle_sql(_SQL_NEAR_DUPS, max_distance=3),
+    tags=("dedup_simhash", "hamming_ball", "lsh_banding"),
+)
+def llm_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS at hamming distance <= 3 via 4x16-bit
+    chunk banding (pigeonhole-complete for distance < 4) + exact
+    hamming verify.  The oracle verifies over all pairs directly —
+    equality proves the banded plan loses no pairs while shuffling only
+    4N + bucket-pair rows."""
+    return D.simhash_hamming_pairs(_with_near_dups(_docs(spark, sf_dir)), max_distance=3)
+
+
 _SQL_COSINE = """
     round(
       list_sum(list_transform(range(1, 65),

@@ -245,3 +245,54 @@ def test_kmeans_train_deterministic_and_useful(spark, sf_dir):
     )
     trained = c1.select(F.col("cent_id").alias("c_id"), F.col("cv").alias("vec"))
     assert mean_cos(trained) > mean_cos(init)
+
+
+def test_minhash_md5_recovers_planted_near_dups(spark, docs):
+    """The oracle-reproducible md5 MinHash must recover every planted
+    planted (src, src+20000) near-dup pair whose true Jaccard clears
+    the verify threshold (8 bands of 2: recall ~0.9997 at j=0.8)."""
+    from mo_etl_spark.operators.dedup import minhash_md5_lsh_pairs
+    from mo_etl_spark.suites.llm import _with_near_dups
+
+    corpus = _with_near_dups(docs)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_md5_lsh_pairs(
+            corpus, k=16, bands=8, verify_threshold=0.8
+        ).collect()
+    }
+    from mo_etl_spark.operators.dedup import jaccard_pairs
+
+    above = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(corpus, threshold=0.8).collect()
+        if r["id_b"] - r["id_a"] == 20000
+    }
+    planted = {(i, i + 20000) for i in range(100)} & above
+    assert len(planted) >= 90  # truncation keeps most pairs above 0.8
+    assert planted <= pairs
+
+
+def test_simhash_banding_equals_all_pairs_verify(spark, docs):
+    """4-chunk banding at distance<=3 is pigeonhole-complete: the
+    banded+verified pair set must equal brute-force hamming<=3 over the
+    fingerprints, and planted near-dups must appear."""
+    from mo_etl_spark.operators.dedup import simhash_hamming_pairs, simhash_md5_bits
+    from mo_etl_spark.suites.llm import _with_near_dups
+
+    corpus = _with_near_dups(docs)
+    banded = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_hamming_pairs(corpus, max_distance=3).collect()
+    }
+    fps = {r["id"]: r["fp"] for r in simhash_md5_bits(corpus).collect()}
+    assert all(len(fp) == 64 and set(fp) <= {"0", "1"} for fp in fps.values())
+    ids = sorted(fps)
+    brute = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = sum(x != y for x, y in zip(fps[a], fps[b]))
+            if d <= 3:
+                brute[(a, b)] = d
+    assert banded == brute
+    assert any(a + 20000 == b for (a, b) in banded)  # planted near-dups detected
