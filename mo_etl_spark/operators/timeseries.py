@@ -1,0 +1,68 @@
+"""Time-series regularization (engine addition in the mo_times spirit
+(u, mo-times time-domain partitioning): the reference partitions time
+into unit domains; a training-data pipeline additionally needs gap-
+FILLED per-key series — metrics backfill, feature snapshots, "state as
+of hour H" joins).
+
+Scale design: the grid is generated per key from that key's own
+[min, max] span (``sequence`` + ``explode`` — narrow fan-out, no
+driver loop, no global span blowup for short-lived keys), the
+observation aggregate is map-side combined, and the forward fill is
+ONE window pass ordered by grid time.  Everything shuffles on the key
+exactly twice (agg, window) with AQE coalescing in between.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_ffill(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value: Column,
+    tiebreak: Column,
+    step: str = "1 hour",
+) -> DataFrame:
+    """Regularize an event stream to a fixed-step grid per key with
+    forward fill.
+
+    Per key: buckets = date_trunc(step unit) of ts; per-bucket LAST
+    observed ``value`` (greatest ``tiebreak`` wins — pass a total order
+    so the fill is deterministic) and event count; then a dense grid
+    over the key's own [min, max] bucket span, missing buckets filled
+    from the last earlier observation (count 0).
+
+    Returns (key, bucket_ts, n_events, filled value).
+    """
+    unit = step.split()[-1].rstrip("s")
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    obs = (
+        df.select(F.col(key), bucket.alias("bucket"), value.alias("v"), tiebreak.alias("tb"))
+        .groupBy(key, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max_by("v", "tb").alias("last_v"),
+        )
+    )
+    span = obs.groupBy(key).agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    grid = span.select(
+        key,
+        F.explode(F.sequence("lo", "hi", F.expr(f"INTERVAL {step}"))).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, [key, "bucket"], "left")
+        .select(
+            key,
+            "bucket",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("last_v", ignorenulls=True).over(w).alias("filled_v"),
+        )
+    )

@@ -36,6 +36,31 @@ def scan_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -
     return reader.csv(path)
 
 
+def scan_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — Spark's second columnar native format (vectorized
+    reader, predicate pushdown, column pruning, same as parquet)."""
+    return spark.read.orc(path)
+
+
+def scan_text_jsonlines(spark: SparkSession, path: str, schema) -> DataFrame:
+    """NDJSON via the raw-text path: read lines as strings, parse with
+    from_json(schema).  The shape for feeds where lines need inspection
+    or repair before parsing (the reference's S3 block ETL stages (u,
+    ActiveData-ETL) read raw bytes first); corrupt lines become NULL
+    structs instead of poisoning the scan."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.text(path)
+        .select(F.from_json(F.col("value"), schema).alias("doc"))
+        .select("doc.*")
+    )
+
+
+def sink_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
 def sink_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
 

@@ -378,10 +378,11 @@ def agg_salted_skew_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT — the cube/crosstab reshaping surface (jx cube results
     reshape a dimension into columns; SURVEY §1.3 cube formatter).
-    ``pivot(col, values)`` with PINNED values: Catalyst folds it into
-    one hash aggregate of conditional aggs (no extra shuffle vs plain
-    groupBy, no distinct-scan to discover values — at 100 TB pinning
-    values is the difference between one pass and two)."""
+    ``pivot(col, values)`` with PINNED values: one fact scan, a
+    map-side-combined aggregate on (group, pivot) keys, then a tiny
+    pivotfirst reshape — no values-discovery scan of the fact table
+    (at 100 TB pinning values is the difference between one pass and
+    two)."""
     orders = _t(spark, sf_dir, "orders")
     piv = (
         orders.groupBy("o_orderpriority")

@@ -208,3 +208,129 @@ def sql_register_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
         """
     )
+
+
+@query(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           sum(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    """,
+    tags=("scan_orc", "sink_orc"),
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> ORC sink -> ORC scan -> filtered aggregate.  ORC is
+    Spark's second native columnar format; the scan gets the same
+    vectorized reader + pushdown treatment as parquet (the filter
+    lands in the ORC reader as a search argument).  DuckDB reads no
+    ORC, so the oracle aggregates the source table — a hash match
+    proves the round trip lost nothing the aggregate can see."""
+    prepare(spark)
+    from mo_etl_spark.sources import scan_orc, sink_orc
+
+    path = _dir(sf_dir, "orders_orc")
+    sink_orc(load_table(spark, sf_dir, "orders"), path)
+    back = scan_orc(spark, path)
+    return (
+        back.where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+        )
+    )
+
+
+@query(
+    "source_text_jsonlines",
+    oracle="""
+    SELECT event_type, count(*) AS n, sum(value_cents) AS total_cents
+    FROM (
+        SELECT event_id, event_type,
+               CAST(round(value*100) AS BIGINT) AS value_cents
+        FROM events
+    )
+    GROUP BY event_type
+    """,
+    tags=("scan_jsonlines", "udf_free_parse"),
+)
+def source_text_jsonlines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDJSON through the raw-text path: spark.read.text ->
+    from_json(schema) -> project — the inspect-before-parse shape for
+    feeds with possibly-corrupt lines (bad lines become NULL structs,
+    counted, never poisoning the scan).  Parsing is the JVM from_json
+    expression inside whole-stage codegen; no Python touches a row."""
+    prepare(spark)
+    from mo_etl_spark.sources import scan_text_jsonlines, sink_jsonlines
+
+    path = _dir(sf_dir, "events_ndjson_text")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    sink_jsonlines(events, path, gzip=False)
+    back = scan_text_jsonlines(
+        spark, path, "event_id BIGINT, event_type STRING, value_cents BIGINT"
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value_cents").alias("total_cents")
+    )
+
+
+@query(
+    "bucketed_join_colocated",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_lines,
+           sum(CAST(l_quantity AS BIGINT)) AS total_qty
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+    tags=("bucketed_tables", "join_inner", "zero_shuffle_join"),
+)
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed managed tables (SURVEY §2.1 bucketed_tables) as a
+    CONTRACT query, not just a plan test: both sides written
+    bucketBy(8, key).sortBy(key), so the SortMergeJoin reads buckets
+    pairwise with ZERO Exchange — the 100 TB pattern for repeated
+    large-x-large equi-joins (pay the shuffle once at write, reuse it
+    every query).  The aggregate after the join keys on the join's
+    partitioning, so only the final 5-row agg exchanges."""
+    prepare(spark)
+    import shutil
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    t_o, t_l = f"bktq_orders_{tag}", f"bktq_lineitem_{tag}"
+
+    def _fresh(t: str, src: str) -> bool:
+        """Bucketed tables are the pay-the-shuffle-ONCE pattern — reuse
+        the materialization across runs unless the source parquet is
+        newer (testdata regeneration) or the table vanished."""
+        loc = f"/root/repo/.cache/warehouse/{t}"
+        return (
+            spark.catalog.tableExists(t)
+            and os.path.exists(loc)
+            and os.path.getmtime(loc) >= os.path.getmtime(os.path.join(sf_dir, src))
+        )
+
+    if not (_fresh(t_o, "orders.parquet") and _fresh(t_l, "lineitem.parquet")):
+        for t in (t_o, t_l):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"/root/repo/.cache/warehouse/{t}", ignore_errors=True)
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus"
+        ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(t_o)
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(t_l)
+    joined = spark.table(t_o).join(
+        spark.table(t_l), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+    )

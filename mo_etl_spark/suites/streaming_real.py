@@ -255,3 +255,58 @@ def stream_real_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key is the final state - dedupe by max batch emission order
     sink = spark.table(qname)
     return sink.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+@query(
+    "stream_real_sliding_hourly",
+    oracle="""
+    WITH grid AS (
+      SELECT unnest(generate_series(TIMESTAMP '2023-12-31 23:15:00',
+                                    TIMESTAMP '2024-01-31 00:00:00',
+                                    INTERVAL 15 MINUTE)) AS win_start
+    )
+    SELECT epoch_ms(g.win_start) AS win_start_ms,
+           count(e.event_id) AS n,
+           sum(CAST(round(e.value*100) AS BIGINT)) AS total_cents
+    FROM grid g JOIN events e
+      ON e.ts >= g.win_start AND e.ts < g.win_start + INTERVAL 1 HOUR
+    GROUP BY 1
+    """,
+    tags=("sliding_window", "stream_source", "watermark"),
+)
+def stream_real_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE streaming sliding windows: readStream(feed) ->
+    withWatermark -> 1-hour windows every 15 minutes (each event lands
+    in 4 overlapping windows) -> memory sink, availableNow.  Completes
+    the real-streaming matrix (tumbling/sliding/session/stateful/
+    foreachBatch all have readStream forms).  Complete mode emits every
+    window in the bounded backfill; on an unbounded run the watermark
+    is what lets 4x state stay bounded."""
+    prepare(spark)
+    feed = _feed(spark, sf_dir)
+    ckpt = _scratch("sliding_ckpt")
+    qname = "stream_real_sliding_hourly_sink"
+    stream = file_stream_source(spark, feed, _FEED_SCHEMA)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value_cents").alias("total_cents"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(qname).select(
+        (F.unix_micros(F.col("win.start")) / 1000).cast("long").alias("win_start_ms"),
+        "n",
+        "total_cents",
+    )

@@ -284,3 +284,50 @@ def win_range_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
         F.sum(cents("value")).over(w).alias("cents_last_hour"),
     )
+
+
+@query(
+    "ts_resample_ffill_hourly",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket,
+             count(*) AS n_events,
+             arg_max(CAST(round(value*100) AS BIGINT),
+                     epoch_ms(ts) * 1000000 + event_id % 1000000) AS last_v
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY 1),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM span
+    )
+    SELECT g.user_id, epoch_ms(g.bucket) AS bucket_ms,
+           coalesce(o.n_events, 0) AS n_events,
+           last_value(o.last_v IGNORE NULLS)
+             OVER (PARTITION BY g.user_id ORDER BY g.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+    FROM grid g LEFT JOIN obs o USING (user_id, bucket)
+    """,
+    tags=("resample", "gap_fill", "window_first_last", "time_domain"),
+)
+def ts_resample_ffill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization (operators/timeseries.resample_ffill):
+    per user, a DENSE hourly grid over that user's own event span,
+    carrying the last observed cents value across gap hours (count 0)
+    — the metrics-backfill / state-as-of-H shape.  Grid fan-out is a
+    narrow sequence+explode per key (no global span, no driver loop);
+    the deterministic last-in-bucket uses an epoch-ms+event-id total
+    order that the oracle reproduces with arg_max."""
+    from mo_etl_spark.operators.timeseries import resample_ffill
+
+    ev = _events(spark, sf_dir)
+    tiebreak = (_EMS() * F.lit(1_000_000) + F.col("event_id") % F.lit(1_000_000)).alias("tb")
+    out = resample_ffill(
+        ev, "user_id", "ts", cents("value"), tiebreak, step="1 hour"
+    )
+    return out.select(
+        "user_id",
+        (F.unix_micros(F.col("bucket")) / 1000).cast("long").alias("bucket_ms"),
+        "n_events",
+        F.col("filled_v").alias("filled_cents"),
+    )

@@ -326,3 +326,37 @@ def test_q21_window_reuses_groupby_shuffle(spark, sf001):
     assert "CartesianProduct" not in plan
     # one pass over the fact table (classic Q21 needs three)
     assert plan.count("lineitem.parquet") == 1
+
+
+def test_pivot_is_single_aggregate_pass(spark, sf001):
+    """Pinned pivot values must read the fact table ONCE (no
+    values-discovery scan) and aggregate with map-side combine: the
+    plan is partial/final agg on (group, pivot) keys + the tiny
+    pivotfirst reshape — two small exchanges, zero extra fact passes."""
+    from mo_etl_spark.suites.aggregates import agg_pivot_status_by_priority
+
+    plan = plan_of(agg_pivot_status_by_priority(spark, sf001))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") <= 2
+    assert "partial_pivotfirst" in plan  # reshape is map-side combined too
+
+
+def test_percentile_query_avoids_whole_partition_window(spark, sf001):
+    """win_percentile_values must plan as aggregate + broadcast join —
+    a whole-partition Window here would drag every fact row into a
+    handful of giant window partitions at scale."""
+    from mo_etl_spark.suites.windows import win_percentile_values
+
+    plan = plan_of(win_percentile_values(spark, sf001))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_simhash_hamming_banding_bounds_join(spark, sf001):
+    """The hamming-pair plan must join on (chunk, value) buckets —
+    a hash/sort-merge equi join — never a cartesian pair scan."""
+    from mo_etl_spark.suites.llm import llm_dedup_simhash_hamming
+
+    plan = plan_of(llm_dedup_simhash_hamming(spark, sf001))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
