@@ -34,42 +34,63 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_prefix: str = "r_",
+    direction: str = "backward",
+    tolerance_ms: int | None = None,
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right_ts <= left_ts`` within the same ``on`` keys (left outer).
+    """For each left row, attach the nearest right row within the same
+    ``on`` keys (left outer): ``backward`` = latest right with
+    ``right_ts <= left_ts``; ``forward`` = earliest right with
+    ``right_ts >= left_ts``.  ``tolerance_ms`` nulls the match when the
+    nearest right row is further than that many milliseconds (pandas
+    ``merge_asof`` tolerance semantics: nearest-then-bound, NOT
+    any-row-within-bound).
 
-    Equivalent to DuckDB/pandas ``ASOF JOIN`` / ``merge_asof``
-    (backward).  Plan: union both sides tagged, window per key ordered
-    by (ts, side) with ``last(right_payload, ignorenulls)`` over an
-    unbounded-preceding frame, keep left rows.  Right rows at exactly
-    the same timestamp sort BEFORE left rows, so ties match.
+    Plan (both directions): union both sides tagged, ONE window per key
+    ordered by (ts, side) carrying the nearest right payload
+    (``last(ignorenulls)`` over unbounded-preceding for backward,
+    ``first(ignorenulls)`` over unbounded-following for forward), keep
+    left rows.  Exactly-equal timestamps match in both directions (the
+    side sort key places right rows on the frame side of left rows).
+    One shuffle on the keys — never a per-row range probe.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
     r_payload_t = right.select(F.struct(*right.columns).alias("p")).schema[0].dataType
 
+    # ties: the right row must land inside the left row's frame, so
+    # right sorts before left for backward, after left for forward
+    l_side, r_side = (1, 0) if direction == "backward" else (0, 1)
     l2 = left.select(
         *[F.col(c) for c in on],
         F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),
+        F.lit(l_side).alias("__side"),
         F.struct(*[c for c in left.columns]).alias("__l"),
         F.lit(None).cast(r_payload_t).alias("__r"),
     )
     r2 = right.select(
         *[F.col(c) for c in on],
         F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
+        F.lit(r_side).alias("__side"),
         F.lit(None).cast(l2.schema["__l"].dataType).alias("__l"),
         F.struct(*[c for c in right.columns]).alias("__r"),
     )
     u = l2.unionByName(r2)
-    w = (
-        Window.partitionBy(*on)
-        .orderBy("__ts", "__side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w)).where(
-        F.col("__side") == 1
-    )
+    base = Window.partitionBy(*on).orderBy("__ts", "__side")
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        nearest = F.last("__r", ignorenulls=True).over(w)
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        nearest = F.first("__r", ignorenulls=True).over(w)
+    matched = u.withColumn("__m", nearest).where(F.col("__side") == l_side)
+    if tolerance_ms is not None:
+        gap = F.abs(
+            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col(f"__m.{right_ts}"))
+        ) / F.lit(1000)
+        matched = matched.withColumn(
+            "__m", F.when(gap <= F.lit(tolerance_ms), F.col("__m"))
+        )
     out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
     out_cols += [F.col(f"__m.{c}").alias(f"{right_prefix}{c}") for c in right.columns]
     return matched.select(*out_cols)

@@ -638,3 +638,60 @@ def jx_edges_week_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark=spark,
         tables=_tables(spark, sf_dir, "events"),
     )
+
+
+@query(
+    "jx_edges_duration_cube",
+    oracle="""
+    WITH gaps AS (
+      SELECT (epoch_ms(ts) - lag(epoch_ms(ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id)) / 1000.0 AS gap_s
+      FROM events
+    ),
+    dom AS (
+      SELECT CAST(i * 300 AS DOUBLE) AS gap_bucket
+      FROM (SELECT unnest(generate_series(0, 11)) AS i)
+      UNION ALL SELECT NULL
+    ),
+    agg AS (
+      SELECT CASE WHEN gap_s >= 0 AND gap_s < 3600
+                  THEN floor(gap_s / 300) * 300 END AS gap_bucket,
+             count(*) AS n
+      FROM gaps
+      GROUP BY 1
+    )
+    SELECT dom.gap_bucket, coalesce(agg.n, 0) AS n
+    FROM dom LEFT JOIN agg ON dom.gap_bucket IS NOT DISTINCT FROM agg.gap_bucket
+    """,
+    tags=("jx", "edges", "duration_domain", "null_part"),
+)
+def jx_edges_duration_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-domain edges (u, mo_times Duration / jx_base duration
+    domain): per-user inter-event gaps in seconds bucketed into
+    complete 5-minute parts over [0, 1h), with the null part taking
+    first-events (no gap) and gaps beyond the domain — the jx cube
+    shape over a DERIVED duration value (the table fed to the edges
+    query is itself an engine windowed DataFrame)."""
+    from pyspark.sql import Window
+
+    prepare(spark)
+    events = _tables(spark, sf_dir, "events")["events"]
+    ems = (F.unix_micros(F.col("ts")) / 1000).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.select(((ems - F.lag(ems).over(w)) / F.lit(1000.0)).alias("gap_s"))
+    return jx_run(
+        {
+            "from": "gaps",
+            "edges": [
+                {
+                    "name": "gap_bucket",
+                    "value": "gap_s",
+                    "allowNulls": True,
+                    "domain": {"type": "duration", "min": 0, "max": 3600, "interval": 300},
+                }
+            ],
+            "select": [{"name": "n", "aggregate": "count"}],
+        },
+        spark=spark,
+        tables={"gaps": gaps},
+    )

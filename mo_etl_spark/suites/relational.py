@@ -677,3 +677,47 @@ def join_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
             F.round(F.sum(cents("l_extendedprice")) / 7.0, 2).alias("avg_yearly_cents"),
         )
     )
+
+
+@query(
+    "join_asof_forward_tolerance",
+    oracle="""
+    SELECT p.event_id,
+           CASE WHEN epoch_ms(c.ts) - epoch_ms(p.ts) <= 600000
+                THEN c.event_id END AS next_click_id,
+           CASE WHEN epoch_ms(c.ts) - epoch_ms(p.ts) <= 600000
+                THEN epoch_ms(c.ts) - epoch_ms(p.ts) END AS wait_ms
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts >= p.ts
+    """,
+    tags=("join_asof", "asof_forward", "asof_tolerance"),
+)
+def join_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of with tolerance (merge_asof parity, engine
+    addition): for every purchase, the user's NEXT click — nulled when
+    it comes more than 10 minutes later (nearest-then-bound, not
+    any-within-bound).  Same union+one-window plan as backward, frame
+    flipped to unbounded-following.  The oracle takes DuckDB's forward
+    ASOF (c.ts >= p.ts) and applies the identical tolerance mask."""
+    events = _t(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("next_click_id")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_prefix="m_",
+        direction="forward",
+        tolerance_ms=600_000,
+    )
+    ems = lambda c: (F.unix_micros(F.col(c)) / 1000).cast("long")  # noqa: E731
+    return out.select(
+        "event_id",
+        F.col("m_next_click_id").alias("next_click_id"),
+        (ems("m_ts") - ems("ts")).alias("wait_ms"),
+    )

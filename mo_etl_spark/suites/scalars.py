@@ -335,3 +335,42 @@ def scalar_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.try_variant_get(v, "$.k", "bigint") * 2).alias("k2"),
         v.isNotNull().alias("has_props"),
     )
+
+
+@query(
+    "scalar_fuzzy_string_family",
+    oracle="""
+    SELECT doc_id,
+           levenshtein(source, 'src10') AS src_dist,
+           split_part(text, ' ', 2) AS second_word,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_number_runs,
+           CAST(round(
+             1.0 - CAST(levenshtein(source, 'src10') AS DOUBLE)
+                   / greatest(length(source), 5), 6) AS DOUBLE) AS src_sim
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    tags=("scalar", "string", "fuzzy", "levenshtein"),
+)
+def scalar_fuzzy_string_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy/string-mining scalars (engine addition over the jx string
+    family — near-dup keys and record linkage need them): levenshtein
+    edit distance (integer -> cross-engine exact), a normalized
+    similarity ratio derived from it (identical double formula both
+    sides), split_part field extraction, and regexp_extract_all run
+    counting.  All JVM-side codegen expressions — no UDF."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    dist = F.levenshtein("source", F.lit("src10"))
+    return docs.select(
+        "doc_id",
+        dist.alias("src_dist"),
+        F.split_part(F.col("text"), F.lit(" "), F.lit(2)).alias("second_word"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), F.lit(0))).alias(
+            "n_number_runs"
+        ),
+        F.round(
+            F.lit(1.0)
+            - dist.cast("double") / F.greatest(F.length("source"), F.lit(5)),
+            6,
+        ).cast("double").alias("src_sim"),
+    )

@@ -128,6 +128,97 @@ CASES = [
         ],
     },
     {
+        "name": "in_list_membership",
+        "query": {"from": "docs", "where": {"in": ["tag", {"literal": ["x", "z"]}]},
+                  "select": ["name"], "sort": "name"},
+        "expecting_list": [{"name": ""}, {"name": "alpha"}, {"name": "delta"}],
+    },
+    {
+        "name": "div_by_zero_is_null",
+        "query": {"from": "docs", "where": {"exists": "a"},
+                  "select": [{"name": "d", "value": {"div": ["a", {"literal": 0}]}}]},
+        # mo_math decisive division (u): x/0 -> Null, never an error
+        "expecting_list": [{"d": None}, {"d": None}, {"d": None}],
+    },
+    {
+        "name": "coalesce_first_present",
+        "query": {"from": "docs",
+                  "select": [{"name": "c", "value": {"coalesce": ["b", "a"]}}],
+                  "sort": "c"},
+        "expecting_list": [{"c": 2.0}, {"c": 10.0}, {"c": 30.0}, {"c": 40.0}],
+    },
+    {
+        "name": "concat_skips_missing",
+        "query": {"from": "docs",
+                  "select": [{"name": "c", "value": {"concat": ["name", "tag"]}}],
+                  "sort": "c"},
+        # ""-is-missing: the empty name contributes nothing -> 'x'
+        "expecting_list": [{"c": "alphax"}, {"c": "betay"}, {"c": "deltaz"}, {"c": "x"}],
+    },
+    {
+        "name": "not_left_drops_prefix",
+        "query": {"from": "docs", "where": {"eq": {"name": "delta"}},
+                  "select": [{"name": "c", "value": {"not_left": ["name", 2]}}]},
+        "expecting_list": [{"c": "lta"}],
+    },
+    {
+        "name": "find_index_or_null",
+        "query": {"from": "docs",
+                  "select": [{"name": "f", "value": {"find": ["name", {"literal": "et"}]}},
+                             "name"],
+                  "sort": "name"},
+        # 0-based index where found, Null where absent (u, jx find)
+        "expecting_list": [
+            {"f": None, "name": ""},
+            {"f": None, "name": "alpha"},
+            {"f": 1, "name": "beta"},
+            {"f": None, "name": "delta"},
+        ],
+    },
+    {
+        "name": "floor_to_multiple",
+        "query": {"from": "docs",
+                  "select": [{"name": "f", "value": {"floor": ["b", 20]}}], "sort": "f"},
+        # jx floor-to-multiple-of (u, mo_math); missing -> Null first
+        "expecting_list": [{"f": None}, {"f": 0}, {"f": 20}, {"f": 40}],
+    },
+    {
+        "name": "mod_is_positive",
+        "query": {"from": "docs", "where": {"eq": {"tag": "y"}},
+                  "select": [{"name": "m", "value": {"mod": [{"literal": -7}, 3]}}]},
+        # jx mod is positive (u, mo_math): -7 mod 3 = 2, not -1
+        "expecting_list": [{"m": 2}],
+    },
+    {
+        "name": "deep_from_keeps_parent_null_row",
+        "query": {"from": "docs.arr",
+                  "select": ["tag", {"name": "v", "value": "arr"}],
+                  "sort": ["tag", "v"]},
+        # unnest keeps parent fields; the arr-less doc stays with v=Null
+        # (explode_outer -- the allowNulls form of jx deep queries)
+        "expecting_list": [
+            {"tag": "x", "v": None},
+            {"tag": "x", "v": 1.0},
+            {"tag": "x", "v": 2.0},
+            {"tag": "y", "v": 3.0},
+            {"tag": "z", "v": 4.0},
+            {"tag": "z", "v": 5.0},
+        ],
+    },
+    {
+        "name": "groupby_max_cardinality_union",
+        "query": {"from": "docs", "groupby": "tag",
+                  "select": [{"name": "mx", "value": "b", "aggregate": "maximum"},
+                             {"name": "card", "value": "a", "aggregate": "cardinality"},
+                             {"name": "u", "value": "a", "aggregate": "union"}]},
+        "sorted_by": "tag",
+        "expecting_list": [
+            {"tag": "x", "mx": 30.0, "card": 1, "u": [1.0]},
+            {"tag": "y", "mx": None, "card": 1, "u": [2.0]},
+            {"tag": "z", "mx": 40.0, "card": 1, "u": [4.0]},
+        ],
+    },
+    {
         "name": "format_table",
         "query": {"from": "docs", "where": {"eq": {"tag": "x"}},
                   "select": ["tag", "b"], "sort": "b", "format": "table"},

@@ -360,3 +360,32 @@ def test_simhash_hamming_banding_bounds_join(spark, sf001):
     plan = plan_of(llm_dedup_simhash_hamming(spark, sf001))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf001):
+    """Dynamic partition pruning: when the partition column's filter
+    arrives through a JOIN (dim side filtered at runtime), the fact
+    scan must carry a dynamicpruning subquery on the partition column
+    instead of reading every directory — the 100 TB star-join staple
+    alongside static PartitionFilters."""
+    import os
+
+    from pyspark.sql import functions as F
+    from mo_etl_spark.tables import load_table
+
+    path = "/root/repo/.cache/sf0_001/events_dpp"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load_table(spark, sf001, "events").select(
+            "event_id", "user_id", "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        ).write.mode("overwrite").partitionBy("event_type").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        load_table(spark, sf001, "events")
+        .select("event_type")
+        .distinct()
+        .withColumn("keep", F.col("event_type").startswith("p"))
+    )
+    joined = fact.join(dim.where("keep"), "event_type").groupBy("user_id").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
