@@ -1077,3 +1077,58 @@ def llm_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = with_binary_payload(_docs(spark, sf_dir))
     return audio_features_batch(docs)
+
+
+@query(
+    "llm_url_canonicalize",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             concat('https://',
+                    CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END,
+                    '.Example.COM',
+                    CASE WHEN doc_id % 3 = 0 THEN ':8080' ELSE '' END,
+                    '/docs/', CAST(doc_id AS VARCHAR), '?lang=', lang, '#frag') AS url
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, 'https?://([^/:?#]+)', 1) AS host,
+           regexp_extract(url, 'https?://[^/?#]*(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?([^#]*)', 1) AS query,
+           concat(lower(regexp_extract(url, 'https?://([^/:?#]+)', 1)),
+                  regexp_extract(url, 'https?://[^/?#]*(/[^?#]*)', 1)) AS canonical
+    FROM urls
+    """,
+    tags=("url_canonicalize", "text_analysis", "pii_scrub"),
+)
+def llm_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (training-data cleaning staple: dedup keys
+    and crawl-frontier identity need case-folded hosts, ports/fragments
+    stripped, path preserved).  Spark side uses the JVM ``parse_url``
+    expression (HOST excludes the port, PATH excludes query/fragment —
+    codegen, no UDF); the oracle reproduces the exact component grammar
+    with regexes.  Synthetic URLs derive deterministically from the
+    corpus with planted case/port/fragment noise."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("#frag"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    host = F.parse_url("url", F.lit("HOST"))
+    path = F.parse_url("url", F.lit("PATH"))
+    return u.select(
+        "doc_id",
+        "url",
+        host.alias("host"),
+        path.alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.concat(F.lower(host), path).alias("canonical"),
+    )

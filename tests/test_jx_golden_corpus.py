@@ -225,6 +225,21 @@ CASES = [
         "expecting_table": {"header": ["tag", "b"], "data": [["x", 10.0], ["x", 30.0]]},
     },
     {
+        "name": "format_cube_two_edges_dense",
+        "query": {"from": "docs",
+                  "edges": [
+                      {"name": "tag", "value": "tag",
+                       "domain": {"type": "set", "partitions": ["x", "y", "z"]}},
+                      {"name": "big", "value": {"gte": ["a", 2]}},
+                  ],
+                  "select": [{"name": "n", "aggregate": "count"},
+                             {"name": "asum", "value": "a", "aggregate": "sum"}],
+                  "format": "cube"},
+        # 3x|big-domain| dense matrices, one per select, empty parts 0/None;
+        # the a=None doc has big=None -> routed per boolean-edge domain
+        "expecting_cube_shape": {"n_edges": 2, "selects": ["n", "asum"]},
+    },
+    {
         "name": "format_cube_set_edge",
         "query": {"from": "docs",
                   "edges": [{"name": "tag", "value": "tag",
@@ -261,6 +276,19 @@ def test_golden(case, spark, docs_df):
     elif "expecting_cube" in case:
         cube = format_result(df, case["query"])
         assert cube["data"] == case["expecting_cube"]["data"]
+    elif "expecting_cube_shape" in case:
+        cube = format_result(df, case["query"])
+        want = case["expecting_cube_shape"]
+        assert len(cube["edges"]) == want["n_edges"]
+        assert sorted(cube["data"]) == sorted(want["selects"])
+        d0 = cube["edges"][0]["domain"]["partitions"]
+        d1 = cube["edges"][1]["domain"]["partitions"]
+        for sel in want["selects"]:
+            m = cube["data"][sel]
+            assert len(m) == len(d0) and all(len(row) == len(d1) for row in m)
+        # counts reconcile with the flat result
+        flat = sum(r["n"] for r in df.collect())
+        assert flat == sum(x for row in cube["data"]["n"] for x in row)
     else:
         raise AssertionError("case declares no expectation")
 

@@ -102,6 +102,35 @@ def main() -> None:
     t["gemm_topk_pairs_" + str(args.queries * args.vecs)] = round(time.time() - t0, 2)
     assert n_topk == args.queries * 10
 
+    # as-of join at scale: every 10th event is a "left" probe against
+    # the full stream (union + ONE window -- the claim under test is
+    # that cost scales with rows, not probe x stream pairs)
+    from mo_etl_spark.operators.joins import asof_join
+
+    left = events.where(F.col("event_id") % 10 == 0).select("event_id", "user_id", "ts")
+    right = events.select("user_id", "ts", F.col("event_id").alias("r_id"))
+    t0 = time.time()
+    matched = asof_join(left, right, on=["user_id"], left_ts="ts", right_ts="ts")
+    # aggregate OVER the matched payload so Catalyst cannot prune the
+    # window (a bare count() would drop the as-of computation entirely)
+    n_asof, _ = matched.agg(F.count(F.lit(1)), F.sum("r_r_id")).first()
+    t["asof_join"] = round(time.time() - t0, 2)
+    assert n_asof == left.count()
+
+    # resample+ffill at scale: per-key dense hourly grid + carry
+    from mo_etl_spark.operators.timeseries import resample_ffill
+
+    t0 = time.time()
+    resample_ffill(
+        events,
+        "user_id",
+        "ts",
+        F.col("event_id"),
+        F.col("event_id"),
+        step="1 hour",
+    ).agg(F.count(F.lit(1)), F.sum("filled_v")).collect()
+    t["resample_ffill"] = round(time.time() - t0, 2)
+
     print(json.dumps({"rows": args.rows, "vecs": args.vecs, "timings": t}))
 
 
