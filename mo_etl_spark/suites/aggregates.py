@@ -544,3 +544,55 @@ def agg_corr_covar_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "covar_samp_qty_price"
         ),
     )
+
+
+@query(
+    "agg_partial_merge",
+    oracle="""
+    WITH part1 AS (
+      SELECT o_orderstatus, count(*) AS n,
+             sum(CAST(round(o_totalprice*100) AS BIGINT)) AS cents,
+             min(o_orderdate) AS first_dt, max(o_orderdate) AS last_dt
+      FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1
+    ),
+    part2 AS (
+      SELECT o_orderstatus, count(*) AS n,
+             sum(CAST(round(o_totalprice*100) AS BIGINT)) AS cents,
+             min(o_orderdate) AS first_dt, max(o_orderdate) AS last_dt
+      FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1
+    ),
+    merged AS (SELECT * FROM part1 UNION ALL SELECT * FROM part2)
+    SELECT o_orderstatus, sum(n) AS n, sum(cents) AS cents,
+           min(first_dt) AS first_dt, max(last_dt) AS last_dt
+    FROM merged GROUP BY o_orderstatus
+    """,
+    tags=("groupby", "partial_merge", "incremental_etl"),
+)
+def agg_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-aggregate MERGE — the incremental-ETL staple (the
+    reference's block ETL (u, ActiveData-ETL) aggregates per S3 block
+    and re-aggregates downstream; at 100 TB you never re-scan history,
+    you merge partials): two disjoint half-corpus aggregates unioned
+    and re-aggregated with the merge functions (sum of counts/sums,
+    min of mins, max of maxes) must equal the direct aggregate — which
+    is what the oracle reproduces.  count/sum/min/max are the
+    re-aggregable family; avg derives as sum/count at read time."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def partial(pred):
+        return orders.where(pred).groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("o_totalprice")).alias("cents"),
+            F.min("o_orderdate").alias("first_dt"),
+            F.max("o_orderdate").alias("last_dt"),
+        )
+
+    both = partial(F.col("o_orderkey") % 2 == 0).unionByName(
+        partial(F.col("o_orderkey") % 2 == 1)
+    )
+    return both.groupBy("o_orderstatus").agg(
+        F.sum("n").alias("n"),
+        F.sum("cents").alias("cents"),
+        F.min("first_dt").alias("first_dt"),
+        F.max("last_dt").alias("last_dt"),
+    )

@@ -374,3 +374,36 @@ def scalar_fuzzy_string_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).cast("double").alias("src_sim"),
     )
+
+
+@query(
+    "scalar_map_literal_enrich",
+    oracle="""
+    SELECT CASE o_orderpriority
+             WHEN '1-URGENT' THEN 'P1' WHEN '2-HIGH' THEN 'P2'
+             WHEN '3-MEDIUM' THEN 'P3' WHEN '4-NOT SPECIFIED' THEN 'P4'
+             WHEN '5-LOW' THEN 'P5' ELSE 'P?' END AS prio_code,
+           count(*) AS n
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("scalar", "map_literal", "broadcast_free_enrich"),
+)
+def scalar_map_literal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-as-literal-map enrichment: tiny closed enums (priority
+    codes here) belong in the PLAN as a literal map lookup — zero join,
+    zero broadcast, pure codegen — instead of even a broadcast join
+    (the jx 'set domain' decode shape (u)).  `F.create_map` of literals
+    + `element_at` with a coalesced default; the oracle is the CASE
+    ladder Catalyst effectively folds this into."""
+    orders = _t(spark, sf_dir, "orders")
+    mapping = {
+        "1-URGENT": "P1",
+        "2-HIGH": "P2",
+        "3-MEDIUM": "P3",
+        "4-NOT SPECIFIED": "P4",
+        "5-LOW": "P5",
+    }
+    codes = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
+    code = F.coalesce(F.element_at(codes, F.col("o_orderpriority")), F.lit("P?"))
+    return orders.groupBy(code.alias("prio_code")).agg(F.count(F.lit(1)).alias("n"))

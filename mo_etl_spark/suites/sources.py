@@ -334,3 +334,85 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
     )
+
+
+@query(
+    "source_schema_evolution",
+    oracle="""
+    WITH v1 AS (
+      SELECT event_id, user_id,
+             CAST(round(value*100) AS BIGINT) AS value_cents,
+             CAST(NULL AS VARCHAR) AS channel
+      FROM events WHERE event_id % 2 = 0
+    ),
+    v2 AS (
+      SELECT event_id, user_id,
+             CAST(round(value*100) AS BIGINT) AS value_cents,
+             concat('ch', CAST(user_id % 4 AS VARCHAR)) AS channel
+      FROM events WHERE event_id % 2 = 1
+    ),
+    unioned AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT coalesce(channel, 'legacy') AS channel,
+           count(*) AS n, sum(value_cents) AS total_cents
+    FROM unioned
+    GROUP BY 1
+    """,
+    tags=("scan_parquet", "schema_evolution", "mergeSchema"),
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema EVOLUTION (jx-sqlite's new-key->new-column (u)
+    at the storage layer): generation 1 files lack a column that
+    generation 2 adds; a ``mergeSchema`` scan reconciles both under one
+    superset schema, old rows reading NULL for the new column.  This is
+    how a 100 TB lake absorbs producer upgrades without rewriting
+    history (pair with partitioned layout so old directories stay
+    untouched)."""
+    prepare(spark)
+    path = _dir(sf_dir, "events_evolving")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.round(F.col("value") * 100).cast("long").alias("value_cents")
+    )
+    events.where(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(f"{path}/gen=1")
+    events.where(F.col("event_id") % 2 == 1).withColumn(
+        "channel", F.concat(F.lit("ch"), (F.col("user_id") % 4).cast("string"))
+    ).write.mode("overwrite").parquet(f"{path}/gen=2")
+    back = spark.read.option("mergeSchema", "true").parquet(f"{path}/gen=1", f"{path}/gen=2")
+    return back.groupBy(
+        F.coalesce("channel", F.lit("legacy")).alias("channel")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value_cents").alias("total_cents"))
+
+
+@query(
+    "sink_range_sorted_layout",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           count(*) AS n,
+           sum(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("sink_parquet", "repartitionByRange", "sorted_layout"),
+)
+def sink_range_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioned, within-file-sorted parquet layout — the
+    time-series lake staple: ``repartitionByRange(o_orderdate)`` +
+    ``sortWithinPartitions`` gives each file a tight min/max band on
+    the sort column, so parquet row-group statistics prune time-range
+    scans file-by-file (the same read-pruning effect as Hive
+    partitioning without the directory explosion of high-cardinality
+    keys).  The scan back aggregates per month; a hash match proves
+    the re-layout lost nothing."""
+    prepare(spark)
+    path = _dir(sf_dir, "orders_range_sorted")
+    orders = load_table(spark, sf_dir, "orders")
+    (
+        orders.repartitionByRange(8, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+    )

@@ -389,3 +389,29 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, sf001):
     joined = fact.join(dim.where("keep"), "event_type").groupBy("user_id").count()
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_range_sorted_sink_yields_disjoint_file_bands(spark, sf001):
+    """sink_range_sorted_layout's claim is the physical layout: after
+    repartitionByRange + sortWithinPartitions, each parquet file's
+    [min, max] band on the sort column must be disjoint from every
+    other file's — that's what lets row-group statistics prune a
+    time-range scan file-by-file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mo_etl_spark.suites.sources import sink_range_sorted_layout
+
+    sink_range_sorted_layout(spark, sf001).count()  # materialize the sink
+    bands = []
+    for f in glob.glob("/root/repo/.cache/sf0.001/orders_range_sorted/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("o_orderdate")
+        lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+        bands.append((lo, hi))
+    assert len(bands) >= 4  # actually range-partitioned, not one file
+    bands.sort()
+    for (_, hi_prev), (lo_next, _) in zip(bands, bands[1:]):
+        assert hi_prev <= lo_next  # disjoint (range boundaries may touch)
