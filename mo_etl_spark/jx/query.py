@@ -396,18 +396,22 @@ def _apply_window(df: DataFrame, w: dict) -> DataFrame:
     spec = Window.partitionBy(*[jx_expr(e, df) for e in edges])
     if sorts:
         spec = spec.orderBy(*_sort_cols(sorts, df))
+
+    agg = w.get("aggregate")
+    # rank/rownum/lag/lead are ROW functions: Spark rejects an explicit
+    # frame for lag/lead, and a frame is meaningless for the rank
+    # family — only aggregate-valued windows get the jx `range` frame
+    framed = agg not in ("rownum", "rank", "dense_rank", "percentile_rank", "lag", "lead")
     rng = w.get("range")
-    if rng is not None:
+    if framed and rng is not None:
         lo = rng.get("min")
         hi = rng.get("max")
         spec = spec.rowsBetween(
             Window.unboundedPreceding if lo is None else int(lo),
             Window.unboundedFollowing if hi is None else int(hi),
         )
-    elif sorts:
+    elif framed and sorts:
         spec = spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    agg = w.get("aggregate")
     value = w.get("value", ".")
     if agg == "rownum" or (agg is None and value == "rownum"):
         col = F.row_number().over(spec) - 1  # jx rownum is 0-based (u)

@@ -225,6 +225,49 @@ CASES = [
         "expecting_table": {"header": ["tag", "b"], "data": [["x", 10.0], ["x", 30.0]]},
     },
     {
+        "name": "window_cumulative_sum",
+        "query": {"from": "docs", "select": ["name", "tag"],
+                  "window": [{"name": "cum_b", "value": "b", "aggregate": "sum",
+                              "edges": ["tag"], "sort": ["name"],
+                              "range": {"max": 0}}],
+                  "sort": ["tag", "name"]},
+        # jx cumulative: range {min: null, max: 0} (u)
+        "expecting_list": [
+            {"name": "", "tag": "x", "cum_b": 30.0},
+            {"name": "alpha", "tag": "x", "cum_b": 40.0},
+            {"name": "beta", "tag": "y", "cum_b": None},
+            {"name": "delta", "tag": "z", "cum_b": 40.0},
+        ],
+    },
+    {
+        "name": "window_moving_average",
+        "query": {"from": "docs", "select": ["name"],
+                  "window": [{"name": "mv", "value": "a", "aggregate": "average",
+                              "sort": ["name"], "range": {"min": -1, "max": 0}}],
+                  "sort": ["name"]},
+        # 2-row moving avg, null-skipping: ("",alpha)=1.0 (null skipped)
+        "expecting_list": [
+            {"name": "", "mv": None},
+            {"name": "alpha", "mv": 1.0},
+            {"name": "beta", "mv": 1.5},
+            {"name": "delta", "mv": 3.0},
+        ],
+    },
+    {
+        "name": "window_lag_per_edge",
+        "query": {"from": "docs", "select": ["name"],
+                  "window": [{"name": "prev", "value": "name", "aggregate": "lag",
+                              "sort": ["name"], "edges": ["tag"]}],
+                  "sort": ["tag", "name"]},
+        # jx rows[-1]: offset functions take NO frame (engine strips it)
+        "expecting_list": [
+            {"name": "", "prev": None},
+            {"name": "alpha", "prev": ""},
+            {"name": "beta", "prev": None},
+            {"name": "delta", "prev": None},
+        ],
+    },
+    {
         "name": "format_cube_two_edges_dense",
         "query": {"from": "docs",
                   "edges": [

@@ -66,6 +66,13 @@ def near(a, b, tol=1e-9):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--driver-default",
+        action="store_true",
+        help="run under a PLAIN SparkSession.builder session (Spark-4 "
+        "defaults: ANSI on, unknown timezone/conf state) — the gate "
+        "proving every query normalizes any session it is handed",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -75,7 +82,12 @@ def main() -> int:
     from mo_etl_spark.session import get_spark
     from mo_etl_spark.tables import TABLES
 
-    spark = get_spark(app_name="check")
+    if args.driver_default:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName("check-dd").getOrCreate()
+    else:
+        spark = get_spark(app_name="check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
