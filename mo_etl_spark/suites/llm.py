@@ -1235,3 +1235,55 @@ def llm_sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 5)
         .select("q_id", "c_id", "dot_i8", "rnk")
     )
+
+
+@query(
+    "llm_pack_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents WHERE doc_id < 500
+    ),
+    placed AS (
+      SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, start_off,
+           CAST(floor(start_off / 512) AS BIGINT) AS start_bin,
+           CAST(floor((start_off + n_tokens - 1) / 512) AS BIGINT) AS end_bin,
+           CAST(start_off % 512 AS BIGINT) AS offset_in_bin
+    FROM placed
+    """,
+    tags=("sequence_packing", "chunking", "window_agg"),
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window sequence PACKING (pretraining data layout):
+    documents are concatenated in a stable order and sliced into
+    fixed 512-token bins, docs straddling boundaries — the standard
+    packed-pretraining layout (each doc's global start offset is a
+    prefix sum, so placement is one window pass, embarrassingly
+    re-computable).  Emits per doc its start offset, first/last bin,
+    and offset within the first bin.  At 100 TB the single global
+    cumsum becomes per-shard cumsums + a tiny shard-offset broadcast
+    (the same partial-merge trick as agg_partial_merge)."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 500)
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    placed = toks.withColumn(
+        "start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    budget = F.lit(512)
+    return placed.select(
+        "doc_id",
+        "n_tokens",
+        "start_off",
+        F.floor(F.col("start_off") / budget).alias("start_bin"),
+        F.floor((F.col("start_off") + F.col("n_tokens") - 1) / budget).alias("end_bin"),
+        (F.col("start_off") % budget).alias("offset_in_bin"),
+    )

@@ -306,11 +306,18 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
     t_o, t_l = f"bktq_orders_{tag}", f"bktq_lineitem_{tag}"
 
+    # the MANAGED-table location follows the session's warehouse conf —
+    # a driver-provided session may use its own warehouse AND a fresh
+    # in-memory metastore, so both the freshness check and the cleanup
+    # must use paths the CURRENT session would actually write to (a
+    # stale location unknown to a fresh catalog would fail saveAsTable)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+
     def _fresh(t: str, src: str) -> bool:
         """Bucketed tables are the pay-the-shuffle-ONCE pattern — reuse
         the materialization across runs unless the source parquet is
         newer (testdata regeneration) or the table vanished."""
-        loc = f"/root/repo/.cache/warehouse/{t}"
+        loc = os.path.join(wh, t)
         return (
             spark.catalog.tableExists(t)
             and os.path.exists(loc)
@@ -320,7 +327,7 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not (_fresh(t_o, "orders.parquet") and _fresh(t_l, "lineitem.parquet")):
         for t in (t_o, t_l):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
-            shutil.rmtree(f"/root/repo/.cache/warehouse/{t}", ignore_errors=True)
+            shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
         load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderstatus"
         ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(t_o)
