@@ -407,3 +407,48 @@ def scalar_map_literal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
     code = F.coalesce(F.element_at(codes, F.col("o_orderpriority")), F.lit("P?"))
     return orders.groupBy(code.alias("prio_code")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "scalar_array_setops_family",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           list_sort(list_filter(t, x -> list_contains(['the','a','of','and','to'], x)))
+             AS stop_hits,
+           len(list_filter(t, x -> NOT list_contains(['the','a','of','and','to'], x)))
+             AS n_content,
+           len(list_distinct(list_concat(t, ['the','a','of','and','to'])))
+             AS n_union,
+           len(list_filter(t, x -> list_contains(['the','a','of','and','to'], x))) > 0
+             AS has_stopword
+    FROM toks
+    """,
+    tags=("scalar", "array", "array_setops"),
+)
+def scalar_array_setops_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array SET operations (mo-dots multi-value column algebra (u);
+    jx 'union' over per-doc value sets): intersect / except / union /
+    overlap between each document's distinct-token array and a literal
+    stopword set — all JVM higher-order/array built-ins, no explode, no
+    shuffle.  Results normalized with array_sort for cross-engine
+    determinism (Spark's set functions already dedup; the oracle
+    emulates them with list_filter/list_contains)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to")])
+    toks = F.array_distinct(
+        F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+    )
+    t = docs.select("doc_id", toks.alias("t"))
+    return t.select(
+        "doc_id",
+        F.array_sort(F.array_intersect("t", stop)).alias("stop_hits"),
+        F.size(F.array_except("t", stop)).alias("n_content"),
+        F.size(F.array_union("t", stop)).alias("n_union"),
+        F.arrays_overlap("t", stop).alias("has_stopword"),
+    )

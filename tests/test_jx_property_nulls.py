@@ -84,3 +84,56 @@ def test_empty_string_is_missing_property(spark):
     ).collect()}
     for i, v in enumerate(vals):
         assert bool(out[i]) == (v is None or v == ""), (v, out[i])
+
+
+def model_left(s, n):
+    return None if s is None else s[:n]
+
+
+def model_right(s, n):
+    return None if s is None else (s[-n:] if n else "")
+
+
+def model_not_left(s, n):
+    return None if s is None else s[n:]
+
+
+def model_find(s, sub):
+    if s is None:
+        return None
+    i = s.find(sub)
+    return None if i < 0 else i
+
+
+def test_string_ops_property_grid(spark):
+    """Randomized string-op grid vs a direct Python model: left/right/
+    not_left slice semantics, find-or-Null, and Null absorption —
+    one batched job over 300 generated strings."""
+    import random
+
+    from mo_etl_spark.jx.expressions import jx_expr
+    from mo_etl_spark.session import prepare
+
+    prepare(spark)
+    rng = random.Random(7)
+    alpha = "ab x"
+    vals = [None, ""] + [
+        "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 12))) for _ in range(298)
+    ]
+    df = spark.createDataFrame(list(enumerate(vals)), "i long, s string")
+    out = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            jx_expr({"left": ["s", 3]}, df).alias("l"),
+            jx_expr({"right": ["s", 3]}, df).alias("r"),
+            jx_expr({"not_left": ["s", 3]}, df).alias("nl"),
+            jx_expr({"find": ["s", {"literal": "ab"}]}, df).alias("f"),
+        ).collect()
+    }
+    for i, s in enumerate(vals):
+        r = out[i]
+        assert r["l"] == model_left(s, 3), (s, r["l"])
+        assert r["r"] == model_right(s, 3), (s, r["r"])
+        assert r["nl"] == model_not_left(s, 3), (s, r["nl"])
+        assert r["f"] == model_find(s, "ab"), (s, r["f"])
