@@ -452,3 +452,38 @@ def scalar_array_setops_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_union("t", stop)).alias("n_union"),
         F.arrays_overlap("t", stop).alias("has_stopword"),
     )
+
+
+@query(
+    "scalar_map_family",
+    oracle="""
+    SELECT p_partkey,
+           CAST(p_size AS VARCHAR) AS size_v,
+           p_brand AS brand_v,
+           2 AS n_keys,
+           'brand,size' AS keys_sorted
+    FROM part
+    WHERE p_partkey < 200
+    """,
+    tags=("scalar", "map", "str_to_map"),
+)
+def scalar_map_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (jx object/get over dynamic keys (u, mo_dots
+    `get`)): a config string built from part columns round-trips
+    through ``str_to_map`` and dynamic ``element_at`` lookups; map_keys
+    (sorted) and size prove structural access.  The oracle states the
+    EXPECTED values straight from the source columns, so a hash match
+    proves parse + lookup are lossless — all JVM map expressions, no
+    UDF, no shuffle."""
+    part = _t(spark, sf_dir, "part").where(F.col("p_partkey") < 200)
+    cfg = F.concat(
+        F.lit("size="), F.col("p_size").cast("string"), F.lit(";brand="), F.col("p_brand")
+    )
+    m = F.expr("str_to_map(cfg, ';', '=')")
+    return part.select("p_partkey", cfg.alias("cfg")).select(
+        "p_partkey",
+        F.element_at(m, F.lit("size")).alias("size_v"),
+        F.element_at(m, F.lit("brand")).alias("brand_v"),
+        F.size(m).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+    )

@@ -225,6 +225,19 @@ CASES = [
         "expecting_table": {"header": ["tag", "b"], "data": [["x", 10.0], ["x", 30.0]]},
     },
     {
+        "name": "aggregate_default_fills_all_null_group",
+        "query": {"from": "docs", "groupby": "tag",
+                  "select": [{"name": "bsum", "value": "b",
+                              "aggregate": "sum", "default": 0}]},
+        # jx select `default`: the all-missing group reads 0, not Null
+        "sorted_by": "tag",
+        "expecting_list": [
+            {"tag": "x", "bsum": 40.0},
+            {"tag": "y", "bsum": 0.0},
+            {"tag": "z", "bsum": 40.0},
+        ],
+    },
+    {
         "name": "window_cumulative_sum",
         "query": {"from": "docs", "select": ["name", "tag"],
                   "window": [{"name": "cum_b", "value": "b", "aggregate": "sum",
