@@ -167,3 +167,38 @@ def top_k_per_group(
         df.withColumn(rank_name, F.row_number().over(w))
         .where(F.col(rank_name) <= k)
     )
+
+
+def fuzzy_blocked_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    block_chars: int = 3,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Entity-resolution join: equi-join on a cheap BLOCK key (first
+    ``block_chars`` of the casefolded key) to bound candidates, then an
+    exact levenshtein filter (``<= max_distance``) verifies each pair —
+    the classic blocking+verify record-linkage plan.  One hash-join
+    shuffle on the block key; the quadratic edit-distance work runs
+    only within blocks.  Recall caveat (documented contract): edits
+    INSIDE the block prefix move a record to another block — raise
+    block_chars recall via multi-blocking (union of several block
+    functions) at scale.
+
+    Returns left.* + right.* + the distance as ``edit_distance``.
+    """
+    lb = F.lower(F.trim(F.col(left_key)))
+    rb = F.lower(F.trim(F.col(right_key)))
+    l2 = left.withColumn("__blk", F.substring(lb, 1, block_chars))
+    r2 = right.withColumn("__blk", F.substring(rb, 1, block_chars))
+    joined = l2.join(r2, "__blk")
+    dist = F.levenshtein(
+        F.lower(F.trim(F.col(left_key))), F.lower(F.trim(F.col(right_key)))
+    )
+    return (
+        joined.withColumn("edit_distance", dist)
+        .where(F.col("edit_distance") <= max_distance)
+        .drop("__blk")
+    )

@@ -1287,3 +1287,41 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.col("start_off") + F.col("n_tokens") - 1) / budget).alias("end_bin"),
         (F.col("start_off") % budget).alias("offset_in_bin"),
     )
+
+
+@query(
+    "llm_weighted_sample",
+    oracle="""
+    WITH prio AS (
+      SELECT doc_id, n_chars,
+             CAST((doc_id * 2654435761) % 1048576 AS DOUBLE)
+               / 1048576.0 / n_chars AS priority
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, round(priority, 9) AS priority
+    FROM prio
+    ORDER BY priority, doc_id
+    LIMIT 100
+    """,
+    tags=("sampling", "weighted_sample"),
+)
+def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sampling (corpus mixing by quality/length
+    weights): priority = u / weight with u a Knuth-multiplicative unit
+    hash of the id — heavier docs get systematically smaller
+    priorities, and the keep-set (lowest-priority top-k) is a pure
+    function of ids, so reruns, repartitions, and both engines agree
+    bit-for-bit (u is a 20-bit dyadic rational; ONE double division
+    per row, identical on both sides).  No shuffle before the top-k:
+    Catalyst plans TakeOrderedAndProject."""
+    docs = _docs(spark, sf_dir).where(F.col("n_chars") > 0)
+    u = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1048576)).cast("double") / F.lit(
+        1048576.0
+    )
+    prio = u / F.col("n_chars")
+    return (
+        docs.select("doc_id", "n_chars", F.round(prio, 9).alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(100)
+    )

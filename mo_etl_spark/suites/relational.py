@@ -721,3 +721,54 @@ def join_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m_next_click_id").alias("next_click_id"),
         (ems("m_ts") - ems("ts")).alias("wait_ms"),
     )
+
+
+@query(
+    "join_fuzzy_blocked_linkage",
+    oracle="""
+    WITH registry AS (
+      SELECT p_partkey + 100000 AS reg_id,
+             CASE WHEN p_partkey % 3 = 0
+                  THEN concat(substr(p_name, 1, 4), 'x', substr(p_name, 6))
+                  ELSE p_name END AS reg_name
+      FROM part WHERE p_partkey < 300
+    )
+    SELECT p.p_partkey, r.reg_id,
+           levenshtein(lower(trim(p.p_name)), lower(trim(r.reg_name))) AS edit_distance
+    FROM (SELECT p_partkey, p_name FROM part WHERE p_partkey < 300) p
+    JOIN registry r
+      ON substr(lower(trim(p.p_name)), 1, 3) = substr(lower(trim(r.reg_name)), 1, 3)
+    WHERE levenshtein(lower(trim(p.p_name)), lower(trim(r.reg_name))) <= 1
+    """,
+    tags=("join_fuzzy", "blocking", "record_linkage", "levenshtein"),
+)
+def join_fuzzy_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (entity resolution) as blocking + verify
+    (operators/joins.fuzzy_blocked_join): a 'registry' with planted
+    single-character corruptions (every third name, at position 5 —
+    outside the block prefix) links back to the clean parts by
+    3-char-block equi-join + levenshtein <= 1.  The quadratic
+    edit-distance work runs only inside blocks; the one shuffle is the
+    block-key hash join.  Both engines compute the identical integer
+    distances, so the pair set hash-matches exactly."""
+    from mo_etl_spark.operators.joins import fuzzy_blocked_join
+
+    part = _t(spark, sf_dir, "part").where(F.col("p_partkey") < 300)
+    registry = part.select(
+        (F.col("p_partkey") + 100000).alias("reg_id"),
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.concat(
+                F.substring("p_name", 1, 4), F.lit("x"), F.expr("substring(p_name, 6)")
+            ),
+        ).otherwise(F.col("p_name")).alias("reg_name"),
+    )
+    out = fuzzy_blocked_join(
+        part.select("p_partkey", "p_name"),
+        registry,
+        left_key="p_name",
+        right_key="reg_name",
+        block_chars=3,
+        max_distance=1,
+    )
+    return out.select("p_partkey", "reg_id", "edit_distance")

@@ -328,3 +328,33 @@ def test_deterministic_sample_large_ids_no_overflow(spark):
     got = {r["doc_id"] for r in deterministic_sample(small).collect()}
     want = {i for i in range(1000) if (i * 2654435761) % 97 < 10}
     assert got == want
+
+
+def test_fuzzy_blocked_join_recovers_planted_typos(spark, sf_dir):
+    """Every planted corruption sits OUTSIDE the block prefix, so the
+    blocked plan must recover all of them at distance exactly 1, and
+    every clean name must self-match at distance 0."""
+    from pyspark.sql import functions as F
+
+    from mo_etl_spark.operators.joins import fuzzy_blocked_join
+    from mo_etl_spark.tables import load_table
+
+    part = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 300)
+    registry = part.select(
+        (F.col("p_partkey") + 100000).alias("reg_id"),
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.concat(
+                F.substring("p_name", 1, 4), F.lit("x"), F.expr("substring(p_name, 6)")
+            ),
+        ).otherwise(F.col("p_name")).alias("reg_name"),
+    )
+    out = fuzzy_blocked_join(
+        part.select("p_partkey", "p_name"), registry,
+        left_key="p_name", right_key="reg_name", block_chars=3, max_distance=1,
+    ).collect()
+    got = {(r["p_partkey"], r["reg_id"]): r["edit_distance"] for r in out}
+    n = part.count()
+    for k in range(n):
+        want = 1 if k % 3 == 0 else 0
+        assert got[(k, k + 100000)] == want, (k, got.get((k, k + 100000)))
