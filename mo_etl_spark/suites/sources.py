@@ -423,3 +423,51 @@ def sink_range_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
     )
+
+
+@query(
+    "source_nested_parquet_roundtrip",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus,
+           count(l.l_linenumber) AS n_lines,
+           sum(CAST(l.l_quantity AS BIGINT)) AS total_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey < 2000
+    GROUP BY 1, 2
+    """,
+    tags=("sink_parquet", "scan_parquet", "nested_schema", "deep_from"),
+)
+def source_nested_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED parquet round trip — the jx-sqlite snowflake document
+    shape (u: fact + nested child arrays) at the STORAGE layer:
+    orders with their lineitems folded into an array<struct> column
+    are written as nested parquet (Dremel repetition/definition
+    encoding, columnar even inside the array), scanned back, and
+    unnested with explode — proving documents-with-children survive
+    columnar IO byte-exactly.  The oracle computes the same aggregate
+    from the FLAT tables, so the fold -> write -> scan -> unnest cycle
+    must be lossless.  At 100 TB the nested layout co-locates each
+    parent with its children (no join at read time) — the reference's
+    denormalized-storage argument, kept Catalyst-visible."""
+    prepare(spark)
+    path = _dir(sf_dir, "orders_nested")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 2000)
+    folded = (
+        li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("l_linenumber", "l_quantity"))
+            ).alias("lines")
+        )
+        .join(orders.select("o_orderkey", "o_orderstatus"), "o_orderkey")
+    )
+    folded.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    exploded = back.select(
+        "o_orderkey", "o_orderstatus", F.explode("lines").alias("l")
+    )
+    return exploded.groupBy("o_orderkey", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l.l_quantity").cast("long")).alias("total_qty"),
+    )
