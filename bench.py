@@ -44,7 +44,11 @@ def main() -> None:
         t0 = time.time()
         try:
             df = qs[name](spark, sf_dir)
-            df.collect()
+            # noop sink: executes the FULL plan (all columns, all rows)
+            # without driver-side Row materialization — a 1M-row result
+            # costs seconds of pure Python object churn under collect(),
+            # which benchmarks the driver process, not the engine
+            df.write.mode("overwrite").format("noop").save()
             timings[name] = round(time.time() - t0, 3)
         except Exception as e:  # bench must always emit its JSON line
             timings[name] = -1.0

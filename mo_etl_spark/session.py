@@ -75,7 +75,16 @@ def get_spark(
         .config("spark.sql.warehouse.dir", "/root/repo/.cache/warehouse")
         .config(
             "spark.driver.extraJavaOptions",
-            "-Dderby.system.home=/root/repo/.cache/derby",
+            "-Dderby.system.home=/root/repo/.cache/derby "
+            # batch-throughput GC: long multi-query sessions accumulate
+            # codegen classes + broadcast refs; ParallelGC trades pause
+            # latency (irrelevant here) for throughput, and a generous
+            # metaspace stops class-unloading churn from 150+ unique
+            # codegen'd plans (measured: random 5-40s stalls under G1)
+            + os.environ.get(
+                "SPARK_GRAFT_GC_OPTS",
+                "-XX:+UseParallelGC -XX:MaxMetaspaceSize=2g -Xms8g",
+            ),
         )
     )
     for k, v in RUNTIME_CONFS.items():

@@ -1,6 +1,7 @@
 """Importing this package populates the query registry (all suites)."""
 
 import mo_etl_spark.suites.aggregates  # noqa: F401
+import mo_etl_spark.suites.analytics  # noqa: F401
 import mo_etl_spark.suites.jx_queries  # noqa: F401
 import mo_etl_spark.suites.llm  # noqa: F401
 import mo_etl_spark.suites.relational  # noqa: F401

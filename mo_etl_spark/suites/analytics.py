@@ -1,0 +1,612 @@
+"""Event-analytics, incremental-ETL, and data-layout operators.
+
+Round-1 extension batch: the classic large-scale analytics shapes a
+production events pipeline runs daily — funnels, cohort retention,
+trailing distinct counts — plus the ETL staples (SCD2/CDC merge,
+mergeable-sketch rollups) and a Z-order data-layout operator for
+multi-dimensional scan pruning.
+
+Reference provenance: the jx language has no funnel/cohort surface;
+these are engine additions in the spirit of ActiveData's events
+analytics (u — ActiveData served exactly this kind of telemetry
+aggregation over test-run events).  Scale notes per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mo_etl_spark.functions.numeric import cents
+from mo_etl_spark.registry import query
+from mo_etl_spark.session import prepare
+from mo_etl_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    prepare(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_funnel_signup_purchase",
+    oracle="""
+    WITH s AS (SELECT user_id, min(ts) AS t FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+          JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'click' AND e.ts >= s.t GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+          JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= c.t GROUP BY e.user_id)
+    SELECT '1_signup' AS stage, (SELECT count(*) FROM s) AS users
+    UNION ALL SELECT '2_click_after_signup', (SELECT count(*) FROM c)
+    UNION ALL SELECT '3_purchase_after_click', (SELECT count(*) FROM p)
+    """,
+    tags=("funnel", "window_agg", "higher_order_functions"),
+)
+def win_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup -> click -> purchase (per-user stage times
+    must be non-decreasing; each stage anchored at the earliest event at
+    or after the previous stage).
+
+    Scale: ONE shuffle (groupBy user_id, map-side combined collect) and
+    the per-user funnel walk runs as higher-order array functions inside
+    codegen — no Python, no self-joins.  Per-user event counts bound the
+    collected array (events-per-user is bounded in any real funnel
+    window); contrast with the naive 3-way self-join which shuffles the
+    fact table once per stage.
+    """
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    per = e.groupBy("user_id").agg(
+        F.collect_list(F.struct("ts", "event_type")).alias("evs")
+    )
+    per = per.withColumn(
+        "s",
+        F.array_min(
+            F.transform(
+                F.filter("evs", lambda x: x["event_type"] == F.lit("signup")),
+                lambda x: x["ts"],
+            )
+        ),
+    )
+    per = per.withColumn(
+        "c",
+        F.array_min(
+            F.transform(
+                F.filter(
+                    "evs",
+                    lambda x: (x["event_type"] == F.lit("click"))
+                    & (x["ts"] >= F.col("s")),
+                ),
+                lambda x: x["ts"],
+            )
+        ),
+    )
+    per = per.withColumn(
+        "p",
+        F.array_min(
+            F.transform(
+                F.filter(
+                    "evs",
+                    lambda x: (x["event_type"] == F.lit("purchase"))
+                    & (x["ts"] >= F.col("c")),
+                ),
+                lambda x: x["ts"],
+            )
+        ),
+    )
+    counts = per.agg(
+        F.count("s").alias("n_s"),
+        F.count("c").alias("n_c"),
+        F.count("p").alias("n_p"),
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, '1_signup', n_s, '2_click_after_signup', n_c,"
+            " '3_purchase_after_click', n_p) AS (stage, users)"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_cohort_retention_weekly",
+    oracle="""
+    WITH first AS (SELECT user_id, min(ts) AS ft FROM events GROUP BY user_id),
+    coh AS (SELECT user_id, date_trunc('week', ft) AS cw FROM first),
+    act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+    SELECT epoch_ms(coh.cw) AS cohort_week_ms,
+           CAST(date_diff('day', coh.cw, act.w) // 7 AS INT) AS week_offset,
+           count(DISTINCT act.user_id) AS users
+    FROM act JOIN coh ON act.user_id = coh.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("cohort", "retention", "groupby", "time_domain"),
+)
+def win_cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users bucketed by the ISO week
+    of their first event; cell (cohort, k) counts distinct cohort
+    members active k weeks later.
+
+    Scale: both the cohort derivation and the distinct-activity set
+    shuffle on user_id, so the join is co-partitioned (exchange reuse —
+    one effective shuffle of the fact table), then the final agg shuffles
+    the already-tiny (cohort, week) pairs.  No window functions, no
+    fact-table self-join.
+    """
+    e = _t(spark, sf_dir, "events")
+    cohort = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("ft"))
+        .select("user_id", F.date_trunc("week", F.col("ft")).alias("cw"))
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            (F.unix_micros(F.col("cw")) / 1000).cast("long").alias("cohort_week_ms"),
+            (F.datediff(F.col("w"), F.col("cw")) / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window distinct counts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_trailing_distinct_users",
+    oracle="""
+    WITH pairs AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+                   FROM events),
+    grid AS (SELECT DISTINCT d FROM pairs)
+    SELECT date_diff('day', DATE '1970-01-01', g.d) AS day_num,
+           count(DISTINCT p.user_id) AS users_7d
+    FROM grid g JOIN pairs p ON p.d BETWEEN g.d - 6 AND g.d
+    GROUP BY 1
+    """,
+    tags=("moving", "count_distinct", "rolling_distinct"),
+)
+def win_trailing_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day (the DAU/WAU
+    staple).  Distinct counts do NOT decompose over sliding windows, so
+    instead of a per-day range self-join each distinct (user, day) pair
+    FANS OUT to the <=7 report days it contributes to, then one
+    hash-distinct aggregate per day.
+
+    Scale: fan-out is a narrow 7x explode of the deduped pairs (tiny vs
+    raw events), shuffled once on report day; the range-join formulation
+    the oracle uses would broadcast-nested-loop the fact table.  Report
+    days are restricted to observed days via a broadcast semi join.
+    """
+    e = _t(spark, sf_dir, "events")
+    pairs = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    days = pairs.select(F.col("d").alias("day")).distinct()
+    contrib = pairs.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("day"),
+    )
+    return (
+        contrib.join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+        .select(F.unix_date(F.col("day")).cast("long").alias("day_num"), "users_7d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 / CDC merge
+# ---------------------------------------------------------------------------
+
+_SCD2_BATCH_SQL = """
+        SELECT c_custkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) + 12345 AS acctbal_cents,
+               c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 3
+        UNION ALL
+        SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT), 'MIGRATED'
+        FROM customer WHERE c_custkey % 10 = 7
+        UNION ALL
+        SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT), c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 9
+        UNION ALL
+        SELECT c_custkey + 1000000, 77700, 'NEWSEG'
+        FROM customer WHERE c_custkey % 100 = 11
+"""
+
+
+@query(
+    "etl_scd2_customer_merge",
+    oracle=f"""
+    WITH dim AS (
+        SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+               c_mktsegment FROM customer
+    ),
+    batch AS ({_SCD2_BATCH_SQL}),
+    unchanged AS (
+        SELECT d.* FROM dim d LEFT JOIN batch b USING (c_custkey)
+        WHERE b.c_custkey IS NULL
+    ),
+    same AS (
+        SELECT d.* FROM dim d JOIN batch b USING (c_custkey)
+        WHERE d.acctbal_cents = b.acctbal_cents AND d.c_mktsegment = b.c_mktsegment
+    ),
+    diff AS (
+        SELECT d.c_custkey, d.acctbal_cents AS old_bal, d.c_mktsegment AS old_seg,
+               b.acctbal_cents AS new_bal, b.c_mktsegment AS new_seg
+        FROM dim d JOIN batch b USING (c_custkey)
+        WHERE d.acctbal_cents <> b.acctbal_cents OR d.c_mktsegment <> b.c_mktsegment
+    ),
+    inserted AS (
+        SELECT b.* FROM batch b LEFT JOIN dim d USING (c_custkey)
+        WHERE d.c_custkey IS NULL
+    )
+    SELECT c_custkey, acctbal_cents, c_mktsegment,
+           '2024-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+           TRUE AS is_current FROM unchanged
+    UNION ALL
+    SELECT c_custkey, acctbal_cents, c_mktsegment,
+           '2024-01-01', NULL, TRUE FROM same
+    UNION ALL
+    SELECT c_custkey, old_bal, old_seg, '2024-01-01', '2024-06-01', FALSE FROM diff
+    UNION ALL
+    SELECT c_custkey, new_bal, new_seg, '2024-06-01', NULL, TRUE FROM diff
+    UNION ALL
+    SELECT c_custkey, acctbal_cents, c_mktsegment,
+           '2024-06-01', NULL, TRUE FROM inserted
+    """,
+    tags=("scd2", "cdc_merge", "incremental_etl", "join_full"),
+)
+def etl_scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension) MERGE of a CDC batch into a
+    dimension snapshot — the set-based formulation Delta/Iceberg MERGE
+    compiles to, built directly on a single full-outer join:
+
+      - key only in dim              -> carry current row forward
+      - key in both, values equal    -> no new version (change detection)
+      - key in both, values differ   -> close old row + open new version
+      - key only in batch            -> insert new current row
+
+    The change batch is derived deterministically from `customer`
+    (updates, no-op echoes, and inserts) so the oracle can reproduce it.
+
+    Scale: ONE shuffle (the full-outer join on the dimension key); the
+    1-or-2 output rows per key are produced by an array+explode, not a
+    second pass.  At 100 TB this is the standard incremental-dimension
+    maintenance pattern (no Delta required).
+    """
+    prepare(spark)
+    c = load_table(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey",
+        cents("c_acctbal").alias("acctbal_cents"),
+        "c_mktsegment",
+    )
+    batch = (
+        dim.filter(F.col("c_custkey") % 10 == 3)
+        .select(
+            "c_custkey",
+            (F.col("acctbal_cents") + 12345).alias("acctbal_cents"),
+            "c_mktsegment",
+        )
+        .unionAll(
+            dim.filter(F.col("c_custkey") % 10 == 7).select(
+                "c_custkey", "acctbal_cents", F.lit("MIGRATED").alias("c_mktsegment")
+            )
+        )
+        .unionAll(dim.filter(F.col("c_custkey") % 10 == 9))
+        .unionAll(
+            dim.filter(F.col("c_custkey") % 100 == 11).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit(77700).cast("long").alias("acctbal_cents"),
+                F.lit("NEWSEG").alias("c_mktsegment"),
+            )
+        )
+    )
+    d = dim.alias("d")
+    b = batch.alias("b")
+    j = d.join(b, F.col("d.c_custkey") == F.col("b.c_custkey"), "full")
+
+    def ver(key, bal, seg, vfrom, vto, cur):
+        return F.struct(
+            key.alias("c_custkey"),
+            bal.alias("acctbal_cents"),
+            seg.alias("c_mktsegment"),
+            F.lit(vfrom).alias("valid_from"),
+            (F.lit(vto).cast("string")).alias("valid_to"),
+            F.lit(cur).alias("is_current"),
+        )
+
+    dk, bk = F.col("d.c_custkey"), F.col("b.c_custkey")
+    d_cur = ver(dk, F.col("d.acctbal_cents"), F.col("d.c_mktsegment"),
+                "2024-01-01", None, True)
+    d_closed = ver(dk, F.col("d.acctbal_cents"), F.col("d.c_mktsegment"),
+                   "2024-01-01", "2024-06-01", False)
+    b_new = ver(bk, F.col("b.acctbal_cents"), F.col("b.c_mktsegment"),
+                "2024-06-01", None, True)
+    same = (F.col("d.acctbal_cents") == F.col("b.acctbal_cents")) & (
+        F.col("d.c_mktsegment") == F.col("b.c_mktsegment")
+    )
+    rows = (
+        F.when(bk.isNull(), F.array(d_cur))
+        .when(dk.isNull(), F.array(b_new))
+        .when(same, F.array(d_cur))
+        .otherwise(F.array(d_closed, b_new))
+    )
+    return j.select(F.explode(rows).alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# Z-order data layout
+# ---------------------------------------------------------------------------
+
+
+def _zvalue_spark(bx, by):
+    """Interleave the low 8 bits of bx (even positions) and by (odd)."""
+    z = F.lit(0).cast("long")
+    for i in range(8):
+        z = (
+            z
+            + F.shiftright(bx, i).bitwiseAND(F.lit(1)).cast("long") * (1 << (2 * i))
+            + F.shiftright(by, i).bitwiseAND(F.lit(1)).cast("long")
+            * (1 << (2 * i + 1))
+        )
+    return z
+
+
+_Z_TERMS_SQL = " + ".join(
+    f"((bx >> {i}) & 1) * {1 << (2 * i)} + ((by >> {i}) & 1) * {1 << (2 * i + 1)}"
+    for i in range(8)
+)
+
+
+@query(
+    "layout_zorder_orders",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT min(o_custkey) AS minc, max(o_custkey) AS maxc,
+               min(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS mind,
+               max(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS maxd
+        FROM orders
+    ),
+    bucketed AS (
+        SELECT o_orderkey,
+               ((o_custkey - minc) * 256) // (maxc - minc + 1) AS bx,
+               ((date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) - mind)
+                 * 256) // (maxd - mind + 1) AS by
+        FROM orders CROSS JOIN bounds
+    )
+    SELECT o_orderkey, bx, by, {_Z_TERMS_SQL} AS zval
+    FROM bucketed
+    """,
+    tags=("zorder", "data_layout", "space_filling_curve", "sorted_layout"),
+)
+def layout_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (o_custkey, o_orderdate):
+    each dimension is range-bucketed to 8 bits from its global min/max,
+    then the bits are interleaved.  Writing the table
+    repartitionByRange(zval).sortWithinPartitions(zval) yields files
+    whose row-group min/max are tight in BOTH dimensions, so predicates
+    on either (or both) prune files — single-column sort layouts prune
+    only their leading column (tests/test_plans.py proves the pruning
+    from parquet footer stats).
+
+    Scale: the bounds aggregate is a scalar broadcast (no driver
+    collect); bit math is all codegen.  This is the layout operator
+    behind Delta/Iceberg OPTIMIZE ZORDER, expressed in plain Spark.
+    """
+    o = _t(spark, sf_dir, "orders")
+    day = F.unix_date(F.to_date("o_orderdate")).cast("long")
+    bounds = o.agg(
+        F.min("o_custkey").alias("minc"),
+        F.max("o_custkey").alias("maxc"),
+        F.min(day).alias("mind"),
+        F.max(day).alias("maxd"),
+    )
+    bucketed = o.crossJoin(F.broadcast(bounds)).select(
+        "o_orderkey",
+        F.expr("((o_custkey - minc) * 256) div (maxc - minc + 1)").alias("bx"),
+        (
+            (day - F.col("mind")) * 256
+        ).alias("_num"),
+        (F.col("maxd") - F.col("mind") + 1).alias("_den"),
+    ).select(
+        "o_orderkey",
+        "bx",
+        F.expr("_num div _den").alias("by"),
+    )
+    return bucketed.select(
+        "o_orderkey", "bx", "by",
+        _zvalue_spark(F.col("bx"), F.col("by")).alias("zval"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch rollup (HLL)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_hll_mergeable_rollup",
+    oracle=None,  # Apache DataSketches HLL has no DuckDB twin; accuracy
+    # vs the exact count is asserted in tests/test_new_ops.py
+    tags=("cardinality", "approx", "sketch_rollup", "partial_merge"),
+)
+def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch rollup pattern: per-day HLL sketches of
+    distinct users (a persistable rollup table), then hll_union_agg to
+    answer the month-level distinct count WITHOUT rescanning raw events.
+    This is THE 100 TB cardinality path — countDistinct over a month of
+    raw events reshuffles everything; merging 30 daily sketches is
+    constant work.  Uses Spark's Apache DataSketches HLL functions
+    (hll_sketch_agg / hll_union_agg / hll_sketch_estimate).
+    """
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    return daily.agg(
+        F.count("*").alias("n_days"),
+        F.sum("n_events").alias("n_events"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "qa_drift_value_histogram",
+    oracle="""
+    WITH h AS (
+        SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
+               count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+               count(*) FILTER (WHERE event_type = 'error') AS n_error
+        FROM events
+        WHERE event_type IN ('purchase', 'error')
+        GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_purchase) AS ta, sum(n_error) AS tb FROM h)
+    SELECT bin, n_purchase, n_error,
+           CAST(round(abs(n_purchase * 1000000.0 / ta
+                          - n_error * 1000000.0 / tb)) AS BIGINT) AS share_diff_ppm
+    FROM h CROSS JOIN tot
+    """,
+    tags=("drift", "histogram", "quality_score", "data_qa"),
+)
+def qa_drift_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift check between two event populations — the
+    training-data QA staple (is this week's data distributed like last
+    week's?).  Fixed-width value histogram for both populations in ONE
+    conditional-aggregation pass, then per-bin share deltas in ppm
+    (integer, so cross-engine exact); sum(share_diff_ppm)/2e6 is the
+    total-variation distance.
+
+    Scale: one scan + one tiny-key shuffle; totals join back as a
+    broadcast scalar.  No per-population passes.
+    """
+    e = _t(spark, sf_dir, "events")
+    h = (
+        e.filter(F.col("event_type").isin("purchase", "error"))
+        .groupBy(F.floor(F.col("value") / 50).cast("long").alias("bin"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchase"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_error"),
+        )
+    )
+    tot = h.agg(
+        F.sum("n_purchase").alias("ta"), F.sum("n_error").alias("tb")
+    )
+    ppm = F.round(
+        F.abs(
+            F.col("n_purchase") * 1000000.0 / F.col("ta")
+            - F.col("n_error") * 1000000.0 / F.col("tb")
+        )
+    ).cast("long")
+    return h.crossJoin(F.broadcast(tot)).select(
+        "bin", "n_purchase", "n_error", ppm.alias("share_diff_ppm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_string_agg_ordered",
+    oracle="""
+    SELECT n.n_name,
+           count(*) AS n_suppliers,
+           string_agg(s.s_name, ',' ORDER BY s.s_name) AS suppliers
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("string_agg", "listagg", "groupby"),
+)
+def scalar_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered LISTAGG/string_agg (SQL:2016) — deterministic because the
+    collected list is sorted before joining (collect_list alone is
+    partition-order-nondeterministic, the §7.3 hash-match trap).
+    """
+    prepare(spark)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias(
+                "suppliers"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-entropy quality score
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_quality_token_entropy",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        WHERE tok <> ''
+        GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_distinct,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy_bits
+    FROM tf
+    GROUP BY doc_id
+    """,
+    tags=("quality_score", "entropy", "text_analysis"),
+)
+def llm_quality_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram token entropy per document — the low-entropy filter that
+    catches boilerplate/keyword-stuffed documents (complements the
+    Gopher repetition filters in llm_quality_repetition).
+
+    H = log2(n) - (1/n) * sum(c * log2(c)) — the single-pass identity,
+    so the term-frequency aggregate feeds ONE further groupBy instead of
+    needing per-doc totals joined back.  round(4) absorbs the <=1e-10
+    float-sum ordering skew between engines (SURVEY.md §7.3).
+    """
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    log2 = lambda col: F.log(2.0, col)  # noqa: E731
+    return tf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.round(
+            log2(F.sum("c")) - F.sum(F.col("c") * log2("c")) / F.sum("c"), 4
+        ).alias("entropy_bits"),
+    )

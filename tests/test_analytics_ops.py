@@ -1,0 +1,123 @@
+"""Behavior tests for the analytics-batch operators: HLL rollup
+accuracy, Z-order two-dimensional pruning, SCD2 merge invariants, and
+funnel/trailing-distinct sanity."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hll_rollup_estimate_close_to_exact(spark):
+    from mo_etl_spark.suites.analytics import agg_hll_mergeable_rollup
+    from mo_etl_spark.tables import load_table
+
+    row = agg_hll_mergeable_rollup(spark, SF).first()
+    exact = load_table(spark, SF, "events").select("user_id").distinct().count()
+    assert row["n_events"] == load_table(spark, SF, "events").count()
+    # DataSketches HLL at default lgK=12 is ~1.6% RSE; 150 distinct
+    # values are far below sparse-mode capacity so it is exact-ish
+    assert abs(row["approx_users"] - exact) / exact < 0.05
+
+
+def test_funnel_stage_counts_monotone(spark):
+    from mo_etl_spark.suites.analytics import win_funnel_signup_purchase
+    from mo_etl_spark.tables import load_table
+
+    rows = {r["stage"]: r["users"] for r in win_funnel_signup_purchase(spark, SF).collect()}
+    assert rows["1_signup"] >= rows["2_click_after_signup"] >= rows["3_purchase_after_click"]
+    exact_signup = (
+        load_table(spark, SF, "events")
+        .where(F.col("event_type") == "signup")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rows["1_signup"] == exact_signup
+
+
+def test_trailing_distinct_bounded_by_daily_and_total(spark):
+    from mo_etl_spark.suites.analytics import win_trailing_distinct_users
+    from mo_etl_spark.tables import load_table
+
+    e = load_table(spark, SF, "events")
+    daily = {
+        r["day_num"]: r["n"]
+        for r in e.select(F.unix_date(F.to_date("ts")).cast("long").alias("day_num"), "user_id")
+        .groupBy("day_num")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    total = e.select("user_id").distinct().count()
+    for r in win_trailing_distinct_users(spark, SF).collect():
+        assert daily[r["day_num"]] <= r["users_7d"] <= total
+
+
+def test_scd2_merge_invariants(spark):
+    from mo_etl_spark.suites.analytics import etl_scd2_customer_merge
+    from mo_etl_spark.tables import load_table
+
+    out = etl_scd2_customer_merge(spark, SF).cache()
+    n_dim = load_table(spark, SF, "customer").count()
+
+    # exactly one current row per key, always
+    bad = (
+        out.where("is_current")
+        .groupBy("c_custkey")
+        .count()
+        .where("count <> 1")
+        .count()
+    )
+    assert bad == 0
+
+    # closed rows exist exactly for the truly-changed keys (%10 in 3,7
+    # within the original dim), never for the no-op echo keys (%10 == 9)
+    closed = out.where("NOT is_current")
+    assert closed.where("c_custkey % 10 NOT IN (3, 7)").count() == 0
+    assert closed.where("valid_to <> '2024-06-01'").count() == 0
+    n_changed = closed.count()
+
+    # inserted keys (> 1000000) are current-only, opened at batch date
+    ins = out.where("c_custkey > 1000000")
+    assert ins.where("NOT is_current OR valid_from <> '2024-06-01'").count() == 0
+
+    # row accounting: dim rows + one new version per change + inserts
+    assert out.count() == n_dim + n_changed + ins.count()
+    out.unpersist()
+
+
+@pytest.mark.parametrize("probe", [("bx", 32, 63), ("by", 96, 127)])
+def test_zorder_layout_prunes_either_dimension(spark, tmp_path, probe):
+    """After repartitionByRange+sort on the Morton key, each parquet
+    file covers a compact Z-curve segment, so its min/max box is tight
+    in BOTH bucketed dimensions — a 1/8-wide predicate on either single
+    dimension must skip at least half the files.  (A layout sorted on
+    bx alone would give every file the full `by` range: no pruning for
+    by-predicates.)"""
+    from mo_etl_spark.suites.analytics import layout_zorder_orders
+
+    col, lo, hi = probe
+    path = str(tmp_path / "zorders")
+    (
+        layout_zorder_orders(spark, SF)
+        .repartitionByRange(8, "zval")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    files = glob.glob(path + "/*.parquet")
+    assert len(files) >= 6
+    touched = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        fmin = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+        fmax = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+        if fmin <= hi and fmax >= lo:
+            touched += 1
+    assert touched <= len(files) // 2, f"{col} in [{lo},{hi}] touched {touched}/{len(files)}"

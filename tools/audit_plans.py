@@ -31,6 +31,8 @@ CARTESIAN_OK = {
     "join_q22_idle_rich_customers",  # 1-row scalar-subquery threshold broadcast-crossed in
     "join_q11_important_part_value",  # 1-row grand-total threshold broadcast-crossed in
     "join_q15_top_supplier",  # 1-row max-revenue scalar broadcast-crossed in
+    "layout_zorder_orders",  # 1-row global min/max bounds broadcast-crossed in
+    "qa_drift_value_histogram",  # 1-row population totals broadcast-crossed in
 }
 
 #: queries allowed to exceed the exchange budget, each with why:
