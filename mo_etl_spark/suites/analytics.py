@@ -610,3 +610,291 @@ def llm_quality_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             log2(F.sum("c")) - F.sum(F.col("c") * log2("c")) / F.sum("c"), 4
         ).alias("entropy_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join
+# ---------------------------------------------------------------------------
+
+_SESSION_IV_SQL = """
+        WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id
+                   FROM events WHERE user_id < 20),
+        g AS (SELECT user_id, ms,
+                     CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id
+                              ORDER BY ms, event_id) > 1800000
+                          THEN 1 ELSE 0 END AS brk
+              FROM e),
+        s AS (SELECT user_id, ms,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM g),
+        iv AS (SELECT user_id, sid, min(ms) AS s_ms, max(ms) + 3600000 AS e_ms
+               FROM s GROUP BY user_id, sid)
+"""
+
+
+@query(
+    "join_interval_overlap_sessions",
+    oracle=_SESSION_IV_SQL
+    + """
+    SELECT a.user_id AS u1, b.user_id AS u2,
+           a.s_ms AS a_start_ms, b.s_ms AS b_start_ms,
+           least(a.e_ms, b.e_ms) - greatest(a.s_ms, b.s_ms) AS overlap_ms
+    FROM iv a JOIN iv b
+      ON a.user_id < b.user_id AND a.s_ms <= b.e_ms AND b.s_ms <= a.e_ms
+    """,
+    tags=("join_interval", "join_range", "sessionize", "bucketed_overlap"),
+)
+def join_interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL x INTERVAL overlap join (genomics/session-concurrency
+    shape): which users' activity windows overlapped, and for how long.
+    Intervals are 30-min-gap sessions padded by one hour.
+
+    Scale path: a naive overlap join is a theta join (quadratic
+    broadcast-nested-loop — what the oracle runs).  Here each interval
+    explodes to the 1-hour grid buckets it covers, the join is an EQUI
+    join on bucket (+ cheap residual predicate), and duplicate matches
+    across shared buckets are eliminated WITHOUT a distinct: a pair is
+    emitted only in the FIRST bucket both intervals cover
+    (bucket == floor(max(starts)/W)).  Shuffle volume is
+    O(interval-hours), never O(n^2).
+    """
+    W = 3600 * 1000  # 1-hour buckets
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    ms = (F.unix_micros(F.col("ts")) / 1000).cast("long")
+    from pyspark.sql import Window
+
+    order = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts = e.select("user_id", "event_id", ms.alias("ms"))
+    brk = F.when(
+        F.col("ms") - F.lag("ms").over(order) > 30 * 60 * 1000, 1
+    ).otherwise(0)
+    iv = (
+        pts.withColumn("sid", F.sum(brk).over(cum))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ms").alias("s_ms"), (F.max("ms") + W).alias("e_ms"))
+    )
+    buck = iv.select(
+        "user_id",
+        "s_ms",
+        "e_ms",
+        F.explode(
+            F.sequence(
+                (F.col("s_ms") / W).cast("long"), (F.col("e_ms") / W).cast("long")
+            )
+        ).alias("bucket"),
+    )
+    a, b = buck.alias("a"), buck.alias("b")
+    first_common = (
+        F.greatest(F.col("a.s_ms"), F.col("b.s_ms")) / W
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.s_ms") <= F.col("b.e_ms"))
+            & (F.col("b.s_ms") <= F.col("a.e_ms"))
+            & (F.col("a.bucket") == first_common),
+        )
+        .select(
+            F.col("a.user_id").alias("u1"),
+            F.col("b.user_id").alias("u2"),
+            F.col("a.s_ms").alias("a_start_ms"),
+            F.col("b.s_ms").alias("b_start_ms"),
+            (
+                F.least(F.col("a.e_ms"), F.col("b.e_ms"))
+                - F.greatest(F.col("a.s_ms"), F.col("b.s_ms"))
+            ).alias("overlap_ms"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (fixed iterations, cross-engine exact-ish via final rounding)
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 8
+_PR_D = 0.85
+
+
+def _pagerank_oracle() -> str:
+    head = """
+    WITH edges0 AS (SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
+                    FROM lineitem),
+    edges AS (SELECT src, dst FROM edges0
+              UNION ALL SELECT dst AS src, src AS dst FROM edges0),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)
+    """
+    its = []
+    for k in range(1, _PR_ITERS + 1):
+        its.append(
+            f""",
+    r{k} AS (SELECT e.dst AS node,
+                    {1 - _PR_D} / (SELECT n FROM nn)
+                      + {_PR_D} * sum(p.r / o.deg) AS r
+             FROM edges e
+             JOIN r{k - 1} p ON p.node = e.src
+             JOIN outdeg o ON o.src = e.src
+             GROUP BY e.dst)"""
+        )
+    tail = f"""
+    SELECT node, round(r * (SELECT n FROM nn), 6) AS rank_scaled
+    FROM r{_PR_ITERS}
+    """
+    return head + "".join(its) + tail
+
+
+@query(
+    "graph_pagerank_supply",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "pagerank", "iterative", "join_inner", "groupby"),
+)
+def graph_pagerank_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part<->supplier supply graph (bipartite,
+    symmetrized so there are no dangling nodes), 8 fixed power
+    iterations, d=0.85 — the canonical iterative-algorithm shape on
+    DataFrames (each iteration = one equi-join on src + one groupBy
+    dst; rank mass stays conserved so no dangling redistribution
+    term).
+
+    Ranks are reported scaled by n (so values are O(1)) and rounded to
+    6 dp: float-sum ordering divergence across engines is ~1e-12 after
+    8 iterations, far inside the rounding guard.
+
+    Scale: the edge list is shuffled ONCE onto src and reused by every
+    iteration (edges_deg below); at 100 TB you would persist
+    edges_deg partitioned by src and checkpoint ranks every few
+    iterations to cut lineage — noted, not needed at bench scale.  The
+    oracle unrolls the same 8 iterations as chained CTEs.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = (
+        li.select(
+            F.col("l_partkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    edges_deg = edges.join(outdeg, "src")  # reused by every iteration
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nn = nodes.agg(F.count("*").alias("n"))
+
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = edges_deg.join(ranks, edges_deg.src == ranks.node).select(
+            F.col("dst"), (F.col("r") / F.col("deg")).alias("w")
+        )
+        ranks = (
+            contrib.groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("w").alias("acc"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                (F.lit(1 - _PR_D) / F.col("n") + F.lit(_PR_D) * F.col("acc")).alias(
+                    "r"
+                ),
+            )
+        )
+    return ranks.crossJoin(F.broadcast(nn)).select(
+        "node", F.round(F.col("r") * F.col("n"), 6).alias("rank_scaled")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-granularity dedup with document reassembly
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_dedup_paragraph_reassemble",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    segs AS (
+        SELECT doc_id,
+               unnest(generate_series(0, CAST(ceil(len(t) / 10.0) AS INT) - 1)) AS seg_idx,
+               t
+        FROM toks
+    ),
+    seg_text AS (
+        SELECT doc_id, seg_idx,
+               array_to_string(t[seg_idx * 10 + 1 : seg_idx * 10 + 10], ' ') AS seg
+        FROM segs
+    ),
+    kept AS (
+        SELECT doc_id, seg_idx, seg,
+               row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+        FROM seg_text
+    )
+    SELECT doc_id,
+           count(*) FILTER (WHERE rn = 1) AS n_kept,
+           count(*) AS n_segs,
+           coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1),
+                    '') AS text_dedup
+    FROM kept
+    GROUP BY doc_id
+    """,
+    tags=("dedup_paragraph", "dedup_exact", "chunking", "reassembly"),
+)
+def llm_dedup_paragraph_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (paragraph-granularity) exact dedup with document
+    reassembly — the C4/RefinedWeb pipeline stage that removes
+    boilerplate repeated ACROSS documents while keeping the rest of
+    each document intact.  "Paragraphs" here are fixed 10-token
+    segments (the synthetic corpus has no punctuation); the first
+    occurrence corpus-wide (by doc_id, then position) survives,
+    repeats are dropped, and surviving segments rejoin in order.
+
+    Scale: segment fan-out is narrow (explode), the keep-first choice
+    is one window over segment text (shuffle on the dedup key — at
+    100 TB you'd hash the segment to a 128-bit key first so the
+    shuffle carries 16 bytes, exactly like dedup_exact), and
+    reassembly shuffles once on doc_id.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    segs = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(0), F.ceil(F.size("t") / 10.0).cast("int") - 1)
+        ).alias("seg_idx"),
+    ).select(
+        "doc_id",
+        "seg_idx",
+        F.array_join(
+            F.slice(F.col("t"), F.col("seg_idx") * 10 + 1, 10), " "
+        ).alias("seg"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    kept = segs.withColumn("rn", F.row_number().over(w))
+    return kept.groupBy("doc_id").agg(
+        F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
+        F.count("*").alias("n_segs"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") == 1, F.struct("seg_idx", "seg")
+                            )
+                        )
+                    ),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("text_dedup"),
+    )

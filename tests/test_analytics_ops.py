@@ -121,3 +121,97 @@ def test_zorder_layout_prunes_either_dimension(spark, tmp_path, probe):
         if fmin <= hi and fmax >= lo:
             touched += 1
     assert touched <= len(files) // 2, f"{col} in [{lo},{hi}] touched {touched}/{len(files)}"
+
+
+def test_interval_overlap_matches_theta_join(spark):
+    """The bucketed overlap join must equal the naive theta join."""
+    from pyspark.sql import functions as F
+
+    from mo_etl_spark.suites.analytics import join_interval_overlap_sessions
+    from mo_etl_spark.tables import load_table
+
+    got = {
+        (r["u1"], r["u2"], r["a_start_ms"], r["b_start_ms"], r["overlap_ms"])
+        for r in join_interval_overlap_sessions(spark, SF).collect()
+    }
+    # independent theta-join reference built from the same intervals
+    from pyspark.sql import Window
+
+    e = load_table(spark, SF, "events").where("user_id < 20")
+    ms = (F.unix_micros(F.col("ts")) / 1000).cast("long")
+    order = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts = e.select("user_id", "event_id", ms.alias("ms"))
+    brk = F.when(F.col("ms") - F.lag("ms").over(order) > 1800000, 1).otherwise(0)
+    iv = (
+        pts.withColumn("sid", F.sum(brk).over(cum))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ms").alias("s_ms"), (F.max("ms") + 3600000).alias("e_ms"))
+    )
+    a, b = iv.alias("a"), iv.alias("b")
+    ref = {
+        tuple(r)
+        for r in a.join(
+            b,
+            (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.s_ms") <= F.col("b.e_ms"))
+            & (F.col("b.s_ms") <= F.col("a.e_ms")),
+        )
+        .select(
+            F.col("a.user_id"),
+            F.col("b.user_id"),
+            F.col("a.s_ms"),
+            F.col("b.s_ms"),
+            F.least(F.col("a.e_ms"), F.col("b.e_ms"))
+            - F.greatest(F.col("a.s_ms"), F.col("b.s_ms")),
+        )
+        .collect()
+    }
+    assert got == ref and len(got) > 0
+
+
+def test_pagerank_conserves_mass_and_ranks_hubs(spark):
+    from pyspark.sql import functions as F
+
+    from mo_etl_spark.suites.analytics import graph_pagerank_supply
+
+    pr = graph_pagerank_supply(spark, SF).cache()
+    n = pr.count()
+    total = pr.agg(F.sum("rank_scaled")).first()[0]
+    assert abs(total - n) / n < 1e-4  # no dangling loss
+    # supplier nodes aggregate many parts' mass -> highest ranks are suppliers
+    top = pr.orderBy(F.desc("rank_scaled")).limit(5).collect()
+    assert all(r["node"] >= 1000000 for r in top)
+    pr.unpersist()
+
+
+def test_paragraph_dedup_keeps_first_doc_intact(spark):
+    from pyspark.sql import functions as F
+
+    from mo_etl_spark.suites.analytics import llm_dedup_paragraph_reassemble
+    from mo_etl_spark.tables import load_table
+
+    out = llm_dedup_paragraph_reassemble(spark, SF).cache()
+    first = out.where("doc_id = 0").first()
+    orig = load_table(spark, SF, "documents").where("doc_id = 0").first()["text"]
+    # doc 0 is scanned first in dedup order, so every segment survives
+    assert first["n_kept"] == first["n_segs"]
+    assert first["text_dedup"] == orig
+    # corpus-wide: kept segments == distinct segment texts
+    n_kept = out.agg(F.sum("n_kept")).first()[0]
+    toks = load_table(spark, SF, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    n_distinct = (
+        toks.select(
+            F.explode(
+                F.sequence(F.lit(0), F.ceil(F.size("t") / 10.0).cast("int") - 1)
+            ).alias("i"),
+            "t",
+        )
+        .select(F.array_join(F.slice("t", F.col("i") * 10 + 1, 10), " ").alias("seg"))
+        .distinct()
+        .count()
+    )
+    assert n_kept == n_distinct
+    out.unpersist()
