@@ -898,3 +898,213 @@ def llm_dedup_paragraph_reassemble(spark: SparkSession, sf_dir: str) -> DataFram
             F.lit(""),
         ).alias("text_dedup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram-quantile sketch
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_histogram_quantile_sketch",
+    oracle="""
+    WITH h AS (
+        SELECT l_returnflag, date_trunc('month', l_shipdate) AS m,
+               CAST(round(l_extendedprice * 100) AS BIGINT) // 10000 AS bin,
+               count(*) AS c
+        FROM lineitem GROUP BY 1, 2, 3
+    ),
+    merged AS (SELECT l_returnflag, bin, sum(c) AS c FROM h GROUP BY 1, 2),
+    cum AS (
+        SELECT l_returnflag, bin, c,
+               sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cm,
+               sum(c) OVER (PARTITION BY l_returnflag) AS total
+        FROM merged
+    )
+    SELECT l_returnflag,
+           CAST(max(total) AS BIGINT) AS n,
+           min(CASE WHEN 2 * cm >= total THEN bin END) * 10000 AS est_p50_cents,
+           min(CASE WHEN 20 * cm >= 19 * total THEN bin END) * 10000 AS est_p95_cents
+    FROM cum
+    GROUP BY l_returnflag
+    """,
+    tags=("percentile", "approx", "sketch_rollup", "partial_merge", "histogram"),
+)
+def agg_histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile estimation — the 100 TB alternative to exact
+    percentile (which needs a full sort per group): per-month fixed-bin
+    histograms ($100 bins over price) are a persistable rollup table;
+    merging them (sum per bin) answers any quantile for any month
+    combination with bounded error (one bin width) and NO re-scan of
+    raw data.  Estimates are bin lower bounds — pure integer logic,
+    so cross-engine exact, and the quantile thresholds are integer
+    comparisons (2*cum >= total), no float rank math.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    h = li.groupBy(
+        "l_returnflag",
+        F.date_trunc("month", "l_shipdate").alias("m"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT) div 10000").alias("bin"),
+    ).agg(F.count("*").alias("c"))
+    merged = h.groupBy("l_returnflag", "bin").agg(F.sum("c").alias("c"))
+    from pyspark.sql import Window
+
+    wcum = Window.partitionBy("l_returnflag").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("l_returnflag")
+    cum = merged.select(
+        "l_returnflag",
+        "bin",
+        F.sum("c").over(wcum).alias("cm"),
+        F.sum("c").over(wall).alias("total"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.max("total").cast("long").alias("n"),
+        (F.min(F.when(2 * F.col("cm") >= F.col("total"), F.col("bin"))) * 10000).alias(
+            "est_p50_cents"
+        ),
+        (
+            F.min(F.when(20 * F.col("cm") >= 19 * F.col("total"), F.col("bin")))
+            * 10000
+        ).alias("est_p95_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planning
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "etl_compaction_binpack",
+    oracle="""
+    WITH files AS (
+        SELECT epoch_ms(date_trunc('month', o_orderdate)) AS month_ms,
+               o_orderkey % 50 AS file_id,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS size_bytes
+        FROM orders GROUP BY 1, 2
+    ),
+    packed AS (
+        SELECT month_ms, file_id, size_bytes,
+               sum(size_bytes) OVER (PARTITION BY month_ms ORDER BY file_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_before
+        FROM files
+    )
+    SELECT month_ms, file_id, size_bytes,
+           coalesce(cum_before, 0) // 100000000 AS compaction_group
+    FROM packed
+    """,
+    tags=("compaction", "binpack", "incremental_etl", "data_layout", "window_agg"),
+)
+def etl_compaction_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the table-maintenance operator
+    behind OPTIMIZE/auto-compaction: given a (partition, file, size)
+    listing, assign files to compaction groups of ~target size via an
+    exclusive running sum (group = cum_before div target).  Each group
+    then rewrites as one file.  Sizes here are simulated from orders
+    (sum of order value per synthetic file) so the plan is
+    deterministic and oracle-checkable; on a real lake the listing
+    comes from the transaction log / file system.
+
+    Scale: one window per partition-month over the FILE LISTING (tiny
+    relative to data); the rewrite itself is embarrassingly parallel
+    per group.
+    """
+    o = _t(spark, sf_dir, "orders")
+    files = o.groupBy(
+        (F.unix_micros(F.date_trunc("month", "o_orderdate")) / 1000)
+        .cast("long")
+        .alias("month_ms"),
+        (F.col("o_orderkey") % 50).alias("file_id"),
+    ).agg(F.sum(cents("o_totalprice")).alias("size_bytes"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("month_ms")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return files.withColumn(
+        "cum_before", F.sum("size_bytes").over(w)
+    ).select(
+        "month_ms",
+        "file_id",
+        "size_bytes",
+        F.expr("coalesce(cum_before, 0) div 100000000").alias("compaction_group"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duration-capped sessionization (genuinely iterative -> grouped-map UDF)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_sessionize_capped",
+    oracle="""
+    WITH RECURSIVE e AS (
+        SELECT user_id, epoch_ms(ts) AS ms, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS rn
+        FROM events WHERE user_id < 40
+    ),
+    walk AS (
+        SELECT user_id, rn, ms, event_id, 0 AS session_idx, ms AS anchor
+        FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.rn, e.ms, e.event_id,
+               CASE WHEN e.ms - w.ms > 1800000 OR e.ms - w.anchor > 14400000
+                    THEN w.session_idx + 1 ELSE w.session_idx END,
+               CASE WHEN e.ms - w.ms > 1800000 OR e.ms - w.anchor > 14400000
+                    THEN e.ms ELSE w.anchor END
+        FROM e JOIN walk w ON e.user_id = w.user_id AND e.rn = w.rn + 1
+    )
+    SELECT event_id, user_id, session_idx FROM walk
+    """,
+    tags=("sessionize", "session_cap", "grouped_map", "applyInPandas", "iterative"),
+)
+def win_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with BOTH a 30-min inactivity gap AND a 4-hour
+    max-session-duration cap (the web-analytics standard).  The cap
+    makes this genuinely iterative — each row's session depends on the
+    anchor chosen for the previous row, which plain window functions
+    cannot express (lag+cumsum handles gap-only; the anchor feedback
+    loop does not decompose).  Engine path: Arrow-batched grouped-map
+    (applyInPandas) per user with an O(n) walk; oracle: a recursive
+    CTE stepping row-by-row per user.
+
+    Scale: one shuffle on user_id; each group walks linearly in numpy.
+    The hot-key hazard is the same as any per-key ordered walk — the
+    streaming twin (session_window + state timeout) is the unbounded
+    path.  user_id < 40 bounds the oracle's recursion depth, not the
+    engine.
+    """
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    pts = e.select(
+        "user_id",
+        "event_id",
+        (F.unix_micros(F.col("ts")) / 1000).cast("long").alias("ms"),
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ms", "event_id"]).reset_index(drop=True)
+        sids = []
+        sid = 0
+        anchor = prev = None
+        for ms in pdf["ms"]:
+            if prev is not None and (ms - prev > 1800000 or ms - anchor > 14400000):
+                sid += 1
+                anchor = ms
+            if prev is None:
+                anchor = ms
+            sids.append(sid)
+            prev = ms
+        out = pdf[["event_id", "user_id"]].copy()
+        out["session_idx"] = sids
+        return out
+
+    return pts.groupBy("user_id").applyInPandas(
+        walk, "event_id long, user_id long, session_idx int"
+    )

@@ -215,3 +215,91 @@ def test_paragraph_dedup_keeps_first_doc_intact(spark):
     )
     assert n_kept == n_distinct
     out.unpersist()
+
+
+def test_histogram_sketch_brackets_exact_quantiles(spark):
+    from pyspark.sql import functions as F
+
+    from mo_etl_spark.suites.analytics import agg_histogram_quantile_sketch
+    from mo_etl_spark.tables import load_table
+
+    est = {
+        r["l_returnflag"]: r for r in agg_histogram_quantile_sketch(spark, SF).collect()
+    }
+    li = load_table(spark, SF, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+    )
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(cents, 0.5)").alias("p50"),
+            F.expr("percentile(cents, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    for flag, e in est.items():
+        # estimate is the lower bound of the bin holding the quantile
+        assert abs(e["est_p50_cents"] - exact[flag]["p50"]) <= 10000
+        assert abs(e["est_p95_cents"] - exact[flag]["p95"]) <= 10000
+
+
+def test_compaction_groups_bounded(spark):
+    from pyspark.sql import functions as F
+
+    from mo_etl_spark.suites.analytics import etl_compaction_binpack
+
+    out = etl_compaction_binpack(spark, SF).cache()
+    TARGET = 100000000
+    max_file = out.agg(F.max("size_bytes")).first()[0]
+    grp = out.groupBy("month_ms", "compaction_group").agg(
+        F.sum("size_bytes").alias("sz")
+    )
+    # a group overflows by at most one trailing file
+    assert grp.where(F.col("sz") > TARGET + max_file).count() == 0
+    # consecutive groups per month (no holes)
+    holes = (
+        out.groupBy("month_ms")
+        .agg(F.max("compaction_group").alias("mx"), F.countDistinct("compaction_group").alias("n"))
+        .where(F.col("n") != F.col("mx") + 1)
+        .count()
+    )
+    assert holes == 0
+    out.unpersist()
+
+
+def test_capped_sessionize_respects_gap_and_cap(spark):
+    from pyspark.sql import functions as F
+
+    from mo_etl_spark.suites.analytics import win_sessionize_capped
+    from mo_etl_spark.tables import load_table
+
+    sess = win_sessionize_capped(spark, SF)
+    e = load_table(spark, SF, "events").where("user_id < 40")
+    ms = (F.unix_micros(F.col("ts")) / 1000).cast("long")
+    joined = sess.join(e.select("event_id", ms.alias("ms")), "event_id")
+    spans = joined.groupBy("user_id", "session_idx").agg(
+        F.min("ms").alias("lo"), F.max("ms").alias("hi"), F.count("*").alias("n")
+    )
+    # hard duration cap holds for every session
+    assert spans.where(F.col("hi") - F.col("lo") > 14400000).count() == 0
+    # sessions are at least as fragmented as gap-only sessionization
+    from pyspark.sql import Window
+
+    order = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts = e.select("user_id", "event_id", ms.alias("ms"))
+    brk = F.when(F.col("ms") - F.lag("ms").over(order) > 1800000, 1).otherwise(0)
+    gap_only = (
+        pts.withColumn("sid", F.sum(brk).over(cum))
+        .groupBy("user_id")
+        .agg(F.countDistinct("sid").alias("n_gap"))
+    )
+    capped = sess.groupBy("user_id").agg(
+        F.countDistinct("session_idx").alias("n_cap")
+    )
+    assert (
+        gap_only.join(capped, "user_id").where(F.col("n_cap") < F.col("n_gap")).count()
+        == 0
+    )
