@@ -202,3 +202,58 @@ def fuzzy_blocked_join(
         .where(F.col("edit_distance") <= max_distance)
         .drop("__blk")
     )
+
+
+def interval_overlap_pairs(
+    iv: DataFrame,
+    start: str = "s_ms",
+    end: str = "e_ms",
+    bucket: int = 3_600_000,
+    key: str = "user_id",
+) -> DataFrame:
+    """INTERVAL x INTERVAL self overlap join, bucketed (SURVEY.md §2.3
+    extension; suites/analytics.join_interval_overlap_sessions).
+
+    Each interval [start, end] (closed) explodes to the fixed-width
+    grid buckets it covers; candidate pairs meet through an EQUI join
+    on bucket, the residual overlap predicate is cheap, and duplicate
+    matches across shared buckets are eliminated WITHOUT a distinct by
+    keeping a pair only in the first bucket both cover
+    (bucket == floor(max(starts)/bucket)).  Shuffle volume is
+    O(sum(interval_length)/bucket), never O(n^2); pick `bucket` near
+    the median interval length so most intervals hit 1-2 buckets.
+
+    Emits a.<key> < b.<key> pairs with both intervals and overlap_ms.
+    """
+    buck = iv.select(
+        key,
+        start,
+        end,
+        F.explode(
+            F.sequence(
+                (F.col(start) / bucket).cast("long"),
+                (F.col(end) / bucket).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    a, b = buck.alias("a"), buck.alias("b")
+    first_common = (F.greatest(F.col(f"a.{start}"), F.col(f"b.{start}")) / bucket).cast(
+        "long"
+    )
+    return a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{key}") < F.col(f"b.{key}"))
+        & (F.col(f"a.{start}") <= F.col(f"b.{end}"))
+        & (F.col(f"b.{start}") <= F.col(f"a.{end}"))
+        & (F.col("a.bucket") == first_common),
+    ).select(
+        F.col(f"a.{key}").alias("u1"),
+        F.col(f"b.{key}").alias("u2"),
+        F.col(f"a.{start}").alias("a_start_ms"),
+        F.col(f"b.{start}").alias("b_start_ms"),
+        (
+            F.least(F.col(f"a.{end}"), F.col(f"b.{end}"))
+            - F.greatest(F.col(f"a.{start}"), F.col(f"b.{start}"))
+        ).alias("overlap_ms"),
+    )

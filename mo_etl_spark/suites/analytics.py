@@ -657,8 +657,11 @@ def join_interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFram
     across shared buckets are eliminated WITHOUT a distinct: a pair is
     emitted only in the FIRST bucket both intervals cover
     (bucket == floor(max(starts)/W)).  Shuffle volume is
-    O(interval-hours), never O(n^2).
+    O(interval-hours), never O(n^2).  Core: operators/joins.py
+    interval_overlap_pairs (stress-tested at 1M intervals).
     """
+    from mo_etl_spark.operators.joins import interval_overlap_pairs
+
     W = 3600 * 1000  # 1-hour buckets
     e = _t(spark, sf_dir, "events").where(F.col("user_id") < 20)
     ms = (F.unix_micros(F.col("ts")) / 1000).cast("long")
@@ -675,40 +678,7 @@ def join_interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("user_id", "sid")
         .agg(F.min("ms").alias("s_ms"), (F.max("ms") + W).alias("e_ms"))
     )
-    buck = iv.select(
-        "user_id",
-        "s_ms",
-        "e_ms",
-        F.explode(
-            F.sequence(
-                (F.col("s_ms") / W).cast("long"), (F.col("e_ms") / W).cast("long")
-            )
-        ).alias("bucket"),
-    )
-    a, b = buck.alias("a"), buck.alias("b")
-    first_common = (
-        F.greatest(F.col("a.s_ms"), F.col("b.s_ms")) / W
-    ).cast("long")
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.user_id") < F.col("b.user_id"))
-            & (F.col("a.s_ms") <= F.col("b.e_ms"))
-            & (F.col("b.s_ms") <= F.col("a.e_ms"))
-            & (F.col("a.bucket") == first_common),
-        )
-        .select(
-            F.col("a.user_id").alias("u1"),
-            F.col("b.user_id").alias("u2"),
-            F.col("a.s_ms").alias("a_start_ms"),
-            F.col("b.s_ms").alias("b_start_ms"),
-            (
-                F.least(F.col("a.e_ms"), F.col("b.e_ms"))
-                - F.greatest(F.col("a.s_ms"), F.col("b.s_ms"))
-            ).alias("overlap_ms"),
-        )
-    )
+    return interval_overlap_pairs(iv, start="s_ms", end="e_ms", bucket=W)
 
 
 # ---------------------------------------------------------------------------
@@ -770,8 +740,11 @@ def graph_pagerank_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration (edges_deg below); at 100 TB you would persist
     edges_deg partitioned by src and checkpoint ranks every few
     iterations to cut lineage — noted, not needed at bench scale.  The
-    oracle unrolls the same 8 iterations as chained CTEs.
+    oracle unrolls the same 8 iterations as chained CTEs.  Core:
+    operators/graph.py pagerank (stress-tested at millions of edges).
     """
+    from mo_etl_spark.operators.graph import pagerank
+
     li = _t(spark, sf_dir, "lineitem")
     e0 = (
         li.select(
@@ -781,29 +754,10 @@ def graph_pagerank_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     edges = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    edges_deg = edges.join(outdeg, "src")  # reused by every iteration
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    nn = nodes.agg(F.count("*").alias("n"))
-
-    ranks = nodes.crossJoin(F.broadcast(nn)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("r")
+    ranks = pagerank(edges, iters=_PR_ITERS, d=_PR_D)
+    nn = edges.select(F.col("src").alias("node")).distinct().agg(
+        F.count("*").alias("n")
     )
-    for _ in range(_PR_ITERS):
-        contrib = edges_deg.join(ranks, edges_deg.src == ranks.node).select(
-            F.col("dst"), (F.col("r") / F.col("deg")).alias("w")
-        )
-        ranks = (
-            contrib.groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("w").alias("acc"))
-            .crossJoin(F.broadcast(nn))
-            .select(
-                "node",
-                (F.lit(1 - _PR_D) / F.col("n") + F.lit(_PR_D) * F.col("acc")).alias(
-                    "r"
-                ),
-            )
-        )
     return ranks.crossJoin(F.broadcast(nn)).select(
         "node", F.round(F.col("r") * F.col("n"), 6).alias("rank_scaled")
     )

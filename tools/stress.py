@@ -131,6 +131,67 @@ def main() -> None:
     ).agg(F.count(F.lit(1)), F.sum("filled_v")).collect()
     t["resample_ffill"] = round(time.time() - t0, 2)
 
+    # interval-overlap join at scale: 1M ten-minute intervals starting
+    # every 30 s (steady concurrency ~20) -> ~20M overlap pairs.  The
+    # claim: pair generation is O(interval-hours + output), not O(n^2).
+    from mo_etl_spark.operators.joins import interval_overlap_pairs
+
+    n_iv = 1_000_000
+    iv = spark.range(n_iv).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") * 30_000).alias("s_ms"),
+        (F.col("id") * 30_000 + 600_000).alias("e_ms"),
+    )
+    t0 = time.time()
+    n_pairs = interval_overlap_pairs(iv, bucket=600_000).count()
+    t["interval_overlap_1m_iv"] = round(time.time() - t0, 2)
+    assert n_pairs > 10 * n_iv  # concurrency ~20 -> ~20 partners each
+
+    # PageRank at scale: 4M directed edges (2M symmetrized) over ~200k
+    # nodes, 8 iterations.  Claim: per-iteration cost is one join +
+    # one agg on the SAME key layout, reused 8x.
+    from mo_etl_spark.operators.graph import pagerank
+
+    e0 = spark.range(2_000_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(200_000)).alias("src"),
+        F.pmod(F.xxhash64(F.col("id") + 7), F.lit(200_000)).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    t0 = time.time()
+    total_rank = pagerank(edges, iters=8).agg(F.sum("r")).first()[0]
+    t["pagerank_4m_edges_8it"] = round(time.time() - t0, 2)
+    assert abs(total_rank - 1.0) < 1e-6  # mass conserved, no dangling
+
+    # SCD2 merge at scale: 5M-row dimension x 500k-row change batch —
+    # ONE full-outer join + array/explode versioning, no second pass.
+    dim = spark.range(5_000_000).select(
+        F.col("id").alias("k"),
+        F.pmod(F.xxhash64("id"), F.lit(100_000)).alias("v"),
+    )
+    batch = spark.range(500_000).select(
+        (F.col("id") * 10).alias("k"),  # 10% of keys change
+        (F.pmod(F.xxhash64("id"), F.lit(100_000)) + 1).alias("v"),
+    )
+    d_, b_ = dim.alias("d"), batch.alias("b")
+    j = d_.join(b_, F.col("d.k") == F.col("b.k"), "full")
+    rows = (
+        F.when(F.col("b.k").isNull(), F.array(F.struct(F.col("d.k").alias("k"), F.col("d.v").alias("v"), F.lit(True).alias("cur"))))
+        .when(F.col("d.k").isNull(), F.array(F.struct(F.col("b.k").alias("k"), F.col("b.v").alias("v"), F.lit(True).alias("cur"))))
+        .when(F.col("d.v") == F.col("b.v"), F.array(F.struct(F.col("d.k").alias("k"), F.col("d.v").alias("v"), F.lit(True).alias("cur"))))
+        .otherwise(
+            F.array(
+                F.struct(F.col("d.k").alias("k"), F.col("d.v").alias("v"), F.lit(False).alias("cur")),
+                F.struct(F.col("b.k").alias("k"), F.col("b.v").alias("v"), F.lit(True).alias("cur")),
+            )
+        )
+    )
+    t0 = time.time()
+    n_out = j.select(F.explode(rows).alias("r")).select("r.*").count()
+    t["scd2_merge_5m_dim"] = round(time.time() - t0, 2)
+    assert n_out >= 5_000_000
+
     print(json.dumps({"rows": args.rows, "vecs": args.vecs, "timings": t}))
 
 
