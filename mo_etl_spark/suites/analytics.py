@@ -1062,3 +1062,64 @@ def win_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.groupBy("user_id").applyInPandas(
         walk, "event_id long, user_id long, session_idx int"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental join-view maintenance
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "etl_incremental_join_view",
+    oracle="""
+    WITH o_base AS (SELECT * FROM orders WHERE o_orderkey % 20 <> 0),
+    o_delta AS (SELECT * FROM orders WHERE o_orderkey % 20 = 0),
+    c_base AS (SELECT * FROM customer WHERE c_custkey % 10 <> 4),
+    c_delta AS (SELECT * FROM customer WHERE c_custkey % 10 = 4),
+    increment AS (
+        SELECT o.o_orderkey, o.o_totalprice, c.c_mktsegment
+        FROM o_delta o JOIN customer c ON o.o_custkey = c.c_custkey
+        UNION ALL
+        SELECT o.o_orderkey, o.o_totalprice, c.c_mktsegment
+        FROM o_base o JOIN c_delta c ON o.o_custkey = c.c_custkey
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_new_rows,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS added_cents
+    FROM increment
+    GROUP BY c_mktsegment
+    """,
+    tags=("incremental_etl", "view_maintenance", "ivm", "join_inner", "partial_merge"),
+)
+def etl_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a materialized JOIN view (insert-only
+    IVM): given base tables O, C and insert deltas dO, dC, the view
+    increment is
+
+        d(O JOIN C) = dO JOIN (C + dC)  UNION ALL  O JOIN dC
+
+    — computed WITHOUT touching the existing O JOIN C result (the
+    whole point at 100 TB: the delta join costs O(|delta| x match),
+    the recompute costs O(|O|)).  Deltas here are deterministic key
+    slices (5% of orders, 10% of customers as late-arriving dimension
+    rows) so the oracle reproduces them.  The query returns the
+    increment's per-segment aggregate — the same shape a downstream
+    partial-aggregate MERGE (agg_partial_merge) would consume.
+    """
+    prepare(spark)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    o_base = o.where(F.col("o_orderkey") % 20 != 0)
+    o_delta = o.where(F.col("o_orderkey") % 20 == 0)
+    c_delta = c.where(F.col("c_custkey") % 10 == 4)
+    inc = o_delta.join(
+        F.broadcast(c), o_delta.o_custkey == c.c_custkey
+    ).select("o_orderkey", "o_totalprice", "c_mktsegment").unionAll(
+        o_base.join(
+            F.broadcast(c_delta), o_base.o_custkey == c_delta.c_custkey
+        ).select("o_orderkey", "o_totalprice", "c_mktsegment")
+    )
+    return inc.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_new_rows"),
+        F.sum(cents("o_totalprice")).alias("added_cents"),
+    )
