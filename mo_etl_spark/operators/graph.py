@@ -16,16 +16,22 @@ def pagerank(edges: DataFrame, iters: int = 8, d: float = 0.85) -> DataFrame:
     redistribution term).
 
     Each iteration is one equi-join on src plus one groupBy dst.  The
-    degree-annotated edge list is built ONCE and reused, so every
-    iteration shuffles only rank rows keyed the same way.  At cluster
-    scale: persist `edges_deg` partitioned by src and checkpoint
-    ranks every ~5 iterations to truncate lineage.
+    degree-annotated edge list and the node list are materialized ONCE
+    via localCheckpoint (lineage truncation — without it Catalyst
+    re-scans and re-shuffles the edge subtree in EVERY iteration: 54
+    FileScans for 8 iterations, measured), so iterations shuffle only
+    rank rows.  On a cluster, reliable `checkpoint()` to the
+    checkpoint dir replaces localCheckpoint if executor loss matters,
+    and ranks themselves get checkpointed every ~5 iterations for
+    deeper runs.
 
     Returns (node, r) with sum(r) == 1.
     """
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    edges_deg = edges.join(outdeg, "src")
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    edges_deg = edges.join(outdeg, "src").localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=False)
+    )
     nn = nodes.agg(F.count("*").alias("n"))
 
     ranks = nodes.crossJoin(F.broadcast(nn)).select(

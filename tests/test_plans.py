@@ -415,3 +415,46 @@ def test_range_sorted_sink_yields_disjoint_file_bands(spark, sf001):
     bands.sort()
     for (_, hi_prev), (lo_next, _) in zip(bands, bands[1:]):
         assert hi_prev <= lo_next  # disjoint (range boundaries may touch)
+
+
+def test_funnel_is_single_fact_shuffle_no_joins(spark, sf001):
+    """The funnel walks per-user arrays — no per-stage self-joins."""
+    from mo_etl_spark.suites.analytics import win_funnel_signup_purchase
+
+    plan = plan_of(win_funnel_signup_purchase(spark, sf001))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # groupBy(user) + global 1-row agg
+
+
+def test_ivm_increment_broadcasts_both_delta_joins(spark, sf001):
+    """Delta-side joins must broadcast the dimension; the base fact
+    side must never shuffle."""
+    from mo_etl_spark.suites.analytics import etl_incremental_join_view
+
+    plan = plan_of(etl_incremental_join_view(spark, sf001))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_interval_overlap_is_equi_join_not_nested_loop(spark, sf001):
+    """Bucketing turns the interval theta join into an equi join."""
+    from mo_etl_spark.suites.analytics import join_interval_overlap_sessions
+
+    plan = plan_of(join_interval_overlap_sessions(spark, sf001))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_pagerank_materializes_edges_once(spark, sf001):
+    """All 8 iterations must read the degree-annotated edge list from
+    ONE materialization (localCheckpoint lineage truncation) — without
+    it the plan re-scans lineitem 50+ times (6-7 FileScans per
+    iteration, measured)."""
+    from mo_etl_spark.suites.analytics import graph_pagerank_supply
+
+    plan = plan_of(graph_pagerank_supply(spark, sf001))
+    assert plan.count("FileScan") <= 4
+    assert "ExistingRDD" in plan  # checkpointed edges/nodes feed iterations
