@@ -53,14 +53,19 @@ def asof_join(
     side sort key places right rows on the frame side of left rows).
     One shuffle on the keys — never a per-row range probe.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     on = list(on)
     r_payload_t = right.select(F.struct(*right.columns).alias("p")).schema[0].dataType
 
     # ties: the right row must land inside the left row's frame, so
-    # right sorts before left for backward, after left for forward
-    l_side, r_side = (1, 0) if direction == "backward" else (0, 1)
+    # right sorts before left for backward, after left for forward.
+    # nearest uses the backward tie layout: an exact-equal right row is
+    # caught by the backward frame at distance 0 and backward wins ties,
+    # so the forward frame missing equal rows is immaterial.
+    l_side, r_side = (0, 1) if direction == "forward" else (1, 0)
     l2 = left.select(
         *[F.col(c) for c in on],
         F.col(left_ts).alias("__ts"),
@@ -77,12 +82,28 @@ def asof_join(
     )
     u = l2.unionByName(r2)
     base = Window.partitionBy(*on).orderBy("__ts", "__side")
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     if direction == "backward":
-        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        nearest = F.last("__r", ignorenulls=True).over(w)
-    else:
-        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        nearest = F.first("__r", ignorenulls=True).over(w)
+        nearest = F.last("__r", ignorenulls=True).over(wb)
+    elif direction == "forward":
+        nearest = F.first("__r", ignorenulls=True).over(wf)
+    else:  # nearest: both frames share ONE sort (single shuffle+sort),
+        # pick the closer candidate; ties -> backward
+        back = F.last("__r", ignorenulls=True).over(wb)
+        fwd = F.first("__r", ignorenulls=True).over(wf)
+        gb = F.abs(
+            F.unix_micros(F.col("__ts")) - F.unix_micros(back[right_ts])
+        )
+        gf = F.abs(
+            F.unix_micros(F.col("__ts")) - F.unix_micros(fwd[right_ts])
+        )
+        nearest = (
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when(gb <= gf, back)
+            .otherwise(fwd)
+        )
     matched = u.withColumn("__m", nearest).where(F.col("__side") == l_side)
     if tolerance_ms is not None:
         gap = F.abs(

@@ -1123,3 +1123,151 @@ def etl_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_new_rows"),
         F.sum(cents("o_totalprice")).alias("added_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-direction as-of join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_asof_nearest_click",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, event_id AS click_event_id FROM events
+          WHERE event_type = 'click'),
+    ranked AS (
+        SELECT p.event_id, p.user_id, c.click_event_id,
+               epoch_ms(c.ts) - epoch_ms(p.ts) AS signed_gap_ms,
+               row_number() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)),
+                            epoch_us(c.ts), c.click_event_id) AS rn
+        FROM p LEFT JOIN c ON p.user_id = c.user_id
+    )
+    SELECT event_id, user_id, click_event_id, signed_gap_ms
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("join_asof", "asof_nearest"),
+)
+def join_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join (merge_asof direction='nearest'
+    parity, completing the backward/forward family): for every
+    purchase, the user's click closest in time in EITHER direction;
+    exact ties prefer the earlier (backward) click.
+
+    Plan: still ONE shuffle+sort on user_id — the backward and forward
+    candidates come from two frames over the SAME window sort, then a
+    scalar pick (operators/joins.py asof_join direction='nearest').
+    The oracle ranks all candidate pairs instead (quadratic in
+    clicks-per-user — fine for DuckDB at sf0.01, wrong at scale).
+    """
+    from mo_etl_spark.operators.joins import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_prefix="m_",
+        direction="nearest",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("m_click_event_id").alias("click_event_id"),
+        # truncate EACH timestamp to ms before subtracting (epoch_ms
+        # twin); truncating the µs difference instead skews ties by 1 ms
+        (
+            F.expr("unix_micros(m_ts) div 1000") - F.expr("unix_micros(ts) div 1000")
+        ).alias("signed_gap_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_contamination_ngram_overlap",
+    oracle="""
+    WITH bench AS (
+        SELECT doc_id AS bench_id, string_split(text, ' ') AS t
+        FROM documents WHERE doc_id < 20
+    ),
+    corpus AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE doc_id >= 20
+    ),
+    bsh AS (
+        SELECT DISTINCT bench_id,
+               array_to_string(t[i + 1 : i + 8], ' ') AS sh
+        FROM bench, unnest(generate_series(0, len(t) - 8)) AS u(i)
+    ),
+    csh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(t[i + 1 : i + 8], ' ') AS sh
+        FROM corpus, unnest(generate_series(0, len(t) - 8)) AS u(i)
+    )
+    SELECT c.doc_id, b.bench_id, count(*) AS n_shared_8grams
+    FROM csh c JOIN bsh b ON c.sh = b.sh
+    GROUP BY c.doc_id, b.bench_id
+    HAVING count(*) >= 5
+    """,
+    tags=("contamination", "decontamination", "ngram", "dedup_ngram_jaccard"),
+)
+def llm_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION — the training-pipeline stage that
+    flags corpus documents sharing long n-gram spans with an eval set
+    (the GPT-3/PaLM 8-gram-collision recipe): docs 0..19 act as the
+    benchmark; any corpus doc sharing >= 5 distinct 8-token shingles
+    with a benchmark doc is flagged (doc pair + collision count).
+
+    Scale: the benchmark shingle set is tiny and BROADCAST — the
+    corpus side streams map-side with no shuffle until the final
+    per-pair count; at 100 TB this is a broadcast-hash semi-ish join
+    on shingle hash, the corpus is never self-joined.
+    """
+    d = _t(spark, sf_dir, "documents")
+
+    def shingles(df: DataFrame, idc: str) -> DataFrame:
+        toks = df.select(idc, F.split("text", " ").alias("t"))
+        return (
+            toks.where(F.size("t") >= 8)
+            .select(
+                idc,
+                F.explode(
+                    F.sequence(F.lit(0), F.size("t") - 8)
+                ).alias("i"),
+                "t",
+            )
+            .select(
+                idc,
+                F.array_join(F.slice("t", F.col("i") + 1, 8), " ").alias("sh"),
+            )
+            .distinct()
+        )
+
+    bench = shingles(
+        d.where(F.col("doc_id") < 20).select(
+            F.col("doc_id").alias("bench_id"), "text"
+        ),
+        "bench_id",
+    )
+    corpus = shingles(d.where(F.col("doc_id") >= 20), "doc_id")
+    return (
+        corpus.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared_8grams"))
+        .where(F.col("n_shared_8grams") >= 5)
+    )

@@ -303,3 +303,35 @@ def test_capped_sessionize_respects_gap_and_cap(spark):
         gap_only.join(capped, "user_id").where(F.col("n_cap") < F.col("n_gap")).count()
         == 0
     )
+
+
+def test_asof_nearest_matches_pandas_merge_asof(spark):
+    """direction='nearest' must agree with pandas merge_asof row for
+    row (the operator's documented parity contract)."""
+    import pandas as pd
+
+    from mo_etl_spark.operators.joins import asof_join
+    from mo_etl_spark.tables import load_table
+
+    e = load_table(spark, SF, "events")
+    purchases = e.where("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    clicks = e.where("event_type = 'click'").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    got = {
+        r["event_id"]: r["m_click_id"]
+        for r in asof_join(
+            purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+            right_prefix="m_", direction="nearest",
+        ).collect()
+    }
+    lp = purchases.toPandas().sort_values("ts")
+    rp = clicks.toPandas().sort_values("ts")
+    ref = pd.merge_asof(
+        lp, rp, on="ts", by="user_id", direction="nearest"
+    )
+    refmap = {
+        int(r.event_id): (None if pd.isna(r.click_id) else int(r.click_id))
+        for r in ref.itertuples()
+    }
+    assert got == refmap
