@@ -310,3 +310,93 @@ def stream_real_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_cents",
     )
+
+
+@query(
+    "stream_real_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id,
+           epoch_ms(p.ts) - epoch_ms(c.ts) AS lead_ms
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND epoch_ms(c.ts) BETWEEN epoch_ms(p.ts) - 600000 AND epoch_ms(p.ts)
+    """,
+    tags=("stream_stream_join", "stream_source", "watermark", "join_range"),
+)
+def stream_real_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE stream-stream INNER join (SURVEY.md §2.9 extension):
+    the purchase stream joins the click stream on user_id within a
+    10-minute event-time band.  BOTH sides carry watermarks and the
+    join predicate bounds event-time distance, so Spark can expire
+    join state — the thing that makes stream-stream joins viable on
+    unbounded streams (state is O(watermark window), not O(stream)).
+    availableNow backfill -> append-mode memory sink -> static result
+    the DuckDB band-join oracle verifies row for row.
+
+    Epoch-ms integers are compared (not raw timestamps) so µs-vs-ns
+    storage precision cannot skew the band edges — matching
+    join_range_clicks_before_purchase's convention.
+    """
+    prepare(spark)
+    feed = _feed(spark, sf_dir)
+    ckpt = _scratch("ssj_ckpt")
+    qname = "stream_real_ssj_sink"
+
+    purchases = (
+        file_stream_source(spark, feed, _FEED_SCHEMA)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        file_stream_source(spark, feed, _FEED_SCHEMA)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """
+            user_id = c_user_id
+            AND unix_micros(c_ts) div 1000
+                BETWEEN unix_micros(p_ts) div 1000 - 600000
+                    AND unix_micros(p_ts) div 1000
+            AND c_ts BETWEEN p_ts - INTERVAL 11 MINUTES
+                         AND p_ts + INTERVAL 1 MINUTE
+            """
+            # the raw-timestamp envelope is a strict SUPERSET of the
+            # ms-integer band (no result change) — it exists so Spark
+            # can derive join-state watermark bounds from event-time
+            # columns directly and evict state on an unbounded run
+        ),
+        "inner",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(qname).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        (
+            F.expr("unix_micros(p_ts) div 1000") - F.expr("unix_micros(c_ts) div 1000")
+        ).alias("lead_ms"),
+    )
