@@ -32,6 +32,7 @@ CARTESIAN_OK = {
     "join_q11_important_part_value",  # 1-row grand-total threshold broadcast-crossed in
     "join_q15_top_supplier",  # 1-row max-revenue scalar broadcast-crossed in
     "layout_zorder_orders",  # 1-row global min/max bounds broadcast-crossed in
+    "graph_pagerank_supply",  # 1-row node-count scalar broadcast-crossed into every iteration
     "qa_drift_value_histogram",  # 1-row population totals broadcast-crossed in
 }
 
@@ -41,6 +42,10 @@ EXCHANGES_OK = {
     # inline; at scale those stages run once and persist co-partitioned
     # by cell, leaving the serving path at 2 exchanges
     "llm_sim_ivf_topk",
+    # fixed-iteration PageRank: 8 rank shuffles (one per power iteration)
+    # by construction + the one-off edge materialization; per-iteration
+    # cost is the claim, not total exchange count
+    "graph_pagerank_supply",
 }
 
 
