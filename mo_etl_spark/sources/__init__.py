@@ -57,6 +57,22 @@ def scan_text_jsonlines(spark: SparkSession, path: str, schema) -> DataFrame:
     )
 
 
+def scan_xml(spark: SparkSession, path: str, row_tag: str, schema=None) -> DataFrame:
+    """XML scan — Spark 4 ships the former spark-xml as a native source.
+    An explicit schema skips the inference pass (the 100 TB pattern —
+    inference re-reads the whole input)."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def sink_xml(
+    df: DataFrame, path: str, row_tag: str, mode: str = "overwrite"
+) -> None:
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
+
+
 def sink_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
 

@@ -4,6 +4,7 @@ import mo_etl_spark.suites.aggregates  # noqa: F401
 import mo_etl_spark.suites.analytics  # noqa: F401
 import mo_etl_spark.suites.jx_queries  # noqa: F401
 import mo_etl_spark.suites.llm  # noqa: F401
+import mo_etl_spark.suites.modern_sql  # noqa: F401
 import mo_etl_spark.suites.relational  # noqa: F401
 import mo_etl_spark.suites.scalars  # noqa: F401
 import mo_etl_spark.suites.sources  # noqa: F401

@@ -1,0 +1,169 @@
+"""Modern-SQL surface queries (engine additions; Spark 4 features).
+
+The reference delegates SQL parsing to ``mo-sql-parsing`` (u — SQL text
+-> JSON tree; execution is whoever consumes the tree) and has no
+recursive-query or lateral-join surface at all.  This engine's SQL
+surface IS Spark SQL (SURVEY.md §7.4), so the capabilities below come
+from Catalyst directly:
+
+- ``WITH RECURSIVE`` (Spark 4.0+, SPARK-24497): iterative hierarchy
+  walks — the jx-sqlite "snowflake" parent/child traversal shape (u)
+  generalized to unbounded depth.
+- ``LATERAL`` correlated subqueries (Spark 3.2+): per-row dependent
+  subqueries — decorrelated by Catalyst into joins, so no
+  nested-loop-per-row at 100 TB.
+
+Both have exact DuckDB twins, so they are fully hash-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mo_etl_spark.registry import query
+from mo_etl_spark.session import prepare
+from mo_etl_spark.tables import load_table
+
+
+@query(
+    "sql_recursive_cte_tree",
+    oracle="""
+    WITH RECURSIVE tree AS (
+      SELECT n_nationkey AS nationkey, 0 AS depth, n_name AS path
+      FROM nation WHERE n_nationkey = 0
+      UNION ALL
+      SELECT n.n_nationkey AS nationkey, t.depth + 1 AS depth,
+             concat(t.path, '/', n.n_name) AS path
+      FROM nation n JOIN tree t
+        ON t.nationkey = CAST(floor((n.n_nationkey - 1) / 2.0) AS INT)
+       AND n.n_nationkey > 0
+    )
+    SELECT nationkey, depth, path FROM tree
+    """,
+    tags=("recursive_cte", "sql_surface", "hierarchy"),
+)
+def sql_recursive_cte_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE hierarchy walk: nations arranged as an implicit
+    binary tree (parent(k) = floor((k-1)/2)), walked from the root with
+    depth and root->node path accumulation.  Each iteration is one
+    broadcast-size join; Spark materializes the frontier per step (the
+    same loop-over-join shape as operators/graph.py PageRank, but
+    expressed declaratively).  Identical SQL runs on DuckDB."""
+    prepare(spark)
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        WITH RECURSIVE tree AS (
+          SELECT n_nationkey AS nationkey, 0 AS depth, n_name AS path
+          FROM nation WHERE n_nationkey = 0
+          UNION ALL
+          SELECT n.n_nationkey AS nationkey, t.depth + 1 AS depth,
+                 concat(t.path, '/', n.n_name) AS path
+          FROM nation n JOIN tree t
+            ON t.nationkey = CAST(floor((n.n_nationkey - 1) / 2.0) AS INT)
+           AND n.n_nationkey > 0
+        )
+        SELECT nationkey, depth, path FROM tree
+        """
+    )
+
+
+@query(
+    "sql_recursive_running_restart",
+    oracle="""
+    WITH RECURSIVE
+    seq AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+      FROM orders WHERE o_custkey < 200
+    ),
+    walk AS (
+      SELECT o_custkey, o_orderkey, price_cents, rn,
+             price_cents AS bucket_total
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.o_custkey, s.o_orderkey, s.price_cents, s.rn,
+             CASE WHEN w.bucket_total >= 10000000 THEN s.price_cents
+                  ELSE w.bucket_total + s.price_cents END AS bucket_total
+      FROM seq s JOIN walk w
+        ON s.o_custkey = w.o_custkey AND s.rn = w.rn + 1
+    )
+    SELECT o_custkey, o_orderkey, bucket_total FROM walk
+    """,
+    tags=("recursive_cte", "sql_surface", "iterative", "stateful_scan"),
+)
+def sql_recursive_running_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A genuinely non-window-expressible recursion: a running total
+    that RESETS after crossing a threshold (batch/bin accumulation —
+    the 'fill the truck, start a new one' shape).  The reset makes each
+    row's value depend on the post-reset state of the previous row, so
+    no single window frame computes it; WITH RECURSIVE walks each
+    customer's order sequence carrying the accumulator.  Per-iteration
+    work is one equi join on (custkey, rn) — co-partitioned, bounded by
+    the longest per-key chain."""
+    prepare(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE
+        seq AS (
+          SELECT o_custkey, o_orderkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                 row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+          FROM orders WHERE o_custkey < 200
+        ),
+        walk AS (
+          SELECT o_custkey, o_orderkey, price_cents, rn,
+                 price_cents AS bucket_total
+          FROM seq WHERE rn = 1
+          UNION ALL
+          SELECT s.o_custkey, s.o_orderkey, s.price_cents, s.rn,
+                 CASE WHEN w.bucket_total >= 10000000 THEN s.price_cents
+                      ELSE w.bucket_total + s.price_cents END AS bucket_total
+          FROM seq s JOIN walk w
+            ON s.o_custkey = w.o_custkey AND s.rn = w.rn + 1
+        )
+        SELECT o_custkey, o_orderkey, bucket_total FROM walk
+        """
+    )
+
+
+@query(
+    "join_lateral_topk_suppliers",
+    oracle="""
+    SELECT n.n_name, s.s_name,
+           CAST(round(s.s_acctbal * 100) AS BIGINT) AS acctbal_cents
+    FROM nation n, LATERAL (
+      SELECT s_name, s_acctbal
+      FROM supplier
+      WHERE s_nationkey = n.n_nationkey
+      ORDER BY s_acctbal DESC, s_name
+      LIMIT 2
+    ) s
+    """,
+    tags=("join_lateral", "sql_surface", "top_k_per_group"),
+)
+def join_lateral_topk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery with ORDER BY + LIMIT: the top-2
+    suppliers by account balance for every nation.  Catalyst
+    decorrelates the lateral into a window-rank join (no per-row
+    re-execution), which is exactly the distributed top-k-per-group
+    plan — the SQL spelling of win_top_k_per_group.  Nations with no
+    suppliers drop out (inner lateral), matching DuckDB."""
+    prepare(spark)
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        SELECT n.n_name, s.s_name,
+               CAST(round(s.s_acctbal * 100) AS BIGINT) AS acctbal_cents
+        FROM nation n, LATERAL (
+          SELECT s_name, s_acctbal
+          FROM supplier
+          WHERE s_nationkey = n.n_nationkey
+          ORDER BY s_acctbal DESC, s_name
+          LIMIT 2
+        ) s
+        """
+    )

@@ -245,6 +245,50 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_xml_roundtrip",
+    oracle="""
+    SELECT p_brand, p_size, count(*) AS n, sum(price_cents) AS total_cents
+    FROM (
+        SELECT p_brand, p_size,
+               CAST(round(p_retailprice*100) AS BIGINT) AS price_cents
+        FROM part
+    )
+    GROUP BY p_brand, p_size
+    """,
+    tags=("scan_xml", "sink_xml"),
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part -> XML sink -> XML scan (explicit schema, no inference
+    pass) -> aggregate.  Spark 4 ships the former spark-xml package as
+    a native format — the document-markup interchange surface (the
+    reference's world is JSON documents (u, mo_json); XML is the same
+    doc-shape capability for feeds that arrive as markup).  Money is
+    lifted to integer cents BEFORE the sink so text serialization is
+    exact by construction.  DuckDB reads no XML, so the oracle
+    aggregates the source table — a hash match proves losslessness."""
+    prepare(spark)
+    from mo_etl_spark.sources import scan_xml, sink_xml
+
+    path = _dir(sf_dir, "part_xml")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+    )
+    sink_xml(part, path, row_tag="part")
+    back = scan_xml(
+        spark,
+        path,
+        row_tag="part",
+        schema="p_brand STRING, p_size INT, price_cents BIGINT",
+    )
+    return back.groupBy("p_brand", "p_size").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price_cents").alias("total_cents"),
+    )
+
+
+@query(
     "source_text_jsonlines",
     oracle="""
     SELECT event_type, count(*) AS n, sum(value_cents) AS total_cents
