@@ -245,6 +245,51 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_python_datasource_blocks",
+    oracle="""
+    SELECT event_id % 8 AS block_id,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           sum(CAST(round(value*100) AS BIGINT)) AS total_cents
+    FROM events
+    GROUP BY event_id % 8
+    """,
+    tags=("source_s3", "python_datasource", "scan_jsonlines", "block_lineage"),
+)
+def source_python_datasource_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's S3 block source (u, ActiveData-ETL s3_bucket:
+    gz NDJSON blocks addressed by etl id) rebuilt on the Spark 4
+    Python Data Source API (sources/blocks.py).  events are sharded
+    into 8 blocks (block_id = event_id % 8), materialized as
+    `block_id=N/part-*.json.gz` dirs, then read back through the
+    registered `ndjson_blocks` format: one InputPartition PER BLOCK,
+    Arrow-batch parsing on executors, and the block id — which lives
+    only in the path, like an S3 key — re-injected as a column (the
+    `etl` lineage reconstruction).  The oracle derives the same blocks
+    arithmetically from the source table, so the hash match proves
+    sharding + gz NDJSON round trip + lineage injection are lossless."""
+    prepare(spark)
+    from mo_etl_spark.sources.blocks import register_block_source, write_block_store
+
+    path = _dir(sf_dir, "events_blocks")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        F.pmod("event_id", F.lit(8)).cast("long").alias("block_id"),
+    )
+    write_block_store(events, path)
+    register_block_source(spark)
+    back = spark.read.format("ndjson_blocks").load(path)
+    return back.groupBy("block_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("value_cents").alias("total_cents"),
+    )
+
+
+@query(
     "source_xml_roundtrip",
     oracle="""
     SELECT p_brand, p_size, count(*) AS n, sum(price_cents) AS total_cents
