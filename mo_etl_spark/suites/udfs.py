@@ -143,3 +143,52 @@ def udf_flatmap_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(
         _doc_to_token_rows, "doc_id long, pos long, tok string"
     )
+
+
+@query(
+    "udtf_lateral_bigrams",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(unnest(generate_series(0, len(toks) - 2)) AS BIGINT) AS pos,
+           unnest(list_transform(generate_series(0, len(toks) - 2),
+                                 i -> toks[i + 1] || ' ' || toks[i + 2])) AS bigram
+    FROM t
+    """,
+    tags=("udtf", "python_udtf", "join_lateral", "sql_surface"),
+)
+def udtf_lateral_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Python UDTF (Spark 3.5+/4 `@udtf` class, distinct from the
+    mapInPandas shape above): one doc row fans out to one row per
+    adjacent-token bigram.  Registered in the session and invoked from
+    SQL with LATERAL — the table-function spelling of the reference's
+    doc->many-docs transform (u, ActiveData-ETL transforms).  The
+    DuckDB oracle rebuilds the same bigrams with list lambdas, so the
+    fan-out is fully hash-checked."""
+    prepare(spark)
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos BIGINT, bigram STRING")
+    class DocBigrams:
+        def eval(self, text: str):
+            if text is None:
+                return
+            toks = _re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+            for i in range(len(toks) - 1):
+                yield i, toks[i] + " " + toks[i + 1]
+
+    spark.udtf.register("doc_bigrams", DocBigrams)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.bigram
+        FROM documents d, LATERAL doc_bigrams(d.text) t
+        WHERE d.doc_id < 200
+        """
+    )
