@@ -126,3 +126,56 @@ def stateful_count(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+def tws_user_stats(stream_df: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Next-generation arbitrary state (Spark 4 transformWithState):
+    per-key running count/sum/max held in typed ValueState on the
+    RocksDB state store.  Vs applyInPandasWithState above: named state
+    variables (value/list/map), timers, TTL, and state-schema evolution
+    — the API a long-lived 100 TB streaming deployment should target.
+    Requires spark.sql.streaming.stateStore.providerClass =
+    RocksDBStateStoreProvider (set by the caller before .start())."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", "n_events BIGINT, total_cents BIGINT, max_cents BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._state.get() if self._state.exists() else None
+            n, tot, mx = prev if prev is not None else (0, 0, None)
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                n += len(pdf)
+                tot += int(pdf["value_cents"].sum())
+                m = int(pdf["value_cents"].max())
+                mx = m if mx is None else max(mx, m)
+            self._state.update((n, tot, mx))
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n_events": [n],
+                    "total_cents": [tot],
+                    "max_cents": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream_df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=UserStats(),
+        outputStructType=(
+            f"{key_col} long, n_events long, total_cents long, max_cents long"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )

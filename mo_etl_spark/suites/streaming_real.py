@@ -400,3 +400,129 @@ def stream_real_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFram
             F.expr("unix_micros(p_ts) div 1000") - F.expr("unix_micros(c_ts) div 1000")
         ).alias("lead_ms"),
     )
+
+
+def _has_protobuf() -> bool:
+    """transformWithStateInPandas drives its state-server protocol over
+    protobuf in the Python worker; the package is absent in this
+    container (and installs are off-limits), so the query below is
+    registered only where the dependency exists.  The capability itself
+    is implemented (streaming.tws_user_stats) and covered by the
+    applyInPandasWithState path (stream_real_stateful_count) meanwhile."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def _tws_user_stats_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 transformWithStateInPandas (streaming.tws_user_stats):
+    the next-generation arbitrary-state API — typed ValueState on the
+    RocksDB state store, update-mode emission per micro-batch.  The
+    availableNow backfill replays the whole feed, so each key's
+    final emission equals the batch aggregate; n_events is monotone per
+    key, so max_by(n_events) selects exactly that final state row."""
+    prepare(spark)
+    from mo_etl_spark.streaming import tws_user_stats
+
+    feed = _feed(spark, sf_dir)
+    ckpt = _scratch("tws_ckpt")
+    qname = "stream_real_tws_user_stats_sink"
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = file_stream_source(spark, feed, _FEED_SCHEMA)
+        stats = tws_user_stats(stream, "user_id")
+        q = (
+            stats.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    sink = spark.table(qname)
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_cents", "n_events").alias("total_cents"),
+        F.max_by("max_cents", "n_events").alias("max_cents"),
+    )
+
+
+if _has_protobuf():
+    query(
+        "stream_real_tws_user_stats",
+        oracle="""
+        SELECT user_id, count(*) AS n_events,
+               sum(CAST(round(value*100) AS BIGINT)) AS total_cents,
+               max(CAST(round(value*100) AS BIGINT)) AS max_cents
+        FROM events
+        GROUP BY user_id
+        """,
+        tags=("stateful_custom", "transformWithState", "stream_source"),
+    )(_tws_user_stats_impl)
+
+
+@query(
+    "stream_real_dedup_within_watermark",
+    oracle="""
+    SELECT event_type, count(*) AS n, sum(value_cents) AS total_cents
+    FROM (
+      SELECT DISTINCT event_id, event_type,
+             CAST(round(value*100) AS BIGINT) AS value_cents
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+    tags=("stateful_dedup", "watermark", "stream_source"),
+)
+def stream_real_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark on a REAL stream: the feed is
+    re-materialized with every fifth event delivered TWICE (the
+    at-least-once queue shape (u, ActiveData-ETL pulse redelivery)),
+    then deduplicated by event_id while streaming.  Unlike plain
+    dropDuplicates, state for a key is dropped once the watermark
+    passes it — the unbounded-runtime dedup the 100 TB pipeline needs
+    (duplicates arrive close together; exact global dedup would hold
+    every key forever).  Append mode + availableNow drains the feed;
+    the oracle is the exact DISTINCT aggregate."""
+    prepare(spark)
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    dup_feed = os.path.join(_CACHE, tag, "stream_feed_dups")
+    success = os.path.join(dup_feed, "_SUCCESS")
+    src = os.path.join(sf_dir, "events.parquet")
+    if not os.path.exists(success) or os.path.getmtime(success) < os.path.getmtime(src):
+        base = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "ts", cents("value").alias("value_cents")
+        )
+        redelivered = base.where(F.col("event_id") % 5 == 0)
+        base.unionByName(redelivered).write.mode("overwrite").parquet(dup_feed)
+    ckpt = _scratch("dedup_wm_ckpt")
+    qname = "stream_real_dedup_within_watermark_sink"
+    stream = file_stream_source(spark, dup_feed, _FEED_SCHEMA)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.table(qname)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value_cents").alias("total_cents"))
+    )

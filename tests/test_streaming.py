@@ -160,3 +160,30 @@ def test_incremental_feed_exactly_once(spark, sf_dir, tmpdir):
     # run 2 really was incremental: its rows are only the new files'
     run2 = got.where(F.col("run_batch") > max_batch_run1)
     assert run2.count() == second.count()
+
+
+def test_tws_user_stats_requires_protobuf_or_runs(spark):
+    """transformWithStateInPandas needs python protobuf in the worker;
+    absent here, the query is deliberately unregistered (capability
+    gated, not silently broken).  When the dependency exists, the full
+    backfill must match the batch aggregate."""
+    import pytest
+
+    from mo_etl_spark.registry import all_queries
+    from mo_etl_spark.suites.streaming_real import _has_protobuf
+
+    registered = "stream_real_tws_user_stats" in all_queries()
+    assert registered == _has_protobuf()
+    if not _has_protobuf():
+        pytest.skip("python protobuf absent: transformWithState driver "
+                    "worker cannot start in this container")
+    from mo_etl_spark.suites.streaming_real import _tws_user_stats_impl
+    from mo_etl_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    got = {r["user_id"]: r["n_events"]
+           for r in _tws_user_stats_impl(spark, "/root/testdata/sf0.001").collect()}
+    want = {r["user_id"]: r["n"]
+            for r in load_table(spark, "/root/testdata/sf0.001", "events")
+            .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want
