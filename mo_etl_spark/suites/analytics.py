@@ -1271,3 +1271,97 @@ def llm_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.count("*").alias("n_shared_8grams"))
         .where(F.col("n_shared_8grams") >= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# DataSketches set algebra + quantiles (theta / KLL)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_theta_setops_users",
+    oracle="""
+    WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+         e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+    SELECT (SELECT count(*) FROM p) AS purchase_users,
+           (SELECT count(*) FROM e) AS error_users,
+           (SELECT count(*) FROM (SELECT * FROM p UNION SELECT * FROM e)) AS union_users,
+           (SELECT count(*) FROM (SELECT * FROM p INTERSECT SELECT * FROM e)) AS both_users,
+           (SELECT count(*) FROM (SELECT * FROM p EXCEPT SELECT * FROM e)) AS purchase_only_users
+    """,
+    tags=("cardinality", "sketch_rollup", "theta_sketch", "set_ops", "partial_merge"),
+)
+def agg_theta_setops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET ALGEBRA (Apache DataSketches): per-event-type
+    user sketches, then union/intersection/difference ESTIMATED from
+    the sketches alone — the re-aggregatable audience-overlap pattern
+    (HLL can only union; theta is the sketch family with A∩B and A\\B).
+    At 100 TB the per-segment sketches are a tiny rollup table and any
+    cross-segment overlap is sketch math, never a raw re-scan.  The
+    fixture's ~50 distinct users keep every sketch in exact mode
+    (< 4096 nominal entries), so the estimates are exactly the true
+    counts and the query stays in the hash-checked set; accuracy at
+    sketch-mode scale is asserted separately in tests."""
+    e = _t(spark, sf_dir, "events")
+    sk = (
+        e.where(F.col("event_type").isin("purchase", "error"))
+        .groupBy("event_type")
+        .agg(F.theta_sketch_agg("user_id").alias("sk"))
+    )
+    p = sk.where(F.col("event_type") == "purchase").select(F.col("sk").alias("p_sk"))
+    er = sk.where(F.col("event_type") == "error").select(F.col("sk").alias("e_sk"))
+    both = p.crossJoin(er)  # two single-sketch rows
+    return both.select(
+        F.theta_sketch_estimate("p_sk").cast("long").alias("purchase_users"),
+        F.theta_sketch_estimate("e_sk").cast("long").alias("error_users"),
+        F.theta_sketch_estimate(F.theta_union("p_sk", "e_sk"))
+        .cast("long")
+        .alias("union_users"),
+        F.theta_sketch_estimate(F.theta_intersection("p_sk", "e_sk"))
+        .cast("long")
+        .alias("both_users"),
+        F.theta_sketch_estimate(F.theta_difference("p_sk", "e_sk"))
+        .cast("long")
+        .alias("purchase_only_users"),
+    )
+
+
+@query(
+    "agg_kll_quantile_rollup",
+    oracle=None,  # KLL compaction is randomized (rows-only by design);
+    # rank-error accuracy vs exact quantiles is asserted in tests
+    tags=("percentile", "approx", "sketch_rollup", "kll", "partial_merge"),
+)
+def agg_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile-sketch rollup (Apache DataSketches): per-day KLL
+    sketches of the event value (a persistable rollup), merged to
+    answer month-level quantiles WITHOUT re-scanning raw events — the
+    mergeable-percentile path that complements the engine's exact
+    integer histogram sketch (agg_histogram_quantile_sketch).  KLL's
+    compaction uses random sampling, so results carry a bounded rank
+    error (~1.65% at k=200) rather than being bit-reproducible:
+    rows-only here, tolerance-checked in tests."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.kll_sketch_agg_double(F.col("value")).alias("sk"),
+        F.count("*").alias("n"),
+    )
+    # kll_sketch_merge_double is a BINARY merge (no union-agg form);
+    # fold the ~30 daily sketches with a higher-order aggregate —
+    # still fully distributed up to the final single-row fold
+    merged = daily.agg(
+        F.sum("n").alias("n_events"), F.collect_list("sk").alias("sks")
+    ).select(
+        "n_events",
+        F.aggregate(
+            F.slice("sks", 2, F.size("sks") - 1),
+            F.element_at("sks", 1),
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        ).alias("sk"),
+    )
+    return merged.select(
+        "n_events",
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("p90"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.99)).alias("p99"),
+    )

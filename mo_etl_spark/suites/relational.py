@@ -772,3 +772,44 @@ def join_fuzzy_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_distance=1,
     )
     return out.select("p_partkey", "reg_id", "edit_distance")
+
+
+@query(
+    "join_salted_skew_cohorts",
+    oracle="""
+    WITH profile AS (
+      SELECT DISTINCT user_id, user_id % 5 AS cohort FROM events
+    )
+    SELECT p.cohort, count(*) AS n_events,
+           sum(CAST(round(e.value*100) AS BIGINT)) AS total_cents
+    FROM events e JOIN profile p ON e.user_id = p.user_id
+    GROUP BY p.cohort
+    """,
+    tags=("join_inner", "skew_salting", "join_salted"),
+)
+def join_salted_skew_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted replicated join (operators/skew.salted_join): events'
+    user_id histogram is spiky, so a plain shuffle join puts every hot
+    user in one task.  The big side gets a deterministic row-hash salt,
+    the profile side is replicated once per salt, and the join runs on
+    (user_id, salt) — the hot key's rows land in 8 tasks instead of 1.
+    The oracle is the UNSALTED join, so the hash match proves salting
+    is result-invariant (the point of the rewrite).  With a truly
+    dimension-sized small side, F.broadcast alone is the better plan;
+    salting is for the small-but-not-broadcastable case."""
+    prepare(spark)
+    from mo_etl_spark.operators.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", cents("value").alias("value_cents")
+    )
+    profile = (
+        e.select("user_id")
+        .distinct()
+        .withColumn("cohort", F.col("user_id") % 5)
+    )
+    joined = salted_join(e, profile, on=["user_id"], n_salts=8, how="inner")
+    return joined.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_cents").alias("total_cents"),
+    )

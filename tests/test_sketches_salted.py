@@ -1,0 +1,86 @@
+"""Accuracy/behavior tests for the DataSketches additions and the
+salted replicated join:
+
+- theta set algebra in SKETCH mode (cardinalities far above nominal
+  entries — the regime the contract query's exact-mode fixture can't
+  reach) stays within published error bounds;
+- KLL merged-rollup quantiles land within rank tolerance of exact;
+- salted_join is result-invariant vs the plain join, including left
+  joins with unmatched big-side keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_theta_setops_sketch_mode_accuracy(spark):
+    # two 60k-element sets overlapping in [40000, 60000): 20k intersection
+    a = spark.range(0, 60_000).select(F.col("id").alias("v"))
+    b = spark.range(40_000, 100_000).select(F.col("id").alias("v"))
+    ska = a.agg(F.theta_sketch_agg("v").alias("sk"))
+    skb = b.agg(F.theta_sketch_agg("v").alias("sk2"))
+    row = (
+        ska.crossJoin(skb)
+        .select(
+            F.theta_sketch_estimate(F.theta_union("sk", "sk2")).alias("u"),
+            F.theta_sketch_estimate(F.theta_intersection("sk", "sk2")).alias("i"),
+            F.theta_sketch_estimate(F.theta_difference("sk", "sk2")).alias("d"),
+        )
+        .first()
+    )
+    assert abs(row["u"] - 100_000) / 100_000 < 0.05
+    assert abs(row["i"] - 20_000) / 20_000 < 0.10  # intersection error compounds
+    assert abs(row["d"] - 40_000) / 40_000 < 0.10
+
+
+def test_kll_rollup_quantiles_within_rank_tolerance(spark):
+    from mo_etl_spark.suites.analytics import agg_kll_quantile_rollup
+    from mo_etl_spark.tables import load_table
+
+    row = agg_kll_quantile_rollup(spark, SF).first()
+    vals = sorted(
+        r["value"] for r in load_table(spark, SF, "events").select("value").collect()
+    )
+    n = len(vals)
+    assert row["n_events"] == n
+
+    def rank_of(x: float) -> float:
+        import bisect
+
+        return bisect.bisect_right(vals, x) / n
+
+    # KLL k=200 normalized rank error ~1.65%; allow 5% headroom
+    for p, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+        assert abs(rank_of(row[col]) - p) < 0.05, (p, row[col])
+
+
+def test_salted_join_matches_plain_join(spark):
+    from mo_etl_spark.operators.skew import salted_join
+    from mo_etl_spark.tables import load_table
+
+    e = load_table(spark, SF, "events").select("event_id", "user_id")
+    # profile covering only half the users -> unmatched keys exist
+    profile = (
+        e.select("user_id").distinct().where(F.col("user_id") % 2 == 0)
+        .withColumn("cohort", F.col("user_id") % 5)
+    )
+    for how in ("inner", "left"):
+        salted = salted_join(e, profile, on=["user_id"], n_salts=4, how=how)
+        plain = e.join(profile, ["user_id"], how)
+        assert salted.count() == plain.count()
+        assert salted.exceptAll(plain).count() == 0
+        assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_join_rejects_small_side_preserving_joins(spark):
+    import pytest
+
+    from mo_etl_spark.operators.skew import salted_join
+    from mo_etl_spark.tables import load_table
+
+    e = load_table(spark, SF, "events").select("event_id", "user_id")
+    with pytest.raises(ValueError):
+        salted_join(e, e, on=["user_id"], how="full")
