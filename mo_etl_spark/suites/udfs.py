@@ -174,7 +174,7 @@ def udtf_lateral_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="pos BIGINT, bigram STRING")
+    @udtf(returnType="pos BIGINT, bigram STRING", useArrow=True)
     class DocBigrams:
         def eval(self, text: str):
             if text is None:

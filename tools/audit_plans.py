@@ -34,6 +34,7 @@ CARTESIAN_OK = {
     "layout_zorder_orders",  # 1-row global min/max bounds broadcast-crossed in
     "graph_pagerank_supply",  # 1-row node-count scalar broadcast-crossed into every iteration
     "qa_drift_value_histogram",  # 1-row population totals broadcast-crossed in
+    "agg_theta_setops_users",  # crossJoin of two 1-row sketch aggregates
 }
 
 #: queries allowed to exceed the exchange budget, each with why:
