@@ -1365,3 +1365,36 @@ def agg_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("p90"),
         F.kll_sketch_get_quantile_double("sk", F.lit(0.99)).alias("p99"),
     )
+
+
+@query(
+    "qa_observed_ingest",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           sum(CAST(round(value*100) AS BIGINT)) AS total_cents
+    FROM events
+    WHERE user_id IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("observe", "data_qa", "groupby"),
+)
+def qa_observed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.observe in-flight QA (operators/qa.py): the ingest aggregate
+    runs ONCE, and the same pass also produces rows-consumed /
+    null-user / non-positive-value / ts-range counters via an
+    Observation — the reference's transform-level self-accounting (u,
+    ActiveData-ETL counts per block) without a second scan.  observe is
+    plan-transparent, so the oracle is the plain aggregate; the metric
+    values themselves are asserted in tests/test_qa_observe.py."""
+    from mo_etl_spark.operators.qa import observed_quality, standard_event_checks
+
+    e = _t(spark, sf_dir, "events")
+    observed = observed_quality(e, "qa_observed_ingest", standard_event_checks())
+    return (
+        observed.where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+        )
+    )

@@ -487,3 +487,37 @@ def scalar_map_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(m).alias("n_keys"),
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
     )
+
+
+@query(
+    "scalar_generator_family",
+    oracle="""
+    SELECT p.p_partkey, u.pos, u.val
+    FROM (SELECT p_partkey, p_size % 4 AS n FROM part WHERE p_partkey < 500) p
+    LEFT JOIN LATERAL (
+      SELECT CAST(g.i - 1 AS INT) AS pos, CAST(g.i AS INT) AS val
+      FROM (SELECT unnest(generate_series(1, p.n)) AS i) g
+    ) u ON true
+    """,
+    tags=("scalar", "generator", "posexplode", "sequence", "deep_from"),
+)
+def scalar_generator_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/table-function family: sequence() -> posexplode_outer
+    (jx's implicit array unnesting (u, mo_dots FlatList) as an explicit
+    row generator).  The OUTER variant is the load-bearing semantics:
+    an empty generated array (p_size % 4 == 0) keeps its parent row
+    with NULL (pos, val) — jx nested queries never drop parents — which
+    the oracle mirrors with LEFT JOIN LATERAL over generate_series.
+    Generation is narrow (no shuffle); fan-out multiplies rows in place."""
+    prepare(spark)
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_partkey") < 500)
+        .select("p_partkey", (F.col("p_size") % 4).alias("n"))
+    )
+    seq = F.when(
+        F.col("n") > 0, F.sequence(F.lit(1), F.col("n"), F.lit(1))
+    ).otherwise(F.array().cast("array<int>"))
+    return p.select(
+        "p_partkey", F.posexplode_outer(seq).alias("pos", "val")
+    ).select("p_partkey", F.col("pos").cast("int").alias("pos"), "val")

@@ -245,6 +245,46 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_file_metadata_lineage",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           sum(CAST(round(value*100) AS BIGINT)) AS total_cents
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("sink_partitioned", "scan_parquet", "file_lineage", "metadata_columns"),
+)
+def source_file_metadata_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-provenance lineage via the hidden ``_metadata`` struct —
+    the engine-native form of the reference's `etl` lineage field (u,
+    ActiveData-ETL stamps every doc with its source S3 key).  events
+    are written Hive-partitioned by event_type; the scan then derives
+    each row's event_type FROM ITS FILE PATH (`_metadata.file_path`)
+    rather than from the restored partition column.  The hash match
+    against the raw table proves path-derived lineage is exactly the
+    data — the invariant any blame/replay tooling rests on.  _metadata
+    is populated per-file by the reader; requesting it adds no scan."""
+    prepare(spark)
+    path = _dir(sf_dir, "events_by_type")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    events.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).select(
+        F.regexp_extract(F.col("_metadata.file_path"), r"event_type=([^/]+)/", 1).alias(
+            "event_type"
+        ),
+        "value_cents",
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value_cents").alias("total_cents"),
+    )
+
+
+@query(
     "source_python_datasource_blocks",
     oracle="""
     SELECT event_id % 8 AS block_id,

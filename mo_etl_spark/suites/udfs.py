@@ -192,3 +192,44 @@ def udtf_lateral_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 200
         """
     )
+
+
+def _arrow_band_batches(batches):
+    """mapInArrow body: integer cents banding computed with Arrow
+    kernels — no pandas materialization at all."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        cents = pc.cast(pc.round(pc.multiply(batch.column("o_totalprice"), 100)), pa.int64())
+        band = pc.multiply(pc.floor(pc.divide(pc.cast(cents, pa.float64()), 2500)), 2500)
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("o_orderkey"), pc.cast(band, pa.int64())],
+            ["o_orderkey", "band_cents"],
+        )
+
+
+@query(
+    "udf_mapinarrow_bands",
+    oracle="""
+    SELECT o_orderkey,
+           (CAST(round(o_totalprice*100) AS BIGINT) // 2500) * 2500 AS band_cents
+    FROM orders WHERE o_orderkey <= 3000
+    """,
+    tags=("udf_scalar", "mapInArrow"),
+)
+def udf_mapinarrow_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the lowest-overhead Python batch surface: raw Arrow
+    RecordBatches in and out, no pandas conversion on either side
+    (pandas adds an index + block-manager copy per batch; at 100 TB of
+    batches that copy is real money).  Integer band math via Arrow
+    compute kernels; the oracle reproduces it exactly in SQL."""
+    prepare(spark)
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 3000)
+        .select("o_orderkey", "o_totalprice")
+    )
+    return orders.mapInArrow(
+        _arrow_band_batches, "o_orderkey long, band_cents long"
+    )
