@@ -504,3 +504,102 @@ def knn_classify(
         .where(F.col("r") == 1)
         .select(F.col("q_id"), F.col(label_col).alias("pred_label"), "votes")
     )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    dsub: int = 8,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    cent_id: str = "cent_id",
+    vec: str = "vec",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Product-quantization ANN (asymmetric distance computation).
+
+    The memory-bound ANN path: each corpus vector is compressed to
+    ``m`` one-byte codes (here m=8 codes for a 64-dim vector — 8 bytes
+    vs 256, a 32x cut), and queries score against codes via per-
+    subspace lookup tables, never touching raw corpus vectors.
+
+    1. **codebook**: split each centroid into ``m`` subvectors of
+       ``dsub`` dims (the per-subspace codebooks; k-means-trained at
+       scale, caller-supplied deterministic set for the contract).
+    2. **encode**: per corpus vector and subspace, the nearest
+       (squared-L2, ties -> lowest id) codebook entry — ONE broadcast
+       join + min_by aggregate; this is the index build, done once and
+       persisted as the 8-byte codes at scale.
+    3. **LUT**: per query and subspace, the dot product with each of
+       the 16 codebook entries (nq·m·16 tiny rows, broadcast-joinable).
+    4. **ADC score**: approx dot(q, x) = sum_s LUT[q][s][code(x, s)],
+       folded in subspace order for bit-reproducible doubles; top-k by
+       (score desc, id).
+
+    Every stage is exact arithmetic on deterministic inputs, so the
+    DuckDB oracle reproduces encoding, LUTs, and ranking — PQ's
+    *approximation* lives only in the codes themselves.
+    """
+    subspaces = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s")
+
+    def sub_split(df: DataFrame, id_out: str, sub_out: str) -> DataFrame:
+        return df.select(
+            F.col(df.columns[0]).alias(id_out), F.col(vec).alias("_v")
+        ).select(
+            id_out, "_v", subspaces
+        ).select(
+            id_out,
+            "s",
+            F.expr(
+                f"transform(sequence(1, {dsub}),"
+                f" i -> CAST(element_at(_v, s * {dsub} + i) AS DOUBLE))"
+            ).alias(sub_out),
+        )
+
+    cb = sub_split(centroids.select(cent_id, vec), cent_id, "csub")
+    dbsub = sub_split(corpus.select(c_id, vec), c_id, "sub")
+    qsub = sub_split(queries.select(q_id, vec), q_id, "qsubv")
+
+    dist = F.round(
+        F.aggregate(
+            F.zip_with("sub", "csub", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        round_digits,
+    )
+    codes = (
+        dbsub.join(F.broadcast(cb), "s")
+        .select(c_id, "s", F.col(cent_id), dist.alias("dist"))
+        .groupBy(c_id, "s")
+        .agg(F.min_by(cent_id, F.struct("dist", cent_id)).alias("code"))
+    )
+    pdot = F.aggregate(
+        F.zip_with("qsubv", "csub", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    lut = qsub.join(F.broadcast(cb), "s").select(
+        q_id, "s", F.col(cent_id), pdot.alias("pdot")
+    )
+    scored = (
+        codes.join(lut, (codes["s"] == lut["s"]) & (codes["code"] == lut[cent_id]))
+        .where(F.col(q_id) != F.col(c_id))
+        .groupBy(q_id, c_id)
+        .agg(F.collect_list(F.struct(codes["s"].alias("s"), "pdot")).alias("ps"))
+        .select(
+            q_id,
+            c_id,
+            F.round(
+                F.aggregate(
+                    F.array_sort("ps"), F.lit(0.0), lambda acc, x: acc + x["pdot"]
+                ),
+                round_digits,
+            ).alias("adc_dot"),
+        )
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("adc_dot"), F.col(c_id))
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)

@@ -1398,3 +1398,157 @@ def qa_observed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog compaction + point-in-time (temporal) join
+# ---------------------------------------------------------------------------
+
+#: deterministic synthetic changelog over `customer` shared by the Spark
+#: query and the DuckDB oracle: full insert load (seq 1), two update
+#: waves touching key%10==3 (seq 2 and 3), a delete wave for key%10==6
+#: (seq 2).  Everything derives arithmetically from the source table.
+_CDC_LOG_SQL = """
+    SELECT c_custkey, 1 AS seq, 'I' AS op,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+           c_mktsegment
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 2, 'U',
+           CAST(round(c_acctbal * 100) AS BIGINT) + 111, c_mktsegment
+    FROM customer WHERE c_custkey % 10 = 3
+    UNION ALL
+    SELECT c_custkey, 3, 'U',
+           CAST(round(c_acctbal * 100) AS BIGINT) + 222, 'REPRICED'
+    FROM customer WHERE c_custkey % 10 = 3
+    UNION ALL
+    SELECT c_custkey, 2, 'D', NULL, NULL
+    FROM customer WHERE c_custkey % 10 = 6
+"""
+
+
+@query(
+    "etl_cdc_snapshot_compact",
+    oracle=f"""
+    WITH log AS ({_CDC_LOG_SQL}),
+    latest AS (
+      SELECT c_custkey,
+             arg_max(op, seq) AS op,
+             arg_max(acctbal_cents, seq) AS acctbal_cents,
+             arg_max(c_mktsegment, seq) AS c_mktsegment
+      FROM log GROUP BY c_custkey
+    )
+    SELECT c_custkey, acctbal_cents, c_mktsegment
+    FROM latest WHERE op <> 'D'
+    """,
+    tags=("cdc_merge", "incremental_etl", "changelog_compaction", "partial_merge"),
+)
+def etl_cdc_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog COMPACTION: reconstruct the current snapshot from
+    an ordered insert/update/delete log (the read path that complements
+    etl_scd2_customer_merge's write path; what Debezium->table consumers
+    run).  Latest-op-per-key via max_by over the sequence number — ONE
+    hash aggregate, no window sort, combinable map-side — then deletes
+    drop out.  At 100 TB the log is partitioned by key range and each
+    partition compacts independently; max_by's partial aggregation is
+    what makes re-compaction incremental (old snapshot rows enter the
+    log as seq-0 inserts)."""
+    prepare(spark)
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey", cents("c_acctbal").alias("acctbal_cents"), "c_mktsegment"
+    )
+    log = (
+        base.select(
+            "c_custkey", F.lit(1).alias("seq"), F.lit("I").alias("op"),
+            "acctbal_cents", "c_mktsegment",
+        )
+        .unionAll(
+            base.where(F.col("c_custkey") % 10 == 3).select(
+                "c_custkey", F.lit(2), F.lit("U"),
+                F.col("acctbal_cents") + 111, "c_mktsegment",
+            )
+        )
+        .unionAll(
+            base.where(F.col("c_custkey") % 10 == 3).select(
+                "c_custkey", F.lit(3), F.lit("U"),
+                F.col("acctbal_cents") + 222, F.lit("REPRICED"),
+            )
+        )
+        .unionAll(
+            base.where(F.col("c_custkey") % 10 == 6).select(
+                "c_custkey", F.lit(2), F.lit("D"),
+                F.lit(None).cast("long"), F.lit(None).cast("string"),
+            )
+        )
+    )
+    latest = log.groupBy("c_custkey").agg(
+        F.max_by("op", "seq").alias("op"),
+        F.max_by("acctbal_cents", "seq").alias("acctbal_cents"),
+        F.max_by("c_mktsegment", "seq").alias("c_mktsegment"),
+    )
+    return latest.where(F.col("op") != "D").select(
+        "c_custkey", "acctbal_cents", "c_mktsegment"
+    )
+
+
+@query(
+    "join_pit_orders_dimension",
+    oracle="""
+    WITH versions AS (
+      SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_cents,
+             TIMESTAMP '1995-01-01' AS valid_from,
+             CASE WHEN c_custkey % 3 = 0 THEN TIMESTAMP '1998-01-01' END AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT) + 5000,
+             TIMESTAMP '1998-01-01', NULL
+      FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT o.o_orderkey, o.o_custkey, v.acctbal_cents AS bal_at_order
+    FROM orders o JOIN versions v
+      ON o.o_custkey = v.c_custkey
+     AND o.o_orderdate >= v.valid_from
+     AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)
+    WHERE o.o_orderkey < 5000
+    """,
+    tags=("join_asof", "temporal_join", "scd2", "point_in_time"),
+)
+def join_pit_orders_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME (temporal) join: each order picks the dimension
+    version that was valid on its order date — the read-side companion
+    of SCD2 (training-data pipelines know it as the feature-store
+    as-of-join that prevents label leakage).  Implemented as the
+    engine's as-of join (operators/joins.asof_join, backward on
+    valid_from within c_custkey) rather than an interval predicate:
+    version intervals are non-overlapping and right-open, so
+    latest-start <= order-date IS the containing version — one window
+    pass, one key shuffle, no range probe.  The oracle spells the same
+    thing as an explicit interval join."""
+    prepare(spark)
+    from mo_etl_spark.operators.joins import asof_join
+
+    c = load_table(spark, sf_dir, "customer")
+    v1 = c.select(
+        "c_custkey",
+        cents("c_acctbal").alias("acctbal_cents"),
+        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+    )
+    v2 = c.where(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        (cents("c_acctbal") + 5000).alias("acctbal_cents"),
+        F.lit("1998-01-01").cast("timestamp").alias("valid_from"),
+    )
+    versions = v1.unionAll(v2).withColumnRenamed("c_custkey", "o_custkey")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 5000)
+    out = asof_join(
+        orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        versions,
+        on=["o_custkey"],
+        left_ts="o_orderdate",
+        right_ts="valid_from",
+        direction="backward",
+    )
+    return out.select(
+        "o_orderkey", "o_custkey", F.col("r_acctbal_cents").alias("bal_at_order")
+    )

@@ -1325,3 +1325,82 @@ def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("priority", "doc_id")
         .limit(100)
     )
+
+
+@query(
+    "llm_sim_pq_topk",
+    oracle="""
+    WITH ss AS (SELECT unnest(range(0, 8)) AS s),
+    cb AS (
+      SELECT ss.s, e.vec_id AS cent_id,
+             list_transform(range(1, 9),
+                            i -> CAST(e.embedding[ss.s * 8 + i] AS DOUBLE)) AS csub
+      FROM ss CROSS JOIN embeddings e WHERE e.vec_id < 16
+    ),
+    dbsub AS (
+      SELECT ss.s, e.vec_id AS c_id,
+             list_transform(range(1, 9),
+                            i -> CAST(e.embedding[ss.s * 8 + i] AS DOUBLE)) AS sub
+      FROM ss CROSS JOIN embeddings e
+    ),
+    qsub AS (
+      SELECT ss.s, e.vec_id AS q_id,
+             list_transform(range(1, 9),
+                            i -> CAST(e.embedding[ss.s * 8 + i] AS DOUBLE)) AS qsubv
+      FROM ss CROSS JOIN embeddings e WHERE e.vec_id < 50
+    ),
+    codes AS (
+      SELECT c_id, s, cent_id AS code FROM (
+        SELECT d.c_id, d.s, cb.cent_id,
+               row_number() OVER (
+                 PARTITION BY d.c_id, d.s
+                 ORDER BY round(list_sum(list_transform(range(1, 9),
+                           i -> (d.sub[i] - cb.csub[i]) * (d.sub[i] - cb.csub[i]))), 6),
+                          cb.cent_id) AS r
+        FROM dbsub d JOIN cb ON d.s = cb.s)
+      WHERE r = 1
+    ),
+    lut AS (
+      SELECT q.q_id, cb.s, cb.cent_id,
+             list_sum(list_transform(range(1, 9),
+                      i -> q.qsubv[i] * cb.csub[i])) AS pdot
+      FROM qsub q JOIN cb ON q.s = cb.s
+    ),
+    scored AS (
+      SELECT l.q_id, c.c_id,
+             round(list_sum(list(l.pdot ORDER BY l.s)), 6) AS adc_dot
+      FROM codes c JOIN lut l ON l.s = c.s AND l.cent_id = c.code
+      WHERE l.q_id <> c.c_id
+      GROUP BY l.q_id, c.c_id
+    )
+    SELECT q_id, c_id, adc_dot, rnk FROM (
+      SELECT q_id, c_id, adc_dot,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY adc_dot DESC, c_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 5
+    """,
+    tags=("sim_pq", "product_quantization", "embed_quantize"),
+)
+def llm_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-5 (operators/similarity.pq_topk):
+    64-dim vectors compressed to 8 subspace codes against 16
+    deterministic codebook entries per subspace (vec_id < 16 — k-means
+    codebooks at scale), scored by asymmetric distance (per-query
+    lookup tables, subspace-ordered fold).  Completes the ANN family
+    (flat / int8 / IVF / LSH / multiprobe / PQ).  Encoding, LUTs, and
+    ADC ranking are all reproduced in the DuckDB oracle, so the whole
+    compressed-serving path is hash-checked; PQ's approximation is
+    confined to the codes, and recall vs exact top-k is asserted in
+    tests."""
+    from mo_etl_spark.operators.similarity import pq_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec"))
+    cents_ = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("vec")
+    )
+    return pq_topk(q, c, cents_, k=5).select("q_id", "c_id", "adc_dot", "rnk")

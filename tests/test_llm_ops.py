@@ -296,3 +296,33 @@ def test_simhash_banding_equals_all_pairs_verify(spark, docs):
                 brute[(a, b)] = d
     assert banded == brute
     assert any(a + 20000 == b for (a, b) in banded)  # planted near-dups detected
+
+
+def test_pq_recall_vs_exact_topk(spark):
+    """PQ's approximation is confined to the codes; over 50 queries the
+    ADC top-5 should still recover a solid fraction of the exact
+    cosine top-5 (recall@5) — and must return exactly 5 ranked rows
+    per query."""
+    from mo_etl_spark.suites.llm import llm_sim_pq_topk, llm_sim_topk
+
+    SF = "/root/testdata/sf0.001"
+    pq = llm_sim_pq_topk(spark, SF).collect()
+    exact = llm_sim_topk(spark, SF).collect()
+    from collections import defaultdict
+
+    pq_sets, exact_sets = defaultdict(set), defaultdict(set)
+    for r in pq:
+        pq_sets[r["q_id"]].add(r["c_id"])
+    for r in exact:
+        exact_sets[r["q_id"]].add(r["c_id"])
+    assert set(pq_sets) == set(exact_sets) and all(
+        len(s) == 5 for s in pq_sets.values()
+    )
+    hits = sum(len(pq_sets[q] & exact_sets[q]) for q in exact_sets)
+    recall = hits / (5 * len(exact_sets))
+    # untrained 16-entry codebooks (first-16 subvectors) over near-random
+    # synthetic embeddings: ~0.20 measured — 20x the 5/499 random
+    # baseline, the honest floor for this regime; k-means-trained
+    # codebooks (operators/similarity.kmeans_train per subspace) are the
+    # production recall lever
+    assert recall > 0.08, recall
