@@ -596,3 +596,35 @@ def agg_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("first_dt").alias("first_dt"),
         F.max("last_dt").alias("last_dt"),
     )
+
+
+@query(
+    "agg_bitwise_family",
+    oracle="""
+    SELECT l_returnflag,
+           bit_and(l_partkey) AS all_and,
+           bit_or(l_partkey)  AS any_or,
+           bit_xor(l_partkey) AS parity_xor,
+           bit_xor(xor(l_partkey, l_suppkey << 2)) AS mixed_xor
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("groupby", "bitwise", "scalar", "checksum"),
+)
+def agg_bitwise_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (bit_and / bit_or / bit_xor) plus
+    scalar xor/shift — the order-insensitive checksum shapes ETL uses
+    for partition-level integrity (xor of keys survives any
+    re-partitioning, which is exactly why it works at 100 TB: partials
+    combine on any split).  jx has no bitwise surface (u); engine
+    addition."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_partkey").alias("all_and"),
+        F.bit_or("l_partkey").alias("any_or"),
+        F.bit_xor("l_partkey").alias("parity_xor"),
+        F.bit_xor(
+            F.col("l_partkey").bitwiseXOR(F.shiftleft("l_suppkey", 2))
+        ).alias("mixed_xor"),
+    )

@@ -1404,3 +1404,46 @@ def llm_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("vec")
     )
     return pq_topk(q, c, cents_, k=5).select("q_id", "c_id", "adc_dot", "rnk")
+
+
+@query(
+    "llm_winsorize_doc_lengths",
+    oracle="""
+    WITH q AS (
+      SELECT source,
+             quantile_cont(n_chars, 0.05) AS p05,
+             quantile_cont(n_chars, 0.95) AS p95
+      FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source,
+           round(least(greatest(CAST(d.n_chars AS DOUBLE), q.p05), q.p95), 4)
+             AS n_chars_winsor,
+           CAST(d.n_chars < q.p05 OR d.n_chars > q.p95 AS BOOLEAN) AS clipped
+    FROM documents d JOIN q USING (source)
+    """,
+    tags=("quality_score", "winsorize", "percentile", "data_qa"),
+)
+def llm_winsorize_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — outlier clipping at per-source p5/p95, the
+    robust-statistics cleaning stage before length-based quality
+    weighting (extreme docs get clamped, not dropped).  Two passes:
+    exact interpolated percentiles per source (tiny result), broadcast
+    back onto the corpus for the clip — at 100 TB the quantile table
+    is per-partition-combinable and the clip pass is map-only."""
+    d = _docs(spark, sf_dir)
+    q = d.groupBy("source").agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("p05"),
+        F.percentile("n_chars", F.lit(0.95)).alias("p95"),
+    )
+    out = d.join(F.broadcast(q), "source")
+    nc = F.col("n_chars").cast("double")
+    return out.select(
+        "doc_id",
+        "source",
+        F.round(F.least(F.greatest(nc, F.col("p05")), F.col("p95")), 4).alias(
+            "n_chars_winsor"
+        ),
+        ((F.col("n_chars") < F.col("p05")) | (F.col("n_chars") > F.col("p95"))).alias(
+            "clipped"
+        ),
+    )

@@ -312,14 +312,18 @@ def source_python_datasource_blocks(spark: SparkSession, sf_dir: str) -> DataFra
     from mo_etl_spark.sources.blocks import register_block_source, write_block_store
 
     path = _dir(sf_dir, "events_blocks")
-    events = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
-        F.pmod("event_id", F.lit(8)).cast("long").alias("block_id"),
-    )
-    write_block_store(events, path)
+    # write-once per sf (testdata immutable): reuse a completed store
+    success = os.path.join(path, "_SUCCESS")
+    src = os.path.join(sf_dir, "events.parquet")
+    if not os.path.exists(success) or os.path.getmtime(success) < os.path.getmtime(src):
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+            F.pmod("event_id", F.lit(8)).cast("long").alias("block_id"),
+        )
+        write_block_store(events, path)
     register_block_source(spark)
     back = spark.read.format("ndjson_blocks").load(path)
     return back.groupBy("block_id").agg(

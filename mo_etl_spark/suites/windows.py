@@ -331,3 +331,43 @@ def ts_resample_ffill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("filled_v").alias("filled_cents"),
     )
+
+
+@query(
+    "win_value_functions",
+    oracle="""
+    SELECT event_id, user_id,
+           nth_value(CAST(round(value*100) AS BIGINT), 2)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS second_cents,
+           round(cume_dist() OVER (PARTITION BY user_id
+                                   ORDER BY CAST(round(value*100) AS BIGINT), event_id), 6) AS cume,
+           last_value(CASE WHEN event_type = 'purchase'
+                           THEN CAST(round(value*100) AS BIGINT) END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_cents
+    FROM events
+    """,
+    tags=("window_first_last", "window_percentile", "nth_value", "ignore_nulls"),
+)
+def win_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining window VALUE functions: nth_value (2nd value in
+    the running frame — NULL until the partition's second row),
+    cume_dist, and the carry-forward idiom last_value(... IGNORE
+    NULLS) over a sparse column (each event sees the user's most
+    recent purchase amount — the jx 'latest observation' shape that
+    resample_ffill generalizes).  All per-user one-shuffle windows;
+    total orders via event_id everywhere a frame edge could tie."""
+    events = _events(spark, sf_dir)
+    c = cents("value")
+    w_ts = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_val = Window.partitionBy("user_id").orderBy(c.asc(), F.col("event_id").asc())
+    sparse = F.when(F.col("event_type") == "purchase", c)
+    return events.select(
+        "event_id",
+        "user_id",
+        F.nth_value(c, 2).over(w_ts).alias("second_cents"),
+        F.round(F.cume_dist().over(w_val), 6).alias("cume"),
+        F.last(sparse, ignorenulls=True)
+        .over(w_ts.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("last_purchase_cents"),
+    )
