@@ -66,3 +66,44 @@ def resample_ffill(
             F.last("last_v", ignorenulls=True).over(w).alias("filled_v"),
         )
     )
+
+
+def ewma_halving(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exponentially-weighted moving average with alpha = 1/2:
+    ``s_t = (x_t + s_{t-1}) / 2`` per key in (ts, id) order.
+
+    The state feedback makes this NON-window-expressible (each row
+    needs the previous row's *output*), the same class as
+    sessionize_capped: an O(n) walk per key via applyInPandas — one
+    key shuffle, Arrow both ways, Python touches each row once.
+
+    Cross-engine float parity by construction: inputs are integers,
+    and the recurrence is evaluated in the literal ``(x + s) / 2``
+    double form — one rounding point per step, then an exact halving —
+    so a DuckDB recursive CTE computing the same expression in the
+    same order produces bit-identical doubles (pandas' own
+    ``ewm(adjust=False)`` is NOT used: it evaluates
+    ``0.5*x + 0.5*s``, which rounds at a different point).
+    """
+    import pandas as pd
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts, id_col]).reset_index(drop=True)
+        xs = pdf[value_col].to_numpy(dtype="float64")
+        out = xs.copy()
+        for i in range(1, len(out)):
+            out[i] = (xs[i] + out[i - 1]) / 2.0
+        pdf["ewma"] = out
+        return pdf[[key, id_col, "ewma"]]
+
+    return (
+        df.select(key, ts, id_col, value_col)
+        .groupBy(key)
+        .applyInPandas(walk, f"{key} long, {id_col} long, ewma double")
+    )

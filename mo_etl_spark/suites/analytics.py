@@ -1552,3 +1552,43 @@ def join_pit_orders_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderkey", "o_custkey", F.col("r_acctbal_cents").alias("bal_at_order")
     )
+
+
+@query(
+    "ts_ewma_per_user",
+    oracle="""
+    WITH RECURSIVE
+    seq AS (
+      SELECT user_id, event_id,
+             CAST(round(value*100) AS BIGINT) AS val,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    walk AS (
+      SELECT user_id, event_id, rn, CAST(val AS DOUBLE) AS ewma
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.rn,
+             (CAST(s.val AS DOUBLE) + w.ewma) / 2 AS ewma
+      FROM seq s JOIN walk w ON s.user_id = w.user_id AND s.rn = w.rn + 1
+    )
+    SELECT user_id, event_id, round(ewma, 6) AS ewma FROM walk
+    """,
+    tags=("ewma", "iterative", "grouped_map", "applyInPandas", "recursive_cte"),
+)
+def ts_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (alpha=1/2) over event values — the smoothing
+    stage monitoring/forecasting pipelines run; state feedback makes it
+    non-window-expressible (operators/timeseries.ewma_halving: O(n)
+    applyInPandas walk, ONE key shuffle).  The DuckDB oracle replays
+    the recurrence as a recursive CTE; both engines evaluate the
+    literal (x + s)/2 double expression in the same order, so the
+    sequences are bit-identical and the query hash-checks a genuinely
+    iterative numeric operator."""
+    from mo_etl_spark.operators.timeseries import ewma_halving
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", cents("value").alias("vc")
+    )
+    out = ewma_halving(e, key="user_id", ts="ts", value_col="vc", id_col="event_id")
+    return out.select("user_id", "event_id", F.round("ewma", 6).alias("ewma"))

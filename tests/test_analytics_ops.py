@@ -335,3 +335,29 @@ def test_asof_nearest_matches_pandas_merge_asof(spark):
         for r in ref.itertuples()
     }
     assert got == refmap
+
+
+def test_ewma_matches_python_recurrence(spark):
+    from mo_etl_spark.operators.timeseries import ewma_halving
+    from mo_etl_spark.tables import load_table
+
+    e = load_table(spark, SF, "events").select(
+        "user_id", "ts", "event_id", (F.round(F.col("value") * 100)).cast("long").alias("vc")
+    )
+    got = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in ewma_halving(e, "user_id", "ts", "vc", "event_id").collect()
+    }
+    rows = e.collect()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["user_id"]].append((r["ts"], r["event_id"], r["vc"]))
+    want = {}
+    for u, evs in groups.items():
+        s = None
+        for ts, eid, x in sorted(evs):
+            s = float(x) if s is None else (x + s) / 2.0
+            want[(u, eid)] = s
+    assert got == want  # bit-exact: same recurrence, same order

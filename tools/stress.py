@@ -192,6 +192,41 @@ def main() -> None:
     t["scd2_merge_5m_dim"] = round(time.time() - t0, 2)
     assert n_out >= 5_000_000
 
+    # salted replicated JOIN at scale: the hot key (user 0, 10% of all
+    # rows) would serialize one task in a plain shuffle join; salting
+    # spreads it over 16.  Small side = 100k-row profile (too big to
+    # assume broadcast at real scale, tiny enough here to verify).
+    from mo_etl_spark.operators.skew import salted_join
+
+    profile = spark.range(100_000).select(
+        F.col("id").alias("user_id"), F.pmod("id", F.lit(5)).alias("cohort")
+    )
+    t0 = time.time()
+    n_join = salted_join(
+        events.select("event_id", "user_id"), profile, on=["user_id"], n_salts=16
+    ).count()
+    t["salted_join"] = round(time.time() - t0, 2)
+    assert n_join == args.rows  # every user_id < 100k matches exactly once
+
+    # PQ encode at scale: corpus vectors -> m=8 one-byte codes against
+    # 16-entry codebooks.  Claim: the index build is one broadcast join
+    # + min_by aggregate over n*m rows — linear, shuffle only on the
+    # (vec, subspace) aggregate.
+    from mo_etl_spark.operators.similarity import pq_topk
+
+    t0 = time.time()
+    pq = pq_topk(
+        q.limit(200),
+        c,
+        c.where(F.col("c_id") < 16).select(
+            F.col("c_id").alias("cent_id"), F.col("vec")
+        ),
+        k=10,
+    )
+    n_pq = pq.count()
+    t["pq_topk_200q"] = round(time.time() - t0, 2)
+    assert n_pq == 200 * 10
+
     print(json.dumps({"rows": args.rows, "vecs": args.vecs, "timings": t}))
 
 
