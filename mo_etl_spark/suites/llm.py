@@ -1447,3 +1447,30 @@ def llm_winsorize_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clipped"
         ),
     )
+
+
+@query(
+    "llm_fingerprint_winnow",
+    oracle=X.winnow_oracle_sql(_SQL_NEAR_DUPS, k=5, w=4, df_cap=50, min_shared=3),
+    tags=("fingerprint", "winnowing", "rolling_hash", "dedup_ngram_jaccard", "df_cap"),
+)
+def llm_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (rolling k-gram hash + window-min
+    selection — Schleimer et al., SIGMOD 2003) over the near-dup
+    corpus: 5-token shingles, window 4, so any shared run of >= 8
+    tokens guarantees a shared fingerprint while storing only ~2/5 of
+    the grams.  Pairs sharing >= 3 surviving fingerprints (after the
+    df<=50 boilerplate cap) are the plagiarism/near-dup candidates;
+    the 100 truncated copies pair with their sources at containment
+    ~1.0.  The md5-string window-min makes the ENTIRE sketch
+    oracle-reproducible; at 100 TB the same plan holds because the
+    fingerprint explosion is narrow (~2/(w+1) of grams), the df cap
+    bounds every fingerprint's C(d,2) pair fan-out, and the only
+    shuffles are the fingerprint groupBys and the capped self-join."""
+    return X.winnow_pairs(
+        _with_near_dups(_docs(spark, sf_dir)),
+        k=5,
+        w=4,
+        df_cap=50,
+        min_shared=3,
+    )

@@ -326,3 +326,48 @@ def test_pq_recall_vs_exact_topk(spark):
     # codebooks (operators/similarity.kmeans_train per subspace) are the
     # production recall lever
     assert recall > 0.08, recall
+
+
+def test_winnow_fingerprint_guarantee(spark):
+    """MOSS winnowing invariants: (1) an exact copy shares every
+    fingerprint; (2) two docs sharing a run of >= k + w - 1 tokens
+    share at least one fingerprint; (3) docs shorter than k + w - 1
+    tokens emit nothing; (4) fingerprints are a subset of the doc's
+    k-gram hashes (selection, not invention)."""
+    from mo_etl_spark.operators.text import winnow_fingerprints, winnow_pairs
+
+    k, w = 3, 4
+    run = "alpha bravo charlie delta echo foxtrot"  # k+w-1 = 6 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "zeta eta theta " + run + " iota kappa"),
+            (2, run + " lambda mu nu xi omicron pi rho"),
+            (3, "zeta eta theta " + run + " iota kappa"),  # copy of 1
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=k, w=w).collect()
+    by_id = {}
+    for r in fps:
+        by_id.setdefault(r["id"], set()).add(r["fp"])
+    assert 4 not in by_id  # (3)
+    assert by_id[1] == by_id[3]  # (1)
+    assert by_id[1] & by_id[2]  # (2)
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r
+        for r in winnow_pairs(docs, k=k, w=w, df_cap=50, min_shared=1).collect()
+    }
+    assert pairs[(1, 3)]["containment"] == 1.0
+    assert (1, 2) in pairs
+
+    # (4): fingerprints ⊆ gram hashes
+    import hashlib
+
+    toks = ("zeta eta theta " + run + " iota kappa").split()
+    grams = {
+        hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
+        for i in range(len(toks) - k + 1)
+    }
+    assert by_id[1] <= grams
