@@ -51,3 +51,76 @@ def pagerank(edges: DataFrame, iters: int = 8, d: float = 0.85) -> DataFrame:
             )
         )
     return ranks
+
+
+def triangles(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Triangle LISTING over an undirected edge list given in canonical
+    form (a < b, no duplicates, no self-loops).  Returns one row per
+    triangle with vertex columns (a, b, c), a < b < c.
+
+    Plan: degree-ordered orientation (the classical O(m^1.5) bound —
+    Schank & Wagner's forward/compact-forward algorithm).  Every edge
+    is directed from its lower-(degree, id) endpoint to the higher;
+    wedges are built by self-joining oriented edges on their source,
+    and a wedge (v, w) closes iff (v, w) is itself an oriented edge.
+    Orientation caps every vertex's out-degree at O(sqrt(m)), so the
+    wedge join — the only quadratic danger — generates
+    sum(outdeg^2) = O(m^1.5) rows instead of sum(deg^2), which is
+    unbounded under skew (a celebrity node of degree d in a plain
+    vertex join costs d^2 wedges; oriented it costs at most m).
+    Result is orientation-INVARIANT: each triangle has exactly one
+    vertex ordering consistent with the (degree, id) total order, so
+    the listing is identical to a naive a<b<c three-way self-join
+    (unit-tested against brute force).
+
+    Three shuffles at scale: the degree agg, the wedge self-join on
+    source, and the closing semi-join on (v, w).
+    """
+    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # total order: (deg, id) — attach to both endpoints, orient low -> high
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    ann = e.join(du, "u").join(dv, "v")
+    lo_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ann.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(lo_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_dst"),
+    )
+    e1 = oriented.select("src", F.col("dst").alias("x"), F.col("deg_dst").alias("deg_x"))
+    e2 = oriented.select("src", F.col("dst").alias("y"), F.col("deg_dst").alias("deg_y"))
+    # wedge (x, y) with x before y in the (deg, id) order -> closing
+    # edge, if present, is oriented exactly x -> y
+    wedges = e1.join(e2, "src").where(
+        (F.col("deg_x") < F.col("deg_y"))
+        | ((F.col("deg_x") == F.col("deg_y")) & (F.col("x") < F.col("y")))
+    )
+    closed = wedges.join(
+        oriented.select(F.col("src").alias("x"), F.col("dst").alias("y")),
+        ["x", "y"],
+        "left_semi",
+    )
+    return closed.select(
+        F.least("src", "x", "y").alias("a"),
+        F.when(
+            (F.col("src") > F.least("src", "x", "y"))
+            & (F.col("src") < F.greatest("src", "x", "y")),
+            F.col("src"),
+        )
+        .when(
+            (F.col("x") > F.least("src", "x", "y"))
+            & (F.col("x") < F.greatest("src", "x", "y")),
+            F.col("x"),
+        )
+        .otherwise(F.col("y"))
+        .alias("b"),
+        F.greatest("src", "x", "y").alias("c"),
+    )

@@ -1592,3 +1592,77 @@ def ts_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ewma_halving(e, key="user_id", ts="ts", value_col="vc", id_col="event_id")
     return out.select("user_id", "event_id", F.round("ewma", 6).alias("ewma"))
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH edges AS (
+        SELECT s1.s_suppkey AS a, s2.s_suppkey AS b, s1.s_nationkey AS n
+        FROM supplier s1
+        JOIN supplier s2
+          ON s1.s_nationkey = s2.s_nationkey
+         AND s1.s_suppkey < s2.s_suppkey
+         AND abs(s1.s_acctbal - s2.s_acctbal) <= 2000
+    ),
+    tri AS (
+        SELECT e1.n, count(*) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e2.a = e1.b
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+        GROUP BY e1.n
+    ),
+    per_nation AS (SELECT n, count(*) AS n_edges FROM edges GROUP BY n)
+    SELECT p.n AS n_nationkey, p.n_edges,
+           coalesce(t.n_triangles, 0) AS n_triangles
+    FROM per_nation p LEFT JOIN tri t ON t.n = p.n
+    """,
+    tags=("graph", "triangle_count", "degree_ordering", "join_theta"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation triangle counts over the supplier similarity graph
+    (edge = same nation, account balances within 2000) via
+    DEGREE-ORDERED triangle listing (operators/graph.triangles —
+    compact-forward, O(m^1.5) wedges).  The oracle counts the same
+    triangles with the naive a<b<c three-way self-join, which is
+    correct but skew-fragile at scale: a degree-d hub costs d^2 wedge
+    rows undirected vs O(m) oriented.  Nations whose subgraph has
+    edges but no triangles report 0 (LEFT join onto per-nation edge
+    counts keeps them)."""
+    from mo_etl_spark.operators.graph import triangles
+
+    s = _t(spark, sf_dir, "supplier")
+    s1 = s.select(
+        F.col("s_suppkey").alias("ka"),
+        F.col("s_nationkey").alias("n"),
+        F.col("s_acctbal").alias("bal_a"),
+    )
+    s2 = s.select(
+        F.col("s_suppkey").alias("kb"),
+        F.col("s_nationkey").alias("n"),
+        F.col("s_acctbal").alias("bal_b"),
+    )
+    edges = (
+        s1.join(s2, "n")
+        .where(
+            (F.col("ka") < F.col("kb"))
+            & (F.abs(F.col("bal_a") - F.col("bal_b")) <= 2000)
+        )
+        .select(F.col("ka").alias("a"), F.col("kb").alias("b"), "n")
+    )
+    tri = triangles(edges.select("a", "b"))
+    # every edge (and so every triangle) is within one nation: recover
+    # it from the triangle's first vertex
+    nat = s.select(F.col("s_suppkey").alias("a"), F.col("s_nationkey").alias("n"))
+    tri_per_nation = (
+        tri.join(nat, "a").groupBy("n").agg(F.count("*").alias("n_triangles"))
+    )
+    per_nation = edges.groupBy("n").agg(F.count("*").alias("n_edges"))
+    return (
+        per_nation.join(tri_per_nation, "n", "left")
+        .select(
+            F.col("n").alias("n_nationkey"),
+            "n_edges",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        )
+    )

@@ -361,3 +361,31 @@ def test_ewma_matches_python_recurrence(spark):
             s = float(x) if s is None else (x + s) / 2.0
             want[(u, eid)] = s
     assert got == want  # bit-exact: same recurrence, same order
+
+
+def test_triangles_matches_bruteforce(spark):
+    """Degree-ordered triangle listing is orientation-invariant: on a
+    seeded random graph plus a high-degree hub, the listing equals the
+    brute-force a<b<c enumeration, with no duplicates."""
+    import itertools
+    import random
+
+    from mo_etl_spark.operators.graph import triangles
+
+    rng = random.Random(7)
+    n = 40
+    edges = {(a, b) for a in range(n) for b in range(a + 1, n) if rng.random() < 0.12}
+    edges |= {(0, b) for b in range(1, n, 2)}  # hub at vertex 0
+    adj = {v: set() for v in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected = {
+        (a, b, c)
+        for a, b, c in itertools.combinations(range(n), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    }
+    df = spark.createDataFrame(sorted(edges), "a long, b long")
+    got = {(r["a"], r["b"], r["c"]) for r in triangles(df).collect()}
+    assert got == expected
+    assert triangles(df).count() == len(expected)  # no dup rows
