@@ -73,3 +73,73 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return b.join(s, [*on, "_salt"], how).drop("_salt")
+
+
+def misra_gries_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    k: int = 32,
+    phi: float = 0.05,
+) -> DataFrame:
+    """Exact heavy hitters (frequency > phi of the stream) via the
+    two-phase Misra-Gries pattern — the 100 TB way to find hot keys
+    without a full-domain groupBy:
+
+    1. **candidates**: each partition runs a k-counter Misra-Gries
+       summary (mapInPandas, O(k) memory regardless of domain size).
+       Guarantee: any key with global frequency > n/k exceeds n_p/k in
+       at least one partition, so with phi >= 1/k the candidate union
+       is a SUPERSET of the true heavy hitters (no false negatives;
+       false positives are culled next).
+    2. **verify**: exact recount restricted to the candidate set
+       (broadcast semi-filter on the re-scan) and the phi threshold
+       applied to exact counts — so the output is exact, not sketchy,
+       and hash-checkable against a plain GROUP BY ... HAVING oracle.
+
+    The full-domain groupBy this replaces shuffles one row per
+    DISTINCT key; with billions of distinct keys (url, user id) that
+    is the dominant cost, while candidates are at most
+    k * n_partitions rows.  This is also the skew-DETECTION front end
+    for salted_sum_count/salted_join: run it first, salt only the
+    reported keys.
+    """
+    if phi < 1.0 / k:
+        raise ValueError(f"phi={phi} must be >= 1/k={1.0 / k} for the superset guarantee")
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[key_col]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    dead = []
+                    for c in counters:
+                        counters[c] -= 1
+                        if counters[c] == 0:
+                            dead.append(c)
+                    for c in dead:
+                        del counters[c]
+        yield pd.DataFrame({key_col: list(counters.keys())})
+
+    keyed = df.select(key_col)
+    candidates = keyed.mapInPandas(
+        mg_partition, schema=f"{key_col} string"
+    ).distinct()
+    total = keyed.groupBy().agg(F.count("*").alias("_n"))
+    return (
+        keyed.join(F.broadcast(candidates), key_col)
+        .groupBy(key_col)
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("cnt") > F.lit(phi) * F.col("_n"))
+        .select(
+            key_col,
+            "cnt",
+            F.round(F.col("cnt") / F.col("_n"), 6).alias("share"),
+        )
+    )

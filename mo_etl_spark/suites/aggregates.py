@@ -628,3 +628,43 @@ def agg_bitwise_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").bitwiseXOR(F.shiftleft("l_suppkey", 2))
         ).alias("mixed_xor"),
     )
+
+
+@query(
+    "agg_heavy_hitters_mg",
+    oracle="""
+    WITH stream AS (
+        SELECT CASE WHEN event_id % 5 < 2 THEN 'hot' || CAST(event_id % 2 AS VARCHAR)
+                    ELSE 'cold' || CAST(event_id % 997 AS VARCHAR) END AS k
+        FROM events
+    ),
+    total AS (SELECT count(*) AS _n FROM stream)
+    SELECT s.k, count(*) AS cnt,
+           round(CAST(count(*) AS DOUBLE) / any_value(t._n), 6) AS share
+    FROM stream s CROSS JOIN total t
+    GROUP BY s.k
+    HAVING count(*) > 0.05 * any_value(t._n)
+    """,
+    tags=("heavy_hitters", "misra_gries", "sketch", "skew_detection", "udf_mapinpandas"),
+)
+def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phi=5% heavy hitters via two-phase Misra-Gries
+    (operators/skew.misra_gries_heavy_hitters): per-partition
+    32-counter summaries (bounded memory, mapInPandas) nominate
+    candidates, an exact recount over the broadcast candidate set
+    culls false positives.  The stream is events skewed on purpose —
+    two 'hot' keys own 40% while ~997 cold keys share the rest — so
+    the sketch has real work to do; the oracle is the plain
+    GROUP BY/HAVING on the same stream, which is exactly what the
+    operator avoids at 100 TB (a shuffle row per distinct key)."""
+    from mo_etl_spark.operators.skew import misra_gries_heavy_hitters
+
+    e = _t(spark, sf_dir, "events").select(
+        F.when(
+            F.col("event_id") % 5 < 2,
+            F.concat(F.lit("hot"), (F.col("event_id") % 2).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("cold"), (F.col("event_id") % 997).cast("string")))
+        .alias("k")
+    )
+    return misra_gries_heavy_hitters(e, "k", k=32, phi=0.05)

@@ -84,3 +84,35 @@ def test_salted_join_rejects_small_side_preserving_joins(spark):
     e = load_table(spark, SF, "events").select("event_id", "user_id")
     with pytest.raises(ValueError):
         salted_join(e, e, on=["user_id"], how="full")
+
+
+def test_misra_gries_heavy_hitters_exact(spark):
+    """MG guarantee: with phi >= 1/k every true heavy hitter is
+    reported with its EXACT count, across multiple partitions and an
+    adversarial interleave of cold keys; phi < 1/k is rejected."""
+    import pytest
+
+    from mo_etl_spark.operators.skew import misra_gries_heavy_hitters
+
+    # 10_000 rows: 'a' 30%, 'b' 12%, 2000 cold keys share the rest,
+    # interleaved so MG counters churn
+    rows = []
+    ci = 0
+    for i in range(10_000):
+        if i % 10 < 3:
+            rows.append(("a",))
+        elif i % 25 < 3:
+            rows.append(("b",))
+        else:
+            rows.append((f"c{ci % 2000}",))
+            ci += 1
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    got = {r["k"]: r["cnt"] for r in misra_gries_heavy_hitters(df, "k", k=16, phi=0.1).collect()}
+    truth = {}
+    for (k,) in rows:
+        truth[k] = truth.get(k, 0) + 1
+    expected = {k: c for k, c in truth.items() if c > 0.1 * len(rows)}
+    assert got == expected and "a" in got
+
+    with pytest.raises(ValueError):
+        misra_gries_heavy_hitters(df, "k", k=10, phi=0.05)
