@@ -1666,3 +1666,217 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
         )
     )
+
+
+@query(
+    "qa_constraint_audit",
+    oracle="""
+    SELECT 'fk_orders_custkey' AS check_name, 'orders' AS tbl,
+           count(*) FILTER (WHERE c.c_custkey IS NULL) AS violations,
+           count(*) AS total_rows
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'fk_lineitem_orderkey', 'lineitem',
+           count(*) FILTER (WHERE o.o_orderkey IS NULL), count(*)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'unique_event_id', 'events',
+           count(*) - count(DISTINCT event_id), count(*)
+    FROM events
+    UNION ALL
+    SELECT 'not_null_text', 'documents',
+           count(*) FILTER (WHERE text IS NULL OR trim(text) = ''), count(*)
+    FROM documents
+    UNION ALL
+    SELECT 'range_quantity_1_50', 'lineitem',
+           count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50), count(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'accepted_status_FOP', 'orders',
+           count(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P')
+                            OR o_orderstatus IS NULL), count(*)
+    FROM orders
+    """,
+    tags=("data_qa", "constraints", "fk_integrity", "uniqueness", "join_left"),
+)
+def qa_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit — the dbt-test / Deequ-style
+    constraint sweep an ETL platform runs after every load: referential
+    integrity (orders->customer, lineitem->orders), key uniqueness
+    (event_id), not-null/not-blank (documents.text), value range
+    (l_quantity in [1,50]), accepted values (o_orderstatus in F/O/P).
+    One row per check with violation and total counts.  Every check is
+    a single combinable aggregate pass over its table — the FK checks
+    ride a LEFT join whose dimension side Catalyst broadcasts — so the
+    audit costs one scan per table at 100 TB and the result is a
+    6-row table ready for alerting thresholds."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    events = _t(spark, sf_dir, "events")
+    documents = _t(spark, sf_dir, "documents")
+
+    def check(name: str, tbl: str, df: DataFrame, bad) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.lit(tbl).alias("tbl"),
+            F.count_if(bad).alias("violations"),
+            F.count("*").alias("total_rows"),
+        ).select("check_name", "tbl", "violations", "total_rows")
+
+    fk_orders = check(
+        "fk_orders_custkey",
+        "orders",
+        orders.join(
+            customer.select(F.col("c_custkey")), orders.o_custkey == F.col("c_custkey"), "left"
+        ),
+        F.col("c_custkey").isNull(),
+    )
+    fk_lineitem = check(
+        "fk_lineitem_orderkey",
+        "lineitem",
+        lineitem.join(
+            orders.select(F.col("o_orderkey")), lineitem.l_orderkey == F.col("o_orderkey"), "left"
+        ),
+        F.col("o_orderkey").isNull(),
+    )
+    uniq = events.agg(
+        F.lit("unique_event_id").alias("check_name"),
+        F.lit("events").alias("tbl"),
+        (F.count("*") - F.countDistinct("event_id")).alias("violations"),
+        F.count("*").alias("total_rows"),
+    ).select("check_name", "tbl", "violations", "total_rows")
+    notnull = check(
+        "not_null_text",
+        "documents",
+        documents,
+        F.col("text").isNull() | (F.trim("text") == ""),
+    )
+    qty_range = check(
+        "range_quantity_1_50",
+        "lineitem",
+        lineitem,
+        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+    )
+    accepted = check(
+        "accepted_status_FOP",
+        "orders",
+        orders,
+        ~F.col("o_orderstatus").isin("F", "O", "P") | F.col("o_orderstatus").isNull(),
+    )
+    return (
+        fk_orders.unionByName(fk_lineitem)
+        .unionByName(uniq)
+        .unionByName(notnull)
+        .unionByName(qty_range)
+        .unionByName(accepted)
+    )
+
+
+@query(
+    "qa_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, median(value) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           round(any_value(d.med), 6) AS med,
+           round(any_value(m.mad), 6) AS mad,
+           count(*) FILTER (WHERE d.adev > 3 * 1.4826 * m.mad) AS n_outliers,
+           count(*) AS n
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+    tags=("robust_stats", "mad", "median", "outliers", "data_qa"),
+)
+def qa_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median absolute
+    deviation (MAD) with the 1.4826 normal-consistency factor — the
+    estimator that survives the very outliers a stddev-based z-score
+    gets dragged by (50% breakdown point vs 0%).  Three passes over
+    events (exact median, exact MAD, threshold count), each a tiny
+    per-group aggregate broadcast back onto the fact — the standard
+    exact-MAD shape; at 100 TB swap the medians for the mergeable
+    histogram sketch (agg_histogram_quantile_sketch) to make it one
+    pass."""
+    e = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    j = dev.join(F.broadcast(mad), "event_type")
+    return j.groupBy("event_type").agg(
+        F.round(F.any_value("med"), 6).alias("med"),
+        F.round(F.any_value("mad"), 6).alias("mad"),
+        F.count_if(F.col("adev") > 3 * 1.4826 * F.col("mad")).alias("n_outliers"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "agg_gini_revenue",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_nationkey, c.c_custkey,
+               CAST(round(sum(o.o_totalprice) * 100) AS BIGINT) AS rev_c
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT c_nationkey, rev_c,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY rev_c, c_custkey) AS i
+        FROM rev
+    )
+    SELECT c_nationkey,
+           count(*) AS n_customers,
+           round((2.0 * sum(i * rev_c)) / (count(*) * sum(rev_c))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM ranked
+    GROUP BY c_nationkey
+    """,
+    tags=("robust_stats", "gini", "inequality", "window_rank", "groupby"),
+)
+def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue per nation — the
+    inequality/concentration metric (how skewed is spend across a
+    nation's customers).  Exact integer formulation: revenue in cents
+    (bigint), rank by (revenue, custkey) so ties are deterministic,
+    G = 2*Σ(i·x_i)/(n·Σx) − (n+1)/n computed from two integer sums —
+    both engines evaluate identical arithmetic, so the doubles
+    hash-match.  One join-agg plus one per-nation window; nations are
+    few so the window partition is safe (customers per nation is the
+    sort width, not the full table)."""
+    from pyspark.sql import Window
+
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    rev = (
+        customer.join(orders, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("rev_c"))
+    )
+    ranked = rev.withColumn(
+        "i",
+        F.row_number().over(
+            Window.partitionBy("c_nationkey").orderBy("rev_c", "c_custkey")
+        ),
+    )
+    return ranked.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("rev_c")))
+            / (F.count("*") * F.sum("rev_c"))
+            - (F.count("*") + 1.0) / F.count("*"),
+            6,
+        ).alias("gini"),
+    )

@@ -389,3 +389,44 @@ def test_triangles_matches_bruteforce(spark):
     got = {(r["a"], r["b"], r["c"]) for r in triangles(df).collect()}
     assert got == expected
     assert triangles(df).count() == len(expected)  # no dup rows
+
+
+def test_gini_and_mad_known_values(spark):
+    """Gini: all-equal -> 0; single holder owns everything ->
+    (n-1)/n.  MAD: unaffected by one wild outlier (robustness), which
+    the stddev-based z-score would absorb."""
+    from pyspark.sql import Window
+
+    # gini formula replicated on inline fixtures via the same ranked sums
+    def gini_of(vals):
+        df = spark.createDataFrame(
+            [(1, i, v) for i, v in enumerate(vals)], "g int, k int, x long"
+        )
+        ranked = df.withColumn(
+            "i", F.row_number().over(Window.partitionBy("g").orderBy("x", "k"))
+        )
+        row = (
+            ranked.groupBy("g")
+            .agg(
+                (
+                    (2.0 * F.sum(F.col("i") * F.col("x")))
+                    / (F.count("*") * F.sum("x"))
+                    - (F.count("*") + 1.0) / F.count("*")
+                ).alias("gini")
+            )
+            .collect()[0]
+        )
+        return row["gini"]
+
+    assert abs(gini_of([5, 5, 5, 5])) < 1e-12
+    assert abs(gini_of([0, 0, 0, 100]) - 3 / 4) < 1e-12
+
+    vals = [10.0] * 99 + [10000.0]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    med = df.agg(F.median("value")).collect()[0][0]
+    mad = df.select(F.abs(F.col("value") - F.lit(med)).alias("d")).agg(
+        F.median("d")
+    ).collect()[0][0]
+    assert med == 10.0 and mad == 0.0  # outlier invisible to MAD
+    std = df.agg(F.stddev_samp("value")).collect()[0][0]
+    assert std > 900  # ...but it owns the stddev
