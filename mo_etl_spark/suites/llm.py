@@ -1474,3 +1474,169 @@ def llm_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         df_cap=50,
         min_shared=3,
     )
+
+
+@query(
+    "llm_corpus_mix_interleave",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, source,
+               CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 1.0
+                    ELSE 0.5 END AS wt,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    pri AS (
+        SELECT doc_id, source, rn, (rn - 0.5) / wt AS priority FROM w
+    ),
+    top AS (
+        SELECT * FROM pri ORDER BY priority, source, rn LIMIT 200
+    )
+    SELECT row_number() OVER (ORDER BY priority, source, rn) AS global_pos,
+           doc_id, source, round(priority, 6) AS priority
+    FROM top
+    """,
+    tags=("sampling", "corpus_mixing", "interleave", "window_rank", "top_k"),
+)
+def llm_corpus_mix_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted corpus INTERLEAVING — the data-mixing
+    stage that turns per-source weights ("3 parts src0 : 1 part src1 :
+    0.5 part everything else") into one globally ordered training
+    stream, round-robin-fair at every prefix (the leaky-bucket /
+    stride-scheduling discipline: doc rn of a weight-w source emits at
+    virtual time (rn-0.5)/w).  Every prefix of the output respects the
+    weight ratios, unlike per-source sampling which only converges in
+    expectation.  Pure arithmetic + one per-source window; the global
+    order is sort+limit (TakeOrdered — no single-partition window over
+    the full corpus), then the 200 survivors get their positions."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    wt = (
+        F.when(F.col("source") == "src0", F.lit(3.0))
+        .when(F.col("source") == "src1", F.lit(1.0))
+        .otherwise(F.lit(0.5))
+    )
+    rn = F.row_number().over(Window.partitionBy("source").orderBy("doc_id"))
+    pri = d.select(
+        "doc_id",
+        "source",
+        rn.alias("rn"),
+        ((rn - 0.5) / wt).alias("priority"),
+    )
+    top = pri.orderBy("priority", "source", "rn").limit(200)
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy("priority", "source", "rn"))
+        .alias("global_pos"),
+        "doc_id",
+        "source",
+        F.round("priority", 6).alias("priority"),
+    )
+
+
+_SQL_BOILER_CORPUS = """
+    SELECT doc_id, source,
+           concat('breaking news from ', source, ' desk | ', text,
+                  ' | subscribe to the ', source, ' newsletter today',
+                  ' | all rights reserved worldwide') AS text2
+    FROM documents
+"""
+
+
+@query(
+    "llm_boilerplate_lines",
+    oracle=f"""
+    WITH corpus AS ({_SQL_BOILER_CORPUS}),
+    lines AS (
+        SELECT doc_id, source, ln.line, ln.idx
+        FROM corpus,
+             LATERAL (SELECT unnest(string_split(text2, ' | ')) AS line,
+                             generate_subscripts(string_split(text2, ' | '), 1) AS idx) ln
+    ),
+    src_docs AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM lines GROUP BY source),
+    line_df AS (
+        SELECT source, line, count(DISTINCT doc_id) AS df
+        FROM lines GROUP BY source, line
+    ),
+    flagged AS (
+        SELECT l.doc_id, l.source, l.line, l.idx,
+               (d.df > 0.3 * s.n_docs) AS is_boiler
+        FROM lines l
+        JOIN line_df d ON d.source = l.source AND d.line = l.line
+        JOIN src_docs s ON s.source = l.source
+    )
+    SELECT doc_id,
+           count(*) AS n_lines,
+           count(*) FILTER (WHERE is_boiler) AS n_removed,
+           coalesce(string_agg(line, ' | ' ORDER BY idx) FILTER (WHERE NOT is_boiler),
+                    '') AS text_clean
+    FROM flagged
+    GROUP BY doc_id
+    """,
+    tags=("boilerplate", "dedup_paragraph", "text_analysis", "quality_score"),
+)
+def llm_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-based boilerplate LINE removal (the RefinedWeb/C4
+    cleaning stage): a line appearing in >30% of a source's documents
+    (headers, footers, legal notices) is boilerplate and is dropped
+    from EVERY document — unlike keep-first paragraph dedup, the first
+    occurrence dies too.  The corpus gets realistic injected
+    boilerplate (per-source header + footer and a global rights
+    notice around each body, ' | ' as the line break).  Plan: explode
+    lines with position, per-(source, line) distinct-doc frequency vs
+    per-source doc counts, flag, reassemble the survivors in order —
+    two key shuffles (line df, doc reassembly); the line-frequency
+    table is the only state and it shrinks with a df floor at 100 TB."""
+    d = _docs(spark, sf_dir)
+    corpus = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("breaking news from "),
+            F.col("source"),
+            F.lit(" desk | "),
+            F.col("text"),
+            F.lit(" | subscribe to the "),
+            F.col("source"),
+            F.lit(" newsletter today"),
+            F.lit(" | all rights reserved worldwide"),
+        ).alias("text2"),
+    )
+    lines = corpus.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text2", " \\| ")).alias("idx0", "line"),
+    ).withColumn("idx", F.col("idx0") + 1)
+    src_docs = lines.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    line_df = lines.groupBy("source", "line").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    flagged = (
+        lines.join(line_df, ["source", "line"])
+        .join(F.broadcast(src_docs), "source")
+        .withColumn("is_boiler", F.col("df") > 0.3 * F.col("n_docs"))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.count_if("is_boiler").alias("n_removed"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("is_boiler"),
+                                F.struct("idx", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                " | ",
+            ),
+            F.lit(""),
+        ).alias("text_clean"),
+    )

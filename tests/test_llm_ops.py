@@ -371,3 +371,31 @@ def test_winnow_fingerprint_guarantee(spark):
         for i in range(len(toks) - k + 1)
     }
     assert by_id[1] <= grams
+
+
+def test_boilerplate_removes_all_occurrences(spark):
+    """Unlike keep-first paragraph dedup, a boilerplate line vanishes
+    from EVERY document, including its first occurrence; doc-specific
+    lines all survive."""
+    from mo_etl_spark.suites.llm import llm_boilerplate_lines
+
+    rows = llm_boilerplate_lines(spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(r["n_removed"] == 3 for r in rows)  # header+footer+global
+    assert all("subscribe" not in r["text_clean"] for r in rows)
+    assert all(r["text_clean"] != "" for r in rows)  # body kept
+
+
+def test_interleave_prefix_respects_weights(spark):
+    """Stride scheduling: in any prefix of the mixed stream, a source
+    with weight 3 has emitted ~3x the docs of a weight-1 source
+    (within one step)."""
+    from mo_etl_spark.suites.llm import llm_corpus_mix_interleave
+
+    rows = llm_corpus_mix_interleave(spark, "/root/testdata/sf0.001").collect()
+    rows.sort(key=lambda r: r["global_pos"])
+    for prefix in (40, 80, 120):
+        head = rows[:prefix]
+        n0 = sum(1 for r in head if r["source"] == "src0")
+        n1 = sum(1 for r in head if r["source"] == "src1")
+        if n0 < 25:  # src0 not exhausted yet (25 docs per source)
+            assert abs(n0 - 3 * n1) <= 3, (prefix, n0, n1)
