@@ -27,7 +27,12 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 FORMAT_NAME = "ndjson_blocks"
 
@@ -103,6 +108,9 @@ class BlockStoreDataSource(DataSource):
     def reader(self, schema):
         return BlockStoreReader(schema, self.options)
 
+    def streamReader(self, schema):
+        return BlockStreamReader(schema, self.options)
+
 
 def register_block_source(spark) -> None:
     """Idempotently register the format with this session."""
@@ -124,3 +132,73 @@ def write_block_store(df, path: str, block_col: str = "block_id") -> None:
         .mode("overwrite")
         .json(path)
     )
+
+
+class BlockStreamReader(DataSourceStreamReader):
+    """Streaming leg of the block store — the reference's queue-driven
+    consumption model (u, ActiveData-ETL pulse workers pull block keys
+    off a queue and process each exactly once) as a Spark 4 Python
+    streaming data source.
+
+    Offsets are positions in the sorted block-id list: a microbatch is
+    the next <= max_blocks_per_batch unconsumed blocks, one
+    InputPartition per block (executor-side Arrow parse, same as the
+    batch reader).  Offset tracking + checkpointing give exactly-once
+    per block — the property the reference engineered by hand with
+    etl-id bookkeeping.  `latestOffset` rate-limits the batch size so
+    a backlog drains as a sequence of bounded microbatches instead of
+    one giant catch-up batch (the queue analog of maxFilesPerTrigger).
+    """
+
+    def __init__(self, schema, options):
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("ndjson_blocks stream requires a path")
+        self.max_blocks = int(options.get("maxblockspertrigger", "3"))
+        self._batch = BlockStoreReader(schema, options)
+
+    def _block_ids(self) -> list[int]:
+        return sorted(
+            int(e.split("=", 1)[1])
+            for e in os.listdir(self.path)
+            if e.startswith("block_id=")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        # advance at most max_blocks past the last planned batch; the
+        # true end moves forward as more blocks land in the store.
+        # Stable across repeated calls within one microbatch (only
+        # partitions() moves self._pos), and a checkpoint restart
+        # corrects the position at the first partitions() call.
+        n = len(self._block_ids())
+        return {"pos": min(n, getattr(self, "_pos", 0) + self.max_blocks)}
+
+    def partitions(self, start: dict, end: dict):
+        self._pos = max(getattr(self, "_pos", 0), end["pos"])
+        ids = self._block_ids()[start["pos"] : end["pos"]]
+        parts = []
+        for block_id in ids:
+            block_dir = os.path.join(self.path, f"block_id={block_id}")
+            files = sorted(
+                os.path.join(block_dir, f)
+                for f in os.listdir(block_dir)
+                if f.endswith(".json.gz") or f.endswith(".json")
+            )
+            if files:
+                parts.append(BlockPartition(block_id, files))
+        # Spark requires a non-empty partition list; an empty batch is
+        # a zero-file partition that yields no rows
+        return parts or [BlockPartition(-1, [])]
+
+    def read(self, partition: BlockPartition):
+        return self._batch.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # consumed state lives in the checkpoint, nothing to ack
+
+    def stop(self) -> None:
+        pass

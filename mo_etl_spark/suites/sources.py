@@ -296,6 +296,26 @@ def source_file_metadata_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("source_s3", "python_datasource", "scan_jsonlines", "block_lineage"),
 )
+def _events_block_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize events as an 8-block gz-NDJSON store (write-once per
+    sf; shared by the batch and streaming block-source queries)."""
+    path = _dir(sf_dir, "events_blocks")
+    success = os.path.join(path, "_SUCCESS")
+    src = os.path.join(sf_dir, "events.parquet")
+    if not os.path.exists(success) or os.path.getmtime(success) < os.path.getmtime(src):
+        from mo_etl_spark.sources.blocks import write_block_store
+
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+            F.pmod("event_id", F.lit(8)).cast("long").alias("block_id"),
+        )
+        write_block_store(events, path)
+    return path
+
+
 def source_python_datasource_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's S3 block source (u, ActiveData-ETL s3_bucket:
     gz NDJSON blocks addressed by etl id) rebuilt on the Spark 4
@@ -309,21 +329,9 @@ def source_python_datasource_blocks(spark: SparkSession, sf_dir: str) -> DataFra
     arithmetically from the source table, so the hash match proves
     sharding + gz NDJSON round trip + lineage injection are lossless."""
     prepare(spark)
-    from mo_etl_spark.sources.blocks import register_block_source, write_block_store
+    from mo_etl_spark.sources.blocks import register_block_source
 
-    path = _dir(sf_dir, "events_blocks")
-    # write-once per sf (testdata immutable): reuse a completed store
-    success = os.path.join(path, "_SUCCESS")
-    src = os.path.join(sf_dir, "events.parquet")
-    if not os.path.exists(success) or os.path.getmtime(success) < os.path.getmtime(src):
-        events = load_table(spark, sf_dir, "events").select(
-            "event_id",
-            "user_id",
-            "event_type",
-            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
-            F.pmod("event_id", F.lit(8)).cast("long").alias("block_id"),
-        )
-        write_block_store(events, path)
+    path = _events_block_store(spark, sf_dir)
     register_block_source(spark)
     back = spark.read.format("ndjson_blocks").load(path)
     return back.groupBy("block_id").agg(

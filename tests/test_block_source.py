@@ -45,3 +45,57 @@ def test_block_store_partitions_and_fidelity(spark):
         back.columns
     ).exceptAll(back).count()
     assert sym_diff == 0
+
+
+def test_block_stream_incremental_microbatches(spark):
+    """The streaming leg drains the 8-block backlog in rate-limited
+    microbatches (maxBlocksPerTrigger=3 -> >= 3 non-empty batches),
+    and the final complete-mode aggregate equals the batch read —
+    exactly-once, no block lost or double-counted."""
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from mo_etl_spark.sources.blocks import register_block_source
+    from mo_etl_spark.suites.sources import _events_block_store
+
+    sf_dir = "/root/testdata/sf0.001"
+    path = _events_block_store(spark, sf_dir)
+    register_block_source(spark)
+    ckpt = f"/root/repo/.cache/test_pyblocks_ckpt-{uuid.uuid4().hex[:8]}"
+    qname = "test_block_stream_sink"
+    agg = (
+        spark.readStream.format("ndjson_blocks")
+        .option("maxBlocksPerTrigger", "3")
+        .load(path)
+        .groupBy("block_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value_cents").alias("cents"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progressed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    assert len(progressed) >= 3, [p["numInputRows"] for p in q.recentProgress]
+
+    got = {
+        r["block_id"]: (r["n"], r["cents"]) for r in spark.table(qname).collect()
+    }
+    batch = spark.read.format("ndjson_blocks").load(path)
+    expected = {
+        r["block_id"]: (r["n"], r["cents"])
+        for r in batch.groupBy("block_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value_cents").alias("cents"))
+        .collect()
+    }
+    assert got == expected and len(got) == 8
