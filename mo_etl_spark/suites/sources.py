@@ -284,18 +284,6 @@ def source_file_metadata_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "source_python_datasource_blocks",
-    oracle="""
-    SELECT event_id % 8 AS block_id,
-           count(*) AS n_events,
-           count(DISTINCT user_id) AS n_users,
-           sum(CAST(round(value*100) AS BIGINT)) AS total_cents
-    FROM events
-    GROUP BY event_id % 8
-    """,
-    tags=("source_s3", "python_datasource", "scan_jsonlines", "block_lineage"),
-)
 def _events_block_store(spark: SparkSession, sf_dir: str) -> str:
     """Materialize events as an 8-block gz-NDJSON store (write-once per
     sf; shared by the batch and streaming block-source queries)."""
@@ -316,6 +304,19 @@ def _events_block_store(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+
+@query(
+    "source_python_datasource_blocks",
+    oracle="""
+    SELECT event_id % 8 AS block_id,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           sum(CAST(round(value*100) AS BIGINT)) AS total_cents
+    FROM events
+    GROUP BY event_id % 8
+    """,
+    tags=("source_s3", "python_datasource", "scan_jsonlines", "block_lineage"),
+)
 def source_python_datasource_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's S3 block source (u, ActiveData-ETL s3_bucket:
     gz NDJSON blocks addressed by etl id) rebuilt on the Spark 4
