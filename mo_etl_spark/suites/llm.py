@@ -1640,3 +1640,70 @@ def llm_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(""),
         ).alias("text_clean"),
     )
+
+
+@query(
+    "llm_unigram_perplexity",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+        FROM documents
+    ),
+    lm AS (
+        SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ),
+    total AS (SELECT sum(c) AS n FROM lm),
+    scored AS (
+        SELECT t.doc_id,
+               count(*) AS n_tokens,
+               sum(log2(CAST(l.c AS DOUBLE) / ct.n)) AS ll
+        FROM toks t
+        JOIN lm l USING (tok)
+        CROSS JOIN total ct
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           round(-ll / n_tokens, 6) AS bits_per_token,
+           (-ll / n_tokens > 5.0) AS flagged_high_ppl
+    FROM scored
+    """,
+    tags=("quality_score", "perplexity", "language_model", "text_analysis"),
+)
+def llm_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality scoring, unigram edition:
+    train token frequencies over the corpus itself (one groupBy), then
+    score every document's bits-per-token −Σlog2 p(tok)/n — the
+    perplexity filter that drops gibberish/boilerplate-heavy docs
+    before training.  High-bits docs (rare-token-dense) get flagged
+    against a fixed threshold.  Plan: token explode feeds BOTH the LM
+    aggregate and the scoring join; the LM table is vocabulary-sized
+    (tiny → broadcast) and the corpus-total is a 1-row cross join, so
+    scoring is one map-side pass at 100 TB.  log2 on identical doubles
+    is bit-stable across engines (same convention as the token-entropy
+    query)."""
+    from mo_etl_spark.operators.dedup import normalize_text
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok"),
+    )
+    lm = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = lm.agg(F.sum("c").alias("n"))
+    scored = (
+        toks.join(F.broadcast(lm), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.log2(F.col("c").cast("double") / F.col("n"))).alias("ll"),
+        )
+    )
+    bpt = -F.col("ll") / F.col("n_tokens")
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round(bpt, 6).alias("bits_per_token"),
+        (bpt > 5.0).alias("flagged_high_ppl"),
+    )

@@ -19,6 +19,7 @@ Both have exact DuckDB twins, so they are fully hash-checked.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mo_etl_spark.registry import query
 from mo_etl_spark.session import prepare
@@ -167,3 +168,126 @@ def join_lateral_topk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) s
         """
     )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+             AS disc_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("sql_surface", "pipe_syntax", "groupby"),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0, SPARK-49555 — the |> operator
+    chain): the linear FROM -> WHERE -> EXTEND -> AGGREGATE flow that
+    reads like the engine's own fluent API (and like the reference's
+    mo-streams pipelines (u)), compiled by Catalyst to exactly the
+    same plan as the nested SELECT.  EXTEND adds the integer-cents
+    columns mid-pipe; AGGREGATE ... GROUP BY closes the flow."""
+    prepare(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |> EXTEND CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+                  CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS dc
+        |> AGGREGATE count(*) AS n, sum(pc) AS price_cents, sum(dc) AS disc_cents
+           GROUP BY l_returnflag, l_linestatus
+        """
+    ).select("l_returnflag", "l_linestatus", "n", "price_cents", "disc_cents")
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+      AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql_surface", "parameterized_sql", "groupby"),
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (spark.sql(..., args={...}), Spark 3.4+):
+    the injection-safe query-template surface an ETL service exposes —
+    parameters bind as typed literals in the PLAN (visible to
+    predicate pushdown and partition pruning, unlike string
+    concatenation which risks both injection and cache-key blowup).
+    The oracle inlines the same literals."""
+    prepare(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+        FROM orders
+        WHERE o_orderdate >= :lo AND o_orderdate < :hi
+          AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={
+            "lo": "1997-01-01 00:00:00",
+            "hi": "1998-01-01 00:00:00",
+            "status": "F",
+        },
+    )
+
+
+@query(
+    "agg_transpose_metrics",
+    oracle="""
+    WITH per AS (
+        SELECT event_type,
+               CAST(count(*) AS DOUBLE) AS n_events,
+               CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) AS total_cents,
+               CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users
+        FROM events GROUP BY event_type
+    )
+    SELECT m.key,
+           max(CASE WHEN event_type = 'click' THEN m.v END) AS click,
+           max(CASE WHEN event_type = 'error' THEN m.v END) AS error,
+           max(CASE WHEN event_type = 'purchase' THEN m.v END) AS purchase,
+           max(CASE WHEN event_type = 'signup' THEN m.v END) AS signup,
+           max(CASE WHEN event_type = 'view' THEN m.v END) AS view
+    FROM per,
+         LATERAL (VALUES ('n_events', n_events), ('total_cents', total_cents),
+                         ('n_users', n_users)) AS m(key, v)
+    GROUP BY m.key
+    """,
+    tags=("transpose", "pivot", "unpivot", "sql_surface"),
+)
+def agg_transpose_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose (Spark 4.0): flip a per-event-type metric
+    table so metrics become rows and event types become columns — the
+    cube-formatter reshaping (u, jx cube axes swap) as a first-class
+    DataFrame op.  transpose() keys columns off the first column's
+    values and requires a common value type, so metrics are cast to
+    double and the frame is sorted for a deterministic column order.
+    The oracle reproduces it as unpivot-then-pivot."""
+    prepare(spark)
+    e = load_table(spark, sf_dir, "events")
+    per = (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").cast("double").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("double")
+            .alias("total_cents"),
+            F.countDistinct("user_id").cast("double").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+    return per.transpose()

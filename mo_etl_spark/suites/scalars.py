@@ -521,3 +521,88 @@ def scalar_generator_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey", F.posexplode_outer(seq).alias("pos", "val")
     ).select("p_partkey", F.col("pos").cast("int").alias("pos"), "val")
+
+
+@query(
+    "scalar_try_family",
+    oracle="""
+    WITH base AS (
+        SELECT p_partkey, p_brand, p_size, p_retailprice,
+               p_size % 4 AS div4,
+               CASE WHEN p_partkey % 3 = 0 THEN 'x'
+                    ELSE CAST(p_size AS VARCHAR) END AS numish,
+               CAST(p_partkey % 3 AS INT) AS idx,
+               concat('2024-01-', lpad(CAST(p_size % 40 AS VARCHAR), 2, '0')) AS datish
+    FROM part
+    ),
+    evaled AS (
+        SELECT p_brand,
+               CAST(p_retailprice AS DOUBLE) / nullif(div4, 0) AS d,
+               try_cast(numish AS INTEGER) AS n,
+               CASE WHEN idx = 1 THEN p_size END AS e,
+               try_cast(datish AS TIMESTAMP) AS ts
+        FROM base
+    )
+    SELECT p_brand,
+           count(*) AS n_rows,
+           count(d) AS n_div_ok,
+           round(sum(d), 4) AS sum_div,
+           count(n) AS n_num_ok,
+           sum(n) AS sum_num,
+           count(e) AS n_elem_ok,
+           count(ts) AS n_ts_ok
+    FROM evaled
+    GROUP BY p_brand
+    """,
+    tags=("scalar", "try_functions", "null", "ansi_safety"),
+)
+def scalar_try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The try_* error-free evaluation family (Spark 3.2+ ANSI-safe
+    forms) — the modern engine-native spelling of jx's never-raise
+    math (u, mo_math null-decisive ops; SURVEY.md §1.4 rule 4):
+    try_divide (÷0 -> NULL even under ANSI), try_cast (bad parse ->
+    NULL), try_element_at (index miss -> NULL), try_to_timestamp
+    (bad date -> NULL).  Each probe column mixes valid and poisoned
+    rows derived arithmetically from part, then per-brand counts
+    summarize which survived — identical semantics in the oracle via
+    nullif guards and DuckDB's own try_cast.  These forms stay
+    codegen'd JVM expressions, so the null safety costs nothing at
+    100 TB (vs a Python guard UDF which would cost the Arrow round
+    trip)."""
+    p = _t(spark, sf_dir, "part")
+    base = p.select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        "p_retailprice",
+        (F.col("p_size") % 4).alias("div4"),
+        F.when(F.col("p_partkey") % 3 == 0, F.lit("x"))
+        .otherwise(F.col("p_size").cast("string"))
+        .alias("numish"),
+        (F.col("p_partkey") % 3).cast("int").alias("idx"),
+        F.concat(
+            F.lit("2024-01-"),
+            F.lpad((F.col("p_size") % 40).cast("string"), 2, "0"),
+        ).alias("datish"),
+    )
+    evaled = base.select(
+        "p_brand",
+        F.try_divide(F.col("p_retailprice").cast("double"), F.col("div4")).alias("d"),
+        F.expr("try_cast(numish AS INT)").alias("n"),
+        # index 0 is invalid USAGE (raises even under try_); the miss
+        # case try_element_at absorbs is out-of-bounds, so poison with 2
+        F.try_element_at(
+            F.array(F.col("p_size")),
+            F.when(F.col("idx") == 0, F.lit(2)).otherwise(F.col("idx")),
+        ).alias("e"),
+        F.try_to_timestamp(F.col("datish")).alias("ts"),
+    )
+    return evaled.groupBy("p_brand").agg(
+        F.count("*").alias("n_rows"),
+        F.count("d").alias("n_div_ok"),
+        F.round(F.sum("d"), 4).alias("sum_div"),
+        F.count("n").alias("n_num_ok"),
+        F.sum("n").alias("sum_num"),
+        F.count("e").alias("n_elem_ok"),
+        F.count("ts").alias("n_ts_ok"),
+    )

@@ -371,3 +371,67 @@ def win_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w_ts.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("last_purchase_cents"),
     )
+
+
+@query(
+    "win_streaks_gaps_islands",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+        WHERE event_type = 'purchase' AND event_id % 5 = 0
+    ),
+    isl AS (
+        SELECT user_id, day,
+               date_diff('day', DATE '1970-01-01', day)
+                 - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+        FROM act
+    ),
+    streaks AS (
+        SELECT user_id, island, count(*) AS len,
+               min(day) AS streak_start
+        FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           count(*) AS n_streaks,
+           sum(len) AS n_active_days,
+           max(len) AS longest_streak,
+           min(streak_start) AS first_day
+    FROM streaks
+    GROUP BY user_id
+    """,
+    tags=("gaps_islands", "streaks", "window_rank", "sessionize", "time_domain"),
+)
+def win_streaks_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-DAY activity streaks per user
+    (the engagement metric sessionize can't express — sessionize
+    bounds gaps between event timestamps, this detects runs on the
+    calendar-day grid).  The classic trick: within a user, day_number
+    − row_number is CONSTANT across a consecutive run, so one window
+    plus two aggregates finds every island with no self-join and no
+    iteration.  Sparse activity (every 5th purchase event) makes
+    streaks non-trivial.  Two key shuffles (distinct days, window);
+    both partition by user_id — uniform at 100 TB."""
+    e = _events(spark, sf_dir)
+    act = (
+        e.where((F.col("event_type") == "purchase") & (F.col("event_id") % 5 == 0))
+        .select("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .distinct()
+    )
+    isl = act.select(
+        "user_id",
+        "day",
+        (
+            F.datediff("day", F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
+        ).alias("island"),
+    )
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count("*").alias("len"), F.min("day").alias("streak_start")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.count("*").alias("n_streaks"),
+        F.sum("len").alias("n_active_days"),
+        F.max("len").alias("longest_streak"),
+        F.min("streak_start").alias("first_day"),
+    )
