@@ -35,6 +35,8 @@ CARTESIAN_OK = {
     "graph_pagerank_supply",  # 1-row node-count scalar broadcast-crossed into every iteration
     "qa_drift_value_histogram",  # 1-row population totals broadcast-crossed in
     "agg_theta_setops_users",  # crossJoin of two 1-row sketch aggregates
+    "agg_heavy_hitters_mg",  # 1-row stream-total scalar broadcast-crossed into the threshold
+    "llm_unigram_perplexity",  # 1-row corpus-token-total broadcast-crossed into scoring
 }
 
 #: queries allowed to exceed the exchange budget, each with why:
@@ -47,6 +49,11 @@ EXCHANGES_OK = {
     # by construction + the one-off edge materialization; per-iteration
     # cost is the claim, not total exchange count
     "graph_pagerank_supply",
+    # compact-forward triangle listing: degree agg + two degree-annotation
+    # joins + wedge self-join + closing semi-join are the algorithm; each
+    # is keyed and uniform (the orientation is what BOUNDS the wedge
+    # stage), and AQE broadcasts the small sides at this sf
+    "graph_triangle_count",
 }
 
 
