@@ -668,3 +668,49 @@ def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("k")
     )
     return misra_gries_heavy_hitters(e, "k", k=32, phi=0.05)
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT CASE WHEN value > 50 THEN user_id END) AS n_big_spenders
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("cardinality", "bitmap", "distinct_rollup", "partial_merge"),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counts via roaring-style bitmaps (Spark 3.5
+    bitmap_* functions) — the warehouse pattern between naive
+    count(DISTINCT) and approximate HLL: integer ids map to
+    (bucket, bit position), per-(group, bucket) bitmaps OR together,
+    and popcounts sum — every stage is mergeable/re-aggregatable like
+    a sketch but the answer is EXACT, which is why the oracle is a
+    plain count(DISTINCT).  The shuffle carries one 4 KB bitmap per
+    (group, bucket of 32768 ids) instead of one row per distinct id —
+    at 100 TB that is the difference between shuffling user-count rows
+    and shuffling ceil(id_space/32768) fixed-size buckets."""
+    prepare(spark)
+    e = load_table(spark, sf_dir, "events")
+    per_bucket = (
+        e.select(
+            "event_type",
+            "user_id",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.col("value"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"),
+            F.expr(
+                "bitmap_construct_agg(bitmap_bit_position("
+                "CASE WHEN value > 50 THEN user_id END))"
+            ).alias("bm_big"),
+        )
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_users"),
+        F.sum(F.expr("bitmap_count(bm_big)")).alias("n_big_spenders"),
+    )

@@ -1707,3 +1707,115 @@ def llm_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(bpt, 6).alias("bits_per_token"),
         (bpt > 5.0).alias("flagged_high_ppl"),
     )
+
+
+def _sql_cos_v(a: str, b: str) -> str:
+    """Rounded cosine between two DOUBLE-list columns {a}.v / {b}.v —
+    the same formula/rounding as _SQL_COSINE but over constructed
+    arrays (shared by the embed-dedup/semantic-dedup oracles)."""
+    return f"""
+      round(
+        list_sum(list_transform(range(1, 65), i -> {a}.v[i] * {b}.v[i]))
+        / (sqrt(list_sum(list_transform(range(1, 65), i -> {a}.v[i] * {a}.v[i])))
+           * sqrt(list_sum(list_transform(range(1, 65), i -> {b}.v[i] * {b}.v[i]))))
+      , 6)"""
+
+
+_SQL_AUG_EMB = """
+        SELECT vec_id,
+               list_transform(range(1, 65),
+                              i -> CAST(embedding[i] AS DOUBLE)) AS v
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000,
+               list_transform(range(1, 65),
+                   i -> CASE WHEN i = 1 THEN CAST(embedding[1] AS DOUBLE) + 0.1
+                             ELSE CAST(embedding[i] AS DOUBLE) END)
+        FROM embeddings WHERE vec_id < 50
+"""
+
+
+@query(
+    "llm_dedup_semantic_cells",
+    oracle=f"""
+    WITH aug AS ({_SQL_AUG_EMB}),
+    cents AS (SELECT vec_id AS cent_id, v FROM aug WHERE vec_id < 16),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT a.vec_id, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_sql_cos_v("a", "c")} DESC, c.cent_id) AS r
+        FROM aug a CROSS JOIN cents c)
+      WHERE r = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, s.cell,
+             {_sql_cos_v("a", "b")} AS cos
+      FROM aug a
+      JOIN assign s ON s.vec_id = a.vec_id
+      JOIN assign t ON t.cell = s.cell
+      JOIN aug b ON b.vec_id = t.vec_id AND a.vec_id < b.vec_id
+    )
+    SELECT id_b AS dup_id, min(id_a) AS keep_id,
+           min(cell) AS cell, max(cos) AS cos_sim
+    FROM pairs WHERE cos >= 0.99
+    GROUP BY id_b
+    """,
+    tags=("dedup_embed_cosine", "semdedup", "sim_ivf", "kmeans"),
+)
+def llm_dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup restricted to
+    k-means CELLS — cluster first (16 coarse centroids, same
+    assignment kernel as IVF), then search for cosine >= 0.99 pairs
+    ONLY within each cell and drop the higher id.  This is the
+    sublinear scale path for embedding dedup: all-pairs cost
+    O(n²) becomes Σ|cell|², and the cell equi-join is an ordinary
+    shuffle Catalyst handles.  The planted near-dups (vec_id+10000,
+    one component shifted) assign to their source's cell and are
+    caught; the oracle replays assignment AND within-cell pair
+    generation, so the cluster-scoping itself is hash-checked (a
+    cross-cell near-dup pair would be MISSED by design — that recall
+    gap is the documented SemDeDup trade-off)."""
+    emb = _emb(spark, sf_dir)
+    v = S.as_double(F.col("embedding"))
+    base = emb.select("vec_id", v.alias("v"))
+    perturbed = emb.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            v, lambda x, i: F.when(i == 0, x + F.lit(0.1)).otherwise(x)
+        ).alias("v"),
+    )
+    aug = base.unionByName(perturbed)
+    cents = base.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("vec")
+    )
+    assign = S.brute_force_topk(
+        aug.select(F.col("vec_id").alias("q_id"), F.col("v").alias("vec")),
+        cents,
+        k=1,
+        c_id="cent_id",
+        exclude_self=False,
+    ).select(F.col("q_id").alias("vec_id"), F.col("cent_id").alias("cell"))
+    j = aug.join(assign, "vec_id")
+    a = j.select(
+        F.col("vec_id").alias("id_a"), F.col("cell"), F.col("v").alias("va")
+    )
+    b = j.select(
+        F.col("vec_id").alias("id_b"), F.col("cell"), F.col("v").alias("vb")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "cell",
+            F.round(S.cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= 0.99)
+    )
+    return pairs.groupBy(F.col("id_b").alias("dup_id")).agg(
+        F.min("id_a").alias("keep_id"),
+        F.min("cell").alias("cell"),
+        F.max("cos").alias("cos_sim"),
+    )

@@ -606,3 +606,60 @@ def scalar_try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("e").alias("n_elem_ok"),
         F.count("ts").alias("n_ts_ok"),
     )
+
+
+@query(
+    "scalar_collation_family",
+    oracle="""
+    WITH mangled AS (
+        SELECT p_brand,
+               CASE WHEN p_partkey % 2 = 0 THEN upper(p_name) ELSE p_name END AS name2,
+               p_type
+        FROM part
+    )
+    SELECT p_brand,
+           count(DISTINCT lower(name2)) AS n_names_ci,
+           count(DISTINCT name2) AS n_names_cs,
+           count(*) FILTER (WHERE lower(name2) LIKE 'a%') AS n_prefix_a_ci,
+           min(lower(name2)) AS first_ci,
+           count(*) FILTER (WHERE contains(lower(p_type), 'BRUSHED' )) AS n_brushed_bad,
+           count(*) FILTER (WHERE contains(lower(p_type), lower('BRUSHED'))) AS n_brushed_ci
+    FROM mangled
+    GROUP BY p_brand
+    """,
+    tags=("scalar", "string", "collation", "case_insensitive"),
+)
+def scalar_collation_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String COLLATIONS (Spark 4.0, SPARK-46830): UTF8_LCASE makes
+    comparisons, DISTINCT, LIKE/startswith/contains, and MIN/MAX
+    case-insensitive at the TYPE level — the engine-native form of the
+    lower()-wrapping the jx string ops otherwise need (and unlike
+    lower()-wrapping, a collated column keeps its original bytes and
+    stays eligible for collation-aware data-source pushdown).  Half
+    the part names are upper-mangled; CI vs CS distinct counts
+    diverge, CI prefix/contains hit regardless of case.  DuckDB has
+    no column collations, so the oracle encodes the SAME semantics
+    with lower() — which is exactly the equivalence the collation
+    implementation promises."""
+    p = _t(spark, sf_dir, "part")
+    mangled = p.select(
+        "p_brand",
+        F.when(F.col("p_partkey") % 2 == 0, F.upper("p_name"))
+        .otherwise(F.col("p_name"))
+        .alias("name2"),
+        "p_type",
+    )
+    ci = F.expr("collate(name2, 'UTF8_LCASE')")
+    ci_type = F.expr("collate(p_type, 'UTF8_LCASE')")
+    return mangled.groupBy("p_brand").agg(
+        F.countDistinct(ci).alias("n_names_ci"),
+        F.countDistinct("name2").alias("n_names_cs"),
+        F.count_if(ci.startswith("a")).alias("n_prefix_a_ci"),
+        # min under CI collation picks an arbitrary member of the
+        # CI-equal tie group (case variants) — canonicalize with lower
+        F.lower(F.min(ci)).alias("first_ci"),
+        F.count_if(F.contains(F.lower("p_type"), F.lit("BRUSHED"))).alias(
+            "n_brushed_bad"
+        ),
+        F.count_if(F.contains(ci_type, F.lit("BRUSHED"))).alias("n_brushed_ci"),
+    )
