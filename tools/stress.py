@@ -227,6 +227,68 @@ def main() -> None:
     t["pq_topk_200q"] = round(time.time() - t0, 2)
     assert n_pq == 200 * 10
 
+    # Winnowing fingerprints at scale: 200k synthetic docs x ~60 tokens.
+    # Claim: gram build is one linear HOF pass, window-min selection is
+    # a per-doc window (uniform partitions), pair join bounded by df cap.
+    from mo_etl_spark.operators.text import winnow_pairs
+
+    n_docs = 200_000
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(60)),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    F.pmod(F.xxhash64(F.col("id") * 64 + i), F.lit(5000)).cast("string"),
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    t0 = time.time()
+    n_wpairs = winnow_pairs(docs, k=5, w=4, df_cap=50, min_shared=3).count()
+    t["winnow_200k_docs"] = round(time.time() - t0, 2)
+
+    # Triangle counting at scale: 2M random edges over 100k nodes PLUS
+    # a 50k-degree hub.  Claim: degree-ordered orientation keeps wedge
+    # rows at sum(outdeg^2) ~ O(m^1.5) — the hub's d^2 (2.5e9 wedges
+    # undirected) never materializes because its edges all point INTO it.
+    from mo_etl_spark.operators.graph import triangles
+
+    re_ = spark.range(2_000_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(100_000)).alias("a"),
+        F.pmod(F.xxhash64(F.col("id") + 13), F.lit(100_000)).alias("b"),
+    )
+    hub = spark.range(50_000).select(
+        F.lit(0).cast("long").alias("a"), (F.col("id") * 2 + 1).alias("b")
+    )
+    ge = (
+        re_.unionAll(hub)
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    t0 = time.time()
+    n_tri = triangles(ge).count()
+    t["triangles_2m_edges_hub50k"] = round(time.time() - t0, 2)
+    assert n_tri > 0
+
+    # Misra-Gries heavy hitters at scale: full rows, 1M cold keys, two
+    # hot keys owning ~30%.  Claim: candidate shuffle is k x partitions
+    # rows; the exact recount is the only full-key-space pass avoided.
+    from mo_etl_spark.operators.skew import misra_gries_heavy_hitters
+
+    stream = events.select(
+        F.when(F.col("event_id") % 10 < 3, F.concat(F.lit("hot"), (F.col("event_id") % 2).cast("string")))
+        .otherwise(F.pmod(F.xxhash64("event_id"), F.lit(1_000_000)).cast("string"))
+        .alias("k")
+    )
+    t0 = time.time()
+    hh = {r["k"] for r in misra_gries_heavy_hitters(stream, "k", k=32, phi=0.05).collect()}
+    t["heavy_hitters_mg"] = round(time.time() - t0, 2)
+    assert hh == {"hot0", "hot1"}, hh
+
     print(json.dumps({"rows": args.rows, "vecs": args.vecs, "timings": t}))
 
 
