@@ -1880,3 +1880,267 @@ def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "agg_market_basket_lift",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    n_orders AS (SELECT count(DISTINCT ok) AS n FROM baskets),
+    item AS (SELECT pk, count(*) AS cnt FROM baskets GROUP BY pk),
+    pair AS (
+        SELECT a.pk AS pk_a, b.pk AS pk_b, count(*) AS both_cnt
+        FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+    )
+    SELECT p.pk_a, p.pk_b, p.both_cnt,
+           round(CAST(p.both_cnt AS DOUBLE) / t.n, 6) AS support,
+           round(CAST(p.both_cnt AS DOUBLE) / ia.cnt, 6) AS confidence,
+           round(CAST(p.both_cnt AS DOUBLE) * t.n / (ia.cnt * ib.cnt), 6) AS lift
+    FROM pair p
+    JOIN item ia ON ia.pk = p.pk_a
+    JOIN item ib ON ib.pk = p.pk_b
+    CROSS JOIN n_orders t
+    """,
+    tags=("market_basket", "association_rules", "join_inner", "groupby"),
+)
+def agg_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining (market basket): part pairs co-bought
+    in >= 3 orders with support / confidence / lift — the
+    recommendation staple (an FP-growth frequent-2-itemset pass as
+    plain DataFrame ops).  The basket self-join is keyed on orderkey,
+    so pair fan-out is Σ|basket|² with |basket| ~ 4 lineitems — linear
+    in practice; the min-support HAVING clause is applied at the
+    aggregate (the apriori prune), and the item-frequency table joins
+    back broadcast-size.  Hot/huge baskets are the skew risk at
+    100 TB — cap basket size or salt the orderkey first."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n_orders = baskets.agg(F.countDistinct("ok").alias("n"))
+    item = baskets.groupBy("pk").agg(F.count("*").alias("cnt"))
+    a = baskets.select("ok", F.col("pk").alias("pk_a"))
+    b = baskets.select("ok", F.col("pk").alias("pk_b"))
+    pair = (
+        a.join(b, "ok")
+        .where(F.col("pk_a") < F.col("pk_b"))
+        .groupBy("pk_a", "pk_b")
+        .agg(F.count("*").alias("both_cnt"))
+        .where(F.col("both_cnt") >= 3)
+    )
+    ia = item.select(F.col("pk").alias("pk_a"), F.col("cnt").alias("cnt_a"))
+    ib = item.select(F.col("pk").alias("pk_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pair.join(F.broadcast(ia), "pk_a")
+        .join(F.broadcast(ib), "pk_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pk_a",
+            "pk_b",
+            "both_cnt",
+            F.round(F.col("both_cnt").cast("double") / F.col("n"), 6).alias("support"),
+            F.round(F.col("both_cnt").cast("double") / F.col("cnt_a"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("both_cnt").cast("double") * F.col("n")
+                / (F.col("cnt_a") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "agg_rfm_segmentation",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               date_diff('day', max(o_orderdate), TIMESTAMP '2001-09-01') AS recency_days,
+               count(*) AS frequency,
+               CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS monetary_cents
+        FROM orders
+        GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey, recency_days, frequency, monetary_cents,
+               ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r_score,
+               ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+               ntile(5) OVER (ORDER BY monetary_cents, o_custkey) AS m_score
+        FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_customers,
+           sum(monetary_cents) AS segment_cents
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    """,
+    tags=("rfm", "segmentation", "window_percentile", "ntile", "groupby"),
+)
+def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order at a
+    fixed anchor), frequency, monetary value -> quintile scores via
+    ntile, rolled up to segment sizes.  ntile ties are broken by
+    custkey so the quintile boundaries are deterministic
+    cross-engine.  The three global ntiles are single-partition
+    windows over the CUSTOMER aggregate (one row per customer — small
+    relative to facts); at larger scale swap ntile for a
+    percentile-threshold join (win_percentile_values' agg+broadcast
+    rewrite) to avoid the global sort."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2001-09-01").cast("date"), F.max("o_orderdate").cast("date")
+        ).cast("long").alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("monetary_cents"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").desc(), "o_custkey"))
+        .alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary_cents", "o_custkey"))
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("monetary_cents").alias("segment_cents"),
+    )
+
+
+@query(
+    "ts_linear_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', TIMESTAMP '2024-01-01', date_trunc('day', ts)) AS x,
+               count(*) AS y
+        FROM events
+        GROUP BY 1, 2
+    ),
+    moments AS (
+        SELECT event_type,
+               count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(x * y) AS sxy
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (n * sxx - sx * sx), 6) AS slope_per_day,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)) * sx)
+                 / n, 6) AS intercept
+    FROM moments
+    """,
+    tags=("regression", "trend", "time_domain", "groupby", "stats"),
+)
+def ts_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key least-squares trend (daily event volume per type):
+    slope/intercept from EXACT integer moments (n, Σx, Σy, Σx², Σxy
+    as int64 — x is day index, y is a count), with the double division
+    applied identically in both engines, so the fit hash-matches
+    bit-for-bit (same recipe as the corr/covar query).  Two combinable
+    aggregates — daily rollup then moment rollup — both map-side
+    partial at 100 TB; no window, no sort.  This is the operator
+    behind 'is error volume trending up' alerting."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).cast("long").alias("x"),
+    ).agg(F.count("*").alias("y"))
+    m = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round((F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+@query(
+    "etl_dead_letter_routing",
+    oracle="""
+    WITH feed AS (
+        SELECT event_id, event_type,
+               CASE WHEN event_id % 7 = 0 THEN concat('{{bad ', props)
+                    ELSE props END AS payload
+        FROM events
+    )
+    SELECT CASE WHEN event_id % 7 = 0 THEN 'dead_letter' ELSE 'main' END AS route,
+           event_type,
+           count(*) AS n,
+           sum(CASE WHEN event_id % 7 <> 0
+                    THEN CAST(json_extract(payload, '$.k') AS BIGINT) END) AS sum_k
+    FROM feed
+    GROUP BY 1, 2
+    """,
+    tags=("dead_letter", "quarantine", "scan_jsonlines", "json", "data_qa"),
+)
+def etl_dead_letter_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing — the ingest pattern that keeps one bad
+    record from poisoning a 100 TB batch: parse the JSON payload with
+    a non-throwing parser (from_json -> NULL struct on corrupt input,
+    the reference's inspect-before-parse discipline (u, ActiveData-ETL
+    reads raw S3 bytes first)), route parse failures to a quarantine
+    leg THAT KEEPS THE RAW PAYLOAD for replay, and let the main leg
+    continue typed.  Every 7th event's payload is corrupted on
+    purpose; the summary shows per-route/type counts and proves the
+    main leg's typed extraction still aggregates.  One scan, one
+    conditional split — routing is a projection, not a second pass."""
+    e = _t(spark, sf_dir, "events")
+    feed = e.select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_id") % 7 == 0, F.concat(F.lit("{{bad "), F.col("props"))
+        )
+        .otherwise(F.col("props"))
+        .alias("payload"),
+    )
+    # PERMISSIVE from_json yields a struct of NULL fields (not a NULL
+    # struct) on corrupt input — the reliable failure signal is the
+    # dedicated corrupt-record column
+    parsed = feed.withColumn(
+        "doc",
+        F.from_json(
+            "payload",
+            "k BIGINT, _corrupt STRING",
+            {"columnNameOfCorruptRecord": "_corrupt"},
+        ),
+    )
+    routed = parsed.withColumn(
+        "route",
+        F.when(F.col("doc._corrupt").isNotNull(), F.lit("dead_letter")).otherwise(
+            F.lit("main")
+        ),
+    )
+    return routed.groupBy("route", "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("route") == "main", F.col("doc.k"))).alias("sum_k"),
+    )
