@@ -2144,3 +2144,134 @@ def etl_dead_letter_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.when(F.col("route") == "main", F.col("doc.k"))).alias("sum_k"),
     )
+
+
+@query(
+    "qa_ab_test_proportions",
+    oracle="""
+    WITH assigned AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+               user_id, event_type
+        FROM events
+    ),
+    arms AS (
+        SELECT arm,
+               count(*) AS n,
+               count(*) FILTER (WHERE event_type = 'purchase') AS conv
+        FROM assigned GROUP BY arm
+    ),
+    wide AS (
+        SELECT max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+               max(CASE WHEN arm = 'A' THEN conv END) AS conv_a,
+               max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+               max(CASE WHEN arm = 'B' THEN conv END) AS conv_b
+        FROM arms
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+           round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+           round(
+             (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score,
+           abs((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+               / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                      * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                      * (1.0 / n_a + 1.0 / n_b))) > 1.96 AS significant_95
+    FROM wide
+    """,
+    tags=("ab_test", "z_test", "experiment", "stats", "conditional_agg"),
+)
+def qa_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test — the experimentation-platform readout:
+    users hash-split into arms (deterministic id parity here; a
+    salted hash in production), conversion = purchase events, pooled
+    standard error, z-score and a 95% significance flag.  ONE
+    conditional-aggregate pass over events then pure scalar
+    arithmetic on a 1-row frame; every float op is the identical
+    IEEE754 expression in both engines.  At 100 TB the arm aggregate
+    is map-side combinable and the readout is O(arms)."""
+    e = _t(spark, sf_dir, "events")
+    arms = (
+        e.select(
+            F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")).alias("arm"),
+            "event_type",
+        )
+        .groupBy("arm")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_if(F.col("event_type") == "purchase").alias("conv"),
+        )
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "A", F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "B", F.col("conv"))).alias("conv_b"),
+    )
+    ra = F.col("conv_a").cast("double") / F.col("n_a")
+    rb = F.col("conv_b").cast("double") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(pooled * (1 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    z = (ra - rb) / se
+    return wide.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )
+
+
+@query(
+    "qa_benford_first_digit",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d
+        FROM orders
+        WHERE o_totalprice > 0
+    ),
+    obs AS (SELECT d, count(*) AS n FROM digits GROUP BY d),
+    total AS (SELECT sum(n) AS tot FROM obs)
+    SELECT o.d,
+           o.n,
+           round(CAST(o.n AS DOUBLE) / t.tot, 6) AS observed_p,
+           round(log10(1.0 + 1.0 / o.d), 6) AS benford_p,
+           round(CAST(o.n AS DOUBLE) / t.tot - log10(1.0 + 1.0 / o.d), 6) AS delta
+    FROM obs o CROSS JOIN total t
+    """,
+    tags=("benford", "data_qa", "drift", "fraud_detection"),
+)
+def qa_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    anomaly/fraud screen for value columns: observed first-digit
+    share vs the log10(1 + 1/d) expectation, per digit with deltas
+    (a synthetic-uniform price distribution SHOULD deviate — the
+    point of the audit is the readout, not conformance).  First digit
+    extracted from the integer-cents string so both engines agree
+    exactly; one aggregate pass plus a 1-row total broadcast."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count("*").alias("n"))
+    total = obs.agg(F.sum("n").alias("tot"))
+    p = F.col("n").cast("double") / F.col("tot")
+    benford = F.log10(1.0 + 1.0 / F.col("d"))
+    return obs.crossJoin(F.broadcast(total)).select(
+        "d",
+        "n",
+        F.round(p, 6).alias("observed_p"),
+        F.round(benford, 6).alias("benford_p"),
+        F.round(p - benford, 6).alias("delta"),
+    )

@@ -10,6 +10,8 @@ proving the plumbing end-to-end, not just "it ran".
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -232,4 +234,86 @@ def udf_mapinarrow_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return orders.mapInArrow(
         _arrow_band_batches, "o_orderkey long, band_cents long"
+    )
+
+
+def _norm_band_iter_fn(batches):
+    """SCALAR_ITER pandas UDF body: the once-per-worker 'model load'
+    (here a deterministic quantization table) happens BEFORE the batch
+    loop — the amortized-init evaluation mode for embedding models /
+    tokenizers at 100 TB."""
+    scale = 100  # stand-in for an expensively-constructed model
+    for price in batches:
+        yield (price * scale).round().astype("int64") // 2500 * 2500
+
+
+@query(
+    "udf_scalar_iter_band",
+    oracle="""
+    SELECT o_orderkey,
+           (CAST(round(o_totalprice*100) AS BIGINT) // 2500) * 2500 AS band_cents
+    FROM orders WHERE o_orderkey <= 3000
+    """,
+    tags=("udf_scalar", "scalar_iter", "amortized_init"),
+)
+def udf_scalar_iter_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-series pandas UDF (SCALAR_ITER): same Arrow batch
+    path as the plain scalar UDF but the function owns the batch LOOP,
+    so per-worker setup (model weights, tokenizer, regex compile) runs
+    once per partition instead of once per batch — the evaluation mode
+    that makes Python-side model scoring viable at scale.  Completes
+    the UDF-surface matrix (scalar / scalar_iter / grouped agg /
+    grouped map / mapInPandas / mapInArrow / UDTF)."""
+    prepare(spark)
+
+    @pandas_udf("long")
+    def band(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        yield from _norm_band_iter_fn(batches)
+
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 3000)
+    return orders.select("o_orderkey", band("o_totalprice").alias("band_cents"))
+
+
+@query(
+    "udf_apply_in_arrow",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           max(CAST(round(o_totalprice*100) AS BIGINT)) AS max_cents,
+           min(o_orderkey) AS first_key
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("grouped_map", "applyInArrow", "udf_mapinpandas"),
+)
+def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().applyInArrow (Spark 4.0): the grouped-map transform
+    on RAW Arrow tables — no pandas materialization, so no
+    dtype-coercion surprises and one less copy than applyInPandas;
+    the right surface when the per-group logic is itself Arrow-native
+    (pyarrow.compute, DataFusion, polars).  Each group reduces to a
+    1-row summary via pyarrow.compute kernels."""
+    prepare(spark)
+
+    def summarize(table):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        cents = pc.round(pc.multiply(table.column("o_totalprice"), 100))
+        return pa.table(
+            {
+                "o_orderpriority": [table.column("o_orderpriority")[0].as_py()],
+                "n": [table.num_rows],
+                "max_cents": [int(pc.max(cents).as_py())],
+                "first_key": [int(pc.min(table.column("o_orderkey")).as_py())],
+            }
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .applyInArrow(
+            summarize,
+            "o_orderpriority string, n long, max_cents long, first_key long",
+        )
     )

@@ -37,6 +37,9 @@ CARTESIAN_OK = {
     "agg_theta_setops_users",  # crossJoin of two 1-row sketch aggregates
     "agg_heavy_hitters_mg",  # 1-row stream-total scalar broadcast-crossed into the threshold
     "llm_unigram_perplexity",  # 1-row corpus-token-total broadcast-crossed into scoring
+    "agg_market_basket_lift",  # 1-row order-count scalar broadcast-crossed into support
+    "qa_benford_first_digit",  # 1-row digit-total broadcast-crossed into shares
+    "qa_ab_test_proportions",  # (guard) 1-row arm summary if plan shifts
 }
 
 #: queries allowed to exceed the exchange budget, each with why:
@@ -54,6 +57,12 @@ EXCHANGES_OK = {
     # is keyed and uniform (the orientation is what BOUNDS the wedge
     # stage), and AQE broadcasts the small sides at this sf
     "graph_triangle_count",
+    # apriori pair mining: basket self-join + two item-frequency joins +
+    # min-support agg are the algorithm; the 1-row total rides broadcast
+    "agg_market_basket_lift",
+    # SemDeDup: centroid-assignment GEMM (cogroup) + cell equi-self-join
+    # + pair agg; cluster scoping is exactly what bounds the pair stage
+    "llm_dedup_semantic_cells",
 }
 
 
