@@ -107,3 +107,53 @@ def ewma_halving(
         .groupBy(key)
         .applyInPandas(walk, f"{key} long, {id_col} long, ewma double")
     )
+
+
+def holt_halving(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) with
+    alpha = beta = 1/2, per key in (ts, id) order:
+
+        l_t = (x_t + (l_{t-1} + b_{t-1})) / 2
+        b_t = ((l_t - l_{t-1}) + b_{t-1}) / 2      (l_0 = x_0, b_0 = 0)
+
+    The trend state makes the one-step-ahead forecast l + b — the
+    capacity-planning smoother that plain EWMA (ewma_halving) can't
+    provide because it damps any slope.  Same execution class:
+    coupled state feedback is non-window-expressible, so it runs as an
+    O(n) applyInPandas walk per key (ONE key shuffle).
+
+    Cross-engine float parity by construction (same discipline as
+    ewma_halving): integer inputs, and each step evaluates the literal
+    parenthesized double expressions above in that exact order — one
+    rounding point per operator — so a DuckDB recursive CTE replaying
+    them is bit-identical.
+    """
+    import pandas as pd
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts, id_col]).reset_index(drop=True)
+        xs = pdf[value_col].to_numpy(dtype="float64")
+        level = xs.copy()
+        trend = xs * 0.0
+        for i in range(1, len(xs)):
+            prev_l, prev_b = level[i - 1], trend[i - 1]
+            level[i] = (xs[i] + (prev_l + prev_b)) / 2.0
+            trend[i] = ((level[i] - prev_l) + prev_b) / 2.0
+        pdf["level"] = level
+        pdf["trend"] = trend
+        pdf["forecast"] = level + trend
+        return pdf[[key, id_col, "level", "trend", "forecast"]]
+
+    return (
+        df.select(key, ts, id_col, value_col)
+        .groupBy(key)
+        .applyInPandas(
+            walk, f"{key} long, {id_col} long, level double, trend double, forecast double"
+        )
+    )

@@ -2275,3 +2275,55 @@ def qa_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(benford, 6).alias("benford_p"),
         F.round(p - benford, 6).alias("delta"),
     )
+
+
+@query(
+    "ts_holt_trend_per_user",
+    oracle="""
+    WITH RECURSIVE
+    seq AS (
+      SELECT user_id, event_id,
+             CAST(round(value*100) AS BIGINT) AS val,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    walk AS (
+      SELECT user_id, event_id, rn,
+             CAST(val AS DOUBLE) AS level,
+             CAST(0 AS DOUBLE) AS trend
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.rn,
+             (CAST(s.val AS DOUBLE) + (w.level + w.trend)) / 2 AS level,
+             ((((CAST(s.val AS DOUBLE) + (w.level + w.trend)) / 2) - w.level)
+              + w.trend) / 2 AS trend
+      FROM seq s JOIN walk w ON s.user_id = w.user_id AND s.rn = w.rn + 1
+    )
+    SELECT user_id, event_id,
+           round(level, 6) AS level,
+           round(trend, 6) AS trend,
+           round(level + trend, 6) AS forecast
+    FROM walk
+    """,
+    tags=("holt", "ewma", "iterative", "grouped_map", "applyInPandas", "recursive_cte"),
+)
+def ts_holt_trend_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing per user (alpha=beta=1/2) —
+    level AND trend state, one-step-ahead forecast = level + trend
+    (operators/timeseries.holt_halving).  Two COUPLED recurrences, so
+    even less window-expressible than EWMA; the DuckDB oracle replays
+    both in a recursive CTE with the identical parenthesization, and
+    the doubles hash-match bit-for-bit."""
+    from mo_etl_spark.operators.timeseries import holt_halving
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", cents("value").alias("vc")
+    )
+    out = holt_halving(e, key="user_id", ts="ts", value_col="vc", id_col="event_id")
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("forecast", 6).alias("forecast"),
+    )

@@ -1819,3 +1819,94 @@ def llm_dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cell").alias("cell"),
         F.max("cos").alias("cos_sim"),
     )
+
+
+@query(
+    "llm_bm25_scores",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+    stats AS (
+        SELECT count(*) AS n_docs, avg(CAST(len AS DOUBLE)) AS avgdl FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, tok, count(*) AS tf FROM toks
+        WHERE tok IN ('join', 'hash', 'filter')
+        GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    scored AS (
+        SELECT t.tok AS term, t.doc_id,
+               round(
+                 ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                 * (t.tf * 2.2)
+                 / (t.tf + 1.2 * (0.25 + 0.75 * l.len / s.avgdl)), 6) AS bm25,
+               row_number() OVER (
+                 PARTITION BY t.tok
+                 ORDER BY ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                          * (t.tf * 2.2)
+                          / (t.tf + 1.2 * (0.25 + 0.75 * l.len / s.avgdl)) DESC,
+                          t.doc_id) AS rnk
+        FROM tf t
+        JOIN df d USING (tok)
+        JOIN dl l USING (doc_id)
+        CROSS JOIN stats s
+    )
+    SELECT term, doc_id, bm25, rnk FROM scored WHERE rnk <= 10
+    """,
+    tags=("bm25", "tfidf_terms", "retrieval", "text_analysis", "top_k_per_group"),
+)
+def llm_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (k1=1.2, b=0.75) for three fixed query
+    terms: the lexical-ranking complement to the cosine/ANN family —
+    what the retrieval side of a RAG pipeline computes.  idf uses the
+    +1 (Lucene-style, never-negative) form; length normalization uses
+    exact token counts and the corpus average.  Plan: token explode
+    feeds doc-length and tf aggregates; df and the 2-row corpus stats
+    broadcast back; per-term top-10 is a window over the term
+    partition.  Every double expression is written identically in the
+    oracle, so ln/div round the same and the ranking hash-matches."""
+    from mo_etl_spark.operators.dedup import normalize_text
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("len"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg(F.col("len").cast("double")).alias("avgdl")
+    )
+    tf = (
+        toks.where(F.col("tok").isin("join", "hash", "filter"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    joined = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    score = (
+        idf
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("len") / F.col("avgdl")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("tok").orderBy(score.desc(), "doc_id")
+    return (
+        joined.select(
+            F.col("tok").alias("term"),
+            "doc_id",
+            F.round(score, 6).alias("bm25"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .where(F.col("rnk") <= 10)
+    )

@@ -430,3 +430,21 @@ def test_gini_and_mad_known_values(spark):
     assert med == 10.0 and mad == 0.0  # outlier invisible to MAD
     std = df.agg(F.stddev_samp("value")).collect()[0][0]
     assert std > 900  # ...but it owns the stddev
+
+
+def test_holt_tracks_linear_trend(spark):
+    """Holt invariants: a constant series has zero trend and forecast
+    == level == the constant; a linear ramp's forecast converges onto
+    the next true value (EWMA, trendless, lags it forever)."""
+    from mo_etl_spark.operators.timeseries import holt_halving
+
+    rows = [(1, i, i, 100) for i in range(20)]          # constant 100
+    rows += [(2, i, i, 10 * (i + 1)) for i in range(40)]  # ramp 10,20,...
+    df = spark.createDataFrame(rows, "k long, t long, i long, x long")
+    out = holt_halving(df, key="k", ts="t", value_col="x", id_col="i").collect()
+    const = sorted((r for r in out if r["k"] == 1), key=lambda r: r["i"])
+    assert all(r["trend"] == 0.0 and r["forecast"] == 100.0 for r in const)
+    ramp = sorted((r for r in out if r["k"] == 2), key=lambda r: r["i"])
+    last = ramp[-1]
+    next_true = 10 * (len(ramp) + 1)
+    assert abs(last["forecast"] - next_true) < 1.0, last
