@@ -580,3 +580,151 @@ def stream_real_python_source_blocks(spark: SparkSession, sf_dir: str) -> DataFr
     finally:
         q.stop()
     return spark.table(qname)
+
+
+@query(
+    "stream_real_append_closed_windows",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT epoch_ms(time_bucket(INTERVAL 1 DAY, ts)) AS win_start_ms,
+           event_type,
+           count(*) AS n
+    FROM events CROSS JOIN wm
+    GROUP BY 1, 2, wm.w
+    HAVING time_bucket(INTERVAL 1 DAY, min(ts)) + INTERVAL 1 DAY <= wm.w
+    """,
+    tags=("stream_source", "watermark", "tumbling_window", "append_mode"),
+)
+def stream_real_append_closed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode watermarked windows — the unbounded-run semantics
+    the complete-mode backfills sidestep: a window row is emitted
+    EXACTLY ONCE, only after the event-time watermark (max ts − 1 h)
+    passes its end, and the state store drops it.  On the bounded
+    feed this is deterministic: every daily window except the final
+    (still-open) day emits; the oracle recomputes the same closed-set
+    rule declaratively.  This is the sink contract an incremental
+    downstream (foreachBatch upsert, Kafka topic) consumes — complete
+    mode re-emits everything, append emits deltas."""
+    prepare(spark)
+    feed = _feed(spark, sf_dir)
+    ckpt = _scratch("append_closed_ckpt")
+    qname = "stream_real_append_closed_sink"
+    stream = file_stream_source(spark, feed, _FEED_SCHEMA)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        F.unix_millis(F.col("win.start")).alias("win_start_ms"),
+        "event_type",
+        "n",
+    )
+
+
+@query(
+    "stream_real_stream_stream_left_join",
+    oracle="""
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id AS cu, ts AS c_ts
+          FROM events WHERE event_type = 'click'),
+    wm AS (SELECT least((SELECT max(p_ts) FROM p), (SELECT max(c_ts) FROM c))
+                  - INTERVAL 1 HOUR AS w),
+    matched AS (
+        SELECT p.purchase_id, p.user_id, c.click_id,
+               epoch_ms(p.p_ts) - epoch_ms(c.c_ts) AS lead_ms
+        FROM p JOIN c
+          ON p.user_id = c.cu
+         AND epoch_ms(c.c_ts) BETWEEN epoch_ms(p.p_ts) - 600000 AND epoch_ms(p.p_ts)
+    )
+    SELECT purchase_id, user_id, click_id, lead_ms FROM matched
+    UNION ALL
+    SELECT p.purchase_id, p.user_id,
+           CAST(NULL AS BIGINT) AS click_id, CAST(NULL AS BIGINT) AS lead_ms
+    FROM p CROSS JOIN wm
+    WHERE p.purchase_id NOT IN (SELECT purchase_id FROM matched)
+      AND p.p_ts + INTERVAL 1 MINUTE < wm.w
+    """,
+    tags=("stream_stream_join", "join_left", "stream_source", "watermark", "join_range"),
+)
+def stream_real_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the attribution shape where
+    purchases WITHOUT a qualifying click must still come out: matched
+    pairs emit immediately; an unmatched purchase emits its
+    null-extended row only once the GLOBAL watermark (min of both
+    sides' max event time − 1 h) passes its last possible match time
+    (p_ts + the band's upper bound), because until then a matching
+    click could still arrive.  On the bounded backfill that rule is
+    deterministic — the oracle recomputes it declaratively: every
+    unmatched purchase except those in the final watermark-open tail
+    emits.  State stays O(watermark window) exactly as in the inner
+    join; the null-emission delay is the price of correctness on an
+    unbounded run (verified here: the availableNow backfill flushes
+    the eligible nulls)."""
+    prepare(spark)
+    feed = _feed(spark, sf_dir)
+    ckpt = _scratch("ssj_louter_ckpt")
+    qname = "stream_real_ssj_louter_sink"
+
+    purchases = (
+        file_stream_source(spark, feed, _FEED_SCHEMA)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        file_stream_source(spark, feed, _FEED_SCHEMA)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """
+            user_id = c_user_id
+            AND unix_micros(c_ts) div 1000
+                BETWEEN unix_micros(p_ts) div 1000 - 600000
+                    AND unix_micros(p_ts) div 1000
+            AND c_ts BETWEEN p_ts - INTERVAL 11 MINUTES
+                         AND p_ts + INTERVAL 1 MINUTE
+            """
+        ),
+        "leftOuter",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(qname).select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        F.expr(
+            "unix_micros(p_ts) div 1000 - unix_micros(c_ts) div 1000"
+        ).alias("lead_ms"),
+    )
