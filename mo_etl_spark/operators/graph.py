@@ -124,3 +124,42 @@ def triangles(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         .alias("b"),
         F.greatest("src", "x", "y").alias("c"),
     )
+
+
+def kcore(edges: DataFrame, k: int, iters: int = 8, a: str = "a", b: str = "b") -> DataFrame:
+    """k-core peeling, ``iters`` fixed rounds: repeatedly delete
+    vertices of degree < k (with their edges) from the undirected
+    canonical edge list (a < b); survivors approximate the k-core
+    (exact once a round deletes nothing — on most graphs a handful of
+    rounds converge; fixed iterations keep the plan static, the same
+    declarative-loop discipline as pagerank).
+
+    Returns (node, deg) for surviving vertices with their final
+    within-core degree.  Each round is one degree aggregate + two
+    semi-joins on the surviving-vertex set — all keyed shuffles; the
+    edge list shrinks monotonically, so round cost decays.  Both the
+    edge frontier and the survivor set are localCheckpointed per round
+    (lineage truncation — without it round r re-executes all r-1
+    predecessors, the pagerank lesson).
+    """
+    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v")).localCheckpoint()
+    for _ in range(iters):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )

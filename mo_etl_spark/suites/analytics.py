@@ -2327,3 +2327,82 @@ def ts_holt_trend_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("trend", 6).alias("trend"),
         F.round("forecast", 6).alias("forecast"),
     )
+
+
+def _kcore_oracle_sql(k: int, iters: int) -> str:
+    """Unrolled peeling oracle (same discipline as the PageRank
+    unrolled-CTE oracle: recursive CTEs can't aggregate over the
+    recursive reference, so fixed rounds are generated as a chain)."""
+    ctes = [
+        """edges0 AS MATERIALIZED (
+        SELECT s1.s_suppkey AS a, s2.s_suppkey AS b
+        FROM supplier s1
+        JOIN supplier s2
+          ON s1.s_nationkey = s2.s_nationkey
+         AND s1.s_suppkey < s2.s_suppkey
+         AND abs(s1.s_acctbal - s2.s_acctbal) <= 2000
+    )"""
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"""deg{i} AS MATERIALIZED (
+        SELECT node, count(*) AS deg FROM (
+            SELECT a AS node FROM edges{i}
+            UNION ALL SELECT b AS node FROM edges{i})
+        GROUP BY node
+    ),
+    keep{i} AS MATERIALIZED (SELECT node FROM deg{i} WHERE deg >= {k}),
+    edges{i + 1} AS MATERIALIZED (
+        SELECT e.a, e.b FROM edges{i} e
+        JOIN keep{i} ka ON ka.node = e.a
+        JOIN keep{i} kb ON kb.node = e.b
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node, count(*) AS deg FROM (
+        SELECT a AS node FROM edges{iters}
+        UNION ALL SELECT b AS node FROM edges{iters})
+    GROUP BY node
+    """
+    )
+
+
+@query(
+    "graph_kcore_suppliers",
+    oracle=_kcore_oracle_sql(k=2, iters=8),
+    tags=("graph", "kcore", "iterative", "join_semi", "groupby"),
+)
+def graph_kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the supplier similarity graph (operators/graph.kcore):
+    8 peeling rounds delete degree-<2 vertices — what survives is the
+    cyclic backbone (every member sits on a cycle), the subgraph
+    community analyses run on after pruning whiskers.  Each round is
+    one degree aggregate plus two semi-joins, frontier
+    localCheckpointed (the PageRank lineage lesson); the oracle
+    unrolls the identical 8 rounds as chained CTEs, so the peeling
+    trajectory itself is hash-checked."""
+    from mo_etl_spark.operators.graph import kcore
+
+    s = _t(spark, sf_dir, "supplier")
+    s1 = s.select(
+        F.col("s_suppkey").alias("a"),
+        F.col("s_nationkey").alias("n"),
+        F.col("s_acctbal").alias("bal_a"),
+    )
+    s2 = s.select(
+        F.col("s_suppkey").alias("b"),
+        F.col("s_nationkey").alias("n"),
+        F.col("s_acctbal").alias("bal_b"),
+    )
+    edges = (
+        s1.join(s2, "n")
+        .where(
+            (F.col("a") < F.col("b"))
+            & (F.abs(F.col("bal_a") - F.col("bal_b")) <= 2000)
+        )
+        .select("a", "b")
+    )
+    return kcore(edges, k=2, iters=8)

@@ -613,3 +613,56 @@ def source_nested_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.col("l.l_quantity").cast("long")).alias("total_qty"),
     )
+
+
+@query(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(*) AS n,
+           sum(CASE WHEN date_trunc('day', ts) = TIMESTAMP '2024-01-05'
+                    THEN CAST(round(value*100) AS BIGINT) * 2
+                    ELSE CAST(round(value*100) AS BIGINT) END) AS total_cents
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-11'
+    GROUP BY 1
+    """,
+    tags=("sink_partitioned", "partition_overwrite", "incremental_etl", "scan_parquet"),
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition overwrite (partitionOverwriteMode=dynamic) —
+    the idempotent daily-backfill primitive: rewriting one day's
+    corrected data replaces ONLY that day's directory, while static
+    overwrite mode would wipe the whole table.  Ten days of events
+    land partitioned by day; day 5 is then re-written with corrected
+    (doubled) values through an overwrite of just that partition.
+    The readback aggregate proves the other nine days survived
+    untouched and day 5 carries the correction — the invariant every
+    reprocessing pipeline rests on.  At 100 TB this is the difference
+    between rewriting 1/N of the table and all of it."""
+    prepare(spark)
+    path = _dir(sf_dir, "events_dyn_overwrite")
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("ts") < F.lit("2024-01-11").cast("timestamp")
+    )
+    base = events.select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    )
+    # full load (static overwrite wipes any previous state)
+    base.write.mode("overwrite").partitionBy("day").parquet(path)
+    # corrected day-5 batch: dynamic mode replaces ONLY day=2024-01-05
+    corrected = base.where(F.col("day") == F.lit("2024-01-05").cast("date")).select(
+        "event_id", (F.col("value_cents") * 2).alias("value_cents"), "day"
+    )
+    (
+        corrected.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value_cents").alias("total_cents")
+    )

@@ -448,3 +448,19 @@ def test_holt_tracks_linear_trend(spark):
     last = ramp[-1]
     next_true = 10 * (len(ramp) + 1)
     assert abs(last["forecast"] - next_true) < 1.0, last
+
+
+def test_kcore_peels_whiskers(spark):
+    """2-core of a cycle with attached whiskers = exactly the cycle
+    (every whisker node peels, cycle nodes keep degree 2); an acyclic
+    tree's 2-core is empty."""
+    from mo_etl_spark.operators.graph import kcore
+
+    cycle = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    whiskers = [(4, 9), (9, 10), (2, 7)]
+    df = spark.createDataFrame(cycle + whiskers, "a long, b long")
+    got = {r["node"]: r["deg"] for r in kcore(df, k=2, iters=8).collect()}
+    assert got == {1: 2, 2: 2, 3: 2, 4: 2}
+
+    tree = spark.createDataFrame([(1, 2), (1, 3), (2, 4), (2, 5)], "a long, b long")
+    assert kcore(tree, k=2, iters=8).count() == 0
