@@ -40,6 +40,7 @@ CARTESIAN_OK = {
     "agg_market_basket_lift",  # 1-row order-count scalar broadcast-crossed into support
     "qa_benford_first_digit",  # 1-row digit-total broadcast-crossed into shares
     "qa_ab_test_proportions",  # (guard) 1-row arm summary if plan shifts
+    "llm_bm25_scores",  # 1-row corpus stats (N, avgdl) broadcast-crossed into scoring
 }
 
 #: queries allowed to exceed the exchange budget, each with why:
