@@ -714,3 +714,128 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("bitmap_count(bm)")).alias("n_users"),
         F.sum(F.expr("bitmap_count(bm_big)")).alias("n_big_spenders"),
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH vals AS (
+        SELECT l_returnflag AS flag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+    ),
+    cum AS (
+        SELECT flag, price_c, w,
+               sum(w) OVER (PARTITION BY flag ORDER BY price_c, w
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               sum(w) OVER (PARTITION BY flag) AS tw
+        FROM vals
+    )
+    SELECT flag,
+           min(price_c) FILTER (WHERE 2 * cw >= tw) AS wmedian_cents,
+           min(tw) AS total_weight
+    FROM cum
+    GROUP BY flag
+    """,
+    tags=("percentile", "median", "weighted", "window_agg", "robust_stats"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median (lower): quantity-weighted median line price
+    per return flag — the inventory-weighted center that plain median
+    can't express.  Pure integer discipline end to end: cents values,
+    integer weights, cumulative-weight window, threshold
+    2·cum >= total (no interpolation, no float comparison), so both
+    engines agree exactly.  One window per group partition plus one
+    aggregate; the 100 TB path replaces the per-row window with the
+    mergeable histogram sketch when groups are huge."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    cum = vals.select(
+        "flag",
+        "price_c",
+        F.sum("w")
+        .over(
+            Window.partitionBy("flag")
+            .orderBy("price_c", "w")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("cw"),
+        F.sum("w").over(Window.partitionBy("flag")).alias("tw"),
+    )
+    return cum.groupBy("flag").agg(
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("price_c"))).alias(
+            "wmedian_cents"
+        ),
+        F.min("tw").alias("total_weight"),
+    )
+
+
+@query(
+    "agg_pareto_8020",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_nationkey, c.c_custkey,
+               CAST(round(sum(o.o_totalprice) * 100) AS BIGINT) AS rc
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT c_nationkey, rc,
+               sum(rc) OVER (PARTITION BY c_nationkey
+                             ORDER BY rc DESC, c_custkey
+                             ROWS UNBOUNDED PRECEDING) AS crc,
+               sum(rc) OVER (PARTITION BY c_nationkey) AS trc,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY rc DESC, c_custkey) AS rn,
+               count(*) OVER (PARTITION BY c_nationkey) AS nc
+        FROM rev
+    )
+    SELECT c_nationkey,
+           min(nc) AS n_customers,
+           min(rn) FILTER (WHERE 5 * crc >= 4 * trc) AS n_top80,
+           round(CAST(min(rn) FILTER (WHERE 5 * crc >= 4 * trc) AS DOUBLE)
+                 / min(nc), 6) AS top80_customer_share
+    FROM cum
+    GROUP BY c_nationkey
+    """,
+    tags=("pareto", "concentration", "window_agg", "window_rank", "top_k"),
+)
+def agg_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) concentration per nation: how many of the
+    nation's customers, richest-first, it takes to cover 80% of
+    revenue — the operational twin of the Gini query (same ranked
+    cumulative machinery, answers 'whom do I call first').  Integer
+    threshold 5·cum >= 4·total avoids any float boundary; ties broken
+    by custkey.  One customer-level aggregate then two windows on the
+    nation partition."""
+    from pyspark.sql import Window
+
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    rev = (
+        customer.join(orders, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("rc"))
+    )
+    wp = Window.partitionBy("c_nationkey")
+    wo = wp.orderBy(F.col("rc").desc(), "c_custkey")
+    cum = rev.select(
+        "c_nationkey",
+        F.sum("rc").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("crc"),
+        F.sum("rc").over(wp).alias("trc"),
+        F.row_number().over(wo).alias("rn"),
+        F.count("*").over(wp).alias("nc"),
+    )
+    hit = F.min(F.when(5 * F.col("crc") >= 4 * F.col("trc"), F.col("rn")))
+    return cum.groupBy("c_nationkey").agg(
+        F.min("nc").alias("n_customers"),
+        hit.alias("n_top80"),
+        F.round(hit.cast("double") / F.min("nc"), 6).alias("top80_customer_share"),
+    )

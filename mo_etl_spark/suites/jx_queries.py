@@ -695,3 +695,56 @@ def jx_edges_duration_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark=spark,
         tables={"gaps": gaps},
     )
+
+
+@query(
+    "jx_fluent_pipeline",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+             AS revenue_cents,
+           max(l_quantity) AS max_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_quantity > 10
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("jx", "fluent", "filter", "groupby", "sort"),
+)
+def jx_fluent_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User surface 1 (SURVEY.md §3.2): the fluent Python builder —
+    Q(df).where(...).groupby(...).select(...).sort(...) — compiled
+    through the SAME jx_run path as the dict surface (the builder IS
+    a jx dict underneath), so decisive-null semantics, integer-cents
+    lifting, and Catalyst optimization all apply identically.  The
+    chained .where calls AND-merge, mirroring mo-streams pipeline
+    composition (u)."""
+    from mo_etl_spark.jx.fluent import Q
+
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        Q(li)
+        .where({"gte": ["l_shipdate", {"date": "1997-01-01"}]})
+        .where({"gt": ["l_quantity", 10]})
+        .groupby("l_returnflag")
+        .select(
+            {"name": "n", "aggregate": "count"},
+            {
+                "name": "revenue_cents",
+                "value": {
+                    "integer": {
+                        "round": [
+                            {"mult": ["l_extendedprice", {"sub": [1, "l_discount"]}, 100]},
+                            0,
+                        ]
+                    }
+                },
+                "aggregate": "sum",
+            },
+            {"name": "max_qty", "value": "l_quantity", "aggregate": "maximum"},
+        )
+        .sort("l_returnflag")
+        .df()
+    )
