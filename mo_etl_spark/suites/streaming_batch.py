@@ -155,3 +155,63 @@ def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doubled.agg(F.count(F.lit(1)).alias("n_with_dups")).crossJoin(
         deduped.agg(F.count(F.lit(1)).alias("n_deduped"))
     )
+
+
+@query(
+    "stream_session_dynamic_gap",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, ts,
+               ts + CASE WHEN event_type = 'error' THEN INTERVAL 10 MINUTE
+                         ELSE INTERVAL 30 MINUTE END AS reach
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, ts, reach,
+               CASE WHEN max(reach) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > ts
+                    THEN 0 ELSE 1 END AS new_s
+        FROM e
+    ),
+    sess AS (
+        SELECT user_id, ts, reach,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           epoch_ms(min(ts)) AS start_ms,
+           epoch_ms(max(reach)) AS end_ms,
+           count(*) AS n
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+    tags=("session_window", "dynamic_gap", "sessionize"),
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a PER-EVENT dynamic gap (Spark 3.2+
+    session_window gap expressions): error events hold the session
+    open only 10 minutes, everything else 30 — the
+    urgency-differentiated timeout no fixed-gap sessionizer can
+    express.  Merge semantics: an event joins the session while its
+    ts is inside the running max of (ts + its gap), else a session
+    closes at that max reach — exactly what the oracle replays with
+    an exclusive-preceding running-max window.  Same operator works
+    unmodified under readStream with a watermark (the session state
+    is event-time-bounded)."""
+    prepare(spark)
+    e = load_table(spark, sf_dir, "events")
+    gap = (
+        F.when(F.col("event_type") == "error", F.lit("10 minutes"))
+        .otherwise(F.lit("30 minutes"))
+    )
+    out = e.groupBy(
+        F.session_window("ts", gap).alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return out.select(
+        "user_id",
+        F.expr("unix_micros(w.start) div 1000").alias("start_ms"),
+        F.expr("unix_micros(w.end) div 1000").alias("end_ms"),
+        "n",
+    )

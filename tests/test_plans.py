@@ -458,3 +458,17 @@ def test_pagerank_materializes_edges_once(spark, sf001):
     plan = plan_of(graph_pagerank_supply(spark, sf001))
     assert plan.count("FileScan") <= 4
     assert "ExistingRDD" in plan  # checkpointed edges/nodes feed iterations
+
+
+def test_top_k_per_group_uses_window_group_limit(spark, sf001):
+    """Spark 3.5+ plans rank-filter windows (row_number <= k) with
+    WindowGroupLimit: each task keeps only k rows per partition key
+    BEFORE the full sort/window — the optimization that makes
+    top-k-per-group viable when a group has millions of rows.  Guard
+    it so a refactor to a rank-then-filter-later shape doesn't
+    silently lose it."""
+    from mo_etl_spark.registry import all_queries
+
+    df = all_queries()["top_k_per_group_orders"].fn(spark, sf001)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
