@@ -157,3 +157,43 @@ def holt_halving(
             walk, f"{key} long, {id_col} long, level double, trend double, forecast double"
         )
     )
+
+
+def capped_running_balance(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    delta_col: str,
+    id_col: str,
+    cap: int,
+) -> DataFrame:
+    """Running balance with saturation: per key in (ts, id) order,
+    ``bal_t = clamp(bal_{t-1} + delta_t, 0, cap)`` starting from 0 —
+    the inventory / token-bucket / leaky-rate-limiter recurrence.
+    Saturation is state FEEDBACK (the clamp result feeds the next
+    step), so no window frame expresses it; same applyInPandas O(n)
+    walk per key as ewma_halving, ONE key shuffle.  Pure int64 — no
+    float parity question at all.  Also emits how much each step lost
+    to the clamp (overflow spill / starved demand)."""
+    import pandas as pd
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts, id_col]).reset_index(drop=True)
+        ds = pdf[delta_col].to_numpy(dtype="int64")
+        bal = 0
+        bals = ds.copy()
+        clipped = ds.copy()
+        for i, d in enumerate(ds):
+            raw = bal + int(d)
+            bal = min(max(raw, 0), cap)
+            bals[i] = bal
+            clipped[i] = raw - bal
+        pdf["balance"] = bals
+        pdf["clipped"] = clipped
+        return pdf[[key, id_col, "balance", "clipped"]]
+
+    return (
+        df.select(key, ts, id_col, delta_col)
+        .groupBy(key)
+        .applyInPandas(walk, f"{key} long, {id_col} long, balance long, clipped long")
+    )

@@ -2406,3 +2406,52 @@ def graph_kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
     )
     return kcore(edges, k=2, iters=8)
+
+
+@query(
+    "ts_capped_running_balance",
+    oracle="""
+    WITH RECURSIVE
+    seq AS (
+        SELECT user_id, event_id,
+               CAST(round(value*100) AS BIGINT) - 4500 AS delta,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    walk AS (
+        SELECT user_id, event_id, rn,
+               least(greatest(delta, 0), 20000) AS balance,
+               delta - least(greatest(delta, 0), 20000) AS clipped
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.user_id, s.event_id, s.rn,
+               least(greatest(w.balance + s.delta, 0), 20000) AS balance,
+               (w.balance + s.delta)
+                 - least(greatest(w.balance + s.delta, 0), 20000) AS clipped
+        FROM seq s JOIN walk w ON s.user_id = w.user_id AND s.rn = w.rn + 1
+    )
+    SELECT user_id, event_id, balance, clipped FROM walk
+    """,
+    tags=("running_balance", "token_bucket", "iterative", "grouped_map",
+          "applyInPandas", "recursive_cte"),
+)
+def ts_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Saturating running balance per user (floor 0, cap 20000 cents;
+    deltas = event value − 45.00): the inventory-level / token-bucket
+    recurrence whose clamp feedback no window frame can express
+    (operators/timeseries.capped_running_balance — applyInPandas O(n)
+    walk, ONE key shuffle, pure int64).  The oracle replays the
+    clamp recurrence as a recursive CTE; integer arithmetic means the
+    hash match is exact by construction, completing the iterative
+    family (EWMA float, Holt coupled-float, balance integer-clamp)."""
+    from mo_etl_spark.operators.timeseries import capped_running_balance
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (cents("value") - 4500).alias("delta"),
+    )
+    return capped_running_balance(
+        e, key="user_id", ts="ts", delta_col="delta", id_col="event_id", cap=20000
+    )

@@ -1910,3 +1910,85 @@ def llm_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rnk") <= 10)
     )
+
+
+_SQL_SCALED_EMB = """
+        SELECT vec_id,
+               list_transform(range(1, 65),
+                   i -> CAST(embedding[i] AS DOUBLE) * ((label % 4) + 1)) AS v
+        FROM embeddings
+"""
+
+
+@query(
+    "llm_sim_mips_transform",
+    oracle=f"""
+    WITH scaled AS ({_SQL_SCALED_EMB}),
+    m AS (
+        SELECT max(sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))) AS mx
+        FROM scaled
+    ),
+    pairs AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               round(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])), 6) AS dot,
+               round(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+                     / (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i]))) * m.mx),
+                     6) AS mips_cos
+        FROM scaled q
+        JOIN scaled c ON c.vec_id <> q.vec_id
+        CROSS JOIN m
+        WHERE q.vec_id < 30
+    )
+    SELECT q_id, c_id, dot, mips_cos, rnk FROM (
+        SELECT q_id, c_id, dot, mips_cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, c_id) AS rnk
+        FROM pairs)
+    WHERE rnk <= 5
+    """,
+    tags=("sim_topk", "mips", "inner_product", "embed_normalize"),
+)
+def llm_sim_mips_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search (MIPS) and its
+    augmented-dimension reduction to cosine (the Bachrach/XBOX
+    transform): vectors rescaled by (label%4)+1 get unequal norms, so
+    inner-product and cosine rankings genuinely diverge; the query
+    ranks the first 30 queries' top-5 by DOT product and also emits
+    mips_cos = dot/(‖q‖·M) — the cosine the augmented index
+    (x ↦ [x, sqrt(M²−‖x‖²)], q ↦ [q, 0]) would compute, a strictly
+    monotone transform of dot per query, hence the identical ranking
+    (unit-tested).  This is why a cosine-only ANN stack (IVF/LSH/PQ
+    here) serves recommendation MIPS workloads untouched.  Exact
+    form is the oracle; the scale path is the same transform feeding
+    sim_ivf/sim_lsh."""
+    emb = _emb(spark, sf_dir)
+    scale = ((F.col("label") % 4) + 1).cast("double")
+    scaled = emb.select(
+        "vec_id",
+        F.transform(S.as_double(F.col("embedding")), lambda x: x * scale).alias("v"),
+    )
+    m = scaled.agg(F.max(F.sqrt(S.dot(F.col("v"), F.col("v")))).alias("mx"))
+    q = scaled.where(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    c = scaled.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    pairs = (
+        q.crossJoin(c)
+        .where(F.col("c_id") != F.col("q_id"))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(S.dot(F.col("qv"), F.col("cv")), 6).alias("dot"),
+            F.round(
+                S.dot(F.col("qv"), F.col("cv"))
+                / (F.sqrt(S.dot(F.col("qv"), F.col("qv"))) * F.col("mx")),
+                6,
+            ).alias("mips_cos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), "c_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 5)
+    )

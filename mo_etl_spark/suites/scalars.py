@@ -663,3 +663,44 @@ def scalar_collation_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count_if(F.contains(ci_type, F.lit("BRUSHED"))).alias("n_brushed_ci"),
     )
+
+
+@query(
+    "scalar_timezone_family",
+    oracle="""
+    SELECT o_orderkey,
+           timezone('America/New_York', CAST(o_orderdate AS TIMESTAMPTZ)) AS ny_wall,
+           timezone('Asia/Tokyo', CAST(o_orderdate AS TIMESTAMPTZ)) AS tokyo_wall,
+           hour(timezone('America/New_York', CAST(o_orderdate AS TIMESTAMPTZ))) AS ny_hour,
+           CAST(date_diff('hour', o_orderdate,
+                          timezone('America/New_York', CAST(o_orderdate AS TIMESTAMPTZ)))
+                AS INT) AS ny_offset_hours
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    tags=("scalar", "date", "timezone", "dst"),
+)
+def scalar_timezone_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion family (convert_timezone, Spark 3.5): UTC
+    event instants rendered as New York / Tokyo wall-clock time — the
+    reporting-local-midnight problem every global pipeline hits.  The
+    order dates span seven years of DST transitions, so ny_offset_hours
+    flips between 4 and 5 (summer/winter) and the hour extraction
+    shifts with it — both engines resolve the IANA rules identically
+    (DuckDB via ICU).  Engine guidance: store UTC instants
+    (TIMESTAMP), convert at the REPORTING edge only; converting before
+    a groupBy would shuffle on a DST-ambiguous key."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    d = F.col("o_orderdate")
+    ny = F.convert_timezone(F.lit("UTC"), F.lit("America/New_York"), d)
+    tokyo = F.convert_timezone(F.lit("UTC"), F.lit("Asia/Tokyo"), d)
+    return o.select(
+        "o_orderkey",
+        ny.alias("ny_wall"),
+        tokyo.alias("tokyo_wall"),
+        F.hour(ny).alias("ny_hour"),
+        # convert_timezone yields TIMESTAMP_NTZ; cast back for the epoch
+        # arithmetic (session tz is UTC, so the cast is exact)
+        (
+            (F.unix_micros(ny.cast("timestamp")) - F.unix_micros(d.cast("timestamp"))) / 3600000000
+        ).cast("int").alias("ny_offset_hours"),
+    )

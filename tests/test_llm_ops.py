@@ -399,3 +399,23 @@ def test_interleave_prefix_respects_weights(spark):
         n1 = sum(1 for r in head if r["source"] == "src1")
         if n0 < 25:  # src0 not exhausted yet (25 docs per source)
             assert abs(n0 - 3 * n1) <= 3, (prefix, n0, n1)
+
+
+def test_mips_transform_ranking_equivalence(spark):
+    """The augmented-dimension reduction is ranking-preserving: per
+    query, ordering by mips_cos equals ordering by raw dot (strictly
+    monotone transform), even though dot- and plain-cosine rankings
+    diverge on the unequal-norm corpus."""
+    from mo_etl_spark.suites.llm import llm_sim_mips_transform
+
+    rows = llm_sim_mips_transform(spark, "/root/testdata/sf0.001").collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert len(by_q) == 30
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rnk"])
+        dots = [r["dot"] for r in rs]
+        mips = [r["mips_cos"] for r in rs]
+        assert dots == sorted(dots, reverse=True)
+        assert mips == sorted(mips, reverse=True), q  # same order under transform

@@ -41,6 +41,7 @@ CARTESIAN_OK = {
     "qa_benford_first_digit",  # 1-row digit-total broadcast-crossed into shares
     "qa_ab_test_proportions",  # (guard) 1-row arm summary if plan shifts
     "llm_bm25_scores",  # 1-row corpus stats (N, avgdl) broadcast-crossed into scoring
+    "llm_sim_mips_transform",  # declared exact MIPS baseline (30x500 pairs) + 1-row max-norm scalar
 }
 
 #: queries allowed to exceed the exchange budget, each with why:
