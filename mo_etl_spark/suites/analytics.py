@@ -2455,3 +2455,85 @@ def ts_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped_running_balance(
         e, key="user_id", ts="ts", delta_col="delta", id_col="event_id", cap=20000
     )
+
+
+@query(
+    "etl_snapshot_diff",
+    oracle="""
+    WITH snap1 AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        FROM orders
+    ),
+    snap2 AS (
+        SELECT k,
+               CASE WHEN k % 11 = 0 THEN 'X' ELSE status END AS status,
+               CASE WHEN k % 7 = 0 THEN price_c + 100 ELSE price_c END AS price_c
+        FROM snap1
+        WHERE k % 13 <> 0
+        UNION ALL
+        SELECT k + 1000000, 'N', 4242 FROM snap1 WHERE k % 17 = 0
+    )
+    SELECT
+        count(*) FILTER (WHERE b.k IS NULL) AS n_removed,
+        count(*) FILTER (WHERE a.k IS NULL) AS n_added,
+        count(*) FILTER (WHERE a.k IS NOT NULL AND b.k IS NOT NULL
+                         AND (a.status IS DISTINCT FROM b.status
+                              OR a.price_c IS DISTINCT FROM b.price_c)) AS n_changed,
+        count(*) FILTER (WHERE a.k IS NOT NULL AND b.k IS NOT NULL
+                         AND a.status IS NOT DISTINCT FROM b.status
+                         AND a.price_c IS NOT DISTINCT FROM b.price_c) AS n_unchanged,
+        count(*) FILTER (WHERE a.status IS DISTINCT FROM b.status
+                         AND a.k IS NOT NULL AND b.k IS NOT NULL) AS n_status_changed,
+        count(*) FILTER (WHERE a.price_c IS DISTINCT FROM b.price_c
+                         AND a.k IS NOT NULL AND b.k IS NOT NULL) AS n_price_changed
+    FROM snap1 a FULL JOIN snap2 b ON a.k = b.k
+    """,
+    tags=("snapshot_diff", "reconciliation", "join_full", "data_qa", "cdc_merge"),
+)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation — the regression diff run after every
+    pipeline change ('did the refactor alter yesterday's output?'):
+    FULL join of two table versions keyed on the business key, rows
+    classified added / removed / changed / unchanged plus per-column
+    change counts (which field drifted).  Snapshot 2 is derived with
+    deterministic mutations (status rewrites, price bumps, deletes,
+    inserts).  Null-safe comparisons (IS DISTINCT FROM) so NULL→value
+    transitions count as changes; ONE full-outer join and a single
+    conditional-aggregate row out — at 100 TB this is a co-partitioned
+    SMJ and the readout stays O(1)."""
+    o = _t(spark, sf_dir, "orders")
+    snap1 = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+    mutated = snap1.where(F.col("k") % 13 != 0).select(
+        "k",
+        F.when(F.col("k") % 11 == 0, F.lit("X")).otherwise(F.col("status")).alias(
+            "status"
+        ),
+        F.when(F.col("k") % 7 == 0, F.col("price_c") + 100)
+        .otherwise(F.col("price_c"))
+        .alias("price_c"),
+    )
+    inserts = snap1.where(F.col("k") % 17 == 0).select(
+        (F.col("k") + 1000000).alias("k"),
+        F.lit("N").alias("status"),
+        F.lit(4242).cast("bigint").alias("price_c"),
+    )
+    snap2 = mutated.unionByName(inserts)
+    a = snap1.alias("a")
+    b = snap2.alias("b")
+    j = a.join(b, F.col("a.k") == F.col("b.k"), "full")
+    both = F.col("a.k").isNotNull() & F.col("b.k").isNotNull()
+    st_ch = ~F.col("a.status").eqNullSafe(F.col("b.status"))
+    pr_ch = ~F.col("a.price_c").eqNullSafe(F.col("b.price_c"))
+    return j.agg(
+        F.count_if(F.col("b.k").isNull()).alias("n_removed"),
+        F.count_if(F.col("a.k").isNull()).alias("n_added"),
+        F.count_if(both & (st_ch | pr_ch)).alias("n_changed"),
+        F.count_if(both & ~st_ch & ~pr_ch).alias("n_unchanged"),
+        F.count_if(both & st_ch).alias("n_status_changed"),
+        F.count_if(both & pr_ch).alias("n_price_changed"),
+    )

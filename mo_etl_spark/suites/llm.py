@@ -1992,3 +1992,88 @@ def llm_sim_mips_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 5)
     )
+
+
+@query(
+    "llm_quantile_normalize",
+    oracle="""
+    SELECT doc_id, source, n_chars,
+           round(percent_rank() OVER (PARTITION BY source
+                                      ORDER BY n_chars, doc_id), 6) AS q_uniform,
+           CAST(floor(percent_rank() OVER (PARTITION BY source
+                                           ORDER BY n_chars, doc_id) * 10) AS INT)
+             AS decile
+    FROM documents
+    """,
+    tags=("quantile_normalize", "window_percentile", "feature_engineering"),
+)
+def llm_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (rank) normalization of document length per source —
+    the distribution-free feature transform that makes lengths
+    comparable ACROSS sources with wildly different length profiles
+    (a web source's p90 maps to the same 0.9 as a books source's):
+    percent_rank within source plus the decile bucket quality
+    samplers stratify on.  Ties broken by doc_id so both engines
+    agree exactly; one window per source partition, no global sort."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    pr = F.percent_rank().over(w)
+    return d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(pr, 6).alias("q_uniform"),
+        F.floor(pr * 10).cast("int").alias("decile"),
+    )
+
+
+@query(
+    "llm_token_offsets",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+        FROM documents
+        WHERE doc_id < 50
+    )
+    SELECT doc_id, i AS token_idx, w[i] AS token,
+           CAST(CASE WHEN i = 1 THEN 0
+                ELSE len(array_to_string(list_slice(w, 1, i - 1), ' ')) + 1
+                END AS BIGINT) AS char_start,
+           CAST(CASE WHEN i = 1 THEN 0
+                ELSE len(array_to_string(list_slice(w, 1, i - 1), ' ')) + 1
+                END + len(w[i]) AS BIGINT) AS char_end
+    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)
+    """,
+    tags=("token_offsets", "span_labeling", "text_analysis", "chunking"),
+)
+def llm_token_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token→character span alignment (the NER/span-labeling prep
+    step: models predict token indices, downstream needs character
+    offsets into the ORIGINAL normalized text).  Offsets come from
+    the same closed formula in both engines — start(i) = length of
+    the first i−1 tokens re-joined + 1 separator — so spans
+    round-trip exactly (char_end − char_start = token length,
+    verified by the hash).  Spark side stays in one projection of
+    higher-order functions (posexplode + slice/array_join), no
+    shuffle at all; 50 docs bound the quadratic re-join, which a
+    production pass replaces with an aggregate-scan accumulator."""
+    from mo_etl_spark.operators.dedup import normalize_text
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 50)
+    toks = d.select("doc_id", F.split(normalize_text(F.col("text")), " ").alias("w"))
+    ex = toks.select("doc_id", "w", F.posexplode("w").alias("i0", "token")).withColumn(
+        "i", F.col("i0") + 1
+    )
+    start = F.when(F.col("i") == 1, F.lit(0)).otherwise(
+        F.length(F.array_join(F.slice("w", 1, F.col("i") - 1), " ")) + 1
+    )
+    return ex.select(
+        "doc_id",
+        F.col("i").alias("token_idx"),
+        "token",
+        start.cast("bigint").alias("char_start"),
+        (start + F.length("token")).cast("bigint").alias("char_end"),
+    )
