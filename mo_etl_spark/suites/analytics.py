@@ -2537,3 +2537,63 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(both & st_ch).alias("n_status_changed"),
         F.count_if(both & pr_ch).alias("n_price_changed"),
     )
+
+
+@query(
+    "qa_data_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS col, count(*) AS n,
+           count(*) - count(o_orderkey) AS n_null,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_s
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice_cents', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT)),
+           CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR),
+           CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR)
+    FROM orders
+    """,
+    tags=("data_profile", "data_qa", "stats", "groupby"),
+)
+def qa_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — the first thing run against any unfamiliar
+    table (and the nightly drift baseline): per column, row count,
+    null count, distinct cardinality, min/max rendered as strings so
+    heterogeneous column types stack into one narrow profile table.
+    Money profiled in integer cents (float min/max string rendering
+    differs across engines; cents are exact).  All columns profile in
+    ONE scan — Spark evaluates the per-column aggregates side by side
+    and the union is of 1-row frames, so at 100 TB this costs a
+    single pass regardless of column count."""
+    o = _t(spark, sf_dir, "orders")
+
+    def prof(col_label: str, c, distinct_c=None) -> DataFrame:
+        d = distinct_c if distinct_c is not None else c
+        return o.agg(
+            F.lit(col_label).alias("col"),
+            F.count("*").alias("n"),
+            (F.count("*") - F.count(c)).alias("n_null"),
+            F.countDistinct(d).alias("n_distinct"),
+            F.min(d).cast("string").alias("min_s"),
+            F.max(d).cast("string").alias("max_s"),
+        ).select("col", "n", "n_null", "n_distinct", "min_s", "max_s")
+
+    cents_c = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        prof("o_orderkey", F.col("o_orderkey"))
+        .unionByName(prof("o_orderstatus", F.col("o_orderstatus")))
+        .unionByName(prof("o_orderpriority", F.col("o_orderpriority")))
+        .unionByName(prof("o_totalprice_cents", F.col("o_totalprice"), cents_c))
+    )

@@ -291,3 +291,37 @@ def agg_transpose_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type")
     )
     return per.transpose()
+
+
+@query(
+    "sql_identifier_clause",
+    oracle="""
+    SELECT o_orderpriority AS grp,
+           count(*) AS n,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql_surface", "identifier_clause", "parameterized_sql"),
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER() clause (Spark 3.4, SQL:2023-adjacent): table and
+    COLUMN names supplied as parameters — the safe form of the
+    string-built DDL/reporting templates every ETL service grows
+    ('group tonight's rollup by whichever dimension the config
+    says').  Unlike f-string SQL, the name binds as an identifier
+    token: injection is impossible and Catalyst resolves it like any
+    other reference.  Paired with sql_parameterized (value
+    parameters), this completes the template surface."""
+    prepare(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp_col) AS grp,
+               count(*) AS n,
+               sum(CAST(round(IDENTIFIER(:val_col) * 100) AS BIGINT)) AS total_cents
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:grp_col)
+        """,
+        args={"grp_col": "o_orderpriority", "val_col": "o_totalprice", "tbl": "orders"},
+    )
