@@ -85,6 +85,78 @@ def jaccard_pairs(
     )
 
 
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-Jaccard pairs via PREFIX FILTERING (the All-Pairs /
+    PPJoin candidate bound — Bayardo et al. WWW'07, Xiao et al.
+    WWW'08; public algorithms).
+
+    Same output as :func:`jaccard_pairs`, far fewer candidates: under a
+    global token order (ascending document frequency, rarest first),
+    any pair with ``J >= t`` must share a token within each document's
+    first ``|d| - ceil(t*|d|) + 1`` tokens (pigeonhole: ``J >= t``
+    forces ``|A∩B| >= ceil(t*|d|)``, which cannot fit entirely in the
+    dropped suffix).  So only PREFIX tokens are indexed — the inverted
+    index shrinks by roughly the threshold fraction, and because
+    prefixes are ordered rarest-first, the indexed tokens are exactly
+    the low-document-frequency ones: the candidate join's per-token
+    fan-out Σ C(df_tok, 2) collapses.  Unlike a df_cap this loses NO
+    pairs — it is exact for the given threshold.
+
+    Plan: tokenize -> global df -> per-doc rarity rank (window) ->
+    prefix slice -> self-join on prefix tokens -> verify candidates
+    exactly with ``array_intersect`` on the full token arrays.  The
+    ``- 1e-9`` guard makes float ``ceil`` err toward a LONGER prefix
+    (more candidates, never a missed pair).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tdf"))
+    ranked = toks.join(dfreq, "tok").withColumn(
+        "pos", F.row_number().over(Window.partitionBy("id").orderBy("tdf", "tok"))
+    )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    prefix = (
+        ranked.join(sizes, "id")
+        .where(F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - 1e-9) + 1)
+        .select("id", "tok")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "tok")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    docs = df.select(
+        F.col(id_col).alias("id"), F.array_distinct(tokens(F.col(text_col))).alias("ts")
+    )
+    da = docs.select(F.col("id").alias("id_a"), F.col("ts").alias("ts_a"))
+    db = docs.select(F.col("id").alias("id_b"), F.col("ts").alias("ts_b"))
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ts_a", "ts_b")).alias("inter"),
+            F.size("ts_a").alias("sz_a"),
+            F.size("ts_b").alias("sz_b"),
+        )
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "sz_a", "sz_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 32
 ) -> DataFrame:

@@ -928,6 +928,43 @@ def llm_dedup_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_dedup_jaccard_prefix",
+    oracle=f"""
+    WITH corpus AS ({_SQL_NEAR_DUPS}),
+    toks AS (
+        SELECT doc_id AS id, unnest(list_distinct(string_split(
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS tok
+        FROM corpus
+    ),
+    sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        FROM toks a JOIN toks b USING (tok)
+        WHERE a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+           round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.6
+    """,
+    tags=("dedup_ngram_jaccard", "prefix_filter", "set_similarity_join"),
+)
+def llm_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity join with PREFIX FILTERING (All-Pairs/PPJoin):
+    only each doc's rarest ``|d| - ceil(0.6|d|) + 1`` tokens enter the
+    inverted index, which provably loses no pair at J >= 0.6 — unlike
+    the df_cap this optimization is EXACT, so the oracle is the plain
+    full-index Jaccard SQL.  The pruning is the scale story: indexed
+    tokens are the low-frequency ones, so the candidate join's
+    per-token fan-out collapses (unit test proves candidates shrink
+    and the result is identical to the unpruned operator)."""
+    return D.jaccard_prefix_pairs(_with_near_dups(_docs(spark, sf_dir)), threshold=0.6)
+
+
+@query(
     "llm_multimodal_frames",
     oracle="""
     WITH base AS (

@@ -419,3 +419,43 @@ def test_mips_transform_ranking_equivalence(spark):
         mips = [r["mips_cos"] for r in rs]
         assert dots == sorted(dots, reverse=True)
         assert mips == sorted(mips, reverse=True), q  # same order under transform
+
+
+def test_jaccard_prefix_equals_full_index(spark, docs):
+    """Prefix filtering is EXACT: at any threshold the pruned operator
+    must return the identical pair set (and scores) as the full
+    inverted-index join, while indexing strictly fewer postings."""
+    from pyspark.sql import functions as F
+
+    from mo_etl_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_prefix_pairs,
+        tokens,
+    )
+    from mo_etl_spark.suites.llm import _with_near_dups
+
+    corpus = _with_near_dups(docs)
+    for t in (0.5, 0.6, 0.8):
+        full = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in jaccard_pairs(corpus, threshold=t).collect()
+        }
+        pruned = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in jaccard_prefix_pairs(corpus, threshold=t).collect()
+        }
+        assert pruned == full, f"threshold {t}"
+
+    # the pruning is real: prefix postings < full postings
+    toks = corpus.select(
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    )
+    full_postings = toks.count()
+    szs = (
+        corpus.select(F.size(F.array_distinct(tokens(F.col("text")))).alias("sz"))
+        .collect()
+    )
+    import math
+
+    prefix_postings = sum(r["sz"] - math.ceil(0.8 * r["sz"] - 1e-9) + 1 for r in szs)
+    assert prefix_postings < full_postings * 0.5
