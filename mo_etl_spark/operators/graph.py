@@ -163,3 +163,43 @@ def kcore(edges: DataFrame, k: int, iters: int = 8, a: str = "a", b: str = "b") 
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
     )
+
+
+def bfs_hops(
+    edges: DataFrame, sources: DataFrame, max_hops: int = 6
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any source, bounded
+    at ``max_hops`` (level-synchronous frontier expansion — the
+    Pregel/Bellman-Ford hop-bounded pattern).
+
+    ``edges`` is DIRECTED (src, dst) — symmetrize before calling for an
+    undirected graph; ``sources`` is a one-column (node) frame.
+    Returns (node, dist) for every node reachable within the bound;
+    visited-set pruning means the first level a node appears in IS its
+    minimum distance, so no min-aggregate is needed at the end.
+
+    Scale shape: each level is one equi-join frontier⋈edges (shuffle on
+    src) plus one anti-join against the visited set; the frontier is
+    localCheckpointed per level (lineage truncation — the pagerank
+    lesson), so level r never re-executes levels 0..r-1.  Frontier size
+    is bounded by the graph's expansion, not the iteration count; on a
+    cluster, reliable checkpoint() replaces localCheckpoint when
+    executor loss matters.
+    """
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    frontier = sources.select(F.col("node"), F.lit(0).alias("dist")).localCheckpoint(
+        eager=False
+    )
+    dist = frontier
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .select("node", F.lit(h).alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        dist = dist.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return dist

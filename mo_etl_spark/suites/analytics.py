@@ -2597,3 +2597,69 @@ def qa_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(prof("o_orderpriority", F.col("o_orderpriority")))
         .unionByName(prof("o_totalprice_cents", F.col("o_totalprice"), cents_c))
     )
+
+
+@query(
+    "graph_bfs_hops",
+    oracle="""
+    WITH RECURSIVE
+    canon AS (
+        SELECT s1.s_suppkey AS a, s2.s_suppkey AS b
+        FROM supplier s1
+        JOIN supplier s2
+          ON s1.s_nationkey = s2.s_nationkey
+         AND s1.s_suppkey < s2.s_suppkey
+         AND abs(s1.s_acctbal - s2.s_acctbal) <= 2000
+    ),
+    edges AS (
+        SELECT a AS src, b AS dst FROM canon
+        UNION ALL
+        SELECT b AS src, a AS dst FROM canon
+    ),
+    sources AS (
+        SELECT min(s_suppkey) AS node FROM supplier GROUP BY s_nationkey
+    ),
+    walk AS (
+        SELECT node, 0 AS dist FROM sources
+        UNION
+        SELECT e.dst AS node, w.dist + 1 AS dist
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.dist < 6
+    )
+    SELECT node, min(dist) AS dist FROM walk GROUP BY node
+    """,
+    tags=("graph", "bfs", "shortest_path", "iterative", "join_anti"),
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (operators/graph.bfs_hops): minimum hop
+    distance from each nation's lowest-keyed supplier over the
+    symmetrized supplier similarity graph (same-nation, account
+    balance within 2000), bounded at 6 hops.  Level-synchronous
+    frontier expansion with visited-set anti-join — the first level a
+    node appears in IS its minimum distance.  The oracle walks the
+    same graph with a DuckDB recursive CTE (UNION-distinct on
+    (node, dist), min at the end — level pruning and min-of-levels
+    commute under a shared hop bound)."""
+    from mo_etl_spark.operators.graph import bfs_hops
+
+    s = _t(spark, sf_dir, "supplier")
+    s1 = s.select(
+        F.col("s_suppkey").alias("a"),
+        F.col("s_nationkey").alias("n"),
+        F.col("s_acctbal").alias("bal_a"),
+    )
+    s2 = s.select(
+        F.col("s_suppkey").alias("b"),
+        F.col("s_nationkey").alias("n"),
+        F.col("s_acctbal").alias("bal_b"),
+    )
+    canon = (
+        s1.join(s2, "n")
+        .where((F.col("a") < F.col("b")) & (F.abs(F.col("bal_a") - F.col("bal_b")) <= 2000))
+        .select("a", "b")
+    )
+    edges = canon.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    sources = s.groupBy("s_nationkey").agg(F.min("s_suppkey").alias("node")).select("node")
+    return bfs_hops(edges, sources, max_hops=6)

@@ -464,3 +464,39 @@ def test_kcore_peels_whiskers(spark):
 
     tree = spark.createDataFrame([(1, 2), (1, 3), (2, 4), (2, 5)], "a long, b long")
     assert kcore(tree, k=2, iters=8).count() == 0
+
+
+def test_bfs_hops_matches_brute_force(spark):
+    """Frontier BFS must equal a driver-side Dijkstra-free BFS on a
+    small random graph: same reachable set, same minimum distances,
+    nothing beyond the hop bound."""
+    import random
+    from collections import deque
+
+    from mo_etl_spark.operators.graph import bfs_hops
+
+    rng = random.Random(7)
+    n = 60
+    canon = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(120)})
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in canon] + [(b, a) for a, b in canon], "src int, dst int"
+    )
+    srcs = [0, 1, 2]
+    sources = spark.createDataFrame([(s,) for s in srcs], "node int")
+    got = {r["node"]: r["dist"] for r in bfs_hops(edges, sources, max_hops=4).collect()}
+
+    adj: dict[int, list[int]] = {}
+    for a, b in canon:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    want = {s: 0 for s in srcs}
+    q = deque(srcs)
+    while q:
+        u = q.popleft()
+        if want[u] >= 4:
+            continue
+        for v in adj.get(u, ()):
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+    assert got == want
