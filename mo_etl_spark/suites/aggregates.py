@@ -839,3 +839,92 @@ def agg_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
         hit.alias("n_top80"),
         F.round(hit.cast("double") / F.min("nc"), 6).alias("top80_customer_share"),
     )
+
+
+# -- count-min sketch (Cormode & Muthukrishnan '05, public) ---------------
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 256
+
+
+def _cms_cell_sql(r: int, key: str, find_fn: str) -> str:
+    """Cell index for hash row ``r``: value of the first 4 hex chars of
+    md5('r:'||key) mod width.  ``find_fn`` is the engine's
+    position-of-substring function (Spark ``instr``, DuckDB
+    ``strpos``) — md5 hex is identical lowercase in both engines, so
+    the cell layout is bit-identical cross-engine."""
+    h = f"md5(concat('{r}:', {key}))"
+    terms = " + ".join(
+        f"({find_fn}('0123456789abcdef', substring({h}, {j + 1}, 1)) - 1) * {16 ** (3 - j)}"
+        for j in range(4)
+    )
+    return f"(({terms}) % {_CMS_WIDTH})"
+
+
+def _cms_oracle_sql() -> str:
+    builds = "\n        UNION ALL ".join(
+        f"SELECT {r} AS r, {_cms_cell_sql(r, 'k', 'strpos')} AS cell FROM base"
+        for r in range(_CMS_DEPTH)
+    )
+    probes = "\n        UNION ALL ".join(
+        f"SELECT k, n_true, {r} AS r, {_cms_cell_sql(r, 'k', 'strpos')} AS cell FROM truth"
+        for r in range(_CMS_DEPTH)
+    )
+    return f"""
+    WITH base AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+    cells AS (
+        SELECT r, cell, count(*) AS cn FROM (
+        {builds}
+        ) GROUP BY r, cell
+    ),
+    truth AS (SELECT k, count(*) AS n_true FROM base GROUP BY k),
+    probes AS (
+        {probes}
+    )
+    SELECT p.k AS user_key, p.n_true,
+           min(c.cn) AS n_est,
+           min(c.cn) - p.n_true AS overcount
+    FROM probes p JOIN cells c USING (r, cell)
+    GROUP BY p.k, p.n_true
+    """
+
+
+@query(
+    "agg_count_min_freq",
+    oracle=_cms_oracle_sql(),
+    tags=("count_min", "sketch", "approx", "partial_merge", "heavy_hitters"),
+)
+def agg_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation with an
+    oracle-reproducible md5 hash family (depth 4 × width 256; cell =
+    first-16-bits of md5('r:'||key) mod width).  Build side is the
+    100 TB story: each partition contributes AT MOST depth×width
+    cells to the shuffle regardless of key cardinality (map-side
+    partial count behind groupBy(r, cell)) — the bounded-memory
+    alternative to an exact key groupBy when keys explode.  Estimate =
+    min over the depth rows (one-sided error: n_est >= n_true always,
+    overcount column shows the collision inflation).  The exact truth
+    side here exists only to exhibit the error; the unit test asserts
+    the one-sided bound."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.selectExpr("CAST(user_id AS STRING) AS k")
+    cell_arr = F.array(
+        *[F.expr(_cms_cell_sql(r, "k", "instr")) for r in range(_CMS_DEPTH)]
+    )
+    cells = (
+        base.select(F.posexplode(cell_arr).alias("r", "cell"))
+        .groupBy("r", "cell")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    truth = base.groupBy("k").agg(F.count(F.lit(1)).alias("n_true"))
+    probes = truth.select("k", "n_true", F.posexplode(cell_arr).alias("r", "cell"))
+    return (
+        probes.join(cells, ["r", "cell"])
+        .groupBy("k", "n_true")
+        .agg(F.min("cn").alias("n_est"))
+        .select(
+            F.col("k").alias("user_key"),
+            "n_true",
+            "n_est",
+            (F.col("n_est") - F.col("n_true")).alias("overcount"),
+        )
+    )

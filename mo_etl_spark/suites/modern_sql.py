@@ -325,3 +325,80 @@ def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"grp_col": "o_orderpriority", "val_col": "o_totalprice", "tbl": "orders"},
     )
+
+
+@query(
+    "sql_approx_top_k",
+    oracle="""
+    SELECT event_type, count(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY n DESC
+    LIMIT 3
+    """,
+    tags=("sql_surface", "approx", "top_k", "heavy_hitters", "sketch"),
+)
+def sql_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k (Spark 4.1): single-pass bounded-memory top-k
+    frequent items.  With maxItemsTracked (default 10000) above the
+    true distinct count the sketch is EXACT — the case here (5 event
+    types), so the exact top-3 oracle hash-matches; beyond that bound
+    it degrades to Space-Saving-style estimates, the 100 TB path where
+    an exact groupBy over billions of keys is the thing being avoided.
+    The count boundary at this data (2006 vs 1982) is strict, so the
+    top-3 cut is deterministic."""
+    prepare(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT t.item AS event_type, t.count AS n
+        FROM (SELECT explode(approx_top_k(event_type, 3)) AS t FROM events)
+        """
+    )
+
+
+@query(
+    "sql_scripting_threshold_search",
+    oracle="""
+    WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+    tot AS (SELECT count(*) AS n_total FROM c),
+    ks AS (SELECT CAST(power(2, g) AS BIGINT) AS t FROM generate_series(10, 40) s(g)),
+    cnt AS (SELECT t, (SELECT count(*) FROM c WHERE pc <= t) AS n_below FROM ks),
+    pick AS (
+        SELECT t, n_below FROM cnt, tot
+        WHERE n_below * 2 >= n_total
+        ORDER BY t LIMIT 1
+    )
+    SELECT t AS threshold_cents, n_below, n_total FROM pick, tot
+    """,
+    tags=("sql_surface", "sql_scripting", "iterative", "parameterized_sql"),
+)
+def sql_scripting_threshold_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4.0, SQL/PSM BEGIN..END): a procedural
+    WHILE loop doubling a power-of-two price threshold until it covers
+    at least half the orders — the galloping-search control flow that
+    previously forced a driver-side Python loop around spark.sql.
+    Each iteration is still a declarative scan (Catalyst optimizes
+    every statement; the script only sequences them).  The oracle
+    finds the same fixed point declaratively: smallest power of two
+    >= 2^10 whose cumulative count clears half."""
+    prepare(spark)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE n_total BIGINT DEFAULT 0;
+          DECLARE t BIGINT DEFAULT 1024;
+          SET n_total = (SELECT count(*) FROM orders);
+          WHILE (SELECT count(*) FROM orders
+                 WHERE CAST(round(o_totalprice * 100) AS BIGINT) <= t) * 2 < n_total DO
+            SET t = t * 2;
+          END WHILE;
+          SELECT t AS threshold_cents,
+                 (SELECT count(*) FROM orders
+                  WHERE CAST(round(o_totalprice * 100) AS BIGINT) <= t) AS n_below,
+                 n_total AS n_total;
+        END
+        """
+    )

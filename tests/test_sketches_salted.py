@@ -116,3 +116,16 @@ def test_misra_gries_heavy_hitters_exact(spark):
 
     with pytest.raises(ValueError):
         misra_gries_heavy_hitters(df, "k", k=10, phi=0.05)
+
+
+def test_count_min_one_sided_error(spark, sf_dir):
+    """CMS estimates NEVER undercount (min over rows of summed cells
+    >= true count), and the sketch itself is bounded: at most
+    depth*width distinct (r, cell) pairs regardless of key count."""
+    from mo_etl_spark.suites.aggregates import _CMS_DEPTH, _CMS_WIDTH, agg_count_min_freq
+
+    rows = agg_count_min_freq(spark, sf_dir).collect()
+    assert rows
+    assert all(r["n_est"] >= r["n_true"] for r in rows)
+    assert all(r["overcount"] == r["n_est"] - r["n_true"] for r in rows)
+    assert _CMS_DEPTH * _CMS_WIDTH == 1024  # bounded shuffle contract
