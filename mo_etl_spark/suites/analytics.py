@@ -2663,3 +2663,98 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sources = s.groupBy("s_nationkey").agg(F.min("s_suppkey").alias("node")).select("node")
     return bfs_hops(edges, sources, max_hops=6)
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS src_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS dst_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT src_type, dst_type, count(*) AS n
+        FROM seq WHERE dst_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT src_type, dst_type, n,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src_type), 6) AS p
+    FROM pairs
+    """,
+    tags=("markov", "sequence_mining", "window_lead_lag", "groupby", "funnel"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (the behavioral-model fit behind next-event prediction
+    and anomalous-flow detection): lead() pairs each event with its
+    successor (ties broken by event_id for determinism), one groupBy
+    counts transitions, and row-normalizing by source gives the
+    transition probability.  Scale: the window shuffles once on
+    user_id (bounded per-user state), the count groupBy is map-side
+    combined on a 5x5-ish key space, and the normalization window
+    runs on the tiny aggregated matrix — nothing driver-side."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src_type"),
+        F.lead("event_type").over(w).alias("dst_type"),
+    )
+    pairs = (
+        seq.where(F.col("dst_type").isNotNull())
+        .groupBy("src_type", "dst_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wsrc = Window.partitionBy("src_type")
+    return pairs.select(
+        "src_type",
+        "dst_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wsrc), 6).alias("p"),
+    )
+
+
+@query(
+    "scalar_dict_encode",
+    oracle="""
+    WITH dict AS (
+        SELECT p_type, dense_rank() OVER (ORDER BY p_type) - 1 AS code
+        FROM (SELECT DISTINCT p_type FROM part)
+    )
+    SELECT d.p_type, d.code, count(*) AS n
+    FROM part p JOIN dict d USING (p_type)
+    GROUP BY 1, 2
+    """,
+    tags=("dict_encode", "feature_engineering", "join_broadcast", "window_rank"),
+)
+def scalar_dict_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary (categorical) encoding: stable dense integer codes
+    for a string column — the feature-engineering staple that turns a
+    high-byte category into a 4-byte int before training-data export.
+    Codes come from dense_rank over the DISTINCT values (order by
+    value => reproducible across runs and engines, no
+    monotonically_increasing_id nondeterminism); the encode itself is
+    a broadcast join of the dimension-sized dictionary back onto the
+    fact side.  The single-partition window runs AFTER distinct —
+    vocabulary scale, not fact scale (at true high-cardinality the
+    dictionary itself shards by range and codes offset by partition
+    prefix sums)."""
+    part = _t(spark, sf_dir, "part")
+    from pyspark.sql import Window
+
+    dict_df = (
+        part.select("p_type")
+        .distinct()
+        .select(
+            "p_type",
+            (F.dense_rank().over(Window.orderBy("p_type")) - 1).alias("code"),
+        )
+    )
+    return (
+        part.join(F.broadcast(dict_df), "p_type")
+        .groupBy("p_type", "code")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
