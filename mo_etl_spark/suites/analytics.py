@@ -2758,3 +2758,56 @@ def scalar_dict_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_type", "code")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "join_spatial_grid_radius",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey AS pid,
+               (CAST(c_custkey AS BIGINT) * 48271) % 1000003 AS x,
+               (CAST(c_custkey AS BIGINT) * 16807) % 1000003 AS y
+        FROM customer
+    ),
+    ctr AS (
+        SELECT n_nationkey AS cid,
+               (CAST(n_nationkey AS BIGINT) * 97911 + 131071) % 1000003 AS cx,
+               (CAST(n_nationkey AS BIGINT) * 69621 + 524287) % 1000003 AS cy
+        FROM nation
+    )
+    SELECT pid, cid,
+           (x - cx) * (x - cx) + (y - cy) * (y - cy) AS d2
+    FROM pts, ctr
+    WHERE (x - cx) * (x - cx) + (y - cy) * (y - cy)
+          <= CAST(125000 AS BIGINT) * 125000
+    """,
+    tags=("join_spatial", "grid_bucketing", "join_range", "blocking", "join_broadcast"),
+)
+def join_spatial_grid_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D grid-bucketed radius join (operators/spatial.grid_radius_join
+    — the PBSM/Sedona-style fixed-grid spatial join): every
+    (customer-point, nation-centroid) pair within integer euclidean
+    radius 125000 on a 1000003-wide torus-free plane.  Coordinates are
+    deterministic modular hashes of the keys (integer math — exact in
+    both engines); cell side == radius, so the 3x3 neighborhood
+    replication is provably lossless and the oracle is the plain
+    cross-join filter.  The grid is the 100 TB story: candidates are
+    local-density-bounded instead of N x M, and the dimension side
+    broadcasts after 9x replication."""
+    from mo_etl_spark.operators.spatial import grid_radius_join
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    ck = F.col("c_custkey").cast("bigint")
+    nk = F.col("n_nationkey").cast("bigint")
+    pts = c.select(
+        F.col("c_custkey").alias("pid"),
+        ((ck * 48271) % 1000003).alias("x"),
+        ((ck * 16807) % 1000003).alias("y"),
+    )
+    ctr = n.select(
+        F.col("n_nationkey").alias("cid"),
+        ((nk * 97911 + 131071) % 1000003).alias("cx"),
+        ((nk * 69621 + 524287) % 1000003).alias("cy"),
+    )
+    return grid_radius_join(pts, ctr, g=125000, r=125000)

@@ -500,3 +500,37 @@ def test_bfs_hops_matches_brute_force(spark):
                 want[v] = want[u] + 1
                 q.append(v)
     assert got == want
+
+
+def test_grid_radius_join_equals_brute_force(spark):
+    """Grid bucketing with r <= g is exact: pair set and distances must
+    equal the cross-join filter, including r strictly below g and
+    points straddling cell borders."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mo_etl_spark.operators.spatial import grid_radius_join
+
+    rng = random.Random(11)
+    pts_rows = [(i, rng.randrange(0, 10**6), rng.randrange(0, 10**6)) for i in range(300)]
+    ctr_rows = [(j, rng.randrange(0, 10**6), rng.randrange(0, 10**6)) for j in range(20)]
+    pts = spark.createDataFrame(pts_rows, "pid int, x long, y long")
+    ctr = spark.createDataFrame(ctr_rows, "cid int, cx long, cy long")
+    for g, r in ((125000, 125000), (125000, 60000)):
+        got = {
+            (q["pid"], q["cid"]): q["d2"]
+            for q in grid_radius_join(pts, ctr, g=g, r=r).collect()
+        }
+        want = {
+            (i, j): (x - cx) ** 2 + (y - cy) ** 2
+            for i, x, y in pts_rows
+            for j, cx, cy in ctr_rows
+            if (x - cx) ** 2 + (y - cy) ** 2 <= r * r
+        }
+        assert got == want, f"g={g} r={r}"
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        grid_radius_join(pts, ctr, g=1000, r=2000)
