@@ -203,3 +203,41 @@ def bfs_hops(
         dist = dist.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return dist
+
+
+def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
+    """Synchronous label propagation (community detection) with
+    DETERMINISTIC tie-breaking: every node starts labeled with itself;
+    each round it adopts the most frequent label among its neighbors,
+    ties resolved to the SMALLEST label (the classic LPA random
+    tie-break replaced by an order, so reruns and the SQL oracle agree
+    bit-for-bit).  Fixed ``iters`` rounds keep the plan static.
+
+    ``edges`` is DIRECTED (src, dst) — symmetrize for undirected
+    graphs.  Returns (node, community).
+
+    Per round: one equi-join labels⋈edges (shuffle on node), one
+    (node, label) count groupBy, and one per-node argmax via a struct
+    max (max of (count, -label) == most frequent, then smallest —
+    aggregate-only, no window, so map-side partial aggregation
+    applies).  Labels are localCheckpointed per round (lineage
+    truncation — the pagerank lesson).
+    """
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(iters):
+        best = (
+            e.join(labels, e.src == labels.node)
+            .groupBy(F.col("dst").alias("n2"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy(F.col("n2").alias("node"))
+            .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m"))
+            .select("node", (-F.col("m.nl")).alias("label"))
+        )
+        labels = best.localCheckpoint(eager=False)
+    return labels.select("node", F.col("label").alias("community"))

@@ -2811,3 +2811,85 @@ def join_spatial_grid_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((nk * 69621 + 524287) % 1000003).alias("cy"),
     )
     return grid_radius_join(pts, ctr, g=125000, r=125000)
+
+
+def _lpa_oracle_sql(iters: int) -> str:
+    """Unrolled synchronous-LPA oracle (the kcore/pagerank chained-CTE
+    discipline: fixed rounds as materialized CTEs, argmax via
+    row_number with the same count-desc-then-label order)."""
+    ctes = [
+        """canon AS MATERIALIZED (
+        SELECT s1.s_suppkey AS a, s2.s_suppkey AS b
+        FROM supplier s1
+        JOIN supplier s2
+          ON s1.s_nationkey = s2.s_nationkey
+         AND s1.s_suppkey < s2.s_suppkey
+         AND abs(s1.s_acctbal - s2.s_acctbal) <= 1500
+    ),
+    edges AS MATERIALIZED (
+        SELECT a AS src, b AS dst FROM canon
+        UNION ALL
+        SELECT b AS src, a AS dst FROM canon
+    ),
+    lab0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, src AS label FROM edges
+    )"""
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"""cnt{i} AS MATERIALIZED (
+        SELECT e.dst AS node, l.label, count(*) AS c
+        FROM edges e JOIN lab{i} l ON l.node = e.src
+        GROUP BY 1, 2
+    ),
+    lab{i + 1} AS MATERIALIZED (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+            FROM cnt{i})
+        WHERE rn = 1
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, label AS community FROM lab{iters}"
+    )
+
+
+@query(
+    "graph_label_propagation",
+    oracle=_lpa_oracle_sql(iters=4),
+    tags=("graph", "community_detection", "label_propagation", "iterative", "groupby"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation
+    (operators/graph.label_propagation) over the supplier similarity
+    graph (same nation, account balance within 1500): 4 fixed rounds,
+    each node adopting its neighborhood's most frequent label with
+    ties to the smallest — the deterministic variant of classic LPA,
+    so the unrolled chained-CTE oracle reproduces the full label
+    trajectory.  Aggregate-only argmax (struct max), no windows on the
+    fact path."""
+    from mo_etl_spark.operators.graph import label_propagation
+
+    s = _t(spark, sf_dir, "supplier")
+    s1 = s.select(
+        F.col("s_suppkey").alias("a"),
+        F.col("s_nationkey").alias("n"),
+        F.col("s_acctbal").alias("bal_a"),
+    )
+    s2 = s.select(
+        F.col("s_suppkey").alias("b"),
+        F.col("s_nationkey").alias("n"),
+        F.col("s_acctbal").alias("bal_b"),
+    )
+    canon = (
+        s1.join(s2, "n")
+        .where((F.col("a") < F.col("b")) & (F.abs(F.col("bal_a") - F.col("bal_b")) <= 1500))
+        .select("a", "b")
+    )
+    edges = canon.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return label_propagation(edges, iters=4)

@@ -534,3 +534,19 @@ def test_grid_radius_join_equals_brute_force(spark):
 
     with pytest.raises(ValueError):
         grid_radius_join(pts, ctr, g=1000, r=2000)
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 5-cliques joined by a single bridge edge must settle into
+    two communities labeled by each clique's smallest node."""
+    from mo_etl_spark.operators.graph import label_propagation
+
+    c1 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    c2 = [(a, b) for a in range(10, 15) for b in range(10, 15) if a < b]
+    canon = c1 + c2 + [(4, 10)]
+    edges = spark.createDataFrame(
+        canon + [(b, a) for a, b in canon], "src int, dst int"
+    )
+    got = {r["node"]: r["community"] for r in label_propagation(edges, iters=4).collect()}
+    assert {got[n] for n in range(5)} == {0}
+    assert {got[n] for n in range(10, 15)} == {10}
