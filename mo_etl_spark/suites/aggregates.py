@@ -928,3 +928,52 @@ def agg_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_est") - F.col("n_true")).alias("overcount"),
         )
     )
+
+
+@query(
+    "agg_time_grain_rollup",
+    oracle="""
+    SELECT CASE WHEN GROUPING(d) = 0 THEN 'day'
+                WHEN GROUPING(m) = 0 THEN 'month'
+                ELSE 'total' END AS grain,
+           epoch_ms(coalesce(d, m)) AS bucket_ms,
+           count(*) AS n,
+           sum(CAST(round(value*100) AS BIGINT)) AS total_cents
+    FROM (SELECT date_trunc('day', ts) AS d, date_trunc('month', ts) AS m, value
+          FROM events)
+    GROUP BY GROUPING SETS ((d), (m), ())
+    """,
+    tags=("time_grain", "grouping_sets", "time_domain", "rollup", "incremental_etl"),
+)
+def agg_time_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain time rollup in ONE scan — the warehouse pattern that
+    replaces three separate day/month/total aggregation jobs with a
+    single GROUPING SETS pass (Catalyst expands to one Expand + one
+    hash aggregate; the fact table is read once).  Exercises the
+    Spark-4 DataFrame-native groupingSets API (the non-SQL twin of
+    agg_grouping_sets_sql) with grain labels derived from
+    grouping()."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("month", "ts").alias("m"),
+        cents("value").alias("vc"),
+    )
+    return (
+        base.groupingSets([["d"], ["m"], []], "d", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vc").alias("total_cents"),
+            F.grouping("d").alias("gd"),
+            F.grouping("m").alias("gm"),
+        )
+        .select(
+            F.when(F.col("gd") == 0, F.lit("day"))
+            .when(F.col("gm") == 0, F.lit("month"))
+            .otherwise(F.lit("total"))
+            .alias("grain"),
+            (F.unix_micros(F.coalesce("d", "m")) / 1000).cast("long").alias("bucket_ms"),
+            "n",
+            "total_cents",
+        )
+    )

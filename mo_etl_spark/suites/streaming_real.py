@@ -728,3 +728,51 @@ def stream_real_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> Dat
             "unix_micros(p_ts) div 1000 - unix_micros(c_ts) div 1000"
         ).alias("lead_ms"),
     )
+
+
+@query(
+    "stream_real_static_dim_join",
+    oracle="""
+    SELECT c.c_nationkey,
+           count(*) AS n,
+           sum(CAST(round(e.value*100) AS BIGINT)) AS total_cents
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1
+    """,
+    tags=("stream_static_join", "stream_source", "join_broadcast", "groupby"),
+)
+def stream_real_static_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE stream-static join — the streaming-enrichment staple
+    (the reference's per-block transform joined reference data the
+    same way (u, ActiveData-ETL transforms)): readStream(feed) joins
+    the STATIC customer dimension on user_id, then aggregates revenue
+    per nation in complete mode.  The static side is re-read per
+    micro-batch by design (dimension updates between batches are
+    picked up); broadcasting it keeps each micro-batch's join
+    shuffle-free — at 100 TB/day the per-batch fact slice shuffles
+    nothing and state is one row per nation."""
+    prepare(spark)
+    feed = _feed(spark, sf_dir)
+    ckpt = _scratch("static_join_ckpt")
+    qname = "stream_real_static_dim_join_sink"
+    stream = file_stream_source(spark, feed, _FEED_SCHEMA)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    agg = (
+        stream.join(F.broadcast(dim), "user_id")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value_cents").alias("total_cents"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(qname).select("c_nationkey", "n", "total_cents")
