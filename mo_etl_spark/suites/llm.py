@@ -2114,3 +2114,68 @@ def llm_token_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         start.cast("bigint").alias("char_start"),
         (start + F.length("token")).cast("bigint").alias("char_end"),
     )
+
+
+@query(
+    "llm_phrase_search",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS l
+        FROM documents
+    ),
+    phrase AS (
+        SELECT l[1] AS t0, l[2] AS t1, l[3] AS t2 FROM corpus WHERE doc_id = 0
+    ),
+    toks AS (
+        SELECT doc_id AS id,
+               unnest(range(1, len(l) + 1)) AS pos,
+               unnest(l) AS tok
+        FROM corpus
+    )
+    SELECT p0.id AS doc_id, count(*) AS n_occ, min(p0.pos) AS first_pos
+    FROM toks p0
+    JOIN phrase ph ON p0.tok = ph.t0
+    JOIN toks p1 ON p1.id = p0.id AND p1.pos = p0.pos + 1 AND p1.tok = ph.t1
+    JOIN toks p2 ON p2.id = p0.id AND p2.pos = p0.pos + 2 AND p2.tok = ph.t2
+    GROUP BY p0.id
+    """,
+    tags=("retrieval", "phrase_search", "inverted_index", "posexplode", "token_offsets"),
+)
+def llm_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE search over a positional inverted index — the
+    retrieval operator BM25's bag-of-words scoring cannot express:
+    all occurrences of a 3-token phrase (here: doc 0's opening
+    trigram), counted with OVERLAPS (which is why the oracle is
+    positional too — string replace() undercounts self-overlapping
+    phrases, and this corpus's 31-token vocabulary makes overlaps
+    real).  Plan: posexplode to (doc, pos, token) postings, pre-filter
+    to the phrase's three terms (broadcast semi-join — the postings
+    that survive are term-frequency-bounded, not corpus-bounded), then
+    two self-joins on (doc, pos+1)/(doc, pos+2): the standard
+    positional-intersection query plan every search engine runs,
+    expressed as equi-joins Catalyst hash-partitions by doc."""
+    docs = _docs(spark, sf_dir)
+    norm = F.split(D.normalize_text(F.col("text")), " ")
+    corpus = docs.select("doc_id", norm.alias("l"))
+    phrase = corpus.where(F.col("doc_id") == 0).select(
+        F.col("l")[0].alias("t0"), F.col("l")[1].alias("t1"), F.col("l")[2].alias("t2")
+    )
+    toks = corpus.select(
+        F.col("doc_id").alias("id"), F.posexplode("l").alias("pos0", "tok")
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "tok")
+    p0 = toks.join(F.broadcast(phrase.select("t0")), toks.tok == F.col("t0")).select(
+        "id", "pos"
+    )
+    p1 = toks.join(F.broadcast(phrase.select("t1")), toks.tok == F.col("t1")).select(
+        F.col("id").alias("id1"), F.col("pos").alias("pos1")
+    )
+    p2 = toks.join(F.broadcast(phrase.select("t2")), toks.tok == F.col("t2")).select(
+        F.col("id").alias("id2"), F.col("pos").alias("pos2")
+    )
+    return (
+        p0.join(p1, (F.col("id1") == F.col("id")) & (F.col("pos1") == F.col("pos") + 1))
+        .join(p2, (F.col("id2") == F.col("id")) & (F.col("pos2") == F.col("pos") + 2))
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_occ"), F.min("pos").alias("first_pos"))
+    )

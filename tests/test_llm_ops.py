@@ -459,3 +459,43 @@ def test_jaccard_prefix_equals_full_index(spark, docs):
 
     prefix_postings = sum(r["sz"] - math.ceil(0.8 * r["sz"] - 1e-9) + 1 for r in szs)
     assert prefix_postings < full_postings * 0.5
+
+
+def test_phrase_search_counts_overlaps(spark):
+    """Positional intersection must count self-overlapping phrase
+    occurrences ('a b a' occurs twice in 'a b a b a'), which
+    replace()-based counting misses."""
+    from pyspark.sql import functions as F
+
+    from mo_etl_spark.operators.dedup import normalize_text
+
+    docs = spark.createDataFrame(
+        [(0, "a b a x y"), (1, "a b a b a"), (2, "b a b a b"), (3, "no match here")],
+        "doc_id long, text string",
+    )
+    norm = F.split(normalize_text(F.col("text")), " ")
+    corpus = docs.select("doc_id", norm.alias("l"))
+    phrase = corpus.where(F.col("doc_id") == 0).select(
+        F.col("l")[0].alias("t0"), F.col("l")[1].alias("t1"), F.col("l")[2].alias("t2")
+    )
+    toks = corpus.select(
+        F.col("doc_id").alias("id"), F.posexplode("l").alias("pos0", "tok")
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "tok")
+    p0 = toks.join(F.broadcast(phrase.select("t0")), toks.tok == F.col("t0")).select("id", "pos")
+    p1 = toks.join(F.broadcast(phrase.select("t1")), toks.tok == F.col("t1")).select(
+        F.col("id").alias("id1"), F.col("pos").alias("pos1")
+    )
+    p2 = toks.join(F.broadcast(phrase.select("t2")), toks.tok == F.col("t2")).select(
+        F.col("id").alias("id2"), F.col("pos").alias("pos2")
+    )
+    got = {
+        r["doc_id"]: (r["n_occ"], r["first_pos"])
+        for r in (
+            p0.join(p1, (F.col("id1") == F.col("id")) & (F.col("pos1") == F.col("pos") + 1))
+            .join(p2, (F.col("id2") == F.col("id")) & (F.col("pos2") == F.col("pos") + 2))
+            .groupBy(F.col("id").alias("doc_id"))
+            .agg(F.count(F.lit(1)).alias("n_occ"), F.min("pos").alias("first_pos"))
+            .collect()
+        )
+    }
+    assert got == {0: (1, 1), 1: (2, 1), 2: (1, 2)}
