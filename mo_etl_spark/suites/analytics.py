@@ -2893,3 +2893,63 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     return label_propagation(edges, iters=4)
+
+
+@query(
+    "ts_seasonal_hod_anomaly",
+    oracle="""
+    WITH base AS (
+        SELECT event_type, hour(ts) AS hod,
+               CAST(round(value*100) AS BIGINT) AS vc
+        FROM events
+    ),
+    w AS (
+        SELECT event_type, hod, vc,
+               count(*) OVER (PARTITION BY event_type, hod) AS n_grp,
+               sum(vc) OVER (PARTITION BY event_type, hod) AS sum_grp
+        FROM base
+    )
+    SELECT event_type, hod,
+           min(n_grp) AS n,
+           min(sum_grp) AS sum_cents,
+           sum(CASE WHEN abs(vc * n_grp - sum_grp) > 3000 * n_grp THEN 1 ELSE 0 END) AS n_anom
+    FROM w
+    GROUP BY event_type, hod
+    """,
+    tags=("seasonality", "anomaly_detection", "window_agg", "time_domain", "robust_stats"),
+)
+def ts_seasonal_hod_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal (hour-of-day) baseline with integer-exact anomaly
+    flagging: each event compares against its (event_type, hour)
+    cohort mean, flagged when it deviates by more than $30 — the
+    scale-free form |v*n - Σv| > 3000*n avoids the float mean
+    entirely, so both engines count identical anomalies.  One shuffle
+    total: the baseline window and the final rollup share the
+    (event_type, hod) partitioning, so Catalyst inserts no second
+    exchange — the two-pass join-back formulation this replaces
+    would shuffle twice (or broadcast the 120-row baseline)."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    base = ev.select(
+        "event_type", F.hour("ts").alias("hod"), cents("value").alias("vc")
+    )
+    w = Window.partitionBy("event_type", "hod")
+    flagged = base.select(
+        "event_type",
+        "hod",
+        "vc",
+        F.count(F.lit(1)).over(w).alias("n_grp"),
+        F.sum("vc").over(w).alias("sum_grp"),
+    )
+    return flagged.groupBy("event_type", "hod").agg(
+        F.min("n_grp").alias("n"),
+        F.min("sum_grp").alias("sum_cents"),
+        F.sum(
+            F.when(
+                F.abs(F.col("vc") * F.col("n_grp") - F.col("sum_grp"))
+                > 3000 * F.col("n_grp"),
+                1,
+            ).otherwise(0)
+        ).alias("n_anom"),
+    )

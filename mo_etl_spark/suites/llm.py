@@ -2179,3 +2179,50 @@ def llm_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("id").alias("doc_id"))
         .agg(F.count(F.lit(1)).alias("n_occ"), F.min("pos").alias("first_pos"))
     )
+
+
+@query(
+    "llm_bpe_pair_counts",
+    oracle="""
+    WITH corpus AS (
+        SELECT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+        FROM documents
+    ),
+    words AS (SELECT unnest(string_split(norm, ' ')) AS w FROM corpus),
+    pos AS (
+        SELECT w, unnest(range(1, length(w))) AS i
+        FROM words WHERE length(w) >= 2
+    ),
+    pairs AS (SELECT substring(w, i, 2) AS pair FROM pos)
+    SELECT pair, count(*) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+    tags=("bpe_training", "token_count", "ngram", "text_analysis", "top_k"),
+)
+def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE tokenizer-training primitive: corpus-wide adjacent
+    symbol-pair counts within words (Sennrich et al. '16 — merge
+    iteration 1 picks the argmax of exactly this table; a full train
+    loops count -> merge -> recount).  Plan: words explode once, an
+    in-row sequence/transform fans each word to its bigrams WITHOUT a
+    second shuffle (generator, not join), one map-side-combined count,
+    and the top-20 is sort+limit fused (TakeOrderedAndProject — no
+    global sort).  Ties break lexicographically for determinism."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        F.explode(F.split(D.normalize_text(F.col("text")), " ")).alias("w")
+    ).where(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).alias(
+            "pair"
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )

@@ -666,3 +666,54 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
     return back.groupBy("day").agg(
         F.count(F.lit(1)).alias("n"), F.sum("value_cents").alias("total_cents")
     )
+
+
+@query(
+    "source_binary_files",
+    oracle="""
+    SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 5, '0') || '.bin' AS fname,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           text AS content
+    FROM documents
+    WHERE doc_id < 40
+    """,
+    tags=("scan_binary", "multimodal_col", "file_lineage"),
+)
+def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's ``binaryFile`` source — the multimodal INGEST leg
+    (SURVEY.md §2.11): a directory of opaque media blobs becomes a
+    DataFrame of (path, modificationTime, length, content: binary)
+    with NO decode on the scan, which is exactly how 100 TB of
+    images/audio enter the pipeline (decode happens later, Arrow-
+    batched, per partition — llm_multimodal_*).  Here 40 per-doc .bin
+    files are materialized once (write-once per sf, like the stream
+    feed), scanned back with pathGlobFilter, and proven lossless by
+    decoding the bytes against the source table.  UTF-8 text stands
+    in for media bytes — the plumbing (schema, laziness, lineage via
+    file name) is identical and the oracle can reproduce it."""
+    prepare(spark)
+    root = _dir(sf_dir, "binfiles")
+    marker = os.path.join(root, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(root, exist_ok=True)
+        rows = (
+            load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 40)
+            .select("doc_id", "text")
+            .collect()
+        )
+        for r in rows:
+            with open(os.path.join(root, f"doc_{r['doc_id']:05d}.bin"), "wb") as fh:
+                fh.write(r["text"].encode("utf-8"))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(root)
+    )
+    return bf.select(
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        F.col("length").alias("n_bytes"),
+        F.col("content").cast("string").alias("content"),
+    )
