@@ -2953,3 +2953,64 @@ def ts_seasonal_hod_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_anom"),
     )
+
+
+@query(
+    "stats_chi_square_cells",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type, date_part('isodow', ts) AS dow, count(*) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, sum(o) AS r_tot FROM cells GROUP BY 1),
+    c AS (SELECT dow, sum(o) AS c_tot FROM cells GROUP BY 1),
+    n AS (SELECT sum(o) AS n_tot FROM cells)
+    SELECT cells.event_type, cells.dow, o, r_tot, c_tot, n_tot,
+           round(CAST(o * n_tot - r_tot * c_tot AS DOUBLE)
+                 * CAST(o * n_tot - r_tot * c_tot AS DOUBLE)
+                 / CAST(n_tot * r_tot * c_tot AS DOUBLE), 6) AS contrib
+    FROM cells
+    JOIN r USING (event_type)
+    JOIN c USING (dow)
+    CROSS JOIN n
+    """,
+    tags=("chi_square", "experiment", "stats", "data_qa", "cube"),
+)
+def stats_chi_square_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit of event_type x ISO weekday — the
+    seasonality/independence screen run before trusting an experiment
+    split.  Emitted per CELL with exact integer margins (O, R, C, N)
+    and the contribution ((O*N - R*C)^2 / (N*R*C) — the classic
+    identity avoiding the float expected-count E=R*C/N), so the only
+    float op is one final division per cell, rounded once:
+    cross-engine deterministic where a float sum over cells would
+    not be.  Total chi2 = sum of contribs, computable downstream.
+    Margins come from re-aggregating the 35-row cell table —
+    negligible — and N broadcasts as a 1-row cross join."""
+    ev = _t(spark, sf_dir, "events")
+    cells = (
+        ev.select("event_type", (F.weekday("ts") + 1).alias("dow"))
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    r = cells.groupBy("event_type").agg(F.sum("o").alias("r_tot"))
+    c = cells.groupBy("dow").agg(F.sum("o").alias("c_tot"))
+    n = cells.agg(F.sum("o").alias("n_tot"))
+    num = (F.col("o") * F.col("n_tot") - F.col("r_tot") * F.col("c_tot")).cast("double")
+    return (
+        cells.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "dow",
+            "o",
+            "r_tot",
+            "c_tot",
+            "n_tot",
+            F.round(
+                num * num / (F.col("n_tot") * F.col("r_tot") * F.col("c_tot")).cast("double"),
+                6,
+            ).alias("contrib"),
+        )
+    )

@@ -2226,3 +2226,125 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(20)
     )
+
+
+@query(
+    "llm_hybrid_rrf",
+    oracle="""
+    WITH vq AS (
+        SELECT list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)) AS v0
+        FROM embeddings WHERE vec_id = 0
+    ),
+    vecrank AS (
+        SELECT vec_id AS id,
+               row_number() OVER (ORDER BY cos DESC, vec_id) AS rv
+        FROM (
+            SELECT e.vec_id,
+                   list_sum(list_transform(range(1, 65),
+                       i -> CAST(e.embedding[i] AS DOUBLE) * q.v0[i]))
+                   / (sqrt(list_sum(list_transform(range(1, 65),
+                          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(range(1, 65), i -> q.v0[i] * q.v0[i])))) AS cos
+            FROM embeddings e, vq q
+            WHERE e.vec_id > 0
+            ORDER BY cos DESC, e.vec_id
+            LIMIT 100
+        )
+    ),
+    toks AS (
+        SELECT doc_id AS id, unnest(list_distinct(string_split(
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS tok
+        FROM documents
+    ),
+    sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+    lexrank AS (
+        SELECT id, row_number() OVER (ORDER BY j DESC, id) AS rl
+        FROM (
+            SELECT t.id,
+                   CAST(count(*) AS DOUBLE)
+                   / (s.sz + s0.sz - count(*)) AS j
+            FROM toks t
+            JOIN (SELECT tok FROM toks WHERE id = 0) t0 USING (tok)
+            JOIN sizes s ON s.id = t.id
+            JOIN (SELECT sz FROM sizes WHERE id = 0) s0 ON true
+            WHERE t.id > 0
+            GROUP BY t.id, s.sz, s0.sz
+            ORDER BY j DESC, t.id
+            LIMIT 100
+        )
+    )
+    SELECT coalesce(v.id, l.id) AS id,
+           round(coalesce(1.0 / (60 + v.rv), 0) + coalesce(1.0 / (60 + l.rl), 0), 6) AS rrf
+    FROM vecrank v FULL JOIN lexrank l ON v.id = l.id
+    ORDER BY rrf DESC, id
+    LIMIT 20
+    """,
+    tags=("retrieval", "rank_fusion", "hybrid_search", "sim_topk", "top_k"),
+)
+def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval by reciprocal rank fusion (Cormack et al.
+    SIGIR'09, the standard dense+sparse combiner): the query is item 0
+    (its embedding on the dense side, its token set on the lexical
+    side); each side produces its top-100 ranked list — sort+limit
+    fused, NO global window over the corpus — and the fused score is
+    Σ 1/(60+rank) over a FULL outer join (an item ranked by only one
+    list still scores).  Ranks are assigned inside the 100-row
+    truncated lists (tiny windows), exactly how production RRF fuses
+    finite lists; ties everywhere break by id so both engines emit
+    one ordering."""
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    v = S.as_double(F.col("embedding"))
+    base = emb.select("vec_id", v.alias("vv"))
+    q0 = base.where(F.col("vec_id") == 0).select(F.col("vv").alias("v0"))
+    cos = (
+        base.where(F.col("vec_id") > 0)
+        .crossJoin(F.broadcast(q0))
+        .select("vec_id", S.cosine(F.col("vv"), F.col("v0")).alias("cos"))
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(100)
+    )
+    vecrank = cos.select(
+        F.col("vec_id").alias("id"),
+        F.row_number().over(Window.orderBy(F.col("cos").desc(), "vec_id")).alias("rv"),
+    )
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(D.tokens(F.col("text")))).alias("tok"),
+    )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    t0 = toks.where(F.col("id") == 0).select("tok")
+    s0 = sizes.where(F.col("id") == 0).select(F.col("sz").alias("sz0"))
+    lex = (
+        toks.where(F.col("id") > 0)
+        .join(F.broadcast(t0), "tok")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(sizes, "id")
+        .crossJoin(F.broadcast(s0))
+        .select(
+            "id",
+            (F.col("inter").cast("double") / (F.col("sz") + F.col("sz0") - F.col("inter"))).alias("j"),
+        )
+        .orderBy(F.col("j").desc(), "id")
+        .limit(100)
+    )
+    lexrank = lex.select(
+        "id", F.row_number().over(Window.orderBy(F.col("j").desc(), "id")).alias("rl")
+    )
+    fused = (
+        vecrank.join(lexrank, "id", "full_outer")
+        .select(
+            "id",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("rv")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("rl")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "id")
+        .limit(20)
+    )
+    return fused
