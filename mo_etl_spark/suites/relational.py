@@ -813,3 +813,106 @@ def join_salted_skew_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("value_cents").alias("total_cents"),
     )
+
+
+@query(
+    "etl_golden_record",
+    oracle="""
+    WITH RECURSIVE
+    registry AS (
+      SELECT p_partkey + 100000 AS rec_id,
+             CASE WHEN p_partkey % 3 = 0
+                  THEN concat(substr(p_name, 1, 4), 'x', substr(p_name, 6))
+                  ELSE p_name END AS name,
+             'registry' AS src,
+             CAST(round(p_retailprice * 100) AS BIGINT) - 7 AS price_cents
+      FROM part WHERE p_partkey < 300
+    ),
+    master AS (
+      SELECT p_partkey AS rec_id, p_name AS name, 'master' AS src,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+      FROM part WHERE p_partkey < 300
+    ),
+    universe AS (SELECT * FROM master UNION ALL SELECT * FROM registry),
+    pairs AS (
+      SELECT m.rec_id AS id_a, r.rec_id AS id_b
+      FROM master m JOIN registry r
+        ON substr(lower(trim(m.name)), 1, 3) = substr(lower(trim(r.name)), 1, 3)
+      WHERE levenshtein(lower(trim(m.name)), lower(trim(r.name))) <= 1
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT s AS id, s AS peer FROM edges
+      UNION
+      SELECT r.id, e.d AS peer FROM reach r JOIN edges e ON e.s = r.peer
+    ),
+    comp AS (SELECT id, min(peer) AS golden_id FROM reach GROUP BY id)
+    SELECT c.golden_id,
+           count(*) AS n_members,
+           count(DISTINCT u.src) AS n_sources,
+           min(u.name) AS canonical_name,
+           max(u.price_cents) AS best_price_cents
+    FROM comp c JOIN universe u ON u.rec_id = c.id
+    GROUP BY c.golden_id
+    """,
+    tags=("golden_record", "survivorship", "record_linkage", "connected_components",
+          "cdc_merge", "join_fuzzy"),
+)
+def etl_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record SURVIVORSHIP — the stage entity resolution runs
+    AFTER linkage: matched records collapse into one canonical row per
+    entity.  Universe = clean master ∪ planted-corruption registry
+    (same construction as join_fuzzy_blocked_linkage, plus a -7-cent
+    price skew on the registry side); pairs from the blocked
+    levenshtein join feed connected components (operators/
+    dedup.connected_components — min-label + pointer jumping), and
+    survivorship rules are all order-insensitive aggregates: golden id
+    = min member id, canonical name = lexicographic min (corruption
+    'x' sorts above the original lowercase letters it replaces —
+    deterministic either way), best price = max across sources.  The
+    oracle replays linkage + closure + survivorship declaratively
+    (recursive CTE)."""
+    from mo_etl_spark.operators.dedup import connected_components
+    from mo_etl_spark.operators.joins import fuzzy_blocked_join
+
+    part = _t(spark, sf_dir, "part").where(F.col("p_partkey") < 300)
+    master = part.select(
+        F.col("p_partkey").alias("rec_id"),
+        F.col("p_name").alias("name"),
+        F.lit("master").alias("src"),
+        cents("p_retailprice").alias("price_cents"),
+    )
+    registry = part.select(
+        (F.col("p_partkey") + 100000).alias("rec_id"),
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.concat(
+                F.substring("p_name", 1, 4), F.lit("x"), F.expr("substring(p_name, 6)")
+            ),
+        ).otherwise(F.col("p_name")).alias("name"),
+        F.lit("registry").alias("src"),
+        (cents("p_retailprice") - 7).alias("price_cents"),
+    )
+    universe = master.unionByName(registry)
+    pairs = fuzzy_blocked_join(
+        master.select("rec_id", "name"),
+        registry.select(F.col("rec_id").alias("reg_id"), F.col("name").alias("reg_name")),
+        left_key="name",
+        right_key="reg_name",
+        block_chars=3,
+        max_distance=1,
+    ).select(F.col("rec_id").alias("id_a"), F.col("reg_id").alias("id_b"))
+    comp = connected_components(pairs)
+    return (
+        comp.join(universe, comp.id == universe.rec_id)
+        .groupBy(F.col("component").alias("golden_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct("src").alias("n_sources"),
+            F.min("name").alias("canonical_name"),
+            F.max("price_cents").alias("best_price_cents"),
+        )
+    )
