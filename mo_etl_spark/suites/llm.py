@@ -2348,3 +2348,87 @@ def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return fused
+
+
+@query(
+    "llm_filter_pipeline",
+    oracle=f"""
+    WITH corpus AS ({_SQL_EXACT_DUPS}),
+    t AS (
+      SELECT doc_id, text,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks,
+             length(text) AS n_chars,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS chash
+      FROM corpus
+    ),
+    keepers AS (SELECT chash, min(doc_id) AS keeper FROM t GROUP BY chash),
+    sig AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             CASE WHEN CAST(len(list_filter(toks, x -> x IN ({_STOPS_SQL}))) AS DOUBLE)
+                       / len(toks) >= 0.05
+                  THEN 'en' ELSE 'unk' END AS lang_pred,
+             round((CASE WHEN n_chars BETWEEN 100 AND 1000 THEN 1.0 ELSE 0.5 END
+                    + CASE WHEN CAST(n_chars AS DOUBLE)/len(toks) BETWEEN 3 AND 12
+                           THEN 1.0 ELSE 0.5 END
+                    + CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                      / n_chars) / 3.0, 6) AS quality,
+             (doc_id <> k.keeper) AS is_dup
+      FROM t JOIN keepers k USING (chash)
+    )
+    SELECT doc_id, n_tokens, lang_pred, quality,
+           (NOT is_dup AND lang_pred = 'en' AND quality >= 0.6 AND n_tokens >= 30) AS keep,
+           concat_ws(',',
+             CASE WHEN is_dup THEN 'duplicate' END,
+             CASE WHEN lang_pred <> 'en' THEN 'lang' END,
+             CASE WHEN quality < 0.6 THEN 'quality' END,
+             CASE WHEN n_tokens < 30 THEN 'short' END) AS reasons
+    FROM sig
+    """,
+    tags=("filter_pipeline", "quality_score", "lang_id", "dedup_exact",
+          "token_count", "text_analysis"),
+)
+def llm_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed C4/RefinedWeb-style corpus filter PIPELINE — the
+    integration query proving the per-signal operators assemble into
+    one keep/drop decision pass with auditable reasons: exact-dup
+    keeper election (hash window), language ID, composite quality,
+    and length gates, fused into a single per-document row with a
+    deterministic fixed-order reason string.  One scan + one
+    hash-partition window (content hash) — the signals themselves are
+    all JVM-side column expressions, so the whole decision runs in
+    whole-stage codegen; this is the shape a 100 TB curation run
+    executes per snapshot, with the reasons column feeding the
+    retention dashboards."""
+    from pyspark.sql import Window
+
+    corpus = _with_exact_dups(_docs(spark, sf_dir))
+    t = F.col("text")
+    base = corpus.select(
+        "doc_id",
+        "text",
+        X.token_count(t).alias("n_tokens"),
+        X.lang_id(t).alias("lang_pred"),
+        X.quality_score(t).alias("quality"),
+        F.md5(D.normalize_text(t)).alias("chash"),
+    )
+    w = Window.partitionBy("chash")
+    sig = base.withColumn("is_dup", F.col("doc_id") != F.min("doc_id").over(w))
+    return sig.select(
+        "doc_id",
+        "n_tokens",
+        "lang_pred",
+        "quality",
+        (
+            ~F.col("is_dup")
+            & (F.col("lang_pred") == "en")
+            & (F.col("quality") >= 0.6)
+            & (F.col("n_tokens") >= 30)
+        ).alias("keep"),
+        F.concat_ws(
+            ",",
+            F.when(F.col("is_dup"), "duplicate"),
+            F.when(F.col("lang_pred") != "en", "lang"),
+            F.when(F.col("quality") < 0.6, "quality"),
+            F.when(F.col("n_tokens") < 30, "short"),
+        ).alias("reasons"),
+    )
