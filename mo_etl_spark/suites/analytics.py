@@ -3014,3 +3014,62 @@ def stats_chi_square_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contrib"),
         )
     )
+
+
+@query(
+    "analytics_skyline_2d",
+    oracle="""
+    WITH pts AS (
+        SELECT p_partkey,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+               p_size
+        FROM part
+    ),
+    w AS (
+        SELECT p_partkey, price_cents, p_size,
+               max(p_size) OVER (
+                   ORDER BY price_cents
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_cheaper,
+               max(p_size) OVER (PARTITION BY price_cents) AS best_same_price
+        FROM pts
+    )
+    SELECT p_partkey, price_cents, p_size
+    FROM w
+    WHERE (best_cheaper IS NULL OR best_cheaper < p_size)
+      AND best_same_price = p_size
+    """,
+    tags=("skyline", "pareto", "window_agg", "range_frame", "top_k"),
+)
+def analytics_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D SKYLINE (Pareto-optimal set — Börzsönyi et al. ICDE'01): the
+    parts no other part beats on BOTH axes (cheaper AND at-least-as-
+    large, or same price and strictly larger).  The classic sort-based
+    skyline becomes two windows: a VALUE-RANGE frame ending 1 cent
+    before the current price gives the best size among STRICTLY
+    cheaper parts, and a same-price partition max handles ties — a
+    row survives iff it beats the first and equals the second.  One
+    sort-shuffle total, no self-join (the naive NOT EXISTS is a
+    quadratic theta anti-join); ties on both axes keep every tied
+    row, matching the dominance definition exactly."""
+    part = _t(spark, sf_dir, "part")
+    from pyspark.sql import Window
+
+    pts = part.select(
+        "p_partkey", cents("p_retailprice").alias("price_cents"), "p_size"
+    )
+    w_cheaper = (
+        Window.orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("price_cents")
+    flagged = pts.select(
+        "p_partkey",
+        "price_cents",
+        "p_size",
+        F.max("p_size").over(w_cheaper).alias("best_cheaper"),
+        F.max("p_size").over(w_same).alias("best_same_price"),
+    )
+    return flagged.where(
+        (F.col("best_cheaper").isNull() | (F.col("best_cheaper") < F.col("p_size")))
+        & (F.col("best_same_price") == F.col("p_size"))
+    ).select("p_partkey", "price_cents", "p_size")

@@ -550,3 +550,39 @@ def test_label_propagation_two_cliques(spark):
     got = {r["node"]: r["community"] for r in label_propagation(edges, iters=4).collect()}
     assert {got[n] for n in range(5)} == {0}
     assert {got[n] for n in range(10, 15)} == {10}
+
+
+def test_skyline_matches_quadratic_definition(spark):
+    """Window-based skyline == brute-force dominance scan, including
+    duplicate points and same-price ties."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(3)
+    rows = [(i, rng.randrange(1, 40), rng.randrange(1, 40)) for i in range(200)]
+    rows += [(1000, 5, 5), (1001, 5, 5)]  # exact duplicates both survive or both die
+    pts = spark.createDataFrame(rows, "k int, price long, size int")
+    w_cheaper = Window.orderBy("price").rangeBetween(Window.unboundedPreceding, -1)
+    w_same = Window.partitionBy("price")
+    got = {
+        r["k"]
+        for r in pts.select(
+            "k",
+            "price",
+            "size",
+            F.max("size").over(w_cheaper).alias("bc"),
+            F.max("size").over(w_same).alias("bs"),
+        )
+        .where((F.col("bc").isNull() | (F.col("bc") < F.col("size"))) & (F.col("bs") == F.col("size")))
+        .collect()
+    }
+    want = {
+        k
+        for k, p, s in rows
+        if not any(
+            (p2 <= p and s2 >= s and (p2 < p or s2 > s)) for _, p2, s2 in rows
+        )
+    }
+    assert got == want
