@@ -717,3 +717,42 @@ def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.col("content").cast("string").alias("content"),
     )
+
+
+@query(
+    "sink_parquet_zstd",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("sink_parquet", "scan_parquet", "compression_codec"),
+)
+def sink_parquet_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet with ZSTD compression — the 100 TB storage-cost lever
+    (zstd typically halves snappy's footprint at similar scan speed,
+    which at this scale is petabyte-months of storage and proportional
+    scan IO).  Write orders zstd-compressed, scan back, aggregate; the
+    unit test asserts the codec actually landed in the column-chunk
+    metadata (a silently ignored option would still hash-match)."""
+    prepare(spark)
+    path = _dir(sf_dir, "orders_zstd")
+    (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(path)
+    )
+    from mo_etl_spark.functions.numeric import cents
+
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("o_totalprice")).alias("total_cents"),
+        )
+    )

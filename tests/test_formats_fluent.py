@@ -68,3 +68,24 @@ def test_fluent_is_immutable(sales):
     a = base.sort("shop").limit(1)
     assert base.query().get("limit") is None
     assert a.query()["limit"] == 1
+
+
+def test_zstd_codec_lands_in_parquet_metadata(spark, sf_dir):
+    """The compression option must actually reach the files: every
+    column chunk of the zstd sink reports ZSTD."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mo_etl_spark.suites.sources import _dir, sink_parquet_zstd
+
+    sink_parquet_zstd(spark, sf_dir).collect()
+    files = glob.glob(_dir(sf_dir, "orders_zstd") + "/*.parquet")
+    assert files
+    md = pq.ParquetFile(files[0]).metadata
+    codecs = {
+        md.row_group(rg).column(c).compression
+        for rg in range(md.num_row_groups)
+        for c in range(md.num_columns)
+    }
+    assert codecs == {"ZSTD"}
