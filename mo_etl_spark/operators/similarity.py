@@ -603,3 +603,36 @@ def pq_topk(
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("adc_dot"), F.col(c_id))
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
+def jl_sign_matrix(in_dim: int, out_dim: int, seed: int = 17) -> list[list[int]]:
+    """Deterministic ±1 projection matrix for Johnson-Lindenstrauss
+    random projection (Achlioptas '01: Rademacher entries preserve
+    pairwise distances in expectation like Gaussian ones, at integer
+    cost).  Entry sign = parity of the first byte of
+    md5(f"{seed}:{i}:{j}") — reproducible anywhere, no RNG state, so
+    the SAME matrix can be embedded as literals in both the Spark
+    expression and the SQL oracle."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{seed}:{i}:{j}".encode()).digest()[0] % 2 == 0 else -1
+            for j in range(in_dim)
+        ]
+        for i in range(out_dim)
+    ]
+
+
+def jl_project_sql(vec_sql_1based, signs, scale: float):
+    """Projection component SQL strings (engine-neutral): for each
+    output dim a fixed left-to-right chain Σ_j s_ij * v[j], so both
+    engines associate the float adds identically.  ``vec_sql_1based``
+    formats a 1-based component access for the target engine."""
+    exprs = []
+    for row in signs:
+        terms = " + ".join(
+            f"({s} * {vec_sql_1based(j + 1)})" for j, s in enumerate(row)
+        )
+        exprs.append(f"(({terms}) * {scale!r})")
+    return exprs

@@ -2432,3 +2432,59 @@ def llm_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("n_tokens") < 30, "short"),
         ).alias("reasons"),
     )
+
+
+def _jl_oracle_sql() -> str:
+    signs = S.jl_sign_matrix(64, 16)
+    comp = S.jl_project_sql(
+        lambda j: f"CAST(embedding[{j}] AS DOUBLE)", signs, 0.25
+    )
+    proj_norm2 = " + ".join(f"({c} * {c})" for c in comp)
+    orig_norm2 = " + ".join(
+        f"(CAST(embedding[{j}] AS DOUBLE) * CAST(embedding[{j}] AS DOUBLE))"
+        for j in range(1, 65)
+    )
+    return f"""
+    SELECT vec_id,
+           round({comp[0]}, 6) AS p0,
+           round({comp[1]}, 6) AS p1,
+           round({comp[2]}, 6) AS p2,
+           round({comp[3]}, 6) AS p3,
+           round(({proj_norm2}) / ({orig_norm2}), 6) AS norm_ratio
+    FROM embeddings
+    """
+
+
+@query(
+    "llm_jl_random_projection",
+    oracle=_jl_oracle_sql(),
+    tags=("dim_reduction", "random_projection", "embed_normalize", "feature_engineering"),
+)
+def llm_jl_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss RANDOM PROJECTION 64-d -> 16-d with a
+    Rademacher (±1) matrix (Achlioptas '01) — the 4x shrink applied
+    before ANN indexing or clustering when the full embedding is IO-
+    bound at corpus scale.  The sign matrix derives from md5(seed,i,j)
+    at PLAN TIME and is embedded as literal coefficients in a fixed
+    left-to-right add chain, so Spark and the oracle execute
+    bit-identical float programs (no in-engine RNG, no HOF evaluation-
+    order ambiguity); the whole transform is one codegen'd projection
+    — 16 fused multiply-add chains per row, zero shuffles.  norm_ratio
+    exhibits the JL distance-preservation property (unit test asserts
+    mean ≈ 1 within the JL bound)."""
+    emb = _emb(spark, sf_dir)
+    signs = S.jl_sign_matrix(64, 16)
+    comp = S.jl_project_sql(lambda j: f"CAST(embedding[{j - 1}] AS DOUBLE)", signs, 0.25)
+    proj_norm2 = " + ".join(f"({c} * {c})" for c in comp)
+    orig_norm2 = " + ".join(
+        f"(CAST(embedding[{j - 1}] AS DOUBLE) * CAST(embedding[{j - 1}] AS DOUBLE))"
+        for j in range(1, 65)
+    )
+    return emb.selectExpr(
+        "vec_id",
+        f"round({comp[0]}, 6) AS p0",
+        f"round({comp[1]}, 6) AS p1",
+        f"round({comp[2]}, 6) AS p2",
+        f"round({comp[3]}, 6) AS p3",
+        f"round(({proj_norm2}) / ({orig_norm2}), 6) AS norm_ratio",
+    )

@@ -916,3 +916,91 @@ def etl_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("price_cents").alias("best_price_cents"),
         )
     )
+
+
+@query(
+    "setop_except_all_multiset",
+    oracle="""
+    SELECT p_size FROM part WHERE p_brand = 'Brand#11'
+    EXCEPT ALL
+    SELECT p_size FROM part WHERE p_brand = 'Brand#12'
+    """,
+    tags=("except_all", "except", "multiset"),
+)
+def setop_except_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — MULTISET difference (bag semantics): a value
+    occurring 5 times left and 2 times right survives 3 times, where
+    EXCEPT DISTINCT (setop_except_brand_sizes) would drop it entirely.
+    Catalyst plans df.exceptAll as a count-annotated join+generate
+    (no row-identity tracking needed) — the semantics mo-dots list
+    subtraction implies for repeated elements (u)."""
+    part = _t(spark, sf_dir, "part")
+    return part.where(F.col("p_brand") == "Brand#11").select("p_size").exceptAll(
+        part.where(F.col("p_brand") == "Brand#12").select("p_size")
+    )
+
+
+@query(
+    "setop_intersect_all_multiset",
+    oracle="""
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("intersect_all", "intersect", "multiset"),
+)
+def setop_intersect_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset intersection: each priority value
+    survives min(left_count, right_count) times, so the result SIZE
+    carries frequency information the DISTINCT variant erases."""
+    o = _t(spark, sf_dir, "orders")
+    return o.where(F.col("o_orderstatus") == "F").select("o_orderpriority").intersectAll(
+        o.where(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    )
+
+
+@query(
+    "qa_k_anonymity",
+    oracle="""
+    WITH quasi AS (
+        SELECT c_nationkey,
+               c_mktsegment,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+               count(*) AS group_size
+        FROM customer
+        GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey, c_mktsegment, bal_band, group_size,
+           (group_size < 5) AS reidentification_risk
+    FROM quasi
+    """,
+    tags=("k_anonymity", "privacy", "data_qa", "groupby"),
+)
+def qa_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ANONYMITY audit (Sweeney '02) — the privacy gate a dataset
+    passes before leaving the trust boundary: group sizes over the
+    quasi-identifier tuple (nation, market segment, $1000 balance
+    band); any group smaller than k=5 is a re-identification risk the
+    release process must suppress or generalize.  One hash-agg
+    shuffle; at 100 TB the quasi-identifier cube stays
+    cardinality-bounded (product of attribute domains), not
+    fact-bounded.  floor() on the band keeps the banding integer-exact
+    for negative balances (truncation would round toward zero and
+    disagree between engines)."""
+    c = _t(spark, sf_dir, "customer")
+    quasi = (
+        c.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+    )
+    return quasi.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_band",
+        "group_size",
+        (F.col("group_size") < 5).alias("reidentification_risk"),
+    )

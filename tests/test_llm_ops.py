@@ -499,3 +499,17 @@ def test_phrase_search_counts_overlaps(spark):
         )
     }
     assert got == {0: (1, 1), 1: (2, 1), 2: (1, 2)}
+
+
+def test_jl_projection_preserves_norms_on_average(spark, sf_dir):
+    """JL with a 16-dim Rademacher projection: E[||Pv||^2] = ||v||^2.
+    The per-vector ratio fluctuates (variance ~ 2/16), but the corpus
+    mean must land near 1 and individual ratios inside a generous
+    concentration band."""
+    from mo_etl_spark.suites.llm import llm_jl_random_projection
+
+    rows = llm_jl_random_projection(spark, sf_dir).collect()
+    ratios = [r["norm_ratio"] for r in rows]
+    mean = sum(ratios) / len(ratios)
+    assert 0.9 < mean < 1.1, mean
+    assert all(0.2 < x < 3.0 for x in ratios)
