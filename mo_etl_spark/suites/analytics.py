@@ -3073,3 +3073,121 @@ def analytics_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("best_cheaper").isNull() | (F.col("best_cheaper") < F.col("p_size")))
         & (F.col("best_same_price") == F.col("p_size"))
     ).select("p_partkey", "price_cents", "p_size")
+
+
+@query(
+    "analytics_dbscan_clusters",
+    oracle="""
+    WITH RECURSIVE pts AS (
+        SELECT c_custkey AS pid,
+               (CAST(c_custkey AS BIGINT) * 48271) % 1000003 AS x,
+               (CAST(c_custkey AS BIGINT) * 16807) % 1000003 AS y
+        FROM customer
+    ),
+    pairs AS (
+        SELECT a.pid AS pa, b.pid AS pb
+        FROM pts a JOIN pts b
+          ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+             <= CAST(25000 AS BIGINT) * 25000
+    ),
+    cnt AS (SELECT pa AS pid, count(*) AS n_nb FROM pairs GROUP BY 1),
+    core AS (SELECT pid FROM cnt WHERE n_nb >= 4),
+    cedges AS (
+        SELECT p.pa AS s, p.pb AS d
+        FROM pairs p
+        JOIN core c1 ON c1.pid = p.pa
+        JOIN core c2 ON c2.pid = p.pb
+        WHERE p.pa <> p.pb
+    ),
+    reach AS (
+        SELECT pid AS id, pid AS peer FROM core
+        UNION
+        SELECT r.id, e.d AS peer FROM reach r JOIN cedges e ON e.s = r.peer
+    ),
+    comp AS (SELECT id, min(peer) AS cluster FROM reach GROUP BY id),
+    border AS (
+        SELECT p.pa AS pid, min(c.cluster) AS cluster
+        FROM pairs p
+        JOIN core k ON k.pid = p.pb
+        JOIN comp c ON c.id = p.pb
+        WHERE p.pa <> p.pb
+          AND NOT EXISTS (SELECT 1 FROM core kk WHERE kk.pid = p.pa)
+        GROUP BY 1
+    )
+    SELECT id AS pid, 'core' AS role, cluster FROM comp
+    UNION ALL
+    SELECT pid, 'border' AS role, cluster FROM border
+    UNION ALL
+    SELECT pid, 'noise' AS role, CAST(NULL AS BIGINT) AS cluster
+    FROM pts
+    WHERE NOT EXISTS (SELECT 1 FROM comp WHERE comp.id = pts.pid)
+      AND NOT EXISTS (SELECT 1 FROM border WHERE border.pid = pts.pid)
+    """,
+    tags=("dbscan", "clustering", "join_spatial", "grid_bucketing",
+          "connected_components", "iterative"),
+)
+def analytics_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN (Ester et al. KDD'96) end to end, composed from the
+    engine's own primitives: neighborhoods from the fixed-grid spatial
+    radius join (exact at r = g = eps), core points by neighborhood
+    count (>= 4 incl. self), clusters = connected components over
+    core-core edges (min-label + pointer jumping; isolated cores keep
+    their own id), borders adopt the MINIMUM neighboring core's
+    cluster (the deterministic replacement for DBSCAN's
+    arrival-order border assignment), everything else is noise.
+    Distances are integer-exact, so the oracle's quadratic-pair
+    recursive-CTE replay hash-matches — the grid join's only job is
+    reaching the same pair set in O(local density) instead of O(n²)."""
+    from mo_etl_spark.operators.dedup import connected_components
+    from mo_etl_spark.operators.spatial import grid_radius_join
+
+    eps, min_pts = 25000, 4
+    c = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("bigint")
+    pts = c.select(
+        F.col("c_custkey").alias("pid"),
+        ((ck * 48271) % 1000003).alias("x"),
+        ((ck * 16807) % 1000003).alias("y"),
+    )
+    ctr = pts.select(
+        F.col("pid").alias("cid"), F.col("x").alias("cx"), F.col("y").alias("cy")
+    )
+    pairs = grid_radius_join(pts, ctr, g=eps, r=eps, broadcast_centers=False).select(
+        "pid", "cid"
+    )
+    core = (
+        pairs.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n_nb"))
+        .where(F.col("n_nb") >= min_pts)
+        .select("pid")
+    )
+    core_b = F.broadcast(core)  # dimension-scale at sf; plain join at 100 TB
+    cedges = (
+        pairs.where(F.col("pid") != F.col("cid"))
+        .join(core_b.withColumnRenamed("pid", "pa"), F.col("pid") == F.col("pa"))
+        .join(core_b.withColumnRenamed("pid", "pb"), F.col("cid") == F.col("pb"))
+        .where(F.col("pid") < F.col("cid"))
+        .select(F.col("pid").alias("id_a"), F.col("cid").alias("id_b"))
+    )
+    comp = connected_components(cedges).select("id", F.col("component").alias("cluster"))
+    isolated = core.join(comp, core.pid == comp.id, "left_anti").select(
+        F.col("pid").alias("id"), F.col("pid").alias("cluster")
+    )
+    core_clusters = comp.unionByName(isolated)
+    border = (
+        pairs.where(F.col("pid") != F.col("cid"))
+        .join(core.withColumnRenamed("pid", "k"), F.col("cid") == F.col("k"))
+        .join(core_clusters, F.col("cid") == F.col("id"))
+        .join(core.withColumnRenamed("pid", "kk"), F.col("pid") == F.col("kk"), "left_anti")
+        .groupBy("pid")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    core_rows = core_clusters.select(
+        F.col("id").alias("pid"), F.lit("core").alias("role"), "cluster"
+    )
+    border_rows = border.select("pid", F.lit("border").alias("role"), "cluster")
+    assigned = core_rows.unionByName(border_rows)
+    noise = pts.join(assigned.select("pid"), "pid", "left_anti").select(
+        "pid", F.lit("noise").alias("role"), F.lit(None).cast("bigint").alias("cluster")
+    )
+    return assigned.unionByName(noise)

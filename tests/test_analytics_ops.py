@@ -586,3 +586,43 @@ def test_skyline_matches_quadratic_definition(spark):
         )
     }
     assert got == want
+
+
+def test_dbscan_composition_roles(spark):
+    """Hand-built geometry: a tight 5-point blob (all core, one
+    cluster), a satellite within eps of one blob member but with a
+    thin neighborhood (border, inherits the blob's cluster), and a
+    far-away point (noise).  Mirrors the query's composition:
+    grid join -> core count -> CC -> min-cluster border adoption."""
+    from pyspark.sql import functions as F
+
+    from mo_etl_spark.operators.dedup import connected_components
+    from mo_etl_spark.operators.spatial import grid_radius_join
+
+    eps, min_pts = 10, 4
+    rows = [(1, 0, 0), (2, 3, 0), (3, 0, 3), (4, 3, 3), (5, 2, 2),
+            (6, 12, 0),   # within eps of (2) only -> 2 neighbors incl self -> border
+            (7, 500, 500)]
+    pts = spark.createDataFrame(rows, "pid int, x long, y long")
+    ctr = pts.select(F.col("pid").alias("cid"), F.col("x").alias("cx"), F.col("y").alias("cy"))
+    pairs = grid_radius_join(pts, ctr, g=eps, r=eps, broadcast_centers=False).select("pid", "cid")
+    core = (
+        pairs.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_pts).select("pid")
+    )
+    assert {r["pid"] for r in core.collect()} == {1, 2, 3, 4, 5}
+    cedges = (
+        pairs.where(F.col("pid") < F.col("cid"))
+        .join(core.withColumnRenamed("pid", "pa"), F.col("pid") == F.col("pa"))
+        .join(core.withColumnRenamed("pid", "pb"), F.col("cid") == F.col("pb"))
+        .select(F.col("pid").alias("id_a"), F.col("cid").alias("id_b"))
+    )
+    comp = connected_components(cedges)
+    assert {r["component"] for r in comp.collect()} == {1}
+    border = (
+        pairs.where(F.col("pid") != F.col("cid"))
+        .join(core.withColumnRenamed("pid", "k"), F.col("cid") == F.col("k"))
+        .join(core.withColumnRenamed("pid", "kk"), F.col("pid") == F.col("kk"), "left_anti")
+        .groupBy("pid").agg(F.count(F.lit(1)).alias("nc"))
+    )
+    assert {r["pid"] for r in border.collect()} == {6}

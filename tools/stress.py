@@ -289,7 +289,56 @@ def main() -> None:
     t["heavy_hitters_mg"] = round(time.time() - t0, 2)
     assert hh == {"hot0", "hot1"}, hh
 
-    print(json.dumps({"rows": args.rows, "vecs": args.vecs, "timings": t}))
+    # Prefix-filtered set-similarity join at scale: 50k docs x 60
+    # tokens over a 50k vocabulary.  Claim: indexing only the
+    # |d|-ceil(t|d|)+1 rarest tokens per doc collapses the candidate
+    # join's Σ C(df,2) fan-out vs the full inverted index — measured
+    # analytically from the df histograms (no materialization), then
+    # the full operator runs end-to-end.
+    from mo_etl_spark.operators.dedup import jaccard_prefix_pairs, tokens as jtokens
+    from pyspark.sql import Window as W2
+
+    jdocs = spark.range(50_000).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(60)),
+                lambda i: F.concat(
+                    F.lit("t"),
+                    F.pmod(F.xxhash64(F.col("id") * 64 + i), F.lit(50_000)).cast("string"),
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    jt = jdocs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(jtokens(F.col("text")))).alias("tok"),
+    )
+    full_cand = (
+        jt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.sum(F.col("df") * (F.col("df") - 1) / 2))
+        .first()[0]
+    )
+    dfreq = jt.groupBy("tok").agg(F.count(F.lit(1)).alias("tdf"))
+    ranked = jt.join(dfreq, "tok").withColumn(
+        "pos", F.row_number().over(W2.partitionBy("id").orderBy("tdf", "tok"))
+    )
+    szs = jt.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    pre_cand = (
+        ranked.join(szs, "id")
+        .where(F.col("pos") <= F.col("sz") - F.ceil(F.lit(0.8) * F.col("sz") - 1e-9) + 1)
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.sum(F.col("df") * (F.col("df") - 1) / 2))
+        .first()[0]
+    )
+    t0 = time.time()
+    n_jpairs = jaccard_prefix_pairs(jdocs, threshold=0.8).count()
+    t["jaccard_prefix_50k_docs"] = round(time.time() - t0, 2)
+    t["jaccard_prefix_candidate_reduction"] = round(float(full_cand) / max(float(pre_cand), 1.0), 1)
+    assert pre_cand < full_cand / 5  # the pruning must be material
+
+    print(json.dumps({"rows": args.rows, "vecs": args.vecs, "timings": t, "n_prefix_pairs": n_jpairs}))
 
 
 if __name__ == "__main__":
