@@ -402,3 +402,53 @@ def sql_scripting_threshold_search(spark: SparkSession, sf_dir: str) -> DataFram
         END
         """
     )
+
+
+@query(
+    "sql_tvf_family",
+    oracle="""
+    WITH months AS (SELECT g AS m FROM generate_series(1, 12) s(g)),
+    prios AS (SELECT * FROM (VALUES ('1-URGENT'), ('5-LOW')) t(prio)),
+    actual AS (
+        SELECT month(o_orderdate) AS m, o_orderpriority AS prio, count(*) AS n
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2
+    )
+    SELECT months.m, prios.prio, coalesce(actual.n, 0) AS n
+    FROM months
+    CROSS JOIN prios
+    LEFT JOIN actual ON actual.m = months.m AND actual.prio = prios.prio
+    """,
+    tags=("sql_surface", "table_valued_function", "time_domain", "join_left",
+          "edges"),
+)
+def sql_tvf_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-valued functions as DIMENSION GENERATORS — the SQL-native
+    way to build the complete domains jx 'edges' guarantees (u: every
+    part present even at zero): a range() month spine crossed with a
+    VALUES literal table, LEFT-joined to the sparse actuals so empty
+    (month, priority) cells surface as explicit zeros.  Both
+    generators run engine-side (no driver-materialized DataFrame), so
+    the same shape works when the spine is a billion-cell time grid —
+    range() is a lazy, splittable source."""
+    prepare(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH months AS (SELECT id AS m FROM range(1, 13)),
+        prios AS (SELECT prio FROM VALUES ('1-URGENT'), ('5-LOW') AS t(prio)),
+        actual AS (
+            SELECT month(o_orderdate) AS m, o_orderpriority AS prio, count(*) AS n
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2
+        )
+        SELECT months.m, prios.prio, coalesce(actual.n, 0) AS n
+        FROM months
+        CROSS JOIN prios
+        LEFT JOIN actual ON actual.m = months.m AND actual.prio = prios.prio
+        """
+    )
