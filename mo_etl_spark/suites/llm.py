@@ -2488,3 +2488,79 @@ def llm_jl_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round({comp[3]}, 6) AS p3",
         f"round(({proj_norm2}) / ({orig_norm2}), 6) AS norm_ratio",
     )
+
+
+def _binpack_sql(vec: str, lo: int) -> str:
+    """32-bit sign-pack chain: bit j set iff component lo+j > 0.
+    Integer addition — association order irrelevant, engine-neutral
+    given a 1-based component accessor format string."""
+    return " + ".join(
+        f"(CASE WHEN {vec.format(j=lo + j)} > 0 THEN {2 ** j} ELSE 0 END)"
+        for j in range(32)
+    )
+
+
+@query(
+    "llm_embed_binary_hamming",
+    oracle=f"""
+    WITH packed AS (
+        SELECT vec_id,
+               CAST({_binpack_sql("embedding[{j}]", 1)} AS BIGINT) AS w0,
+               CAST({_binpack_sql("embedding[{j}]", 33)} AS BIGINT) AS w1,
+               list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    q AS (SELECT w0 AS q0, w1 AS q1, v AS qv FROM packed WHERE vec_id = 0),
+    scored AS (
+        SELECT p.vec_id,
+               bit_count(xor(p.w0, q.q0)) + bit_count(xor(p.w1, q.q1)) AS hamming,
+               round(list_sum(list_transform(range(1, 65), i -> p.v[i] * q.qv[i]))
+                     / (sqrt(list_sum(list_transform(range(1, 65), i -> p.v[i] * p.v[i])))
+                        * sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])))),
+                     6) AS cos
+        FROM packed p, q
+        WHERE p.vec_id > 0
+    )
+    SELECT vec_id, hamming, cos
+    FROM scored
+    ORDER BY hamming, vec_id
+    LIMIT 20
+    """,
+    tags=("embed_quantize", "binary_quantization", "hamming_ball", "sim_topk",
+          "retrieval"),
+)
+def llm_embed_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY (1-bit) embedding quantization with Hamming coarse search
+    + exact cosine rerank — the 32x-compression serving path modern
+    vector stores ship next to int8 (sign bits preserve angular
+    neighborhoods; Charikar '02 SimHash argument).  64 dims pack into
+    two positive 32-bit words (integer add chain — no 1<<63 sign-bit
+    portability trap); distance = popcount(xor) per word, fused in
+    codegen; the top-20 by (hamming, id) is sort+limit fused and each
+    survivor carries its exact cosine, exhibiting the coarse->exact
+    rerank contract.  At corpus scale the packed words are 16 bytes a
+    row — the whole index rides in memory where the float embeddings
+    cannot."""
+    emb = _emb(spark, sf_dir)
+    packed = emb.selectExpr(
+        "vec_id",
+        f"CAST({_binpack_sql('embedding[{j}]', 0)} AS BIGINT) AS w0",
+        f"CAST({_binpack_sql('embedding[{j}]', 32)} AS BIGINT) AS w1",
+        "transform(sequence(1, 64), i -> CAST(embedding[i - 1] AS DOUBLE)) AS v",
+    )
+    q = packed.where(F.col("vec_id") == 0).select(
+        F.col("w0").alias("q0"), F.col("w1").alias("q1"), F.col("v").alias("qv")
+    )
+    scored = (
+        packed.where(F.col("vec_id") > 0)
+        .crossJoin(F.broadcast(q))
+        .selectExpr(
+            "vec_id",
+            "bit_count(w0 ^ q0) + bit_count(w1 ^ q1) AS hamming",
+            """round(aggregate(zip_with(v, qv, (a, b) -> a * b), 0D, (acc, x) -> acc + x)
+               / (sqrt(aggregate(zip_with(v, v, (a, b) -> a * b), 0D, (acc, x) -> acc + x))
+                  * sqrt(aggregate(zip_with(qv, qv, (a, b) -> a * b), 0D, (acc, x) -> acc + x))),
+               6) AS cos""",
+        )
+    )
+    return scored.orderBy("hamming", "vec_id").limit(20)
