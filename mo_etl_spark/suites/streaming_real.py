@@ -776,3 +776,77 @@ def stream_real_static_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(qname).select("c_nationkey", "n", "total_cents")
+
+
+def _feed_multi(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """The events feed split into ``n_files`` parquet files so
+    maxFilesPerTrigger=1 yields a genuine multi-batch backfill
+    (the single-file feed collapses to one batch).  Write-once per
+    sf, mtime-invalidated like _feed."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = os.path.join(_CACHE, tag, "stream_feed_multi")
+    success = os.path.join(path, "_SUCCESS")
+    src = os.path.join(sf_dir, "events.parquet")
+    stale = os.path.exists(success) and os.path.getmtime(success) < os.path.getmtime(src)
+    if stale or not os.path.exists(success):
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "ts", cents("value").alias("value_cents")
+        ).repartition(n_files).write.mode("overwrite").parquet(path)
+    return path
+
+
+@query(
+    "stream_real_update_mode_upsert",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(round(value*100) AS BIGINT)) AS total_cents
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("update_mode", "foreachBatch_etl", "cdc_merge", "stream_source",
+          "incremental_etl"),
+)
+def stream_real_update_mode_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode driving a foreachBatch UPSERT — the
+    running-aggregate serving pattern (a dashboard table that must
+    converge to the batch truth while each micro-batch rewrites only
+    the keys it touched): a 4-file feed consumed one file per trigger
+    keeps a streaming groupBy whose update-mode output per batch is
+    ONLY the changed keys; foreachBatch appends them stamped with
+    batch_id, and the merge-on-read picks each key's latest version
+    (max_by batch_id) — exactly the CDC-compaction read the engine
+    already proves batch-side.  The final state hash-matches the
+    whole-feed aggregate, proving batch-split invariance of the
+    upsert chain."""
+    prepare(spark)
+    feed = _feed_multi(spark, sf_dir)
+    ckpt = _scratch("upd_ckpt")
+    out = _scratch("upd_out")
+    agg = (
+        spark.readStream.schema(_FEED_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(feed)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value_cents").alias("total_cents"))
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out)
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    versions = spark.read.parquet(out)
+    return (
+        versions.groupBy("event_type")
+        .agg(F.max_by(F.struct("n", "total_cents"), "batch_id").alias("s"))
+        .select("event_type", F.col("s.n").alias("n"), F.col("s.total_cents").alias("total_cents"))
+    )

@@ -187,3 +187,40 @@ def test_tws_user_stats_requires_protobuf_or_runs(spark):
             for r in load_table(spark, "/root/testdata/sf0.001", "events")
             .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == want
+
+
+def test_update_mode_emits_multiple_batches(spark, sf_dir):
+    """The 4-file feed under maxFilesPerTrigger=1 must produce a
+    GENUINE multi-batch run: some key is versioned across >= 2
+    batch_ids, per-key n is non-decreasing in batch order, and the
+    latest version equals the whole-feed truth."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from mo_etl_spark.suites.streaming_real import (
+        _feed_multi,
+        stream_real_update_mode_upsert,
+    )
+
+    final = {
+        r["event_type"]: r["n"]
+        for r in stream_real_update_mode_upsert(spark, sf_dir).collect()
+    }
+    out_dirs = glob.glob("/root/repo/.cache/stream_scratch/upd_out-*")
+    versions = spark.read.parquet(out_dirs[0])
+    per_key = (
+        versions.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_versions"), F.max("batch_id").alias("mx"))
+        .collect()
+    )
+    assert max(r["n_versions"] for r in per_key) >= 2
+    hist = sorted(
+        ((r["event_type"], r["batch_id"], r["n"]) for r in versions.collect()),
+    )
+    last: dict[str, int] = {}
+    for k, _, n in hist:
+        assert n >= last.get(k, 0)
+        last[k] = n
+    assert last == final
+    assert len(glob.glob(_feed_multi(spark, sf_dir) + "/*.parquet")) == 4
