@@ -452,3 +452,49 @@ def sql_tvf_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN actual ON actual.m = months.m AND actual.prio = prios.prio
         """
     )
+
+
+_HIER_ROLLUP_SQL = """
+    WITH RECURSIVE anc AS (
+      SELECT n_nationkey AS node, n_nationkey AS anc
+      FROM nation
+      UNION ALL
+      SELECT a.node, CAST(floor((a.anc - 1) / 2.0) AS INT) AS anc
+      FROM anc a WHERE a.anc > 0
+    ),
+    tot AS (
+      SELECT c.c_nationkey AS node,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS t,
+             count(*) AS n_orders
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_nationkey
+    )
+    SELECT anc.anc AS nationkey,
+           sum(tot.t) AS subtree_cents,
+           sum(tot.n_orders) AS subtree_orders,
+           count(*) AS n_contributing_nodes
+    FROM anc JOIN tot ON tot.node = anc.node
+    GROUP BY anc.anc
+"""
+
+
+@query(
+    "sql_hierarchy_rollup",
+    oracle=_HIER_ROLLUP_SQL,
+    tags=("hierarchy", "recursive_cte", "rollup", "sql_surface", "groupby"),
+)
+def sql_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup UP a parent-child hierarchy — the org-chart /
+    category-tree aggregation GROUP BY ROLLUP cannot express (ROLLUP
+    needs the levels as columns; here the tree is edges): a recursive
+    CTE materializes the ancestor closure (every node paired with each
+    of its ancestors, itself included), and one join+groupBy charges
+    every nation's order revenue to its whole ancestor chain in the
+    implicit binary tree.  Closure size is nodes x depth (log-bounded
+    here), the standard flatten-then-aggregate trade for DAG rollups
+    at scale — each recursion step is one broadcast-size join."""
+    prepare(spark)
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_HIER_ROLLUP_SQL)

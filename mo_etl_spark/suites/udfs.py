@@ -317,3 +317,50 @@ def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority string, n long, max_cents long, first_key long",
         )
     )
+
+
+def _trailing_sum_cents_fn(v: pd.Series) -> int:
+    """UDAF body reused inside a WINDOW frame: Spark feeds the frame's
+    rows as one pandas Series per evaluation."""
+    return int(v.sum())
+
+
+@query(
+    "udf_grouped_agg_over_window",
+    oracle="""
+    SELECT event_id, user_id,
+           sum(CAST(round(value*100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS trailing3_cents
+    FROM events
+    """,
+    tags=("udaf", "window_agg", "moving", "udf_scalar"),
+)
+def udf_grouped_agg_over_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A pandas GROUPED_AGG UDF evaluated OVER A WINDOW FRAME — the
+    last cell of the UDF evaluation matrix (scalar / iter / grouped-map
+    / grouped-agg / mapInPandas / mapInArrow / UDTF are all covered
+    elsewhere): Spark re-evaluates the Arrow-batched aggregate per
+    row-frame (3-row trailing sum per user), which is how a CUSTOM
+    aggregate (a sketch update, a decayed sum) rides the window
+    machinery without a JVM UDAF.  Deterministic frame order via
+    (ts, event_id).  Built-in window sums beat this in codegen — the
+    query exists to prove the extension point, and the integer math
+    makes the oracle exact."""
+    prepare(spark)
+    from pyspark.sql import Window
+
+    trailing = pandas_udf(_trailing_sum_cents_fn, "long", functionType=None)
+    from mo_etl_spark.functions.numeric import cents
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", cents("value").alias("vc")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", trailing("vc").over(w).alias("trailing3_cents")
+    )
