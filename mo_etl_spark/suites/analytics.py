@@ -3191,3 +3191,56 @@ def analytics_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pid", F.lit("noise").alias("role"), F.lit(None).cast("bigint").alias("cluster")
     )
     return assigned.unionByName(noise)
+
+
+@query(
+    "etl_accumulating_snapshot",
+    oracle="""
+    WITH ms AS (
+        SELECT l_orderkey,
+               count(*) AS n_lines,
+               min(CAST(l_shipdate AS DATE)) AS first_ship,
+               max(CAST(l_shipdate AS DATE)) AS last_ship
+        FROM lineitem
+        GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey,
+           ms.n_lines,
+           CAST(o.o_orderdate AS DATE) AS order_d,
+           ms.first_ship,
+           ms.last_ship,
+           date_diff('day', CAST(o.o_orderdate AS DATE), ms.first_ship) AS ship_lag_days,
+           date_diff('day', ms.first_ship, ms.last_ship) AS fulfill_span_days
+    FROM orders o JOIN ms ON ms.l_orderkey = o.o_orderkey
+    """,
+    tags=("accumulating_snapshot", "incremental_etl", "join_inner", "groupby",
+          "time_domain"),
+)
+def etl_accumulating_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACCUMULATING-SNAPSHOT fact table (Kimball's third fact style,
+    next to the transaction grain and SCD dimensions the engine
+    already covers): one row per order carrying its milestone dates —
+    first and last line shipment (the testdata carries the ship
+    milestone; commit/receipt slot in identically) — and the lag measures between them,
+    re-derived from the line-level facts.  One map-side-combined
+    groupBy on lineitem collapses 4x rows to order grain BEFORE the
+    join (aggregate-then-join, not join-then-aggregate: the shuffle
+    moves order-grain rows, and both sides hash-partition on the same
+    key).  In production this table UPSERTs as milestones land
+    (the update-mode/CDC machinery elsewhere); here the full rebuild
+    is the oracle-checkable core."""
+    o, li = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    ms = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min(F.col("l_shipdate").cast("date")).alias("first_ship"),
+        F.max(F.col("l_shipdate").cast("date")).alias("last_ship"),
+    )
+    return o.join(ms, o.o_orderkey == ms.l_orderkey).select(
+        "o_orderkey",
+        "n_lines",
+        F.col("o_orderdate").cast("date").alias("order_d"),
+        "first_ship",
+        "last_ship",
+        F.datediff("first_ship", F.col("o_orderdate").cast("date")).alias("ship_lag_days"),
+        F.datediff("last_ship", "first_ship").alias("fulfill_span_days"),
+    )

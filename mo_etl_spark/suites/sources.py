@@ -756,3 +756,62 @@ def sink_parquet_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents("o_totalprice")).alias("total_cents"),
         )
     )
+
+
+@query(
+    "source_csv_corrupt_permissive",
+    oracle="""
+    SELECT 'main' AS route, count(*) AS n, count(*) AS n_valid_keys FROM nation
+    UNION ALL
+    SELECT 'quarantine' AS route, count(*) AS n, 0 AS n_valid_keys
+    FROM nation WHERE n_nationkey % 5 = 0
+    """,
+    tags=("scan_csv", "dead_letter", "quarantine", "data_qa", "udf_free_parse"),
+)
+def source_csv_corrupt_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV PERMISSIVE-mode corrupt-record capture — the reader-level
+    twin of the JSON dead-letter route (etl_dead_letter_routing): a
+    feed with a malformed line planted after every fifth nation (a
+    pipe-delimited row whose first token cannot cast to INT) is read
+    with an explicit schema plus columnNameOfCorruptRecord, so bad
+    rows surface as rows WITH THE RAW LINE PRESERVED instead of
+    failing the job (FAILFAST) or vanishing (DROPMALFORMED).  The
+    route split counts both streams; at scale the quarantine leg
+    writes to its own partition for replay after the producer fix —
+    no second pass over the good rows."""
+    prepare(spark)
+    root = _dir(sf_dir, "csv_corrupt")
+    marker = os.path.join(root, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(root, exist_ok=True)
+        rows = (
+            load_table(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name")
+            .orderBy("n_nationkey")
+            .collect()
+        )
+        with open(os.path.join(root, "feed.csv"), "w") as fh:
+            for r in rows:
+                fh.write(f"{r['n_nationkey']},{r['n_name']}\n")
+                if r["n_nationkey"] % 5 == 0:
+                    fh.write(f"BROKEN|{r['n_nationkey']}\n")
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    df = (
+        spark.read.schema("k INT, name STRING, _corrupt STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(os.path.join(root, "feed.csv"))
+    )
+    # the aggregate references the parsed k column too — Spark forbids
+    # plans touching ONLY the corrupt column (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    return (
+        df.select(
+            F.when(F.col("_corrupt").isNotNull(), "quarantine")
+            .otherwise("main")
+            .alias("route"),
+            "k",
+        )
+        .groupBy("route")
+        .agg(F.count(F.lit(1)).alias("n"), F.count("k").alias("n_valid_keys"))
+    )
