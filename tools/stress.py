@@ -338,6 +338,30 @@ def main() -> None:
     t["jaccard_prefix_candidate_reduction"] = round(float(full_cand) / max(float(pre_cand), 1.0), 1)
     assert pre_cand < full_cand / 5  # the pruning must be material
 
+    # Grid spatial radius join at scale: 10M points x 1000 centers on
+    # a 1e6 x 1e6 plane, r = g = 12500 (cell side == radius).  Claim:
+    # candidates are local-density-bounded (9 cells x centers-per-cell
+    # per point), never points x centers; the 9x-replicated center
+    # side broadcasts.
+    from mo_etl_spark.operators.spatial import grid_radius_join
+
+    n_pts = 10_000_000
+    sp_pts = spark.range(n_pts).select(
+        F.col("id").alias("pid"),
+        F.pmod(F.xxhash64("id"), F.lit(1_000_003)).alias("x"),
+        F.pmod(F.xxhash64(F.col("id") + 3), F.lit(1_000_003)).alias("y"),
+    )
+    sp_ctr = spark.range(1000).select(
+        F.col("id").alias("cid"),
+        F.pmod(F.xxhash64(F.col("id") + 11), F.lit(1_000_003)).alias("cx"),
+        F.pmod(F.xxhash64(F.col("id") + 17), F.lit(1_000_003)).alias("cy"),
+    )
+    t0 = time.time()
+    n_sp = grid_radius_join(sp_pts, sp_ctr, g=12_500, r=12_500).count()
+    t["spatial_grid_10m_pts"] = round(time.time() - t0, 2)
+    # expected pairs ~= n_pts * n_ctr * pi*r^2 / area ~= 4.9M
+    assert 2_000_000 < n_sp < 10_000_000, n_sp
+
     print(json.dumps({"rows": args.rows, "vecs": args.vecs, "timings": t, "n_prefix_pairs": n_jpairs}))
 
 
