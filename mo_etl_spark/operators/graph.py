@@ -241,3 +241,39 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
         )
         labels = best.localCheckpoint(eager=False)
     return labels.select("node", F.col("label").alias("community"))
+
+
+def sssp_hops(
+    edges: DataFrame, sources: DataFrame, max_iters: int = 4
+) -> DataFrame:
+    """Hop-bounded single/multi-source SHORTEST PATH with integer edge
+    weights — Bellman-Ford's relax round as a join+min aggregate (the
+    Pregel formulation).  ``edges`` is DIRECTED (src, dst, w);
+    ``sources`` a one-column (node) frame (multi-source = min over
+    sources, the facility-distance shape).  Returns (node, dist) =
+    minimum path weight reachable within ``max_iters`` hops.
+
+    Per round: frontier⋈edges (shuffle on src) -> candidate dists ->
+    union with current -> groupBy min (map-side combined).  Unlike BFS,
+    a node can IMPROVE after first discovery (a longer-hop lighter
+    path), so no visited-set pruning — the round count bounds path
+    length, and integer weights make every dist cross-engine exact.
+    Dist table localCheckpointed per round (the pagerank lineage
+    lesson).
+    """
+    e = edges.select("src", "dst", "w").localCheckpoint(eager=False)
+    dist = sources.select(F.col("node"), F.lit(0).cast("long").alias("dist")).localCheckpoint(
+        eager=False
+    )
+    for _ in range(max_iters):
+        relaxed = (
+            dist.join(e, dist.node == e.src)
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

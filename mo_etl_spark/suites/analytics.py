@@ -3244,3 +3244,136 @@ def etl_accumulating_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff("first_ship", F.col("o_orderdate").cast("date")).alias("ship_lag_days"),
         F.datediff("last_ship", "first_ship").alias("fulfill_span_days"),
     )
+
+
+@query(
+    "graph_sssp_weighted",
+    oracle="""
+    WITH RECURSIVE
+    canon AS (
+        SELECT s1.s_suppkey AS a, s2.s_suppkey AS b,
+               CAST(round(abs(s1.s_acctbal - s2.s_acctbal) * 100) AS BIGINT) AS w
+        FROM supplier s1
+        JOIN supplier s2
+          ON s1.s_nationkey = s2.s_nationkey
+         AND s1.s_suppkey < s2.s_suppkey
+         AND abs(s1.s_acctbal - s2.s_acctbal) <= 2000
+    ),
+    edges AS (
+        SELECT a AS src, b AS dst, w FROM canon
+        UNION ALL
+        SELECT b AS src, a AS dst, w FROM canon
+    ),
+    sources AS (SELECT min(s_suppkey) AS node FROM supplier GROUP BY s_nationkey),
+    walk AS (
+        SELECT node, CAST(0 AS BIGINT) AS d, 0 AS hops FROM sources
+        UNION
+        SELECT e.dst AS node, w.d + e.w AS d, w.hops + 1 AS hops
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.hops < 4
+    )
+    SELECT node, min(d) AS dist FROM walk GROUP BY node
+    """,
+    tags=("graph", "shortest_path", "bellman_ford", "iterative", "groupby"),
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED shortest paths (hop-bounded Bellman-Ford,
+    operators/graph.sssp_hops) over the supplier similarity graph with
+    integer-cent edge weights (|balance difference|): unlike BFS a
+    node's distance can improve after discovery via a lighter
+    longer-hop path, so each of the 4 relax rounds is a join + min
+    re-aggregation over the union of current and candidate distances.
+    Multi-source (each nation's min-key supplier), so the result is
+    the facility-distance table.  The oracle enumerates <=4-hop path
+    weights with a recursive CTE and takes the same min."""
+    from mo_etl_spark.operators.graph import sssp_hops
+
+    s = _t(spark, sf_dir, "supplier")
+    s1 = s.select(
+        F.col("s_suppkey").alias("a"), F.col("s_nationkey").alias("n"),
+        F.col("s_acctbal").alias("bal_a"),
+    )
+    s2 = s.select(
+        F.col("s_suppkey").alias("b"), F.col("s_nationkey").alias("n"),
+        F.col("s_acctbal").alias("bal_b"),
+    )
+    canon = (
+        s1.join(s2, "n")
+        .where((F.col("a") < F.col("b")) & (F.abs(F.col("bal_a") - F.col("bal_b")) <= 2000))
+        .select(
+            "a", "b",
+            F.round(F.abs(F.col("bal_a") - F.col("bal_b")) * 100).cast("bigint").alias("w"),
+        )
+    )
+    edges = canon.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w").unionByName(
+        canon.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+    sources = s.groupBy("s_nationkey").agg(F.min("s_suppkey").alias("node")).select("node")
+    return sssp_hops(edges, sources, max_iters=4)
+
+
+@query(
+    "ts_seasonal_naive_backtest",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+               sum(CAST(round(value*100) AS BIGINT)) AS actual_cents
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT a.event_type,
+           epoch_ms(CAST(a.d AS TIMESTAMP)) AS day_ms,
+           a.actual_cents,
+           f.actual_cents AS forecast_cents,
+           round(CAST(abs(a.actual_cents - f.actual_cents) AS DOUBLE)
+                 / a.actual_cents, 6) AS ape
+    FROM daily a
+    JOIN daily f ON f.event_type = a.event_type AND f.d = a.d - INTERVAL 7 DAY
+    WHERE a.actual_cents > 0
+    """,
+    tags=("forecast", "backtest", "seasonality", "time_domain", "join_inner"),
+)
+def ts_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive FORECAST BACKTEST — the baseline every demand
+    model must beat (forecast(d) = actual(d-7), the weekly-seasonal
+    no-model model) scored per (type, day) with absolute percentage
+    error.  The lag is a self-JOIN on date arithmetic rather than
+    lag(7) over a window: calendar gaps then yield no (wrong) score
+    instead of silently comparing to the 7th prior OBSERVATION.  APE
+    stays a single rounded division of exact integers per row — no
+    cross-row float sum, so the backtest table is hash-stable (a MAPE
+    rollup is one trivial aggregation downstream)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("d"),
+            cents("value").alias("vc"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("vc").alias("actual_cents"))
+    )
+    f = daily.select(
+        F.col("event_type").alias("f_type"),
+        F.col("d").alias("f_d"),
+        F.col("actual_cents").alias("forecast_cents"),
+    )
+    return (
+        daily.join(
+            f,
+            (F.col("f_type") == F.col("event_type"))
+            & (F.col("f_d") == F.date_sub(F.col("d"), 7)),
+        )
+        .where(F.col("actual_cents") > 0)
+        .select(
+            "event_type",
+            (F.unix_micros(F.col("d").cast("timestamp")) / 1000).cast("long").alias("day_ms"),
+            "actual_cents",
+            "forecast_cents",
+            F.round(
+                F.abs(F.col("actual_cents") - F.col("forecast_cents")).cast("double")
+                / F.col("actual_cents"),
+                6,
+            ).alias("ape"),
+        )
+    )

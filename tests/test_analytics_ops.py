@@ -626,3 +626,17 @@ def test_dbscan_composition_roles(spark):
         .groupBy("pid").agg(F.count(F.lit(1)).alias("nc"))
     )
     assert {r["pid"] for r in border.collect()} == {6}
+
+
+def test_sssp_improves_over_lighter_longer_path(spark):
+    """A 2-hop path of weight 3 must beat the direct edge of weight
+    10 — the case visited-set BFS pruning would get wrong."""
+    from mo_etl_spark.operators.graph import sssp_hops
+
+    edges = spark.createDataFrame(
+        [(0, 2, 10), (0, 1, 1), (1, 2, 2), (2, 3, 1)],
+        "src int, dst int, w long",
+    )
+    sources = spark.createDataFrame([(0,)], "node int")
+    got = {r["node"]: r["dist"] for r in sssp_hops(edges, sources, max_iters=4).collect()}
+    assert got == {0: 0, 1: 1, 2: 3, 3: 4}
