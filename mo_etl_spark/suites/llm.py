@@ -2564,3 +2564,109 @@ def llm_embed_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy("hamming", "vec_id").limit(20)
+
+
+def _mmr_oracle_sql(k: int = 5, lam: float = 0.7, pool: int = 50) -> str:
+    """Unrolled MMR oracle: k argmax rounds as chained CTEs.  Relevance
+    and pairwise similarity are cosines (identical float programs both
+    engines); each round's score = lam*rel - (1-lam)*max_sim_to_selected,
+    argmax ties to the smaller id.  max over <=k floats is
+    order-insensitive, so no float-sum ambiguity exists."""
+    cos = (
+        "list_sum(list_transform(range(1, 65), i -> {a}.v[i] * {b}.v[i]))"
+        " / (sqrt(list_sum(list_transform(range(1, 65), i -> {a}.v[i] * {a}.v[i])))"
+        " * sqrt(list_sum(list_transform(range(1, 65), i -> {b}.v[i] * {b}.v[i]))))"
+    )
+    ctes = [
+        f"""vecs AS (
+        SELECT vec_id AS id,
+               list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    q AS (SELECT v FROM vecs WHERE id = 0),
+    pool AS (
+        SELECT c.id, {cos.format(a='c', b='q')} AS rel
+        FROM vecs c, q
+        WHERE c.id > 0
+        ORDER BY rel DESC, c.id
+        LIMIT {pool}
+    ),
+    sel0 AS (SELECT id, rel, 1 AS rank FROM pool ORDER BY rel DESC, id LIMIT 1)"""
+    ]
+    prev_sel = "sel0"
+    for r in range(1, k):
+        union_sel = " UNION ALL ".join(f"SELECT id, rel, rank FROM sel{i}" for i in range(r))
+        ctes.append(
+            f"""scored{r} AS (
+        SELECT p.id, p.rel,
+               max({cos.format(a='cv', b='sv')}) AS max_sim
+        FROM pool p
+        JOIN vecs cv ON cv.id = p.id
+        JOIN ({union_sel}) s ON true
+        JOIN vecs sv ON sv.id = s.id
+        WHERE p.id NOT IN (SELECT id FROM ({union_sel}))
+        GROUP BY p.id, p.rel
+    ),
+    sel{r} AS (
+        SELECT id, rel, {r + 1} AS rank
+        FROM scored{r}
+        ORDER BY {lam!r} * rel - {1 - lam!r} * max_sim DESC, id
+        LIMIT 1
+    )"""
+        )
+        prev_sel = f"sel{r}"
+    final = " UNION ALL ".join(f"SELECT id, round(rel, 6) AS rel, rank FROM sel{i}" for i in range(k))
+    return "WITH " + ",\n    ".join(ctes) + f"\n    {final}"
+
+
+@query(
+    "llm_mmr_diversify",
+    oracle=_mmr_oracle_sql(),
+    tags=("retrieval", "mmr", "diversification", "sim_topk", "iterative"),
+)
+def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    SIGIR'98): greedily pick 5 results from the query's cosine top-50
+    pool, each round's score = 0.7*relevance - 0.3*max-similarity to
+    the already-selected — the diversity stage retrieval pipelines run
+    after the ANN top-k.  The greedy loop is inherently sequential,
+    but each round is tiny: score the <=50-row pool against the <=5
+    selected (a broadcast nested product), argmax with ties to the
+    smaller id.  max over <=5 floats is order-insensitive, so the
+    float program is cross-engine deterministic and the unrolled
+    chained-CTE oracle hash-matches the full selection trajectory."""
+    emb = _emb(spark, sf_dir)
+    v = S.as_double(F.col("embedding"))
+    vecs = emb.select(F.col("vec_id").alias("id"), v.alias("v"))
+    q0 = vecs.where(F.col("id") == 0).select(F.col("v").alias("qv"))
+    pool = (
+        vecs.where(F.col("id") > 0)
+        .crossJoin(F.broadcast(q0))
+        .select("id", "v", S.cosine(F.col("v"), F.col("qv")).alias("rel"))
+        .orderBy(F.col("rel").desc(), "id")
+        .limit(50)
+        .localCheckpoint(eager=False)
+    )
+    lam = 0.7
+    first = pool.orderBy(F.col("rel").desc(), "id").limit(1)
+    selected = first.select("id", "rel", F.lit(1).alias("rank")).localCheckpoint(eager=False)
+    for r in range(1, 5):
+        sel_vecs = selected.select(F.col("id").alias("sid")).join(
+            vecs.select(F.col("id").alias("sid"), F.col("v").alias("sv")), "sid"
+        )
+        scored = (
+            pool.join(selected.select(F.col("id").alias("xid")), pool.id == F.col("xid"), "left_anti")
+            .crossJoin(F.broadcast(sel_vecs))
+            .select("id", "rel", S.cosine(F.col("v"), F.col("sv")).alias("sim"))
+            .groupBy("id", "rel")
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        pick = (
+            scored.orderBy(
+                (F.lit(lam) * F.col("rel") - F.lit(1 - lam) * F.col("max_sim")).desc(), "id"
+            )
+            .limit(1)
+            .select("id", "rel", F.lit(r + 1).alias("rank"))
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=False)
+    return selected.select("id", F.round("rel", 6).alias("rel"), "rank")

@@ -513,3 +513,33 @@ def test_jl_projection_preserves_norms_on_average(spark, sf_dir):
     mean = sum(ratios) / len(ratios)
     assert 0.9 < mean < 1.1, mean
     assert all(0.2 < x < 3.0 for x in ratios)
+
+
+def test_mmr_selection_is_more_diverse_than_topk(spark, sf_dir):
+    """The MMR 5-set's mean pairwise cosine must not exceed the plain
+    cosine-top-5's (that's the entire point of the re-rank), and rank
+    1 must be the raw argmax."""
+    from itertools import combinations
+
+    import math
+
+    from mo_etl_spark.suites.llm import _emb, llm_mmr_diversify
+    from pyspark.sql import functions as F
+
+    sel = {r["rank"]: r["id"] for r in llm_mmr_diversify(spark, sf_dir).collect()}
+    emb = {r["vec_id"]: r["embedding"] for r in _emb(spark, sf_dir).collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    q = emb[0]
+    rels = sorted(
+        ((cos(emb[i], q), -i) for i in emb if i > 0), reverse=True
+    )
+    top5 = [-i for _, i in rels[:5]]
+    assert sel[1] == top5[0]
+    mean = lambda ids: sum(  # noqa: E731
+        cos(emb[a], emb[b]) for a, b in combinations(ids, 2)
+    ) / 10
+    assert mean(list(sel.values())) <= mean(top5) + 1e-9
