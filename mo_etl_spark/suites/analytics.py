@@ -3377,3 +3377,64 @@ def ts_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ape"),
         )
     )
+
+
+@query(
+    "ts_time_weighted_average",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               CAST(round(value*100) AS BIGINT) AS vc,
+               epoch_ms(ts) AS t_ms,
+               lead(epoch_ms(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_ms
+        FROM events
+    )
+    SELECT user_id,
+           sum(vc * (next_ms - t_ms)) AS weighted_sum,
+           sum(next_ms - t_ms) AS total_ms,
+           round(CAST(sum(vc * (next_ms - t_ms)) AS DOUBLE)
+                 / sum(next_ms - t_ms), 6) AS twap_cents
+    FROM seq
+    WHERE next_ms IS NOT NULL
+    GROUP BY user_id
+    """,
+    tags=("twap", "time_weighted", "window_lead_lag", "groupby", "time_domain"),
+)
+def ts_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED average (TWAP / duration-weighted mean): each
+    observation holds until the next one, so its weight is the holding
+    interval — the correct average for irregularly sampled state
+    (prices, gauge metrics, feature freshness), where the plain mean
+    over-weights bursts.  One window (lead) + one groupBy, all
+    integer: weighted_sum is Σ cents×ms in BIGINT (exact), and the
+    final division is the only float, rounded once — the same
+    integral-of-step-function discipline as resample+ffill but
+    without materializing the dense grid."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ems = (F.unix_micros(F.col("ts")) / 1000).cast("long")
+    seq = ev.select(
+        "user_id",
+        cents("value").alias("vc"),
+        ems.alias("t_ms"),
+        F.lead(ems).over(w).alias("next_ms"),
+    )
+    return (
+        seq.where(F.col("next_ms").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("vc") * (F.col("next_ms") - F.col("t_ms"))).alias("weighted_sum"),
+            F.sum(F.col("next_ms") - F.col("t_ms")).alias("total_ms"),
+        )
+        .select(
+            "user_id",
+            "weighted_sum",
+            "total_ms",
+            F.round(F.col("weighted_sum").cast("double") / F.col("total_ms"), 6).alias(
+                "twap_cents"
+            ),
+        )
+    )

@@ -2670,3 +2670,66 @@ def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         selected = selected.unionByName(pick).localCheckpoint(eager=False)
     return selected.select("id", F.round("rel", 6).alias("rel"), "rank")
+
+
+@query(
+    "llm_containment_pairs",
+    oracle=f"""
+    WITH corpus AS ({_SQL_NEAR_DUPS}),
+    toks AS (
+        SELECT doc_id AS id, unnest(list_distinct(string_split(
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS tok
+        FROM corpus
+    ),
+    sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_small, b.id AS id_big, count(*) AS inter
+        FROM toks a JOIN toks b USING (tok)
+        WHERE a.id <> b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_small, id_big, inter, ss.sz AS sz_small,
+           round(CAST(inter AS DOUBLE) / ss.sz, 6) AS containment
+    FROM inter
+    JOIN sizes ss ON ss.id = id_small
+    JOIN sizes sb ON sb.id = id_big
+    WHERE CAST(inter AS DOUBLE) / ss.sz >= 0.95
+      AND ss.sz < sb.sz
+    """,
+    tags=("containment", "dedup_ngram_jaccard", "contamination", "retrieval"),
+)
+def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment detection (Broder '97's other resemblance
+    measure): |A∩B| / |A| >= 0.95 with |A| < |B| — the quote /
+    truncation / excerpt detector that symmetric Jaccard MISSES (a
+    100-token doc fully inside a 10000-token doc has Jaccard ~0.01 but
+    containment 1.0; exactly how the planted 80%-truncations relate to
+    their sources here).  Same inverted-index plan as the Jaccard
+    join, but normalized by the SMALLER side only, and the pair
+    orientation (small ⊂ big) is part of the result."""
+    corpus = _with_near_dups(_docs(spark, sf_dir))
+    toks = corpus.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(D.tokens(F.col("text")))).alias("tok"),
+    )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = toks.select(F.col("id").alias("id_small"), "tok")
+    b = toks.select(F.col("id").alias("id_big"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("id_small") != F.col("id_big"))
+        .groupBy("id_small", "id_big")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ss = sizes.select(F.col("id").alias("id_small"), F.col("sz").alias("sz_small"))
+    sb = sizes.select(F.col("id").alias("id_big"), F.col("sz").alias("sz_big"))
+    return (
+        inter.join(ss, "id_small")
+        .join(sb, "id_big")
+        .withColumn("containment", F.col("inter").cast("double") / F.col("sz_small"))
+        .where((F.col("containment") >= 0.95) & (F.col("sz_small") < F.col("sz_big")))
+        .select(
+            "id_small", "id_big", "inter", "sz_small",
+            F.round("containment", 6).alias("containment"),
+        )
+    )
