@@ -3438,3 +3438,67 @@ def ts_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "events_multitouch_attribution",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, event_id AS purchase_id, epoch_ms(ts) AS p_ms
+        FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT user_id, event_id AS click_id, epoch_ms(ts) AS c_ms
+        FROM events WHERE event_type = 'click'
+    ),
+    touches AS (
+        SELECT p.purchase_id, p.user_id, c.click_id, c.c_ms
+        FROM purchases p
+        JOIN clicks c
+          ON c.user_id = p.user_id
+         AND c.c_ms >= p.p_ms - 3600000
+         AND c.c_ms < p.p_ms
+    )
+    SELECT purchase_id, user_id,
+           count(*) AS n_touches,
+           min_by(click_id, printf('%020d%020d', c_ms, click_id)) AS first_touch_id,
+           max_by(click_id, printf('%020d%020d', c_ms, click_id)) AS last_touch_id,
+           round(1.0 / count(*), 6) AS linear_credit
+    FROM touches
+    GROUP BY purchase_id, user_id
+    """,
+    tags=("attribution", "funnel", "join_range", "groupby", "argmin"),
+)
+def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TOUCH attribution — the marketing-analytics credit model
+    beyond single-touch as-of: every click in the hour before a
+    purchase is a touch; the purchase reports its touch count,
+    first- and last-touch click (the two single-touch models, via
+    order-insensitive min_by/max_by on a zero-padded (time, id)
+    string key — determinism without a window sort), and the per-touch linear credit 1/n (a
+    ratio of exact integers, rounded once).  The touch join is the
+    engine's bucketed range join shape: equi on user_id, band
+    predicate on time — at 100 TB the time-bucket refinement from
+    operators/joins keeps it off the nested-loop path."""
+    ev = _t(spark, sf_dir, "events")
+    ems = (F.unix_micros(F.col("ts")) / 1000).cast("long")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), ems.alias("p_ms")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        ems.alias("c_ms"),
+    )
+    touches = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ms") >= F.col("p_ms") - 3600000)
+        & (F.col("c_ms") < F.col("p_ms")),
+    )
+    key = F.format_string("%020d%020d", F.col("c_ms"), F.col("click_id"))
+    return touches.groupBy("purchase_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.min_by("click_id", key).alias("first_touch_id"),
+        F.max_by("click_id", key).alias("last_touch_id"),
+        F.round(F.lit(1.0) / F.count(F.lit(1)), 6).alias("linear_credit"),
+    )

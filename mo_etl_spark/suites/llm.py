@@ -2733,3 +2733,57 @@ def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("containment", 6).alias("containment"),
         )
     )
+
+
+@query(
+    "llm_unicode_nfc_normalize",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN replace(text, 'e', 'e' || chr(769))
+                    ELSE text END AS raw
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           length(raw) AS n_raw_chars,
+           length(nfc_normalize(raw)) AS n_nfc_chars,
+           md5(nfc_normalize(raw)) AS nfc_hash,
+           (length(raw) <> length(nfc_normalize(raw))) AS changed
+    FROM corpus
+    """,
+    tags=("unicode_normalize", "text_analysis", "udf_scalar", "dedup_exact"),
+)
+def llm_unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC NORMALIZATION — the canonicalization step exact
+    dedup silently needs (é as one codepoint vs e+COMBINING ACUTE are
+    different bytes, equal text; a hash dedup without NFC misses
+    them).  A third of the docs get decomposed-form accents injected;
+    the Arrow-batched pandas UDF folds them back with Python's
+    unicodedata (both engines implement the same Unicode standard, so
+    the post-NFC md5 hash-matches DuckDB's native nfc_normalize).
+    Spark has no JVM-side NFC builtin, making this the legitimate
+    pandas-UDF case (SURVEY §4.2): per-batch Arrow transfer, no
+    per-row Python."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc_fn(s):
+        import unicodedata
+
+        return s.map(lambda x: unicodedata.normalize("NFC", x) if x is not None else None)
+
+    nfc = pandas_udf(_nfc_fn, "string")
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    raw = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.replace(F.col("text"), F.lit("e"), F.concat(F.lit("e"), F.lit("́"))),
+    ).otherwise(F.col("text"))
+    base = docs.select("doc_id", raw.alias("raw")).withColumn("nfc", nfc("raw"))
+    return base.select(
+        "doc_id",
+        F.length("raw").alias("n_raw_chars"),
+        F.length("nfc").alias("n_nfc_chars"),
+        F.md5("nfc").alias("nfc_hash"),
+        (F.length("raw") != F.length("nfc")).alias("changed"),
+    )
