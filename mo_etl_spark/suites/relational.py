@@ -1004,3 +1004,50 @@ def qa_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group_size",
         (F.col("group_size") < 5).alias("reidentification_risk"),
     )
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+    WITH l AS (
+        SELECT event_id,
+               CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id % 7 END AS grp
+        FROM events
+    ),
+    r AS (
+        SELECT g AS grp, concat('seg_', coalesce(CAST(g AS VARCHAR), 'null')) AS label
+        FROM (SELECT DISTINCT CASE WHEN user_id % 10 = 0 THEN NULL
+                                   ELSE user_id % 7 END AS g FROM events)
+    )
+    SELECT r.label, count(*) AS n
+    FROM l JOIN r ON l.grp IS NOT DISTINCT FROM r.grp
+    GROUP BY r.label
+    """,
+    tags=("join_null_safe", "join_inner", "null", "groupby"),
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE equi join (<=> / IS NOT DISTINCT FROM): rows whose
+    join key is NULL still match the NULL dimension row — the jx
+    semantics for missing values in a groupby-join (u, mo-dots: Null
+    is a VALUE, not contagion), and the SQL footgun where a plain `=`
+    silently drops a tenth of the fact table.  Catalyst plans <=> as
+    a hash join on a null-safe key (EqualNullSafe), NOT a nested
+    loop — same shuffle shape as the plain join."""
+    ev = _t(spark, sf_dir, "events")
+    grp = F.when(F.col("user_id") % 10 == 0, None).otherwise(F.col("user_id") % 7)
+    left = ev.select("event_id", grp.alias("grp"))
+    right = (
+        ev.select(grp.alias("grp"))
+        .distinct()
+        .select(
+            "grp",
+            F.concat(
+                F.lit("seg_"), F.coalesce(F.col("grp").cast("string"), F.lit("null"))
+            ).alias("label"),
+        )
+    )
+    return (
+        left.join(right, left.grp.eqNullSafe(right.grp))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -472,3 +472,38 @@ def test_top_k_per_group_uses_window_group_limit(spark, sf001):
     df = all_queries()["top_k_per_group_orders"].fn(spark, sf001)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_nested_schema_pruning_reaches_scan(spark, sf001, tmp_path):
+    """Selecting one subfield of an array<struct> column must prune the
+    parquet ReadSchema to that leaf — Dremel columnar means the other
+    struct members are never read (the jx-sqlite snowflake promise at
+    scan level)."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf001}/lineitem.parquet").limit(2000)
+    nested = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.collect_list(
+                F.struct("l_partkey", "l_quantity", "l_extendedprice", "l_shipdate")
+            ).alias("items")
+        )
+    )
+    path = str(tmp_path / "nested")
+    nested.write.mode("overwrite").parquet(path)
+    df = (
+        spark.read.parquet(path)
+        .select(F.explode("items").alias("it"))
+        .select(F.col("it.l_quantity").alias("q"))
+        .groupBy()
+        .sum("q")
+    )
+    plan = plan_of(df)
+    scan_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_schema, plan
+    line = scan_schema[0]
+    assert "l_quantity" in line
+    assert "l_extendedprice" not in line and "l_shipdate" not in line, line
+    assert df.collect()[0][0] is not None
+
