@@ -3502,3 +3502,82 @@ def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max_by("click_id", key).alias("last_touch_id"),
         F.round(F.lit(1.0) / F.count(F.lit(1)), 6).alias("linear_credit"),
     )
+
+
+@query(
+    "stats_poisson_bootstrap_ci",
+    oracle="""
+    WITH reps AS (SELECT g AS b FROM generate_series(0, 31) s(g)),
+    weighted AS (
+        SELECT r.b,
+               CASE WHEN strpos('0123456789abcdef',
+                       substring(md5(concat(CAST(o_orderkey AS VARCHAR), ':', CAST(r.b AS VARCHAR))), 1, 1)) - 1 < 6
+                    THEN 0
+                    WHEN strpos('0123456789abcdef',
+                       substring(md5(concat(CAST(o_orderkey AS VARCHAR), ':', CAST(r.b AS VARCHAR))), 1, 1)) - 1 < 12
+                    THEN 1 ELSE 2 END AS w,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+        FROM orders, reps r
+    ),
+    means AS (
+        SELECT b,
+               CAST(sum(w * pc) AS DOUBLE) / sum(w) AS m
+        FROM weighted GROUP BY b
+    )
+    SELECT round(quantile_cont(m, 0.5), 4) AS est_cents,
+           round(quantile_cont(m, 0.025), 4) AS ci_lo_cents,
+           round(quantile_cont(m, 0.975), 4) AS ci_hi_cents,
+           count(*) AS n_replicates
+    FROM means
+    """,
+    tags=("bootstrap", "confidence_interval", "stats", "experiment", "sampling"),
+)
+def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP confidence interval — the resampling scheme
+    that works on distributed data (classic bootstrap needs
+    with-replacement draws of exactly n rows; the Poisson relaxation
+    gives each row an independent weight per replicate, so one scan
+    fans out all 32 replicates and no replicate needs global
+    coordination — Chamandy et al., 'Estimating Uncertainty for
+    Massive Data Streams', Google '12).  Weights come from an md5
+    hash (the engines' shared deterministic-randomness family) with
+    P(0)=6/16, P(1)=6/16, P(2)=4/16 — mean 0.875, a Poisson(1)-ish
+    surrogate that stays cross-engine exact.  Each replicate mean is
+    one float division of exact integer sums; the CI is the
+    percentile spread of 32 such means.  Cost: one Expand (x32) + one
+    map-side-combined groupBy — no shuffle of the base table per
+    replicate."""
+    o = _t(spark, sf_dir, "orders")
+    b = F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
+    base = o.select(cents("o_totalprice").alias("pc"), F.col("o_orderkey")).select(
+        "pc", "o_orderkey", b
+    )
+    nib = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"), F.lit(":"), F.col("b").cast("string")
+                    )
+                ),
+                1,
+                1,
+            ),
+        )
+        - 1
+    )
+    weighted = base.select(
+        "b",
+        "pc",
+        F.when(nib < 6, 0).when(nib < 12, 1).otherwise(2).alias("w"),
+    )
+    means = weighted.groupBy("b").agg(
+        (F.sum(F.col("w") * F.col("pc")).cast("double") / F.sum("w")).alias("m")
+    )
+    return means.agg(
+        F.round(F.expr("percentile(m, 0.5)"), 4).alias("est_cents"),
+        F.round(F.expr("percentile(m, 0.025)"), 4).alias("ci_lo_cents"),
+        F.round(F.expr("percentile(m, 0.975)"), 4).alias("ci_hi_cents"),
+        F.count(F.lit(1)).alias("n_replicates"),
+    )
