@@ -488,7 +488,8 @@ def connected_components(
         .localCheckpoint()
     )
     labels = edges.select(F.col("s").alias("id")).distinct().withColumn("comp", F.col("id"))
-    prev_sum = None
+    _UNSET = object()
+    prev_sum = _UNSET
     for _ in range(max_iter):
         nbr = (
             edges.join(labels.withColumnRenamed("id", "s"), "s")
@@ -505,7 +506,11 @@ def connected_components(
             .localCheckpoint()
         )
         cur_sum = labels.agg(F.sum("comp")).first()[0]
-        if prev_sum is not None and cur_sum == prev_sum:
+        # sentinel (not None): an EMPTY edge set sums to None every
+        # round, which must still count as converged — with a None
+        # initial value the old guard never fired and empty inputs
+        # paid all max_iter eager-checkpoint rounds
+        if prev_sum is not _UNSET and cur_sum == prev_sum:
             break
         prev_sum = cur_sum
     # component sizes: AQE picks broadcast when the component table is

@@ -3152,14 +3152,21 @@ def analytics_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctr = pts.select(
         F.col("pid").alias("cid"), F.col("x").alias("cx"), F.col("y").alias("cy")
     )
-    pairs = grid_radius_join(pts, ctr, g=eps, r=eps, broadcast_centers=False).select(
-        "pid", "cid"
+    # pairs and core feed FOUR downstream legs (core count, cluster
+    # edges, border adoption, noise anti-join): localCheckpoint
+    # materializes each once instead of re-running the grid join per
+    # leg (32 exchanges -> single-digit, measured by tools/audit_plans)
+    pairs = (
+        grid_radius_join(pts, ctr, g=eps, r=eps, broadcast_centers=False)
+        .select("pid", "cid")
+        .localCheckpoint()
     )
     core = (
         pairs.groupBy("pid")
         .agg(F.count(F.lit(1)).alias("n_nb"))
         .where(F.col("n_nb") >= min_pts)
         .select("pid")
+        .localCheckpoint()
     )
     core_b = F.broadcast(core)  # dimension-scale at sf; plain join at 100 TB
     cedges = (
@@ -3169,11 +3176,15 @@ def analytics_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("pid") < F.col("cid"))
         .select(F.col("pid").alias("id_a"), F.col("cid").alias("id_b"))
     )
-    comp = connected_components(cedges).select("id", F.col("component").alias("cluster"))
+    comp = (
+        connected_components(cedges)
+        .select("id", F.col("component").alias("cluster"))
+        .localCheckpoint()
+    )
     isolated = core.join(comp, core.pid == comp.id, "left_anti").select(
         F.col("pid").alias("id"), F.col("pid").alias("cluster")
     )
-    core_clusters = comp.unionByName(isolated)
+    core_clusters = comp.unionByName(isolated).localCheckpoint()
     border = (
         pairs.where(F.col("pid") != F.col("cid"))
         .join(core.withColumnRenamed("pid", "k"), F.col("cid") == F.col("k"))
@@ -3186,7 +3197,7 @@ def analytics_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("pid"), F.lit("core").alias("role"), "cluster"
     )
     border_rows = border.select("pid", F.lit("border").alias("role"), "cluster")
-    assigned = core_rows.unionByName(border_rows)
+    assigned = core_rows.unionByName(border_rows).localCheckpoint()
     noise = pts.join(assigned.select("pid"), "pid", "left_anti").select(
         "pid", F.lit("noise").alias("role"), F.lit(None).cast("bigint").alias("cluster")
     )

@@ -42,6 +42,11 @@ CARTESIAN_OK = {
     "qa_ab_test_proportions",  # (guard) 1-row arm summary if plan shifts
     "llm_bm25_scores",  # 1-row corpus stats (N, avgdl) broadcast-crossed into scoring
     "llm_sim_mips_transform",  # declared exact MIPS baseline (30x500 pairs) + 1-row max-norm scalar
+    "stats_chi_square_cells",  # 1-row grand-total N broadcast-crossed into the 35-cell table
+    "llm_hybrid_rrf",  # 1-row query vector broadcast-crossed into candidate scoring
+    "llm_embed_binary_hamming",  # 1-row query words broadcast-crossed into Hamming scan
+    "llm_mmr_diversify",  # (guard) 1-row query vector + <=5-row selected-set products
+    "sql_tvf_family",  # declared CROSS JOIN of 12x2 literal dimension generators
 }
 
 #: queries allowed to exceed the exchange budget, each with why:
