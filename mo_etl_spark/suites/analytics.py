@@ -3592,3 +3592,52 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(m, 0.975)"), 4).alias("ci_hi_cents"),
         F.count(F.lit(1)).alias("n_replicates"),
     )
+
+
+@query(
+    "qa_column_masking",
+    oracle="""
+    WITH masked_c AS (
+        SELECT substring(sha256(concat('pepper1:', c_name)), 1, 16) AS name_token,
+               c_custkey
+        FROM customer
+    ),
+    masked_o AS (
+        SELECT substring(sha256(concat('pepper1:', c.c_name)), 1, 16) AS name_token,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS pc
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT m.name_token,
+           count(*) AS n_orders,
+           sum(o.pc) AS total_cents
+    FROM masked_c m JOIN masked_o o USING (name_token)
+    GROUP BY m.name_token
+    """,
+    tags=("masking", "pii_scrub", "privacy", "join_inner", "groupby"),
+)
+def qa_column_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic COLUMN MASKING (peppered-hash tokenization): the
+    governance transform that removes a direct identifier while
+    PRESERVING JOINABILITY — both tables tokenize c_name with the same
+    keyed sha256 (16-hex prefix), and the analysis joins on the token
+    alone, never seeing the name.  Unlike random tokenization the
+    mapping is stable across tables and runs (so incremental loads
+    keep linking); unlike plain sha256-of-value, the pepper defeats
+    rainbow-table reversal of low-entropy identifiers.  Both engines
+    compute identical sha256 hex, so the masked analysis itself is
+    hash-checked."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    token = lambda col: F.substring(  # noqa: E731
+        F.sha2(F.concat(F.lit("pepper1:"), col), 256), 1, 16
+    )
+    masked_c = c.select(token(F.col("c_name")).alias("name_token"), "c_custkey")
+    masked_o = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .select(token(F.col("c_name")).alias("name_token"), cents("o_totalprice").alias("pc"))
+    )
+    return (
+        masked_c.join(masked_o, "name_token")
+        .groupBy("name_token")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("pc").alias("total_cents"))
+    )

@@ -543,3 +543,37 @@ def test_mmr_selection_is_more_diverse_than_topk(spark, sf_dir):
         cos(emb[a], emb[b]) for a, b in combinations(ids, 2)
     ) / 10
     assert mean(list(sel.values())) <= mean(top5) + 1e-9
+
+
+def test_jaccard_prefix_equivalence_randomized(spark):
+    """Prefix filtering must equal the full inverted index on RANDOM
+    corpora too (not just the planted fixture): three seeded corpora
+    with skewed Zipf-ish token draws, two thresholds each."""
+    import random
+
+    from mo_etl_spark.operators.dedup import jaccard_pairs, jaccard_prefix_pairs
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(40)]
+        docs = [
+            (
+                i,
+                " ".join(
+                    vocab[min(int(rng.expovariate(0.12)), 39)]
+                    for _ in range(rng.randrange(5, 25))
+                ),
+            )
+            for i in range(60)
+        ]
+        corpus = spark.createDataFrame(docs, "doc_id long, text string")
+        for t in (0.4, 0.7):
+            full = {
+                (r["id_a"], r["id_b"]): r["jaccard"]
+                for r in jaccard_pairs(corpus, threshold=t).collect()
+            }
+            pruned = {
+                (r["id_a"], r["id_b"]): r["jaccard"]
+                for r in jaccard_prefix_pairs(corpus, threshold=t).collect()
+            }
+            assert pruned == full, f"seed {seed} threshold {t}"
