@@ -2787,3 +2787,57 @@ def llm_unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("nfc").alias("nfc_hash"),
         (F.length("raw") != F.length("nfc")).alias("changed"),
     )
+
+
+@query(
+    "llm_shard_manifest",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(concat('shard:', CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT % 8 AS BIGINT) AS shard,
+               length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                 - length(replace(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ', '')) + 1 AS n_tokens,
+               ('0x' || substring(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 15))::BIGINT AS chash
+        FROM documents
+    )
+    SELECT shard,
+           count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens,
+           bit_xor(chash) AS content_checksum,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+    FROM assigned
+    GROUP BY shard
+    """,
+    tags=("shard_manifest", "reproducibility", "checksum", "sampling", "data_qa"),
+)
+def llm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset SHARD MANIFEST — the reproducibility record a training
+    run ships with its data (dataset-card discipline): docs assign to
+    8 shards by keyed hash (stable across reruns and engines), and
+    each shard reports row count, token mass, and an ORDER-INSENSITIVE
+    content checksum (bit_xor of per-doc 60-bit content hashes — XOR
+    commutes, so partitioning and task order cannot change it; any
+    single-doc mutation flips it).  Verifying a later copy = recompute
+    one aggregate and diff manifests; no row-level comparison.  The
+    whole manifest is one scan + one 8-key groupBy."""
+    docs = _docs(spark, sf_dir)
+    norm = D.normalize_text(F.col("text"))
+    shard = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint") % 8
+    )
+    chash = F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("bigint")
+    assigned = docs.select(
+        "doc_id",
+        shard.alias("shard"),
+        (F.length(norm) - F.length(F.regexp_replace(norm, " ", "")) + 1).alias("n_tokens"),
+        chash.alias("chash"),
+    )
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.expr("bit_xor(chash)").alias("content_checksum"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
