@@ -3641,3 +3641,118 @@ def qa_column_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("name_token")
         .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("pc").alias("total_cents"))
     )
+
+
+@query(
+    "events_sequence_similarity",
+    oracle="""
+    WITH seqs AS (
+        SELECT user_id,
+               string_agg(substring(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS sig
+        FROM (
+            SELECT user_id, event_type, ts, event_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events
+        )
+        WHERE rn <= 50
+        GROUP BY user_id
+    ),
+    q AS (SELECT sig AS qsig FROM seqs WHERE user_id = 0)
+    SELECT s.user_id,
+           levenshtein(s.sig, q.qsig) AS edit_distance,
+           length(s.sig) AS seq_len
+    FROM seqs s, q
+    WHERE s.user_id <> 0
+    ORDER BY edit_distance, s.user_id
+    LIMIT 10
+    """,
+    tags=("sequence_similarity", "levenshtein", "trajectory", "top_k", "string_agg"),
+)
+def events_sequence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral SEQUENCE similarity (the trajectory-search shape —
+    cf. REPOSE ICDE'21 / distributed top-k trajectory similarity):
+    each user's first 50 events compress to a character signature
+    (event type initial, deterministic (ts, id) order); the 10 users
+    most similar to user 0 by EDIT DISTANCE surface look-alike
+    journeys for cohorting and anomaly review.  Levenshtein on
+    bounded-length signatures is integer-exact cross-engine; the cap
+    both bounds the O(len²) DP cost and is the standard
+    trajectory-sketching move at scale (the full-fidelity path is the
+    winnowing fingerprint operator).  One window + one groupBy + a
+    broadcast 1-row probe."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seqs = (
+        ev.select(
+            "user_id",
+            F.substring("event_type", 1, 1).alias("ch"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 50)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(F.struct("rn", "ch"))), lambda s: s.ch),
+                "",
+            ).alias("sig")
+        )
+    )
+    q = seqs.where(F.col("user_id") == 0).select(F.col("sig").alias("qsig"))
+    return (
+        seqs.where(F.col("user_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "user_id",
+            F.levenshtein("sig", "qsig").alias("edit_distance"),
+            F.length("sig").alias("seq_len"),
+        )
+        .orderBy("edit_distance", "user_id")
+        .limit(10)
+    )
+
+
+@query(
+    "events_common_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT concat(e1, '>', e2, '>', e3) AS path, count(*) AS n
+    FROM seq
+    WHERE e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path
+    LIMIT 10
+    """,
+    tags=("path_analysis", "sequence_mining", "markov", "window_lead_lag", "top_k"),
+)
+def events_common_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step PATHS (the session-replay / clickstream-flow view
+    one order above the Markov transition matrix): two leads build
+    each event's forward trigram in ONE window pass — not a
+    self-join — then a map-side-combined count over the ~125-key path
+    space and a fused sort+limit.  Ties break lexicographically."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.where(F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(10)
+    )
