@@ -3756,3 +3756,138 @@ def events_common_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(10)
     )
+
+
+@query(
+    "agg_market_basket_triples",
+    oracle="""
+    WITH baskets0 AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    freq AS MATERIALIZED (SELECT pk FROM baskets0 GROUP BY pk HAVING count(*) >= 2),
+    baskets AS MATERIALIZED (SELECT b.ok, b.pk FROM baskets0 b JOIN freq USING (pk)),
+    tri AS (
+        SELECT a.pk AS pk_a, b.pk AS pk_b, c.pk AS pk_c, count(*) AS n_orders
+        FROM baskets a
+        JOIN baskets b ON b.ok = a.ok AND a.pk < b.pk
+        JOIN baskets c ON c.ok = a.ok AND b.pk < c.pk
+        GROUP BY 1, 2, 3
+        HAVING count(*) >= 2
+    )
+    SELECT pk_a, pk_b, pk_c, n_orders FROM tri
+    """,
+    tags=("market_basket", "association_rules", "apriori", "join_inner", "groupby"),
+)
+def agg_market_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-ITEMSETS — the level-wise apriori step above the
+    pair miner (agg_market_basket_lift): items below min-support are
+    pruned BEFORE the basket joins (the apriori property — no
+    superset of an infrequent set can be frequent — as a semi-join),
+    then the ordered 3-way self-join on orderkey enumerates candidate
+    triples with basket-local fan-out (Σ|basket|³ bounded by the
+    pruned basket size, never corpus-cubed) and a min-support HAVING
+    closes level 3.  At 100 TB each level adds one keyed join over
+    already-pruned baskets — the classic distributed apriori plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets0 = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    freq = baskets0.groupBy("pk").agg(F.count(F.lit(1)).alias("c")).where(
+        F.col("c") >= 2
+    ).select("pk")
+    baskets = baskets0.join(freq, "pk", "left_semi")
+    a = baskets.select("ok", F.col("pk").alias("pk_a"))
+    b = baskets.select("ok", F.col("pk").alias("pk_b"))
+    c = baskets.select("ok", F.col("pk").alias("pk_c"))
+    return (
+        a.join(b, "ok")
+        .where(F.col("pk_a") < F.col("pk_b"))
+        .join(c, "ok")
+        .where(F.col("pk_b") < F.col("pk_c"))
+        .groupBy("pk_a", "pk_b", "pk_c")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+    )
+
+
+@query(
+    "etl_bitemporal_asof",
+    oracle="""
+    WITH versions AS (
+        -- valid-time split: historical segment (balance-500) then current;
+        -- tx-time: batch 1 = initial load; batch 2 restates the HISTORICAL
+        -- segment (+100) for every 7th customer, closing the batch-1 row
+        SELECT c_custkey,
+               CAST(round(c_acctbal*100) AS BIGINT) - 500 AS bal_cents,
+               1 AS valid_from, 2 AS valid_to, 1 AS tx_from,
+               CASE WHEN c_custkey % 7 = 0 THEN 2 END AS tx_to
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT),
+               2, NULL, 1, NULL
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT) - 400,
+               1, 2, 2, NULL
+        FROM customer WHERE c_custkey % 7 = 0
+    ),
+    t1 AS (
+        SELECT c_custkey, bal_cents AS belief_t1 FROM versions
+        WHERE tx_from <= 1 AND (tx_to IS NULL OR tx_to > 1)
+          AND valid_from <= 1 AND (valid_to IS NULL OR valid_to > 1)
+    ),
+    t2 AS (
+        SELECT c_custkey, bal_cents AS belief_t2 FROM versions
+        WHERE tx_from <= 2 AND (tx_to IS NULL OR tx_to > 2)
+          AND valid_from <= 1 AND (valid_to IS NULL OR valid_to > 1)
+    )
+    SELECT t1.c_custkey, belief_t1, belief_t2,
+           (belief_t1 <> belief_t2) AS restated
+    FROM t1 JOIN t2 USING (c_custkey)
+    """,
+    tags=("bitemporal", "scd2", "temporal_join", "point_in_time", "cdc_merge"),
+)
+def etl_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL point lookup — the two-axis temporal model one level
+    above SCD2: valid time records when a fact WAS true, transaction
+    time records when we BELIEVED it, so a late correction restates
+    history without destroying the audit trail (the batch-2 rows close
+    the batch-1 belief by setting tx_to, never deleting).  The query
+    answers 'what did we believe at tx=1 vs tx=2 about the balance
+    valid at period 1' — every 7th customer shows a restatement, the
+    rest are belief-stable.  Both axes are half-open [from, to)
+    interval filters; the engine reuses the SCD2/PIT machinery, just
+    twice.  All integer constructions, so both engines agree exactly."""
+    c = _t(spark, sf_dir, "customer")
+    bal = cents("c_acctbal")
+    v1 = c.select(
+        "c_custkey", (bal - 500).alias("bal_cents"),
+        F.lit(1).alias("valid_from"), F.lit(2).alias("valid_to"),
+        F.lit(1).alias("tx_from"),
+        F.when(F.col("c_custkey") % 7 == 0, 2).alias("tx_to"),
+    )
+    v2 = c.select(
+        "c_custkey", bal.alias("bal_cents"),
+        F.lit(2).alias("valid_from"), F.lit(None).cast("int").alias("valid_to"),
+        F.lit(1).alias("tx_from"), F.lit(None).cast("int").alias("tx_to"),
+    )
+    v3 = c.where(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", (bal - 400).alias("bal_cents"),
+        F.lit(1).alias("valid_from"), F.lit(2).alias("valid_to"),
+        F.lit(2).alias("tx_from"), F.lit(None).cast("int").alias("tx_to"),
+    )
+    versions = v1.unionByName(v2).unionByName(v3)
+
+    def belief(tx: int, alias: str):
+        return versions.where(
+            (F.col("tx_from") <= tx)
+            & (F.col("tx_to").isNull() | (F.col("tx_to") > tx))
+            & (F.col("valid_from") <= 1)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > 1))
+        ).select("c_custkey", F.col("bal_cents").alias(alias))
+
+    t1, t2 = belief(1, "belief_t1"), belief(2, "belief_t2")
+    return t1.join(t2, "c_custkey").select(
+        "c_custkey", "belief_t1", "belief_t2",
+        (F.col("belief_t1") != F.col("belief_t2")).alias("restated"),
+    )
