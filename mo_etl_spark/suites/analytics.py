@@ -3795,7 +3795,9 @@ def agg_market_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = baskets0.groupBy("pk").agg(F.count(F.lit(1)).alias("c")).where(
         F.col("c") >= 2
     ).select("pk")
-    baskets = baskets0.join(freq, "pk", "left_semi")
+    # three self-join legs reuse the pruned basket list — checkpoint it
+    # once so the distinct+semi-join subtree isn't re-shuffled per leg
+    baskets = baskets0.join(freq, "pk", "left_semi").localCheckpoint()
     a = baskets.select("ok", F.col("pk").alias("pk_a"))
     b = baskets.select("ok", F.col("pk").alias("pk_b"))
     c = baskets.select("ok", F.col("pk").alias("pk_c"))

@@ -2841,3 +2841,102 @@ def llm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+@query(
+    "llm_hard_negatives",
+    oracle="""
+    WITH vecs AS (
+        SELECT vec_id, label,
+               list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv FROM vecs WHERE vec_id < 10),
+    scored AS (
+        SELECT q.q_id, c.vec_id AS neg_id, c.label AS neg_label,
+               list_sum(list_transform(range(1, 65), i -> c.v[i] * q.qv[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])))) AS cos
+        FROM vecs c, q
+        WHERE c.label <> q.q_label
+    ),
+    ranked AS (
+        SELECT q_id, neg_id, neg_label, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neg_id) AS rnk
+        FROM scored
+    )
+    SELECT q_id, neg_id, neg_label, round(cos, 6) AS cos, rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+    tags=("hard_negative_mining", "sim_topk", "retrieval", "top_k_per_group",
+          "feature_engineering"),
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE mining (contrastive-training data prep — DPR /
+    SimCSE-style): for each of 10 anchor embeddings, the 3 most
+    cosine-similar vectors of a DIFFERENT label — the near-miss
+    negatives that make the loss informative where random negatives
+    are trivially separable.  The anchor set broadcasts, the label
+    exclusion filters before ranking, and the per-anchor top-3 is a
+    bounded window — at corpus scale the candidate source swaps to
+    the IVF/LSH bucket join exactly like every other top-k in the
+    similarity family."""
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    v = S.as_double(F.col("embedding"))
+    vecs = emb.select("vec_id", "label", v.alias("v"))
+    q = vecs.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label"), F.col("v").alias("qv")
+    )
+    scored = (
+        vecs.crossJoin(F.broadcast(q))
+        .where(F.col("label") != F.col("q_label"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            S.cosine(F.col("v"), F.col("qv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "neg_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("q_id", "neg_id", "neg_label", F.round("cos", 6).alias("cos"), "rnk")
+    )
+
+
+@query(
+    "llm_class_balance",
+    oracle="""
+    WITH counts AS (SELECT label, count(*) AS n_before FROM embeddings GROUP BY label),
+    mx AS (SELECT max(n_before) AS m FROM counts)
+    SELECT c.label, c.n_before,
+           CAST(ceil(CAST(m AS DOUBLE) / c.n_before) AS BIGINT) AS factor,
+           c.n_before * CAST(ceil(CAST(m AS DOUBLE) / c.n_before) AS BIGINT) AS n_after
+    FROM counts c CROSS JOIN mx
+    """,
+    tags=("class_balancing", "sampling", "feature_engineering", "groupby"),
+)
+def llm_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASS-BALANCED oversampling plan: per-label replication factor
+    ceil(majority/n) that upsamples every minority class to at least
+    parity — the imbalance fix applied before fine-tuning on skewed
+    labels.  The plan table is what matters (the apply step is one
+    `explode(sequence(1, factor))` against it — deterministic
+    replication, no RNG); emitting the plan keeps the contract row
+    count label-bounded.  One groupBy + a 1-row max broadcast."""
+    emb = _emb(spark, sf_dir)
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_before"))
+    mx = counts.agg(F.max("n_before").alias("m"))
+    factor = F.ceil(F.col("m").cast("double") / F.col("n_before")).cast("bigint")
+    return (
+        counts.crossJoin(F.broadcast(mx))
+        .select(
+            "label",
+            "n_before",
+            factor.alias("factor"),
+            (F.col("n_before") * factor).alias("n_after"),
+        )
+    )

@@ -47,6 +47,10 @@ CARTESIAN_OK = {
     "llm_embed_binary_hamming",  # 1-row query words broadcast-crossed into Hamming scan
     "llm_mmr_diversify",  # (guard) 1-row query vector + <=5-row selected-set products
     "sql_tvf_family",  # declared CROSS JOIN of 12x2 literal dimension generators
+    "events_sequence_similarity",  # 1-row query-signature broadcast-crossed into scoring
+    "llm_hard_negatives",  # 10-row anchor set broadcast-crossed into candidate scoring
+    "llm_class_balance",  # 1-row majority-count scalar broadcast-crossed into factors
+    "stats_poisson_bootstrap_ci",  # (guard) replicate Expand can plan as 1-row cross
 }
 
 #: queries allowed to exceed the exchange budget, each with why:
