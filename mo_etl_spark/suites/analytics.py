@@ -3893,3 +3893,67 @@ def etl_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "belief_t1", "belief_t2",
         (F.col("belief_t1") != F.col("belief_t2")).alias("restated"),
     )
+
+
+@query(
+    "qa_key_collision_clusters",
+    oracle="""
+    WITH variants AS (
+        SELECT p_partkey AS rec_id, p_name AS raw FROM part WHERE p_partkey < 400
+        UNION ALL
+        SELECT p_partkey + 500000,
+               upper(concat('  ', regexp_replace(p_name, ' ', '   ', 'g')))
+        FROM part WHERE p_partkey < 400 AND p_partkey % 4 = 0
+    ),
+    keyed AS (
+        SELECT rec_id, raw,
+               md5(array_to_string(list_sort(list_distinct(string_split(
+                   regexp_replace(lower(trim(raw)), '\\s+', ' ', 'g'), ' '))), ' ')) AS fp
+        FROM variants
+    )
+    SELECT fp,
+           count(*) AS n_records,
+           count(DISTINCT raw) AS n_variants,
+           min(raw) AS canonical,
+           min(rec_id) AS keeper_id
+    FROM keyed
+    GROUP BY fp
+    HAVING count(DISTINCT raw) > 1
+    """,
+    tags=("key_collision", "fingerprint", "record_linkage", "data_qa", "dedup_exact"),
+)
+def qa_key_collision_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEY-COLLISION clustering (the OpenRefine fingerprint method —
+    the messy-data cleanup pass before exact joins): records whose
+    normalized fingerprint (casefold, collapse whitespace, sorted
+    distinct tokens, md5) collides while their RAW strings differ are
+    the same entity spelled differently.  A quarter of the first 400
+    parts get shouting-case triple-spaced variants planted; every
+    cluster reports its variant count, lexicographic-min canonical
+    form, and min-id keeper.  One hash-agg shuffle — the fingerprint
+    is `operators/text.fingerprint`, the same key the golden-record
+    pipeline starts from when no similarity join is warranted."""
+    from mo_etl_spark.operators.text import fingerprint
+
+    part = _t(spark, sf_dir, "part").where(F.col("p_partkey") < 400)
+    variants = part.select(
+        F.col("p_partkey").alias("rec_id"), F.col("p_name").alias("raw")
+    ).unionByName(
+        part.where(F.col("p_partkey") % 4 == 0).select(
+            (F.col("p_partkey") + 500000).alias("rec_id"),
+            F.upper(
+                F.concat(F.lit("  "), F.regexp_replace("p_name", " ", "   "))
+            ).alias("raw"),
+        )
+    )
+    keyed = variants.select("rec_id", "raw", fingerprint(F.col("raw")).alias("fp"))
+    return (
+        keyed.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.countDistinct("raw").alias("n_variants"),
+            F.min("raw").alias("canonical"),
+            F.min("rec_id").alias("keeper_id"),
+        )
+        .where(F.col("n_variants") > 1)
+    )
