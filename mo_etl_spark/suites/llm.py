@@ -2940,3 +2940,83 @@ def llm_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_before") * factor).alias("n_after"),
         )
     )
+
+
+@query(
+    "llm_dsir_importance",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, unnest(string_split(
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+        FROM documents
+    ),
+    vocab AS (SELECT count(DISTINCT tok) AS v FROM toks),
+    tgt AS (SELECT tok, count(*) AS c FROM toks WHERE source = 'src0' GROUP BY tok),
+    src AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tgt_n AS (SELECT sum(c) AS n FROM tgt),
+    src_n AS (SELECT sum(c) AS n FROM src),
+    scored AS (
+        SELECT t.doc_id,
+               count(*) AS n_tokens,
+               sum(ln(CAST(coalesce(g.c, 0) + 1 AS DOUBLE) / (tn.n + vv.v))
+                   - ln(CAST(s.c + 1 AS DOUBLE) / (sn.n + vv.v))) AS llr
+        FROM toks t
+        JOIN src s USING (tok)
+        LEFT JOIN tgt g USING (tok)
+        CROSS JOIN tgt_n tn CROSS JOIN src_n sn CROSS JOIN vocab vv
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           round(llr / n_tokens, 6) AS dsir_score,
+           (llr > 0) AS selected
+    FROM scored
+    """,
+    tags=("dsir", "importance_sampling", "language_model", "corpus_mixing",
+          "quality_score"),
+)
+def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style IMPORTANCE scoring (Xie et al. '23, 'Data Selection
+    for Language Models via Importance Resampling' — public): rank
+    every document by the log-likelihood ratio between a TARGET
+    unigram LM (here the src0 slice — the domain you want more of)
+    and the SOURCE LM (the whole corpus), Laplace-smoothed over the
+    shared vocabulary; positive ratio = doc looks more target-like
+    than average, the resampling weight for domain-upweighting a
+    pretraining mix.  Plan: ONE token explode feeds both LM
+    aggregates (vocabulary-sized -> broadcast) and the scoring join,
+    so the 100 TB cost is a single map-side pass over tokens; the
+    per-doc ratio sum follows the perplexity query's established
+    rounded-float discipline."""
+    from mo_etl_spark.operators.dedup import normalize_text
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok"),
+    )
+    vocab = toks.agg(F.countDistinct("tok").alias("v"))
+    tgt = toks.where(F.col("source") == "src0").groupBy("tok").agg(
+        F.count(F.lit(1)).alias("gc")
+    )
+    src = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("sc"))
+    tgt_n = tgt.agg(F.sum("gc").alias("tn"))
+    src_n = src.agg(F.sum("sc").alias("sn"))
+    term = F.log(
+        (F.coalesce(F.col("gc"), F.lit(0)) + 1).cast("double") / (F.col("tn") + F.col("v"))
+    ) - F.log((F.col("sc") + 1).cast("double") / (F.col("sn") + F.col("v")))
+    scored = (
+        toks.join(F.broadcast(src), "tok")
+        .join(F.broadcast(tgt), "tok", "left")
+        .crossJoin(F.broadcast(tgt_n))
+        .crossJoin(F.broadcast(src_n))
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum(term).alias("llr"))
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("llr") / F.col("n_tokens"), 6).alias("dsir_score"),
+        (F.col("llr") > 0).alias("selected"),
+    )
