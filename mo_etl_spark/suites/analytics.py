@@ -3957,3 +3957,186 @@ def qa_key_collision_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_variants") > 1)
     )
+
+
+@query(
+    "qa_wasserstein_drift",
+    oracle="""
+    WITH a AS (
+        SELECT CAST(round(value*100) AS BIGINT) // 500 AS bin, count(*) AS ca
+        FROM events WHERE user_id % 2 = 0 GROUP BY 1
+    ),
+    b AS (
+        SELECT CAST(round(value*100) AS BIGINT) // 500 AS bin, count(*) AS cb
+        FROM events WHERE user_id % 2 = 1 GROUP BY 1
+    ),
+    na AS (SELECT sum(ca) AS n FROM a),
+    nb AS (SELECT sum(cb) AS n FROM b),
+    merged AS (
+        SELECT coalesce(a.bin, b.bin) AS bin,
+               coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        FROM a FULL JOIN b ON a.bin = b.bin
+    ),
+    cum AS (
+        SELECT bin,
+               sum(ca) OVER (ORDER BY bin) AS cum_a,
+               sum(cb) OVER (ORDER BY bin) AS cum_b,
+               lead(bin) OVER (ORDER BY bin) - bin AS gap
+        FROM merged
+    )
+    SELECT sum(abs(cum_a * nb.n - cum_b * na.n) * gap) AS w1_numer,
+           na.n * nb.n AS w1_denom,
+           round(CAST(sum(abs(cum_a * nb.n - cum_b * na.n) * gap) AS DOUBLE)
+                 / (na.n * nb.n), 6) AS w1_bins
+    FROM cum CROSS JOIN na CROSS JOIN nb
+    WHERE gap IS NOT NULL
+    GROUP BY na.n, nb.n
+    """,
+    tags=("wasserstein", "drift", "distribution_distance", "data_qa", "histogram"),
+)
+def qa_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Wasserstein-1 (earth-mover) distance between two value
+    distributions — the drift metric that, unlike total-variation on
+    bins (qa_drift_value_histogram), weighs HOW FAR mass moved, not
+    just how much: W1 = ∫\\|CDF_a − CDF_b\\|.  On binned integers the
+    integral is a sum over support gaps, and putting both CDFs over
+    the common denominator n_a·n_b turns every term into exact BIGINT
+    arithmetic — the single float division happens once at the end.
+    Even vs odd users split the events stream; plan is two
+    conditional-agg passes sharing one scan shape, a full-join bin
+    merge, and ONE ordered window over the ~100-bin support (sketch
+    scale: the same formula runs on the mergeable histogram op's
+    bins)."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    binc = F.floor(cents("value") / 500).cast("bigint")
+    a = ev.where(F.col("user_id") % 2 == 0).select(binc.alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    b = ev.where(F.col("user_id") % 2 == 1).select(binc.alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    na = a.agg(F.sum("ca").alias("na"))
+    nb = b.agg(F.sum("cb").alias("nb"))
+    merged = (
+        a.join(b, "bin", "full")
+        .select(
+            "bin",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    w = Window.orderBy("bin")
+    cum = merged.select(
+        "bin",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        (F.lead("bin").over(w) - F.col("bin")).alias("gap"),
+    )
+    return (
+        cum.where(F.col("gap").isNotNull())
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .groupBy("na", "nb")
+        .agg(
+            F.sum(
+                F.abs(F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na"))
+                * F.col("gap")
+            ).alias("w1_numer")
+        )
+        .select(
+            "w1_numer",
+            (F.col("na") * F.col("nb")).alias("w1_denom"),
+            F.round(
+                F.col("w1_numer").cast("double") / (F.col("na") * F.col("nb")), 6
+            ).alias("w1_bins"),
+        )
+    )
+
+
+def _mp_oracle_sql() -> str:
+    return """
+    WITH canon AS MATERIALIZED (
+        SELECT s1.s_suppkey AS a, s2.s_suppkey AS b
+        FROM supplier s1
+        JOIN supplier s2
+          ON s1.s_nationkey = s2.s_nationkey
+         AND s1.s_suppkey < s2.s_suppkey
+         AND abs(s1.s_acctbal - s2.s_acctbal) <= 2000
+    ),
+    edges AS MATERIALIZED (
+        SELECT a AS src, b AS dst FROM canon
+        UNION ALL SELECT b, a FROM canon
+    ),
+    h0 AS MATERIALIZED (
+        SELECT s_suppkey AS node, CAST(round(s_acctbal*100) AS BIGINT) AS h
+        FROM supplier
+    ),
+    h1 AS MATERIALIZED (
+        SELECT h0.node, h0.h + coalesce(m.s, 0) AS h
+        FROM h0 LEFT JOIN (
+            SELECT e.dst AS node, sum(x.h) AS s
+            FROM edges e JOIN h0 x ON x.node = e.src
+            GROUP BY e.dst
+        ) m ON m.node = h0.node
+    ),
+    h2 AS (
+        SELECT h1.node, h1.h + coalesce(m.s, 0) AS h
+        FROM h1 LEFT JOIN (
+            SELECT e.dst AS node, sum(x.h) AS s
+            FROM edges e JOIN h1 x ON x.node = e.src
+            GROUP BY e.dst
+        ) m ON m.node = h1.node
+    )
+    SELECT node, h AS h2_feature FROM h2
+    """
+
+
+@query(
+    "graph_message_passing",
+    oracle=_mp_oracle_sql(),
+    tags=("graph", "message_passing", "gnn", "iterative", "feature_engineering"),
+)
+def graph_message_passing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of GNN-style MESSAGE PASSING (sum aggregator,
+    residual update: h' = h + Σ_neighbors h) over the supplier
+    similarity graph with integer-cent balance features — the feature-
+    propagation primitive under GraphSAGE/GCN once the learned weights
+    are stripped away, and the shape a Spark cluster runs to
+    pre-compute neighborhood features for a downstream model.  Each
+    layer is one equi-join (features onto edge sources) + one
+    groupBy(dst) sum + one left-join residual merge — identical
+    scale behavior to PageRank but feature-valued; integer features
+    make both layers exact, and the oracle unrolls the two layers as
+    chained CTEs."""
+    s = _t(spark, sf_dir, "supplier")
+    s1 = s.select(
+        F.col("s_suppkey").alias("a"), F.col("s_nationkey").alias("n"),
+        F.col("s_acctbal").alias("bal_a"),
+    )
+    s2 = s.select(
+        F.col("s_suppkey").alias("b"), F.col("s_nationkey").alias("n"),
+        F.col("s_acctbal").alias("bal_b"),
+    )
+    canon = (
+        s1.join(s2, "n")
+        .where((F.col("a") < F.col("b")) & (F.abs(F.col("bal_a") - F.col("bal_b")) <= 2000))
+        .select("a", "b")
+    )
+    edges = canon.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).localCheckpoint()
+    h = s.select(F.col("s_suppkey").alias("node"), cents("s_acctbal").alias("h"))
+    for _ in range(2):
+        msgs = (
+            edges.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("s"))
+        )
+        h = (
+            h.join(msgs, "node", "left")
+            .select("node", (F.col("h") + F.coalesce("s", F.lit(0))).alias("h"))
+            .localCheckpoint(eager=False)
+        )
+    return h.select("node", F.col("h").alias("h2_feature"))
