@@ -52,6 +52,7 @@ CARTESIAN_OK = {
     "llm_class_balance",  # 1-row majority-count scalar broadcast-crossed into factors
     "stats_poisson_bootstrap_ci",  # (guard) replicate Expand can plan as 1-row cross
     "llm_dsir_importance",  # three 1-row LM-total scalars broadcast-crossed into scoring
+    "qa_wasserstein_drift",  # two 1-row population-total scalars broadcast-crossed in
 }
 
 #: queries allowed to exceed the exchange budget, each with why:
