@@ -3020,3 +3020,54 @@ def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("llr") / F.col("n_tokens"), 6).alias("dsir_score"),
         (F.col("llr") > 0).alias("selected"),
     )
+
+
+@query(
+    "llm_compression_ratio",
+    # no oracle: zlib is not expressible in DuckDB SQL — rows-only by
+    # design, like the sketch scale paths; behavior is unit-tested
+    # (repetitive text compresses far below prose)
+    tags=("compression_ratio_filter", "quality_score", "udf_mapinpandas",
+          "text_analysis"),
+)
+def llm_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSION-RATIO quality filter (the Gopher/RedPajama signal:
+    machine-generated or boilerplate-heavy text compresses far better
+    than natural prose, so a low zlib ratio flags it; extremely
+    incompressible text flags encoding garbage at the other tail).
+    zlib level 6 is deterministic for a given input, and the stdlib
+    codec rides an Arrow-batched pandas UDF — per-batch Python, never
+    per-row; at 100 TB this is embarrassingly parallel scan work.
+    Flags: repetitive (< 0.35), suspicious-random (> 1.02)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _ratio_fn(s):
+        import zlib
+
+        def r(x):
+            if not x:
+                return None
+            raw = x.encode("utf-8")
+            return round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+        return s.map(r)
+
+    ratio = pandas_udf(_ratio_fn, "double")
+    docs = _docs(spark, sf_dir)
+    rep = docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 30000).alias("doc_id"),
+        F.concat_ws(" ", F.array_repeat(F.substring("text", 1, 40), 50)).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(rep)
+    scored = corpus.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        ratio("text").alias("zlib_ratio"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_chars",
+        "zlib_ratio",
+        (F.col("zlib_ratio") < 0.35).alias("flag_repetitive"),
+        (F.col("zlib_ratio") > 1.02).alias("flag_incompressible"),
+    )

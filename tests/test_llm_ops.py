@@ -577,3 +577,18 @@ def test_jaccard_prefix_equivalence_randomized(spark):
                 for r in jaccard_prefix_pairs(corpus, threshold=t).collect()
             }
             assert pruned == full, f"seed {seed} threshold {t}"
+
+
+def test_compression_ratio_separates_repetitive_text(spark, sf_dir):
+    """Planted 50x-repeated snippets (ids 30000+) must flag repetitive,
+    natural docs must not, and every ratio must be positive."""
+    from mo_etl_spark.suites.llm import llm_compression_ratio
+
+    rows = llm_compression_ratio(spark, sf_dir).collect()
+    planted = [r for r in rows if r["doc_id"] >= 30000]
+    natural = [r for r in rows if r["doc_id"] < 30000]
+    assert planted and natural
+    assert all(r["flag_repetitive"] for r in planted)
+    frac_flagged = sum(r["flag_repetitive"] for r in natural) / len(natural)
+    assert frac_flagged < 0.2
+    assert all(r["zlib_ratio"] > 0 for r in rows)
