@@ -4140,3 +4140,85 @@ def graph_message_passing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return h.select("node", F.col("h").alias("h2_feature"))
+
+
+@query(
+    "ts_interval_union_gaps",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, epoch_ms(ts) AS s_ms, epoch_ms(ts) + 1800000 AS e_ms
+        FROM events
+    ),
+    swept AS (
+        SELECT user_id, s_ms, e_ms,
+               max(e_ms) OVER (
+                   PARTITION BY user_id ORDER BY s_ms, e_ms
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_reach
+        FROM iv
+    ),
+    marked AS (
+        SELECT user_id, s_ms, e_ms,
+               CASE WHEN prev_reach IS NULL OR s_ms > prev_reach THEN 1 ELSE 0 END AS new_iv,
+               CASE WHEN prev_reach IS NOT NULL AND s_ms > prev_reach
+                    THEN s_ms - prev_reach END AS gap_ms
+        FROM swept
+    ),
+    grp AS (
+        SELECT user_id, s_ms, e_ms, gap_ms,
+               sum(new_iv) OVER (PARTITION BY user_id ORDER BY s_ms, e_ms
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iv_id
+        FROM marked
+    )
+    SELECT user_id,
+           count(DISTINCT iv_id) AS n_merged_intervals,
+           count(gap_ms) AS n_gaps,
+           max(gap_ms) AS longest_gap_ms,
+           sum(CASE WHEN gap_ms > 3600000 THEN 1 ELSE 0 END) AS n_gaps_over_1h
+    FROM grp
+    GROUP BY user_id
+    """,
+    tags=("interval_union", "coverage_gaps", "sweep_line", "sessionize",
+          "window_agg", "gaps_islands"),
+)
+def ts_interval_union_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL UNION and its COMPLEMENT (coverage-gap detection — the
+    monitoring question 'when was this sensor dark?'): each event
+    claims a 30-minute presence interval; the sweep line merges
+    overlaps with ONE ordered window (running max of interval ends —
+    an interval starts a new merged group iff it begins after
+    everything before it reached), and the complement gaps fall out of
+    the same pass as start − previous-reach.  One (user, time) sort
+    shuffle total; contrast with the self-join formulation of
+    interval overlap (join_interval_overlap_sessions), which answers
+    pairwise questions — union/complement is linear, not pairwise.
+    All integer ms."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    ems = (F.unix_micros(F.col("ts")) / 1000).cast("long")
+    iv = ev.select("user_id", ems.alias("s_ms"), (ems + 1800000).alias("e_ms"))
+    w = Window.partitionBy("user_id").orderBy("s_ms", "e_ms")
+    swept = iv.select(
+        "user_id", "s_ms", "e_ms",
+        F.max("e_ms").over(w.rowsBetween(Window.unboundedPreceding, -1)).alias("prev_reach"),
+    )
+    marked = swept.select(
+        "user_id", "s_ms", "e_ms",
+        F.when(F.col("prev_reach").isNull() | (F.col("s_ms") > F.col("prev_reach")), 1)
+        .otherwise(0)
+        .alias("new_iv"),
+        F.when(
+            F.col("prev_reach").isNotNull() & (F.col("s_ms") > F.col("prev_reach")),
+            F.col("s_ms") - F.col("prev_reach"),
+        ).alias("gap_ms"),
+    )
+    grp = marked.select(
+        "user_id", "gap_ms",
+        F.sum("new_iv").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("iv_id"),
+    )
+    return grp.groupBy("user_id").agg(
+        F.countDistinct("iv_id").alias("n_merged_intervals"),
+        F.count("gap_ms").alias("n_gaps"),
+        F.max("gap_ms").alias("longest_gap_ms"),
+        F.sum(F.when(F.col("gap_ms") > 3600000, 1).otherwise(0)).alias("n_gaps_over_1h"),
+    )
