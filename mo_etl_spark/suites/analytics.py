@@ -4222,3 +4222,67 @@ def ts_interval_union_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_ms").alias("longest_gap_ms"),
         F.sum(F.when(F.col("gap_ms") > 3600000, 1).otherwise(0)).alias("n_gaps_over_1h"),
     )
+
+
+@query(
+    "qa_functional_dependencies",
+    oracle="""
+    WITH checks AS (
+        SELECT 'o_orderkey->o_custkey' AS fd,
+               count(DISTINCT o_orderkey) AS n_lhs,
+               sum(viol) AS n_violating_lhs
+        FROM (SELECT o_orderkey,
+                     CASE WHEN count(DISTINCT o_custkey) > 1 THEN 1 ELSE 0 END AS viol
+              FROM orders GROUP BY o_orderkey)
+        GROUP BY 1
+        UNION ALL
+        SELECT 'o_custkey->o_orderpriority',
+               count(DISTINCT o_custkey),
+               sum(viol)
+        FROM (SELECT o_custkey,
+                     CASE WHEN count(DISTINCT o_orderpriority) > 1 THEN 1 ELSE 0 END AS viol
+              FROM orders GROUP BY o_custkey)
+        UNION ALL
+        SELECT 'o_orderdate->o_orderstatus',
+               count(DISTINCT o_orderdate),
+               sum(viol)
+        FROM (SELECT o_orderdate,
+                     CASE WHEN count(DISTINCT o_orderstatus) > 1 THEN 1 ELSE 0 END AS viol
+              FROM orders GROUP BY o_orderdate)
+    )
+    SELECT fd, n_lhs, n_violating_lhs, (n_violating_lhs = 0) AS holds
+    FROM checks
+    """,
+    tags=("fd_discovery", "data_profile", "data_qa", "uniqueness", "constraints"),
+)
+def qa_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUNCTIONAL-DEPENDENCY check (the Metanome-style profiling
+    primitive behind key discovery and normalization audits): A→B
+    holds iff no A-value maps to two B-values — one groupBy(A) with a
+    countDistinct(B) per candidate, violations counted, no pairwise
+    self-join (the naive A=A AND B<>B join is quadratic per group).
+    Three candidates probe the expected spectrum: the key FD holds,
+    the customer→priority FD fails (customers reorder at many
+    priorities), date→status fails.  Each check is an independent
+    combinable aggregate — at 100 TB all three run in one scan via
+    grouping-sets or as parallel jobs."""
+    o = _t(spark, sf_dir, "orders")
+
+    def check(name: str, lhs: str, rhs: str) -> DataFrame:
+        per = o.groupBy(lhs).agg(
+            F.when(F.countDistinct(rhs) > 1, 1).otherwise(0).alias("viol")
+        )
+        return per.agg(
+            F.lit(name).alias("fd"),
+            F.countDistinct(lhs).alias("n_lhs"),
+            F.sum("viol").alias("n_violating_lhs"),
+        ).select("fd", "n_lhs", "n_violating_lhs")
+
+    checks = (
+        check("o_orderkey->o_custkey", "o_orderkey", "o_custkey")
+        .unionByName(check("o_custkey->o_orderpriority", "o_custkey", "o_orderpriority"))
+        .unionByName(check("o_orderdate->o_orderstatus", "o_orderdate", "o_orderstatus"))
+    )
+    return checks.select(
+        "fd", "n_lhs", "n_violating_lhs", (F.col("n_violating_lhs") == 0).alias("holds")
+    )

@@ -498,3 +498,38 @@ def sql_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_HIER_ROLLUP_SQL)
+
+
+_BOM_SQL = """
+    WITH RECURSIVE walk AS (
+      SELECT n_nationkey AS node, 0 AS depth,
+             CAST(1 AS BIGINT) AS path_qty
+      FROM nation WHERE n_nationkey = 0
+      UNION ALL
+      SELECT n.n_nationkey, w.depth + 1,
+             w.path_qty * (1 + n.n_nationkey % 3)
+      FROM nation n JOIN walk w
+        ON w.node = CAST(floor((n.n_nationkey - 1) / 2.0) AS INT)
+       AND n.n_nationkey > 0
+    )
+    SELECT node, depth, path_qty FROM walk
+"""
+
+
+@query(
+    "sql_bom_explosion",
+    oracle=_BOM_SQL,
+    tags=("bom_explosion", "recursive_cte", "hierarchy", "sql_surface"),
+)
+def sql_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOM EXPLOSION — the bill-of-materials walk whose accumulator is
+    MULTIPLICATIVE (effective quantity = product of per-edge usage
+    counts along the path), the manufacturing twin of the additive
+    hierarchy rollup: 'one root assembly needs path_qty units of each
+    descendant part'.  Per-edge multiplier 1 + key%3 over the implicit
+    binary tree keeps everything integer-exact; products compound down
+    the recursion, which no GROUP BY ROLLUP or window frame can
+    express — WITH RECURSIVE carries the running product per path."""
+    prepare(spark)
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(_BOM_SQL)
