@@ -4286,3 +4286,60 @@ def qa_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return checks.select(
         "fd", "n_lhs", "n_violating_lhs", (F.col("n_violating_lhs") == 0).alias("holds")
     )
+
+
+@query(
+    "stats_trimmed_mean_ab",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id % 2 AS arm,
+               CAST(round(value*100) AS BIGINT) AS vc,
+               row_number() OVER (PARTITION BY user_id % 2
+                                  ORDER BY CAST(round(value*100) AS BIGINT), event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id % 2) AS n
+        FROM events
+    ),
+    trimmed AS (
+        SELECT arm, vc FROM ranked
+        WHERE rn > n / 10 AND rn <= n - n / 10
+    )
+    SELECT arm,
+           count(*) AS n_kept,
+           sum(vc) AS sum_cents,
+           round(CAST(sum(vc) AS DOUBLE) / count(*), 6) AS trimmed_mean_cents
+    FROM trimmed
+    GROUP BY arm
+    """,
+    tags=("trimmed_mean", "robust_stats", "ab_test", "experiment", "window_rank"),
+)
+def stats_trimmed_mean_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK-TRIMMED mean per experiment arm — the robust A/B readout
+    that a handful of whale values cannot swing (the classic 10% trim;
+    winsorization's delete-instead-of-clamp sibling): each arm drops
+    its bottom and top n/10 observations BY RANK (integer cut points,
+    ties broken by event_id — no interpolated percentile float enters
+    the trim decision), and the kept mass reduces to one exact integer
+    sum and count, divided once.  One window sort shuffle per arm +
+    one groupBy — at whale-heavy 100 TB this is the metric the
+    experimentation platform reports next to the raw mean."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    arm = (F.col("user_id") % 2).alias("arm")
+    base = ev.select(arm, cents("value").alias("vc"), "event_id")
+    w = Window.partitionBy("arm").orderBy("vc", "event_id")
+    ranked = base.select(
+        "arm", "vc",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("arm")).alias("n"),
+    )
+    trimmed = ranked.where(
+        (F.col("rn") > F.col("n") / 10) & (F.col("rn") <= F.col("n") - F.col("n") / 10)
+    )
+    return trimmed.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("vc").alias("sum_cents"),
+        F.round(F.sum("vc").cast("double") / F.count(F.lit(1)), 6).alias(
+            "trimmed_mean_cents"
+        ),
+    )
