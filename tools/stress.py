@@ -362,6 +362,61 @@ def main() -> None:
     # expected pairs ~= n_pts * n_ctr * pi*r^2 / area ~= 4.9M
     assert 2_000_000 < n_sp < 10_000_000, n_sp
 
+    # Count-min sketch at full stream scale: the claim is the shuffle is
+    # depth x width cells per partition, NOT keys — the bounded-memory
+    # frequency path when an exact key groupBy would blow the shuffle.
+    t0 = time.time()
+    cms_cells = (
+        events.selectExpr("CAST(user_id AS STRING) AS k")
+        .select(
+            F.posexplode(
+                F.array(*[
+                    F.expr(
+                        "(("
+                        + " + ".join(
+                            f"(instr('0123456789abcdef', substring(md5(concat('{r}:', k)), {j + 1}, 1)) - 1) * {16 ** (3 - j)}"
+                            for j in range(4)
+                        )
+                        + f") % 256)"
+                    )
+                    for r in range(4)
+                ])
+            ).alias("r", "cell")
+        )
+        .groupBy("r", "cell")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    n_cells = cms_cells.count()
+    t["count_min_20m_rows"] = round(time.time() - t0, 2)
+    assert n_cells <= 4 * 256
+
+    # Interval-union sweep at full scale: one ordered window pass per
+    # key merges 20M presence intervals and emits coverage gaps —
+    # linear, never pairwise.
+    from pyspark.sql import Window as W3
+
+    t0 = time.time()
+    iv_w = W3.partitionBy("user_id").orderBy("s_ms")
+    ivs = events.select(
+        "user_id",
+        (F.unix_timestamp("ts") * 1000).alias("s_ms"),
+    ).select("user_id", "s_ms", (F.col("s_ms") + 1800000).alias("e_ms"))
+    merged_n = (
+        ivs.select(
+            "user_id", "s_ms", "e_ms",
+            F.max("e_ms").over(iv_w.rowsBetween(W3.unboundedPreceding, -1)).alias("pr"),
+        )
+        .select(
+            F.when(F.col("pr").isNull() | (F.col("s_ms") > F.col("pr")), 1)
+            .otherwise(0)
+            .alias("nw")
+        )
+        .agg(F.sum("nw"))
+        .first()[0]
+    )
+    t["interval_union_20m"] = round(time.time() - t0, 2)
+    assert merged_n >= 1
+
     print(json.dumps({"rows": args.rows, "vecs": args.vecs, "timings": t, "n_prefix_pairs": n_jpairs}))
 
 
