@@ -4343,3 +4343,102 @@ def stats_trimmed_mean_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trimmed_mean_cents"
         ),
     )
+
+
+@query(
+    "stats_cuped_adjustment",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               user_id % 2 AS arm,
+               sum(CASE WHEN day(ts) % 2 = 0
+                        THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS sx,
+               sum(CASE WHEN day(ts) % 2 = 1
+                        THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS sy
+        FROM events
+        GROUP BY user_id
+    ),
+    g AS (
+        SELECT count(*) AS n, sum(sx) AS gx, sum(sy) AS gy,
+               sum(sx*sx) AS gxx, sum(sx*sy) AS gxy, sum(sy*sy) AS gyy
+        FROM per_user
+    ),
+    th AS (
+        SELECT n, gx, gy,
+               CAST(n*gxy - gx*gy AS DOUBLE) / (n*gxx - gx*gx) AS theta,
+               CAST(n*gxy - gx*gy AS DOUBLE) * (n*gxy - gx*gy)
+                 / ((n*gxx - gx*gx) * CAST(n*gyy - gy*gy AS DOUBLE)) AS var_reduction
+        FROM g
+    )
+    SELECT p.arm,
+           count(*) AS n_users,
+           round(CAST(sum(p.sy) AS DOUBLE) / count(*), 6) AS mean_y_cents,
+           round(CAST(sum(p.sy) AS DOUBLE) / count(*)
+                 - t.theta * (CAST(sum(p.sx) AS DOUBLE) / count(*)
+                              - CAST(t.gx AS DOUBLE) / t.n), 6) AS mean_adj_cents,
+           round(t.theta, 6) AS theta,
+           round(t.var_reduction, 6) AS var_reduction
+    FROM per_user p CROSS JOIN th t
+    GROUP BY p.arm, t.theta, t.var_reduction, t.gx, t.n
+    """,
+    tags=("cuped", "variance_reduction", "experiment", "ab_test", "covariance",
+          "stats"),
+)
+def stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. WSDM'13 — the
+    pre-experiment-covariate adjustment every large experimentation
+    platform applies): per-user pre-period metric x (even-day spend)
+    explains away variance in the experiment metric y (odd-day
+    spend); θ = Cov(x,y)/Var(x) and adjusted mean_a = ȳ_a − θ(x̄_a −
+    x̄).  EVERYTHING derives from six exact integer sums (n, Σx, Σy,
+    Σx², Σxy, Σy² — one map-side-combined groupBy then a 1-row
+    global), so θ, the adjusted means, and the realized variance
+    reduction ρ² are each a single deterministic float expression —
+    no per-row float accumulation anywhere, the same discipline as
+    the exact-moment corr/covar query.  At 100 TB: one scan, one
+    user-keyed shuffle, one broadcast scalar."""
+    ev = _t(spark, sf_dir, "events")
+    vc = cents("value")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.dayofmonth("ts") % 2 == 0, vc).otherwise(0)).alias("sx"),
+        F.sum(F.when(F.dayofmonth("ts") % 2 == 1, vc).otherwise(0)).alias("sy"),
+    ).select((F.col("user_id") % 2).alias("arm"), "sx", "sy")
+    g = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("sx").alias("gx"),
+        F.sum("sy").alias("gy"),
+        F.sum(F.col("sx") * F.col("sx")).alias("gxx"),
+        F.sum(F.col("sx") * F.col("sy")).alias("gxy"),
+        F.sum(F.col("sy") * F.col("sy")).alias("gyy"),
+    )
+    vxy = F.col("n") * F.col("gxy") - F.col("gx") * F.col("gy")
+    vxx = F.col("n") * F.col("gxx") - F.col("gx") * F.col("gx")
+    vyy = F.col("n") * F.col("gyy") - F.col("gy") * F.col("gy")
+    th = g.select(
+        "n", "gx",
+        (vxy.cast("double") / vxx).alias("theta"),
+        (vxy.cast("double") * vxy / (vxx * vyy.cast("double"))).alias("var_reduction"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(th))
+        .groupBy("arm", "theta", "var_reduction", "gx", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("sy").alias("asy"),
+            F.sum("sx").alias("asx"),
+        )
+        .select(
+            "arm",
+            "n_users",
+            F.round(F.col("asy").cast("double") / F.col("n_users"), 6).alias("mean_y_cents"),
+            F.round(
+                F.col("asy").cast("double") / F.col("n_users")
+                - F.col("theta")
+                * (F.col("asx").cast("double") / F.col("n_users")
+                   - F.col("gx").cast("double") / F.col("n")),
+                6,
+            ).alias("mean_adj_cents"),
+            F.round("theta", 6).alias("theta"),
+            F.round("var_reduction", 6).alias("var_reduction"),
+        )
+    )

@@ -704,3 +704,67 @@ def scalar_timezone_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros(ny.cast("timestamp")) - F.unix_micros(d.cast("timestamp"))) / 3600000000
         ).cast("int").alias("ny_offset_hours"),
     )
+
+
+@query(
+    "scalar_business_days",
+    oracle="""
+    WITH ms AS (
+        SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS first_ship
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    base AS (
+        SELECT o.o_orderkey,
+               least(CAST(o.o_orderdate AS DATE), ms.first_ship) AS d1,
+               greatest(CAST(o.o_orderdate AS DATE), ms.first_ship) AS d2
+        FROM orders o JOIN ms ON ms.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey < 3000
+    ),
+    spans AS (
+        SELECT o_orderkey,
+               date_diff('day', d1, d2) AS diff,
+               date_part('isodow', d1) - 1 AS w1
+        FROM base
+    )
+    SELECT o_orderkey, diff AS calendar_days,
+           (diff // 7) * 5
+           + greatest(0, least(w1 + diff % 7, 5) - w1)
+           + greatest(0, least(w1 + diff % 7 - 7, 5)) AS business_days
+    FROM spans
+    """,
+    tags=("business_days", "date", "scalar", "time_domain"),
+)
+def scalar_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUSINESS-DAY arithmetic in closed form — the ops/SLA metric
+    ('ship within 3 working days') computed without a calendar UDF or
+    a generated day spine (direction-safe — the earlier date anchors
+    the week arithmetic): full weeks contribute 5, and the remainder
+    window starting at the order's ISO weekday contributes its
+    weekday overlap via two greatest/least clamps (property-validated
+    against a day-scan model over 2000 random ranges).  Pure integer
+    codegen — at 100 TB this is a per-row expression, not a join
+    against a date dimension (holidays, when needed, ARE the date-dim
+    join — orthogonal and additive)."""
+    prepare(spark)
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 3000)
+    li = load_table(spark, sf_dir, "lineitem")
+    ms = li.groupBy("l_orderkey").agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("first_ship")
+    )
+    od = F.col("o_orderdate").cast("date")
+    d1 = F.least(od, F.col("first_ship"))
+    d2 = F.greatest(od, F.col("first_ship"))
+    base = o.join(ms, o.o_orderkey == ms.l_orderkey).select(
+        "o_orderkey",
+        F.datediff(d2, d1).alias("diff"),
+        F.weekday(d1).alias("w1"),
+    )
+    rem = F.col("diff") % 7
+    extra = F.greatest(
+        F.lit(0), F.least(F.col("w1") + rem, F.lit(5)) - F.col("w1")
+    ) + F.greatest(F.lit(0), F.least(F.col("w1") + rem - 7, F.lit(5)))
+    return base.select(
+        "o_orderkey",
+        F.col("diff").alias("calendar_days"),
+        (F.floor(F.col("diff") / 7) * 5 + extra).cast("bigint").alias("business_days"),
+    )

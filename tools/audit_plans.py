@@ -53,6 +53,7 @@ CARTESIAN_OK = {
     "stats_poisson_bootstrap_ci",  # (guard) replicate Expand can plan as 1-row cross
     "llm_dsir_importance",  # three 1-row LM-total scalars broadcast-crossed into scoring
     "qa_wasserstein_drift",  # two 1-row population-total scalars broadcast-crossed in
+    "stats_cuped_adjustment",  # 1-row theta/moment scalars broadcast-crossed into arms
 }
 
 #: queries allowed to exceed the exchange budget, each with why:
