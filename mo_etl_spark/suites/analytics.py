@@ -4442,3 +4442,106 @@ def stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("var_reduction", 6).alias("var_reduction"),
         )
     )
+
+
+@query(
+    "stats_kaplan_meier",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               min(epoch_ms(ts)) AS t0,
+               min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS tp,
+               max(epoch_ms(ts)) AS tmax
+        FROM events GROUP BY user_id
+    ),
+    spells AS (
+        SELECT user_id,
+               CASE WHEN tp IS NOT NULL AND tp > t0
+                    THEN (tp - t0) // 60000 END AS event_t,
+               CASE WHEN tp IS NULL OR tp <= t0
+                    THEN (tmax - t0) // 60000 END AS censor_t
+        FROM per_user
+    ),
+    risk AS (
+        SELECT event_t AS t, count(*) AS d FROM spells
+        WHERE event_t IS NOT NULL GROUP BY event_t
+    ),
+    n_at AS (
+        SELECT r.t, r.d,
+               (SELECT count(*) FROM spells s
+                WHERE coalesce(s.event_t, s.censor_t) >= r.t) AS n
+        FROM risk r
+    )
+    SELECT t, d, n,
+           round(exp(sum(ln(1.0 - CAST(d AS DOUBLE) / n))
+                     OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)), 6) AS survival
+    FROM n_at
+    """,
+    tags=("kaplan_meier", "survival_analysis", "stats", "retention", "window_agg"),
+)
+def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival curve with right censoring — time from a
+    user's first event to first purchase, users who never purchase
+    censored at their last observation (the estimator behind
+    time-to-conversion, churn, and reliability curves): S(t) =
+    Π_{t_i<=t} (1 − d_i/n_i) over distinct event times, d = events at
+    t, n = at-risk count (spell >= t).  The product is exp of an
+    ORDERED cumulative log-sum — a window whose frame order fixes the
+    float summation order in both engines, so even the float path is
+    deterministic; d and n themselves are exact integers via one
+    user-grain aggregate + a risk-set count.  The risk-set
+    correlated count decorrelates to a join against the sorted spell
+    distribution; at 100 TB n(t) comes from one descending cumulative
+    count over the spell histogram instead (same numbers, one
+    window)."""
+    ev = _t(spark, sf_dir, "events")
+    ems = (F.unix_micros(F.col("ts")) / 1000).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(ems).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", ems)).alias("tp"),
+        F.max(ems).alias("tmax"),
+    )
+    spells = per_user.select(
+        "user_id",
+        F.when(
+            F.col("tp").isNotNull() & (F.col("tp") > F.col("t0")),
+            F.floor((F.col("tp") - F.col("t0")) / 60000).cast("bigint"),
+        ).alias("event_t"),
+        F.when(
+            F.col("tp").isNull() | (F.col("tp") <= F.col("t0")),
+            F.floor((F.col("tmax") - F.col("t0")) / 60000).cast("bigint"),
+        ).alias("censor_t"),
+    ).localCheckpoint()
+    risk = (
+        spells.where(F.col("event_t").isNotNull())
+        .groupBy(F.col("event_t").alias("t"))
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # at-risk count n(t): total spells with observed time >= t — a
+    # descending cumulative count over the spell-time histogram
+    spell_t = spells.select(
+        F.coalesce("event_t", "censor_t").alias("st")
+    ).groupBy("st").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    w_desc = Window.orderBy(F.col("st").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = spell_t.select("st", F.sum("c").over(w_desc).alias("n_ge"))
+    # n(t) = cumulative count at the smallest st >= t; join risk times
+    # to the histogram via >= then take min st — small tables here;
+    # the window formulation above is the scale path
+    n_at = (
+        risk.join(cum, cum.st >= risk.t)
+        .groupBy("t", "d")
+        .agg(F.max("n_ge").alias("n"))
+    )
+    w_t = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return n_at.select(
+        "t", "d", "n",
+        F.round(
+            F.exp(F.sum(F.log(1.0 - F.col("d").cast("double") / F.col("n"))).over(w_t)),
+            6,
+        ).alias("survival"),
+    )
