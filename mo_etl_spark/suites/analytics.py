@@ -4529,14 +4529,10 @@ def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, 0
     )
     cum = spell_t.select("st", F.sum("c").over(w_desc).alias("n_ge"))
-    # n(t) = cumulative count at the smallest st >= t; join risk times
-    # to the histogram via >= then take min st — small tables here;
-    # the window formulation above is the scale path
-    n_at = (
-        risk.join(cum, cum.st >= risk.t)
-        .groupBy("t", "d")
-        .agg(F.max("n_ge").alias("n"))
-    )
+    # every risk time IS a spell time (its users' spells carry it), so
+    # n(t) is the descending cumulative AT t — an exact equi-join on
+    # the histogram, no theta join
+    n_at = risk.join(cum, risk.t == cum.st).select("t", "d", F.col("n_ge").alias("n"))
     w_t = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
     return n_at.select(
         "t", "d", "n",
