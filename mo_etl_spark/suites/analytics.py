@@ -4541,3 +4541,77 @@ def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("survival"),
     )
+
+
+@query(
+    "etl_temporal_align",
+    oracle="""
+    WITH bal_v AS (
+        SELECT c_custkey,
+               CAST(round(c_acctbal*100) AS BIGINT) - 300 AS bal_cents,
+               0 AS vf, 50 AS vt
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT), 50, 100
+        FROM customer
+    ),
+    seg_v AS (
+        SELECT c_custkey, c_mktsegment AS seg,
+               0 AS vf, 30 + c_custkey % 40 AS vt
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, concat(c_mktsegment, '_X'),
+               30 + c_custkey % 40, 100
+        FROM customer
+    )
+    SELECT b.c_custkey,
+           greatest(b.vf, s.vf) AS vf,
+           least(b.vt, s.vt) AS vt,
+           b.bal_cents, s.seg
+    FROM bal_v b
+    JOIN seg_v s
+      ON s.c_custkey = b.c_custkey
+     AND greatest(b.vf, s.vf) < least(b.vt, s.vt)
+    """,
+    tags=("temporal_align", "scd2", "join_interval", "temporal_join",
+          "point_in_time"),
+)
+def etl_temporal_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL ALIGNMENT of two independently-versioned SCD2 tables —
+    the operation behind 'join these two slowly-changing dimensions
+    AS HISTORIES, not at one instant' (the batch analog of a
+    bitemporal reporting join): every output row is the INTERSECTION
+    of one balance-version interval and one segment-version interval
+    (equi-join on key + overlap predicate, validity = [max(starts),
+    min(ends))), so each customer yields as many aligned segments as
+    its two version timelines cross — 2x2 timelines with offset
+    breakpoints give 3 aligned rows for most keys.  The overlap
+    refinement sits on TOP of the key hash join (never a theta-only
+    join); at deep version histories the same plan bucket-joins on
+    coarse time like join_range."""
+    c = _t(spark, sf_dir, "customer")
+    bal = cents("c_acctbal")
+    bal_v = c.select(
+        "c_custkey", (bal - 300).alias("bal_cents"),
+        F.lit(0).alias("bvf"), F.lit(50).alias("bvt"),
+    ).unionByName(
+        c.select("c_custkey", bal.alias("bal_cents"),
+                 F.lit(50).alias("bvf"), F.lit(100).alias("bvt"))
+    )
+    brk = 30 + F.col("c_custkey") % 40
+    seg_v = c.select(
+        "c_custkey", F.col("c_mktsegment").alias("seg"),
+        F.lit(0).alias("svf"), brk.alias("svt"),
+    ).unionByName(
+        c.select(
+            "c_custkey", F.concat(F.col("c_mktsegment"), F.lit("_X")).alias("seg"),
+            brk.alias("svf"), F.lit(100).alias("svt"),
+        )
+    )
+    vf = F.greatest("bvf", "svf")
+    vt = F.least("bvt", "svt")
+    return (
+        bal_v.join(seg_v, "c_custkey")
+        .where(vf < vt)
+        .select("c_custkey", vf.alias("vf"), vt.alias("vt"), "bal_cents", "seg")
+    )
