@@ -4615,3 +4615,91 @@ def etl_temporal_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(vf < vt)
         .select("c_custkey", vf.alias("vf"), vt.alias("vt"), "bal_cents", "seg")
     )
+
+
+@query(
+    "stats_interrupted_timeseries",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1997-01-01',
+                              CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS d,
+               sum(CAST(round(value*100) AS BIGINT)) AS yc
+        FROM events
+        GROUP BY 1
+    ),
+    split AS (SELECT CAST(quantile_disc(d, 0.5) AS BIGINT) AS cut FROM daily),
+    pre AS (
+        SELECT count(*) AS n, sum(d) AS sx, sum(yc) AS sy,
+               sum(d*d) AS sxx, sum(d*yc) AS sxy
+        FROM daily, split WHERE d < cut
+    ),
+    fit AS (
+        SELECT n, sx, sy, sxx, sxy,
+               CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx) AS slope,
+               (CAST(sy AS DOUBLE) - CAST(n*sxy - sx*sy AS DOUBLE)
+                  / (n*sxx - sx*sx) * sx) / n AS intercept
+        FROM pre
+    )
+    SELECT d.d AS day_idx, d.yc AS actual_cents,
+           round(f.intercept + f.slope * d.d, 6) AS expected_cents,
+           round(d.yc - (f.intercept + f.slope * d.d), 6) AS lift_cents
+    FROM daily d CROSS JOIN fit f CROSS JOIN split s
+    WHERE d.d >= s.cut
+    """,
+    tags=("interrupted_time_series", "causal", "trend", "regression", "experiment"),
+)
+def stats_interrupted_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERRUPTED TIME SERIES — the quasi-experimental readout when
+    there is no control group ('the feature shipped mid-month; what
+    lifted?'): fit the PRE-period daily-revenue trend by OLS from
+    exact integer moments (n, Σx, Σy, Σx², Σxy — the
+    corr/covar/CUPED discipline: no per-row float accumulation),
+    extrapolate the counterfactual over the POST period, and report
+    per-day actual-vs-expected lift.  The intervention point is the
+    median observed day (deterministic discrete quantile in both
+    engines); slope and intercept are single float expressions over
+    BIGINTs, so every output row is one rounded formula — the causal
+    family's sibling to the CUPED adjustment."""
+    ev = _t(spark, sf_dir, "events")
+    day_idx = F.datediff(
+        F.date_trunc("day", "ts").cast("date"), F.lit("1997-01-01").cast("date")
+    ).cast("bigint")
+    daily = ev.select(day_idx.alias("d"), cents("value").alias("vc")).groupBy("d").agg(
+        F.sum("vc").alias("yc")
+    ).localCheckpoint()
+    split = daily.agg(
+        F.expr("percentile_approx(d, 0.5, 1000000)").cast("bigint").alias("cut")
+    )
+    pre = (
+        daily.crossJoin(F.broadcast(split))
+        .where(F.col("d") < F.col("cut"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("d").alias("sx"),
+            F.sum("yc").alias("sy"),
+            F.sum(F.col("d") * F.col("d")).alias("sxx"),
+            F.sum(F.col("d") * F.col("yc")).alias("sxy"),
+        )
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = pre.select(
+        slope.alias("slope"),
+        ((F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+    )
+    return (
+        daily.crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(split))
+        .where(F.col("d") >= F.col("cut"))
+        .select(
+            F.col("d").alias("day_idx"),
+            F.col("yc").alias("actual_cents"),
+            F.round(F.col("intercept") + F.col("slope") * F.col("d"), 6).alias(
+                "expected_cents"
+            ),
+            F.round(
+                F.col("yc") - (F.col("intercept") + F.col("slope") * F.col("d")), 6
+            ).alias("lift_cents"),
+        )
+    )

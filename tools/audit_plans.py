@@ -54,6 +54,7 @@ CARTESIAN_OK = {
     "llm_dsir_importance",  # three 1-row LM-total scalars broadcast-crossed into scoring
     "qa_wasserstein_drift",  # two 1-row population-total scalars broadcast-crossed in
     "stats_cuped_adjustment",  # 1-row theta/moment scalars broadcast-crossed into arms
+    "stats_interrupted_timeseries",  # 1-row fit/cut scalars broadcast-crossed into post days
 }
 
 #: queries allowed to exceed the exchange budget, each with why:
