@@ -4703,3 +4703,71 @@ def stats_interrupted_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_cents"),
         )
     )
+
+
+@query(
+    "etl_data_vault_roundtrip",
+    oracle="""
+    WITH hub AS (
+        SELECT DISTINCT md5(CAST(o_custkey AS VARCHAR)) AS hub_key, o_custkey
+        FROM orders
+    ),
+    sat AS (
+        SELECT md5(CAST(o_orderkey AS VARCHAR)) AS link_key,
+               o_orderstatus, o_orderpriority,
+               CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+        FROM orders
+    ),
+    link AS (
+        SELECT md5(CAST(o_orderkey AS VARCHAR)) AS link_key,
+               md5(CAST(o_custkey AS VARCHAR)) AS hub_key,
+               o_orderkey
+        FROM orders
+    )
+    SELECT h.o_custkey,
+           count(*) AS n_orders,
+           sum(s.price_cents) AS total_cents,
+           count(DISTINCT s.o_orderpriority) AS n_priorities
+    FROM link l
+    JOIN hub h ON h.hub_key = l.hub_key
+    JOIN sat s ON s.link_key = l.link_key
+    GROUP BY h.o_custkey
+    """,
+    tags=("data_vault", "hub_link_satellite", "hash_keys", "join_inner",
+          "incremental_etl"),
+)
+def etl_data_vault_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA VAULT decomposition and lossless reassembly (Linstedt's
+    hub/link/satellite modeling — the insert-only warehouse layout
+    built for parallel multi-source loading): business keys hash into
+    a HUB, relationships into a LINK keyed by hashed natural keys, and
+    descriptive attributes into a SATELLITE — every table loadable
+    independently and idempotently because the hash keys derive from
+    the data, never from a sequence (the same reason this engine bans
+    monotonically_increasing_id).  The contract query proves the
+    decomposition reconstructs: link ⋈ hub ⋈ satellite re-aggregates
+    to exactly the source-table per-customer rollup.  All three joins
+    are hash-key equi-joins; md5 keys are cross-engine identical."""
+    o = _t(spark, sf_dir, "orders")
+    hub = o.select(
+        F.md5(F.col("o_custkey").cast("string")).alias("hub_key"), "o_custkey"
+    ).distinct()
+    sat = o.select(
+        F.md5(F.col("o_orderkey").cast("string")).alias("link_key"),
+        "o_orderstatus", "o_orderpriority", cents("o_totalprice").alias("price_cents"),
+    )
+    link = o.select(
+        F.md5(F.col("o_orderkey").cast("string")).alias("link_key"),
+        F.md5(F.col("o_custkey").cast("string")).alias("hub_key"),
+        "o_orderkey",
+    )
+    return (
+        link.join(hub, "hub_key")
+        .join(sat, "link_key")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_cents").alias("total_cents"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+    )
