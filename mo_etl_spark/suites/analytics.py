@@ -4771,3 +4771,48 @@ def etl_data_vault_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_orderpriority").alias("n_priorities"),
         )
     )
+
+
+@query(
+    "etl_scd3_previous_value",
+    oracle="""
+    WITH batch AS (
+        SELECT c_custkey,
+               CAST(round(c_acctbal*100) AS BIGINT)
+                 + CASE WHEN c_custkey % 3 = 0 THEN 2500 ELSE 0 END AS new_cents
+        FROM customer
+    )
+    SELECT c.c_custkey,
+           b.new_cents AS bal_cents,
+           CASE WHEN b.new_cents <> CAST(round(c.c_acctbal*100) AS BIGINT)
+                THEN CAST(round(c.c_acctbal*100) AS BIGINT) END AS prev_bal_cents,
+           (b.new_cents <> CAST(round(c.c_acctbal*100) AS BIGINT)) AS changed
+    FROM customer c JOIN batch b ON b.c_custkey = c.c_custkey
+    """,
+    tags=("scd3", "cdc_merge", "incremental_etl", "join_inner"),
+)
+def etl_scd3_previous_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE 3 — the previous-value column merge that completes the
+    slowly-changing-dimension taxonomy next to the engine's SCD2
+    version rows and CDC compaction (type 1 being plain overwrite):
+    one equi-join of the incoming batch onto the dimension, current
+    value replaced, the superseded value retained in prev_* ONLY on
+    genuine change (unchanged rows keep NULL — the jx missing
+    semantics for 'no history').  The trade vs SCD2 is one column of
+    history for zero row growth; every-third customer gets a planted
+    +$25 restatement so both branches exercise."""
+    c = _t(spark, sf_dir, "customer")
+    old = cents("c_acctbal")
+    batch = c.select(
+        F.col("c_custkey").alias("bk"),
+        (old + F.when(F.col("c_custkey") % 3 == 0, 2500).otherwise(0)).alias("new_cents"),
+    )
+    return (
+        c.join(batch, c.c_custkey == batch.bk)
+        .select(
+            "c_custkey",
+            F.col("new_cents").alias("bal_cents"),
+            F.when(F.col("new_cents") != old, old).alias("prev_bal_cents"),
+            (F.col("new_cents") != old).alias("changed"),
+        )
+    )
