@@ -22,3 +22,8 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_SMOKE
+
+
+def pytest_collection_modifyitems(config, items):
+    # keep meta/contract tests first so drift fails fast
+    items.sort(key=lambda it: 0 if "contract" in it.name else 1)
