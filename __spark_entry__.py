@@ -33,9 +33,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for every SQL-expressible query (same column names)."""
-    return {
-        name: spec.oracle
-        for name, spec in all_queries().items()
-        if spec.oracle is not None
-    }
+    """DuckDB twins for every SQL-expressible query (same column names).
+
+    Oracles whose integer aggregates DuckDB widens to HUGEINT (int128)
+    are wrapped with ``SELECT * REPLACE (CAST(col AS BIGINT) AS col)``
+    so the driver's pandas canonicalizer sees int64 on both engines —
+    see mo_etl_spark/oracle_fixups.py (auto-generated, test-guarded by
+    tests/test_oracle_types.py).
+    """
+    from mo_etl_spark.oracle_fixups import BIGINT_CASTS
+
+    out = {}
+    for name, spec in all_queries().items():
+        if spec.oracle is None:
+            continue
+        sql = spec.oracle
+        casts = BIGINT_CASTS.get(name)
+        if casts:
+            repl = ", ".join(f'CAST("{c}" AS BIGINT) AS "{c}"' for c in casts)
+            sql = f"SELECT * REPLACE ({repl}) FROM ({sql}) AS __orig"
+        out[name] = sql
+    return out

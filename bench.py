@@ -56,17 +56,24 @@ def main() -> None:
     total = round(time.time() - t_all, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_clock_all_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    # full per-query detail goes to a file; stdout gets ONE SMALL JSON
+    # line (r1 driver truncated the 308-entry line and recorded
+    # parsed=null — VERDICT r1 item #5)
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    summary = {
+        "metric": "total_wall_clock_all_queries",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "n_errors": sum(1 for v in timings.values() if v < 0),
+        "queries": slowest,
+        "detail_file": detail_path,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    with open(detail_path, "w") as f:
+        json.dump({**summary, "queries": timings}, f, indent=1, sort_keys=True)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -129,7 +129,7 @@ def agg_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_union_set_per_user",
     oracle="""
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS types,
+           array_to_string(list_sort(list(DISTINCT event_type)), '|') AS types,
            count(DISTINCT event_type) AS n_types
     FROM events
     GROUP BY user_id
@@ -138,10 +138,12 @@ def agg_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_union_set_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """jx 'union' aggregate — set of values seen (u, ActiveData) —
-    array_sort(collect_set) for deterministic output (SURVEY §4.3)."""
+    array_sort(collect_set) for deterministic output (SURVEY §4.3).
+    Serialized with array_join so the driver's pandas canonicalizer
+    (which cannot sort ndarray cells) sees a plain string column."""
     events = _t(spark, sf_dir, "events")
     return events.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("types"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), "|").alias("types"),
         F.countDistinct("event_type").alias("n_types"),
     )
 
@@ -316,16 +318,35 @@ def agg_count_values_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
-@query("agg_approx_cardinality", oracle=None, tags=("cardinality", "approx"))
+@query(
+    "agg_approx_cardinality",
+    oracle="""
+    SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           true AS parts_ok,
+           true AS orders_ok
+    FROM lineitem
+    """,
+    tags=("cardinality", "approx"),
+)
 def agg_approx_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ cardinality — the scale path for jx 'cardinality'
     (the reference's ES-backed cardinality is approximate too (u)).
-    No DuckDB oracle (different sketch) -> rows-only check; sanity is
-    asserted in unit tests against exact counts."""
+    DuckDB runs a different sketch, so the contract is the
+    deterministic-assertion form: Spark computes BOTH the HLL++
+    estimate and the exact count and emits ``within 5%`` booleans plus
+    the exact counts; the oracle computes the exact side and the
+    booleans as literals.  The estimate itself stays unit-tested."""
     li = _t(spark, sf_dir, "lineitem")
+    ap = F.approx_count_distinct("l_partkey", rsd=0.01)
+    ao = F.approx_count_distinct("l_orderkey", rsd=0.01)
+    ep = F.countDistinct("l_partkey")
+    eo = F.countDistinct("l_orderkey")
     return li.agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        ep.alias("exact_parts"),
+        eo.alias("exact_orders"),
+        (F.abs(ap - ep).cast("double") / ep.cast("double") <= 0.05).alias("parts_ok"),
+        (F.abs(ao - eo).cast("double") / eo.cast("double") <= 0.05).alias("orders_ok"),
     )
 
 

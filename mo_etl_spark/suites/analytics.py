@@ -442,8 +442,13 @@ def layout_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_hll_mergeable_rollup",
-    oracle=None,  # Apache DataSketches HLL has no DuckDB twin; accuracy
-    # vs the exact count is asserted in tests/test_new_ops.py
+    oracle="""
+    SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           true AS approx_ok
+    FROM events
+    """,
     tags=("cardinality", "approx", "sketch_rollup", "partial_merge"),
 )
 def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -454,16 +459,31 @@ def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw events reshuffles everything; merging 30 daily sketches is
     constant work.  Uses Spark's Apache DataSketches HLL functions
     (hll_sketch_agg / hll_union_agg / hll_sketch_estimate).
+
+    Contract form is the deterministic assertion (VERDICT r1 item #3):
+    Spark ALSO computes the exact distinct count and emits an
+    ``approx within 5%`` boolean; the oracle computes the exact side.
     """
     e = _t(spark, sf_dir, "events")
     daily = e.groupBy(F.to_date("ts").alias("d")).agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.count("*").alias("n_events"),
     )
-    return daily.agg(
+    merged = daily.agg(
         F.count("*").alias("n_days"),
         F.sum("n_events").alias("n_events"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = e.agg(F.countDistinct("user_id").alias("exact_users"))
+    return merged.crossJoin(F.broadcast(exact)).select(
+        "n_days",
+        "n_events",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users")).cast("double")
+            / F.col("exact_users").cast("double")
+            <= 0.05
+        ).alias("approx_ok"),
     )
 
 
@@ -1328,8 +1348,13 @@ def agg_theta_setops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_kll_quantile_rollup",
-    oracle=None,  # KLL compaction is randomized (rows-only by design);
-    # rank-error accuracy vs exact quantiles is asserted in tests
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           true AS p50_rank_ok,
+           true AS p90_rank_ok,
+           true AS p99_rank_ok
+    FROM events
+    """,
     tags=("percentile", "approx", "sketch_rollup", "kll", "partial_merge"),
 )
 def agg_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1339,8 +1364,10 @@ def agg_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable-percentile path that complements the engine's exact
     integer histogram sketch (agg_histogram_quantile_sketch).  KLL's
     compaction uses random sampling, so results carry a bounded rank
-    error (~1.65% at k=200) rather than being bit-reproducible:
-    rows-only here, tolerance-checked in tests."""
+    error (~1.65% at k=200) rather than being bit-reproducible; the
+    contract is therefore the deterministic-assertion form: re-scan
+    events to measure each estimate's TRUE rank and emit
+    ``|rank - q| <= 0.05`` booleans, which the oracle states exactly."""
     e = _t(spark, sf_dir, "events")
     daily = e.groupBy(F.to_date("ts").alias("d")).agg(
         F.kll_sketch_agg_double(F.col("value")).alias("sk"),
@@ -1359,11 +1386,25 @@ def agg_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: F.kll_sketch_merge_double(acc, x),
         ).alias("sk"),
     )
-    return merged.select(
+    est = merged.select(
         "n_events",
         F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50"),
         F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("p90"),
         F.kll_sketch_get_quantile_double("sk", F.lit(0.99)).alias("p99"),
+    )
+
+    def rank_ok(p_col: str, q: float):
+        frac = F.avg((F.col("value") <= F.col(p_col)).cast("double"))
+        return (F.abs(frac - F.lit(q)) <= 0.05).alias(f"{p_col}_rank_ok")
+
+    return (
+        e.crossJoin(F.broadcast(est))
+        .agg(
+            F.first("n_events").alias("n_events"),
+            rank_ok("p50", 0.5),
+            rank_ok("p90", 0.9),
+            rank_ok("p99", 0.99),
+        )
     )
 
 
@@ -3246,12 +3287,15 @@ def etl_accumulating_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("l_shipdate").cast("date")).alias("first_ship"),
         F.max(F.col("l_shipdate").cast("date")).alias("last_ship"),
     )
+    # milestone dates surface as timestamps: pandas maps DuckDB DATE to
+    # datetime64 but keeps Spark DateType as datetime.date objects, and
+    # the driver's representation-exact hash would see those differ
     return o.join(ms, o.o_orderkey == ms.l_orderkey).select(
         "o_orderkey",
         "n_lines",
-        F.col("o_orderdate").cast("date").alias("order_d"),
-        "first_ship",
-        "last_ship",
+        F.col("o_orderdate").cast("date").cast("timestamp").alias("order_d"),
+        F.col("first_ship").cast("timestamp").alias("first_ship"),
+        F.col("last_ship").cast("timestamp").alias("last_ship"),
         F.datediff("first_ship", F.col("o_orderdate").cast("date")).alias("ship_lag_days"),
         F.datediff("last_ship", "first_ship").alias("fulfill_span_days"),
     )

@@ -203,18 +203,119 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs)
 
 
-@query("llm_dedup_minhash", oracle=None, tags=("dedup_minhash",))
+@query(
+    "llm_dedup_minhash",
+    oracle=f"""
+    WITH corpus AS ({_SQL_NEAR_DUPS}),
+    toks AS (
+        SELECT doc_id AS id, unnest(list_distinct(string_split(
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS tok
+        FROM corpus
+    ),
+    sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        FROM toks a JOIN toks b USING (tok)
+        WHERE a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+           true AS all_found_sound,
+           true AS planted_recovered,
+           true AS recall_ge_half
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+    """,
+    tags=("dedup_minhash", "lsh_banding"),
+)
 def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8 bands) candidates, exact-Jaccard verified at
-    0.5.  Deterministic (fixed xxhash64 seeds) but sketch-specific ->
-    rows-only; unit tests assert it recovers the planted near-dups."""
-    return D.minhash_lsh_pairs(_with_near_dups(_docs(spark, sf_dir)))
+    0.5 (operators/dedup.minhash_lsh_pairs — xxhash64 family, the cheap
+    scale path; llm_dedup_minhash_checked is the md5 twin whose full
+    pair set is oracle-reproduced).
+
+    xxhash64 has no DuckDB twin, so the contract is the deterministic-
+    assertion form (VERDICT r1 item #3): Spark computes the EXACT
+    jaccard-pair truth set alongside the sketch output and emits
+    - n_true_pairs: exact |{pairs j>=0.5}| — the oracle recomputes it;
+    - all_found_sound: every LSH-found pair is in the truth set;
+    - planted_recovered: all 100 planted truncation near-dups found;
+    - recall_ge_half: overall recall >= 0.5 (measured 0.77 at sf0.01 —
+      banding at 8 bands of 4 is tuned for j>=0.8 dups, not the
+      degenerate 31-token-vocabulary tail at j~0.5)."""
+    corpus = _with_near_dups(_docs(spark, sf_dir))
+    found = D.minhash_lsh_pairs(corpus)
+    truth = D.jaccard_pairs(corpus, threshold=0.5).select("id_a", "id_b")
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    n_found = found.agg(
+        F.count(F.lit(1)).alias("n_found"),
+        F.sum(
+            ((F.col("id_b") - F.col("id_a") == 20000) & (F.col("id_a") < 100)).cast("long")
+        ).alias("n_planted"),
+    )
+    n_sound = (
+        found.join(truth, ["id_a", "id_b"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_sound"))
+    )
+    return (
+        n_true.crossJoin(F.broadcast(n_found))
+        .crossJoin(F.broadcast(n_sound))
+        .select(
+            "n_true_pairs",
+            (F.col("n_sound") == F.col("n_found")).alias("all_found_sound"),
+            (F.col("n_planted") == 100).alias("planted_recovered"),
+            (F.col("n_found") * 2 >= F.col("n_true_pairs")).alias("recall_ge_half"),
+        )
+    )
 
 
-@query("llm_dedup_simhash", oracle=None, tags=("dedup_simhash",))
+@query(
+    "llm_dedup_simhash",
+    oracle="""
+    SELECT CAST((SELECT count(*) FROM documents WHERE doc_id < 500)
+              + (SELECT count(*) FROM documents WHERE doc_id < 100) AS BIGINT)
+             AS n_docs,
+           true AS planted_hamming_small,
+           true AS planted_max_lt_32,
+           true AS planted_closer_than_adjacent
+    """,
+    tags=("dedup_simhash",),
+)
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints (sign-sum of token hashes)."""
-    return D.simhash64(_with_near_dups(_docs(spark, sf_dir)))
+    """64-bit SimHash fingerprints (sign-sum of xxhash64 token hashes;
+    operators/dedup.simhash64 — llm_dedup_simhash_checked is the md5
+    twin whose every bit is oracle-reproduced).
+
+    Deterministic-assertion contract: planted 80%-truncation near-dups
+    must land hamming-close (measured avg 6.4, max 15 at sf0.01) and
+    strictly closer than adjacent-id base pairs (avg 14.2) — the
+    locality property that makes SimHash a dedup key at 100 TB."""
+    corpus = _with_near_dups(_docs(spark, sf_dir))
+    fp = D.simhash64(corpus)
+    a, b = fp.alias("a"), fp.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    planted = (
+        a.join(b, F.col("a.id") + 20000 == F.col("b.id"))
+        .agg(F.avg(ham).alias("p_avg"), F.max(ham).alias("p_max"))
+    )
+    adjacent = (
+        a.join(b, F.col("a.id") + 1 == F.col("b.id"))
+        .where(F.col("a.id") < 499)
+        .agg(F.avg(ham).alias("adj_avg"))
+    )
+    n = fp.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        n.crossJoin(F.broadcast(planted))
+        .crossJoin(F.broadcast(adjacent))
+        .select(
+            "n_docs",
+            (F.col("p_avg") <= 10.0).alias("planted_hamming_small"),
+            (F.col("p_max") < 32).alias("planted_max_lt_32"),
+            (F.col("p_avg") < F.col("adj_avg")).alias("planted_closer_than_adjacent"),
+        )
+    )
 
 
 @query(
@@ -359,13 +460,33 @@ def llm_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_sim_lsh_buckets", oracle=None, tags=("sim_lsh",))
+@query(
+    "llm_sim_lsh_buckets",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS total_vecs,
+           true AS buckets_le_4096,
+           true AS all_buckets_nonempty
+    FROM embeddings
+    """,
+    tags=("sim_lsh",),
+)
 def llm_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for ANN: sign-random-projection buckets (12 planes,
-    seed 42).  Output = bucket histogram; candidate generation joins on
-    the bucket id instead of cross-joining the corpus."""
+    seed 42).  Candidate generation joins on the bucket id instead of
+    cross-joining the corpus.
+
+    The seeded hyperplanes have no DuckDB twin, so the contract is the
+    deterministic-assertion form over the bucket histogram: the
+    partition must be lossless (sum of bucket sizes == corpus size —
+    the oracle recomputes that exactly) and well-formed (<= 2^12
+    buckets, none empty)."""
     b = S.hyperplane_lsh_buckets(_emb(spark, sf_dir), dim=64)
-    return b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
+    hist = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return hist.agg(
+        F.sum("n_vecs").alias("total_vecs"),
+        (F.count(F.lit(1)) <= 4096).alias("buckets_le_4096"),
+        (F.min("n_vecs") >= 1).alias("all_buckets_nonempty"),
+    )
 
 
 _STOPS_SQL = "'" + "','".join(X.EN_STOPWORDS) + "'"
@@ -1093,11 +1214,12 @@ def llm_sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) * 100 AS n_samples,
-           [CAST(CONCAT('0x', substr(md5(text || chr(0)), 1, 8)) AS BIGINT) / 4294967296.0,
-            CAST(CONCAT('0x', substr(md5(text || chr(1)), 1, 8)) AS BIGINT) / 4294967296.0,
-            CAST(CONCAT('0x', substr(md5(text || chr(2)), 1, 8)) AS BIGINT) / 4294967296.0,
-            CAST(CONCAT('0x', substr(md5(text || chr(3)), 1, 8)) AS BIGINT) / 4294967296.0
-           ] AS features
+           concat_ws('|',
+            CAST(CONCAT('0x', substr(md5(text || chr(0)), 1, 8)) AS BIGINT),
+            CAST(CONCAT('0x', substr(md5(text || chr(1)), 1, 8)) AS BIGINT),
+            CAST(CONCAT('0x', substr(md5(text || chr(2)), 1, 8)) AS BIGINT),
+            CAST(CONCAT('0x', substr(md5(text || chr(3)), 1, 8)) AS BIGINT)
+           ) AS features
     FROM documents
     """,
     tags=("multimodal_col", "udf_mapinpandas"),
@@ -1109,11 +1231,20 @@ def llm_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     stub (librosa/torchaudio drop into the same slot), which makes even
     the float features oracle-checkable: each one is a 32-bit integer
     over 2^32 — exact in IEEE754 — and DuckDB reproduces the identical
-    md5-derived ints from the same utf-8 payload bytes."""
+    md5-derived ints from the same utf-8 payload bytes.  The contract
+    projection serializes the feature vector back to its raw 32-bit
+    ints joined with '|' (v*2^32 is exact in IEEE754) — the driver's
+    pandas canonicalizer cannot sort ndarray cells."""
     from mo_etl_spark.operators.multimodal import audio_features_batch
 
     docs = with_binary_payload(_docs(spark, sf_dir))
-    return audio_features_batch(docs)
+    feats = audio_features_batch(docs)
+    as_int = F.transform(
+        "features", lambda v: F.round(v * F.lit(4294967296.0)).cast("long").cast("string")
+    )
+    return feats.select(
+        "doc_id", "n_samples", F.array_join(as_int, "|").alias("features")
+    )
 
 
 @query(
@@ -1175,11 +1306,11 @@ def llm_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_embed_quantize_int8",
     oracle="""
     SELECT vec_id,
-           list_transform(embedding,
+           array_to_string(list_transform(embedding,
              x -> CAST(floor(CAST(x AS DOUBLE)
                   / (list_max(list_transform(embedding,
                        y -> abs(CAST(y AS DOUBLE)))) / 127.0) + 0.5) AS BIGINT)
-           ) AS q8,
+           ), '|') AS q8,
            CAST(round(list_max(list_transform(embedding,
                   y -> abs(CAST(y AS DOUBLE)))) / 127.0 * 1e9) AS BIGINT) AS scale_e9
     FROM embeddings
@@ -1201,9 +1332,11 @@ def llm_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     q8 = F.transform(
         "embedding", lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("long")
     )
+    # serialized with array_join: the driver's pandas canonicalizer
+    # cannot sort ndarray cells (CORRECTNESS_r01 sampled ERR class)
     return emb.select(
         "vec_id",
-        q8.alias("q8"),
+        F.array_join(F.transform(q8, lambda v: v.cast("string")), "|").alias("q8"),
         F.round(scale * F.lit(1e9)).cast("long").alias("scale_e9"),
     )
 
@@ -3024,9 +3157,12 @@ def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_compression_ratio",
-    # no oracle: zlib is not expressible in DuckDB SQL — rows-only by
-    # design, like the sketch scale paths; behavior is unit-tested
-    # (repetitive text compresses far below prose)
+    oracle="""
+    SELECT CAST(count(*) + 50 AS BIGINT) AS n_docs,
+           true AS repetitive_lt_base,
+           true AS ratios_in_range
+    FROM documents
+    """,
     tags=("compression_ratio_filter", "quality_score", "udf_mapinpandas",
           "text_analysis"),
 )
@@ -3038,7 +3174,12 @@ def llm_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     zlib level 6 is deterministic for a given input, and the stdlib
     codec rides an Arrow-batched pandas UDF — per-batch Python, never
     per-row; at 100 TB this is embarrassingly parallel scan work.
-    Flags: repetitive (< 0.35), suspicious-random (> 1.02)."""
+
+    zlib is not expressible in DuckDB SQL, so the contract is the
+    deterministic-assertion form: planted 50x-repeated docs must
+    compress strictly better on average than their base corpus, all
+    ratios must be sane, and the corpus count (the oracle's exact
+    side) must survive the pipeline."""
     from pyspark.sql.functions import pandas_udf
 
     def _ratio_fn(s):
@@ -3064,10 +3205,14 @@ def llm_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars"),
         ratio("text").alias("zlib_ratio"),
     )
-    return scored.select(
-        "doc_id",
-        "n_chars",
-        "zlib_ratio",
-        (F.col("zlib_ratio") < 0.35).alias("flag_repetitive"),
-        (F.col("zlib_ratio") > 1.02).alias("flag_incompressible"),
+    planted = F.col("doc_id") >= 30000
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.avg(F.when(planted, F.col("zlib_ratio")))
+            < F.avg(F.when(~planted, F.col("zlib_ratio")))
+        ).alias("repetitive_lt_base"),
+        (
+            (F.min("zlib_ratio") > 0.0) & (F.max("zlib_ratio") <= 1.2)
+        ).alias("ratios_in_range"),
     )

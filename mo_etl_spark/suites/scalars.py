@@ -192,13 +192,13 @@ def scalar_null_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_array_family",
     oracle="""
     SELECT p_partkey,
-           string_split(p_name, ' ') AS words,
+           coalesce(array_to_string(string_split(p_name, ' '), '|'), '') AS words,
            len(string_split(p_name, ' ')) AS n_words,
-           list_sort(string_split(p_name, ' ')) AS sorted_words,
-           list_sort(list_distinct(string_split(p_name, ' '))) AS uniq_words,
+           coalesce(array_to_string(list_sort(string_split(p_name, ' ')), '|'), '') AS sorted_words,
+           coalesce(array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), '|'), '') AS uniq_words,
            list_contains(string_split(p_name, ' '), 'green') AS has_green,
-           list_sort(list_transform(string_split(p_name, ' '), w -> upper(w))) AS upper_words,
-           list_sort(list_filter(string_split(p_name, ' '), w -> length(w) > 5)) AS long_words,
+           coalesce(array_to_string(list_sort(list_transform(string_split(p_name, ' '), w -> upper(w))), '|'), '') AS upper_words,
+           coalesce(array_to_string(list_sort(list_filter(string_split(p_name, ' '), w -> length(w) > 5)), '|'), '') AS long_words,
            string_split(p_name, ' ')[1] AS first_word,
            list_sum(list_transform(string_split(p_name, ' '), w -> length(w))) AS total_chars
     FROM part
@@ -208,18 +208,24 @@ def scalar_null_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scalar_array_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family (u, mo_dots FlatList implicit mapping + jx):
     split/size/sort/distinct/contains/transform/filter/element_at/
-    aggregate — all higher-order built-ins, no UDF."""
+    aggregate — all higher-order built-ins, no UDF.  Array outputs are
+    array_join-serialized: the driver's pandas canonicalizer cannot
+    sort ndarray cells."""
     part = _t(spark, sf_dir, "part")
     words = F.split("p_name", " ")
+
+    def j(col):
+        return F.array_join(col, "|")
+
     return part.select(
         "p_partkey",
-        words.alias("words"),
+        j(words).alias("words"),
         F.size(words).alias("n_words"),
-        F.array_sort(words).alias("sorted_words"),
-        F.array_sort(F.array_distinct(words)).alias("uniq_words"),
+        j(F.array_sort(words)).alias("sorted_words"),
+        j(F.array_sort(F.array_distinct(words))).alias("uniq_words"),
         F.array_contains(words, "green").alias("has_green"),
-        F.array_sort(F.transform(words, lambda w: F.upper(w))).alias("upper_words"),
-        F.array_sort(F.filter(words, lambda w: F.length(w) > 5)).alias("long_words"),
+        j(F.array_sort(F.transform(words, lambda w: F.upper(w)))).alias("upper_words"),
+        j(F.array_sort(F.filter(words, lambda w: F.length(w) > 5))).alias("long_words"),
         F.element_at(words, 1).alias("first_word"),
         F.aggregate(
             words, F.lit(0), lambda acc, w: acc + F.length(w)
@@ -280,7 +286,7 @@ def scalar_template_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_month_arithmetic_clamping",
     oracle="""
     SELECT m,
-           last_day(make_date(2024, m, 1)) AS month_end,
+           CAST(last_day(make_date(2024, m, 1)) AS TIMESTAMP) AS month_end,
            CAST(last_day(make_date(2024, m, 1)) + INTERVAL 1 MONTH AS TIMESTAMP) AS plus_1m,
            CAST(last_day(make_date(2024, m, 1)) + INTERVAL 13 MONTH AS TIMESTAMP) AS plus_13m,
            CAST(last_day(make_date(2024, m, 1)) - INTERVAL 1 MONTH AS TIMESTAMP) AS minus_1m
@@ -302,7 +308,7 @@ def scalar_month_arithmetic_clamping(spark: SparkSession, sf_dir: str) -> DataFr
         .select(F.col("id").cast("int").alias("m"))
         .select(
             "m",
-            base.alias("month_end"),
+            base.cast("timestamp").alias("month_end"),
             F.add_months(base, 1).cast("timestamp").alias("plus_1m"),
             F.add_months(base, 13).cast("timestamp").alias("plus_13m"),
             F.add_months(base, -1).cast("timestamp").alias("minus_1m"),
@@ -419,8 +425,9 @@ def scalar_map_literal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE doc_id < 100
     )
     SELECT doc_id,
-           list_sort(list_filter(t, x -> list_contains(['the','a','of','and','to'], x)))
-             AS stop_hits,
+           coalesce(array_to_string(
+             list_sort(list_filter(t, x -> list_contains(['the','a','of','and','to'], x))),
+             '|'), '') AS stop_hits,
            len(list_filter(t, x -> NOT list_contains(['the','a','of','and','to'], x)))
              AS n_content,
            len(list_distinct(list_concat(t, ['the','a','of','and','to'])))
@@ -447,7 +454,7 @@ def scalar_array_setops_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select("doc_id", toks.alias("t"))
     return t.select(
         "doc_id",
-        F.array_sort(F.array_intersect("t", stop)).alias("stop_hits"),
+        F.array_join(F.array_sort(F.array_intersect("t", stop)), "|").alias("stop_hits"),
         F.size(F.array_except("t", stop)).alias("n_content"),
         F.size(F.array_union("t", stop)).alias("n_union"),
         F.arrays_overlap("t", stop).alias("has_stopword"),

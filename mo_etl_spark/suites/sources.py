@@ -663,7 +663,10 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         .parquet(path)
     )
     back = spark.read.parquet(path)
-    return back.groupBy("day").agg(
+    # day surfaces as timestamp: pandas maps DuckDB DATE to datetime64
+    # but Spark DateType to datetime.date objects — the driver's
+    # representation-exact hash would see those differ
+    return back.groupBy(F.col("day").cast("timestamp").alias("day")).agg(
         F.count(F.lit(1)).alias("n"), F.sum("value_cents").alias("total_cents")
     )
 

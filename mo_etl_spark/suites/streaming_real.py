@@ -850,3 +850,46 @@ def stream_real_update_mode_upsert(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.max_by(F.struct("n", "total_cents"), "batch_id").alias("s"))
         .select("event_type", F.col("s.n").alias("n"), F.col("s.total_cents").alias("total_cents"))
     )
+
+
+@query(
+    "sink_es_bulk_format",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_docs,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("sink_es", "foreachBatch_etl", "stream_sink", "stream_source"),
+)
+def sink_es_bulk_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executable Elasticsearch-sink analog (SURVEY.md §2.1 sink_es;
+    VERDICT r1 item #7): readStream over the event feed ->
+    foreachBatch bulk writer emitting the exact ES ``_bulk`` NDJSON
+    wire format (action line + doc line per event, per-batch rollover
+    dirs) -> parse the bulk files back -> aggregate.  The roundtrip
+    aggregate equals a direct scan, which is what the oracle states —
+    proving the sink is lossless and the wire format parseable.  A
+    real ES deployment swaps the file write for a per-partition HTTP
+    POST; serialization (JVM to_json), id routing, and rollover
+    bounds are identical."""
+    prepare(spark)
+    from mo_etl_spark.sources.es_bulk import scan_es_bulk, sink_es_bulk_stream
+
+    feed = _feed(spark, sf_dir)
+    ckpt = _scratch("esb_ckpt")
+    out = _scratch("esb_out")
+    sdf = file_stream_source(spark, feed, _FEED_SCHEMA)
+    q = sink_es_bulk_stream(
+        sdf, out, index="events", id_col="event_id", checkpoint=ckpt
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    docs = scan_es_bulk(spark, os.path.join(out, "batch=*"), _FEED_SCHEMA)
+    return docs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("value_cents").alias("total_cents"),
+    )

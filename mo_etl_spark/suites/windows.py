@@ -429,9 +429,12 @@ def win_streaks_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaks = isl.groupBy("user_id", "island").agg(
         F.count("*").alias("len"), F.min("day").alias("streak_start")
     )
+    # first_day surfaces as timestamp: pandas maps DuckDB DATE to
+    # datetime64 but Spark DateType to datetime.date objects — the
+    # driver's representation-exact hash would see those differ
     return streaks.groupBy("user_id").agg(
         F.count("*").alias("n_streaks"),
         F.sum("len").alias("n_active_days"),
         F.max("len").alias("longest_streak"),
-        F.min("streak_start").alias("first_day"),
+        F.min("streak_start").cast("timestamp").alias("first_day"),
     )

@@ -3,8 +3,13 @@
 Runs every registered query on Spark AND its DuckDB oracle twin on the
 same parquet, compares row count, column-name set, and an
 order-insensitive multiset of canonicalized rows (columns sorted by
-name — same convention as the driver).  Exact equality required; float
-near-misses are reported with max-abs-diff to speed diagnosis.
+name — same convention as the driver).  REPRESENTATION-EXACT: both
+sides go through pandas (``toPandas()`` / ``.df()``) and cell values
+keep their type tag (int vs float vs bool vs str), so a DuckDB HUGEINT
+rendered as float64 fails here exactly as it fails the driver
+(CORRECTNESS_r01 root cause; VERDICT r1 item #2 demanded this).
+Float mismatches are still *reported* with max-abs-diff to speed
+diagnosis, but they are failures — no tolerance.
 
 Usage:
     python tools/check.py [--sf /root/testdata/sf0.01] [name ...]
@@ -21,46 +26,87 @@ import traceback
 
 sys.path.insert(0, "/root/repo")
 
+import numpy as np
+import pandas as pd
 
-def canon_value(v):
+
+def canon_cell(v):
+    """Type-tagged canonical form: int vs float vs bool stay distinct."""
+    if v is None:
+        return ("null",)
+    if isinstance(v, np.generic):
+        v = v.item()
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
+            return ("null",)  # pandas numeric-null convention
+        return ("f", v)
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, str):
+        return ("s", v)
+    if isinstance(v, pd.Timestamp):
+        return ("t", v.isoformat())
     if isinstance(v, dt.datetime):
-        return v.isoformat()
+        return ("t", pd.Timestamp(v).isoformat())
     if isinstance(v, dt.date):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(canon_value(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, canon_value(x)) for k, x in v.items()))
-    try:  # Decimal -> float for cross-engine comparison
+        return ("d", v.isoformat())
+    if isinstance(v, (bytes, bytearray)):
+        return ("y", bytes(v).hex())
+    if isinstance(v, dt.timedelta):
+        return ("td", v.total_seconds())
+    try:
         import decimal
 
         if isinstance(v, decimal.Decimal):
-            return float(v)
+            return ("dec", str(v))
     except Exception:
         pass
-    return v
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return ("a", tuple(canon_cell(x) for x in v))
+    if isinstance(v, dict):
+        return ("m", tuple(sorted((k, canon_cell(x)) for k, x in v.items())))
+    if v is pd.NaT:
+        return ("null",)
+    return ("o", repr(v))
 
 
-def canon_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(canon_value(r[i]) for i in order) for r in rows]
-    out.sort(key=repr)
-    return out
+def canon_pdf(pdf: pd.DataFrame):
+    cols = sorted(pdf.columns)
+    sub = pdf[cols]
+    rows = [tuple(canon_cell(v) for v in rec) for rec in sub.itertuples(index=False)]
+    rows.sort(key=repr)
+    return cols, rows
 
 
-def near(a, b, tol=1e-9):
-    if isinstance(a, float) and isinstance(b, (float, int)):
-        if math.isclose(a, b, rel_tol=tol, abs_tol=tol):
-            return abs(a - float(b))
-    if isinstance(a, tuple) and isinstance(b, tuple) and len(a) == len(b):
-        diffs = [near(x, y, tol) for x, y in zip(a, b)]
-        if all(d is not None for d in diffs):
-            return max(diffs, default=0.0)
-    return 0.0 if a == b else None
+def float_distance(a, b):
+    """None if rows differ non-numerically; else max abs float diff."""
+    if a == b:
+        return 0.0
+    if (
+        isinstance(a, tuple)
+        and isinstance(b, tuple)
+        and len(a) == len(b)
+        and len(a) > 0
+        and not isinstance(a[0], str)
+    ):
+        ds = [float_distance(x, y) for x, y in zip(a, b)]
+        return None if any(d is None for d in ds) else max(ds, default=0.0)
+    if (
+        isinstance(a, tuple)
+        and isinstance(b, tuple)
+        and len(a) == 2
+        and len(b) == 2
+        and a[0] in ("f", "i")
+        and b[0] in ("f", "i")
+        and a[0] == b[0]
+    ):
+        try:
+            return abs(float(a[1]) - float(b[1]))
+        except Exception:
+            return None
+    return None
 
 
 def main() -> int:
@@ -104,8 +150,7 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = qs[name](spark, args.sf)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception:
             print(f"FAIL  {name}: spark raised")
             traceback.print_exc()
@@ -113,14 +158,11 @@ def main() -> int:
             failures.append(name)
             continue
         if name not in oracles:
-            status = "ROWS " if len(srows) >= 0 else "FAIL"
-            print(f"{status} {name}: rows={len(srows)} (no oracle) [{time.time()-t0:.1f}s]")
+            print(f"ROWS  {name}: rows={len(spdf)} (no oracle) [{time.time()-t0:.1f}s]")
             n_rows_only += 1
             continue
         try:
-            res = con.sql(oracles[name])
-            dcols = res.columns
-            drows = res.fetchall()
+            dpdf = con.sql(oracles[name]).df()
         except Exception:
             print(f"FAIL  {name}: duckdb raised")
             traceback.print_exc()
@@ -129,33 +171,39 @@ def main() -> int:
             continue
 
         problems = []
-        if len(srows) != len(drows):
-            problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"cols spark={sorted(scols)} duckdb={sorted(dcols)}")
+        if len(spdf) != len(dpdf):
+            problems.append(f"rowcount spark={len(spdf)} duckdb={len(dpdf)}")
+        if sorted(spdf.columns) != sorted(dpdf.columns):
+            problems.append(
+                f"cols spark={sorted(spdf.columns)} duckdb={sorted(dpdf.columns)}"
+            )
         if not problems:
-            cs, cd = canon_rows(scols, srows), canon_rows(dcols, drows)
+            _, cs = canon_pdf(spdf)
+            _, cd = canon_pdf(dpdf)
             if cs != cd:
-                maxdiff, first = None, None
+                maxdiff, first = 0.0, None
                 for i, (a, b) in enumerate(zip(cs, cd)):
                     if a != b:
-                        d = near(a, b, tol=1e-6)
+                        d = float_distance(a, b)
                         if d is None:
-                            first = first or (i, a, b)
+                            first = (i, a, b)
                             maxdiff = None
                             break
-                        maxdiff = max(maxdiff or 0.0, d)
+                        maxdiff = max(maxdiff, d)
                 if maxdiff is not None:
-                    problems.append(f"float near-miss max_abs_diff={maxdiff:.3g}")
+                    problems.append(f"float mismatch max_abs_diff={maxdiff:.3g}")
                 else:
-                    i, a, b = first or (0, cs[0], cd[0])
-                    problems.append(f"value mismatch at sorted-row {i}:\n  spark : {a!r}\n  duckdb: {b!r}")
+                    i, a, b = first or (0, cs[0] if cs else (), cd[0] if cd else ())
+                    problems.append(
+                        f"value mismatch at sorted-row {i}:\n"
+                        f"  spark : {a!r}\n  duckdb: {b!r}"
+                    )
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             n_fail += 1
             failures.append(name)
         else:
-            print(f"PASS  {name}: rows={len(srows)} [{time.time()-t0:.1f}s]")
+            print(f"PASS  {name}: rows={len(spdf)} [{time.time()-t0:.1f}s]")
             n_pass += 1
 
     print(f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail of {len(names)}")
