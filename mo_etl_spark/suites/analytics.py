@@ -3218,7 +3218,7 @@ def analytics_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("pid").alias("id_a"), F.col("cid").alias("id_b"))
     )
     comp = (
-        connected_components(cedges)
+        connected_components(cedges, max_iter=20)
         .select("id", F.col("component").alias("cluster"))
         .localCheckpoint()
     )

@@ -205,6 +205,39 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_sessionize_skew",
+    oracle="""
+    WITH flagged AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    )
+    SELECT event_id, user_id,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+    FROM flagged
+    """,
+    tags=("sessionize", "skew_salting", "two_phase"),
+)
+def win_sessionize_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe hot-key-routed sessionize (operators/timeseries.
+    sessionize_skew): a cheap count routes keys above a row threshold
+    through the two-phase split (local window per (key, hour bucket) +
+    boundary stitch on the tiny per-bucket summary) while cold keys
+    keep the plain single-window form.  SAME oracle as win_sessionize
+    — the contract asserts the two plans are observationally
+    identical; the low threshold here forces BOTH legs to execute.
+    Stress-staged at 20M rows with a 2M-row hot user
+    (tools/stress.py)."""
+    from mo_etl_spark.operators.timeseries import sessionize_skew
+
+    events = _events(spark, sf_dir)
+    return sessionize_skew(events, hot_threshold=60)
+
+
+@query(
     "win_percentile_values",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity,
