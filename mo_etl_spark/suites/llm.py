@@ -919,6 +919,49 @@ def llm_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.deterministic_sample(docs)
 
 
+@query(
+    "llm_train_val_split",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang,
+             CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               AS hv
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           hv % 100 AS bucket,
+           CASE WHEN hv % 100 < 80 THEN 'train'
+                WHEN hv % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           hv % 5 AS fold
+    FROM h
+    """,
+    tags=("sampling", "train_val_split", "k_fold"),
+)
+def llm_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split + k-fold assignment — the
+    staple every training pipeline needs BEFORE any model sees data.
+    Membership is a pure function of the document id (md5 32-bit
+    bucket), so it is stable across runs, partitionings, engines, and
+    corpus growth (a new doc never moves an old one between splits —
+    unlike randomSplit, which reshuffles on every change and silently
+    leaks val into train).  80/10/10 + 5 folds; no shuffle at all —
+    the split is a projection, and downstream consumers filter on it
+    with predicate pushdown when it lands in the partition column."""
+    docs = _docs(spark, sf_dir)
+    hv = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    b = hv % 100
+    return docs.select(
+        "doc_id",
+        "lang",
+        b.alias("bucket"),
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+        (hv % 5).alias("fold"),
+    )
+
+
 def _lsh_bucket_sql(dim: int = 64, n_planes: int = 4, seed: int = 42) -> str:
     """DuckDB expression reproducing hyperplane_lsh_buckets' bucket id
     with the same deterministic plane constants (full-precision repr

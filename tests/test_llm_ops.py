@@ -580,15 +580,18 @@ def test_jaccard_prefix_equivalence_randomized(spark):
 
 
 def test_compression_ratio_separates_repetitive_text(spark, sf_dir):
-    """Planted 50x-repeated snippets (ids 30000+) must flag repetitive,
-    natural docs must not, and every ratio must be positive."""
+    """Planted 50x-repeated snippets (ids 30000+) must compress
+    strictly better on average than the base corpus, ratios must be
+    sane, and no doc may be lost — the deterministic assertions the
+    query itself now emits (its contract form)."""
+    import duckdb
+
     from mo_etl_spark.suites.llm import llm_compression_ratio
 
-    rows = llm_compression_ratio(spark, sf_dir).collect()
-    planted = [r for r in rows if r["doc_id"] >= 30000]
-    natural = [r for r in rows if r["doc_id"] < 30000]
-    assert planted and natural
-    assert all(r["flag_repetitive"] for r in planted)
-    frac_flagged = sum(r["flag_repetitive"] for r in natural) / len(natural)
-    assert frac_flagged < 0.2
-    assert all(r["zlib_ratio"] > 0 for r in rows)
+    row = llm_compression_ratio(spark, sf_dir).first()
+    n_base = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    assert row["n_docs"] == n_base + 50
+    assert row["repetitive_lt_base"] is True
+    assert row["ratios_in_range"] is True
