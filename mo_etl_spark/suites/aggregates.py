@@ -338,16 +338,24 @@ def agg_approx_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact counts; the oracle computes the exact side and the
     booleans as literals.  The estimate itself stays unit-tested."""
     li = _t(spark, sf_dir, "lineitem")
-    ap = F.approx_count_distinct("l_partkey", rsd=0.01)
-    ao = F.approx_count_distinct("l_orderkey", rsd=0.01)
-    ep = F.countDistinct("l_partkey")
-    eo = F.countDistinct("l_orderkey")
-    return li.agg(
-        ep.alias("exact_parts"),
-        eo.alias("exact_orders"),
-        (F.abs(ap - ep).cast("double") / ep.cast("double") <= 0.05).alias("parts_ok"),
-        (F.abs(ao - eo).cast("double") / eo.cast("double") <= 0.05).alias("orders_ok"),
-    )
+
+    def side(col: str, exact_name: str, ok_name: str) -> DataFrame:
+        # dedup-then-count: a single-column distinct is a map-side
+        # partial dedup (shuffles only uniques), and the HLL++ sketch
+        # over the distinct set estimates the same cardinality — vs.
+        # one agg with TWO countDistinct columns, which plans an
+        # Expand (3x the input) and cost 9 s at sf0.1
+        d = li.select(col).distinct()
+        ex = F.count(F.lit(1))
+        ap = F.approx_count_distinct(col, rsd=0.02)
+        return d.agg(
+            ex.alias(exact_name),
+            (F.abs(ap - ex).cast("double") / ex.cast("double") <= 0.05).alias(ok_name),
+        )
+
+    parts = side("l_partkey", "exact_parts", "parts_ok")
+    orders = side("l_orderkey", "exact_orders", "orders_ok")
+    return parts.crossJoin(orders)
 
 
 @query(

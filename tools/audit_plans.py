@@ -55,6 +55,11 @@ CARTESIAN_OK = {
     "qa_wasserstein_drift",  # two 1-row population-total scalars broadcast-crossed in
     "stats_cuped_adjustment",  # 1-row theta/moment scalars broadcast-crossed into arms
     "stats_interrupted_timeseries",  # 1-row fit/cut scalars broadcast-crossed into post days
+    "agg_approx_cardinality",  # crossJoin of two 1-row (exact, within-bound) aggregates
+    "agg_hll_mergeable_rollup",  # 1-row exact-count aggregate broadcast-crossed into the bound check
+    "agg_kll_quantile_rollup",  # 1-row quantile estimates broadcast-crossed into the rank re-scan
+    "llm_dedup_minhash",  # three 1-row assertion aggregates (truth count / found / sound) crossed
+    "llm_dedup_simhash",  # three 1-row assertion aggregates (n / planted / adjacent) crossed
 }
 
 #: queries allowed to exceed the exchange budget, each with why:
@@ -78,6 +83,14 @@ EXCHANGES_OK = {
     # SemDeDup: centroid-assignment GEMM (cogroup) + cell equi-self-join
     # + pair agg; cluster scoping is exactly what bounds the pair stage
     "llm_dedup_semantic_cells",
+    # assertion-form contract: runs the LSH pipeline AND the exact
+    # inverted-index truth set AND their semi-join reconciliation in one
+    # plan; each sub-pipeline individually stays within budget
+    "llm_dedup_minhash",
+    # hot-key routing executes BOTH legs (count + anti/semi split +
+    # cold window + hot two-phase local/stitch/join); at scale the legs
+    # run on disjoint data so per-row cost matches the plain window
+    "win_sessionize_skew",
 }
 
 
