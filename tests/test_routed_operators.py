@@ -1,0 +1,127 @@
+"""Equivalence guards for the size/skew-ROUTED operator variants added
+in round 2: a routed fast path must be observationally identical to
+its reference form on adversarial inputs, or the routing is a bug, not
+an optimization.
+
+- sessionize_skew / sessionize_two_phase vs the single-window form:
+  randomized event sets with planted boundary hazards (events exactly
+  gap_ms apart, events straddling bucket boundaries, duplicate
+  timestamps resolved by id, empty buckets between events).
+- connected_components: the single-task union-find path vs the
+  iterative min-label + pointer-jumping path (forced via
+  local_cutoff=0) on random graphs incl. chains (worst diameter),
+  stars, and disjoint cliques.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+GAP_MS = 1_800_000
+BUCKET_MS = 3_600_000
+
+
+def _window_sessionize(df):
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ems = (F.unix_micros(F.col("ts")) / 1000).cast("long")
+    gap = ems - F.lag(ems).over(order)
+    return df.select(
+        "event_id",
+        "user_id",
+        F.sum(F.when(gap > GAP_MS, 1).otherwise(0)).over(cum).alias("session_idx"),
+    )
+
+
+def _random_events(seed: int, n_users: int = 6, n_events: int = 400):
+    rng = random.Random(seed)
+    base = 1_700_000_000_000
+    rows = []
+    eid = 0
+    for u in range(n_users):
+        t = base
+        for _ in range(n_events // n_users):
+            choice = rng.random()
+            if choice < 0.25:
+                t += GAP_MS  # exactly the gap: must NOT split (> not >=)
+            elif choice < 0.45:
+                t += GAP_MS + 1  # just over: must split
+            elif choice < 0.55:
+                t += BUCKET_MS * rng.randint(2, 5)  # empty buckets between
+            elif choice < 0.65:
+                t += 0  # duplicate timestamp, id breaks the tie
+            else:
+                t += rng.randint(1, BUCKET_MS)
+            rows.append((eid, u, t))
+            eid += 1
+    return rows
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_sessionize_routed_equals_window_form(spark, seed):
+    from mo_etl_spark.operators.timeseries import sessionize_skew, sessionize_two_phase
+
+    rows = _random_events(seed)
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ems long").select(
+        "event_id", "user_id", F.timestamp_millis("ems").alias("ts")
+    )
+    want = {
+        (r["event_id"]): (r["user_id"], r["session_idx"])
+        for r in _window_sessionize(df).collect()
+    }
+    for fn, kwargs in [
+        (sessionize_two_phase, {}),
+        (sessionize_skew, {"hot_threshold": 1}),  # everything hot
+        (sessionize_skew, {"hot_threshold": 10**9}),  # everything cold
+        (sessionize_skew, {"hot_threshold": 50}),  # mixed legs
+    ]:
+        got = {
+            (r["event_id"]): (r["user_id"], r["session_idx"])
+            for r in fn(df, gap_ms=GAP_MS, bucket_ms=BUCKET_MS, **kwargs).collect()
+        }
+        assert got == want, (fn.__name__, kwargs)
+
+
+def _graphs():
+    rng = random.Random(7)
+    chain = [(i, i + 1) for i in range(40)]  # diameter 40 — worst for propagation
+    star = [(0, i) for i in range(1, 30)]
+    cliques = [
+        (100 * c + a, 100 * c + b)
+        for c in range(5)
+        for a in range(6)
+        for b in range(a + 1, 6)
+    ]
+    rand = list(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randint(0, 60), rng.randint(0, 60)) for _ in range(120)
+            )
+            if a != b
+        }
+    )
+    return {"chain": chain, "star": star, "cliques": cliques, "random": rand}
+
+
+def test_connected_components_local_equals_iterative(spark):
+    from mo_etl_spark.operators.dedup import connected_components
+
+    for name, edges in _graphs().items():
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        local = {
+            r["id"]: (r["component"], r["csize"])
+            for r in connected_components(df).collect()
+        }
+        iterative = {
+            r["id"]: (r["component"], r["csize"])
+            for r in connected_components(df, local_cutoff=0).collect()
+        }
+        assert local == iterative, name
+        # min-label invariant: every component is labeled by its min id
+        for node, (comp, _) in local.items():
+            assert comp <= node, name
