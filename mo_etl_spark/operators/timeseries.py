@@ -322,3 +322,68 @@ def sessionize_skew(
         gap_ms=gap_ms, bucket_ms=bucket_ms,
     )
     return cold_sessions.unionByName(hot_sessions)
+
+
+def resample_linterp(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value: Column,
+    tiebreak: Column,
+    step: str = "1 hour",
+) -> DataFrame:
+    """Regularize an event stream to a fixed-step grid per key with
+    LINEAR interpolation between the surrounding observations — the
+    gap-fill for continuous signals (sensor values, prices) where
+    ``resample_ffill``'s step function is wrong.
+
+    Same grid construction as resample_ffill (per-key span,
+    sequence+explode — narrow fan-out); then ONE shuffle on the key
+    and two frame passes over the same sort order: last non-null
+    observation at-or-before each grid point and first at-or-after.
+    Gap points get ``pv + (nv - pv) * (t - pt) / (nt - pt)`` evaluated
+    in exactly that double-op order — all operands derive from
+    integers (cents, epoch ms), so a SQL oracle computing the same
+    expression is bit-identical.  Observed points reduce to the
+    observation (nt == pt guard); the tail after the last observation
+    forward-fills (nv IS NULL guard).
+
+    Returns (key, bucket_ts, n_events, interp_v DOUBLE).
+    """
+    unit = step.split()[-1].rstrip("s")
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    obs = (
+        df.select(F.col(key), bucket.alias("bucket"), value.alias("v"), tiebreak.alias("tb"))
+        .groupBy(key, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max_by("v", "tb").alias("last_v"),
+        )
+    )
+    span = obs.groupBy(key).agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    grid = span.select(
+        key,
+        F.explode(F.sequence("lo", "hi", F.expr(f"INTERVAL {step}"))).alias("bucket"),
+    )
+    g = grid.join(obs, [key, "bucket"], "left")
+    order = Window.partitionBy(key).orderBy("bucket")
+    wprev = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wnext = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    t = (F.unix_micros(F.col("bucket")) / 1000).cast("long")
+    obs_t = F.when(F.col("last_v").isNotNull(), t)
+    pv = F.last("last_v", ignorenulls=True).over(wprev).cast("double")
+    pt = F.last(obs_t, ignorenulls=True).over(wprev).cast("double")
+    nv = F.first("last_v", ignorenulls=True).over(wnext).cast("double")
+    nt = F.first(obs_t, ignorenulls=True).over(wnext).cast("double")
+    td = t.cast("double")
+    interp = (
+        F.when(nv.isNull(), pv)
+        .when(nt == pt, pv)
+        .otherwise(pv + (nv - pv) * (td - pt) / (nt - pt))
+    )
+    return g.select(
+        key,
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.round(interp, 6).alias("interp_v"),
+    )

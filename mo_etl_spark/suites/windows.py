@@ -367,6 +367,73 @@ def ts_resample_ffill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_resample_linterp_hourly",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket,
+             count(*) AS n_events,
+             arg_max(CAST(round(value*100) AS BIGINT),
+                     epoch_ms(ts) * 1000000 + event_id % 1000000) AS last_v
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY 1),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM span
+    ),
+    j AS (
+      SELECT g.user_id, g.bucket, o.n_events, o.last_v,
+             epoch_ms(g.bucket) AS t,
+             CASE WHEN o.last_v IS NOT NULL THEN epoch_ms(g.bucket) END AS ot
+      FROM grid g LEFT JOIN obs o USING (user_id, bucket)
+    ),
+    w AS (
+      SELECT user_id, bucket, t, coalesce(n_events, 0) AS n_events,
+             CAST(last_value(last_v IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS pv,
+             CAST(last_value(ot IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS pt,
+             CAST(first_value(last_v IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE) AS nv,
+             CAST(first_value(ot IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE) AS nt
+      FROM j
+    )
+    SELECT user_id, epoch_ms(bucket) AS bucket_ms, n_events,
+           round(CASE WHEN nv IS NULL THEN pv
+                      WHEN nt = pt THEN pv
+                      ELSE pv + (nv - pv) * (CAST(t AS DOUBLE) - pt) / (nt - pt)
+                 END, 6) AS interp_cents
+    FROM w
+    """,
+    tags=("resample", "gap_fill", "interpolation", "time_domain"),
+)
+def ts_resample_linterp_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR-interpolation resample (operators/timeseries.
+    resample_linterp) — the continuous-signal sibling of
+    ts_resample_ffill_hourly: gap hours take the straight line between
+    the surrounding observations instead of a step.  All interpolation
+    operands derive from integers (cents, epoch ms) and both engines
+    evaluate the identical double expression in the same order, so the
+    result is bit-identical and rounds safely."""
+    from mo_etl_spark.operators.timeseries import resample_linterp
+
+    ev = _events(spark, sf_dir)
+    tiebreak = (_EMS() * F.lit(1_000_000) + F.col("event_id") % F.lit(1_000_000)).alias("tb")
+    out = resample_linterp(ev, "user_id", "ts", cents("value"), tiebreak, step="1 hour")
+    return out.select(
+        "user_id",
+        (F.unix_micros(F.col("bucket")) / 1000).cast("long").alias("bucket_ms"),
+        "n_events",
+        F.col("interp_v").alias("interp_cents"),
+    )
+
+
+@query(
     "win_value_functions",
     oracle="""
     SELECT event_id, user_id,
