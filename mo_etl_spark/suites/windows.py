@@ -234,7 +234,9 @@ def win_sessionize_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mo_etl_spark.operators.timeseries import sessionize_skew
 
     events = _events(spark, sf_dir)
-    return sessionize_skew(events, hot_threshold=60)
+    # hot_frac=0 so the row-count threshold alone routes: at sf0.01 no
+    # user owns >25% of events, and the contract must execute BOTH legs
+    return sessionize_skew(events, hot_threshold=60, hot_frac=0.0)
 
 
 @query(

@@ -75,9 +75,9 @@ def test_sessionize_routed_equals_window_form(spark, seed):
     }
     for fn, kwargs in [
         (sessionize_two_phase, {}),
-        (sessionize_skew, {"hot_threshold": 1}),  # everything hot
+        (sessionize_skew, {"hot_threshold": 1, "hot_frac": 0.0}),  # everything hot
         (sessionize_skew, {"hot_threshold": 10**9}),  # everything cold
-        (sessionize_skew, {"hot_threshold": 50}),  # mixed legs
+        (sessionize_skew, {"hot_threshold": 50, "hot_frac": 0.1}),  # mixed legs
     ]:
         got = {
             (r["event_id"]): (r["user_id"], r["session_idx"])
