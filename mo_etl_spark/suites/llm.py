@@ -920,6 +920,64 @@ def llm_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_quality_classifier",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             len(t) AS n_tokens,
+             CAST(list_sum(list_transform(t,
+               x -> CAST(CONCAT('0x', substr(md5(x), 1, 8)) AS BIGINT) - 2147483648
+             )) AS BIGINT) AS w_sum
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, w_sum,
+           round(1.0 / (1.0 + exp(-(CAST(w_sum AS DOUBLE)
+                 / (n_tokens * 2147483648.0)))), 6) AS score,
+           w_sum > 0 AS keep
+    FROM scored
+    """,
+    tags=("quality_score", "quality_classifier", "text_analysis",
+          "filter_pipeline"),
+)
+def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style LINEAR quality classifier (the RefinedWeb / DCLM
+    corpus-filter pattern: a cheap linear model over hashed
+    bag-of-words decides keep/drop before any expensive stage).  The
+    plumbing is the real part and is exactly production-shaped:
+    hashing trick (token -> md5 32-bit bucket, no vocabulary
+    broadcast), sparse dot product via higher-order array functions
+    (ZERO shuffle — pure projection, scales as scan work), mean
+    pooling, logistic link.  The deterministic hash WEIGHTS stand in
+    for trained ones (a real model drops its weight map into the same
+    slot as a broadcast join or a literal map).  Integer weight sums
+    make keep/drop decisions exact across engines; only the displayed
+    sigmoid is rounded (exp last-ulp)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+    wi = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") - F.lit(
+        2147483648
+    )
+    w_sum = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + wi(t))
+    n = F.size(toks)
+    scored = docs.select(
+        "doc_id", n.alias("n_tokens"), w_sum.alias("w_sum")
+    )
+    x = F.col("w_sum").cast("double") / (F.col("n_tokens") * F.lit(2147483648.0))
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "w_sum",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-x)), 6).alias("score"),
+        (F.col("w_sum") > 0).alias("keep"),
+    )
+
+
+@query(
     "llm_train_val_split",
     oracle="""
     WITH h AS (
