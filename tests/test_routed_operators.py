@@ -125,3 +125,71 @@ def test_connected_components_local_equals_iterative(spark):
         # min-label invariant: every component is labeled by its min id
         for node, (comp, _) in local.items():
             assert comp <= node, name
+
+
+def test_topk_routed_branches(spark):
+    """Exact branch must equal brute force verbatim; the IVF branch
+    (forced via exact_cutoff=0) must keep high recall vs exact on the
+    real embeddings table."""
+    from mo_etl_spark.operators.similarity import brute_force_topk, topk_routed
+    from mo_etl_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec"))
+    k = 5
+    exact = {
+        (r["q_id"], r["rnk"]): r["c_id"]
+        for r in brute_force_topk(q, c, k).collect()
+    }
+    routed = {
+        (r["q_id"], r["rnk"]): r["c_id"]
+        for r in topk_routed(q, c, k).collect()
+    }
+    assert routed == exact  # small corpus -> exact branch, verbatim
+
+    ivf = topk_routed(q, c, k, exact_cutoff=0, n_cells=8, nprobe=4).collect()
+    got = {(r["q_id"], r["c_id"]) for r in ivf}
+    want = {(qr, cid) for (qr, _), cid in exact.items()}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.6, recall  # nprobe=4 of 8 cells
+
+
+def test_embed_dups_routed_branches(spark):
+    """Exact branch == embed_cosine_dups verbatim; cell branch (forced)
+    must recover planted near-dups that share a cell and stay sound
+    (every reported pair really is above threshold per exact check)."""
+    from mo_etl_spark.operators.dedup import embed_cosine_dups, embed_dups_routed
+    from mo_etl_spark.operators.similarity import as_double
+    from mo_etl_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    planted = emb.where(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            as_double(F.col("embedding")),
+            lambda x, i: F.when(i == 0, x + F.lit(0.01)).otherwise(x),
+        ).alias("v"),
+    )
+    aug = base.unionByName(planted)
+    exact = {
+        r["dup_id"]: r["keep_id"] for r in embed_cosine_dups(aug, 0.99).collect()
+    }
+    routed = {
+        r["dup_id"]: r["keep_id"] for r in embed_dups_routed(aug, 0.99).collect()
+    }
+    assert routed == exact  # small corpus -> exact branch
+
+    cell = {
+        r["dup_id"]: r["keep_id"]
+        for r in embed_dups_routed(aug, 0.99, exact_cutoff=0, n_cells=8).collect()
+    }
+    # soundness: the cell path may only report pairs the exact path knows
+    assert set(cell).issubset(set(exact))
+    # recall on planted dups (source and copy nearly identical -> same cell)
+    planted_ids = {i + 10000 for i in range(30)} & set(exact)
+    found = {d for d in cell if d in planted_ids}
+    assert len(found) >= 0.8 * len(planted_ids), (len(found), len(planted_ids))
