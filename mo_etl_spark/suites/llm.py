@@ -393,13 +393,16 @@ _SQL_COSINE = """
 def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 neighbors for the first 50 query
     vectors via the blocked-GEMM kernel (float64 matmul per block pair,
-    map-side partial top-k); order by (rounded cos, c_id) is total."""
+    map-side partial top-k); order by (rounded cos, c_id) is total.
+    Registered through topk_routed — the size-routed default — so the
+    SAME query auto-switches to IVF cells past the corpus cutoff; at
+    contract scale the exact branch runs and the oracle is exact."""
     emb = _emb(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
     )
     c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec"))
-    return S.brute_force_topk(q, c, k=5).select("q_id", "c_id", "cos_sim", "rnk")
+    return S.topk_routed(q, c, k=5).select("q_id", "c_id", "cos_sim", "rnk")
 
 
 @query(
@@ -750,8 +753,10 @@ def llm_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     has no natural near-dups (max pairwise cosine 0.51 — verified), so
     the query plants deterministic ones: vectors 0..49 re-appear as
     vec_id+10000 with component 1 shifted by +0.1 (cosine ~0.9999).
-    Detection: all-pairs cosine >= 0.99 -> keep-min-id decision table.
-    At 100 TB the pair source becomes the LSH/IVF bucket join."""
+    Detection: all-pairs cosine >= 0.99 -> keep-min-id decision table,
+    registered through embed_dups_routed (the size-routed default): at
+    contract scale the exact branch runs; past the corpus cutoff the
+    SAME query auto-switches to the SemDeDup within-cell join."""
     emb = _emb(spark, sf_dir)
     v = S.as_double(F.col("embedding"))
     base = emb.select("vec_id", v.alias("v"))
@@ -761,7 +766,7 @@ def llm_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             v, lambda x, i: F.when(i == 0, x + F.lit(0.1)).otherwise(x)
         ).alias("v"),
     )
-    return D.embed_cosine_dups(base.unionByName(perturbed), threshold=0.99)
+    return D.embed_dups_routed(base.unionByName(perturbed), threshold=0.99)
 
 
 _SQL_COS_EC = _SQL_COSINE.replace("a.embedding", "ea.embedding").replace(
