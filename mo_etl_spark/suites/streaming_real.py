@@ -45,21 +45,18 @@ _STREAM_SHUFFLE = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
 
 def _stream_tuned(fn):
     """Run a streaming contract query under the narrowed state-store
-    shuffle width, restoring the session's width afterwards (the
-    returned DataFrame is a batch read of the sink — its execution is
-    unaffected)."""
+    shuffle width (session.narrowed_shuffle), restoring the session's
+    width afterwards (the returned DataFrame is a batch read of the
+    sink — its execution is unaffected)."""
     import functools
+
+    from mo_etl_spark.session import narrowed_shuffle
 
     @functools.wraps(fn)
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         prepare(spark)
-        old = spark.conf.get("spark.sql.shuffle.partitions", None)
-        spark.conf.set("spark.sql.shuffle.partitions", _STREAM_SHUFFLE)
-        try:
+        with narrowed_shuffle(spark, int(_STREAM_SHUFFLE)):
             return fn(spark, sf_dir)
-        finally:
-            if old is not None:
-                spark.conf.set("spark.sql.shuffle.partitions", old)
 
     return wrapped
 
