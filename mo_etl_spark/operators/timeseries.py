@@ -378,15 +378,26 @@ def resample_linterp(
         F.explode(F.sequence("lo", "hi", F.expr(f"INTERVAL {step}"))).alias("bucket"),
     )
     g = grid.join(obs, [key, "bucket"], "left")
-    order = Window.partitionBy(key).orderBy("bucket")
-    wprev = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wnext = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # both carries are RUNNING frames (unboundedPreceding..current):
+    # Spark's unboundedFollowing frame re-evaluates per row (O(n^2)
+    # per partition — measured 54 s at sf0.1); the descending-order
+    # running frame computes the same "next observation" in O(n)
+    wprev = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wnext = (
+        Window.partitionBy(key)
+        .orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     t = (F.unix_micros(F.col("bucket")) / 1000).cast("long")
     obs_t = F.when(F.col("last_v").isNotNull(), t)
     pv = F.last("last_v", ignorenulls=True).over(wprev).cast("double")
     pt = F.last(obs_t, ignorenulls=True).over(wprev).cast("double")
-    nv = F.first("last_v", ignorenulls=True).over(wnext).cast("double")
-    nt = F.first(obs_t, ignorenulls=True).over(wnext).cast("double")
+    nv = F.last("last_v", ignorenulls=True).over(wnext).cast("double")
+    nt = F.last(obs_t, ignorenulls=True).over(wnext).cast("double")
     td = t.cast("double")
     interp = (
         F.when(nv.isNull(), pv)
