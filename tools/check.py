@@ -119,6 +119,12 @@ def main() -> int:
         "defaults: ANSI on, unknown timezone/conf state) — the gate "
         "proving every query normalizes any session it is handed",
     )
+    ap.add_argument(
+        "--json",
+        default=None,
+        help="also write per-query results to this JSON file "
+        "(committed as CHECK_r{N}.json evidence)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -146,6 +152,7 @@ def main() -> int:
 
     n_pass = n_fail = n_rows_only = 0
     failures = []
+    results: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         try:
@@ -156,10 +163,12 @@ def main() -> int:
             traceback.print_exc()
             n_fail += 1
             failures.append(name)
+            results[name] = {"status": "FAIL", "problems": ["spark raised"]}
             continue
         if name not in oracles:
             print(f"ROWS  {name}: rows={len(spdf)} (no oracle) [{time.time()-t0:.1f}s]")
             n_rows_only += 1
+            results[name] = {"status": "ROWS", "rows": len(spdf)}
             continue
         try:
             dpdf = con.sql(oracles[name]).df()
@@ -168,6 +177,7 @@ def main() -> int:
             traceback.print_exc()
             n_fail += 1
             failures.append(name)
+            results[name] = {"status": "FAIL", "problems": ["duckdb raised"]}
             continue
 
         problems = []
@@ -202,13 +212,44 @@ def main() -> int:
             print(f"FAIL  {name}: " + "; ".join(problems))
             n_fail += 1
             failures.append(name)
+            results[name] = {
+                "status": "FAIL",
+                "rows": len(spdf),
+                "problems": problems,
+                "sec": round(time.time() - t0, 2),
+            }
         else:
             print(f"PASS  {name}: rows={len(spdf)} [{time.time()-t0:.1f}s]")
             n_pass += 1
+            results[name] = {
+                "status": "PASS",
+                "rows": len(spdf),
+                "sec": round(time.time() - t0, 2),
+            }
 
     print(f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail of {len(names)}")
     if failures:
         print("failures:", " ".join(failures))
+    if args.json:
+        import json
+
+        with open(args.json, "w") as f:
+            json.dump(
+                {
+                    "sf": args.sf,
+                    "session": "driver-default" if args.driver_default else "engine",
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_rows_only": n_rows_only,
+                    "n_total": len(names),
+                    "failures": failures,
+                    "queries": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {args.json}")
     return 1 if n_fail else 0
 
 
