@@ -234,6 +234,31 @@ def minhash_md5_lsh_pairs(
     oracle hash-checks end to end; the xxhash64 variant stays the
     cheaper scale path (integer min beats 32-byte string min).
     """
+    banded = minhash_md5_band_index(df, text_col, id_col, k, bands)
+    left = banded.select(F.col("id").alias("id_a"), "band", "bk")
+    right = banded.select(F.col("id").alias("id_b"), "band", "bk")
+    candidates = (
+        left.join(right, ["band", "bk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    exact = jaccard_pairs(df, text_col, id_col, threshold=verify_threshold)
+    return candidates.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+def minhash_md5_band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """The PERSISTABLE LSH index: (id, band, bk) band-bucket keys from
+    md5 MinHash signatures.  A production pipeline writes this table
+    partitioned/bucketed by (band, bk) once per corpus snapshot, and
+    every later batch joins against it instead of re-hashing the
+    corpus — see minhash_md5_incremental_pairs."""
     rows_per_band = k // bands
     toks = df.select(
         F.col(id_col).alias("id"),
@@ -250,17 +275,68 @@ def minhash_md5_lsh_pairs(
         )
         for b in range(bands)
     ]
-    banded = sig.select("id", F.posexplode(F.array(*band_cols)).alias("band", "bk"))
-    left = banded.select(F.col("id").alias("id_a"), "band", "bk")
-    right = banded.select(F.col("id").alias("id_b"), "band", "bk")
-    candidates = (
-        left.join(right, ["band", "bk"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+    return sig.select("id", F.posexplode(F.array(*band_cols)).alias("band", "bk"))
+
+
+def minhash_md5_incremental_pairs(
+    index: DataFrame,
+    new_df: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """INCREMENTAL near-dup detection — the daily-crawl production
+    shape: a NEW batch is deduplicated against an already-INDEXED
+    corpus without re-hashing it.  ``index`` is the persisted band
+    table (minhash_md5_band_index over the existing corpus); only the
+    new batch is hashed, and the candidate join probes new-batch bands
+    against (index ∪ new bands), so every candidate pair involves at
+    least one new document.  Cost scales with |new| + matched buckets,
+    NOT with |corpus| — at 100 TB the index sits bucketed by
+    (band, bk) and the probe is a co-located join.
+
+    Verification computes exact token-Jaccard ONLY for candidate pairs
+    (array_intersect on the two token arrays — no corpus-wide
+    inverted-index pass).  Returns (id_a, id_b, jaccard) with
+    jaccard >= verify_threshold, id_a < id_b, at least one side new.
+    """
+    new_banded = minhash_md5_band_index(new_df, text_col, id_col, k, bands)
+    all_banded = index.unionByName(new_banded)
+    cand = (
+        new_banded.select(F.col("id").alias("nid"), "band", "bk")
+        .join(all_banded.select(F.col("id").alias("oid"), "band", "bk"), ["band", "bk"])
+        .where(F.col("nid") != F.col("oid"))
+        .select(
+            F.least("nid", "oid").alias("id_a"),
+            F.greatest("nid", "oid").alias("id_b"),
+        )
         .distinct()
     )
-    exact = jaccard_pairs(df, text_col, id_col, threshold=verify_threshold)
-    return candidates.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    docs = corpus.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokens(F.col(text_col))).alias("ts"),
+    )
+    da = docs.select(F.col("id").alias("id_a"), F.col("ts").alias("ts_a"))
+    db = docs.select(F.col("id").alias("id_b"), F.col("ts").alias("ts_b"))
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ts_a", "ts_b")).alias("inter"),
+            F.size("ts_a").alias("sz_a"),
+            F.size("ts_b").alias("sz_b"),
+        )
+        .withColumn(
+            "__j", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
+        .where(F.col("__j") >= verify_threshold)
+        .select("id_a", "id_b", F.round("__j", 6).alias("jaccard"))
+    )
 
 
 def minhash_md5_oracle_sql(
@@ -304,6 +380,66 @@ def minhash_md5_oracle_sql(
         SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
         FROM toks a JOIN toks b USING (tok)
         WHERE a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b,
+           round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+    FROM cand c
+    JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sizes sa ON sa.id = c.id_a
+    JOIN sizes sb ON sb.id = c.id_b
+    WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= {verify_threshold}
+    """
+
+
+def minhash_md5_incremental_oracle_sql(
+    corpus_sql: str,
+    new_pred: str,
+    k: int = 16,
+    bands: int = 4,
+    verify_threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of minhash_md5_incremental_pairs over ``corpus_sql``
+    (base ∪ new batch; ``new_pred`` is a SQL predicate over column
+    ``id`` selecting the new-batch ids).  Replays signatures, banding,
+    the new-vs-all bucket join, and candidate-only exact verification."""
+    rows_per_band = k // bands
+    sig_cols = ",\n               ".join(
+        f"min(md5(concat('{i}:', tok))) AS h{i}" for i in range(k)
+    )
+    band_selects = "\n        UNION ALL\n        ".join(
+        "SELECT id, {b} AS band, md5(concat({cols})) AS bk FROM sig".format(
+            b=b,
+            cols=", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    toks AS (
+        SELECT doc_id AS id, unnest(list_distinct(string_split(
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS tok
+        FROM corpus
+    ),
+    sig AS (
+        SELECT id, {sig_cols}
+        FROM toks GROUP BY id
+    ),
+    banded AS (
+        {band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT least(n.id, o.id) AS id_a, greatest(n.id, o.id) AS id_b
+        FROM (SELECT * FROM banded WHERE {new_pred}) n
+        JOIN banded o USING (band, bk)
+        WHERE n.id <> o.id
+    ),
+    sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS inter
+        FROM cand c
+        JOIN toks a ON a.id = c.id_a
+        JOIN toks b ON b.id = c.id_b AND b.tok = a.tok
         GROUP BY 1, 2
     )
     SELECT c.id_a, c.id_b,

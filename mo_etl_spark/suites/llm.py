@@ -337,6 +337,72 @@ def llm_dedup_minhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_INCR_CORPUS = """
+    SELECT doc_id, text FROM documents WHERE doc_id < 400
+    UNION ALL
+    SELECT doc_id + 20000 AS doc_id,
+           array_to_string(
+             list_slice(string_split(text, ' '), 1,
+                        greatest(CAST(floor(len(string_split(text, ' ')) * 4 / 5) AS INT), 1)),
+             ' ') AS text
+    FROM documents WHERE doc_id < 50
+    UNION ALL
+    SELECT doc_id, text FROM documents WHERE doc_id >= 400 AND doc_id < 500
+"""
+
+
+@query(
+    "llm_dedup_incremental_minhash",
+    oracle=D.minhash_md5_incremental_oracle_sql(
+        _SQL_INCR_CORPUS, new_pred="id >= 400", k=16, bands=8, verify_threshold=0.8
+    ),
+    tags=("dedup_minhash", "lsh_banding", "incremental_etl", "dedup_incremental"),
+)
+def llm_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the daily-crawl shape: a new batch (50
+    truncated near-dups of indexed docs + 100 fresh docs) dedups
+    against a 400-doc corpus whose LSH band index was built ONCE and
+    PERSISTED (parquet under .cache, reused across invocations — at
+    100 TB it sits bucketed by (band, bk)).  Only the new batch is
+    hashed; the probe joins new bands against index ∪ new bands, so
+    cost scales with the batch, not the corpus, and candidates are
+    verified with exact Jaccard computed only for candidate pairs.
+    The oracle replays signatures, banding, the new-vs-all join, and
+    the verification end to end — the incremental pipeline itself is
+    hash-checked."""
+    import os
+
+    docs = _docs(spark, sf_dir)
+    base = docs.where(F.col("doc_id") < 400).select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    trunc = F.array_join(
+        F.slice(words, 1, F.greatest((F.size(words) * 4 / 5).cast("int"), F.lit(1))),
+        " ",
+    )
+    new_batch = (
+        docs.where(F.col("doc_id") < 50)
+        .select((F.col("doc_id") + 20000).alias("doc_id"), trunc.alias("text"))
+        .unionByName(
+            docs.where((F.col("doc_id") >= 400) & (F.col("doc_id") < 500)).select(
+                "doc_id", "text"
+            )
+        )
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    idx_path = os.path.join("/root/repo/.cache", tag, "minhash_band_index")
+    success = os.path.join(idx_path, "_SUCCESS")
+    src = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(success) or os.path.getmtime(success) < os.path.getmtime(src):
+        D.minhash_md5_band_index(base, k=16, bands=8).write.mode("overwrite").parquet(
+            idx_path
+        )
+    index = spark.read.parquet(idx_path)
+    corpus = base.unionByName(new_batch)
+    return D.minhash_md5_incremental_pairs(
+        index, new_batch, corpus, k=16, bands=8, verify_threshold=0.8
+    )
+
+
 @query(
     "llm_dedup_simhash_checked",
     oracle=D.simhash_md5_oracle_sql(_SQL_NEAR_DUPS),
