@@ -259,12 +259,15 @@ def ivf_topk(
     cent_id: str = "cent_id",
     vec: str = "vec",
     round_digits: int = 6,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: the 100 TB-scale ANN path.
 
     1. assignment — every corpus vector joins its single nearest
        centroid (its *cell*); at scale this is the index build, done
-       once and persisted, partitioned by cell.
+       once and persisted, partitioned by cell — pass the persisted
+       table via ``cells`` (ivf_cells output: (c_id, cell)) to serve
+       without re-assigning the corpus.
     2. probing — each query picks its ``nprobe`` nearest centroids.
     3. scoring — cogroup BY CELL: a query meets only the corpus
        vectors inside its probed cells, so scored pairs drop from
@@ -276,10 +279,11 @@ def ivf_topk(
     recall/latency trade is nprobe's).  Exact within probed cells;
     approximate only in cell pruning — standard IVF semantics.
     """
-    cells = brute_force_topk(
-        corpus, centroids, k=1, q_id=c_id, c_id=cent_id, vec=vec,
-        round_digits=round_digits, n_q_blocks=4, n_c_blocks=1, exclude_self=False,
-    ).select(F.col(c_id), F.col(cent_id).alias("cell"))
+    if cells is None:
+        cells = ivf_cells(
+            corpus, centroids, c_id=c_id, cent_id=cent_id, vec=vec,
+            round_digits=round_digits,
+        )
     probes = brute_force_topk(
         queries, centroids, k=nprobe, q_id=q_id, c_id=cent_id, vec=vec,
         round_digits=round_digits, n_q_blocks=4, n_c_blocks=1, exclude_self=False,
@@ -295,6 +299,24 @@ def ivf_topk(
         "q_id long, c_id long, cos_sim double",
     )
     return _global_topk(partials, k, q_id, c_id)
+
+
+def ivf_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    c_id: str = "c_id",
+    cent_id: str = "cent_id",
+    vec: str = "vec",
+    round_digits: int = 6,
+) -> DataFrame:
+    """The PERSISTABLE IVF index: nearest-centroid cell per corpus
+    vector, (c_id, cell).  A production pipeline writes this table
+    once per corpus snapshot (partitioned by cell) and every query
+    batch serves against it — see ivf_topk(cells=...)."""
+    return brute_force_topk(
+        corpus, centroids, k=1, q_id=c_id, c_id=cent_id, vec=vec,
+        round_digits=round_digits, n_q_blocks=4, n_c_blocks=1, exclude_self=False,
+    ).select(F.col(c_id), F.col(cent_id).alias("cell"))
 
 
 def kmeans_train(

@@ -840,9 +840,7 @@ _SQL_COS_EC = _SQL_COSINE.replace("a.embedding", "ea.embedding").replace(
 )
 
 
-@query(
-    "llm_sim_ivf_topk",
-    oracle=f"""
+_SQL_IVF_ORACLE_HEAD = f"""
     WITH cents_ AS (
       SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id < 16
     ),
@@ -877,7 +875,12 @@ _SQL_COS_EC = _SQL_COSINE.replace("a.embedding", "ea.embedding").replace(
       JOIN embeddings a ON a.vec_id = cand.q_id
       JOIN embeddings b ON b.vec_id = cand.c_id)
     WHERE rnk <= 5
-    """,
+"""
+
+
+@query(
+    "llm_sim_ivf_topk",
+    oracle=_SQL_IVF_ORACLE_HEAD,
     tags=("sim_ivf",),
 )
 def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -896,6 +899,44 @@ def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("vec")
     )
     return S.ivf_topk(q, c, cents_, k=5, nprobe=4).select(
+        "q_id", "c_id", "cos_sim", "rnk"
+    )
+
+
+@query(
+    "llm_sim_ivf_persisted",
+    oracle=_SQL_IVF_ORACLE_HEAD,
+    tags=("sim_ivf", "index_persistence", "incremental_etl"),
+)
+def llm_sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF serving from a PERSISTED index — build-once/serve-many, the
+    production vector-search shape: the cell-assignment table
+    (similarity.ivf_cells) is written to parquet once per corpus
+    snapshot and every query batch reads it back instead of
+    re-assigning the corpus (at 100 TB it sits partitioned by cell and
+    only probed cells are scanned).  Results are identical to the
+    inline build — same oracle as llm_sim_ivf_topk hash-checks the
+    served answers."""
+    import os
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec"))
+    cents_ = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("vec")
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    idx_path = os.path.join("/root/repo/.cache", tag, "ivf_cells_index")
+    success = os.path.join(idx_path, "_SUCCESS")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(success) or os.path.getmtime(success) < os.path.getmtime(src):
+        S.ivf_cells(c, cents_).write.mode("overwrite").partitionBy("cell").parquet(
+            idx_path
+        )
+    cells = spark.read.parquet(idx_path).select("c_id", "cell")
+    return S.ivf_topk(q, c, cents_, k=5, nprobe=4, cells=cells).select(
         "q_id", "c_id", "cos_sim", "rnk"
     )
 
