@@ -107,11 +107,28 @@ def jaccard_prefix_pairs(
     fan-out Σ C(df_tok, 2) collapses.  Unlike a df_cap this loses NO
     pairs — it is exact for the given threshold.
 
+    Two further EXACT candidate filters ride the same join (PPJoin,
+    Xiao et al. WWW'08):
+
+    * LENGTH filter — ``J >= t`` forces ``t*|A| <= |B| <= |A|/t``;
+      sizes travel with the prefix rows, so violating pairs never
+      reach the distinct.
+    * POSITIONAL filter — for a shared token at (1-based) rarity
+      positions ``p_a, p_b``, every OTHER common token of the first
+      shared token sits at a later position in both docs, so
+      ``inter <= 1 + min(|A|-p_a, |B|-p_b)``.  Requiring that bound to
+      reach ``minoverlap = ceil(t/(1+t) * (|A|+|B|))`` (the overlap
+      ``J >= t`` implies) discards the row.  A true pair always
+      survives via its FIRST shared token's row, so the filter is
+      lossless; applying it to every row (not just the first, as the
+      sequential PPJoin does) only ever keeps a superset.
+
     Plan: tokenize -> global df -> per-doc rarity rank (window) ->
-    prefix slice -> self-join on prefix tokens -> verify candidates
-    exactly with ``array_intersect`` on the full token arrays.  The
-    ``- 1e-9`` guard makes float ``ceil`` err toward a LONGER prefix
-    (more candidates, never a missed pair).
+    prefix slice -> self-join on prefix tokens (+ length & positional
+    filters) -> verify candidates exactly with ``array_intersect`` on
+    the full token arrays.  The ``- 1e-9`` guards make float ``ceil``
+    err toward a LONGER prefix / SMALLER minoverlap (more candidates,
+    never a missed pair).
     """
     toks = df.select(
         F.col(id_col).alias("id"),
@@ -125,12 +142,25 @@ def jaccard_prefix_pairs(
     prefix = (
         ranked.join(sizes, "id")
         .where(F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - 1e-9) + 1)
-        .select("id", "tok")
+        .select("id", "tok", "pos", "sz")
+    )
+    minoverlap = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a.sz") + F.col("b.sz")) - 1e-9
     )
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "tok")
-        .where(F.col("a.id") < F.col("b.id"))
+        .where(
+            (F.col("a.id") < F.col("b.id"))
+            # length filter: J >= t forces t*|A| <= |B| <= |A|/t
+            & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz") - 1e-9)
+            & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz") - 1e-9)
+            # positional filter: overlap <= 1 + min(remaining suffix lengths)
+            & (
+                F.lit(1) + F.least(F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos"))
+                >= minoverlap
+            )
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
