@@ -85,6 +85,57 @@ def jaccard_pairs(
     )
 
 
+def jaccard_prefix_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    ppjoin_filters: bool = True,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs of the prefix-filtered similarity
+    join — the pre-verification stage of :func:`jaccard_prefix_pairs`,
+    exposed so stress runs can measure the candidate cut of the PPJoin
+    length/positional filters (``ppjoin_filters=False`` disables them;
+    both settings are lossless, the flag only widens the set)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tdf"))
+    ranked = toks.join(dfreq, "tok").withColumn(
+        "pos", F.row_number().over(Window.partitionBy("id").orderBy("tdf", "tok"))
+    )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    prefix = (
+        ranked.join(sizes, "id")
+        .where(F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - 1e-9) + 1)
+        .select("id", "tok", "pos", "sz")
+    )
+    cond = F.col("a.id") < F.col("b.id")
+    if ppjoin_filters:
+        minoverlap = F.ceil(
+            F.lit(threshold / (1.0 + threshold)) * (F.col("a.sz") + F.col("b.sz")) - 1e-9
+        )
+        cond = (
+            cond
+            # length filter: J >= t forces t*|A| <= |B| <= |A|/t
+            & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz") - 1e-9)
+            & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz") - 1e-9)
+            # positional filter: overlap <= 1 + min(remaining suffix lengths)
+            & (
+                F.lit(1) + F.least(F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos"))
+                >= minoverlap
+            )
+        )
+    return (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "tok")
+        .where(cond)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def jaccard_prefix_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -130,40 +181,7 @@ def jaccard_prefix_pairs(
     err toward a LONGER prefix / SMALLER minoverlap (more candidates,
     never a missed pair).
     """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
-    )
-    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tdf"))
-    ranked = toks.join(dfreq, "tok").withColumn(
-        "pos", F.row_number().over(Window.partitionBy("id").orderBy("tdf", "tok"))
-    )
-    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    prefix = (
-        ranked.join(sizes, "id")
-        .where(F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - 1e-9) + 1)
-        .select("id", "tok", "pos", "sz")
-    )
-    minoverlap = F.ceil(
-        F.lit(threshold / (1.0 + threshold)) * (F.col("a.sz") + F.col("b.sz")) - 1e-9
-    )
-    cand = (
-        prefix.alias("a")
-        .join(prefix.alias("b"), "tok")
-        .where(
-            (F.col("a.id") < F.col("b.id"))
-            # length filter: J >= t forces t*|A| <= |B| <= |A|/t
-            & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz") - 1e-9)
-            & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz") - 1e-9)
-            # positional filter: overlap <= 1 + min(remaining suffix lengths)
-            & (
-                F.lit(1) + F.least(F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos"))
-                >= minoverlap
-            )
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    cand = jaccard_prefix_candidates(df, text_col, id_col, threshold)
     docs = df.select(
         F.col(id_col).alias("id"), F.array_distinct(tokens(F.col(text_col))).alias("ts")
     )

@@ -60,6 +60,7 @@ CARTESIAN_OK = {
     "agg_kll_quantile_rollup",  # 1-row quantile estimates broadcast-crossed into the rank re-scan
     "llm_dedup_minhash",  # three 1-row assertion aggregates (truth count / found / sound) crossed
     "llm_dedup_simhash",  # three 1-row assertion aggregates (n / planted / adjacent) crossed
+    "win_sessionize_skew",  # 1-row total-count scalar broadcast-crossed into the hot_frac routing gate
 }
 
 #: queries allowed to exceed the exchange budget, each with why:

@@ -392,6 +392,14 @@ def main() -> None:
     t["jaccard_prefix_50k_docs"] = round(time.time() - t0, 2)
     t["jaccard_prefix_candidate_reduction"] = round(float(full_cand) / max(float(pre_cand), 1.0), 1)
     assert pre_cand < full_cand / 5  # the pruning must be material
+    # PPJoin length+positional filters: same verified output, fewer
+    # pairs surviving to the distinct + verify join.
+    from mo_etl_spark.operators.dedup import jaccard_prefix_candidates
+
+    cand_plain = jaccard_prefix_candidates(jdocs, threshold=0.8, ppjoin_filters=False).count()
+    cand_pp = jaccard_prefix_candidates(jdocs, threshold=0.8, ppjoin_filters=True).count()
+    t["jaccard_ppjoin_candidate_cut"] = round(float(cand_plain) / max(float(cand_pp), 1.0), 1)
+    assert cand_pp <= cand_plain and cand_pp >= n_jpairs
 
     # Grid spatial radius join at scale: 10M points x 1000 centers on
     # a 1e6 x 1e6 plane, r = g = 12500 (cell side == radius).  Claim:
