@@ -771,6 +771,67 @@ def connected_components(
     )
 
 
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated token spans — substring-level dedup (after
+    Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): every run of k-token shingles whose shingle text
+    occurs >= min_count times anywhere in the corpus is merged into
+    one maximal span per document.  This is the span-granular member
+    of the dedup family: exact/minhash/simhash decide per DOCUMENT,
+    this reports the duplicated REGIONS inside each document so a
+    pipeline can cut them instead of dropping whole docs.
+
+    Spark-first physical plan (no suffix array needed):
+      1. one explode to (doc, pos, shingle-hash) — ~n_tokens rows/doc;
+      2. one map-side-combinable groupBy on the shingle hash for the
+         global occurrence count — the only corpus-wide shuffle, the
+         same hash-partitioned count as exact dedup (df-cap ultra-hot
+         shingles at extreme scale);
+      3. a per-document window merging adjacent duplicated starts
+         (gaps-and-islands: pos - row_number() labels each run).
+
+    Returns (doc_id, start_pos, end_pos, span_len): 1-based token
+    positions, end inclusive, so span_len = end - start + 1 >= k.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("ts")
+    ).where(F.size("ts") >= k)
+    # (doc, pos, shingle-hash); pos = 1-based start index.  The size
+    # guard above matters: Spark's sequence(1, n) DESCENDS when n < 1.
+    sh = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - (k - 1)),
+                lambda i: F.md5(F.array_join(F.slice("ts", i, k), " ")),
+            )
+        ).alias("off", "sh"),
+    ).select("doc_id", (F.col("off") + F.lit(1)).cast("long").alias("pos"), "sh")
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("cnt"))
+    dup = sh.join(freq.where(F.col("cnt") >= min_count), "sh").select("doc_id", "pos")
+    grp = F.col("pos") - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos"))
+    return (
+        dup.withColumn("grp", grp)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("end_pos"),
+        )
+        .select(
+            "doc_id",
+            "start_pos",
+            "end_pos",
+            (F.col("end_pos") - F.col("start_pos") + 1).alias("span_len"),
+        )
+    )
+
+
 def top_k_rows(df: DataFrame, partition: list[str], order: list[Column], k: int) -> DataFrame:
     w = Window.partitionBy(*partition).orderBy(*order)
     return df.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)

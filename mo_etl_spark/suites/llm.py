@@ -204,6 +204,47 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_dedup_substring",
+    oracle=f"""
+    WITH corpus AS ({_SQL_NEAR_DUPS}),
+    tok AS (
+        SELECT doc_id, string_split(
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ts
+        FROM corpus
+    ),
+    starts AS (
+        SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS pos
+        FROM tok WHERE len(ts) >= 8
+    ),
+    sh AS (
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+               md5(array_to_string(list_slice(ts, pos, pos + 7), ' ')) AS sh
+        FROM starts
+    ),
+    freq AS (SELECT sh, count(*) AS cnt FROM sh GROUP BY sh),
+    dup AS (SELECT doc_id, pos FROM sh JOIN freq USING (sh) WHERE cnt >= 2),
+    runs AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM dup
+    )
+    SELECT doc_id, min(pos) AS start_pos, max(pos) + 7 AS end_pos,
+           max(pos) + 7 - min(pos) + 1 AS span_len
+    FROM runs GROUP BY doc_id, grp
+    """,
+    tags=("dedup_substring",),
+)
+def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (Lee et al. 2022): maximal duplicated
+    8-token spans across the corpus, found via shingle-hash global
+    counts + per-doc gaps-and-islands — the span-granular complement
+    of the document-level dedup family.  The truncated near-dup
+    copies (id+20000) plant genuine long duplicated prefixes, so each
+    source doc 0..99 reports the shared region, not the whole doc."""
+    return D.duplicated_spans(_with_near_dups(_docs(spark, sf_dir)), k=8, min_count=2)
+
+
+@query(
     "llm_dedup_minhash",
     oracle=f"""
     WITH corpus AS ({_SQL_NEAR_DUPS}),

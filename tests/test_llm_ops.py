@@ -25,6 +25,40 @@ def test_dedup_exact_collapses_mangled_copies(spark, docs):
     assert all(r["keeper_id"] < 10000 for r in dups)  # keeper is the original
 
 
+def test_duplicated_spans_exact_geometry(spark):
+    """Planted corpus with a known shared 12-token region: the span
+    boundaries must be exact, maximal (adjacent duplicated shingles
+    merged), and absent from the unique document."""
+    from mo_etl_spark.operators.dedup import duplicated_spans
+
+    shared = " ".join(f"s{i}" for i in range(12))  # 12 shared tokens
+    rows = [
+        (1, "a1 a2 a3 " + shared + " z1 z2"),  # shared at positions 4..15
+        (2, shared + " b1 b2 b3 b4"),          # shared at positions 1..12
+        (3, " ".join(f"u{i}" for i in range(20))),  # fully unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in duplicated_spans(df, k=8, min_count=2).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1]["start_pos"], out[1]["end_pos"], out[1]["span_len"]) == (4, 15, 12)
+    assert (out[2]["start_pos"], out[2]["end_pos"], out[2]["span_len"]) == (1, 12, 12)
+
+
+def test_duplicated_spans_within_doc_repeat(spark):
+    """min_count counts occurrences anywhere — a doc repeating its own
+    8-token phrase twice reports both regions."""
+    from mo_etl_spark.operators.dedup import duplicated_spans
+
+    phrase = " ".join(f"p{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(7, phrase + " x1 x2 x3 " + phrase)], "doc_id long, text string"
+    )
+    out = sorted(
+        duplicated_spans(df, k=8, min_count=2).collect(), key=lambda r: r["start_pos"]
+    )
+    assert [(r["start_pos"], r["end_pos"]) for r in out] == [(1, 8), (12, 19)]
+
+
 def test_minhash_recovers_planted_near_dups(spark, docs):
     from mo_etl_spark.operators.dedup import minhash_lsh_pairs
     from mo_etl_spark.suites.llm import _with_near_dups
