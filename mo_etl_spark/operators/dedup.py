@@ -799,25 +799,11 @@ def duplicated_spans(
     Returns (doc_id, start_pos, end_pos, span_len): 1-based token
     positions, end inclusive, so span_len = end - start + 1 >= k.
     """
-    base = df.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("ts")
-    ).where(F.size("ts") >= k)
-    # (doc, pos, shingle-hash); pos = 1-based start index.  The size
-    # guard above matters: Spark's sequence(1, n) DESCENDS when n < 1.
-    sh = base.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("ts") - (k - 1)),
-                lambda i: F.md5(F.array_join(F.slice("ts", i, k), " ")),
-            )
-        ).alias("off", "sh"),
-    ).select("doc_id", (F.col("off") + F.lit(1)).cast("long").alias("pos"), "sh")
-    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("cnt"))
-    dup = sh.join(freq.where(F.col("cnt") >= min_count), "sh").select("doc_id", "pos")
+    dup = _duplicated_shingle_starts(df, text_col, id_col, k, min_count)
     grp = F.col("pos") - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos"))
     return (
-        dup.withColumn("grp", grp)
+        dup.select("doc_id", "pos")
+        .withColumn("grp", grp)
         .groupBy("doc_id", "grp")
         .agg(
             F.min("pos").alias("start_pos"),
@@ -828,6 +814,118 @@ def duplicated_spans(
             "start_pos",
             "end_pos",
             (F.col("end_pos") - F.col("start_pos") + 1).alias("span_len"),
+        )
+    )
+
+
+def _shingle_positions(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(doc_id, pos, sh): md5 of each k-token shingle with its 1-based
+    start index.  The size guard matters: Spark's sequence(1, n)
+    DESCENDS when n < 1."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("ts")
+    ).where(F.size("ts") >= k)
+    return base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - (k - 1)),
+                lambda i: F.md5(F.array_join(F.slice("ts", i, k), " ")),
+            )
+        ).alias("off", "sh"),
+    ).select("doc_id", (F.col("off") + F.lit(1)).cast("long").alias("pos"), "sh")
+
+
+def _duplicated_shingle_starts(
+    df: DataFrame, text_col: str, id_col: str, k: int, min_count: int
+) -> DataFrame:
+    """(doc_id, pos, sh) rows whose shingle occurs >= min_count times
+    corpus-wide — the one corpus-wide shuffle both span ops share."""
+    sh = _shingle_positions(df, text_col, id_col, k)
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("cnt"))
+    return sh.join(freq.where(F.col("cnt") >= min_count), "sh").select(
+        "doc_id", "pos", "sh"
+    )
+
+
+def cut_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Apply substring-level dedup: remove each maximal duplicated
+    span (see :func:`duplicated_spans`) from every document EXCEPT the
+    span's keeper, then reassemble the surviving tokens in order.
+
+    Keeper policy (deterministic, SQL-expressible): a span is keyed by
+    the shingle hash at its start position; the keeper is the span
+    with (min doc_id, then min start_pos) among spans sharing that
+    lead shingle — so the earliest document keeps its text and later
+    copies lose the repeated region, the standard keep-one-occurrence
+    cut of Lee et al. 2022.
+
+    Plan: the span derivation reuses the shingle-count shuffle; the
+    keeper pick is one window over lead-shingle groups; the cut itself
+    is a doc-local token filter (positions join spans per doc — skew
+    bounded by tokens/doc), then an ordered array_join reassembly.
+    Returns (doc_id, orig_tokens, cut_tokens, cleaned_text).
+    """
+    dup = _duplicated_shingle_starts(df, text_col, id_col, k, min_count)
+    grp = F.col("pos") - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos"))
+    spans = (
+        dup.withColumn("grp", grp)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("end_pos"),
+            F.min_by("sh", "pos").alias("lead_sh"),
+        )
+    )
+    keep_rank = F.row_number().over(
+        Window.partitionBy("lead_sh").orderBy("doc_id", "start_pos")
+    )
+    cuts = (
+        spans.withColumn("rk", keep_rank)
+        .where(F.col("rk") > 1)
+        .select("doc_id", "start_pos", "end_pos")
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(tokens(F.col(text_col))).alias("off", "tok")
+    ).select("doc_id", (F.col("off") + F.lit(1)).cast("long").alias("pos"), "tok")
+    # one range anti-join does coverage directly (overlapping cut
+    # ranges are fine for anti semantics — no distinct stage needed)
+    kept = toks.alias("t").join(
+        cuts.alias("c"),
+        (F.col("t.doc_id") == F.col("c.doc_id"))
+        & F.col("t.pos").between(F.col("c.start_pos"), F.col("c.end_pos")),
+        "left_anti",
+    )
+    sizes = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("orig_tokens"),
+    )
+    return (
+        sizes.join(
+            kept.groupBy("doc_id").agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda x: x["tok"],
+                    ),
+                    " ",
+                ).alias("cleaned_text"),
+                F.count(F.lit(1)).alias("kept_tokens"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "orig_tokens",
+            (F.col("orig_tokens") - F.coalesce("kept_tokens", F.lit(0))).alias("cut_tokens"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
         )
     )
 

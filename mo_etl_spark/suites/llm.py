@@ -245,6 +245,75 @@ def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_dedup_substring_cut",
+    oracle=f"""
+    WITH corpus AS ({_SQL_NEAR_DUPS}),
+    tok AS (
+        SELECT doc_id, string_split(
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ts
+        FROM corpus
+    ),
+    starts AS (
+        SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS pos
+        FROM tok WHERE len(ts) >= 8
+    ),
+    sh AS (
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+               md5(array_to_string(list_slice(ts, pos, pos + 7), ' ')) AS sh
+        FROM starts
+    ),
+    freq AS (SELECT sh, count(*) AS cnt FROM sh GROUP BY sh),
+    dup AS (SELECT doc_id, pos, sh FROM sh JOIN freq USING (sh) WHERE cnt >= 2),
+    runs AS (
+        SELECT doc_id, pos, sh,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM dup
+    ),
+    spans AS (
+        SELECT doc_id, min(pos) AS start_pos, max(pos) + 7 AS end_pos,
+               arg_min(sh, pos) AS lead_sh
+        FROM runs GROUP BY doc_id, grp
+    ),
+    cuts AS (
+        SELECT doc_id, start_pos, end_pos FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY lead_sh ORDER BY doc_id, start_pos) AS rk
+            FROM spans
+        ) WHERE rk > 1
+    ),
+    toks AS (
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos, ts[pos] AS tok
+        FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS pos FROM tok)
+    ),
+    kept AS (
+        SELECT doc_id, pos, tok FROM toks
+        WHERE NOT EXISTS (SELECT 1 FROM cuts c
+                          WHERE c.doc_id = toks.doc_id
+                            AND toks.pos BETWEEN c.start_pos AND c.end_pos)
+    ),
+    agg AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS orig_tokens FROM tok),
+    cleaned AS (
+        SELECT doc_id, count(*) AS kept_tokens,
+               array_to_string(list(tok ORDER BY pos), ' ') AS cleaned_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT a.doc_id, a.orig_tokens,
+           a.orig_tokens - COALESCE(c.kept_tokens, 0) AS cut_tokens,
+           COALESCE(c.cleaned_text, '') AS cleaned_text
+    FROM agg a LEFT JOIN cleaned c USING (doc_id)
+    """,
+    tags=("dedup_substring",),
+)
+def llm_dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply substring dedup: cut each maximal duplicated 8-token span
+    from every doc except its keeper (min doc_id, then min start, per
+    lead shingle) and reassemble the survivors — the keep-one-
+    occurrence cut of Lee et al. 2022.  Source docs 0..99 keep their
+    text; the planted truncated copies lose the shared prefix."""
+    return D.cut_duplicated_spans(_with_near_dups(_docs(spark, sf_dir)), k=8, min_count=2)
+
+
+@query(
     "llm_dedup_minhash",
     oracle=f"""
     WITH corpus AS ({_SQL_NEAR_DUPS}),

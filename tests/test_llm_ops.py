@@ -59,6 +59,26 @@ def test_duplicated_spans_within_doc_repeat(spark):
     assert [(r["start_pos"], r["end_pos"]) for r in out] == [(1, 8), (12, 19)]
 
 
+def test_cut_duplicated_spans_keeps_first_occurrence(spark):
+    """The keeper (min doc_id) keeps its text verbatim; the copy loses
+    exactly the shared region; unique docs pass through untouched."""
+    from mo_etl_spark.operators.dedup import cut_duplicated_spans
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    rows = [
+        (1, shared + " a1 a2 a3"),
+        (2, "b1 b2 " + shared + " b3"),
+        (3, " ".join(f"u{i}" for i in range(15))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in cut_duplicated_spans(df, k=8, min_count=2).collect()}
+    assert out[1]["cut_tokens"] == 0 and out[1]["cleaned_text"] == rows[0][1]
+    assert out[2]["cut_tokens"] == 12 and out[2]["cleaned_text"] == "b1 b2 b3"
+    assert out[3]["cut_tokens"] == 0 and out[3]["cleaned_text"] == rows[2][1]
+    assert all(r["orig_tokens"] - r["cut_tokens"] == len(r["cleaned_text"].split())
+               for r in out.values())
+
+
 def test_minhash_recovers_planted_near_dups(spark, docs):
     from mo_etl_spark.operators.dedup import minhash_lsh_pairs
     from mo_etl_spark.suites.llm import _with_near_dups
