@@ -382,3 +382,71 @@ def winnow_oracle_sql(
     JOIN sizes sa ON sa.id = p.id_a
     JOIN sizes sb ON sb.id = p.id_b
     """
+
+
+def bpe_merge_rounds(words_freq, rounds: int = 3) -> "DataFrame":  # noqa: F821
+    """BPE tokenizer training (Sennrich et al. 2016), ``rounds``
+    count->argmax->merge iterations over a (word, freq) table.
+    Returns one row per round: (round, pair, n) — the merged symbol
+    pair "a b" and its frequency-weighted corpus count.
+
+    Symbol sequences ride as sentinel-spaced strings (" a b c "), so a
+    merge is a plain string ``replace(" a b ", " ab ")`` applied twice:
+    replace() scans left-to-right without re-scanning its own output,
+    and a second pass catches exactly the occurrences whose leading
+    space the previous match consumed — two passes provably reach the
+    greedy non-overlapping fixpoint (remaining misses would need two
+    adjacent unmerged occurrences sharing a boundary, impossible after
+    pass one).  Both engines share this construction, so results are
+    equal by construction, and everything stays in whole-stage codegen
+    (no UDF, no regex).
+
+    Each round is one map-side-combinable pair count plus a 1-row
+    argmax broadcast-crossed back into the sequence rewrite — the
+    round's only shuffle is the count.  The chained lazy plan re-derives
+    round r-1's sequences once per consumer; a production trainer at
+    corpus scale would persist() each round's seq (noted, deliberate:
+    the contract query keeps the plan pure for the oracle twin).
+    """
+    from functools import reduce
+
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    seq = words_freq.select(
+        "freq",
+        F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")).alias("s"),
+    )
+    out = []
+    for r in range(1, rounds + 1):
+        toks = F.split(F.trim("s"), " ")
+        # guard: a fully-merged word has 1 symbol and sequence(1, 0)
+        # DESCENDS in Spark — emit no pairs for it instead
+        pair_arr = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        pairs = seq.select("freq", F.explode(pair_arr).alias("pair"))
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), "pair")
+            .limit(1)
+            .select(F.col("pair").alias("bp"), F.col("n").alias("bn"))
+        )
+        out.append(
+            best.select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("bp").alias("pair"),
+                F.col("bn").alias("n"),
+            )
+        )
+        search = F.concat(F.lit(" "), F.col("bp"), F.lit(" "))
+        repl = F.concat(F.lit(" "), F.replace(F.col("bp"), F.lit(" "), F.lit("")), F.lit(" "))
+        seq = seq.crossJoin(F.broadcast(best)).select(
+            "freq",
+            F.replace(F.replace(F.col("s"), search, repl), search, repl).alias("s"),
+        )
+    return reduce(DataFrame.unionByName, out)

@@ -2684,6 +2684,72 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_sql(rounds: int = 3) -> str:
+    """Unrolled DuckDB twin of operators/text.bpe_merge_rounds: per
+    round, pair count -> (n DESC, pair) argmax -> two-pass sentinel-
+    spaced replace (same fixpoint construction as the Spark side)."""
+    parts = [
+        """
+    WITH words AS (
+        SELECT w, count(*) AS freq FROM (
+            SELECT unnest(string_split(
+                regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+            FROM documents
+        ) GROUP BY w
+    ),
+    seq1 AS (SELECT freq, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s FROM words)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    cnt{r} AS (
+        SELECT l[i] || ' ' || l[i + 1] AS pair, CAST(sum(freq) AS BIGINT) AS n
+        FROM (
+            SELECT freq, l, unnest(generate_series(1, len(l) - 1)) AS i
+            FROM (SELECT freq, string_split(trim(s), ' ') AS l FROM seq{r})
+        ) GROUP BY 1
+    ),
+    best{r} AS (SELECT pair, n FROM cnt{r} ORDER BY n DESC, pair LIMIT 1)""")
+        if r < rounds:
+            parts.append(f""",
+    seq{r + 1} AS (
+        SELECT freq, replace(replace(s,
+                 ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),
+                 ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ') AS s
+        FROM seq{r}, best{r} b
+    )""")
+    parts.append(
+        "\n    "
+        + "\n    UNION ALL ".join(
+            f"SELECT CAST({r} AS BIGINT) AS round, pair, n FROM best{r}"
+            for r in range(1, rounds + 1)
+        )
+    )
+    return "".join(parts)
+
+
+@query(
+    "llm_bpe_merges",
+    oracle=_bpe_sql(3),
+    tags=("bpe_training", "text_analysis", "iterative"),
+)
+def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE merge training, 3 iterations (Sennrich et al. 2016):
+    count adjacent symbol pairs over the word-frequency table, merge
+    the argmax pair corpus-wide, recount — the loop llm_bpe_pair_counts
+    is round 1 of.  Merge application is a boundary-sentinel two-pass
+    string replace shared verbatim with the oracle (see
+    operators/text.bpe_merge_rounds), so every round is hash-checked.
+    Each round costs one map-side-combined count; the winning pair is
+    a 1-row broadcast cross back into the rewrite."""
+    docs = _docs(spark, sf_dir)
+    words = (
+        docs.select(F.explode(F.split(D.normalize_text(F.col("text")), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return X.bpe_merge_rounds(words, rounds=3)
+
+
 @query(
     "llm_hybrid_rrf",
     oracle="""

@@ -79,6 +79,43 @@ def test_cut_duplicated_spans_keeps_first_occurrence(spark):
                for r in out.values())
 
 
+def test_bpe_merge_rounds_matches_greedy_reference(spark):
+    """3 rounds vs a pure-Python greedy BPE trainer on a corpus that
+    exercises the adjacency case ('abab': both pairs must merge in one
+    round) and fully-merged words (no pairs left to count)."""
+    from mo_etl_spark.operators.text import bpe_merge_rounds
+
+    freqs = {"aaab": 3, "ab": 5, "abab": 2, "x": 7}
+
+    def ref(rounds):
+        seqs = {w: list(w) for w in freqs}
+        out = []
+        for r in range(1, rounds + 1):
+            cnt = {}
+            for w, s in seqs.items():
+                for i in range(len(s) - 1):
+                    cnt[(s[i], s[i + 1])] = cnt.get((s[i], s[i + 1]), 0) + freqs[w]
+            (a, b), n = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((r, f"{a} {b}", n))
+            for w, s in seqs.items():
+                ns, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        ns.append(a + b)
+                        i += 2
+                    else:
+                        ns.append(s[i])
+                        i += 1
+                seqs[w] = ns
+        return out
+
+    wf = spark.createDataFrame(list(freqs.items()), "w string, freq long")
+    got = sorted(
+        (r["round"], r["pair"], r["n"]) for r in bpe_merge_rounds(wf, rounds=3).collect()
+    )
+    assert got == ref(3)
+
+
 def test_minhash_recovers_planted_near_dups(spark, docs):
     from mo_etl_spark.operators.dedup import minhash_lsh_pairs
     from mo_etl_spark.suites.llm import _with_near_dups

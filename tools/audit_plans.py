@@ -61,6 +61,7 @@ CARTESIAN_OK = {
     "llm_dedup_minhash",  # three 1-row assertion aggregates (truth count / found / sound) crossed
     "llm_dedup_simhash",  # three 1-row assertion aggregates (n / planted / adjacent) crossed
     "win_sessionize_skew",  # 1-row total-count scalar broadcast-crossed into the hot_frac routing gate
+    "llm_bpe_merges",  # each round's 1-row argmax pair broadcast-crossed into the sequence rewrite
 }
 
 #: queries allowed to exceed the exchange budget, each with why:
@@ -92,6 +93,9 @@ EXCHANGES_OK = {
     # cold window + hot two-phase local/stitch/join); at scale the legs
     # run on disjoint data so per-row cost matches the plain window
     "win_sessionize_skew",
+    # 3 unrolled BPE merge rounds: one pair-count shuffle + one 1-row
+    # argmax per round BY CONSTRUCTION; per-round cost is the claim
+    "llm_bpe_merges",
 }
 
 
