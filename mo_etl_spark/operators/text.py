@@ -384,6 +384,49 @@ def winnow_oracle_sql(
     """
 
 
+def _bpe_rounds(words_freq, rounds: int):
+    """Shared BPE train loop: returns ([per-round argmax DataFrames
+    with (round, pair, n)], final sentinel-spaced symbol sequences)."""
+    seq = words_freq.select(
+        "freq",
+        F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")).alias("s"),
+    )
+    merges = []
+    for r in range(1, rounds + 1):
+        toks = F.split(F.trim("s"), " ")
+        # guard: a fully-merged word has 1 symbol and sequence(1, 0)
+        # DESCENDS in Spark — emit no pairs for it instead
+        pair_arr = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        best = (
+            seq.select("freq", F.explode(pair_arr).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), "pair")
+            .limit(1)
+            .select(F.col("pair").alias("bp"), F.col("n").alias("bn"))
+        )
+        merges.append(
+            best.select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("bp").alias("pair"),
+                F.col("bn").alias("n"),
+            )
+        )
+        search = F.concat(F.lit(" "), F.col("bp"), F.lit(" "))
+        repl = F.concat(F.lit(" "), F.replace(F.col("bp"), F.lit(" "), F.lit("")), F.lit(" "))
+        seq = seq.crossJoin(F.broadcast(best)).select(
+            "freq",
+            F.replace(F.replace(F.col("s"), search, repl), search, repl).alias("s"),
+        )
+    return merges, seq
+
+
 def bpe_merge_rounds(words_freq, rounds: int = 3) -> "DataFrame":  # noqa: F821
     """BPE tokenizer training (Sennrich et al. 2016), ``rounds``
     count->argmax->merge iterations over a (word, freq) table.
@@ -410,43 +453,22 @@ def bpe_merge_rounds(words_freq, rounds: int = 3) -> "DataFrame":  # noqa: F821
     """
     from functools import reduce
 
-    from pyspark.sql import DataFrame  # noqa: F401
+    from pyspark.sql import DataFrame
 
-    seq = words_freq.select(
-        "freq",
-        F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")).alias("s"),
+    merges, _ = _bpe_rounds(words_freq, rounds)
+    return reduce(DataFrame.unionByName, merges)
+
+
+def bpe_vocab(words_freq, rounds: int = 3, top: int = 20) -> "DataFrame":  # noqa: F821
+    """Apply :func:`bpe_merge_rounds`'s trained merges to the corpus
+    and return the resulting symbol vocabulary — the tokenizer side of
+    the trainer: (sym, n) for the ``top`` most frequent symbols after
+    ``rounds`` merges, ties broken lexicographically."""
+    _, seq = _bpe_rounds(words_freq, rounds)
+    return (
+        seq.select("freq", F.explode(F.split(F.trim("s"), " ")).alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.col("n").desc(), "sym")
+        .limit(top)
     )
-    out = []
-    for r in range(1, rounds + 1):
-        toks = F.split(F.trim("s"), " ")
-        # guard: a fully-merged word has 1 symbol and sequence(1, 0)
-        # DESCENDS in Spark — emit no pairs for it instead
-        pair_arr = F.when(
-            F.size(toks) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
-                lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        pairs = seq.select("freq", F.explode(pair_arr).alias("pair"))
-        best = (
-            pairs.groupBy("pair")
-            .agg(F.sum("freq").alias("n"))
-            .orderBy(F.col("n").desc(), "pair")
-            .limit(1)
-            .select(F.col("pair").alias("bp"), F.col("n").alias("bn"))
-        )
-        out.append(
-            best.select(
-                F.lit(r).cast("long").alias("round"),
-                F.col("bp").alias("pair"),
-                F.col("bn").alias("n"),
-            )
-        )
-        search = F.concat(F.lit(" "), F.col("bp"), F.lit(" "))
-        repl = F.concat(F.lit(" "), F.replace(F.col("bp"), F.lit(" "), F.lit("")), F.lit(" "))
-        seq = seq.crossJoin(F.broadcast(best)).select(
-            "freq",
-            F.replace(F.replace(F.col("s"), search, repl), search, repl).alias("s"),
-        )
-    return reduce(DataFrame.unionByName, out)

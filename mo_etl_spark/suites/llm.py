@@ -2684,10 +2684,12 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_sql(rounds: int = 3) -> str:
+def _bpe_sql(rounds: int = 3, emit: str = "merges") -> str:
     """Unrolled DuckDB twin of operators/text.bpe_merge_rounds: per
     round, pair count -> (n DESC, pair) argmax -> two-pass sentinel-
-    spaced replace (same fixpoint construction as the Spark side)."""
+    spaced replace (same fixpoint construction as the Spark side).
+    ``emit="vocab"`` appends the post-merge symbol-frequency top-20
+    (the bpe_vocab twin) instead of the per-round merge rows."""
     parts = [
         """
     WITH words AS (
@@ -2709,7 +2711,7 @@ def _bpe_sql(rounds: int = 3) -> str:
         ) GROUP BY 1
     ),
     best{r} AS (SELECT pair, n FROM cnt{r} ORDER BY n DESC, pair LIMIT 1)""")
-        if r < rounds:
+        if r < rounds or emit == "vocab":
             parts.append(f""",
     seq{r + 1} AS (
         SELECT freq, replace(replace(s,
@@ -2717,13 +2719,19 @@ def _bpe_sql(rounds: int = 3) -> str:
                  ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ') AS s
         FROM seq{r}, best{r} b
     )""")
-    parts.append(
-        "\n    "
-        + "\n    UNION ALL ".join(
-            f"SELECT CAST({r} AS BIGINT) AS round, pair, n FROM best{r}"
-            for r in range(1, rounds + 1)
+    if emit == "vocab":
+        parts.append(f"""
+    SELECT sym, CAST(sum(freq) AS BIGINT) AS n
+    FROM (SELECT freq, unnest(string_split(trim(s), ' ')) AS sym FROM seq{rounds + 1})
+    GROUP BY sym ORDER BY n DESC, sym LIMIT 20""")
+    else:
+        parts.append(
+            "\n    "
+            + "\n    UNION ALL ".join(
+                f"SELECT CAST({r} AS BIGINT) AS round, pair, n FROM best{r}"
+                for r in range(1, rounds + 1)
+            )
         )
-    )
     return "".join(parts)
 
 
@@ -2748,6 +2756,26 @@ def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     return X.bpe_merge_rounds(words, rounds=3)
+
+
+@query(
+    "llm_bpe_vocab",
+    oracle=_bpe_sql(3, emit="vocab"),
+    tags=("bpe_training", "text_analysis", "tokenize"),
+)
+def llm_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer side of llm_bpe_merges: apply the 3 trained
+    merges to the corpus and emit the resulting top-20 symbol
+    vocabulary with frequency-weighted counts — trainer -> tokenizer
+    end to end, every round hash-checked through to the final symbol
+    table."""
+    docs = _docs(spark, sf_dir)
+    words = (
+        docs.select(F.explode(F.split(D.normalize_text(F.col("text")), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return X.bpe_vocab(words, rounds=3, top=20)
 
 
 @query(

@@ -62,6 +62,7 @@ CARTESIAN_OK = {
     "llm_dedup_simhash",  # three 1-row assertion aggregates (n / planted / adjacent) crossed
     "win_sessionize_skew",  # 1-row total-count scalar broadcast-crossed into the hot_frac routing gate
     "llm_bpe_merges",  # each round's 1-row argmax pair broadcast-crossed into the sequence rewrite
+    "llm_bpe_vocab",  # same per-round argmax crosses as llm_bpe_merges
 }
 
 #: queries allowed to exceed the exchange budget, each with why:
@@ -96,6 +97,8 @@ EXCHANGES_OK = {
     # 3 unrolled BPE merge rounds: one pair-count shuffle + one 1-row
     # argmax per round BY CONSTRUCTION; per-round cost is the claim
     "llm_bpe_merges",
+    # same loop plus the final vocab count over the merged sequences
+    "llm_bpe_vocab",
 }
 
 
