@@ -401,6 +401,55 @@ def main() -> None:
     t["jaccard_ppjoin_candidate_cut"] = round(float(cand_plain) / max(float(cand_pp), 1.0), 1)
     assert cand_pp <= cand_plain and cand_pp >= n_jpairs
 
+    # Substring-span dedup at scale: 500k docs x 60 tokens (30M tokens,
+    # ~26.5M shingles).  Every 10th doc embeds a 20-token block shared
+    # by its (doc_id % 1000) group -> 100 blocks x 500 docs, so the
+    # planted span geometry is known EXACTLY: 50k spans [21, 40], and
+    # the keep-one cut removes (500-1) * 20 tokens per block.
+    from mo_etl_spark.operators.dedup import cut_duplicated_spans, duplicated_spans
+
+    sdocs = spark.range(500_000).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(60)),
+                lambda i: F.when(
+                    (F.col("id") % 10 == 0) & (i >= 21) & (i <= 40),
+                    F.concat(
+                        F.lit("s"), (F.col("id") % 1000).cast("string"),
+                        F.lit("_"), i.cast("string"),
+                    ),
+                ).otherwise(
+                    F.concat(
+                        F.lit("u"), F.col("id").cast("string"),
+                        F.lit("_"), i.cast("string"),
+                    )
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    t0 = time.time()
+    sp = (
+        duplicated_spans(sdocs, k=8, min_count=2)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("start_pos").alias("mn"),
+            F.max("end_pos").alias("mx"),
+            F.min("span_len").alias("l1"),
+            F.max("span_len").alias("l2"),
+        )
+        .first()
+    )
+    t["substring_spans_500k_docs"] = round(time.time() - t0, 2)
+    assert (sp["n"], sp["mn"], sp["mx"], sp["l1"], sp["l2"]) == (50_000, 21, 40, 20, 20)
+    t0 = time.time()
+    cut_total = (
+        cut_duplicated_spans(sdocs, k=8, min_count=2).agg(F.sum("cut_tokens")).first()[0]
+    )
+    t["substring_cut_500k_docs"] = round(time.time() - t0, 2)
+    assert cut_total == 100 * (500 - 1) * 20
+
     # Grid spatial radius join at scale: 10M points x 1000 centers on
     # a 1e6 x 1e6 plane, r = g = 12500 (cell side == radius).  Claim:
     # candidates are local-density-bounded (9 cells x centers-per-cell
