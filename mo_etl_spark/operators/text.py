@@ -384,6 +384,58 @@ def winnow_oracle_sql(
     """
 
 
+def temperature_mix(
+    df,
+    budget: int = 1000,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    modulus: int = 9973,
+):
+    """Temperature-weighted domain rebalancing (alpha = 0.5, the
+    multilingual-corpus upsampling rule of mBERT/XLM-R: w_i ∝ n_i^0.5)
+    plus the realized deterministic sample: per group, the doc count,
+    its temperature weight, the per-mille keep rate that hits
+    ``budget`` expected docs, and how many docs the Knuth-hash filter
+    actually kept.
+
+    Cross-engine exactness: sqrt is IEEE-exact; the weight is rounded
+    to 6dp BEFORE the floor() that derives the integer rate, so both
+    engines floor the same double; the keep decision itself is pure
+    integer arithmetic (bucket * 1000 < rate_permille * modulus).
+    One count shuffle + a 1-row total cross + one broadcast join back
+    onto the scan — the filter runs scan-side at 100 TB.
+    """
+    src = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = src.agg(F.sum(F.sqrt("n_docs")).alias("z"))
+    plan = src.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_docs",
+        F.round(F.sqrt("n_docs") / F.col("z"), 6).alias("weight"),
+    )
+    plan = plan.withColumn(
+        "rate_permille",
+        F.least(
+            F.floor(F.col("weight") * budget * 1000 / F.col("n_docs")).cast("long"),
+            F.lit(1000),
+        ),
+    )
+    factor = 2654435761 % modulus
+    bucket = F.pmod(F.pmod(F.col(id_col), F.lit(modulus)) * F.lit(factor), F.lit(modulus))
+    kept = (
+        df.join(F.broadcast(plan.select(group_col, "rate_permille")), group_col)
+        .where(bucket * 1000 < F.col("rate_permille") * modulus)
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return plan.join(kept, group_col, "left").select(
+        group_col,
+        "n_docs",
+        "weight",
+        "rate_permille",
+        F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+    )
+
+
 def _bpe_rounds(words_freq, rounds: int):
     """Shared BPE train loop: returns ([per-round argmax DataFrames
     with (round, pair, n)], final sentinel-spaced symbol sequences)."""

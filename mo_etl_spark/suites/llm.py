@@ -757,6 +757,44 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_corpus_temperature_mix",
+    oracle="""
+    WITH src AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    tot AS (SELECT sum(sqrt(n_docs)) AS z FROM src),
+    plan AS (
+        SELECT source, n_docs, round(sqrt(n_docs) / z, 6) AS weight
+        FROM src, tot
+    ),
+    plan2 AS (
+        SELECT *, least(CAST(floor(weight * 1000 * 1000 / n_docs) AS BIGINT),
+                        1000) AS rate_permille
+        FROM plan
+    ),
+    samp AS (
+        SELECT d.source, count(*) AS n_sampled
+        FROM documents d JOIN plan2 p USING (source)
+        WHERE ((d.doc_id % 9973) * (2654435761 % 9973)) % 9973 * 1000
+              < p.rate_permille * 9973
+        GROUP BY d.source
+    )
+    SELECT p.source, p.n_docs, p.weight, p.rate_permille,
+           COALESCE(s.n_sampled, 0) AS n_sampled
+    FROM plan2 p LEFT JOIN samp s USING (source)
+    """,
+    tags=("sampling", "corpus_mix", "temperature"),
+)
+def llm_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain rebalancing (w_i ∝ n_i^0.5, the
+    mBERT/XLM-R multilingual upsampling rule) with the realized
+    deterministic sample: per source its weight, the per-mille rate
+    hitting a 1000-doc budget, and the docs the Knuth-hash filter
+    actually kept (operators/text.temperature_mix — integer keep
+    decision, floor taken after 6dp weight rounding so both engines
+    floor the same double)."""
+    return X.temperature_mix(_docs(spark, sf_dir), budget=1000)
+
+
+@query(
     "llm_quality_repetition",
     oracle="""
     WITH base AS (

@@ -63,6 +63,7 @@ CARTESIAN_OK = {
     "win_sessionize_skew",  # 1-row total-count scalar broadcast-crossed into the hot_frac routing gate
     "llm_bpe_merges",  # each round's 1-row argmax pair broadcast-crossed into the sequence rewrite
     "llm_bpe_vocab",  # same per-round argmax crosses as llm_bpe_merges
+    "llm_corpus_temperature_mix",  # 1-row sqrt-total scalar broadcast-crossed into weights
 }
 
 #: queries allowed to exceed the exchange budget, each with why:
