@@ -1280,6 +1280,81 @@ def llm_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_split_leakage",
+    oracle=f"""
+    WITH corpus AS ({_SQL_NEAR_DUPS}),
+    toks AS (
+        SELECT doc_id AS id, unnest(list_distinct(string_split(
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS tok
+        FROM corpus
+    ),
+    sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        FROM toks a JOIN toks b USING (tok)
+        WHERE a.id < b.id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+    ),
+    splits AS (
+        SELECT doc_id AS id,
+               CASE WHEN hv % 100 < 80 THEN 'train'
+                    WHEN hv % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) AS hv
+              FROM corpus)
+    )
+    SELECT least(sa.split, sb.split) AS split_lo,
+           greatest(sa.split, sb.split) AS split_hi,
+           count(*) AS n_pairs
+    FROM pairs p
+    JOIN splits sa ON sa.id = p.id_a
+    JOIN splits sb ON sb.id = p.id_b
+    WHERE sa.split <> sb.split
+    GROUP BY 1, 2
+    """,
+    tags=("train_val_split", "dedup_ngram_jaccard", "decontamination"),
+)
+def llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split decontamination check — the step AFTER splitting that
+    every training pipeline needs: near-duplicate pairs (exact token
+    Jaccard >= 0.5 via the inverted-index join) whose members landed
+    in DIFFERENT train/val/test splits, counted per split boundary.
+    The md5 split rule is llm_train_val_split's; any nonzero row is
+    val/test contamination a doc-level split cannot see."""
+    corpus = _with_near_dups(_docs(spark, sf_dir))
+    pairs = D.jaccard_pairs(corpus, threshold=0.5).select("id_a", "id_b")
+    hv = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    b = hv % 100
+    splits = corpus.select(
+        F.col("doc_id").alias("id"),
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+    )
+    sa = splits.select(F.col("id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("id").alias("id_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .groupBy(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 def _lsh_bucket_sql(dim: int = 64, n_planes: int = 4, seed: int = 42) -> str:
     """DuckDB expression reproducing hyperplane_lsh_buckets' bucket id
     with the same deterministic plane constants (full-precision repr
