@@ -472,9 +472,17 @@ def _bpe_rounds(words_freq, rounds: int):
         )
         search = F.concat(F.lit(" "), F.col("bp"), F.lit(" "))
         repl = F.concat(F.lit(" "), F.replace(F.col("bp"), F.lit(" "), F.lit("")), F.lit(" "))
-        seq = seq.crossJoin(F.broadcast(best)).select(
+        # LEFT join on TRUE, not crossJoin: when the corpus is already
+        # fully merged the argmax is EMPTY, and a cross join would
+        # collapse seq to zero rows — later rounds and bpe_vocab would
+        # silently emit nothing instead of the fixpoint corpus (ADVICE
+        # r2).  With the left join an empty `best` leaves bp NULL and
+        # the rewrite becomes the identity.
+        seq = seq.join(F.broadcast(best), F.lit(True), "left").select(
             "freq",
-            F.replace(F.replace(F.col("s"), search, repl), search, repl).alias("s"),
+            F.when(F.col("bp").isNull(), F.col("s"))
+            .otherwise(F.replace(F.replace(F.col("s"), search, repl), search, repl))
+            .alias("s"),
         )
     return merges, seq
 

@@ -499,7 +499,13 @@ def llm_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    idx_path = os.path.join("/root/repo/.cache", tag, "minhash_band_index")
+    # sketch params are PART of the cache key (ADVICE r2): changing
+    # k/bands in code must build a fresh index, not silently probe a
+    # stale one with mismatched band keys (candidates would drop to
+    # near-zero with no error)
+    idx_path = os.path.join(
+        "/root/repo/.cache", tag, "minhash_band_index__k16_b8_base400"
+    )
     success = os.path.join(idx_path, "_SUCCESS")
     src = os.path.join(sf_dir, "documents.parquet")
     if not os.path.exists(success) or os.path.getmtime(success) < os.path.getmtime(src):
@@ -1076,7 +1082,11 @@ def llm_sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("vec")
     )
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    idx_path = os.path.join("/root/repo/.cache", tag, "ivf_cells_index")
+    # centroid spec in the cache key (ADVICE r2): a different coarse
+    # quantizer must invalidate the persisted cells, not reuse them
+    idx_path = os.path.join(
+        "/root/repo/.cache", tag, "ivf_cells_index__cents_lt16"
+    )
     success = os.path.join(idx_path, "_SUCCESS")
     src = os.path.join(sf_dir, "embeddings.parquet")
     if not os.path.exists(success) or os.path.getmtime(success) < os.path.getmtime(src):
@@ -2827,10 +2837,13 @@ def _bpe_sql(rounds: int = 3, emit: str = "merges") -> str:
         if r < rounds or emit == "vocab":
             parts.append(f""",
     seq{r + 1} AS (
-        SELECT freq, replace(replace(s,
+        -- LEFT JOIN ON TRUE mirrors the Spark guard: an empty argmax
+        -- must leave the sequences untouched, not collapse them
+        SELECT freq, CASE WHEN b.pair IS NULL THEN s ELSE
+               replace(replace(s,
                  ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),
-                 ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ') AS s
-        FROM seq{r}, best{r} b
+                 ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ') END AS s
+        FROM seq{r} LEFT JOIN best{r} b ON TRUE
     )""")
     if emit == "vocab":
         parts.append(f"""
