@@ -38,6 +38,11 @@ def main() -> None:
     except Exception as e:
         print(f"# bench warmup skipped: {e!r}", file=sys.stderr)
 
+    # host contention flag (VERDICT r2 item #7): BENCH_r02's 391 s
+    # was a contended-host reading that needed manual standalone
+    # re-times to diagnose — record loadavg before/after so a hot
+    # host is machine-visible in the artifact itself
+    load_before = os.getloadavg()
     timings: dict[str, float] = {}
     t_all = time.time()
     for name in names:
@@ -70,6 +75,15 @@ def main() -> None:
         "queries": slowest,
         "detail_file": detail_path,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # 1-min loadavg at start/end; n_cpus for context.  start >>
+        # n_cpus means other tenants were burning the box before we
+        # began and per-query walls are inflated — re-time standalone
+        # before treating any regression as real
+        "host_load": {
+            "start_1m": round(load_before[0], 2),
+            "end_1m": round(os.getloadavg()[0], 2),
+            "n_cpus": os.cpu_count(),
+        },
     }
     with open(detail_path, "w") as f:
         json.dump({**summary, "queries": timings}, f, indent=1, sort_keys=True)

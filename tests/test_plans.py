@@ -514,3 +514,37 @@ def test_nested_schema_pruning_reaches_scan(spark, sf001, tmp_path):
     assert "l_extendedprice" not in line and "l_shipdate" not in line, line
     assert df.collect()[0][0] is not None
 
+
+
+def test_grouped_agg_over_window_plan(spark, sf001):
+    """Pin the physical operator of the pandas-UDAF-over-window
+    contract query (VERDICT r2 item #6): it must run as
+    WindowInPandas (the per-frame Arrow-shipping operator whose
+    O(rows x frame_len) cost the docstring documents), and the
+    builtin rewrite of the same result must NOT — a Spark upgrade
+    that reroutes either direction should fail here, not surprise a
+    bench."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mo_etl_spark.functions.numeric import cents
+    from mo_etl_spark.suites.udfs import udf_grouped_agg_over_window
+    from mo_etl_spark.tables import load_table
+
+    plan = plan_of(udf_grouped_agg_over_window(spark, sf001))
+    # Spark 4.1 names it ArrowWindowPython (WindowInPandasExec pre-4.1)
+    assert "ArrowWindowPython" in plan or "WindowInPandas" in plan, plan
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    builtin = (
+        load_table(spark, sf001, "events")
+        .select("event_id", "user_id", "ts", cents("value").alias("vc"))
+        .select("event_id", "user_id", F.sum("vc").over(w).alias("trailing3_cents"))
+    )
+    bplan = plan_of(builtin)
+    assert "ArrowWindowPython" not in bplan and "WindowInPandas" not in bplan, bplan
+    assert "Window" in bplan, bplan
