@@ -2025,14 +2025,16 @@ def agg_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: recency (days since last order at a
     fixed anchor), frequency, monetary value -> quintile scores via
-    ntile, rolled up to segment sizes.  ntile ties are broken by
-    custkey so the quintile boundaries are deterministic
-    cross-engine.  The three global ntiles are single-partition
-    windows over the CUSTOMER aggregate (one row per customer — small
-    relative to facts); at larger scale swap ntile for a
-    percentile-threshold join (win_percentile_values' agg+broadcast
-    rewrite) to avoid the global sort."""
-    from pyspark.sql import Window
+    exact ntile semantics, rolled up to segment sizes.  ntile ties
+    are broken by custkey so the quintile boundaries are
+    deterministic cross-engine.  Each quintile is computed with
+    ``ntile_two_pass`` (operators/global_order.py): a range shuffle +
+    per-partition row numbers + a broadcast of per-partition counts —
+    bit-identical to ``ntile(5) OVER (ORDER BY ...)`` but with NO
+    single-partition window, so at 100x the customer count each of
+    the three scores stays an ordinary keyed shuffle instead of one
+    task holding every customer row (three times over)."""
+    from mo_etl_spark.operators.global_order import ntile_two_pass
 
     o = _t(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
@@ -2042,19 +2044,30 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("monetary_cents"),
     )
-    scored = rfm.select(
-        "o_custkey",
-        "recency_days",
-        "frequency",
-        "monetary_cents",
-        F.ntile(5)
-        .over(Window.orderBy(F.col("recency_days").desc(), "o_custkey"))
-        .alias("r_score"),
-        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy("monetary_cents", "o_custkey"))
-        .alias("m_score"),
-    )
+    # three INDEPENDENT two-pass ntiles over the slim (key, metric)
+    # projections, joined back on custkey — chaining them would nest
+    # each pass's plan inside the next's two consumers and blow the
+    # plan up multiplicatively; independent slim branches keep each
+    # global sort to one range shuffle over two columns
+    r = ntile_two_pass(
+        rfm.select("o_custkey", "recency_days"),
+        5,
+        [F.col("recency_days").desc(), F.col("o_custkey")],
+        "r_score",
+    ).select("o_custkey", "r_score")
+    f = ntile_two_pass(
+        rfm.select("o_custkey", "frequency"),
+        5,
+        [F.col("frequency"), F.col("o_custkey")],
+        "f_score",
+    ).select("o_custkey", "f_score")
+    m = ntile_two_pass(
+        rfm.select("o_custkey", "monetary_cents"),
+        5,
+        [F.col("monetary_cents"), F.col("o_custkey")],
+        "m_score",
+    ).select("o_custkey", "m_score")
+    scored = rfm.join(r, "o_custkey").join(f, "o_custkey").join(m, "o_custkey")
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").alias("n_customers"),
         F.sum("monetary_cents").alias("segment_cents"),
@@ -3085,31 +3098,28 @@ def analytics_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2D SKYLINE (Pareto-optimal set — Börzsönyi et al. ICDE'01): the
     parts no other part beats on BOTH axes (cheaper AND at-least-as-
     large, or same price and strictly larger).  The classic sort-based
-    skyline becomes two windows: a VALUE-RANGE frame ending 1 cent
-    before the current price gives the best size among STRICTLY
-    cheaper parts, and a same-price partition max handles ties — a
-    row survives iff it beats the first and equals the second.  One
-    sort-shuffle total, no self-join (the naive NOT EXISTS is a
-    quadratic theta anti-join); ties on both axes keep every tied
-    row, matching the dominance definition exactly."""
+    skyline becomes a running max over strictly-cheaper prices plus a
+    same-price partition max — a row survives iff it beats the first
+    and equals the second.  The running max is the classic
+    distributed two-pass skyline (``running_max_strict_two_pass``,
+    operators/global_order.py): range-partition by price, local
+    RANGE-frame maxima, then refine with the broadcast prefix of
+    per-partition maxima — no single-partition window, no self-join
+    (the naive NOT EXISTS is a quadratic theta anti-join); ties on
+    both axes keep every tied row, matching the dominance definition
+    exactly."""
     part = _t(spark, sf_dir, "part")
     from pyspark.sql import Window
+
+    from mo_etl_spark.operators.global_order import running_max_strict_two_pass
 
     pts = part.select(
         "p_partkey", cents("p_retailprice").alias("price_cents"), "p_size"
     )
-    w_cheaper = (
-        Window.orderBy("price_cents")
-        .rangeBetween(Window.unboundedPreceding, -1)
-    )
     w_same = Window.partitionBy("price_cents")
-    flagged = pts.select(
-        "p_partkey",
-        "price_cents",
-        "p_size",
-        F.max("p_size").over(w_cheaper).alias("best_cheaper"),
-        F.max("p_size").over(w_same).alias("best_same_price"),
-    )
+    flagged = running_max_strict_two_pass(
+        pts, F.col("price_cents"), F.col("p_size"), "best_cheaper"
+    ).withColumn("best_same_price", F.max("p_size").over(w_same))
     return flagged.where(
         (F.col("best_cheaper").isNull() | (F.col("best_cheaper") < F.col("p_size")))
         & (F.col("best_same_price") == F.col("p_size"))

@@ -1878,21 +1878,22 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window sequence PACKING (pretraining data layout):
     documents are concatenated in a stable order and sliced into
     fixed 512-token bins, docs straddling boundaries — the standard
-    packed-pretraining layout (each doc's global start offset is a
-    prefix sum, so placement is one window pass, embarrassingly
-    re-computable).  Emits per doc its start offset, first/last bin,
-    and offset within the first bin.  At 100 TB the single global
-    cumsum becomes per-shard cumsums + a tiny shard-offset broadcast
-    (the same partial-merge trick as agg_partial_merge)."""
+    packed-pretraining layout.  Each doc's global start offset is an
+    exclusive prefix sum computed the 100-TB way
+    (``prefix_sum_two_pass``, operators/global_order.py): per-shard
+    cumsums after a range shuffle on doc_id, merged with a broadcast
+    of per-shard token totals — the same partial-merge trick as
+    agg_partial_merge, with no single-partition window anywhere in
+    the plan.  Emits per doc its start offset, first/last bin, and
+    offset within the first bin."""
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 500)
-    from pyspark.sql import Window
+    from mo_etl_spark.operators.global_order import prefix_sum_two_pass
 
     toks = docs.select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    placed = toks.withColumn(
-        "start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    placed = prefix_sum_two_pass(
+        toks, [F.col("doc_id")], F.col("n_tokens"), "start_off"
     )
     budget = F.lit(512)
     return placed.select(

@@ -548,3 +548,55 @@ def test_grouped_agg_over_window_plan(spark, sf001):
     bplan = plan_of(builtin)
     assert "ArrowWindowPython" not in bplan and "WindowInPandas" not in bplan, bplan
     assert "Window" in bplan, bplan
+
+
+def _window_lines(plan: str) -> list[str]:
+    return [
+        ln
+        for ln in plan.splitlines()
+        if "Window [" in ln and "windowspecdefinition" in ln
+    ]
+
+
+def test_rfm_ntile_has_no_partitionless_window(spark, sf001):
+    """agg_rfm_segmentation (VERDICT r3 item #2): the three quintile
+    scores must come from the two-pass distributed ntile — every
+    Window in the plan partitioned by the range-partition id, zero
+    ntile-over-global-order windows.  A partition-less Window here
+    would force every customer row through one task, three times."""
+    from mo_etl_spark.suites.analytics import agg_rfm_segmentation
+
+    plan = plan_of(agg_rfm_segmentation(spark, sf001))
+    wins = _window_lines(plan)
+    assert len(wins) == 3, plan  # one row_number per score, nothing else
+    for ln in wins:
+        assert "_go_pid" in ln, ln  # partition spec present
+        assert "row_number" in ln and "ntile" not in ln, ln
+
+
+def test_skyline_running_max_is_two_pass(spark, sf001):
+    """analytics_skyline_2d (VERDICT r3 item #2): the strictly-cheaper
+    running max must be partitioned by the range-partition id and the
+    same-price max by price_cents — no global-order RANGE window."""
+    from mo_etl_spark.suites.analytics import analytics_skyline_2d
+
+    plan = plan_of(analytics_skyline_2d(spark, sf001))
+    wins = _window_lines(plan)
+    assert wins, plan
+    for ln in wins:
+        assert "_go_pid" in ln or "price_cents" in ln, ln
+
+
+def test_pack_sequences_prefix_sum_is_sharded(spark, sf001):
+    """llm_pack_sequences (VERDICT r3 item #5): the global start-offset
+    prefix sum must run as per-shard cumsums (Window partitioned by
+    the range-partition id) merged with broadcast shard offsets —
+    the documented 100-TB form, now the implemented form."""
+    from mo_etl_spark.suites.llm import llm_pack_sequences
+
+    plan = plan_of(llm_pack_sequences(spark, sf001))
+    wins = _window_lines(plan)
+    assert wins, plan
+    for ln in wins:
+        assert "_go_pid" in ln, ln
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan

@@ -64,6 +64,14 @@ CARTESIAN_OK = {
     "llm_bpe_merges",  # each round's 1-row argmax pair broadcast-crossed into the sequence rewrite
     "llm_bpe_vocab",  # same per-round argmax crosses as llm_bpe_merges
     "llm_corpus_temperature_mix",  # 1-row sqrt-total scalar broadcast-crossed into weights
+    # two-pass global-order primitives (operators/global_order.py): the
+    # cross-partition prefix offset is a self-cross-join of the
+    # <=n_parts-row per-partition summary — n_parts² pairs, constant in
+    # the data size (the whole point is removing the SinglePartition
+    # window these queries used to have)
+    "agg_rfm_segmentation",
+    "analytics_skyline_2d",
+    "llm_pack_sequences",
 }
 
 #: queries allowed to exceed the exchange budget, each with why:
@@ -100,6 +108,17 @@ EXCHANGES_OK = {
     "llm_bpe_merges",
     # same loop plus the final vocab count over the merged sequences
     "llm_bpe_vocab",
+    # three INDEPENDENT exact two-pass ntiles (range shuffle + pid-window
+    # shuffle + tiny count agg each) + three custkey joins — 3 global
+    # sorts by construction; the textual plan double-counts the shared
+    # range exchange (cnt + main consumers, runtime exchange-reuse)
+    "agg_rfm_segmentation",
+    # two-pass running max: range shuffle + pid-window shuffle + tiny
+    # per-partition max agg + same-price window — one over budget
+    "analytics_skyline_2d",
+    # two-pass prefix sum: range shuffle + pid-window shuffle + tiny
+    # per-shard total agg — one over budget
+    "llm_pack_sequences",
 }
 
 
