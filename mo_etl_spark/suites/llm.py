@@ -499,23 +499,24 @@ def llm_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    # sketch params are PART of the cache key (ADVICE r2): changing
-    # k/bands in code must build a fresh index, not silently probe a
-    # stale one with mismatched band keys (candidates would drop to
-    # near-zero with no error)
+    # sketch params are PART of the cache key (ADVICE r2), DERIVED
+    # from the one set of variables passed to the index builder and
+    # the probe (ADVICE r3 #2): editing k/bands/base here cannot
+    # leave a stale-keyed index that silently drops candidates
+    k, bands, base_lt = 16, 8, 400
     idx_path = os.path.join(
-        "/root/repo/.cache", tag, "minhash_band_index__k16_b8_base400"
+        "/root/repo/.cache", tag, f"minhash_band_index__k{k}_b{bands}_base{base_lt}"
     )
     success = os.path.join(idx_path, "_SUCCESS")
     src = os.path.join(sf_dir, "documents.parquet")
     if not os.path.exists(success) or os.path.getmtime(success) < os.path.getmtime(src):
-        D.minhash_md5_band_index(base, k=16, bands=8).write.mode("overwrite").parquet(
-            idx_path
-        )
+        D.minhash_md5_band_index(base, k=k, bands=bands).write.mode(
+            "overwrite"
+        ).parquet(idx_path)
     index = spark.read.parquet(idx_path)
     corpus = base.unionByName(new_batch)
     return D.minhash_md5_incremental_pairs(
-        index, new_batch, corpus, k=16, bands=8, verify_threshold=0.8
+        index, new_batch, corpus, k=k, bands=bands, verify_threshold=0.8
     )
 
 
@@ -1078,14 +1079,16 @@ def llm_sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
     )
     c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec"))
-    cents_ = emb.where(F.col("vec_id") < 16).select(
+    cents_lt = 16
+    cents_ = emb.where(F.col("vec_id") < cents_lt).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("vec")
     )
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    # centroid spec in the cache key (ADVICE r2): a different coarse
-    # quantizer must invalidate the persisted cells, not reuse them
+    # centroid spec in the cache key (ADVICE r2), DERIVED from the
+    # same variable that builds the quantizer (ADVICE r3 #2): a
+    # different coarse quantizer must invalidate the persisted cells
     idx_path = os.path.join(
-        "/root/repo/.cache", tag, "ivf_cells_index__cents_lt16"
+        "/root/repo/.cache", tag, f"ivf_cells_index__cents_lt{cents_lt}"
     )
     success = os.path.join(idx_path, "_SUCCESS")
     src = os.path.join(sf_dir, "embeddings.parquet")
