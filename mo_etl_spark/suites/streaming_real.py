@@ -934,3 +934,160 @@ def sink_es_bulk_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.sum("value_cents").alias("total_cents"),
     )
+
+
+def _incr_feed(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """The daily-crawl feed for incremental dedup: 50 truncated
+    near-dups of indexed docs (ids +20000) plus the 100 fresh docs
+    400-500, split into ``n_files`` parquet files (pmod(doc_id, n) —
+    deterministic membership; the FINAL pair set is invariant to the
+    split, which is the theorem the query proves).  Write-once per sf,
+    mtime-invalidated like _feed."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = os.path.join(_CACHE, tag, "incr_dedup_feed")
+    success_any = os.path.join(path, f"b{n_files - 1}", "_SUCCESS")
+    src = os.path.join(sf_dir, "documents.parquet")
+    stale = os.path.exists(success_any) and os.path.getmtime(
+        success_any
+    ) < os.path.getmtime(src)
+    if stale or not os.path.exists(success_any):
+        docs = load_table(spark, sf_dir, "documents")
+        words = F.split(F.col("text"), " ")
+        trunc = F.array_join(
+            F.slice(
+                words, 1, F.greatest((F.size(words) * 4 / 5).cast("int"), F.lit(1))
+            ),
+            " ",
+        )
+        new_batch = (
+            docs.where(F.col("doc_id") < 50)
+            .select((F.col("doc_id") + 20000).alias("doc_id"), trunc.alias("text"))
+            .unionByName(
+                docs.where((F.col("doc_id") >= 400) & (F.col("doc_id") < 500)).select(
+                    "doc_id", "text"
+                )
+            )
+        )
+        for b in range(n_files):
+            new_batch.where(F.pmod("doc_id", F.lit(n_files)) == b).coalesce(
+                1
+            ).write.mode("overwrite").parquet(os.path.join(path, f"b{b}"))
+    return path
+
+
+@query(
+    "stream_real_incremental_dedup",
+    oracle=None,  # set right below: shares the batch query's oracle twin
+    tags=(
+        "dedup_incremental",
+        "dedup_minhash",
+        "lsh_banding",
+        "update_mode",
+        "foreachBatch_etl",
+        "stream_source",
+        "incremental_etl",
+    ),
+)
+@_stream_tuned
+def stream_real_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-dedup pipeline run as a GENUINE STREAM (VERDICT
+    r3 item #3): the persisted LSH band index (minhash_md5_band_index
+    over the 400-doc base corpus) is probed AND upserted by a
+    foreachBatch loop over a 4-file crawl feed consumed one file per
+    trigger.  Per micro-batch: (1) probe — candidates from the new
+    batch's bands against index ∪ batch bands, exact-Jaccard verified
+    against the corpus-so-far; (2) upsert — the batch's bands append
+    to the index and its docs to the arrived set, so LATER batches
+    dedup against EARLIER ones without re-hashing anything.
+
+    Batch-split invariance (why the oracle is the one-shot replay):
+    every qualifying pair has >= 1 non-base doc; a pair lands exactly
+    in the micro-batch of its LATER member — within-batch pairs via
+    the batch's own bands in the probe union, cross-batch pairs via
+    the upserted index — and never twice, because candidates always
+    require one side in the CURRENT batch.  So the union of per-batch
+    finds equals the one-shot incremental run, and the DuckDB oracle
+    (shared verbatim with llm_dedup_incremental_minhash) hash-checks
+    the whole streamed chain: signatures, banding, probe, upsert
+    ordering, and verification.  At 100 TB the index/arrived tables
+    are bucketed by (band, bk)/(doc_id) and each day's trigger pays
+    |batch| + matched buckets, never |corpus|."""
+    from mo_etl_spark.operators import dedup as D
+
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") < 400).select("doc_id", "text")
+    feed = _incr_feed(spark, sf_dir)
+    ckpt = _scratch("incr_dedup_ckpt")
+    idx_dir = _scratch("incr_dedup_index")
+    arrived_dir = _scratch("incr_dedup_arrived")
+    pairs_dir = _scratch("incr_dedup_pairs")
+
+    # index build — once, before the stream (the persisted-snapshot
+    # role; run-scoped here so every invocation is deterministic)
+    D.minhash_md5_band_index(base, k=16, bands=8).write.mode("overwrite").parquet(
+        idx_dir
+    )
+    # seed the sinks so first-batch reads see empty tables, not ENOENT
+    spark.createDataFrame([], "doc_id BIGINT, text STRING").write.mode(
+        "overwrite"
+    ).parquet(arrived_dir)
+    spark.createDataFrame(
+        [], "id_a BIGINT, id_b BIGINT, jaccard DOUBLE"
+    ).write.mode("overwrite").parquet(pairs_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.localCheckpoint(eager=True)  # 3 consumers below
+        index = spark.read.parquet(idx_dir)
+        corpus = (
+            base.unionByName(spark.read.parquet(arrived_dir)).unionByName(b)
+        )
+        D.minhash_md5_incremental_pairs(
+            index, b, corpus, k=16, bands=8, verify_threshold=0.8
+        ).write.mode("append").parquet(pairs_dir)
+        D.minhash_md5_band_index(b, k=16, bands=8).write.mode("append").parquet(
+            idx_dir
+        )
+        b.write.mode("append").parquet(arrived_dir)
+
+    q = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .format("parquet")
+        .load(feed)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(pairs_dir).select("id_a", "id_b", "jaccard")
+
+
+# shared oracle twin: the streamed chain must hash-equal the one-shot
+# batch incremental run (llm_dedup_incremental_minhash's oracle)
+def _wire_incr_oracle() -> None:
+    from mo_etl_spark.registry import QUERIES, QuerySpec
+    from mo_etl_spark.suites.llm import _SQL_INCR_CORPUS
+
+    spec = QUERIES["stream_real_incremental_dedup"]
+    QUERIES["stream_real_incremental_dedup"] = QuerySpec(
+        name=spec.name,
+        fn=spec.fn,
+        oracle=dedup_oracle(_SQL_INCR_CORPUS),
+        tags=spec.tags,
+    )
+
+
+def dedup_oracle(corpus_sql: str) -> str:
+    from mo_etl_spark.operators import dedup as D
+
+    return D.minhash_md5_incremental_oracle_sql(
+        corpus_sql, new_pred="id >= 400", k=16, bands=8, verify_threshold=0.8
+    )
+
+
+_wire_incr_oracle()

@@ -1,0 +1,271 @@
+"""sf0.1 -> sf1 (10x) measured scaling table for the heavy operator
+families (VERDICT r3 item #1): jaccard-prefix join, simhash banding,
+substring spans/cut, sessionize (plain + routed), as-of join, IVF and
+PQ serving, PageRank, DBSCAN neighbor stage, connected components
+(both routes).
+
+``gen``  — builds a 10x dataset at /root/repo/.scratch/sf1 from
+  /root/testdata/sf0.1 (read-only) by unioning 10 key-offset replicas.
+  Replica perturbations keep the DUPLICATE/DENSITY STRUCTURE constant
+  (the point is weak scaling of the algorithm, not an artificial 10x
+  inflation of every dup cluster):
+  - documents: every token suffixed with ``~r`` in replica r, so
+    cross-replica shingle/minhash/simhash similarity is zero and each
+    replica carries the same internal near-dup geometry as sf0.1;
+  - embeddings: vectors rotated by r positions (norm-preserving, so
+    cross-replica cosine decorrelates while per-replica geometry is
+    identical);
+  - events: user ids offset per replica — 10x users, same per-user
+    session history;
+  - lineitem: order/part/supp keys offset per replica — the supply
+    graph becomes 10 disjoint copies.
+
+``run`` — times each operator at both scales (min of ``--reps`` warm
+  runs after one discarded warm-up of the session) and prints one JSON
+  line {op: {sf01, sf1, ratio}}.  DBSCAN's neighbor stage is measured
+  on synthesized constant-DENSITY integer grids (domain side grows
+  with sqrt(n)) — the honest weak-scaling setup for a spatial join;
+  CC edges are deterministic 5-chains sized to the doc count.
+
+Pass criterion (BASELINE.md): every linear-claimed op <= ~12x.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/root/repo/.scratch/sf1"
+REPLICAS = 10
+
+
+def _read(spark, d, t):
+    return spark.read.parquet(os.path.join(d, f"{t}.parquet"))
+
+
+def gen(spark) -> None:
+    os.makedirs(SF1, exist_ok=True)
+
+    docs = _read(spark, SF01, "documents")
+    parts = []
+    for r in range(REPLICAS):
+        d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * 10_000_000))
+        if r:
+            suffixed = F.array_join(
+                F.transform(
+                    F.split("text", " "), lambda w: F.concat(w, F.lit(f"~{r}"))
+                ),
+                " ",
+            )
+            d = d.withColumn("text", suffixed)
+        parts.append(d)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.repartition(8).write.mode("overwrite").parquet(f"{SF1}/documents.parquet")
+
+    emb = _read(spark, SF01, "embeddings")
+    parts = []
+    for r in range(REPLICAS):
+        e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(r * 10_000_000))
+        if r:
+            rot = F.concat(
+                F.slice("embedding", r + 1, 64 - r), F.slice("embedding", 1, r)
+            )
+            e = e.withColumn("embedding", rot)
+        parts.append(e)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.repartition(8).write.mode("overwrite").parquet(f"{SF1}/embeddings.parquet")
+
+    ev = _read(spark, SF01, "events")
+    parts = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(r * 1_000_000_000))
+        .withColumn("user_id", F.col("user_id") + F.lit(r * 10_000_000))
+        for r in range(REPLICAS)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.repartition(16).write.mode("overwrite").parquet(f"{SF1}/events.parquet")
+
+    li = _read(spark, SF01, "lineitem")
+    parts = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(r * 1_000_000_000))
+        .withColumn("l_partkey", F.col("l_partkey") + F.lit(r * 10_000_000))
+        .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(r * 10_000_000))
+        for r in range(REPLICAS)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.repartition(32).write.mode("overwrite").parquet(f"{SF1}/lineitem.parquet")
+    print("generated", SF1)
+
+
+def _grid_points(spark, n: int):
+    """Constant-density integer points: domain side scales with
+    sqrt(n) so eps-neighborhood sizes stay constant across scales."""
+    import math
+
+    side = int(math.sqrt(n) * 4000)  # ~16 neighbors within r=6000
+    return spark.range(n).select(
+        F.col("id").alias("pid"),
+        F.pmod(F.col("id") * 48271, F.lit(side)).cast("long").alias("x"),
+        F.pmod(F.col("id") * 16807, F.lit(side)).cast("long").alias("y"),
+    )
+
+
+def workloads(spark, d: str, scale: float):
+    """(name, thunk) pairs; each thunk runs the operator to completion
+    (count) at directory ``d``; ``scale`` sizes the synthesized CC /
+    DBSCAN inputs (1.0 at sf0.1, 10.0 at sf1)."""
+    from mo_etl_spark.operators.dedup import (
+        connected_components,
+        cut_duplicated_spans,
+        duplicated_spans,
+        jaccard_prefix_pairs,
+        minhash_lsh_pairs,
+        simhash_hamming_pairs,
+    )
+    from mo_etl_spark.operators.graph import pagerank
+    from mo_etl_spark.operators.joins import asof_join
+    from mo_etl_spark.operators.similarity import (
+        as_double,
+        ivf_cells,
+        ivf_topk,
+        pq_topk,
+    )
+    from mo_etl_spark.operators.spatial import grid_radius_join
+    from mo_etl_spark.operators.timeseries import sessionize_skew, sessionize_two_phase
+
+    docs = _read(spark, d, "documents").select("doc_id", "text")
+    ev = _read(spark, d, "events")
+    emb = _read(spark, d, "embeddings")
+    li = _read(spark, d, "lineitem")
+
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), as_double(F.col("embedding")).alias("vec")
+    )
+    # fixed 1000-query serving load at both scales: serving cost scaling
+    # with CORPUS size is the claim under test
+    queries = emb.where(F.col("vec_id") % 97 == 0).limit(1000).select(
+        F.col("vec_id").alias("q_id"), as_double(F.col("embedding")).alias("vec")
+    )
+    cents = corpus.where(F.col("c_id") < 64).select(
+        F.col("c_id").alias("cent_id"), F.col("vec")
+    )
+    pq_cents = corpus.where(F.col("c_id") < 16).select(
+        F.col("c_id").alias("cent_id"), F.col("vec")
+    )
+
+    ev_left = ev.where(F.col("event_id") % 2 == 0).select("event_id", "user_id", "ts")
+    ev_right = ev.where(F.col("event_id") % 2 == 1).select("user_id", "ts", "value")
+
+    n_cc = int(100_000 * scale)
+    cc_edges = spark.range(n_cc).select(
+        F.col("id").alias("id_a"), (F.col("id") - F.col("id") % 5).alias("id_b")
+    )
+    n_pts = int(15_000 * scale)
+    pts = _grid_points(spark, n_pts)
+    ctr = pts.select(
+        F.col("pid").alias("cid"), F.col("x").alias("cx"), F.col("y").alias("cy")
+    )
+
+    edges = li.select(F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+    return [
+        ("jaccard_prefix", lambda: jaccard_prefix_pairs(docs, threshold=0.7).count()),
+        ("minhash_lsh", lambda: minhash_lsh_pairs(docs, k=16, bands=8).count()),
+        ("simhash_hamming", lambda: simhash_hamming_pairs(docs).count()),
+        ("substring_spans", lambda: duplicated_spans(docs).count()),
+        ("substring_cut", lambda: cut_duplicated_spans(docs).count()),
+        ("sessionize_plain", lambda: sessionize_two_phase(ev).count()),
+        ("sessionize_routed", lambda: sessionize_skew(ev).count()),
+        (
+            "asof_backward",
+            lambda: asof_join(
+                ev_left, ev_right, ["user_id"], "ts", "ts", direction="backward"
+            ).count(),
+        ),
+        (
+            "ivf_serve",
+            lambda: ivf_topk(
+                queries,
+                corpus,
+                cents,
+                k=10,
+                nprobe=4,
+                cells=ivf_cells(corpus, cents),
+            ).count(),
+        ),
+        (
+            "pq_serve",
+            lambda: pq_topk(queries, corpus, pq_cents, k=10).count(),
+        ),
+        ("pagerank_8it", lambda: pagerank(edges, iters=8).count()),
+        (
+            "dbscan_neighbors",
+            lambda: grid_radius_join(
+                pts, ctr, g=6000, r=6000, broadcast_centers=False
+            ).count(),
+        ),
+        (
+            "cc_local",
+            lambda: connected_components(cc_edges, n_edges=n_cc).count(),
+        ),
+        (
+            "cc_distributed",
+            lambda: connected_components(
+                cc_edges, n_edges=n_cc, local_cutoff=0, max_iter=20
+            ).count(),
+        ),
+    ]
+
+
+def run(spark, reps: int) -> None:
+    spark.range(1_000_000).select(F.sum("id")).collect()  # session warm-up
+    out: dict[str, dict[str, float]] = {}
+    for d, scale, key in ((SF01, 1.0, "sf01"), (SF1, 10.0, "sf1")):
+        for name, thunk in workloads(spark, d, scale):
+            best = None
+            for _ in range(reps):
+                t0 = time.time()
+                thunk()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            out.setdefault(name, {})[key] = round(best, 2)
+            print(f"  {key:4s} {name:18s} {best:7.2f}s", file=sys.stderr)
+    for name, v in out.items():
+        v["ratio"] = round(v["sf1"] / v["sf01"], 1) if v["sf01"] > 0 else None
+    print(json.dumps({"scales": [0.1, 1.0], "reps": reps, "ops": out}))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("cmd", choices=["gen", "run"])
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+    from mo_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-table")
+    if args.cmd == "gen":
+        gen(spark)
+    else:
+        run(spark, args.reps)
+
+
+if __name__ == "__main__":
+    main()
