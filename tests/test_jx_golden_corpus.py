@@ -304,6 +304,195 @@ CASES = [
                   "format": "cube"},
         "expecting_cube": {"data": {"n": [2, 1, 1]}},  # domains sorted x,y,z
     },
+    # --- round-4 depth: window-clause grid (VERDICT r3 item #4) ------
+    {
+        "name": "window_as_single_dict",
+        "query": {"from": "docs", "select": ["name"],
+                  "window": {"name": "seq", "aggregate": "rownum",
+                             "sort": ["name"]},
+                  "sort": ["name"]},
+        # the window clause may be one dict, not a list (jx shorthand)
+        "expecting_list": [
+            {"name": "", "seq": 0},
+            {"name": "alpha", "seq": 1},
+            {"name": "beta", "seq": 2},
+            {"name": "delta", "seq": 3},
+        ],
+    },
+    {
+        "name": "window_rank_ties",
+        "query": {"from": "docs", "select": ["name", "tag"],
+                  "window": [{"name": "rk", "aggregate": "rank",
+                              "sort": ["tag"]}],
+                  "sort": ["tag", "name"]},
+        # both x-rows tie at rank 1; y resumes at 3 (gap semantics)
+        "expecting_list": [
+            {"name": "", "tag": "x", "rk": 1},
+            {"name": "alpha", "tag": "x", "rk": 1},
+            {"name": "beta", "tag": "y", "rk": 3},
+            {"name": "delta", "tag": "z", "rk": 4},
+        ],
+    },
+    {
+        "name": "window_dense_rank_no_gaps",
+        "query": {"from": "docs", "select": ["name", "tag"],
+                  "window": [{"name": "rk", "aggregate": "dense_rank",
+                              "sort": ["tag"]}],
+                  "sort": ["tag", "name"]},
+        "expecting_list": [
+            {"name": "", "tag": "x", "rk": 1},
+            {"name": "alpha", "tag": "x", "rk": 1},
+            {"name": "beta", "tag": "y", "rk": 2},
+            {"name": "delta", "tag": "z", "rk": 3},
+        ],
+    },
+    {
+        "name": "window_percentile_rank_nulls_least",
+        "query": {"from": "docs", "select": ["name"],
+                  "window": [{"name": "pr", "aggregate": "percentile_rank",
+                              "sort": ["a"]}],
+                  "sort": ["name"]},
+        # sort by a: null least -> "" first; pr = (rank-1)/(n-1)
+        "expecting_list": [
+            {"name": "", "pr": 0.0},
+            {"name": "alpha", "pr": 1.0 / 3.0},
+            {"name": "beta", "pr": 2.0 / 3.0},
+            {"name": "delta", "pr": 1.0},
+        ],
+    },
+    {
+        "name": "window_lead_offset_2",
+        "query": {"from": "docs", "select": ["name"],
+                  "window": [{"name": "nxt2", "value": "name",
+                              "aggregate": "lead", "offset": 2,
+                              "sort": ["name"]}],
+                  "sort": ["name"]},
+        "expecting_list": [
+            {"name": "", "nxt2": "beta"},
+            {"name": "alpha", "nxt2": "delta"},
+            {"name": "beta", "nxt2": None},
+            {"name": "delta", "nxt2": None},
+        ],
+    },
+    {
+        "name": "window_whole_edge_no_sort_is_partition_agg",
+        "query": {"from": "docs", "select": ["name", "tag"],
+                  "window": [{"name": "mx", "value": "b", "aggregate": "maximum",
+                              "edges": ["tag"]}],
+                  "sort": ["tag", "name"]},
+        # no sort + no range -> the aggregate spans the whole edge
+        "expecting_list": [
+            {"name": "", "tag": "x", "mx": 30.0},
+            {"name": "alpha", "tag": "x", "mx": 30.0},
+            {"name": "beta", "tag": "y", "mx": None},
+            {"name": "delta", "tag": "z", "mx": 40.0},
+        ],
+    },
+    {
+        "name": "window_first_running_frame_skips_nulls",
+        "query": {"from": "docs", "select": ["name", "tag"],
+                  "window": [{"name": "f", "value": "b", "aggregate": "first",
+                              "edges": ["tag"], "sort": ["name"]}],
+                  "sort": ["tag", "name"]},
+        # running frame: first NON-NULL b so far within the edge
+        "expecting_list": [
+            {"name": "", "tag": "x", "f": 30.0},
+            {"name": "alpha", "tag": "x", "f": 30.0},
+            {"name": "beta", "tag": "y", "f": None},
+            {"name": "delta", "tag": "z", "f": 40.0},
+        ],
+    },
+    {
+        "name": "window_over_aggregated_rows",
+        "query": {"from": "docs", "groupby": "tag",
+                  "select": [{"name": "n", "aggregate": "count"}],
+                  "window": [{"name": "cum_n", "value": "n", "aggregate": "sum",
+                              "sort": ["tag"], "range": {"max": 0}}],
+                  "sort": ["tag"]},
+        # groupby first, THEN the window runs over the aggregate rows
+        "expecting_list": [
+            {"tag": "x", "n": 2, "cum_n": 2},
+            {"tag": "y", "n": 1, "cum_n": 3},
+            {"tag": "z", "n": 1, "cum_n": 4},
+        ],
+    },
+    {
+        "name": "window_trailing_range_min_only",
+        "query": {"from": "docs", "select": ["name"],
+                  "window": [{"name": "t2", "value": "a", "aggregate": "sum",
+                              "sort": ["name"], "range": {"min": -1, "max": 0}}],
+                  "sort": ["name"]},
+        # 2-row trailing sum, decisive (null a skipped): ""=None-> null
+        # sum alone is null; alpha=(null,1)->1; beta=(1,2)->3; delta=6
+        "expecting_list": [
+            {"name": "", "t2": None},
+            {"name": "alpha", "t2": 1.0},
+            {"name": "beta", "t2": 3.0},
+            {"name": "delta", "t2": 6.0},
+        ],
+    },
+    # --- round-4 depth: dense cube formatter (VERDICT r3 item #4) ----
+    {
+        "name": "format_cube_three_edges_null_parts",
+        "query": {"from": "docs",
+                  "edges": [
+                      {"name": "tag", "value": "tag", "allowNulls": True,
+                       "domain": {"type": "set", "partitions": ["x", "y"]}},
+                      {"name": "big", "value": {"gte": ["a", 2]},
+                       "allowNulls": True,
+                       "domain": {"type": "boolean"}},
+                      {"name": "hasb", "value": {"exists": "b"},
+                       "domain": {"type": "boolean"}},
+                  ],
+                  "select": [{"name": "n", "aggregate": "count"},
+                             {"name": "asum", "value": "a", "aggregate": "sum"}],
+                  "format": "cube"},
+        # dims (sorted): tag [x, y, None] (z routes to the null part),
+        # big [False, True, None] (a=None -> null comparison),
+        # hasb [False, True]; every empty tuple exists with n=0
+        "expecting_cube": {"data": {
+            "n": [
+                [[0, 1], [0, 0], [0, 1]],   # x: r1(F,T), r3(None,T)
+                [[0, 0], [1, 0], [0, 0]],   # y: r2(T,F)
+                [[0, 0], [0, 1], [0, 0]],   # null part: r4=z(T,T)
+            ],
+            "asum": [
+                [[None, 1.0], [None, None], [None, None]],
+                [[None, None], [2.0, None], [None, None]],
+                [[None, None], [None, 4.0], [None, None]],
+            ],
+        }},
+    },
+    {
+        "name": "format_cube_range_edge_buckets",
+        "query": {"from": "docs",
+                  "edges": [{"name": "bb", "value": "b",
+                             "domain": {"type": "range", "min": 0, "max": 60,
+                                        "interval": 20}}],
+                  "select": [{"name": "n", "aggregate": "count"}],
+                  "format": "cube"},
+        # generated buckets 0/20/40; the b=None row has no bucket and
+        # no null part is declared, so it vanishes from the cube
+        "expecting_cube": {"data": {"n": [1, 1, 1]}},
+    },
+    {
+        "name": "edges_two_with_window_after",
+        "query": {"from": "docs",
+                  "edges": [{"name": "tag", "value": "tag",
+                             "domain": {"type": "set",
+                                        "partitions": ["x", "y", "z"]}}],
+                  "select": [{"name": "bsum", "value": "b", "aggregate": "sum",
+                              "default": 0}],
+                  "window": [{"name": "rk", "aggregate": "rank",
+                              "sort": [{"field": "bsum", "sort": -1}]}],
+                  "sort": ["tag"]},
+        # edges agg (with default fill) feeds a rank window: x,z tie 40
+        "expecting_list": [
+            {"tag": "x", "bsum": 40.0, "rk": 1},
+            {"tag": "y", "bsum": 0.0, "rk": 3},
+            {"tag": "z", "bsum": 40.0, "rk": 1},
+        ],
+    },
 ]
 
 
