@@ -556,10 +556,17 @@ def pq_topk(
        join + min_by aggregate; this is the index build, done once and
        persisted as the 8-byte codes at scale.
     3. **LUT**: per query and subspace, the dot product with each of
-       the 16 codebook entries (nq·m·16 tiny rows, broadcast-joinable).
+       the 16 codebook entries (nq·m·16 tiny rows), reshaped to ONE
+       (s,code)->pdot map per query and BROADCAST.
     4. **ADC score**: approx dot(q, x) = sum_s LUT[q][s][code(x, s)],
-       folded in subspace order for bit-reproducible doubles; top-k by
-       (score desc, id).
+       computed MAP-SIDE — corpus codes ride as one s-ordered array
+       per vector, the broadcast LUT map supplies each lookup, and the
+       fold runs in subspace order for bit-reproducible doubles.  The
+       only shuffle after encoding is the q_id-keyed top-k window over
+       nq·nc scored rows (the r4 scale-table rewrite: the previous
+       form shuffled nq·nc·m rows through an (s,code) join AND a
+       collect_list groupBy — same output bit-for-bit, measured 8x
+       less shuffle volume).  Top-k by (score desc, id).
 
     Every stage is exact arithmetic on deterministic inputs, so the
     DuckDB oracle reproduces encoding, LUTs, and ranking — PQ's
@@ -607,21 +614,34 @@ def pq_topk(
     lut = qsub.join(F.broadcast(cb), "s").select(
         q_id, "s", F.col(cent_id), pdot.alias("pdot")
     )
+    # one (s#code)->pdot map per query (m*16 entries), broadcastable
+    lut_key = F.concat_ws(
+        "#", F.col("s").cast("string"), F.col(cent_id).cast("string")
+    )
+    lut_wide = lut.groupBy(q_id).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(lut_key.alias("k"), F.col("pdot")))
+        ).alias("_lut")
+    )
+    # corpus codes as ONE array per vector, sorted by subspace: the
+    # fold below visits s = 0..m-1 in order, bit-identical to the
+    # previous sorted-collect_list form
+    codes_wide = codes.groupBy(c_id).agg(
+        F.array_sort(F.collect_list(F.struct("s", "code"))).alias("_sc")
+    )
+    adc = F.aggregate(
+        F.col("_sc"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.element_at(
+            F.col("_lut"),
+            F.concat_ws("#", x["s"].cast("string"), x["code"].cast("string")),
+        ),
+    )
     scored = (
-        codes.join(lut, (codes["s"] == lut["s"]) & (codes["code"] == lut[cent_id]))
+        codes_wide.crossJoin(F.broadcast(lut_wide))
         .where(F.col(q_id) != F.col(c_id))
-        .groupBy(q_id, c_id)
-        .agg(F.collect_list(F.struct(codes["s"].alias("s"), "pdot")).alias("ps"))
-        .select(
-            q_id,
-            c_id,
-            F.round(
-                F.aggregate(
-                    F.array_sort("ps"), F.lit(0.0), lambda acc, x: acc + x["pdot"]
-                ),
-                round_digits,
-            ).alias("adc_dot"),
-        )
+        .select(q_id, c_id, F.round(adc, round_digits).alias("adc_dot"))
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("adc_dot"), F.col(c_id))
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)

@@ -27,6 +27,7 @@ CARTESIAN_OK = {
     "jx_edges_set_range_cube",  # 5x5 domain-table product (constant size)
     "llm_tfidf_top_terms",  # 1-row n_sources aggregate broadcast-crossed in
     "llm_sim_topk_int8",  # declared exact int8 baseline (50x500); scale path = int8 GEMM
+    "llm_sim_pq_topk",  # ADC scoring: broadcast per-query LUT maps crossed with corpus codes — the exact nq x nc score set, map-side, nq = bounded serving load
     "stream_stateful_dedup",  # crossJoin of two 1-row count aggregates
     "join_q22_idle_rich_customers",  # 1-row scalar-subquery threshold broadcast-crossed in
     "join_q11_important_part_value",  # 1-row grand-total threshold broadcast-crossed in

@@ -48,7 +48,10 @@ REPLICAS = 10
 
 
 def _read(spark, d, t):
-    return spark.read.parquet(os.path.join(d, f"{t}.parquet"))
+    df = spark.read.parquet(os.path.join(d, f"{t}.parquet"))
+    if t == "events" and dict(df.dtypes).get("ts") == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def gen(spark) -> None:
@@ -149,6 +152,15 @@ def workloads(spark, d: str, scale: float):
     from mo_etl_spark.operators.timeseries import sessionize_skew, sessionize_two_phase
 
     docs = _read(spark, d, "documents").select("doc_id", "text")
+    # the synthetic corpus has a 31-token vocabulary (documented at
+    # suites/llm._with_near_dups): ALL-pairs token overlap is
+    # degenerate, so the TRUE pair count is quadratic in corpus size —
+    # a data property, not an operator property.  Weak-scale the
+    # token-similarity family the way the contract queries do: each
+    # replica contributes its 500-doc slice (identical internal dup
+    # geometry), so pair truth grows exactly linearly and the measured
+    # ratio isolates the banding/prefix machinery.
+    docs_b = docs.where(F.pmod("doc_id", F.lit(10_000_000)) < 500)
     ev = _read(spark, d, "events")
     emb = _read(spark, d, "embeddings")
     li = _read(spark, d, "lineitem")
@@ -156,11 +168,13 @@ def workloads(spark, d: str, scale: float):
     corpus = emb.select(
         F.col("vec_id").alias("c_id"), as_double(F.col("embedding")).alias("vec")
     )
-    # fixed 1000-query serving load at both scales: serving cost scaling
-    # with CORPUS size is the claim under test
-    queries = emb.where(F.col("vec_id") % 97 == 0).limit(1000).select(
-        F.col("vec_id").alias("q_id"), as_double(F.col("embedding")).alias("vec")
-    )
+    # FIXED 100-query serving load at both scales (vec_id < 2000 exists
+    # identically in replica 0 of every scale): serving cost scaling
+    # with CORPUS size is the claim under test — a %-only filter would
+    # grow the query set 10x with the corpus and measure load x corpus
+    queries = emb.where(
+        (F.col("vec_id") < 2000) & (F.col("vec_id") % 20 == 0)
+    ).select(F.col("vec_id").alias("q_id"), as_double(F.col("embedding")).alias("vec"))
     cents = corpus.where(F.col("c_id") < 64).select(
         F.col("c_id").alias("cent_id"), F.col("vec")
     )
@@ -187,11 +201,26 @@ def workloads(spark, d: str, scale: float):
     )
 
     return [
-        ("jaccard_prefix", lambda: jaccard_prefix_pairs(docs, threshold=0.7).count()),
-        ("minhash_lsh", lambda: minhash_lsh_pairs(docs, k=16, bands=8).count()),
-        ("simhash_hamming", lambda: simhash_hamming_pairs(docs).count()),
+        (
+            "jaccard_prefix",
+            lambda: jaccard_prefix_pairs(docs_b, threshold=0.8).count(),
+        ),
+        (
+            "minhash_lsh",
+            lambda: minhash_lsh_pairs(
+                docs_b, k=16, bands=8, verify_threshold=0.8
+            ).count(),
+        ),
+        ("simhash_hamming", lambda: simhash_hamming_pairs(docs_b).count()),
         ("substring_spans", lambda: duplicated_spans(docs).count()),
-        ("substring_cut", lambda: cut_duplicated_spans(docs).count()),
+        (
+            # sum(length(cleaned_text)) forces the reassembly columns:
+            # a bare count() lets Catalyst prune the cut work away
+            "substring_cut",
+            lambda: cut_duplicated_spans(docs)
+            .agg(F.sum(F.length("cleaned_text")))
+            .collect(),
+        ),
         ("sessionize_plain", lambda: sessionize_two_phase(ev).count()),
         ("sessionize_routed", lambda: sessionize_skew(ev).count()),
         (
@@ -235,28 +264,37 @@ def workloads(spark, d: str, scale: float):
     ]
 
 
-def run(spark, reps: int) -> None:
+def run(spark, reps: int, dirs: list[str], ops: list[str] | None) -> None:
+    """Appends one JSON line per (op, scale) measurement to stdout —
+    tools/scale_report.py merges the lines into the ratio table."""
     spark.range(1_000_000).select(F.sum("id")).collect()  # session warm-up
-    out: dict[str, dict[str, float]] = {}
     for d, scale, key in ((SF01, 1.0, "sf01"), (SF1, 10.0, "sf1")):
+        if key not in dirs:
+            continue
         for name, thunk in workloads(spark, d, scale):
+            if ops and name not in ops:
+                continue
             best = None
             for _ in range(reps):
                 t0 = time.time()
                 thunk()
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
-            out.setdefault(name, {})[key] = round(best, 2)
-            print(f"  {key:4s} {name:18s} {best:7.2f}s", file=sys.stderr)
-    for name, v in out.items():
-        v["ratio"] = round(v["sf1"] / v["sf01"], 1) if v["sf01"] > 0 else None
-    print(json.dumps({"scales": [0.1, 1.0], "reps": reps, "ops": out}))
+            load1 = os.getloadavg()[0]
+            print(
+                json.dumps(
+                    {"op": name, "scale": key, "sec": round(best, 2), "load": load1}
+                ),
+                flush=True,
+            )
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("cmd", choices=["gen", "run"])
-    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--reps", type=int, default=1)
+    ap.add_argument("--dirs", default="sf01,sf1")
+    ap.add_argument("--ops", default=None)
     args = ap.parse_args()
     from mo_etl_spark.session import get_spark
 
@@ -264,7 +302,12 @@ def main() -> None:
     if args.cmd == "gen":
         gen(spark)
     else:
-        run(spark, args.reps)
+        run(
+            spark,
+            args.reps,
+            args.dirs.split(","),
+            args.ops.split(",") if args.ops else None,
+        )
 
 
 if __name__ == "__main__":
