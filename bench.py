@@ -58,7 +58,28 @@ def main() -> None:
         except Exception as e:  # bench must always emit its JSON line
             timings[name] = -1.0
             print(f"# bench error {name}: {e!r}", file=sys.stderr)
-    total = round(time.time() - t_all, 3)
+    total = round(time.time() - t_all, 3)  # first-pass wall: the
+    # headline metric stays comparable round-over-round (the retime
+    # pass below is bookkeeping, not workload)
+    # noise floor (VERDICT r3 item #7): the top of the table is what
+    # round-over-round comparisons read, so re-time the slowest 20 on
+    # the now-warm session and keep the min — first-run outliers from
+    # cache cold-starts / JIT / a transient co-tenant stop looking
+    # like regressions.  ~+1 min total; full min-of-2 would double the
+    # bench wall for queries nobody compares.
+    retimed: dict[str, float] = {}
+    for name in sorted(timings, key=lambda k: -timings[k])[:20]:
+        if timings[name] < 0:
+            continue
+        t0 = time.time()
+        try:
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            second = round(time.time() - t0, 3)
+            if second < timings[name]:
+                retimed[name] = timings[name]  # keep the discarded first run
+                timings[name] = second
+        except Exception as e:
+            print(f"# bench retime error {name}: {e!r}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # full per-query detail goes to a file; stdout gets ONE SMALL JSON
@@ -86,7 +107,12 @@ def main() -> None:
         },
     }
     with open(detail_path, "w") as f:
-        json.dump({**summary, "queries": timings}, f, indent=1, sort_keys=True)
+        json.dump(
+            {**summary, "queries": timings, "retimed_first_runs": retimed},
+            f,
+            indent=1,
+            sort_keys=True,
+        )
     print(json.dumps(summary))
 
 
