@@ -600,3 +600,24 @@ def test_pack_sequences_prefix_sum_is_sharded(spark, sf001):
     for ln in wins:
         assert "_go_pid" in ln, ln
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_pagerank_iterations_broadcast_ranks(spark, sf001):
+    """pagerank (r4 scale-table rewrite): below the node-count cutoff
+    every iteration must join ranks into the checkpointed edges as a
+    BROADCAST join — a sort-merge rank join means the full edge list
+    shuffles per iteration again (the 2x wall the rewrite removed)."""
+    from pyspark.sql import functions as F
+
+    from mo_etl_spark.operators.graph import pagerank
+
+    edges = spark.range(500).select(
+        (F.col("id") % 53).alias("src"), (F.col("id") % 47).alias("dst")
+    )
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    df = pagerank(edges, iters=4, n_nodes=53)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "SortMergeJoin" not in plan, plan
