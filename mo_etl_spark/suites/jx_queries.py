@@ -748,3 +748,100 @@ def jx_fluent_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sort("l_returnflag")
         .df()
     )
+
+
+@query(
+    "jx_window_user_seq",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           value,
+           CAST(row_number() OVER w - 1 AS INTEGER) AS seq,
+           lag(value, 1) OVER w AS prev_value
+    FROM events
+    WHERE user_id < 40
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)
+    """,
+    tags=("jx", "window"),
+)
+def jx_window_user_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jx window clause on the SELECT path (u, jx_python/windows.py):
+    0-based per-user rownum + lag, sorted by (ts, event_id) with jx
+    nulls-least ordering. Contract-level twin of the round-4 golden
+    conformance grid (tests/test_jx_golden_corpus.py window_* cases) —
+    proves the same compiler path against the DuckDB oracle on a real
+    table in both session modes."""
+    return jx_run(
+        {
+            "from": "events",
+            "where": {"lt": ["user_id", 40]},
+            "select": ["event_id", "user_id", "value"],
+            "window": [
+                {
+                    "name": "seq",
+                    "aggregate": "rownum",
+                    "edges": "user_id",
+                    "sort": ["ts", "event_id"],
+                },
+                {
+                    "name": "prev_value",
+                    "value": "value",
+                    "aggregate": "lag",
+                    "edges": "user_id",
+                    "sort": ["ts", "event_id"],
+                },
+            ],
+        },
+        spark=spark,
+        tables=_tables(spark, sf_dir, "events"),
+    )
+
+
+@query(
+    "jx_window_over_groupby",
+    oracle="""
+    SELECT event_type,
+           n,
+           total_cents,
+           CAST(rank() OVER (ORDER BY total_cents DESC NULLS LAST) AS INTEGER) AS rk
+    FROM (
+        SELECT event_type,
+               count(*) AS n,
+               sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
+        FROM events
+        GROUP BY event_type
+    )
+    """,
+    tags=("jx", "window", "groupby"),
+)
+def jx_window_over_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jx window clause on the AGGREGATE path: rank computed over the
+    grouped rows (u, jx windows compose after groupby), descending with
+    jx nulls-last-on-desc ordering. The rank window is partition-less
+    by construction but runs over <= n_event_types rows (a handful at
+    ANY scale factor) — the bounded-domain exception documented in
+    BASELINE.md's global-window section."""
+    return jx_run(
+        {
+            "from": "events",
+            "groupby": ["event_type"],
+            "select": [
+                {"name": "n", "aggregate": "count"},
+                {
+                    "name": "total_cents",
+                    "value": {"integer": {"round": [{"mult": ["value", 100]}, 0]}},
+                    "aggregate": "sum",
+                },
+            ],
+            "window": [
+                {
+                    "name": "rk",
+                    "aggregate": "rank",
+                    "sort": {"value": "total_cents", "sort": -1},
+                }
+            ],
+        },
+        spark=spark,
+        tables=_tables(spark, sf_dir, "events"),
+    )
