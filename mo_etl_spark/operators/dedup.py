@@ -335,10 +335,22 @@ def minhash_md5_incremental_pairs(
     k: int = 16,
     bands: int = 4,
     verify_threshold: float = 0.5,
+    corpus_bucket_col: str | None = None,
+    n_buckets: int = 0,
 ) -> DataFrame:
     """INCREMENTAL near-dup detection — the daily-crawl production
     shape: a NEW batch is deduplicated against an already-INDEXED
-    corpus without re-hashing it.  ``index`` is the persisted band
+    corpus without re-hashing it.
+
+    When ``corpus_bucket_col``/``n_buckets`` are given, ``corpus`` is
+    expected to be a parquet table partitioned by that column (=
+    ``pmod(id, n_buckets)``) and the exact-Jaccard verification reads
+    ONLY the partitions holding candidate docs (Dynamic Partition
+    Pruning off the broadcast candidate set) — the at-scale form of
+    the matched-buckets claim below.  Without them the verify join
+    scans ``corpus`` fully (fine when the corpus is one job's input;
+    wrong shape for a 100-TB persisted corpus probed by a small daily
+    batch).  ``index`` is the persisted band
     table (minhash_md5_band_index over the existing corpus); only the
     new batch is hashed, and the candidate join probes new-batch bands
     against (index ∪ new bands), so every candidate pair involves at
@@ -382,6 +394,51 @@ def minhash_md5_incremental_pairs(
         F.col(id_col).alias("id"),
         F.array_distinct(tokens(F.col(text_col))).alias("ts"),
     )
+    if corpus_bucket_col is not None:
+        # the "matched buckets, never |corpus|" mechanism, realized:
+        # ``corpus`` is a parquet table PARTITIONED by
+        # ``corpus_bucket_col`` = pmod(id, n_buckets); the candidate
+        # set (batch-bounded by construction — every pair has one side
+        # in today's batch) broadcasts with its redundant bucket keys,
+        # and Dynamic Partition Pruning turns the two verify lookups
+        # into matched-bucket reads instead of full corpus scans
+        # (plan-pinned: tests/test_plans.py asserts
+        # dynamicpruningexpression in the corpus scan's
+        # PartitionFilters).  The bucket key is pure pmod(id), so the
+        # extra equi-condition never changes the join result.
+        docs = corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(corpus_bucket_col).alias("__db"),
+            F.array_distinct(tokens(F.col(text_col))).alias("ts"),
+        )
+        nb = F.lit(int(n_buckets))
+        da = docs.select(
+            F.col("id").alias("id_a"), F.col("__db").alias("__ba"), F.col("ts").alias("ts_a")
+        )
+        db = docs.select(
+            F.col("id").alias("id_b"), F.col("__db").alias("__bb"), F.col("ts").alias("ts_b")
+        )
+        cand = cand.withColumn("__ba", F.pmod("id_a", nb)).withColumn(
+            "__bb", F.pmod("id_b", nb)
+        )
+        return (
+            F.broadcast(cand)
+            .join(da, ["id_a", "__ba"])
+            .join(db, ["id_b", "__bb"])
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("ts_a", "ts_b")).alias("inter"),
+                F.size("ts_a").alias("sz_a"),
+                F.size("ts_b").alias("sz_b"),
+            )
+            .withColumn(
+                "__j",
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+            )
+            .where(F.col("__j") >= verify_threshold)
+            .select("id_a", "id_b", F.round("__j", 6).alias("jaccard"))
+        )
     da = docs.select(F.col("id").alias("id_a"), F.col("ts").alias("ts_a"))
     db = docs.select(F.col("id").alias("id_b"), F.col("ts").alias("ts_b"))
     return (

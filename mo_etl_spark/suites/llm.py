@@ -521,6 +521,87 @@ def llm_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "llm_dedup_incremental_pruned",
+    oracle=D.minhash_md5_incremental_oracle_sql(
+        _SQL_INCR_CORPUS, new_pred="id >= 400", k=16, bands=8, verify_threshold=0.8
+    ),
+    tags=("dedup_minhash", "lsh_banding", "incremental_etl", "dedup_incremental"),
+)
+def llm_dedup_incremental_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-dedup verify join in its AT-SCALE form: the
+    corpus is a PERSISTED parquet table partitioned by a doc-id bucket
+    (db = pmod(doc_id, 16)), and exact-Jaccard verification reads only
+    the partitions holding candidate docs — Dynamic Partition Pruning
+    off the broadcast candidate set, plan-pinned in
+    tests/test_plans.py.  Same pipeline, same oracle, identical pair
+    set as llm_dedup_incremental_minhash (the bucket key is pure
+    pmod(id), so the added equi-condition cannot change the join) —
+    what changes is the 100-TB cost shape: a daily batch pays
+    |batch| + matched buckets of the corpus table, never a full
+    corpus scan."""
+    import os
+
+    docs = _docs(spark, sf_dir)
+    base = docs.where(F.col("doc_id") < 400).select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    trunc = F.array_join(
+        F.slice(words, 1, F.greatest((F.size(words) * 4 / 5).cast("int"), F.lit(1))),
+        " ",
+    )
+    new_batch = (
+        docs.where(F.col("doc_id") < 50)
+        .select((F.col("doc_id") + 20000).alias("doc_id"), trunc.alias("text"))
+        .unionByName(
+            docs.where((F.col("doc_id") >= 400) & (F.col("doc_id") < 500)).select(
+                "doc_id", "text"
+            )
+        )
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    k, bands, base_lt, nb = 16, 8, 400, 16
+    idx_path = os.path.join(
+        "/root/repo/.cache", tag, f"minhash_band_index__k{k}_b{bands}_base{base_lt}"
+    )
+    # bucket-partitioned corpus snapshot (the persisted table a daily
+    # pipeline maintains); cache key carries the bucket count so a
+    # layout change can never probe a stale table
+    corp_path = os.path.join(
+        "/root/repo/.cache", tag, f"incr_corpus_bucketed__nb{nb}_base{base_lt}"
+    )
+    src = os.path.join(sf_dir, "documents.parquet")
+    for path, build in (
+        (idx_path, lambda: D.minhash_md5_band_index(base, k=k, bands=bands)),
+        (
+            corp_path,
+            lambda: base.unionByName(new_batch).withColumn(
+                "db", F.pmod("doc_id", F.lit(nb))
+            ),
+        ),
+    ):
+        success = os.path.join(path, "_SUCCESS")
+        if not os.path.exists(success) or os.path.getmtime(success) < os.path.getmtime(
+            src
+        ):
+            df = build()
+            w = df.write.mode("overwrite")
+            if path is corp_path:
+                w = w.partitionBy("db")
+            w.parquet(path)
+    index = spark.read.parquet(idx_path)
+    corpus = spark.read.parquet(corp_path)
+    return D.minhash_md5_incremental_pairs(
+        index,
+        new_batch,
+        corpus,
+        k=k,
+        bands=bands,
+        verify_threshold=0.8,
+        corpus_bucket_col="db",
+        n_buckets=nb,
+    )
+
+
+@query(
     "llm_dedup_simhash_checked",
     oracle=D.simhash_md5_oracle_sql(_SQL_NEAR_DUPS),
     tags=("dedup_simhash",),

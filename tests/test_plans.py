@@ -657,3 +657,24 @@ def test_pagerank_bucketed_edges_contribution_agg_no_shuffle(spark, sf001):
         ln for ln in plan.splitlines() if "Exchange hashpartitioning(dst" in ln
     ]
     assert not agg_exchanges, plan
+
+
+def test_incremental_pruned_verify_uses_dpp(spark, sf001):
+    """llm_dedup_incremental_pruned: the exact-Jaccard verify lookups
+    against the bucket-partitioned corpus table must carry a
+    dynamicpruningexpression in the scan's PartitionFilters — the
+    mechanism behind 'a daily batch pays |batch| + matched buckets,
+    never |corpus|'.  Without DPP the partitioned layout is cosmetic
+    and every batch re-scans the whole persisted corpus."""
+    from mo_etl_spark.suites.llm import llm_dedup_incremental_pruned
+
+    df = llm_dedup_incremental_pruned(spark, sf001)
+    full = df._jdf.queryExecution().toString()
+    scans = [
+        ln
+        for ln in full.splitlines()
+        if "PartitionFilters" in ln and "incr_corpus_bucketed" in ln
+    ]
+    assert scans, full
+    pruned = [ln for ln in scans if "dynamicpruningexpression" in ln]
+    assert pruned, "\n".join(scans)

@@ -100,6 +100,12 @@ EXCHANGES_OK = {
     # inverted-index truth set AND their semi-join reconciliation in one
     # plan; each sub-pipeline individually stays within budget
     "llm_dedup_minhash",
+    # DPP-pruned incremental dedup: batch banding agg + index probe join
+    # + candidate distinct, PLUS the two broadcast verify joins whose
+    # dynamic-pruning subqueries re-plan the (batch-bounded) candidate
+    # side; at scale the batch-sized exchanges are trivia and the win is
+    # the corpus scan reading matched buckets only (plan-pinned DPP)
+    "llm_dedup_incremental_pruned",
     # hot-key routing executes BOTH legs (count + anti/semi split +
     # cold window + hot two-phase local/stitch/join); at scale the legs
     # run on disjoint data so per-row cost matches the plain window

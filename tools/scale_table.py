@@ -138,6 +138,8 @@ def workloads(spark, d: str, scale: float):
         duplicated_spans,
         jaccard_prefix_pairs,
         minhash_lsh_pairs,
+        minhash_md5_band_index,
+        minhash_md5_incremental_pairs,
         simhash_hamming_pairs,
     )
     from mo_etl_spark.operators.graph import pagerank
@@ -185,6 +187,37 @@ def workloads(spark, d: str, scale: float):
     ev_left = ev.where(F.col("event_id") % 2 == 0).select("event_id", "user_id", "ts")
     ev_right = ev.where(F.col("event_id") % 2 == 1).select("user_id", "ts", "value")
 
+    # incremental dedup, the daily shape: a FIXED 250-doc batch probes a
+    # persisted band index + DPP-pruned bucket-partitioned corpus that
+    # grow 10x (docs_b slices, like the rest of the token family — the
+    # ~r token suffixes zero cross-replica similarity, so the matched
+    # buckets stay replica-0-bounded and the measurement isolates
+    # "what does a day's batch cost as the corpus grows").  Index and
+    # corpus table builds are the once-per-snapshot cost and run
+    # UNTIMED here, exactly as in production.
+    nb_incr = 64
+    tag = d.rstrip("/").rsplit("/", 1)[-1]
+    words = F.split(F.col("text"), " ")
+    trunc = F.array_join(
+        F.slice(words, 1, F.greatest((F.size(words) * 4 / 5).cast("int"), F.lit(1))),
+        " ",
+    )
+    incr_batch = docs.where(F.col("doc_id") < 250).select(
+        (F.col("doc_id") + 100_000_000).alias("doc_id"), trunc.alias("text")
+    )
+    idx_p = f"/root/repo/.scratch/incr_idx_{tag}"
+    corp_p = f"/root/repo/.scratch/incr_corp_{tag}_nb{nb_incr}"
+    if not os.path.exists(os.path.join(idx_p, "_SUCCESS")):
+        minhash_md5_band_index(docs_b, k=16, bands=8).write.mode(
+            "overwrite"
+        ).parquet(idx_p)
+    if not os.path.exists(os.path.join(corp_p, "_SUCCESS")):
+        docs_b.unionByName(incr_batch).withColumn(
+            "db", F.pmod("doc_id", F.lit(nb_incr))
+        ).write.partitionBy("db").mode("overwrite").parquet(corp_p)
+    incr_index = spark.read.parquet(idx_p)
+    incr_corpus = spark.read.parquet(corp_p)
+
     n_cc = int(100_000 * scale)
     cc_edges = spark.range(n_cc).select(
         F.col("id").alias("id_a"), (F.col("id") - F.col("id") % 5).alias("id_b")
@@ -220,6 +253,19 @@ def workloads(spark, d: str, scale: float):
             lambda: cut_duplicated_spans(docs)
             .agg(F.sum(F.length("cleaned_text")))
             .collect(),
+        ),
+        (
+            "incr_batch_fixed",
+            lambda: minhash_md5_incremental_pairs(
+                incr_index,
+                incr_batch,
+                incr_corpus,
+                k=16,
+                bands=8,
+                verify_threshold=0.8,
+                corpus_bucket_col="db",
+                n_buckets=nb_incr,
+            ).count(),
         ),
         ("sessionize_plain", lambda: sessionize_two_phase(ev).count()),
         ("sessionize_routed", lambda: sessionize_skew(ev).count()),
