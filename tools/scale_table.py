@@ -150,6 +150,7 @@ def workloads(spark, d: str, scale: float):
         ivf_topk,
         pq_topk,
     )
+    from mo_etl_spark.operators.global_order import ntile_two_pass
     from mo_etl_spark.operators.spatial import grid_radius_join
     from mo_etl_spark.operators.timeseries import sessionize_skew, sessionize_two_phase
 
@@ -291,6 +292,26 @@ def workloads(spark, d: str, scale: float):
             lambda: pq_topk(queries, corpus, pq_cents, k=10).count(),
         ),
         ("pagerank_8it", lambda: pagerank(edges, iters=8).count()),
+        (
+            # the r4 global-order rewrite's scaling claim: exact global
+            # ntile over every lineitem row with ZERO single-partition
+            # windows — total order via the unique (orderkey, linenumber)
+            # tie-break
+            "ntile_two_pass",
+            lambda: ntile_two_pass(
+                li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+                5,
+                [
+                    F.col("l_extendedprice"),
+                    F.col("l_orderkey"),
+                    F.col("l_linenumber"),
+                ],
+                out="q5",
+            )
+            .groupBy("q5")
+            .count()
+            .collect(),
+        ),
         (
             "dbscan_neighbors",
             lambda: grid_radius_join(
