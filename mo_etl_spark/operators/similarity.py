@@ -260,8 +260,20 @@ def ivf_topk(
     vec: str = "vec",
     round_digits: int = 6,
     cells: DataFrame | None = None,
+    indexed_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: the 100 TB-scale ANN path.
+
+    ``indexed_corpus`` is the fully-persisted serving form: a table
+    carrying (c_id, vec, cell) — the cell assignment WITH the vectors
+    — written partitioned by ``cell``.  Serving then scans NO raw
+    corpus at all: the query batch's probed-cell set (small, distinct)
+    broadcasts against the index and Dynamic Partition Pruning
+    restricts the scan to probed partitions — a query batch probing
+    p of N cells reads ~p/N of the index (plan-pinned in
+    tests/test_plans.py).  Results are identical to the inline form:
+    a cell no query probes contributes nothing to the cogroup either
+    way.
 
     1. assignment — every corpus vector joins its single nearest
        centroid (its *cell*); at scale this is the index build, done
@@ -279,7 +291,7 @@ def ivf_topk(
     recall/latency trade is nprobe's).  Exact within probed cells;
     approximate only in cell pruning — standard IVF semantics.
     """
-    if cells is None:
+    if cells is None and indexed_corpus is None:
         cells = ivf_cells(
             corpus, centroids, c_id=c_id, cent_id=cent_id, vec=vec,
             round_digits=round_digits,
@@ -291,9 +303,19 @@ def ivf_topk(
     q_side = queries.join(probes, q_id).select(
         F.col(q_id).alias("q_id"), F.col(vec).alias("qv"), "cell"
     )
-    c_side = corpus.join(cells, c_id).select(
-        F.col(c_id).alias("c_id"), F.col(vec).alias("cv"), "cell"
-    )
+    if indexed_corpus is not None:
+        # matched-cells serving: the probed-cell set is per-batch small
+        # and sits downstream of the top-nprobe rank filter, so it
+        # broadcasts and the cell-partitioned index scan gets a
+        # dynamicpruningexpression partition filter
+        probed = probes.select("cell").distinct()
+        c_side = indexed_corpus.join(F.broadcast(probed), "cell").select(
+            F.col(c_id).alias("c_id"), F.col(vec).alias("cv"), "cell"
+        )
+    else:
+        c_side = corpus.join(cells, c_id).select(
+            F.col(c_id).alias("c_id"), F.col(vec).alias("cv"), "cell"
+        )
     partials = q_side.groupBy("cell").cogroup(c_side.groupBy("cell")).applyInPandas(
         _partial_topk_fn(k, round_digits, exclude_self=True),
         "q_id long, c_id long, cos_sim double",

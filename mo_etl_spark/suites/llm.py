@@ -1167,20 +1167,25 @@ def llm_sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     # centroid spec in the cache key (ADVICE r2), DERIVED from the
     # same variable that builds the quantizer (ADVICE r3 #2): a
-    # different coarse quantizer must invalidate the persisted cells
+    # different coarse quantizer must invalidate the persisted cells.
+    # The index carries (c_id, vec, cell) — assignment WITH vectors —
+    # so serving reads NO raw corpus: probed cells broadcast against
+    # the cell-partitioned table and DPP prunes the scan to probed
+    # partitions (the docstring's 'only probed cells are scanned',
+    # realized; plan-pinned in tests/test_plans.py)
     idx_path = os.path.join(
-        "/root/repo/.cache", tag, f"ivf_cells_index__cents_lt{cents_lt}"
+        "/root/repo/.cache", tag, f"ivf_vec_index__cents_lt{cents_lt}"
     )
     success = os.path.join(idx_path, "_SUCCESS")
     src = os.path.join(sf_dir, "embeddings.parquet")
     if not os.path.exists(success) or os.path.getmtime(success) < os.path.getmtime(src):
-        S.ivf_cells(c, cents_).write.mode("overwrite").partitionBy("cell").parquet(
-            idx_path
-        )
-    cells = spark.read.parquet(idx_path).select("c_id", "cell")
-    return S.ivf_topk(q, c, cents_, k=5, nprobe=4, cells=cells).select(
-        "q_id", "c_id", "cos_sim", "rnk"
-    )
+        S.ivf_cells(c, cents_).join(c, "c_id").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(idx_path)
+    indexed = spark.read.parquet(idx_path)
+    return S.ivf_topk(
+        q, None, cents_, k=5, nprobe=4, indexed_corpus=indexed
+    ).select("q_id", "c_id", "cos_sim", "rnk")
 
 
 @query(

@@ -678,3 +678,22 @@ def test_incremental_pruned_verify_uses_dpp(spark, sf001):
     assert scans, full
     pruned = [ln for ln in scans if "dynamicpruningexpression" in ln]
     assert pruned, "\n".join(scans)
+
+
+def test_ivf_persisted_serving_uses_dpp(spark, sf001):
+    """llm_sim_ivf_persisted: serving from the (c_id, vec, cell) index
+    must carry a dynamicpruningexpression on the cell-partitioned scan
+    — a query batch probing p of N cells reads ~p/N of the index.  And
+    no raw-corpus scan: the embeddings table appears only as the query
+    batch + centroid inputs, never joined corpus-wide by c_id."""
+    from mo_etl_spark.suites.llm import llm_sim_ivf_persisted
+
+    df = llm_sim_ivf_persisted(spark, sf001)
+    full = df._jdf.queryExecution().toString()
+    scans = [
+        ln
+        for ln in full.splitlines()
+        if "PartitionFilters" in ln and "ivf_vec_index" in ln
+    ]
+    assert scans, full
+    assert any("dynamicpruningexpression" in ln for ln in scans), "\n".join(scans)

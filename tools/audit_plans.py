@@ -106,6 +106,10 @@ EXCHANGES_OK = {
     # side; at scale the batch-sized exchanges are trivia and the win is
     # the corpus scan reading matched buckets only (plan-pinned DPP)
     "llm_dedup_incremental_pruned",
+    # matched-cells IVF serving: probe top-nprobe build + probed-cell
+    # distinct + its broadcast/DPP subquery all ride the QUERY BATCH
+    # (tiny); the index scan they prune is the at-scale cost
+    "llm_sim_ivf_persisted",
     # hot-key routing executes BOTH legs (count + anti/semi split +
     # cold window + hot two-phase local/stitch/join); at scale the legs
     # run on disjoint data so per-row cost matches the plain window
