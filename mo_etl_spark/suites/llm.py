@@ -461,6 +461,28 @@ _SQL_INCR_CORPUS = """
 """
 
 
+def _incr_new_batch(docs: DataFrame) -> DataFrame:
+    """The daily-crawl batch shared by the incremental-dedup family
+    (llm_dedup_incremental_{minhash,pruned} and the stream feed in
+    suites/streaming_real.py): 50 truncated near-dups of indexed docs
+    (ids +20000) plus the 100 fresh docs 400-500.  Must stay in
+    lockstep with _SQL_INCR_CORPUS's batch arm."""
+    words = F.split(F.col("text"), " ")
+    trunc = F.array_join(
+        F.slice(words, 1, F.greatest((F.size(words) * 4 / 5).cast("int"), F.lit(1))),
+        " ",
+    )
+    return (
+        docs.where(F.col("doc_id") < 50)
+        .select((F.col("doc_id") + 20000).alias("doc_id"), trunc.alias("text"))
+        .unionByName(
+            docs.where((F.col("doc_id") >= 400) & (F.col("doc_id") < 500)).select(
+                "doc_id", "text"
+            )
+        )
+    )
+
+
 @query(
     "llm_dedup_incremental_minhash",
     oracle=D.minhash_md5_incremental_oracle_sql(
@@ -484,20 +506,7 @@ def llm_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = _docs(spark, sf_dir)
     base = docs.where(F.col("doc_id") < 400).select("doc_id", "text")
-    words = F.split(F.col("text"), " ")
-    trunc = F.array_join(
-        F.slice(words, 1, F.greatest((F.size(words) * 4 / 5).cast("int"), F.lit(1))),
-        " ",
-    )
-    new_batch = (
-        docs.where(F.col("doc_id") < 50)
-        .select((F.col("doc_id") + 20000).alias("doc_id"), trunc.alias("text"))
-        .unionByName(
-            docs.where((F.col("doc_id") >= 400) & (F.col("doc_id") < 500)).select(
-                "doc_id", "text"
-            )
-        )
-    )
+    new_batch = _incr_new_batch(docs)
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     # sketch params are PART of the cache key (ADVICE r2), DERIVED
     # from the one set of variables passed to the index builder and
@@ -543,20 +552,7 @@ def llm_dedup_incremental_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     base = docs.where(F.col("doc_id") < 400).select("doc_id", "text")
-    words = F.split(F.col("text"), " ")
-    trunc = F.array_join(
-        F.slice(words, 1, F.greatest((F.size(words) * 4 / 5).cast("int"), F.lit(1))),
-        " ",
-    )
-    new_batch = (
-        docs.where(F.col("doc_id") < 50)
-        .select((F.col("doc_id") + 20000).alias("doc_id"), trunc.alias("text"))
-        .unionByName(
-            docs.where((F.col("doc_id") >= 400) & (F.col("doc_id") < 500)).select(
-                "doc_id", "text"
-            )
-        )
-    )
+    new_batch = _incr_new_batch(docs)
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     k, bands, base_lt, nb = 16, 8, 400, 16
     idx_path = os.path.join(

@@ -951,23 +951,10 @@ def _incr_feed(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
         success_any
     ) < os.path.getmtime(src)
     if stale or not os.path.exists(success_any):
+        from mo_etl_spark.suites.llm import _incr_new_batch
+
         docs = load_table(spark, sf_dir, "documents")
-        words = F.split(F.col("text"), " ")
-        trunc = F.array_join(
-            F.slice(
-                words, 1, F.greatest((F.size(words) * 4 / 5).cast("int"), F.lit(1))
-            ),
-            " ",
-        )
-        new_batch = (
-            docs.where(F.col("doc_id") < 50)
-            .select((F.col("doc_id") + 20000).alias("doc_id"), trunc.alias("text"))
-            .unionByName(
-                docs.where((F.col("doc_id") >= 400) & (F.col("doc_id") < 500)).select(
-                    "doc_id", "text"
-                )
-            )
-        )
+        new_batch = _incr_new_batch(docs)
         for b in range(n_files):
             new_batch.where(F.pmod("doc_id", F.lit(n_files)) == b).coalesce(
                 1
