@@ -219,6 +219,15 @@ def workloads(spark, d: str, scale: float):
     incr_index = spark.read.parquet(idx_p)
     incr_corpus = spark.read.parquet(corp_p)
 
+    # persisted IVF index with vectors, partitioned by cell (untimed
+    # once-per-snapshot build, like production)
+    ivf_idx_p = f"/root/repo/.scratch/ivf_vec_idx_{tag}"
+    if not os.path.exists(os.path.join(ivf_idx_p, "_SUCCESS")):
+        ivf_cells(corpus, cents).join(corpus, "c_id").write.partitionBy(
+            "cell"
+        ).mode("overwrite").parquet(ivf_idx_p)
+    ivf_indexed = spark.read.parquet(ivf_idx_p)
+
     n_cc = int(100_000 * scale)
     cc_edges = spark.range(n_cc).select(
         F.col("id").alias("id_a"), (F.col("id") - F.col("id") % 5).alias("id_b")
@@ -290,6 +299,15 @@ def workloads(spark, d: str, scale: float):
         (
             "pq_serve",
             lambda: pq_topk(queries, corpus, pq_cents, k=10).count(),
+        ),
+        (
+            # r4 DPP serving: the same fixed 100-query load against a
+            # PERSISTED (c_id, vec, cell) index partitioned by cell —
+            # probed partitions only, no raw-corpus scan
+            "ivf_serve_pruned",
+            lambda: ivf_topk(
+                queries, None, cents, k=10, nprobe=4, indexed_corpus=ivf_indexed
+            ).count(),
         ),
         ("pagerank_8it", lambda: pagerank(edges, iters=8).count()),
         (
