@@ -337,10 +337,19 @@ def minhash_md5_incremental_pairs(
     verify_threshold: float = 0.5,
     corpus_bucket_col: str | None = None,
     n_buckets: int = 0,
+    new_banded: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL near-dup detection — the daily-crawl production
     shape: a NEW batch is deduplicated against an already-INDEXED
     corpus without re-hashing it.
+
+    ``new_banded`` lets a caller that ALSO appends the batch's bands
+    to the persisted index (the streaming upsert loop) hand in the
+    already-built minhash_md5_band_index(new_df) instead of having it
+    recomputed here — one banding per batch, not two.  Bucket pruning
+    (``n_buckets``) keys candidates with ``pmod(id, n)``, so ids must
+    be numeric on that path; the failure is loud (a plan-time type
+    error), never a silent wrong bucket.
 
     When ``corpus_bucket_col``/``n_buckets`` are given, ``corpus`` is
     expected to be a parquet table partitioned by that column (=
@@ -378,7 +387,8 @@ def minhash_md5_incremental_pairs(
       give re-crawls fresh ids (crawl-versioned keys) if old-vs-new
       comparison is wanted.
     """
-    new_banded = minhash_md5_band_index(new_df, text_col, id_col, k, bands)
+    if new_banded is None:
+        new_banded = minhash_md5_band_index(new_df, text_col, id_col, k, bands)
     all_banded = index.unionByName(new_banded)
     cand = (
         new_banded.select(F.col("id").alias("nid"), "band", "bk")

@@ -1045,12 +1045,17 @@ def stream_real_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         corpus = (
             base.unionByName(spark.read.parquet(arrived_dir)).unionByName(b)
         )
-        D.minhash_md5_incremental_pairs(
-            index, b, corpus, k=k, bands=bands, verify_threshold=0.8
-        ).write.mode("append").parquet(pairs_dir)
-        D.minhash_md5_band_index(b, k=k, bands=bands).write.mode("append").parquet(
-            idx_dir
+        # band the batch ONCE per trigger: the same table feeds the
+        # probe (via new_banded=) and the index upsert (batch-sized,
+        # so the checkpoint is cheap and kills the double banding)
+        banded = D.minhash_md5_band_index(b, k=k, bands=bands).localCheckpoint(
+            eager=True
         )
+        D.minhash_md5_incremental_pairs(
+            index, b, corpus, k=k, bands=bands, verify_threshold=0.8,
+            new_banded=banded,
+        ).write.mode("append").parquet(pairs_dir)
+        banded.write.mode("append").parquet(idx_dir)
         b.write.mode("append").parquet(arrived_dir)
 
     q = (
