@@ -476,6 +476,7 @@ def lsh_topk(
     vec: str = "vec",
     round_digits: int = 6,
     multiprobe: int = 0,
+    indexed_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k, end to end: both sides bucket by
     sign-random-projection (same deterministic planes), candidates are
@@ -496,15 +497,25 @@ def lsh_topk(
             *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(multiprobe)],
         )
         qb = qb.select(q_id, F.explode(probes).alias("bucket"))
-    cb = hyperplane_lsh_buckets(
-        corpus, dim, n_planes=n_planes, seed=seed, id_col=c_id, vec_col=vec
-    )
     q_side = queries.join(qb, q_id).select(
         F.col(q_id).alias("q_id"), F.col(vec).alias("qv"), "bucket"
     )
-    c_side = corpus.join(cb, c_id).select(
-        F.col(c_id).alias("c_id"), F.col(vec).alias("cv"), "bucket"
-    )
+    if indexed_corpus is not None:
+        # persisted serving (same mechanism as ivf_topk): the index
+        # carries (c_id, vec, bucket) partitioned by bucket; the query
+        # batch's bucket set broadcasts and DPP prunes the scan to
+        # probed buckets — no corpus-side hashing or corpus-wide join
+        probed = qb.select("bucket").distinct()
+        c_side = indexed_corpus.join(F.broadcast(probed), "bucket").select(
+            F.col(c_id).alias("c_id"), F.col(vec).alias("cv"), "bucket"
+        )
+    else:
+        cb = hyperplane_lsh_buckets(
+            corpus, dim, n_planes=n_planes, seed=seed, id_col=c_id, vec_col=vec
+        )
+        c_side = corpus.join(cb, c_id).select(
+            F.col(c_id).alias("c_id"), F.col(vec).alias("cv"), "bucket"
+        )
     partials = q_side.groupBy("bucket").cogroup(c_side.groupBy("bucket")).applyInPandas(
         _partial_topk_fn(k, round_digits, exclude_self=True),
         "q_id long, c_id long, cos_sim double",

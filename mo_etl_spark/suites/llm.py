@@ -1501,6 +1501,58 @@ def llm_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_sim_lsh_persisted",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket
+      FROM embeddings
+    )
+    SELECT q_id, c_id, cos_sim, rnk FROM (
+      SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+             {_SQL_COSINE} AS cos_sim,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_SQL_COSINE} DESC, b.vec_id) AS rnk
+      FROM bucketed a JOIN bucketed b USING (bucket)
+      WHERE a.vec_id < 50 AND a.vec_id <> b.vec_id)
+    WHERE rnk <= 5
+    """,
+    tags=("sim_lsh_topk", "index_persistence"),
+)
+def llm_sim_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH serving from a PERSISTED bucket index — the training-free
+    sibling of llm_sim_ivf_persisted: the (c_id, vec, bucket) table is
+    written once per corpus snapshot, partitioned by bucket, and a
+    query batch reads ONLY its probed buckets (bucket set broadcast →
+    Dynamic Partition Pruning on the index scan; no corpus-side
+    hashing or corpus-wide join at serve time).  Same planes, same
+    answers, same oracle as the inline llm_sim_lsh_topk."""
+    import os
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+    )
+    n_planes, seed = 4, 42
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    idx_path = os.path.join(
+        "/root/repo/.cache", tag, f"lsh_vec_index__p{n_planes}_s{seed}"
+    )
+    success = os.path.join(idx_path, "_SUCCESS")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(success) or os.path.getmtime(success) < os.path.getmtime(src):
+        c_all = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec"))
+        S.hyperplane_lsh_buckets(
+            emb, dim=64, n_planes=n_planes, seed=seed
+        ).withColumnRenamed("vec_id", "c_id").join(c_all, "c_id").write.partitionBy(
+            "bucket"
+        ).mode("overwrite").parquet(idx_path)
+    indexed = spark.read.parquet(idx_path)
+    return S.lsh_topk(
+        q, None, k=5, dim=64, n_planes=n_planes, seed=seed, indexed_corpus=indexed
+    ).select("q_id", "c_id", "cos_sim", "rnk")
+
+
+@query(
     "llm_sim_lsh_multiprobe",
     oracle=f"""
     WITH bucketed AS (

@@ -697,3 +697,21 @@ def test_ivf_persisted_serving_uses_dpp(spark, sf001):
     ]
     assert scans, full
     assert any("dynamicpruningexpression" in ln for ln in scans), "\n".join(scans)
+
+
+def test_lsh_persisted_serving_uses_dpp(spark, sf001):
+    """llm_sim_lsh_persisted: same contract as the IVF twin — the
+    bucket-partitioned index scan must carry a
+    dynamicpruningexpression so a query batch reads only its probed
+    buckets."""
+    from mo_etl_spark.suites.llm import llm_sim_lsh_persisted
+
+    df = llm_sim_lsh_persisted(spark, sf001)
+    full = df._jdf.queryExecution().toString()
+    scans = [
+        ln
+        for ln in full.splitlines()
+        if "PartitionFilters" in ln and "lsh_vec_index" in ln
+    ]
+    assert scans, full
+    assert any("dynamicpruningexpression" in ln for ln in scans), "\n".join(scans)
