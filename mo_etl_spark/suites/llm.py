@@ -1149,26 +1149,39 @@ def llm_sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     only probed cells are scanned).  Results are identical to the
     inline build — same oracle as llm_sim_ivf_topk hash-checks the
     served answers."""
-    import os
-
     emb = _emb(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
     )
-    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec"))
     cents_lt = 16
     cents_ = emb.where(F.col("vec_id") < cents_lt).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("vec")
     )
+    indexed = spark.read.parquet(_ivf_vec_index(spark, sf_dir, cents_lt))
+    return S.ivf_topk(
+        q, None, cents_, k=5, nprobe=4, indexed_corpus=indexed
+    ).select("q_id", "c_id", "cos_sim", "rnk")
+
+
+def _ivf_vec_index(spark: SparkSession, sf_dir: str, cents_lt: int = 16) -> str:
+    """Build-if-stale the persisted IVF serving index — (c_id, vec,
+    cell), partitioned by cell — and return its path.  Centroid spec
+    is part of the cache key (ADVICE r2), DERIVED from the same
+    variable that builds the quantizer (ADVICE r3 #2): a different
+    coarse quantizer must invalidate the persisted cells.  The index
+    carries the vectors, so serving reads NO raw corpus: probed cells
+    broadcast against the cell-partitioned table and DPP prunes the
+    scan to probed partitions (plan-pinned in tests/test_plans.py).
+    Shared by llm_sim_ivf_persisted and the streaming serving loop in
+    suites/streaming_real.py."""
+    import os
+
+    emb = _emb(spark, sf_dir)
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec"))
+    cents_ = emb.where(F.col("vec_id") < cents_lt).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("vec")
+    )
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    # centroid spec in the cache key (ADVICE r2), DERIVED from the
-    # same variable that builds the quantizer (ADVICE r3 #2): a
-    # different coarse quantizer must invalidate the persisted cells.
-    # The index carries (c_id, vec, cell) — assignment WITH vectors —
-    # so serving reads NO raw corpus: probed cells broadcast against
-    # the cell-partitioned table and DPP prunes the scan to probed
-    # partitions (the docstring's 'only probed cells are scanned',
-    # realized; plan-pinned in tests/test_plans.py)
     idx_path = os.path.join(
         "/root/repo/.cache", tag, f"ivf_vec_index__cents_lt{cents_lt}"
     )
@@ -1178,10 +1191,7 @@ def llm_sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.ivf_cells(c, cents_).join(c, "c_id").write.mode("overwrite").partitionBy(
             "cell"
         ).parquet(idx_path)
-    indexed = spark.read.parquet(idx_path)
-    return S.ivf_topk(
-        q, None, cents_, k=5, nprobe=4, indexed_corpus=indexed
-    ).select("q_id", "c_id", "cos_sim", "rnk")
+    return idx_path
 
 
 @query(

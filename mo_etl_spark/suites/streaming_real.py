@@ -1099,3 +1099,105 @@ def dedup_oracle(corpus_sql: str) -> str:
 
 
 _wire_incr_oracle()
+
+
+def _ivf_query_feed(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """The serving feed: the 50 contract queries (vec_id < 50) split
+    into ``n_files`` parquet files by pmod(vec_id, n) — per-query
+    top-k is independent of batching, so the union of per-trigger
+    results equals the one-shot run for ANY split (the invariance the
+    query proves).  Write-once per sf, mtime-invalidated."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = os.path.join(_CACHE, tag, "ivf_query_feed")
+    success_any = os.path.join(path, f"b{n_files - 1}", "_SUCCESS")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    stale = os.path.exists(success_any) and os.path.getmtime(
+        success_any
+    ) < os.path.getmtime(src)
+    if stale or not os.path.exists(success_any):
+        emb = load_table(spark, sf_dir, "embeddings")
+        qs = emb.where(F.col("vec_id") < 50).select("vec_id", "embedding")
+        for b in range(n_files):
+            qs.where(F.pmod("vec_id", F.lit(n_files)) == b).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(path, f"b{b}"))
+    return path
+
+
+@query(
+    "stream_real_ivf_serving",
+    oracle=None,  # wired below: shares llm_sim_ivf_topk's oracle verbatim
+    tags=(
+        "sim_ivf",
+        "index_persistence",
+        "stream_source",
+        "foreachBatch_etl",
+    ),
+)
+@_stream_tuned
+def stream_real_ivf_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving as a GENUINE STREAM: query batches arrive one file
+    per trigger and each foreachBatch probes the PERSISTED IVF index
+    (llm._ivf_vec_index — (c_id, vec, cell) partitioned by cell),
+    appending its top-5 lists to the result sink.  Per-trigger cost is
+    the batch's probed cells only — the index scan carries the same
+    DPP partition filter as the batch query, and no raw corpus is read
+    at any trigger.  Per-query top-k is batching-independent, so the
+    union of the four triggers' outputs hash-equals the one-shot
+    llm_sim_ivf_topk oracle — the streamed chain (feed split, probe,
+    DPP serve, append) is verified end to end."""
+    from mo_etl_spark.operators import similarity as S
+    from mo_etl_spark.suites.llm import _ivf_vec_index
+
+    prepare(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("vec")
+    )
+    indexed = spark.read.parquet(_ivf_vec_index(spark, sf_dir, 16))
+    feed = _ivf_query_feed(spark, sf_dir)
+    ckpt = _scratch("ivf_serve_ckpt")
+    out_dir = _scratch("ivf_serve_out")
+    spark.createDataFrame(
+        [], "q_id BIGINT, c_id BIGINT, cos_sim DOUBLE, rnk INT"
+    ).write.mode("overwrite").parquet(out_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        q = batch_df.select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+        )
+        S.ivf_topk(q, None, cents, k=5, nprobe=4, indexed_corpus=indexed).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = (
+        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .format("parquet")
+        .load(feed)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(out_dir).select("q_id", "c_id", "cos_sim", "rnk")
+
+
+def _wire_ivf_serving_oracle() -> None:
+    from mo_etl_spark.registry import QUERIES, QuerySpec
+    from mo_etl_spark.suites.llm import _SQL_IVF_ORACLE_HEAD
+
+    spec = QUERIES["stream_real_ivf_serving"]
+    QUERIES["stream_real_ivf_serving"] = QuerySpec(
+        name=spec.name,
+        fn=spec.fn,
+        oracle=_SQL_IVF_ORACLE_HEAD,
+        tags=spec.tags,
+    )
+
+
+_wire_ivf_serving_oracle()
