@@ -605,26 +605,57 @@ def pq_topk(
     DuckDB oracle reproduces encoding, LUTs, and ranking — PQ's
     *approximation* lives only in the codes themselves.
     """
+    codes_wide = pq_codes_wide(
+        corpus, centroids, c_id=c_id, cent_id=cent_id, vec=vec, m=m, dsub=dsub,
+        round_digits=round_digits,
+    )
+    lut_wide = pq_lut_wide(
+        queries, centroids, q_id=q_id, cent_id=cent_id, vec=vec, m=m, dsub=dsub
+    )
+    scored = (
+        codes_wide.crossJoin(F.broadcast(lut_wide))
+        .where(F.col(q_id) != F.col(c_id))
+        .select(q_id, c_id, F.round(_pq_adc(), round_digits).alias("adc_dot"))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("adc_dot"), F.col(c_id))
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
+def _pq_sub_split(
+    df: DataFrame, id_out: str, sub_out: str, vec: str, m: int, dsub: int
+) -> DataFrame:
+    """(id, s, dsub-dim double subvector) rows — one per subspace."""
     subspaces = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s")
+    return df.select(
+        F.col(df.columns[0]).alias(id_out), F.col(vec).alias("_v")
+    ).select(
+        id_out, "_v", subspaces
+    ).select(
+        id_out,
+        "s",
+        F.expr(
+            f"transform(sequence(1, {dsub}),"
+            f" i -> CAST(element_at(_v, s * {dsub} + i) AS DOUBLE))"
+        ).alias(sub_out),
+    )
 
-    def sub_split(df: DataFrame, id_out: str, sub_out: str) -> DataFrame:
-        return df.select(
-            F.col(df.columns[0]).alias(id_out), F.col(vec).alias("_v")
-        ).select(
-            id_out, "_v", subspaces
-        ).select(
-            id_out,
-            "s",
-            F.expr(
-                f"transform(sequence(1, {dsub}),"
-                f" i -> CAST(element_at(_v, s * {dsub} + i) AS DOUBLE))"
-            ).alias(sub_out),
-        )
 
-    cb = sub_split(centroids.select(cent_id, vec), cent_id, "csub")
-    dbsub = sub_split(corpus.select(c_id, vec), c_id, "sub")
-    qsub = sub_split(queries.select(q_id, vec), q_id, "qsubv")
-
+def pq_codes_wide(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    c_id: str = "c_id",
+    cent_id: str = "cent_id",
+    vec: str = "vec",
+    m: int = 8,
+    dsub: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """The PERSISTABLE PQ index rows: (c_id, _sc) where _sc is the
+    subspace-ordered code array (nearest codebook entry per subspace,
+    squared-L2, ties -> lowest id).  Done once per corpus snapshot;
+    8 one-byte codes stand in for a 64-dim vector at scale."""
+    cb = _pq_sub_split(centroids.select(cent_id, vec), cent_id, "csub", vec, m, dsub)
+    dbsub = _pq_sub_split(corpus.select(c_id, vec), c_id, "sub", vec, m, dsub)
     dist = F.round(
         F.aggregate(
             F.zip_with("sub", "csub", lambda x, y: (x - y) * (x - y)),
@@ -639,6 +670,27 @@ def pq_topk(
         .groupBy(c_id, "s")
         .agg(F.min_by(cent_id, F.struct("dist", cent_id)).alias("code"))
     )
+    # corpus codes as ONE array per vector, sorted by subspace: the ADC
+    # fold visits s = 0..m-1 in order, bit-identical to the previous
+    # sorted-collect_list form
+    return codes.groupBy(c_id).agg(
+        F.array_sort(F.collect_list(F.struct("s", "code"))).alias("_sc")
+    )
+
+
+def pq_lut_wide(
+    queries: DataFrame,
+    centroids: DataFrame,
+    q_id: str = "q_id",
+    cent_id: str = "cent_id",
+    vec: str = "vec",
+    m: int = 8,
+    dsub: int = 8,
+) -> DataFrame:
+    """One (s#code)->pdot map per query (m*16 entries, broadcastable):
+    the per-subspace dot products ADC scoring looks up."""
+    cb = _pq_sub_split(centroids.select(cent_id, vec), cent_id, "csub", vec, m, dsub)
+    qsub = _pq_sub_split(queries.select(q_id, vec), q_id, "qsubv", vec, m, dsub)
     pdot = F.aggregate(
         F.zip_with("qsubv", "csub", lambda x, y: x * y),
         F.lit(0.0),
@@ -647,22 +699,20 @@ def pq_topk(
     lut = qsub.join(F.broadcast(cb), "s").select(
         q_id, "s", F.col(cent_id), pdot.alias("pdot")
     )
-    # one (s#code)->pdot map per query (m*16 entries), broadcastable
     lut_key = F.concat_ws(
         "#", F.col("s").cast("string"), F.col(cent_id).cast("string")
     )
-    lut_wide = lut.groupBy(q_id).agg(
+    return lut.groupBy(q_id).agg(
         F.map_from_entries(
             F.collect_list(F.struct(lut_key.alias("k"), F.col("pdot")))
         ).alias("_lut")
     )
-    # corpus codes as ONE array per vector, sorted by subspace: the
-    # fold below visits s = 0..m-1 in order, bit-identical to the
-    # previous sorted-collect_list form
-    codes_wide = codes.groupBy(c_id).agg(
-        F.array_sort(F.collect_list(F.struct("s", "code"))).alias("_sc")
-    )
-    adc = F.aggregate(
+
+
+def _pq_adc():
+    """approx dot(q, x) = sum_s LUT[q][s][code(x, s)], folded in
+    subspace order over the _sc array with the _lut map in scope."""
+    return F.aggregate(
         F.col("_sc"),
         F.lit(0.0),
         lambda acc, x: acc
@@ -671,10 +721,64 @@ def pq_topk(
             F.concat_ws("#", x["s"].cast("string"), x["code"].cast("string")),
         ),
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    coarse_cents: DataFrame,
+    pq_cents: DataFrame,
+    indexed_codes: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    m: int = 8,
+    dsub: int = 8,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    cent_id: str = "cent_id",
+    vec: str = "vec",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-PQ: the billion-vector serving layout (FAISS IVFPQ,
+    non-residual variant — codes quantize the raw vectors, so ONE
+    codebook serves every cell; residual encoding refines quantizer
+    quality, orthogonal to the serving plan).
+
+    ``indexed_codes`` is the persisted index: (c_id, cell, _sc) —
+    the IVF cell assignment joined with the PQ code array
+    (pq_codes_wide x ivf_cells), written ONCE per corpus snapshot,
+    partitioned by cell.  Serving touches 8-byte codes in probed
+    cells only:
+
+    1. probe — each query's top-``nprobe`` coarse cells (exact, the
+       centroid table is tiny);
+    2. prune — the batch's probed-cell set broadcasts; Dynamic
+       Partition Pruning restricts the index scan to those partitions
+       (same plan-pinned mechanism as ivf_topk/lsh_topk serving);
+    3. ADC — the per-query LUT map broadcasts and scores each probed
+       cell's members map-side (subspace-ordered fold, bit-identical
+       to pq_topk); top-k by (adc_dot desc, id).
+
+    A query batch probing p of N cells reads ~p/N of the code table —
+    and the code table is already ~32x smaller than the vectors.
+    Exact arithmetic on deterministic inputs throughout, so a SQL
+    oracle reproduces cells, probes, codes, LUTs, and ranking.
+    """
+    probes = brute_force_topk(
+        queries, coarse_cents, k=nprobe, q_id=q_id, c_id=cent_id, vec=vec,
+        round_digits=round_digits, n_q_blocks=4, n_c_blocks=1, exclude_self=False,
+    ).select(F.col(q_id), F.col(cent_id).alias("cell"))
+    lut_wide = pq_lut_wide(
+        queries, pq_cents, q_id=q_id, cent_id=cent_id, vec=vec, m=m, dsub=dsub
+    )
+    probed = probes.select("cell").distinct()
+    pruned = indexed_codes.join(F.broadcast(probed), "cell")
     scored = (
-        codes_wide.crossJoin(F.broadcast(lut_wide))
+        pruned.join(F.broadcast(probes), "cell")
         .where(F.col(q_id) != F.col(c_id))
-        .select(q_id, c_id, F.round(adc, round_digits).alias("adc_dot"))
+        .join(F.broadcast(lut_wide), q_id)
+        .select(q_id, c_id, F.round(_pq_adc(), round_digits).alias("adc_dot"))
+        # a corpus vector lives in exactly one cell, so (q, c) pairs
+        # never duplicate across probes — no distinct needed
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("adc_dot"), F.col(c_id))
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)

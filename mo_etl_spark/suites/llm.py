@@ -2171,6 +2171,125 @@ def llm_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_sim_ivfpq_topk",
+    oracle=f"""
+    WITH cents_ AS (
+      SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id < 16
+    ),
+    cells AS (
+      SELECT c_id, cent_id AS cell FROM (
+        SELECT ea.vec_id AS c_id, ec.cent_id,
+               row_number() OVER (PARTITION BY ea.vec_id
+                                  ORDER BY {_SQL_COS_EC} DESC, ec.cent_id) AS r
+        FROM embeddings ea CROSS JOIN cents_ ec)
+      WHERE r = 1
+    ),
+    probes AS (
+      SELECT q_id, cent_id AS cell FROM (
+        SELECT ea.vec_id AS q_id, ec.cent_id,
+               row_number() OVER (PARTITION BY ea.vec_id
+                                  ORDER BY {_SQL_COS_EC} DESC, ec.cent_id) AS r
+        FROM embeddings ea CROSS JOIN cents_ ec
+        WHERE ea.vec_id < 50)
+      WHERE r <= 4
+    ),
+    cand AS (
+      SELECT p.q_id, cl.c_id
+      FROM probes p JOIN cells cl USING (cell)
+      WHERE p.q_id <> cl.c_id
+    ),
+    ss AS (SELECT unnest(range(0, 8)) AS s),
+    cb AS (
+      SELECT ss.s, e.vec_id AS cent_id,
+             list_transform(range(1, 9),
+                            i -> CAST(e.embedding[ss.s * 8 + i] AS DOUBLE)) AS csub
+      FROM ss CROSS JOIN embeddings e WHERE e.vec_id < 16
+    ),
+    dbsub AS (
+      SELECT ss.s, e.vec_id AS c_id,
+             list_transform(range(1, 9),
+                            i -> CAST(e.embedding[ss.s * 8 + i] AS DOUBLE)) AS sub
+      FROM ss CROSS JOIN embeddings e
+    ),
+    qsub AS (
+      SELECT ss.s, e.vec_id AS q_id,
+             list_transform(range(1, 9),
+                            i -> CAST(e.embedding[ss.s * 8 + i] AS DOUBLE)) AS qsubv
+      FROM ss CROSS JOIN embeddings e WHERE e.vec_id < 50
+    ),
+    codes AS (
+      SELECT c_id, s, cent_id AS code FROM (
+        SELECT d.c_id, d.s, cb.cent_id,
+               row_number() OVER (
+                 PARTITION BY d.c_id, d.s
+                 ORDER BY round(list_sum(list_transform(range(1, 9),
+                           i -> (d.sub[i] - cb.csub[i]) * (d.sub[i] - cb.csub[i]))), 6),
+                          cb.cent_id) AS r
+        FROM dbsub d JOIN cb ON d.s = cb.s)
+      WHERE r = 1
+    ),
+    lut AS (
+      SELECT q.q_id, cb.s, cb.cent_id,
+             list_sum(list_transform(range(1, 9),
+                      i -> q.qsubv[i] * cb.csub[i])) AS pdot
+      FROM qsub q JOIN cb ON q.s = cb.s
+    ),
+    scored AS (
+      SELECT l.q_id, c.c_id,
+             round(list_sum(list(l.pdot ORDER BY l.s)), 6) AS adc_dot
+      FROM cand
+      JOIN codes c ON c.c_id = cand.c_id
+      JOIN lut l ON l.q_id = cand.q_id AND l.s = c.s AND l.cent_id = c.code
+      GROUP BY l.q_id, c.c_id
+    )
+    SELECT q_id, c_id, adc_dot, rnk FROM (
+      SELECT q_id, c_id, adc_dot,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY adc_dot DESC, c_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 5
+    """,
+    tags=("sim_ivf", "sim_pq", "product_quantization", "index_persistence"),
+)
+def llm_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serving — the billion-vector production layout
+    (operators/similarity.ivfpq_topk): coarse cells prune candidates,
+    PQ ADC scores survivors from 8-byte code arrays.  The persisted
+    index (c_id, cell, _sc) = ivf_cells x pq_codes_wide is written
+    once, partitioned by cell; a query batch reads PROBED cells of
+    the code table only (DPP, plan-pinned) and never touches a raw
+    corpus vector.  The oracle composes the IVF head (cells, probes,
+    candidates) with the PQ tail (codes, LUTs, ADC rank), so the
+    whole hybrid — quantizer, pruning, compressed scoring — is
+    hash-checked end to end."""
+    import os
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec"))
+    cents_lt = 16
+    cents_ = emb.where(F.col("vec_id") < cents_lt).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("vec")
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    idx_path = os.path.join(
+        "/root/repo/.cache", tag, f"ivfpq_code_index__cents_lt{cents_lt}_m8"
+    )
+    success = os.path.join(idx_path, "_SUCCESS")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(success) or os.path.getmtime(success) < os.path.getmtime(src):
+        S.pq_codes_wide(c, cents_).join(
+            S.ivf_cells(c, cents_), "c_id"
+        ).write.mode("overwrite").partitionBy("cell").parquet(idx_path)
+    indexed = spark.read.parquet(idx_path)
+    return S.ivfpq_topk(
+        q, cents_, cents_, indexed, k=5, nprobe=4
+    ).select("q_id", "c_id", "adc_dot", "rnk")
+
+
+@query(
     "llm_winsorize_doc_lengths",
     oracle="""
     WITH q AS (

@@ -715,3 +715,20 @@ def test_lsh_persisted_serving_uses_dpp(spark, sf001):
     ]
     assert scans, full
     assert any("dynamicpruningexpression" in ln for ln in scans), "\n".join(scans)
+
+
+def test_ivfpq_serving_uses_dpp(spark, sf001):
+    """llm_sim_ivfpq_topk: the cell-partitioned CODE table scan must
+    carry a dynamicpruningexpression — serving reads probed cells of
+    8-byte codes, never raw vectors."""
+    from mo_etl_spark.suites.llm import llm_sim_ivfpq_topk
+
+    df = llm_sim_ivfpq_topk(spark, sf001)
+    full = df._jdf.queryExecution().toString()
+    scans = [
+        ln
+        for ln in full.splitlines()
+        if "PartitionFilters" in ln and "ivfpq_code_index" in ln
+    ]
+    assert scans, full
+    assert any("dynamicpruningexpression" in ln for ln in scans), "\n".join(scans)

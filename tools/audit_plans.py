@@ -110,6 +110,11 @@ EXCHANGES_OK = {
     # distinct + its broadcast/DPP subquery all ride the QUERY BATCH
     # (tiny); the index scan they prune is the at-scale cost
     "llm_sim_ivf_persisted",
+    # IVF-PQ: coarse probe build + probed-cell distinct + LUT build +
+    # their broadcast/DPP subqueries are all query-batch-sized; the
+    # pruned 8-byte-code scan is the serving cost and the index build
+    # (codes agg + cells join) runs once per snapshot
+    "llm_sim_ivfpq_topk",
     # hot-key routing executes BOTH legs (count + anti/semi split +
     # cold window + hot two-phase local/stitch/join); at scale the legs
     # run on disjoint data so per-row cost matches the plain window
