@@ -148,6 +148,8 @@ def workloads(spark, d: str, scale: float):
         as_double,
         ivf_cells,
         ivf_topk,
+        ivfpq_topk,
+        pq_codes_wide,
         pq_topk,
     )
     from mo_etl_spark.operators.global_order import ntile_two_pass
@@ -228,6 +230,15 @@ def workloads(spark, d: str, scale: float):
         ).mode("overwrite").parquet(ivf_idx_p)
     ivf_indexed = spark.read.parquet(ivf_idx_p)
 
+    # IVF-PQ code index: cell assignment + 8-byte code arrays,
+    # partitioned by cell (untimed once-per-snapshot build)
+    ivfpq_idx_p = f"/root/repo/.scratch/ivfpq_code_idx_{tag}"
+    if not os.path.exists(os.path.join(ivfpq_idx_p, "_SUCCESS")):
+        pq_codes_wide(corpus, pq_cents).join(
+            ivf_cells(corpus, cents), "c_id"
+        ).write.partitionBy("cell").mode("overwrite").parquet(ivfpq_idx_p)
+    ivfpq_indexed = spark.read.parquet(ivfpq_idx_p)
+
     n_cc = int(100_000 * scale)
     cc_edges = spark.range(n_cc).select(
         F.col("id").alias("id_a"), (F.col("id") - F.col("id") % 5).alias("id_b")
@@ -307,6 +318,14 @@ def workloads(spark, d: str, scale: float):
             "ivf_serve_pruned",
             lambda: ivf_topk(
                 queries, None, cents, k=10, nprobe=4, indexed_corpus=ivf_indexed
+            ).count(),
+        ),
+        (
+            # r4 IVF-PQ: the same load over the 8-byte-code table,
+            # probed cells only — the billion-vector layout's cost shape
+            "ivfpq_serve",
+            lambda: ivfpq_topk(
+                queries, cents, pq_cents, ivfpq_indexed, k=10, nprobe=4
             ).count(),
         ),
         ("pagerank_8it", lambda: pagerank(edges, iters=8).count()),
