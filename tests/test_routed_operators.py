@@ -303,3 +303,54 @@ def test_bpe_rounds_survive_fully_merged_corpus(spark):
     assert vocab == {"ab": 7}  # NOT empty, NOT split symbols
     merges = bpe_merge_rounds(words, rounds=4).collect()
     assert [r["pair"] for r in merges] == ["a b"]  # round 1 only; 2-4 empty
+
+
+def test_incremental_pruned_equals_plain_randomized(spark, tmp_path):
+    """The DPP-pruned verify join must return exactly the plain form's
+    pairs for ANY bucket count — including nb=1 (everything in one
+    partition) and nb larger than the id range (one doc per bucket).
+    Randomized corpus from a tiny vocabulary so near-dup pairs are
+    plentiful; seeds fixed for reproducibility."""
+    import random
+
+    from mo_etl_spark.operators.dedup import (
+        minhash_md5_band_index,
+        minhash_md5_incremental_pairs,
+    )
+
+    rng = random.Random(11)
+    vocab = ["red", "blue", "green", "ox", "owl", "fir", "elm", "ash"]
+    docs = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(3, 8)))) for i in range(60)
+    ]
+    base = spark.createDataFrame(docs[:40], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(i + 1000, t) for i, t in docs[40:]], "doc_id long, text string"
+    )
+    index = minhash_md5_band_index(base, k=8, bands=4)
+    plain = sorted(
+        tuple(r)
+        for r in minhash_md5_incremental_pairs(
+            index, new, base.unionByName(new), k=8, bands=4, verify_threshold=0.5
+        ).collect()
+    )
+    assert plain, "fixture must produce pairs, else the test is vacuous"
+    for nb in (1, 7, 4096):
+        p = str(tmp_path / f"corp_nb{nb}")
+        base.unionByName(new).withColumn(
+            "db", F.pmod("doc_id", F.lit(nb))
+        ).write.partitionBy("db").mode("overwrite").parquet(p)
+        pruned = sorted(
+            tuple(r)
+            for r in minhash_md5_incremental_pairs(
+                index,
+                new,
+                spark.read.parquet(p),
+                k=8,
+                bands=4,
+                verify_threshold=0.5,
+                corpus_bucket_col="db",
+                n_buckets=nb,
+            ).collect()
+        )
+        assert pruned == plain, (nb, len(pruned), len(plain))
