@@ -574,7 +574,8 @@ def pq_topk(
     vec: str = "vec",
     round_digits: int = 6,
 ) -> DataFrame:
-    """Product-quantization ANN (asymmetric distance computation).
+    """Product-quantization ANN (asymmetric distance computation;
+    Jégou, Douze & Schmid 2011).
 
     The memory-bound ANN path: each corpus vector is compressed to
     ``m`` one-byte codes (here m=8 codes for a 64-dim vector — 8 bytes
@@ -738,10 +739,12 @@ def ivfpq_topk(
     vec: str = "vec",
     round_digits: int = 6,
 ) -> DataFrame:
-    """IVF-PQ: the billion-vector serving layout (FAISS IVFPQ,
-    non-residual variant — codes quantize the raw vectors, so ONE
-    codebook serves every cell; residual encoding refines quantizer
-    quality, orthogonal to the serving plan).
+    """IVF-PQ: the billion-vector serving layout (Jégou, Douze &
+    Schmid 2011, "Product Quantization for Nearest Neighbor Search" —
+    the IVFADC system; popularized by FAISS).  Non-residual variant:
+    codes quantize the raw vectors, so ONE codebook serves every cell;
+    residual encoding (the paper's r(y) = y - q1(y)) refines quantizer
+    quality, orthogonal to the serving plan.
 
     ``indexed_codes`` is the persisted index: (c_id, cell, _sc) —
     the IVF cell assignment joined with the PQ code array
