@@ -732,3 +732,29 @@ def test_ivfpq_serving_uses_dpp(spark, sf001):
     ]
     assert scans, full
     assert any("dynamicpruningexpression" in ln for ln in scans), "\n".join(scans)
+
+
+def test_ivf_serving_dpp_survives_filterless_batch(spark, sf001):
+    """stream_real_ivf_serving's per-trigger claim: inside foreachBatch
+    the query side is a checkpointed micro-batch with NO filter of its
+    own, and DPP must still prune the index scan — the selective
+    predicate DPP's heuristic needs is the top-nprobe rank filter
+    inside the probe pipeline, not anything on the batch."""
+    from pyspark.sql import functions as F
+
+    from mo_etl_spark.operators import similarity as S
+    from mo_etl_spark.suites.llm import _ivf_vec_index
+
+    emb = spark.read.parquet(sf001 + "/embeddings.parquet")
+    cents = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("vec")
+    )
+    indexed = spark.read.parquet(_ivf_vec_index(spark, sf001, 16))
+    batch = (
+        emb.where(F.col("vec_id") < 12)
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)  # foreachBatch's batch_df shape
+    )
+    q = batch.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec"))
+    df = S.ivf_topk(q, None, cents, k=5, nprobe=4, indexed_corpus=indexed)
+    assert "dynamicpruningexpression" in df._jdf.queryExecution().toString()
