@@ -149,6 +149,8 @@ def workloads(spark, d: str, scale: float):
         ivf_cells,
         ivf_topk,
         ivfpq_topk,
+        hyperplane_lsh_buckets,
+        lsh_topk,
         pq_codes_wide,
         pq_topk,
     )
@@ -239,6 +241,19 @@ def workloads(spark, d: str, scale: float):
         ).write.partitionBy("cell").mode("overwrite").parquet(ivfpq_idx_p)
     ivfpq_indexed = spark.read.parquet(ivfpq_idx_p)
 
+    # LSH bucket index with vectors, partitioned by bucket (6 planes =
+    # 64 buckets; untimed once-per-snapshot build).  Buckets come from
+    # the raw embeddings table, so rename to the (c_id, vec) serving
+    # schema after assignment.
+    lsh_idx_p = f"/root/repo/.scratch/lsh_vec_idx_{tag}"
+    if not os.path.exists(os.path.join(lsh_idx_p, "_SUCCESS")):
+        hyperplane_lsh_buckets(
+            emb.select("vec_id", "embedding"), dim=64, n_planes=6
+        ).withColumnRenamed("vec_id", "c_id").join(
+            corpus, "c_id"
+        ).write.partitionBy("bucket").mode("overwrite").parquet(lsh_idx_p)
+    lsh_indexed = spark.read.parquet(lsh_idx_p)
+
     n_cc = int(100_000 * scale)
     cc_edges = spark.range(n_cc).select(
         F.col("id").alias("id_a"), (F.col("id") - F.col("id") % 5).alias("id_b")
@@ -326,6 +341,15 @@ def workloads(spark, d: str, scale: float):
             "ivfpq_serve",
             lambda: ivfpq_topk(
                 queries, cents, pq_cents, ivfpq_indexed, k=10, nprobe=4
+            ).count(),
+        ),
+        (
+            # r4 LSH persisted serving: probed buckets of the
+            # bucket-partitioned (c_id, vec, bucket) table
+            "lsh_serve_pruned",
+            lambda: lsh_topk(
+                queries, None, k=10, dim=64, n_planes=6,
+                indexed_corpus=lsh_indexed,
             ).count(),
         ),
         ("pagerank_8it", lambda: pagerank(edges, iters=8).count()),
