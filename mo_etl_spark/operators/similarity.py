@@ -724,6 +724,34 @@ def _pq_adc():
     )
 
 
+def ivf_residuals(
+    corpus: DataFrame,
+    cells: DataFrame,
+    coarse_cents: DataFrame,
+    c_id: str = "c_id",
+    cent_id: str = "cent_id",
+    vec: str = "vec",
+) -> DataFrame:
+    """Residual vectors r(y) = y - q1(y) (Jégou et al. 2011, the
+    IVFADC encoding input): each corpus vector minus its coarse cell
+    centroid, in double precision.  Returns (c_id, cell, vec=residual)
+    — feed to pq_codes_wide to build the residual code table."""
+    cvs = coarse_cents.select(
+        F.col(cent_id).alias("cell"), F.col(vec).alias("_cv")
+    )
+    return (
+        corpus.join(cells, c_id)
+        .join(F.broadcast(cvs), "cell")
+        .select(
+            c_id,
+            "cell",
+            F.zip_with(
+                as_double(F.col(vec)), as_double(F.col("_cv")), lambda x, y: x - y
+            ).alias(vec),
+        )
+    )
+
+
 def ivfpq_topk(
     queries: DataFrame,
     coarse_cents: DataFrame,
@@ -738,6 +766,7 @@ def ivfpq_topk(
     cent_id: str = "cent_id",
     vec: str = "vec",
     round_digits: int = 6,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ: the billion-vector serving layout (Jégou, Douze &
     Schmid 2011, "Product Quantization for Nearest Neighbor Search" —
@@ -775,11 +804,30 @@ def ivfpq_topk(
     )
     probed = probes.select("cell").distinct()
     pruned = indexed_codes.join(F.broadcast(probed), "cell")
+    if residual:
+        # IVFADC proper: codes quantize r(y) = y - q1(y), and
+        # dot(q, y^) = dot(q, cell centroid) + dot(q, r^) — the first
+        # term is one number per (query, probed cell), the second is
+        # the same LUT fold (codebooks live in residual space but the
+        # LUT is built from the RAW query, which is exactly why ADC
+        # needs no query-side residual)
+        cvs = coarse_cents.select(
+            F.col(cent_id).alias("cell"), as_double(F.col(vec)).alias("_cv")
+        )
+        probes = (
+            probes.join(
+                queries.select(F.col(q_id), as_double(F.col(vec)).alias("_qv")),
+                q_id,
+            )
+            .join(F.broadcast(cvs), "cell")
+            .select(q_id, "cell", dot(F.col("_qv"), F.col("_cv")).alias("_qdot"))
+        )
+    adc = (F.col("_qdot") + _pq_adc()) if residual else _pq_adc()
     scored = (
         pruned.join(F.broadcast(probes), "cell")
         .where(F.col(q_id) != F.col(c_id))
         .join(F.broadcast(lut_wide), q_id)
-        .select(q_id, c_id, F.round(_pq_adc(), round_digits).alias("adc_dot"))
+        .select(q_id, c_id, F.round(adc, round_digits).alias("adc_dot"))
         # a corpus vector lives in exactly one cell, so (q, c) pairs
         # never duplicate across probes — no distinct needed
     )

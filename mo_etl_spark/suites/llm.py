@@ -2290,6 +2290,145 @@ def llm_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_sim_ivfpq_residual",
+    oracle=f"""
+    WITH cents_ AS (
+      SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id < 16
+    ),
+    cells AS (
+      SELECT c_id, cent_id AS cell FROM (
+        SELECT ea.vec_id AS c_id, ec.cent_id,
+               row_number() OVER (PARTITION BY ea.vec_id
+                                  ORDER BY {_SQL_COS_EC} DESC, ec.cent_id) AS r
+        FROM embeddings ea CROSS JOIN cents_ ec)
+      WHERE r = 1
+    ),
+    probes AS (
+      SELECT q_id, cent_id AS cell FROM (
+        SELECT ea.vec_id AS q_id, ec.cent_id,
+               row_number() OVER (PARTITION BY ea.vec_id
+                                  ORDER BY {_SQL_COS_EC} DESC, ec.cent_id) AS r
+        FROM embeddings ea CROSS JOIN cents_ ec
+        WHERE ea.vec_id < 50)
+      WHERE r <= 4
+    ),
+    cand AS (
+      SELECT p.q_id, cl.c_id, p.cell
+      FROM probes p JOIN cells cl USING (cell)
+      WHERE p.q_id <> cl.c_id
+    ),
+    rvecs AS (
+      SELECT e.vec_id AS c_id,
+             list_transform(range(1, 65),
+                            i -> CAST(e.embedding[i] AS DOUBLE)
+                                 - CAST(ec.embedding[i] AS DOUBLE)) AS rvec
+      FROM embeddings e
+      JOIN cells cl ON cl.c_id = e.vec_id
+      JOIN embeddings ec ON ec.vec_id = cl.cell
+    ),
+    ss AS (SELECT unnest(range(0, 8)) AS s),
+    cb AS (
+      SELECT ss.s, e.vec_id AS cent_id,
+             list_transform(range(1, 9),
+                            i -> CAST(e.embedding[ss.s * 8 + i] AS DOUBLE)) AS csub
+      FROM ss CROSS JOIN embeddings e WHERE e.vec_id < 16
+    ),
+    dbsub AS (
+      SELECT ss.s, r.c_id,
+             list_transform(range(1, 9), i -> r.rvec[ss.s * 8 + i]) AS sub
+      FROM ss CROSS JOIN rvecs r
+    ),
+    qsub AS (
+      SELECT ss.s, e.vec_id AS q_id,
+             list_transform(range(1, 9),
+                            i -> CAST(e.embedding[ss.s * 8 + i] AS DOUBLE)) AS qsubv
+      FROM ss CROSS JOIN embeddings e WHERE e.vec_id < 50
+    ),
+    codes AS (
+      SELECT c_id, s, cent_id AS code FROM (
+        SELECT d.c_id, d.s, cb.cent_id,
+               row_number() OVER (
+                 PARTITION BY d.c_id, d.s
+                 ORDER BY round(list_sum(list_transform(range(1, 9),
+                           i -> (d.sub[i] - cb.csub[i]) * (d.sub[i] - cb.csub[i]))), 6),
+                          cb.cent_id) AS r
+        FROM dbsub d JOIN cb ON d.s = cb.s)
+      WHERE r = 1
+    ),
+    lut AS (
+      SELECT q.q_id, cb.s, cb.cent_id,
+             list_sum(list_transform(range(1, 9),
+                      i -> q.qsubv[i] * cb.csub[i])) AS pdot
+      FROM qsub q JOIN cb ON q.s = cb.s
+    ),
+    qdot AS (
+      SELECT p.q_id, p.cell,
+             list_sum(list_transform(range(1, 65),
+                      i -> CAST(eq.embedding[i] AS DOUBLE)
+                           * CAST(ec.embedding[i] AS DOUBLE))) AS qd
+      FROM probes p
+      JOIN embeddings eq ON eq.vec_id = p.q_id
+      JOIN embeddings ec ON ec.vec_id = p.cell
+    ),
+    scored AS (
+      SELECT cand.q_id, cand.c_id,
+             round(qd.qd + list_sum(list(l.pdot ORDER BY l.s)), 6) AS adc_dot
+      FROM cand
+      JOIN qdot qd ON qd.q_id = cand.q_id AND qd.cell = cand.cell
+      JOIN codes c ON c.c_id = cand.c_id
+      JOIN lut l ON l.q_id = cand.q_id AND l.s = c.s AND l.cent_id = c.code
+      GROUP BY cand.q_id, cand.c_id, qd.qd
+    )
+    SELECT q_id, c_id, adc_dot, rnk FROM (
+      SELECT q_id, c_id, adc_dot,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY adc_dot DESC, c_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 5
+    """,
+    tags=("sim_ivf", "sim_pq", "product_quantization", "index_persistence"),
+)
+def llm_sim_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL IVF-PQ — the paper's actual IVFADC (Jégou et al. 2011):
+    codes quantize r(y) = y - q1(y), and serving scores
+    dot(q, y^) = dot(q, cell centroid) + ADC(residual codes) — the
+    first term is one number per (query, probed cell), already
+    implied by the probe stage; the LUT is built from the RAW query,
+    so ADC needs no query-side residual.  Same persisted-code-table
+    DPP plan as llm_sim_ivfpq_topk; residual encoding only changes
+    WHAT the codes quantize (tighter cells -> better recall at equal
+    bytes).  Oracle replays residual computation, codes, LUTs, the
+    centroid dot, and ranking — IVFADC end to end, hash-checked."""
+    import os
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec"))
+    cents_lt = 16
+    cents_ = emb.where(F.col("vec_id") < cents_lt).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("vec")
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    idx_path = os.path.join(
+        "/root/repo/.cache", tag, f"ivfpq_residual_index__cents_lt{cents_lt}_m8"
+    )
+    success = os.path.join(idx_path, "_SUCCESS")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(success) or os.path.getmtime(success) < os.path.getmtime(src):
+        cells = S.ivf_cells(c, cents_)
+        res = S.ivf_residuals(c, cells, cents_)
+        S.pq_codes_wide(res.select("c_id", "vec"), cents_).join(
+            cells, "c_id"
+        ).write.mode("overwrite").partitionBy("cell").parquet(idx_path)
+    indexed = spark.read.parquet(idx_path)
+    return S.ivfpq_topk(
+        q, cents_, cents_, indexed, k=5, nprobe=4, residual=True
+    ).select("q_id", "c_id", "adc_dot", "rnk")
+
+
+@query(
     "llm_winsorize_doc_lengths",
     oracle="""
     WITH q AS (

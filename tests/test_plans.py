@@ -758,3 +758,20 @@ def test_ivf_serving_dpp_survives_filterless_batch(spark, sf001):
     q = batch.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec"))
     df = S.ivf_topk(q, None, cents, k=5, nprobe=4, indexed_corpus=indexed)
     assert "dynamicpruningexpression" in df._jdf.queryExecution().toString()
+
+
+def test_ivfpq_residual_serving_uses_dpp(spark, sf001):
+    """llm_sim_ivfpq_residual: residual encoding must not change the
+    serving plan — the cell-partitioned residual-code scan still
+    carries the dynamicpruningexpression."""
+    from mo_etl_spark.suites.llm import llm_sim_ivfpq_residual
+
+    df = llm_sim_ivfpq_residual(spark, sf001)
+    full = df._jdf.queryExecution().toString()
+    scans = [
+        ln
+        for ln in full.splitlines()
+        if "PartitionFilters" in ln and "ivfpq_residual_index" in ln
+    ]
+    assert scans, full
+    assert any("dynamicpruningexpression" in ln for ln in scans), "\n".join(scans)

@@ -115,6 +115,9 @@ EXCHANGES_OK = {
     # pruned 8-byte-code scan is the serving cost and the index build
     # (codes agg + cells join) runs once per snapshot
     "llm_sim_ivfpq_topk",
+    # residual IVFADC: same shape + the per-(query, probed-cell)
+    # centroid-dot join, also batch-sized
+    "llm_sim_ivfpq_residual",
     # hot-key routing executes BOTH legs (count + anti/semi split +
     # cold window + hot two-phase local/stitch/join); at scale the legs
     # run on disjoint data so per-row cost matches the plain window
