@@ -71,6 +71,13 @@ def main() -> None:
     for name in sorted(timings, key=lambda k: -timings[k])[:20]:
         if timings[name] < 0:
             continue
+        # stream_real_* queries rewrite scratch/index dirs per run —
+        # idempotent today (uuid scratch dirs), but re-executing a
+        # side-effecting pipeline in the retime loop buys little and
+        # is easy to regress (ADVICE r4): their first-run walls are
+        # dominated by fixed trigger-scheduling constants anyway
+        if name.startswith("stream_real_"):
+            continue
         t0 = time.time()
         try:
             qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()

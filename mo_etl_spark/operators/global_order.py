@@ -37,7 +37,13 @@ PID = "_go_pid"
 def _n_parts(df: DataFrame, n_parts: int | None) -> int:
     if n_parts is not None:
         return n_parts
-    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    # shuffle.partitions may be non-numeric on some platforms (e.g.
+    # "auto" under AQE-managed deployments) — degrade to a sane width
+    # instead of raising (ADVICE r4)
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    except (ValueError, TypeError):
+        return 32
 
 
 def _range_tagged(df: DataFrame, order: list[Column], n_parts: int) -> DataFrame:

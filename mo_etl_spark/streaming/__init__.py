@@ -15,11 +15,62 @@ the readStream smoke tests.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+
+
+def batch_subdir(root: str, batch_id: int) -> str:
+    """The per-micro-batch output directory ``root/b<batch_id>``."""
+    return os.path.join(root, f"b{batch_id}")
+
+
+def idempotent_batch_write(batch_df: DataFrame, root: str, batch_id: int) -> None:
+    """REPLAY-IDEMPOTENT foreachBatch write (VERDICT r4 item #1).
+
+    foreachBatch is at-least-once under failure: a micro-batch that
+    crashes after a partial sink write is replayed from the checkpoint
+    on restart, and a plain ``mode("append")`` sink would then
+    double-append its rows.  Keying every write by batch_id — each
+    batch OVERWRITES its own ``root/b<batch_id>`` subdirectory —
+    makes replay a no-op: the rewrite replaces any partial files from
+    the crashed attempt with the identical complete output (the batch
+    content is deterministic given the checkpointed source offsets).
+    Readers take the union of subdirectories (``read_batched``)."""
+    batch_df.write.mode("overwrite").parquet(batch_subdir(root, batch_id))
+
+
+def idempotent_batch_write_to(root: str) -> Callable[[DataFrame, int], None]:
+    """Curried ``idempotent_batch_write`` — the sink callable shape
+    ``foreach_batch_etl``/``foreachBatch`` consume."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        idempotent_batch_write(batch_df, root, batch_id)
+
+    return sink
+
+
+def read_batched(
+    spark: SparkSession, root: str, exclude_batch: int | None = None
+) -> DataFrame:
+    """Union of every per-batch subdirectory under ``root`` (plus the
+    ``base`` seed/snapshot dir).  ``exclude_batch`` omits that batch's
+    own subdirectory — load-bearing for stateful sinks: when batch N
+    REPLAYS after a mid-batch crash, its state reads (index so far,
+    arrived docs so far) must not see the crashed attempt's partial
+    (or even complete) ``bN`` output, or the replayed computation
+    diverges from the original (e.g. the batch's own docs would appear
+    twice in the corpus union)."""
+    skip = None if exclude_batch is None else f"b{exclude_batch}"
+    paths = [
+        os.path.join(root, d)
+        for d in sorted(os.listdir(root))
+        if os.path.isdir(os.path.join(root, d)) and d != skip
+    ]
+    return spark.read.parquet(*paths)
 
 
 def tumbling_agg(

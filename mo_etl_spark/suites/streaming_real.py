@@ -27,7 +27,13 @@ from pyspark.sql import functions as F
 from mo_etl_spark.functions.numeric import cents
 from mo_etl_spark.registry import query
 from mo_etl_spark.session import prepare
-from mo_etl_spark.streaming import file_stream_source, foreach_batch_etl
+from mo_etl_spark.streaming import (
+    file_stream_source,
+    foreach_batch_etl,
+    idempotent_batch_write,
+    idempotent_batch_write_to,
+    read_batched,
+)
 from mo_etl_spark.tables import load_table
 
 _CACHE = "/root/repo/.cache"
@@ -155,10 +161,14 @@ def stream_real_watermark_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_real_foreachbatch_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ActiveData block-ETL shape (u: transform(source_key, source,
     dest) per S3 block, lineage recorded in doc.etl) on Structured
-    Streaming: readStream -> foreachBatch(transform -> parquet append),
-    then aggregate the sink.  The transform stamps an ``etl`` lineage
-    struct (batch id + source feed); the contract aggregate is
-    batch-split-invariant, so the oracle needs no streaming knowledge."""
+    Streaming: readStream -> foreachBatch(transform -> per-batch
+    parquet overwrite), then aggregate the sink.  The transform stamps
+    an ``etl`` lineage struct (batch id + source feed); the contract
+    aggregate is batch-split-invariant, so the oracle needs no
+    streaming knowledge.  The sink is REPLAY-IDEMPOTENT (VERDICT r4
+    item #1): each batch overwrites its own ``b<batch_id>`` subdir, so
+    an at-least-once replay after a mid-batch crash rewrites identical
+    files instead of double-appending."""
     prepare(spark)
     feed = _feed(spark, sf_dir)
     ckpt = _scratch("feb_ckpt")
@@ -172,15 +182,12 @@ def stream_real_foreachbatch_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out)
-
     stream = file_stream_source(spark, feed, _FEED_SCHEMA)
-    q = foreach_batch_etl(stream, transform, sink, checkpoint=ckpt)
+    q = foreach_batch_etl(stream, transform, idempotent_batch_write_to(out), checkpoint=ckpt)
     q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
     return (
-        spark.read.parquet(out)
+        read_batched(spark, out)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -858,7 +865,15 @@ def stream_real_update_mode_upsert(spark: SparkSession, sf_dir: str) -> DataFram
     (max_by batch_id) — exactly the CDC-compaction read the engine
     already proves batch-side.  The final state hash-matches the
     whole-feed aggregate, proving batch-split invariance of the
-    upsert chain."""
+    upsert chain.
+
+    REPLAY SAFETY (VERDICT r4 item #1): this sink survives
+    at-least-once replay WITHOUT per-batch overwrite — a replayed
+    batch appends rows carrying the SAME batch_id and the SAME values
+    (update-mode output is deterministic given the checkpointed
+    offsets), and max_by(batch_id) collapses any such duplicates at
+    read time.  Unit-proven in tests/test_streaming.py by appending a
+    batch twice."""
     prepare(spark)
     feed = _feed_multi(spark, sf_dir)
     ckpt = _scratch("upd_ckpt")
@@ -998,9 +1013,13 @@ def stream_real_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     the whole streamed chain: signatures, banding, probe, upsert
     ordering, and verification.  At 100 TB the index/arrived tables
     are bucketed by (band, bk)/(doc_id) and each day's trigger pays
-    |batch| + matched buckets, never |corpus|."""
-    from mo_etl_spark.operators import dedup as D
+    |batch| + matched buckets, never |corpus|.
 
+    REPLAY IDEMPOTENCE (VERDICT r4 item #1): foreachBatch is
+    at-least-once — see _incr_dedup_apply_batch for how per-batch
+    subdirectory overwrites plus exclude-own-batch state reads make a
+    mid-batch-crash replay converge to the uninterrupted run
+    (unit-proven in tests/test_streaming.py)."""
     prepare(spark)
     docs = load_table(spark, sf_dir, "documents")
     base = docs.where(F.col("doc_id") < 400).select("doc_id", "text")
@@ -1009,54 +1028,12 @@ def stream_real_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     idx_dir = _scratch("incr_dedup_index")
     arrived_dir = _scratch("incr_dedup_arrived")
     pairs_dir = _scratch("incr_dedup_pairs")
-
-    # index build — once, before the stream (the persisted-snapshot
-    # role).  The BASE index is a pure function of the base corpus, so
-    # it lives in the mtime-invalidated cache like the batch query's
-    # (params in the key) and is FILE-COPIED into the run-scoped dir —
-    # the stream APPENDS bands to its index, which must never touch
-    # the shared snapshot
-    k, bands, base_lt = 16, 8, 400
-    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    snap = os.path.join(
-        _CACHE, tag, f"stream_base_band_index__k{k}_b{bands}_base{base_lt}"
-    )
-    success = os.path.join(snap, "_SUCCESS")
-    src = os.path.join(sf_dir, "documents.parquet")
-    if not os.path.exists(success) or os.path.getmtime(success) < os.path.getmtime(
-        src
-    ):
-        D.minhash_md5_band_index(base, k=k, bands=bands).write.mode(
-            "overwrite"
-        ).parquet(snap)
-    shutil.rmtree(idx_dir, ignore_errors=True)
-    shutil.copytree(snap, idx_dir)
-    # seed the sinks so first-batch reads see empty tables, not ENOENT
-    spark.createDataFrame([], "doc_id BIGINT, text STRING").write.mode(
-        "overwrite"
-    ).parquet(arrived_dir)
-    spark.createDataFrame(
-        [], "id_a BIGINT, id_b BIGINT, jaccard DOUBLE"
-    ).write.mode("overwrite").parquet(pairs_dir)
+    _incr_dedup_seed_dirs(spark, sf_dir, base, idx_dir, arrived_dir, pairs_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        b = batch_df.localCheckpoint(eager=True)  # 3 consumers below
-        index = spark.read.parquet(idx_dir)
-        corpus = (
-            base.unionByName(spark.read.parquet(arrived_dir)).unionByName(b)
+        _incr_dedup_apply_batch(
+            spark, base, idx_dir, arrived_dir, pairs_dir, batch_df, batch_id
         )
-        # band the batch ONCE per trigger: the same table feeds the
-        # probe (via new_banded=) and the index upsert (batch-sized,
-        # so the checkpoint is cheap and kills the double banding)
-        banded = D.minhash_md5_band_index(b, k=k, bands=bands).localCheckpoint(
-            eager=True
-        )
-        D.minhash_md5_incremental_pairs(
-            index, b, corpus, k=k, bands=bands, verify_threshold=0.8,
-            new_banded=banded,
-        ).write.mode("append").parquet(pairs_dir)
-        banded.write.mode("append").parquet(idx_dir)
-        b.write.mode("append").parquet(arrived_dir)
 
     q = (
         spark.readStream.schema("doc_id BIGINT, text STRING")
@@ -1072,7 +1049,106 @@ def stream_real_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.read.parquet(pairs_dir).select("id_a", "id_b", "jaccard")
+    return read_batched(spark, pairs_dir).select("id_a", "id_b", "jaccard")
+
+
+def _incr_dedup_seed_dirs(
+    spark: SparkSession,
+    sf_dir: str,
+    base: DataFrame,
+    idx_dir: str,
+    arrived_dir: str,
+    pairs_dir: str,
+    k: int = 16,
+    bands: int = 8,
+    base_lt: int = 400,
+) -> None:
+    """Pre-stream state layout: every table is a DIRECTORY OF
+    PER-BATCH SUBDIRS (``base`` + ``b0``, ``b1``, ...), read via
+    streaming.read_batched.  The BASE band index is a pure function of
+    the base corpus, so it lives in the mtime-invalidated cache (params
+    in the key) and is FILE-COPIED into the run-scoped dir's ``base``
+    subdir — the stream upserts bands into sibling subdirs and must
+    never touch the shared snapshot.  arrived/pairs get empty ``base``
+    seeds so first-batch reads see empty tables, not ENOENT."""
+    from mo_etl_spark.operators import dedup as D
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    snap = os.path.join(
+        _CACHE, tag, f"stream_base_band_index__k{k}_b{bands}_base{base_lt}"
+    )
+    success = os.path.join(snap, "_SUCCESS")
+    src = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(success) or os.path.getmtime(success) < os.path.getmtime(
+        src
+    ):
+        D.minhash_md5_band_index(base, k=k, bands=bands).write.mode(
+            "overwrite"
+        ).parquet(snap)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    os.makedirs(idx_dir, exist_ok=True)
+    shutil.copytree(snap, os.path.join(idx_dir, "base"))
+    spark.createDataFrame([], "doc_id BIGINT, text STRING").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(arrived_dir, "base"))
+    spark.createDataFrame(
+        [], "id_a BIGINT, id_b BIGINT, jaccard DOUBLE"
+    ).write.mode("overwrite").parquet(os.path.join(pairs_dir, "base"))
+
+
+def _incr_dedup_apply_batch(
+    spark: SparkSession,
+    base: DataFrame,
+    idx_dir: str,
+    arrived_dir: str,
+    pairs_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    k: int = 16,
+    bands: int = 8,
+    verify_threshold: float = 0.8,
+) -> None:
+    """One micro-batch of the incremental-dedup upsert loop —
+    REPLAY-IDEMPOTENT (VERDICT r4 item #1).  Two mechanisms:
+
+    1. every write (pairs found, bands upserted, docs arrived) goes to
+       the batch's OWN ``b<batch_id>`` subdir with mode("overwrite"),
+       so a replayed batch rewrites identical complete files over any
+       partial output of the crashed attempt instead of appending a
+       second copy;
+    2. the state reads (index so far, corpus so far) EXCLUDE the
+       batch's own subdir — a crashed attempt that got as far as
+       writing its bands/docs must not inflate the replay's corpus
+       union (the batch's docs would verify against themselves twice)
+       or its band index.
+
+    Together: replay(batch N) computes from exactly the post-batch-N-1
+    state, emits exactly the original output, and the final tables are
+    byte-equal to an uninterrupted run — unit-proven by calling this
+    twice with the same batch_id (tests/test_streaming.py)."""
+    from mo_etl_spark.operators import dedup as D
+
+    b = batch_df.localCheckpoint(eager=True)  # 3 consumers below
+    index = read_batched(spark, idx_dir, exclude_batch=batch_id)
+    corpus = base.unionByName(
+        read_batched(spark, arrived_dir, exclude_batch=batch_id)
+    ).unionByName(b)
+    # band the batch ONCE per trigger: the same table feeds the
+    # probe (via new_banded=) and the index upsert (batch-sized,
+    # so the checkpoint is cheap and kills the double banding)
+    banded = D.minhash_md5_band_index(b, k=k, bands=bands).localCheckpoint(
+        eager=True
+    )
+    idempotent_batch_write(
+        D.minhash_md5_incremental_pairs(
+            index, b, corpus, k=k, bands=bands,
+            verify_threshold=verify_threshold, new_banded=banded,
+        ),
+        pairs_dir,
+        batch_id,
+    )
+    idempotent_batch_write(banded, idx_dir, batch_id)
+    idempotent_batch_write(b, arrived_dir, batch_id)
 
 
 # shared oracle twin: the streamed chain must hash-equal the one-shot
@@ -1145,7 +1221,13 @@ def stream_real_ivf_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     at any trigger.  Per-query top-k is batching-independent, so the
     union of the four triggers' outputs hash-equals the one-shot
     llm_sim_ivf_topk oracle — the streamed chain (feed split, probe,
-    DPP serve, append) is verified end to end."""
+    DPP serve, append) is verified end to end.
+
+    The sink is REPLAY-IDEMPOTENT (VERDICT r4 item #1): per-query
+    top-k depends only on the batch's queries and the immutable index,
+    so overwriting the batch's own ``b<batch_id>`` subdir makes an
+    at-least-once replay rewrite identical rows rather than
+    double-append them."""
     from mo_etl_spark.operators import similarity as S
     from mo_etl_spark.suites.llm import _ivf_vec_index
 
@@ -1158,17 +1240,16 @@ def stream_real_ivf_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = _ivf_query_feed(spark, sf_dir)
     ckpt = _scratch("ivf_serve_ckpt")
     out_dir = _scratch("ivf_serve_out")
-    spark.createDataFrame(
-        [], "q_id BIGINT, c_id BIGINT, cos_sim DOUBLE, rnk INT"
-    ).write.mode("overwrite").parquet(out_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         q = batch_df.select(
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
         )
-        S.ivf_topk(q, None, cents, k=5, nprobe=4, indexed_corpus=indexed).write.mode(
-            "append"
-        ).parquet(out_dir)
+        idempotent_batch_write(
+            S.ivf_topk(q, None, cents, k=5, nprobe=4, indexed_corpus=indexed),
+            out_dir,
+            batch_id,
+        )
 
     q = (
         spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
@@ -1184,7 +1265,7 @@ def stream_real_ivf_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.read.parquet(out_dir).select("q_id", "c_id", "cos_sim", "rnk")
+    return read_batched(spark, out_dir).select("q_id", "c_id", "cos_sim", "rnk")
 
 
 def _wire_ivf_serving_oracle() -> None:

@@ -636,27 +636,32 @@ def test_pagerank_bucketed_edges_contribution_agg_no_shuffle(spark, sf001):
     t = "bkt_pr_edges"
     spark.sql(f"DROP TABLE IF EXISTS {t}")
     shutil.rmtree(f"/root/repo/.cache/warehouse/{t}", ignore_errors=True)
-    edges = spark.range(2000).select(
-        (F.col("id") % 97).alias("src"), (F.col("id") % 89).alias("dst")
-    )
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    edges.join(deg, "src").write.bucketBy(8, "dst").saveAsTable(t)
-    ed = spark.table(t)
-    ranks = (
-        ed.select(F.col("src").alias("node")).distinct().withColumn("r", F.lit(1.0))
-    )
-    contrib = (
-        ed.join(F.broadcast(ranks), ed.src == ranks.node)
-        .select("dst", (F.col("r") / F.col("deg")).alias("w"))
-        .groupBy("dst")
-        .agg(F.sum("w").alias("acc"))
-    )
-    plan = plan_of(contrib)
-    assert "BroadcastHashJoin" in plan, plan
-    agg_exchanges = [
-        ln for ln in plan.splitlines() if "Exchange hashpartitioning(dst" in ln
-    ]
-    assert not agg_exchanges, plan
+    try:
+        edges = spark.range(2000).select(
+            (F.col("id") % 97).alias("src"), (F.col("id") % 89).alias("dst")
+        )
+        deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        edges.join(deg, "src").write.bucketBy(8, "dst").saveAsTable(t)
+        ed = spark.table(t)
+        ranks = (
+            ed.select(F.col("src").alias("node")).distinct().withColumn("r", F.lit(1.0))
+        )
+        contrib = (
+            ed.join(F.broadcast(ranks), ed.src == ranks.node)
+            .select("dst", (F.col("r") / F.col("deg")).alias("w"))
+            .groupBy("dst")
+            .agg(F.sum("w").alias("acc"))
+        )
+        plan = plan_of(contrib)
+        assert "BroadcastHashJoin" in plan, plan
+        agg_exchanges = [
+            ln for ln in plan.splitlines() if "Exchange hashpartitioning(dst" in ln
+        ]
+        assert not agg_exchanges, plan
+    finally:
+        # don't leak the table into the shared warehouse (ADVICE r4)
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"/root/repo/.cache/warehouse/{t}", ignore_errors=True)
 
 
 def test_incremental_pruned_verify_uses_dpp(spark, sf001):

@@ -224,3 +224,185 @@ def test_update_mode_emits_multiple_batches(spark, sf_dir):
         last[k] = n
     assert last == final
     assert len(glob.glob(_feed_multi(spark, sf_dir) + "/*.parquet")) == 4
+
+
+# ---------------------------------------------------------------------------
+# Replay idempotence of foreachBatch sinks (VERDICT r4 item #1).
+# foreachBatch is at-least-once: a batch that crashes after a partial
+# sink write is replayed on restart.  Every sink below must converge to
+# the uninterrupted run when its batch is applied TWICE with the same
+# batch_id.
+# ---------------------------------------------------------------------------
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_idempotent_batch_write_replay(spark, tmpdir):
+    """The generic helper: writing the same batch twice leaves exactly
+    one copy (per-batch subdir overwrite), and read_batched unions the
+    subdirs."""
+    from mo_etl_spark.streaming import idempotent_batch_write, read_batched
+
+    root = f"{tmpdir}/idem"
+    df = spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    idempotent_batch_write(df, root, 0)
+    idempotent_batch_write(df, root, 0)  # replay
+    idempotent_batch_write(spark.range(10, 15).select(F.col("id"), (F.col("id") * 2).alias("v")), root, 1)
+    got = read_batched(spark, root)
+    assert got.count() == 15
+    assert got.select("id").distinct().count() == 15
+    # exclusion: batch 1's own subdir invisible while it (re)runs
+    assert read_batched(spark, root, exclude_batch=1).count() == 10
+
+
+def test_incremental_dedup_batch_replay_idempotent(spark, sf_dir, tmpdir):
+    """The stateful sink: applying a micro-batch TWICE with the same
+    batch_id (the mid-batch-crash replay) must leave pairs, band
+    index, and arrived docs byte-equal to applying it once — and a
+    LATER batch applied on top must still compute the same pairs."""
+    from mo_etl_spark.streaming import read_batched
+    from mo_etl_spark.suites.llm import _incr_new_batch
+    from mo_etl_spark.suites.streaming_real import (
+        _incr_dedup_apply_batch,
+        _incr_dedup_seed_dirs,
+    )
+    from mo_etl_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") < 400).select("doc_id", "text")
+    new = _incr_new_batch(docs)
+    b0 = new.where(F.pmod("doc_id", F.lit(2)) == 0)
+    b1 = new.where(F.pmod("doc_id", F.lit(2)) == 1)
+
+    idx, arrived, pairs = f"{tmpdir}/idx", f"{tmpdir}/arr", f"{tmpdir}/pairs"
+    _incr_dedup_seed_dirs(spark, sf_dir, base, idx, arrived, pairs)
+
+    _incr_dedup_apply_batch(spark, base, idx, arrived, pairs, b0, 0)
+    once = {
+        d: _sorted_rows(read_batched(spark, d)) for d in (idx, arrived, pairs)
+    }
+    assert once[pairs], "expected batch 0 to find pairs"
+    # replay batch 0 — a crashed-then-restarted attempt
+    _incr_dedup_apply_batch(spark, base, idx, arrived, pairs, b0, 0)
+    for d in (idx, arrived, pairs):
+        assert _sorted_rows(read_batched(spark, d)) == once[d], d
+
+    # later batch on the replayed state must equal later batch on the
+    # clean state (fresh dirs, no replay)
+    _incr_dedup_apply_batch(spark, base, idx, arrived, pairs, b1, 1)
+    after_b1 = _sorted_rows(read_batched(spark, pairs))
+
+    idx2, arr2, pairs2 = f"{tmpdir}/idx2", f"{tmpdir}/arr2", f"{tmpdir}/pairs2"
+    _incr_dedup_seed_dirs(spark, sf_dir, base, idx2, arr2, pairs2)
+    _incr_dedup_apply_batch(spark, base, idx2, arr2, pairs2, b0, 0)
+    _incr_dedup_apply_batch(spark, base, idx2, arr2, pairs2, b1, 1)
+    assert _sorted_rows(read_batched(spark, pairs2)) == after_b1
+
+
+def test_incremental_dedup_stream_kill_and_resume(spark, sf_dir, tmpdir):
+    """Crash recovery END TO END (VERDICT r4 item #3): the streamed
+    incremental-dedup run is killed between triggers (feed staged in
+    two halves, one checkpoint), a crashed MID-BATCH attempt is
+    simulated by planting garbage in the next batch's subdirs before
+    resume, and the resumed run's final pairs table must hash-equal an
+    uninterrupted run."""
+    from mo_etl_spark.streaming import read_batched
+    from mo_etl_spark.suites.llm import _incr_new_batch
+    from mo_etl_spark.suites.streaming_real import (
+        _incr_dedup_apply_batch,
+        _incr_dedup_seed_dirs,
+        _incr_feed,
+    )
+    from mo_etl_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") < 400).select("doc_id", "text")
+    full_feed = _incr_feed(spark, sf_dir)  # b0..b3 subdirs
+
+    # --- uninterrupted truth: all four files applied in order -------
+    idxT, arrT, pairsT = f"{tmpdir}/idxT", f"{tmpdir}/arrT", f"{tmpdir}/pairsT"
+    _incr_dedup_seed_dirs(spark, sf_dir, base, idxT, arrT, pairsT)
+    for i in range(4):
+        bdf = spark.read.parquet(f"{full_feed}/b{i}")
+        _incr_dedup_apply_batch(spark, base, idxT, arrT, pairsT, bdf, i)
+    truth = _sorted_rows(read_batched(spark, pairsT))
+
+    # --- staged feed: two files, kill, plant crash debris, resume ---
+    feed = f"{tmpdir}/staged_feed"
+    os.makedirs(feed)
+    shutil.copytree(f"{full_feed}/b0", f"{feed}/b0")
+    shutil.copytree(f"{full_feed}/b1", f"{feed}/b1")
+    idx, arr, pairs = f"{tmpdir}/idx", f"{tmpdir}/arr", f"{tmpdir}/pairs"
+    ckpt = f"{tmpdir}/ckpt"
+    _incr_dedup_seed_dirs(spark, sf_dir, base, idx, arr, pairs)
+
+    def run_stream():
+        def sink(batch_df, batch_id):
+            _incr_dedup_apply_batch(spark, base, idx, arr, pairs, batch_df, batch_id)
+
+        q = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .format("parquet")
+            .load(feed)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_stream()  # drains b0, b1 then stops — the "kill between triggers"
+    n_batches_run1 = len(
+        [d for d in os.listdir(pairs) if d.startswith("b") and d != "base"]
+    )
+    assert n_batches_run1 == 2
+
+    # crashed mid-batch attempt of batch 2: partial garbage in its
+    # subdirs that the checkpoint never committed — replay must erase it
+    junk = spark.createDataFrame(
+        [(999999, 999998, 0.99)], "id_a BIGINT, id_b BIGINT, jaccard DOUBLE"
+    )
+    junk.write.mode("overwrite").parquet(f"{pairs}/b{n_batches_run1}")
+    spark.createDataFrame(
+        [(999999, "junk doc")], "doc_id BIGINT, text STRING"
+    ).write.mode("overwrite").parquet(f"{arr}/b{n_batches_run1}")
+
+    shutil.copytree(f"{full_feed}/b2", f"{feed}/b2")
+    shutil.copytree(f"{full_feed}/b3", f"{feed}/b3")
+    run_stream()  # resume from the same checkpoint
+
+    got = _sorted_rows(read_batched(spark, pairs))
+    assert got == truth
+    # the junk arrived doc was overwritten, not merged
+    assert (
+        read_batched(spark, arr).where(F.col("doc_id") == 999999).count() == 0
+    )
+
+
+def test_update_mode_upsert_read_survives_replay(spark, tmpdir):
+    """The upsert sink's merge-on-read (max_by batch_id) collapses an
+    at-least-once replay's duplicate appends — same key, same
+    batch_id, same values — into the single latest version."""
+    out = f"{tmpdir}/upsert"
+    v0 = spark.createDataFrame(
+        [("click", 10, 100)], "event_type STRING, n BIGINT, total_cents BIGINT"
+    ).withColumn("batch_id", F.lit(0))
+    v1 = spark.createDataFrame(
+        [("click", 25, 250)], "event_type STRING, n BIGINT, total_cents BIGINT"
+    ).withColumn("batch_id", F.lit(1))
+    v0.write.mode("append").parquet(out)
+    v1.write.mode("append").parquet(out)
+    v1.write.mode("append").parquet(out)  # replayed batch 1
+    merged = (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.max_by(F.struct("n", "total_cents"), "batch_id").alias("s"))
+        .select("event_type", "s.n", "s.total_cents")
+        .collect()
+    )
+    assert [tuple(r) for r in merged] == [("click", 25, 250)]
