@@ -338,6 +338,8 @@ def minhash_md5_incremental_pairs(
     corpus_bucket_col: str | None = None,
     n_buckets: int = 0,
     new_banded: DataFrame | None = None,
+    broadcast_cap_rows: int = 4_000_000,
+    candidate_rows: int | None = None,
 ) -> DataFrame:
     """INCREMENTAL near-dup detection — the daily-crawl production
     shape: a NEW batch is deduplicated against an already-INDEXED
@@ -416,6 +418,24 @@ def minhash_md5_incremental_pairs(
         # dynamicpruningexpression in the corpus scan's
         # PartitionFilters).  The bucket key is pure pmod(id), so the
         # extra equi-condition never changes the join result.
+        #
+        # SKEW GUARD (ADVICE r4): "batch-bounded" assumes bands do not
+        # hot-spot; a batch of near-identical docs can explode the
+        # candidate pair set past driver/broadcast memory, turning a
+        # perf claim into a crash.  Past ``broadcast_cap_rows`` the
+        # verify falls back to a shuffle join — DPP is lost for that
+        # batch, correctness is kept.  The gate count deliberately
+        # re-evaluates the (batch-bounded) candidate plan instead of
+        # checkpointing it: a cached build side suppresses DPP on the
+        # normal path (the constraint pinned in BASELINE.md/SURVEY
+        # §4.3), and the inputs feeding ``cand`` are checkpointed
+        # batch-sized tables, so the recompute is one cheap join.
+        # Callers that track candidate volume upstream pass
+        # ``candidate_rows`` and skip the count job.
+        n_cand = cand.count() if candidate_rows is None else candidate_rows
+        if n_cand > broadcast_cap_rows:
+            corpus_bucket_col = None  # shuffle-join fallback below
+    if corpus_bucket_col is not None:
         docs = corpus.select(
             F.col(id_col).alias("id"),
             F.col(corpus_bucket_col).alias("__db"),

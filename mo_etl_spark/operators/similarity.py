@@ -32,6 +32,74 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: sidecar filename carrying an index's build parameters (ADVICE r4:
+#: a persisted ANN index served with mismatched query-side params —
+#: different LSH planes, a different centroid set — yields wrong or
+#: empty neighbor sets SILENTLY; the sidecar makes the mismatch loud)
+INDEX_SIDECAR = "_index_params.json"
+
+
+def write_ann_index(
+    df: DataFrame, path: str, partition_cols: list[str], params: dict
+) -> None:
+    """Persist an ANN serving index (partitioned by its probe key)
+    WITH its build parameters: the parquet table plus an
+    ``_index_params.json`` sidecar.  ``load_ann_index`` refuses to
+    serve the index unless the caller's expected params match — the
+    stale/mismatched-index guard the suite-level cache keys enforce
+    only by convention.  (On an object store the sidecar is one more
+    PUT; table-catalog deployments would use table properties.)"""
+    import json
+    import os
+
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    with open(os.path.join(path, INDEX_SIDECAR), "w") as f:
+        json.dump(params, f, sort_keys=True)
+
+
+def load_ann_index(spark, path: str, expect: dict) -> DataFrame:
+    """Open a persisted ANN index for serving, VALIDATING that it was
+    built with the parameters the query side is about to use.  Raises
+    ValueError (never serves silently-wrong neighbors) when the
+    sidecar is absent (pre-guard index: rebuild) or any expected param
+    differs (stale index: rebuild or fix the caller)."""
+    import json
+    import os
+
+    sidecar = os.path.join(path, INDEX_SIDECAR)
+    if not os.path.exists(sidecar):
+        raise ValueError(
+            f"ANN index at {path} has no {INDEX_SIDECAR} sidecar — built "
+            "before the param guard or by hand; rebuild via write_ann_index"
+        )
+    with open(sidecar) as f:
+        got = json.load(f)
+    mismatched = {
+        k: (v, got.get(k)) for k, v in expect.items() if got.get(k) != v
+    }
+    if mismatched:
+        raise ValueError(
+            f"ANN index at {path} was built with different parameters than "
+            f"the serving query expects (expected, found): {mismatched} — "
+            "serving would return wrong/empty neighbors; rebuild the index"
+        )
+    return spark.read.parquet(path)
+
+
+def _require_index_cols(indexed: DataFrame, required: set[str], kind: str) -> None:
+    """Loud schema check on a caller-supplied serving index (ADVICE
+    r4): a table that lacks the probe/id/vector columns is the wrong
+    (or wrongly-built) index — fail at plan time with a named reason
+    instead of an opaque resolution error or a silent empty join."""
+    missing = required - set(indexed.columns)
+    if missing:
+        raise ValueError(
+            f"{kind} serving index is missing column(s) {sorted(missing)} "
+            f"(has {indexed.columns}) — not a {kind} index built for this "
+            "query; rebuild it (write_ann_index) with the serving params"
+        )
+
+
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
@@ -308,6 +376,7 @@ def ivf_topk(
         # and sits downstream of the top-nprobe rank filter, so it
         # broadcasts and the cell-partitioned index scan gets a
         # dynamicpruningexpression partition filter
+        _require_index_cols(indexed_corpus, {c_id, vec, "cell"}, "IVF")
         probed = probes.select("cell").distinct()
         c_side = indexed_corpus.join(F.broadcast(probed), "cell").select(
             F.col(c_id).alias("c_id"), F.col(vec).alias("cv"), "cell"
@@ -505,6 +574,7 @@ def lsh_topk(
         # carries (c_id, vec, bucket) partitioned by bucket; the query
         # batch's bucket set broadcasts and DPP prunes the scan to
         # probed buckets — no corpus-side hashing or corpus-wide join
+        _require_index_cols(indexed_corpus, {c_id, vec, "bucket"}, "LSH")
         probed = qb.select("bucket").distinct()
         c_side = indexed_corpus.join(F.broadcast(probed), "bucket").select(
             F.col(c_id).alias("c_id"), F.col(vec).alias("cv"), "bucket"
@@ -795,6 +865,7 @@ def ivfpq_topk(
     Exact arithmetic on deterministic inputs throughout, so a SQL
     oracle reproduces cells, probes, codes, LUTs, and ranking.
     """
+    _require_index_cols(indexed_codes, {c_id, "cell", "_sc"}, "IVF-PQ")
     probes = brute_force_topk(
         queries, coarse_cents, k=nprobe, q_id=q_id, c_id=cent_id, vec=vec,
         round_digits=round_digits, n_q_blocks=4, n_c_blocks=1, exclude_self=False,

@@ -1157,10 +1157,20 @@ def llm_sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents_ = emb.where(F.col("vec_id") < cents_lt).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("vec")
     )
-    indexed = spark.read.parquet(_ivf_vec_index(spark, sf_dir, cents_lt))
+    indexed = S.load_ann_index(
+        spark, _ivf_vec_index(spark, sf_dir, cents_lt), _ivf_index_params(cents_lt)
+    )
     return S.ivf_topk(
         q, None, cents_, k=5, nprobe=4, indexed_corpus=indexed
     ).select("q_id", "c_id", "cos_sim", "rnk")
+
+
+def _ivf_index_params(cents_lt: int) -> dict:
+    """The build-param contract between the IVF index writer and every
+    serving read (batch + streaming): quantizer spec and layout.  A
+    serve-time mismatch raises in similarity.load_ann_index instead of
+    silently probing the wrong cells (ADVICE r4)."""
+    return {"kind": "ivf_vec", "cents": f"vec_id<{cents_lt}", "partition": "cell"}
 
 
 def _ivf_vec_index(spark: SparkSession, sf_dir: str, cents_lt: int = 16) -> str:
@@ -1187,10 +1197,18 @@ def _ivf_vec_index(spark: SparkSession, sf_dir: str, cents_lt: int = 16) -> str:
     )
     success = os.path.join(idx_path, "_SUCCESS")
     src = os.path.join(sf_dir, "embeddings.parquet")
-    if not os.path.exists(success) or os.path.getmtime(success) < os.path.getmtime(src):
-        S.ivf_cells(c, cents_).join(c, "c_id").write.mode("overwrite").partitionBy(
-            "cell"
-        ).parquet(idx_path)
+    if (
+        not os.path.exists(success)
+        or os.path.getmtime(success) < os.path.getmtime(src)
+        # pre-guard caches have no param sidecar: rebuild, don't error
+        or not os.path.exists(os.path.join(idx_path, S.INDEX_SIDECAR))
+    ):
+        S.write_ann_index(
+            S.ivf_cells(c, cents_).join(c, "c_id"),
+            idx_path,
+            ["cell"],
+            _ivf_index_params(cents_lt),
+        )
     return idx_path
 
 
@@ -1549,14 +1567,29 @@ def llm_sim_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     success = os.path.join(idx_path, "_SUCCESS")
     src = os.path.join(sf_dir, "embeddings.parquet")
-    if not os.path.exists(success) or os.path.getmtime(success) < os.path.getmtime(src):
+    lsh_params = {
+        "kind": "lsh_vec", "n_planes": n_planes, "seed": seed, "dim": 64,
+        "partition": "bucket",
+    }
+    if (
+        not os.path.exists(success)
+        or os.path.getmtime(success) < os.path.getmtime(src)
+        # pre-guard caches have no param sidecar: rebuild, don't error
+        or not os.path.exists(os.path.join(idx_path, S.INDEX_SIDECAR))
+    ):
         c_all = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec"))
-        S.hyperplane_lsh_buckets(
-            emb, dim=64, n_planes=n_planes, seed=seed
-        ).withColumnRenamed("vec_id", "c_id").join(c_all, "c_id").write.partitionBy(
-            "bucket"
-        ).mode("overwrite").parquet(idx_path)
-    indexed = spark.read.parquet(idx_path)
+        S.write_ann_index(
+            S.hyperplane_lsh_buckets(emb, dim=64, n_planes=n_planes, seed=seed)
+            .withColumnRenamed("vec_id", "c_id")
+            .join(c_all, "c_id"),
+            idx_path,
+            ["bucket"],
+            lsh_params,
+        )
+    # the query side hashes with (n_planes, seed) — load_ann_index
+    # refuses a bucket table built with different planes (ADVICE r4:
+    # the mismatch would silently return wrong/empty neighbor sets)
+    indexed = S.load_ann_index(spark, idx_path, lsh_params)
     return S.lsh_topk(
         q, None, k=5, dim=64, n_planes=n_planes, seed=seed, indexed_corpus=indexed
     ).select("q_id", "c_id", "cos_sim", "rnk")
@@ -2279,11 +2312,23 @@ def llm_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     success = os.path.join(idx_path, "_SUCCESS")
     src = os.path.join(sf_dir, "embeddings.parquet")
-    if not os.path.exists(success) or os.path.getmtime(success) < os.path.getmtime(src):
-        S.pq_codes_wide(c, cents_).join(
-            S.ivf_cells(c, cents_), "c_id"
-        ).write.mode("overwrite").partitionBy("cell").parquet(idx_path)
-    indexed = spark.read.parquet(idx_path)
+    pq_params = {
+        "kind": "ivfpq_codes", "cents": f"vec_id<{cents_lt}", "m": 8, "dsub": 8,
+        "residual": False, "partition": "cell",
+    }
+    if (
+        not os.path.exists(success)
+        or os.path.getmtime(success) < os.path.getmtime(src)
+        # pre-guard caches have no param sidecar: rebuild, don't error
+        or not os.path.exists(os.path.join(idx_path, S.INDEX_SIDECAR))
+    ):
+        S.write_ann_index(
+            S.pq_codes_wide(c, cents_).join(S.ivf_cells(c, cents_), "c_id"),
+            idx_path,
+            ["cell"],
+            pq_params,
+        )
+    indexed = S.load_ann_index(spark, idx_path, pq_params)
     return S.ivfpq_topk(
         q, cents_, cents_, indexed, k=5, nprobe=4
     ).select("q_id", "c_id", "adc_dot", "rnk")
@@ -2416,13 +2461,25 @@ def llm_sim_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     success = os.path.join(idx_path, "_SUCCESS")
     src = os.path.join(sf_dir, "embeddings.parquet")
-    if not os.path.exists(success) or os.path.getmtime(success) < os.path.getmtime(src):
+    res_params = {
+        "kind": "ivfpq_codes", "cents": f"vec_id<{cents_lt}", "m": 8, "dsub": 8,
+        "residual": True, "partition": "cell",
+    }
+    if (
+        not os.path.exists(success)
+        or os.path.getmtime(success) < os.path.getmtime(src)
+        # pre-guard caches have no param sidecar: rebuild, don't error
+        or not os.path.exists(os.path.join(idx_path, S.INDEX_SIDECAR))
+    ):
         cells = S.ivf_cells(c, cents_)
         res = S.ivf_residuals(c, cells, cents_)
-        S.pq_codes_wide(res.select("c_id", "vec"), cents_).join(
-            cells, "c_id"
-        ).write.mode("overwrite").partitionBy("cell").parquet(idx_path)
-    indexed = spark.read.parquet(idx_path)
+        S.write_ann_index(
+            S.pq_codes_wide(res.select("c_id", "vec"), cents_).join(cells, "c_id"),
+            idx_path,
+            ["cell"],
+            res_params,
+        )
+    indexed = S.load_ann_index(spark, idx_path, res_params)
     return S.ivfpq_topk(
         q, cents_, cents_, indexed, k=5, nprobe=4, residual=True
     ).select("q_id", "c_id", "adc_dot", "rnk")

@@ -1229,14 +1229,16 @@ def stream_real_ivf_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     at-least-once replay rewrite identical rows rather than
     double-append them."""
     from mo_etl_spark.operators import similarity as S
-    from mo_etl_spark.suites.llm import _ivf_vec_index
+    from mo_etl_spark.suites.llm import _ivf_index_params, _ivf_vec_index
 
     prepare(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     cents = emb.where(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("vec")
     )
-    indexed = spark.read.parquet(_ivf_vec_index(spark, sf_dir, 16))
+    indexed = S.load_ann_index(
+        spark, _ivf_vec_index(spark, sf_dir, 16), _ivf_index_params(16)
+    )
     feed = _ivf_query_feed(spark, sf_dir)
     ckpt = _scratch("ivf_serve_ckpt")
     out_dir = _scratch("ivf_serve_out")

@@ -358,3 +358,76 @@ def test_fuzzy_blocked_join_recovers_planted_typos(spark, sf_dir):
     for k in range(n):
         want = 1 if k % 3 == 0 else 0
         assert got[(k, k + 100000)] == want, (k, got.get((k, k + 100000)))
+
+
+def test_ann_index_param_guard(spark, tmp_path):
+    """ADVICE r4: a persisted ANN index served with mismatched build
+    params (different LSH planes / centroid set) must FAIL LOUDLY, not
+    return wrong/empty neighbors.  write_ann_index records the params
+    in a sidecar; load_ann_index validates; the serving operators
+    reject tables missing their probe/id/vector columns."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mo_etl_spark.operators import similarity as S
+
+    df = spark.range(8).select(
+        F.col("id").alias("c_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("vec"),
+        (F.col("id") % 2).alias("bucket"),
+    )
+    path = str(tmp_path / "idx")
+    params = {"kind": "lsh_vec", "n_planes": 4, "seed": 42}
+    S.write_ann_index(df, path, ["bucket"], params)
+    assert S.load_ann_index(spark, path, params).count() == 8
+    with pytest.raises(ValueError, match="different parameters"):
+        S.load_ann_index(spark, path, {**params, "seed": 7})
+    with pytest.raises(ValueError, match="no _index_params.json"):
+        S.load_ann_index(spark, str(tmp_path / "never_built_with_guard"), params)
+
+    # column guard: handing the LSH index to the IVF server (no cell
+    # column) is a plan-time ValueError, not a silent empty result
+    q = spark.range(2).select(
+        F.col("id").alias("q_id"), F.array(F.lit(1.0), F.lit(2.0)).alias("vec")
+    )
+    cents = spark.range(2).select(
+        F.col("id").alias("cent_id"), F.array(F.lit(1.0), F.lit(2.0)).alias("vec")
+    )
+    with pytest.raises(ValueError, match="IVF serving index is missing"):
+        S.ivf_topk(q, None, cents, k=1, indexed_corpus=df.drop("bucket"))
+    with pytest.raises(ValueError, match="LSH serving index is missing"):
+        S.lsh_topk(q, None, k=1, dim=2, indexed_corpus=df.drop("bucket"))
+
+
+def test_incremental_pruned_broadcast_guard_fallback(spark, sf_dir):
+    """ADVICE r4: past broadcast_cap_rows the DPP verify path must fall
+    back to a shuffle join — identical pair set (correctness kept),
+    dynamicpruningexpression gone (DPP lost, by design, instead of a
+    broadcast OOM crash under a band hot-spot)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mo_etl_spark.operators import dedup as D
+    from mo_etl_spark.suites.llm import _incr_new_batch, llm_dedup_incremental_pruned
+    from mo_etl_spark.tables import load_table
+
+    normal = llm_dedup_incremental_pruned(spark, sf_dir)
+    want = sorted(tuple(r) for r in normal.collect())
+    assert "dynamicpruningexpression" in normal._jdf.queryExecution().toString()
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    index = spark.read.parquet(
+        os.path.join("/root/repo/.cache", tag, "minhash_band_index__k16_b8_base400")
+    )
+    corpus = spark.read.parquet(
+        os.path.join("/root/repo/.cache", tag, "incr_corpus_bucketed__nb16_base400")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    new_batch = _incr_new_batch(docs)
+    guarded = D.minhash_md5_incremental_pairs(
+        index, new_batch, corpus, k=16, bands=8, verify_threshold=0.8,
+        corpus_bucket_col="db", n_buckets=16, broadcast_cap_rows=0,
+    )
+    assert sorted(tuple(r) for r in guarded.collect()) == want
+    assert "dynamicpruningexpression" not in guarded._jdf.queryExecution().toString()
