@@ -1157,12 +1157,20 @@ def llm_sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents_ = emb.where(F.col("vec_id") < cents_lt).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("vec")
     )
-    indexed = S.load_ann_index(
-        spark, _ivf_vec_index(spark, sf_dir, cents_lt), _ivf_index_params(cents_lt)
-    )
+    idx_path = _ivf_vec_index(spark, sf_dir, cents_lt)
+    indexed = S.load_ann_index(spark, idx_path, _ivf_index_params(cents_lt))
+    cell_subs = S.cell_subs_from_params(spark, S.index_params(spark, idx_path))
     return S.ivf_topk(
-        q, None, cents_, k=5, nprobe=4, indexed_corpus=indexed
+        q, None, cents_, k=5, nprobe=4, indexed_corpus=indexed, cell_subs=cell_subs
     ).select("q_id", "c_id", "cos_sim", "rnk")
+
+
+#: hot-cell cap for the persisted IVF index (VERDICT r4 item #2): no
+#: (cell, sub) partition holds more than this many vectors, so a
+#: skewed corpus cannot turn one cell into a straggler scoring task.
+#: 16 splits real cells at every contract SF (500-2000 vectors / 16
+#: cells); a production corpus sizes this to executor memory.
+_IVF_SUB_CAP = 16
 
 
 def _ivf_index_params(cents_lt: int) -> dict:
@@ -1170,7 +1178,12 @@ def _ivf_index_params(cents_lt: int) -> dict:
     serving read (batch + streaming): quantizer spec and layout.  A
     serve-time mismatch raises in similarity.load_ann_index instead of
     silently probing the wrong cells (ADVICE r4)."""
-    return {"kind": "ivf_vec", "cents": f"vec_id<{cents_lt}", "partition": "cell"}
+    return {
+        "kind": "ivf_vec",
+        "cents": f"vec_id<{cents_lt}",
+        "partition": "cell,sub",
+        "sub_cap": _IVF_SUB_CAP,
+    }
 
 
 def _ivf_vec_index(spark: SparkSession, sf_dir: str, cents_lt: int = 16) -> str:
@@ -1203,11 +1216,15 @@ def _ivf_vec_index(spark: SparkSession, sf_dir: str, cents_lt: int = 16) -> str:
         # pre-guard caches have no param sidecar: rebuild, don't error
         or not os.path.exists(os.path.join(idx_path, S.INDEX_SIDECAR))
     ):
+        split, ns = S.ivf_subsplit(
+            S.ivf_cells(c, cents_).join(c, "c_id"), cap_rows=_IVF_SUB_CAP
+        )
+        cell_subs = {str(r["cell"]): r["n_subs"] for r in ns.collect()}
         S.write_ann_index(
-            S.ivf_cells(c, cents_).join(c, "c_id"),
+            split,
             idx_path,
-            ["cell"],
-            _ivf_index_params(cents_lt),
+            ["cell", "sub"],
+            {**_ivf_index_params(cents_lt), "cell_subs": cell_subs},
         )
     return idx_path
 

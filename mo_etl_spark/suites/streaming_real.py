@@ -1236,9 +1236,9 @@ def stream_real_ivf_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.where(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("vec")
     )
-    indexed = S.load_ann_index(
-        spark, _ivf_vec_index(spark, sf_dir, 16), _ivf_index_params(16)
-    )
+    idx_path = _ivf_vec_index(spark, sf_dir, 16)
+    indexed = S.load_ann_index(spark, idx_path, _ivf_index_params(16))
+    cell_subs = S.cell_subs_from_params(spark, S.index_params(spark, idx_path))
     feed = _ivf_query_feed(spark, sf_dir)
     ckpt = _scratch("ivf_serve_ckpt")
     out_dir = _scratch("ivf_serve_out")
@@ -1248,7 +1248,10 @@ def stream_real_ivf_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
         )
         idempotent_batch_write(
-            S.ivf_topk(q, None, cents, k=5, nprobe=4, indexed_corpus=indexed),
+            S.ivf_topk(
+                q, None, cents, k=5, nprobe=4,
+                indexed_corpus=indexed, cell_subs=cell_subs,
+            ),
             out_dir,
             batch_id,
         )

@@ -431,3 +431,51 @@ def test_incremental_pruned_broadcast_guard_fallback(spark, sf_dir):
     )
     assert sorted(tuple(r) for r in guarded.collect()) == want
     assert "dynamicpruningexpression" not in guarded._jdf.queryExecution().toString()
+
+
+def test_ivf_hotcell_subsplit_equal_and_capped(spark, tmp_path):
+    """VERDICT r4 item #2: a planted hot cell (~40% of the corpus in
+    one centroid's cell) must be split into capped (cell, sub)
+    partitions — identical top-k to the unsplit serving path, and no
+    single scoring group larger than the cap."""
+    from pyspark.sql import functions as F
+
+    from mo_etl_spark.operators import similarity as S
+
+    # corpus: 200 vectors in 2-D; ids < 80 cluster near (1, 0) => one
+    # hot cell; the rest spread between (0, 1) and (-1, 0) cells
+    corpus = spark.range(200).select(
+        F.col("id").alias("c_id"),
+        F.when(F.col("id") < 80, F.array(F.lit(1.0), F.col("id").cast("double") / 1000))
+        .when(F.col("id") < 140, F.array(F.col("id").cast("double") / 1000, F.lit(1.0)))
+        .otherwise(F.array(F.lit(-1.0), F.col("id").cast("double") / 1000))
+        .alias("vec"),
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, 0.0])],
+        "cent_id BIGINT, vec ARRAY<DOUBLE>",
+    )
+    q = corpus.where(F.col("c_id") % 10 == 0).select(
+        F.col("c_id").alias("q_id"), "vec"
+    )
+
+    idx = S.ivf_cells(corpus, cents).join(corpus, "c_id")
+    split, ns = S.ivf_subsplit(idx, cap_rows=25)
+    path = str(tmp_path / "hot_idx")
+    cell_subs = {str(r["cell"]): r["n_subs"] for r in ns.collect()}
+    S.write_ann_index(split, path, ["cell", "sub"], {"k": 1, "cell_subs": cell_subs})
+    params = S.index_params(spark, path)
+    indexed = S.load_ann_index(spark, path, {"k": 1})
+    cs = S.cell_subs_from_params(spark, params)
+
+    got = S.ivf_topk(
+        q, None, cents, k=5, nprobe=1, indexed_corpus=indexed, cell_subs=cs
+    )
+    want = S.ivf_topk(q, None, cents, k=5, nprobe=1, indexed_corpus=idx)
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in want.collect()
+    )
+    # the hot cell really was split and every scoring group is capped
+    per_sub = indexed.groupBy("cell", "sub").count().collect()
+    assert max(r["count"] for r in per_sub) <= 25
+    assert sum(1 for r in per_sub if r["cell"] == 0) >= 4  # 80 rows / 25

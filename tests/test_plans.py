@@ -748,20 +748,24 @@ def test_ivf_serving_dpp_survives_filterless_batch(spark, sf001):
     from pyspark.sql import functions as F
 
     from mo_etl_spark.operators import similarity as S
-    from mo_etl_spark.suites.llm import _ivf_vec_index
+    from mo_etl_spark.suites.llm import _ivf_index_params, _ivf_vec_index
 
     emb = spark.read.parquet(sf001 + "/embeddings.parquet")
     cents = emb.where(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("vec")
     )
-    indexed = spark.read.parquet(_ivf_vec_index(spark, sf001, 16))
+    idx_path = _ivf_vec_index(spark, sf001, 16)
+    indexed = S.load_ann_index(spark, idx_path, _ivf_index_params(16))
+    cell_subs = S.cell_subs_from_params(spark, S.index_params(spark, idx_path))
     batch = (
         emb.where(F.col("vec_id") < 12)
         .select("vec_id", "embedding")
         .localCheckpoint(eager=True)  # foreachBatch's batch_df shape
     )
     q = batch.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec"))
-    df = S.ivf_topk(q, None, cents, k=5, nprobe=4, indexed_corpus=indexed)
+    df = S.ivf_topk(
+        q, None, cents, k=5, nprobe=4, indexed_corpus=indexed, cell_subs=cell_subs
+    )
     assert "dynamicpruningexpression" in df._jdf.queryExecution().toString()
 
 
