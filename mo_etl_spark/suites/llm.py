@@ -1783,15 +1783,59 @@ def _km_cos(e: str, c: str) -> str:
     )
 
 
+def _kpp_seed_ctes(k: int, sample_cap: int = 4096) -> tuple[list[str], str]:
+    """Unrolled CTE replay of similarity.kmeanspp_seeds: the md5-ordered
+    sample, seed 1 = its first row, seed j+1 = argmin over non-seeds of
+    the running max cosine to chosen seeds (rounded 6dp, ties ->
+    smaller id).  Every chain CTE is MATERIALIZED — the b/s chain
+    references each step twice, and letting the optimizer inline it
+    re-derives earlier rounds combinatorially (measured minutes vs
+    seconds at 500 vectors)."""
+    ctes = [
+        f"samp AS MATERIALIZED (SELECT vec_id, v FROM emb"
+        f" ORDER BY md5(concat('seed:', CAST(vec_id AS VARCHAR))), vec_id"
+        f" LIMIT {sample_cap})",
+        "s1 AS MATERIALIZED (SELECT vec_id, v FROM samp"
+        " ORDER BY md5(concat('seed:', CAST(vec_id AS VARCHAR))), vec_id LIMIT 1)",
+    ]
+    for j in range(2, k + 1):
+        if j == 2:
+            ctes.append(
+                f"b1 AS MATERIALIZED (SELECT e.vec_id, {_km_cos('e', 's')} AS best"
+                " FROM samp e CROSS JOIN s1 s)"
+            )
+        else:
+            ctes.append(
+                f"b{j - 1} AS MATERIALIZED (SELECT b.vec_id,"
+                f" greatest(b.best, {_km_cos('e', 's')}) AS best"
+                f" FROM b{j - 2} b JOIN samp e USING (vec_id)"
+                f" CROSS JOIN s{j - 1} s)"
+            )
+        prior = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{i}" for i in range(1, j)
+        )
+        ctes.append(
+            f"s{j} AS MATERIALIZED (SELECT e.vec_id, e.v FROM samp e"
+            f" JOIN b{j - 1} b USING (vec_id)"
+            f" WHERE e.vec_id NOT IN ({prior})"
+            f" ORDER BY b.best, e.vec_id LIMIT 1)"
+        )
+    union = " UNION ALL ".join(f"SELECT vec_id, v FROM s{i}" for i in range(1, k + 1))
+    return ctes, f"c0 AS (SELECT vec_id AS cent_id, v FROM ({union}))"
+
+
 def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
     """SQL replay of kmeans_train: the trainer's deterministic design
-    (id init, rounded centroid updates, fixed iterations) makes full
-    training expressible as unrolled CTEs — so TRAINING ITSELF is
-    hash-checked, not just an assignment given fixed centroids."""
+    (hash-seeded farthest-point init, rounded centroid updates, fixed
+    iterations) makes full training expressible as unrolled CTEs — so
+    TRAINING ITSELF is hash-checked, seeding included, not just an
+    assignment given fixed centroids."""
+    seed_ctes, c0 = _kpp_seed_ctes(k)
     parts = [
         "emb AS (SELECT vec_id, list_transform(range(1,65),"
         " i -> CAST(embedding[i] AS DOUBLE)) AS v FROM embeddings)",
-        f"c0 AS (SELECT vec_id AS cent_id, v FROM emb WHERE vec_id < {k})",
+        *seed_ctes,
+        c0,
     ]
     cur = "c0"
     for it in range(1, iters + 1):

@@ -686,3 +686,57 @@ def test_compression_ratio_separates_repetitive_text(spark, sf_dir):
     assert row["n_docs"] == n_base + 50
     assert row["repetitive_lt_base"] is True
     assert row["ratios_in_range"] is True
+
+
+def test_kmeanspp_seeding_beats_minid_on_adversarial_corpus(spark):
+    """VERDICT r4 item #5: on a corpus whose first k ids are
+    near-identical, smallest-id init collapses the centroids (one hot
+    cell owns nearly everything — the serve-time straggler), while the
+    hash-seeded farthest-point init must spread seeds across the real
+    clusters and cut the max-cell share.  Seeding itself must be
+    deterministic across runs."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mo_etl_spark.operators.similarity import (
+        brute_force_topk,
+        cell_shares,
+        kmeans_train,
+        kmeanspp_seeds,
+    )
+
+    # 3 true clusters in 4-D; ids 0..7 (the minid seeds) ALL sit in
+    # cluster 0 with microscopic jitter
+    def vec(i):
+        if i < 8 or i % 3 == 0:
+            return [1.0, i / 1e5, 0.0, 0.0]
+        if i % 3 == 1:
+            return [0.0, 1.0, i / 1e5, 0.0]
+        return [0.0, 0.0, 1.0, i / 1e5]
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in range(120)], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+
+    s1 = sorted(map(tuple, kmeanspp_seeds(corpus, 3).collect()))
+    s2 = sorted(map(tuple, kmeanspp_seeds(corpus, 3).collect()))
+    assert s1 == s2 and len(s1) == 3
+
+    def max_share(init):
+        cents = kmeans_train(corpus, k=3, iters=1, init=init)
+        assign = brute_force_topk(
+            corpus.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")),
+            cents.select(F.col("cent_id").alias("c_id"), F.col("cv").alias("vec")),
+            k=1, exclude_self=False, n_q_blocks=4, n_c_blocks=1,
+        ).select(F.col("c_id").alias("cell"))
+        return max(r["share"] for r in cell_shares(assign).collect())
+
+    share_minid = max_share("minid")
+    share_kpp = max_share("kpp")
+    # minid: all 3 seeds in cluster 0 -> one hot cell (Lloyd's claws
+    # back some balance, but the skew persists); kpp: one seed per
+    # true cluster -> shares near the 56/32/32 split (max ~0.47)
+    assert share_kpp < 0.55
+    assert share_minid > share_kpp + 0.1
+    assert not math.isnan(share_kpp)
