@@ -58,10 +58,10 @@ def format_result(df: DataFrame, query: dict) -> Any:
     if fmt == "table":
         return format_table(df)
     if fmt == "cube":
-        edges = [
-            e if isinstance(e, str) else e["name"]
-            for e in (query.get("edges") or query.get("groupby") or [])
-        ]
+        raw = query.get("edges") or query.get("groupby") or []
+        if not isinstance(raw, list):
+            raw = [raw]  # jx shorthand: scalar groupby/edges
+        edges = [e if isinstance(e, str) else e["name"] for e in raw]
         selects = [c for c in df.columns if c not in edges]
         return format_cube(df, edges, selects)
     raise ValueError(f"unknown format: {fmt!r}")

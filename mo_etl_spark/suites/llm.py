@@ -4283,3 +4283,116 @@ def llm_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("zlib_ratio") > 0.0) & (F.max("zlib_ratio") <= 1.2)
         ).alias("ratios_in_range"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall-quality assertions (VERDICT r4 item #7)
+# ---------------------------------------------------------------------------
+
+_SQL_RECALL_ORACLE = f"""
+    WITH exact AS (
+      SELECT q_id, c_id FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_SQL_COSINE} DESC, b.vec_id) AS rnk
+        FROM embeddings a CROSS JOIN embeddings b
+        WHERE a.vec_id <> b.vec_id AND a.vec_id < 50)
+      WHERE rnk <= 5
+    )
+    SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries,
+           CAST(sum(c_id) AS BIGINT) AS exact_top5_id_sum,
+           true AS recall_ok
+    FROM exact
+    """
+
+
+def _recall_assert(
+    spark: SparkSession, sf_dir: str, approx: DataFrame, bound: float
+) -> DataFrame:
+    """The sketch-ops assertion form for ANN recall@5: Spark computes
+    BOTH the exact top-5 (the same brute-force kernel llm_sim_topk
+    hash-checks) and the approximate pipeline's top-5, emits the
+    exact side's checksums plus a ``mean recall >= bound`` boolean;
+    the oracle recomputes the exact side and states the boolean as a
+    literal.  A broken probe/ADC/DPP path drops recall to ~random
+    (5/corpus ~ 0.003-0.01) and trips the bound loudly."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec"))
+    exact = S.brute_force_topk(q, c, k=5)
+    hits = (
+        exact.join(approx.select("q_id", "c_id"), ["q_id", "c_id"])
+        .groupBy("q_id")
+        .agg((F.count(F.lit(1)) / F.lit(5.0)).alias("recall"))
+    )
+    per = (
+        exact.groupBy("q_id")
+        .agg(F.sum("c_id").alias("id_sum"))
+        .join(hits, "q_id", "left")
+        .select("q_id", "id_sum", F.coalesce("recall", F.lit(0.0)).alias("recall"))
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("id_sum").cast("long").alias("exact_top5_id_sum"),
+        (F.avg("recall") >= F.lit(bound)).alias("recall_ok"),
+    )
+
+
+@query(
+    "llm_recall_ivf_at5",
+    oracle=_SQL_RECALL_ORACLE,
+    tags=("sim_ivf", "recall_assertion", "quality_gate"),
+)
+def llm_recall_ivf_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat recall@5 vs exact, asserted >= 0.5 (measured 0.62-0.67
+    mean across sf0.001/0.01/0.1 with nprobe=4 of 16 cells; random is
+    ~0.003-0.01).  Recall is bounded by cell pruning only — within
+    probed cells IVF is exact — so the lever is nprobe, and a
+    regression here means the probe or DPP serving path broke."""
+    return _recall_assert(
+        spark, sf_dir, llm_sim_ivf_topk(spark, sf_dir), bound=0.5
+    )
+
+
+@query(
+    "llm_recall_ivfpq_at5",
+    oracle=_SQL_RECALL_ORACLE,
+    tags=("sim_ivfpq", "recall_assertion", "quality_gate"),
+)
+def llm_recall_ivfpq_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ recall@5 vs exact, asserted >= 0.08 (measured 0.12-0.22
+    mean across SFs).  The absolute level is LOW BY CONSTRUCTION: the
+    contract codebooks are the first 16 raw vectors split per subspace
+    — deliberately untrained so the DuckDB oracle can replay encoding
+    exactly (llm_sim_ivfpq_topk's docstring).  16 arbitrary entries
+    per 8-dim subspace quantize coarsely; production recall comes from
+    k-means-trained per-subspace codebooks (Jégou et al. 2011 §V
+    report ~0.3-0.7 recall@5 at comparable code budgets).  The
+    assertion's value is the regression floor: a broken LUT key, ADC
+    fold, or cell pruning drops to ~random (~0.003-0.01), an order of
+    magnitude below the bound."""
+    return _recall_assert(
+        spark, sf_dir, llm_sim_ivfpq_topk(spark, sf_dir), bound=0.08
+    )
+
+
+@query(
+    "llm_recall_ivfpq_residual_at5",
+    oracle=_SQL_RECALL_ORACLE,
+    tags=("sim_ivfpq", "recall_assertion", "quality_gate"),
+)
+def llm_recall_ivfpq_residual_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVFADC recall@5 vs exact, asserted >= 0.05 (measured
+    0.07-0.17 mean across SFs).  With UNTRAINED contract codebooks the
+    residual form measures WORSE than flat ivfpq — residuals r(y) =
+    y - q1(y) are small-norm vectors that the raw-scale codebook
+    entries quantize even more coarsely; the paper's residual gain
+    materializes only with codebooks trained on residual distributions
+    (Jégou et al. 2011 §IV.C).  Documented as expected behavior; the
+    bound still sits ~10x above random, so the IVFADC plumbing
+    (centroid-dot + residual-code ADC) is regression-guarded."""
+    return _recall_assert(
+        spark, sf_dir, llm_sim_ivfpq_residual(spark, sf_dir), bound=0.05
+    )

@@ -493,6 +493,139 @@ CASES = [
             {"tag": "z", "bsum": 40.0, "rk": 1},
         ],
     },
+    # --- round-5 depth: formatter x window composition (VERDICT r4
+    # item #8) — the corners the r4 grid didn't cross: window columns
+    # flowing through cube/table formatting, and windows over
+    # deep-from (exploded) rows ------------------------------------
+    {
+        "name": "cube_with_window_over_groupby",
+        "query": {"from": "docs", "groupby": "tag",
+                  "select": [{"name": "n", "aggregate": "count"}],
+                  "window": [{"name": "cum_n", "value": "n", "aggregate": "sum",
+                              "sort": ["tag"], "range": {"max": 0}}],
+                  "format": "cube"},
+        # the window column is one more cube measure, same domains
+        "expecting_cube": {"data": {"n": [2, 1, 1], "cum_n": [2, 3, 4]}},
+    },
+    {
+        "name": "cube_with_window_rank_over_edges_null_part",
+        "query": {"from": "docs",
+                  "edges": [{"name": "tag", "value": "tag", "allowNulls": True,
+                             "domain": {"type": "set",
+                                        "partitions": ["x", "y", "w"]}}],
+                  "select": [{"name": "bsum", "value": "b", "aggregate": "sum",
+                              "default": 0}],
+                  "window": [{"name": "rk", "aggregate": "rank",
+                              "sort": [{"field": "bsum", "sort": -1}]}],
+                  "format": "cube"},
+        # domains sorted [w, x, y, None] (z routes to the null part);
+        # w is a COMPLETELY empty part: its bsum is null (the default
+        # coalesce runs inside the aggregate, which never fires for a
+        # partition with no agg row) and desc_nulls_last ranks it 4;
+        # x and the null part tie at 40 -> rank 1; y (all-null b,
+        # default-filled to 0) -> rank 3
+        "expecting_cube": {"data": {
+            "bsum": [None, 40.0, 0.0, 40.0],
+            "rk": [4, 1, 3, 1],
+        }},
+    },
+    {
+        "name": "table_with_window_rownum",
+        "query": {"from": "docs", "select": ["name"],
+                  "window": [{"name": "seq", "aggregate": "rownum",
+                              "sort": ["name"]}],
+                  "sort": ["name"], "format": "table"},
+        # table format: window column rides as one more header column
+        "expecting_table": {"header": ["name", "seq"],
+                            "data": [["", 0], ["alpha", 1],
+                                     ["beta", 2], ["delta", 3]]},
+    },
+    {
+        "name": "deep_from_window_rownum_per_parent",
+        "query": {"from": "docs.arr", "select": ["name", "arr"],
+                  "window": [{"name": "idx", "aggregate": "rownum",
+                              "edges": ["name"], "sort": ["arr"]}],
+                  "sort": ["name", "arr"]},
+        # windows run over the EXPLODED rows, partitioned by a parent
+        # column; explode_outer keeps the arr=None parent as one row
+        "expecting_list": [
+            {"name": "", "arr": None, "idx": 0},
+            {"name": "alpha", "arr": 1.0, "idx": 0},
+            {"name": "alpha", "arr": 2.0, "idx": 1},
+            {"name": "beta", "arr": 3.0, "idx": 0},
+            {"name": "delta", "arr": 4.0, "idx": 0},
+            {"name": "delta", "arr": 5.0, "idx": 1},
+        ],
+    },
+    {
+        "name": "deep_from_window_trailing_sum_by_parent_tag",
+        "query": {"from": "docs.arr", "select": ["name", "tag", "arr"],
+                  "window": [{"name": "t", "value": "arr", "aggregate": "sum",
+                              "edges": ["tag"], "sort": ["arr"],
+                              "range": {"min": -1, "max": 0}}],
+                  "sort": ["tag", "arr"]},
+        # 2-row trailing sum per parent tag over exploded elements;
+        # x's arr=None row sorts first (nulls least) and its lone-null
+        # frame sums to null
+        "expecting_list": [
+            {"name": "", "tag": "x", "arr": None, "t": None},
+            {"name": "alpha", "tag": "x", "arr": 1.0, "t": 1.0},
+            {"name": "alpha", "tag": "x", "arr": 2.0, "t": 3.0},
+            {"name": "beta", "tag": "y", "arr": 3.0, "t": 3.0},
+            {"name": "delta", "tag": "z", "arr": 4.0, "t": 4.0},
+            {"name": "delta", "tag": "z", "arr": 5.0, "t": 9.0},
+        ],
+    },
+    {
+        "name": "cube_two_edges_with_window_dense_rank",
+        "query": {"from": "docs",
+                  "edges": [
+                      {"name": "tag", "value": "tag",
+                       "domain": {"type": "set", "partitions": ["x", "y", "z"]}},
+                      {"name": "hasb", "value": {"exists": "b"},
+                       "domain": {"type": "boolean"}},
+                  ],
+                  "select": [{"name": "n", "aggregate": "count"}],
+                  "window": [{"name": "rk", "aggregate": "dense_rank",
+                              "sort": [{"field": "n", "sort": -1}]}],
+                  "format": "cube"},
+        # dense_rank over ALL 6 cube cells (incl. empty n=0 parts),
+        # then cube formatting lays both measures over tag x hasb
+        "expecting_cube": {"data": {
+            "n": [[0, 2], [1, 0], [0, 1]],
+            "rk": [[3, 1], [2, 3], [3, 2]],
+        }},
+    },
+    {
+        "name": "cube_with_window_lag_over_groupby",
+        "query": {"from": "docs", "groupby": "tag",
+                  "select": [{"name": "asum", "value": "a", "aggregate": "sum"}],
+                  "window": [{"name": "prev", "value": "asum", "aggregate": "lag",
+                              "sort": ["tag"]}],
+                  "format": "cube"},
+        # lag across the aggregate rows, then cube: first part has no
+        # predecessor -> None
+        "expecting_cube": {"data": {
+            "asum": [1.0, 2.0, 4.0],
+            "prev": [None, 1.0, 2.0],
+        }},
+    },
+    {
+        "name": "deep_from_groupby_window_cube",
+        "query": {"from": "docs.arr", "groupby": "name",
+                  "select": [{"name": "m", "value": "arr",
+                              "aggregate": "maximum"}],
+                  "window": [{"name": "cum", "value": "m", "aggregate": "sum",
+                              "sort": ["name"], "range": {"max": 0}}],
+                  "format": "cube"},
+        # the full chain: explode -> groupby -> window over the groups
+        # -> cube; ""'s all-null group keeps m=None and the running
+        # sum skips it (decisive null handling end to end)
+        "expecting_cube": {"data": {
+            "m": [None, 2.0, 3.0, 5.0],
+            "cum": [None, 2.0, 5.0, 10.0],
+        }},
+    },
 ]
 
 

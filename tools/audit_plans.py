@@ -81,6 +81,14 @@ EXCHANGES_OK = {
     # inline; at scale those stages run once and persist co-partitioned
     # by cell, leaving the serving path at 2 exchanges
     "llm_sim_ivf_topk",
+    # recall-assertion queries (VERDICT r4 item #7): each runs the
+    # FULL approximate pipeline AND the exact brute-force truth AND
+    # their per-query reconciliation join in one plan — a quality
+    # gate, not a serving path; the component pipelines individually
+    # stay within budget and keep their own plan pins
+    "llm_recall_ivf_at5",
+    "llm_recall_ivfpq_at5",
+    "llm_recall_ivfpq_residual_at5",
     # fixed-iteration PageRank: 8 rank shuffles (one per power iteration)
     # by construction + the one-off edge materialization; per-iteration
     # cost is the claim, not total exchange count
