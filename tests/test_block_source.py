@@ -99,3 +99,55 @@ def test_block_stream_incremental_microbatches(spark):
         .collect()
     }
     assert got == expected and len(got) == 8
+
+
+def test_block_stream_kill_and_resume_exactly_once(spark):
+    """Crash recovery for the Python Data Source stream (VERDICT r4
+    item #3): drain half the block backlog, STOP (the kill), land more
+    blocks, restart from the same checkpoint — the union of both runs'
+    foreachBatch outputs must hold every event exactly once (offsets
+    restored from the checkpoint, no block lost or double-read)."""
+    import os
+    import shutil
+    import uuid
+
+    from mo_etl_spark.sources.blocks import register_block_source
+    from mo_etl_spark.suites.sources import _events_block_store
+
+    sf_dir = "/root/testdata/sf0.001"
+    src = _events_block_store(spark, sf_dir)
+    register_block_source(spark)
+    base = f"/root/repo/.cache/blkresume-{uuid.uuid4().hex[:6]}"
+    store, ckpt, out = f"{base}/store", f"{base}/ckpt", f"{base}/out"
+    os.makedirs(store)
+    ids = sorted(d for d in os.listdir(src) if d.startswith("block_id="))
+    for d in ids[:4]:
+        shutil.copytree(f"{src}/{d}", f"{store}/{d}")
+
+    def sink(df, bid):
+        df.write.mode("overwrite").parquet(f"{out}/b{bid}")
+
+    def run():
+        q = (
+            spark.readStream.format("ndjson_blocks")
+            .option("maxBlocksPerTrigger", "3")
+            .load(store)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    try:
+        run()  # drains the first 4 blocks in >= 2 microbatches, then "dies"
+        assert len(os.listdir(out)) >= 2
+        for d in ids[4:]:
+            shutil.copytree(f"{src}/{d}", f"{store}/{d}")
+        run()  # resume from checkpoint
+        got = spark.read.option("recursiveFileLookup", "true").parquet(out)
+        batch = spark.read.format("ndjson_blocks").load(store)
+        assert got.count() == batch.count()
+        assert got.dropDuplicates(["event_id"]).count() == batch.count()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

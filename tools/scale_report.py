@@ -32,6 +32,9 @@ def merge(path: str) -> dict[str, dict[str, float]]:
     for op, v in out.items():
         if "sf01" in v and "sf1" in v and v["sf01"] > 0:
             v["ratio"] = round(v["sf1"] / v["sf01"], 1)
+        if "sf01" in v and "sf3" in v and v["sf01"] > 0:
+            # the r5 extra decade: 30x data; proportional = 30
+            v["ratio30"] = round(v["sf3"] / v["sf01"], 1)
     return out
 
 

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/root/repo/.scratch/sf1"
+SF3 = "/root/repo/.scratch/sf3"  # 30x — the r5 extra decade (item #6)
 REPLICAS = 10
 
 
@@ -54,65 +55,75 @@ def _read(spark, d, t):
     return df
 
 
-def gen(spark) -> None:
-    os.makedirs(SF1, exist_ok=True)
+def gen(spark, replicas: int = REPLICAS, out: str = SF1,
+        tables: tuple[str, ...] = ("documents", "embeddings", "events", "lineitem")) -> None:
+    os.makedirs(out, exist_ok=True)
 
-    docs = _read(spark, SF01, "documents")
-    parts = []
-    for r in range(REPLICAS):
-        d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * 10_000_000))
-        if r:
-            suffixed = F.array_join(
-                F.transform(
-                    F.split("text", " "), lambda w: F.concat(w, F.lit(f"~{r}"))
-                ),
-                " ",
-            )
-            d = d.withColumn("text", suffixed)
-        parts.append(d)
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    u.repartition(8).write.mode("overwrite").parquet(f"{SF1}/documents.parquet")
+    def union_all(parts):
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u
 
-    emb = _read(spark, SF01, "embeddings")
-    parts = []
-    for r in range(REPLICAS):
-        e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(r * 10_000_000))
-        if r:
-            rot = F.concat(
-                F.slice("embedding", r + 1, 64 - r), F.slice("embedding", 1, r)
-            )
-            e = e.withColumn("embedding", rot)
-        parts.append(e)
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    u.repartition(8).write.mode("overwrite").parquet(f"{SF1}/embeddings.parquet")
+    if "documents" in tables:
+        docs = _read(spark, SF01, "documents")
+        parts = []
+        for r in range(replicas):
+            d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * 10_000_000))
+            if r:
+                suffixed = F.array_join(
+                    F.transform(
+                        F.split("text", " "), lambda w: F.concat(w, F.lit(f"~{r}"))
+                    ),
+                    " ",
+                )
+                d = d.withColumn("text", suffixed)
+            parts.append(d)
+        union_all(parts).repartition(8).write.mode("overwrite").parquet(
+            f"{out}/documents.parquet"
+        )
 
-    ev = _read(spark, SF01, "events")
-    parts = [
-        ev.withColumn("event_id", F.col("event_id") + F.lit(r * 1_000_000_000))
-        .withColumn("user_id", F.col("user_id") + F.lit(r * 10_000_000))
-        for r in range(REPLICAS)
-    ]
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    u.repartition(16).write.mode("overwrite").parquet(f"{SF1}/events.parquet")
+    if "embeddings" in tables:
+        emb = _read(spark, SF01, "embeddings")
+        parts = []
+        for r in range(replicas):
+            e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(r * 10_000_000))
+            if r:
+                # norm-preserving rotation; wraps past 63 so 64+ replicas
+                # stay valid (identical to the r4 form for r <= 63)
+                rr = (r - 1) % 63 + 1
+                rot = F.concat(
+                    F.slice("embedding", rr + 1, 64 - rr), F.slice("embedding", 1, rr)
+                )
+                e = e.withColumn("embedding", rot)
+            parts.append(e)
+        union_all(parts).repartition(8).write.mode("overwrite").parquet(
+            f"{out}/embeddings.parquet"
+        )
 
-    li = _read(spark, SF01, "lineitem")
-    parts = [
-        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(r * 1_000_000_000))
-        .withColumn("l_partkey", F.col("l_partkey") + F.lit(r * 10_000_000))
-        .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(r * 10_000_000))
-        for r in range(REPLICAS)
-    ]
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    u.repartition(32).write.mode("overwrite").parquet(f"{SF1}/lineitem.parquet")
-    print("generated", SF1)
+    if "events" in tables:
+        ev = _read(spark, SF01, "events")
+        parts = [
+            ev.withColumn("event_id", F.col("event_id") + F.lit(r * 1_000_000_000))
+            .withColumn("user_id", F.col("user_id") + F.lit(r * 10_000_000))
+            for r in range(replicas)
+        ]
+        union_all(parts).repartition(16).write.mode("overwrite").parquet(
+            f"{out}/events.parquet"
+        )
+
+    if "lineitem" in tables:
+        li = _read(spark, SF01, "lineitem")
+        parts = [
+            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(r * 1_000_000_000))
+            .withColumn("l_partkey", F.col("l_partkey") + F.lit(r * 10_000_000))
+            .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(r * 10_000_000))
+            for r in range(replicas)
+        ]
+        union_all(parts).repartition(32).write.mode("overwrite").parquet(
+            f"{out}/lineitem.parquet"
+        )
+    print("generated", out)
 
 
 def _grid_points(spark, n: int):
@@ -128,10 +139,15 @@ def _grid_points(spark, n: int):
     )
 
 
-def workloads(spark, d: str, scale: float):
+def workloads(spark, d: str, scale: float, ops: list[str] | None = None):
     """(name, thunk) pairs; each thunk runs the operator to completion
     (count) at directory ``d``; ``scale`` sizes the synthesized CC /
-    DBSCAN inputs (1.0 at sf0.1, 10.0 at sf1)."""
+    DBSCAN inputs (1.0 at sf0.1, 10.0 at sf1, 30.0 at sf3).  ``ops``
+    gates the untimed index builds — a 30x run measuring four
+    work-dominated ops must not pay four unrelated index snapshots."""
+
+    def wanted(*names: str) -> bool:
+        return ops is None or any(n in ops for n in names)
     from mo_etl_spark.operators.dedup import (
         connected_components,
         cut_duplicated_spans,
@@ -168,9 +184,15 @@ def workloads(spark, d: str, scale: float):
     # geometry), so pair truth grows exactly linearly and the measured
     # ratio isolates the banding/prefix machinery.
     docs_b = docs.where(F.pmod("doc_id", F.lit(10_000_000)) < 500)
-    ev = _read(spark, d, "events")
+    # table reads gated like the index builds: a 30x dir carries only
+    # the tables its requested ops scan
+    ev = _read(spark, d, "events") if wanted(
+        "sessionize_plain", "sessionize_routed", "asof_backward"
+    ) else None
     emb = _read(spark, d, "embeddings")
-    li = _read(spark, d, "lineitem")
+    li = _read(spark, d, "lineitem") if wanted(
+        "pagerank_8it", "ntile_two_pass"
+    ) else None
 
     corpus = emb.select(
         F.col("vec_id").alias("c_id"), as_double(F.col("embedding")).alias("vec")
@@ -189,8 +211,12 @@ def workloads(spark, d: str, scale: float):
         F.col("c_id").alias("cent_id"), F.col("vec")
     )
 
-    ev_left = ev.where(F.col("event_id") % 2 == 0).select("event_id", "user_id", "ts")
-    ev_right = ev.where(F.col("event_id") % 2 == 1).select("user_id", "ts", "value")
+    ev_left = ev.where(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "ts"
+    ) if ev is not None else None
+    ev_right = ev.where(F.col("event_id") % 2 == 1).select(
+        "user_id", "ts", "value"
+    ) if ev is not None else None
 
     # incremental dedup, the daily shape: a FIXED 250-doc batch probes a
     # persisted band index + DPP-pruned bucket-partitioned corpus that
@@ -212,47 +238,80 @@ def workloads(spark, d: str, scale: float):
     )
     idx_p = f"/root/repo/.scratch/incr_idx_{tag}"
     corp_p = f"/root/repo/.scratch/incr_corp_{tag}_nb{nb_incr}"
-    if not os.path.exists(os.path.join(idx_p, "_SUCCESS")):
+    if wanted("incr_batch_fixed") and not os.path.exists(os.path.join(idx_p, "_SUCCESS")):
         minhash_md5_band_index(docs_b, k=16, bands=8).write.mode(
             "overwrite"
         ).parquet(idx_p)
-    if not os.path.exists(os.path.join(corp_p, "_SUCCESS")):
+    if wanted("incr_batch_fixed") and not os.path.exists(os.path.join(corp_p, "_SUCCESS")):
         docs_b.unionByName(incr_batch).withColumn(
             "db", F.pmod("doc_id", F.lit(nb_incr))
         ).write.partitionBy("db").mode("overwrite").parquet(corp_p)
-    incr_index = spark.read.parquet(idx_p)
-    incr_corpus = spark.read.parquet(corp_p)
+    incr_index = spark.read.parquet(idx_p) if wanted("incr_batch_fixed") else None
+    incr_corpus = spark.read.parquet(corp_p) if wanted("incr_batch_fixed") else None
 
     # persisted IVF index with vectors, partitioned by cell (untimed
     # once-per-snapshot build, like production)
     ivf_idx_p = f"/root/repo/.scratch/ivf_vec_idx_{tag}"
-    if not os.path.exists(os.path.join(ivf_idx_p, "_SUCCESS")):
+    if wanted("ivf_serve_pruned") and not os.path.exists(os.path.join(ivf_idx_p, "_SUCCESS")):
         ivf_cells(corpus, cents).join(corpus, "c_id").write.partitionBy(
             "cell"
         ).mode("overwrite").parquet(ivf_idx_p)
-    ivf_indexed = spark.read.parquet(ivf_idx_p)
+    ivf_indexed = spark.read.parquet(ivf_idx_p) if wanted("ivf_serve_pruned") else None
 
     # IVF-PQ code index: cell assignment + 8-byte code arrays,
     # partitioned by cell (untimed once-per-snapshot build)
     ivfpq_idx_p = f"/root/repo/.scratch/ivfpq_code_idx_{tag}"
-    if not os.path.exists(os.path.join(ivfpq_idx_p, "_SUCCESS")):
+    if wanted("ivfpq_serve") and not os.path.exists(os.path.join(ivfpq_idx_p, "_SUCCESS")):
         pq_codes_wide(corpus, pq_cents).join(
             ivf_cells(corpus, cents), "c_id"
         ).write.partitionBy("cell").mode("overwrite").parquet(ivfpq_idx_p)
-    ivfpq_indexed = spark.read.parquet(ivfpq_idx_p)
+    ivfpq_indexed = spark.read.parquet(ivfpq_idx_p) if wanted("ivfpq_serve") else None
 
     # LSH bucket index with vectors, partitioned by bucket (6 planes =
     # 64 buckets; untimed once-per-snapshot build).  Buckets come from
     # the raw embeddings table, so rename to the (c_id, vec) serving
     # schema after assignment.
     lsh_idx_p = f"/root/repo/.scratch/lsh_vec_idx_{tag}"
-    if not os.path.exists(os.path.join(lsh_idx_p, "_SUCCESS")):
+    if wanted("lsh_serve_pruned") and not os.path.exists(os.path.join(lsh_idx_p, "_SUCCESS")):
         hyperplane_lsh_buckets(
             emb.select("vec_id", "embedding"), dim=64, n_planes=6
         ).withColumnRenamed("vec_id", "c_id").join(
             corpus, "c_id"
         ).write.partitionBy("bucket").mode("overwrite").parquet(lsh_idx_p)
-    lsh_indexed = spark.read.parquet(lsh_idx_p)
+    lsh_indexed = spark.read.parquet(lsh_idx_p) if wanted("lsh_serve_pruned") else None
+
+    # HOT-CELL serving pair (VERDICT r4 item #2's scale evidence): the
+    # same corpus with 30% of vectors PLANTED into cell 0 (pmod(id,10)
+    # < 3 after nearest-centroid assignment), persisted twice — once
+    # plain (one giant cell partition = one straggler scoring task)
+    # and once sub-split at cap 1024 via ivf_subsplit (bounded
+    # (cell, sub) tasks).  Both untimed once-per-snapshot builds; the
+    # timed rows serve the identical fixed 100-query load, so the
+    # split/nosplit delta and the corpus-growth ratio are the claims.
+    hot_subs = None
+    hot_split_indexed = hot_plain_indexed = None
+    if wanted("ivf_hot_split", "ivf_hot_nosplit"):
+        from mo_etl_spark.operators.similarity import ivf_subsplit
+
+        hot_cells = ivf_cells(corpus, cents).withColumn(
+            "cell",
+            F.when(F.pmod("c_id", F.lit(10)) < 3, F.lit(0)).otherwise(F.col("cell")),
+        )
+        hot_plain_p = f"/root/repo/.scratch/ivf_hot_plain_{tag}"
+        hot_split_p = f"/root/repo/.scratch/ivf_hot_split_{tag}"
+        if not os.path.exists(os.path.join(hot_plain_p, "_SUCCESS")):
+            hot_cells.join(corpus, "c_id").write.partitionBy("cell").mode(
+                "overwrite"
+            ).parquet(hot_plain_p)
+        if not os.path.exists(os.path.join(hot_split_p, "_SUCCESS")):
+            split, ns = ivf_subsplit(hot_cells.join(corpus, "c_id"), cap_rows=1024)
+            split.repartition("cell", "sub").write.partitionBy("cell", "sub").mode(
+                "overwrite"
+            ).parquet(hot_split_p)
+            ns.coalesce(1).write.mode("overwrite").parquet(hot_split_p + "_ns")
+        hot_plain_indexed = spark.read.parquet(hot_plain_p)
+        hot_split_indexed = spark.read.parquet(hot_split_p)
+        hot_subs = spark.read.parquet(hot_split_p + "_ns")
 
     n_cc = int(100_000 * scale)
     cc_edges = spark.range(n_cc).select(
@@ -264,10 +323,14 @@ def workloads(spark, d: str, scale: float):
         F.col("pid").alias("cid"), F.col("x").alias("cx"), F.col("y").alias("cy")
     )
 
-    edges = li.select(F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst"))
-    edges = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = None
+    if li is not None:
+        edges = li.select(
+            F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+        )
+        edges = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
 
     return [
         (
@@ -352,6 +415,24 @@ def workloads(spark, d: str, scale: float):
                 indexed_corpus=lsh_indexed,
             ).count(),
         ),
+        (
+            # skewed-corpus serving WITHOUT the hot-cell cap: cell 0
+            # holds ~37% of the corpus and scores in ONE cogroup task
+            "ivf_hot_nosplit",
+            lambda: ivf_topk(
+                queries, None, cents, k=10, nprobe=4,
+                indexed_corpus=hot_plain_indexed,
+            ).count(),
+        ),
+        (
+            # same load, same skew, (cell, sub)-capped index: the hot
+            # cell scores as ceil(n/1024) bounded tasks
+            "ivf_hot_split",
+            lambda: ivf_topk(
+                queries, None, cents, k=10, nprobe=4,
+                indexed_corpus=hot_split_indexed, cell_subs=hot_subs,
+            ).count(),
+        ),
         ("pagerank_8it", lambda: pagerank(edges, iters=8).count()),
         (
             # the r4 global-order rewrite's scaling claim: exact global
@@ -396,10 +477,10 @@ def run(spark, reps: int, dirs: list[str], ops: list[str] | None) -> None:
     """Appends one JSON line per (op, scale) measurement to stdout —
     tools/scale_report.py merges the lines into the ratio table."""
     spark.range(1_000_000).select(F.sum("id")).collect()  # session warm-up
-    for d, scale, key in ((SF01, 1.0, "sf01"), (SF1, 10.0, "sf1")):
+    for d, scale, key in ((SF01, 1.0, "sf01"), (SF1, 10.0, "sf1"), (SF3, 30.0, "sf3")):
         if key not in dirs:
             continue
-        for name, thunk in workloads(spark, d, scale):
+        for name, thunk in workloads(spark, d, scale, ops):
             if ops and name not in ops:
                 continue
             best = None
@@ -419,7 +500,7 @@ def run(spark, reps: int, dirs: list[str], ops: list[str] | None) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["gen", "run"])
+    ap.add_argument("cmd", choices=["gen", "gen30", "run"])
     ap.add_argument("--reps", type=int, default=1)
     ap.add_argument("--dirs", default="sf01,sf1")
     ap.add_argument("--ops", default=None)
@@ -429,6 +510,10 @@ def main() -> None:
     spark = get_spark(app_name="scale-table")
     if args.cmd == "gen":
         gen(spark)
+    elif args.cmd == "gen30":
+        # the r5 extra decade: only the tables the 30x ops read
+        gen(spark, replicas=30, out=SF3,
+            tables=("documents", "embeddings", "lineitem"))
     else:
         run(
             spark,
