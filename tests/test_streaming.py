@@ -455,3 +455,46 @@ def test_compact_batched_bounds_files_and_preserves_probes(spark, sf_dir, tmpdir
 
     # below min_dirs: a no-op (don't churn a fresh table)
     assert compact_batched(spark, idx, min_dirs=8) == 0
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_incremental_dedup_replay_split_property(spark, sf_dir, tmpdir, seed):
+    """Randomized property (r5): for a RANDOM batch split and a RANDOM
+    replay pattern, the incremental-dedup state machine must converge
+    to the one-shot run — pairs, index, and arrived tables all equal.
+    Catches ordering/exclusion bugs the fixed 4-file feed can't."""
+    import random
+
+    from mo_etl_spark.streaming import read_batched
+    from mo_etl_spark.suites.llm import _incr_new_batch
+    from mo_etl_spark.suites.streaming_real import (
+        _incr_dedup_apply_batch,
+        _incr_dedup_seed_dirs,
+    )
+    from mo_etl_spark.tables import load_table
+
+    rng = random.Random(seed)
+    n_parts = rng.randint(2, 4)
+    salt = rng.randint(0, 1 << 30)
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") < 400).select("doc_id", "text")
+    new = _incr_new_batch(docs)
+    batches = [
+        new.where(F.pmod(F.xxhash64(F.col("doc_id") + salt), F.lit(n_parts)) == i)
+        for i in range(n_parts)
+    ]
+    replayed = {i for i in range(n_parts) if rng.random() < 0.5}
+
+    idx, arr, pairs = f"{tmpdir}/idx", f"{tmpdir}/arr", f"{tmpdir}/pairs"
+    _incr_dedup_seed_dirs(spark, sf_dir, base, idx, arr, pairs)
+    for i, b in enumerate(batches):
+        _incr_dedup_apply_batch(spark, base, idx, arr, pairs, b, i)
+        if i in replayed:  # at-least-once: same batch applied again
+            _incr_dedup_apply_batch(spark, base, idx, arr, pairs, b, i)
+    got = sorted(tuple(r) for r in read_batched(spark, pairs).collect())
+
+    idx1, arr1, p1 = f"{tmpdir}/idx1", f"{tmpdir}/arr1", f"{tmpdir}/pairs1"
+    _incr_dedup_seed_dirs(spark, sf_dir, base, idx1, arr1, p1)
+    _incr_dedup_apply_batch(spark, base, idx1, arr1, p1, new, 0)
+    want = sorted(tuple(r) for r in read_batched(spark, p1).collect())
+    assert got == want, (seed, n_parts, sorted(replayed))
