@@ -64,15 +64,57 @@ def read_batched(
     (or even complete) ``bN`` output, or the replayed computation
     diverges from the original (e.g. the batch's own docs would appear
     twice in the corpus union)."""
+    recover_compaction(root)
     skip = None if exclude_batch is None else f"b{exclude_batch}"
     paths = [
         os.path.join(root, d)
         for d in sorted(os.listdir(root))
-        if os.path.isdir(os.path.join(root, d)) and d != skip
+        if os.path.isdir(os.path.join(root, d))
+        and d != skip
+        and not d.startswith(".")  # in-flight compaction build
     ]
     # recursive: a compacted ``base`` holds one subdir per binpack
     # group (compact_batched); flat per-batch dirs are unaffected
     return spark.read.option("recursiveFileLookup", "true").parquet(*paths)
+
+
+#: compaction journal filenames (crash-safe swap, see compact_batched)
+_COMPACT_NEW = ".compact_new"
+_COMPACT_COMMIT = ".compact_commit"
+
+
+def recover_compaction(root: str) -> None:
+    """Complete or discard an interrupted compact_batched swap.
+
+    The swap is journaled so every crash window is recoverable:
+    - ``.compact_new`` WITHOUT ``.compact_commit``: the rewrite died
+      mid-build; the old subdirs are intact — discard the partial
+      build.
+    - ``.compact_commit`` present: the commit point was reached (the
+      rewrite is complete and durable); finish it — delete the listed
+      old subdirs that remain, promote ``.compact_new`` to ``base``,
+      drop the marker.  Idempotent: safe to re-run at any point.
+    """
+    import shutil
+
+    if not os.path.isdir(root):
+        return
+    new_dir = os.path.join(root, _COMPACT_NEW)
+    marker = os.path.join(root, _COMPACT_COMMIT)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        # first line: target=<generation-suffixed promote name>; the
+        # target NEVER collides with a victim, so recovery after the
+        # rename cannot mistake the promoted build for an old dir
+        target = lines[0].split("=", 1)[1]
+        for d in lines[1:]:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        if os.path.isdir(new_dir):
+            os.rename(new_dir, os.path.join(root, target))
+        os.remove(marker)
+    elif os.path.isdir(new_dir):
+        shutil.rmtree(new_dir, ignore_errors=True)
 
 
 def compact_batched(
@@ -103,11 +145,24 @@ def compact_batched(
     compacting an uncommitted batch's output would defeat the
     replay-idempotence exclusion for that batch.  At scale the group
     rewrites are independent jobs (parallel per group); here they run
-    sequentially."""
+    sequentially.
+
+    CRASH SAFETY: the swap is journaled.  The rewrite lands in a
+    dot-prefixed build dir readers skip; a ``.compact_commit`` marker
+    (listing the dirs to delete) is the commit point; only then are
+    old subdirs removed and the build promoted to ``base``.  A crash
+    in ANY window is repaired by recover_compaction (called by every
+    read_batched): before the marker the old table is untouched and
+    the partial build is discarded; after it, the completed build is
+    promoted and the leftover victims deleted.  Unit-proven per
+    window in tests/test_streaming.py."""
     import shutil
 
+    recover_compaction(root)
     subs = sorted(
-        d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+        d
+        for d in os.listdir(root)
+        if os.path.isdir(os.path.join(root, d)) and not d.startswith(".")
     )
     if len(subs) < min_dirs:
         return 0
@@ -126,15 +181,31 @@ def compact_batched(
     for p, sz in files:
         groups.setdefault(cum_before // target_bytes, []).append(p)
         cum_before += sz
-    tmp = root + ".compacting"
+    tmp = os.path.join(root, _COMPACT_NEW)
     shutil.rmtree(tmp, ignore_errors=True)
     for g, paths in groups.items():
         spark.read.parquet(*paths).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(tmp, f"g{g}")
         )
+    # COMMIT POINT: the marker records the promote target (a fresh
+    # generation-suffixed name, never equal to a victim) plus exactly
+    # the dirs the new base replaces; from here recovery always rolls
+    # FORWARD (recover_compaction is idempotent at every subsequent
+    # crash point)
+    gens = [
+        int(d[4:] or 0)
+        for d in subs
+        if d.startswith("base") and (d == "base" or d[4:].isdigit())
+    ]
+    target = f"base{max(gens, default=0) + 1}"
+    marker = os.path.join(root, _COMPACT_COMMIT)
+    with open(marker + ".tmp", "w") as f:
+        f.write("\n".join([f"target={target}", *subs]))
+    os.rename(marker + ".tmp", marker)
     for d in subs:
         shutil.rmtree(os.path.join(root, d))
-    os.rename(tmp, os.path.join(root, "base"))
+    os.rename(tmp, os.path.join(root, target))
+    os.remove(marker)
     return len(groups)
 
 

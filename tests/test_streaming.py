@@ -449,7 +449,7 @@ def test_compact_batched_bounds_files_and_preserves_probes(spark, sf_dir, tmpdir
 
     n_out = compact_batched(spark, idx, target_bytes=1 << 20, min_dirs=8)
     assert 0 < n_out < n_files_before
-    assert len(glob.glob(f"{idx}/base/*/*.parquet")) == n_out
+    assert len(glob.glob(f"{idx}/base1/*/*.parquet")) == n_out
     assert sorted(tuple(r) for r in read_batched(spark, idx).collect()) == before_rows
     assert probe() == before_probe
 
@@ -498,3 +498,71 @@ def test_incremental_dedup_replay_split_property(spark, sf_dir, tmpdir, seed):
     _incr_dedup_apply_batch(spark, base, idx1, arr1, p1, new, 0)
     want = sorted(tuple(r) for r in read_batched(spark, p1).collect())
     assert got == want, (seed, n_parts, sorted(replayed))
+
+
+def test_compaction_crash_windows_recover(spark, tmpdir):
+    """Every crash window of the journaled compaction swap must leave
+    the table recoverable to EXACTLY its pre- or post-compaction rows
+    (never less): before the commit marker the partial build is
+    discarded; from the marker on, recovery rolls forward — including
+    the window where the build was already promoted and the victims
+    list still names the OLD base (the generation-suffixed target must
+    not be mistaken for a victim)."""
+    from mo_etl_spark.streaming import (
+        idempotent_batch_write,
+        read_batched,
+        recover_compaction,
+    )
+
+    def fresh(name):
+        root = f"{tmpdir}/{name}"
+        for b in range(3):
+            idempotent_batch_write(
+                spark.range(b * 10, b * 10 + 10).select(F.col("id").alias("v")),
+                root,
+                b,
+            )
+        return root
+
+    def rows(root):
+        return sorted(r["v"] for r in read_batched(spark, root).collect())
+
+    want = list(range(30))
+
+    # window A: crash mid-build (.compact_new, no marker) -> discard
+    a = fresh("a")
+    spark.range(99).selectExpr("id AS v").write.parquet(f"{a}/.compact_new/g0")
+    assert rows(a) == want
+    assert not os.path.exists(f"{a}/.compact_new")
+
+    def staged(name):
+        """A table frozen at the COMMIT POINT: complete build +
+        marker, victims not yet deleted."""
+        root = fresh(name)
+        subs = sorted(d for d in os.listdir(root) if not d.startswith("."))
+        spark.read.parquet(*[f"{root}/{d}" for d in subs]).coalesce(1).write.parquet(
+            f"{root}/.compact_new/g0"
+        )
+        with open(f"{root}/.compact_commit", "w") as f:
+            f.write("\n".join(["target=base1", *subs]))
+        return root, subs
+
+    # window B: marker written, nothing deleted -> roll forward
+    b, _ = staged("b")
+    assert rows(b) == want
+    assert os.path.isdir(f"{b}/base1") and not os.path.exists(f"{b}/.compact_commit")
+
+    # window C: marker written, SOME victims deleted -> roll forward
+    c, subs = staged("c")
+    shutil.rmtree(f"{c}/{subs[0]}")
+    assert rows(c) == want
+
+    # window D: build promoted, marker not yet removed -> victims
+    # swept, promoted base kept (the old-base-in-victims trap)
+    d, subs = staged("d")
+    for s in subs:
+        shutil.rmtree(f"{d}/{s}")
+    os.rename(f"{d}/.compact_new", f"{d}/base1")
+    recover_compaction(d)
+    assert os.path.isdir(f"{d}/base1")
+    assert rows(d) == want
