@@ -372,7 +372,7 @@ def cell_subs_from_params(spark, params: dict) -> DataFrame | None:
     )
 
 
-def index_params(spark, path: str) -> dict:
+def index_params(path: str) -> dict:
     """The raw sidecar contents of a persisted ANN index."""
     import json
     import os

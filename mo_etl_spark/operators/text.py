@@ -102,6 +102,71 @@ def chunk_tokens(
     )
 
 
+def cdc_chunks(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boundary_prefix: str = "0",
+):
+    """CONTENT-DEFINED chunking (the dedup-friendly chunker; the idea
+    behind rsync/LBFS/restic boundaries, applied at token granularity):
+    a chunk ends after any token whose ``md5(token)`` starts with
+    ``boundary_prefix`` (one hex char -> boundary probability 1/16 ->
+    ~16-token average chunks).
+
+    vs fixed windows (chunk_tokens): boundaries depend ONLY on local
+    content, so inserting or deleting a token re-chunks just the chunk
+    it lands in — every other chunk keeps its exact text and hash,
+    which is what makes chunk-hash dedup across crawl versions work
+    (a fixed-stride chunker shifts every downstream window and zero
+    hashes survive).  Emits (id, chunk_idx, chunk_text, chunk_hash,
+    n_tokens).
+
+    Plan shape: one posexplode fan-out, one per-doc window (partitioned
+    by id — parallel, bounded by doc length), one (id, chunk) groupBy;
+    everything JVM-side, the boundary rule is plain md5 so a SQL oracle
+    replays it exactly.
+    """
+    from pyspark.sql import Window
+
+    from mo_etl_spark.operators.dedup import tokens
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    boundary = F.substring(F.md5("tok"), 1, len(boundary_prefix)) == boundary_prefix
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = toks.withColumn(
+        "chunk_idx",
+        F.coalesce(F.sum(boundary.cast("int")).over(w), F.lit(0)).cast("long"),
+    )
+    return (
+        chunked.groupBy(id_col, "chunk_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            "chunk_text",
+            F.md5("chunk_text").alias("chunk_hash"),
+            "n_tokens",
+        )
+    )
+
+
 def _token_ngrams(tok_col: str, n: int) -> Column:
     """Sliding token n-grams over an array column, as strings.
     Guarded: fewer than n tokens -> empty array (sequence(1,0) would

@@ -1159,7 +1159,7 @@ def llm_sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx_path = _ivf_vec_index(spark, sf_dir, cents_lt)
     indexed = S.load_ann_index(spark, idx_path, _ivf_index_params(cents_lt))
-    cell_subs = S.cell_subs_from_params(spark, S.index_params(spark, idx_path))
+    cell_subs = S.cell_subs_from_params(spark, S.index_params(idx_path))
     return S.ivf_topk(
         q, None, cents_, k=5, nprobe=4, indexed_corpus=indexed, cell_subs=cell_subs
     ).select("q_id", "c_id", "cos_sim", "rnk")
@@ -4399,4 +4399,91 @@ def llm_recall_ivfpq_residual_at5(spark: SparkSession, sf_dir: str) -> DataFrame
     (centroid-dot + residual-code ADC) is regression-guarded."""
     return _recall_assert(
         spark, sf_dir, llm_sim_ivfpq_residual(spark, sf_dir), bound=0.05
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (r5): the dedup-friendly chunker
+# ---------------------------------------------------------------------------
+
+_SQL_CDC_CHUNKS = """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, i AS pos, w[i] AS tok
+      FROM toks, unnest(range(1, len(w) + 1)) AS t(i)
+    ),
+    flagged AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN substring(md5(tok), 1, 1) = '0' THEN 1 ELSE 0 END AS b
+      FROM pos
+    ),
+    chunks AS (
+      SELECT doc_id, pos, tok,
+             CAST(coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS chunk_idx
+      FROM flagged
+    )
+    SELECT doc_id, chunk_idx,
+           md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM chunks
+    GROUP BY doc_id, chunk_idx
+    """
+
+
+@query(
+    "llm_chunk_cdc",
+    oracle=_SQL_CDC_CHUNKS,
+    tags=("chunking", "cdc_chunking", "dedup_exact"),
+)
+def llm_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED chunking (operators/text.cdc_chunks): chunk
+    boundaries after tokens whose md5 starts with '0' (~16-token
+    chunks).  Unlike the fixed-window llm_chunk_documents, an
+    insertion re-chunks only the chunk it lands in — the property that
+    makes chunk-hash dedup survive crawl-to-crawl edits (unit-proven
+    shift-resistance in tests/test_llm_ops.py).  One narrow fan-out +
+    one per-doc window + one groupBy; boundary rule is plain md5 so
+    the oracle replays chunking end to end."""
+    return X.cdc_chunks(_docs(spark, sf_dir)).select(
+        "doc_id", "chunk_idx", "chunk_hash", "n_tokens"
+    )
+
+
+@query(
+    "llm_dedup_cdc_chunks",
+    oracle=f"""
+    WITH chunked AS ({_SQL_CDC_CHUNKS})
+    SELECT chunk_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(max(n_tokens) AS BIGINT) AS chunk_tokens
+    FROM chunked
+    GROUP BY chunk_hash
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+    tags=("dedup_exact", "cdc_chunking", "dedup_substring"),
+)
+def llm_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document dedup at CDC-chunk granularity: chunks whose
+    exact hash appears in >= 2 documents — the near-dup-robust middle
+    ground between whole-doc exact dedup (misses partial copies) and
+    substring span dedup (one global shingle shuffle).  At 100 TB this
+    is ONE groupBy over (chunk_hash) — chunk hashes are 32 bytes
+    regardless of chunk text, and the CDC property means re-crawled
+    docs share most hashes with their previous version."""
+    chunked = X.cdc_chunks(_docs(spark, sf_dir))
+    return (
+        chunked.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("n_tokens").alias("chunk_tokens"),
+        )
+        .where(F.col("n_docs") >= 2)
     )

@@ -1238,7 +1238,7 @@ def stream_real_ivf_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx_path = _ivf_vec_index(spark, sf_dir, 16)
     indexed = S.load_ann_index(spark, idx_path, _ivf_index_params(16))
-    cell_subs = S.cell_subs_from_params(spark, S.index_params(spark, idx_path))
+    cell_subs = S.cell_subs_from_params(spark, S.index_params(idx_path))
     feed = _ivf_query_feed(spark, sf_dir)
     ckpt = _scratch("ivf_serve_ckpt")
     out_dir = _scratch("ivf_serve_out")

@@ -740,3 +740,34 @@ def test_kmeanspp_seeding_beats_minid_on_adversarial_corpus(spark):
     assert share_kpp < 0.55
     assert share_minid > share_kpp + 0.1
     assert not math.isnan(share_kpp)
+
+
+def test_cdc_chunks_shift_resistant(spark):
+    """The CDC property itself: inserting one token into a document
+    re-chunks ONLY the chunk it lands in — every other chunk's hash
+    survives.  (A fixed-stride chunker would shift every downstream
+    window and lose all of them.)"""
+    from pyspark.sql import functions as F
+
+    from mo_etl_spark.operators.text import cdc_chunks
+
+    base_words = [f"w{i}" for i in range(200)]
+    edited = base_words[:100] + ["INSERTED"] + base_words[100:]
+    df = spark.createDataFrame(
+        [(1, " ".join(base_words)), (2, " ".join(edited))],
+        "doc_id BIGINT, text STRING",
+    )
+    chunks = cdc_chunks(df).collect()
+    h1 = {r["chunk_hash"] for r in chunks if r["doc_id"] == 1}
+    h2 = {r["chunk_hash"] for r in chunks if r["doc_id"] == 2}
+    # all but the edited chunk survive verbatim (>= len-1 shared; the
+    # insertion can split its chunk, so doc 2 may have one more)
+    assert len(h1 & h2) >= len(h1) - 1
+    assert h1 != h2  # the edit IS visible somewhere
+
+    # and the chunks reassemble the document exactly, in order
+    texts = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["chunk_text"]) for r in chunks)
+    )
+    rebuilt = " ".join(t for d, _, t in texts if d == 1)
+    assert rebuilt == " ".join(base_words)

@@ -464,7 +464,7 @@ def test_ivf_hotcell_subsplit_equal_and_capped(spark, tmp_path):
     path = str(tmp_path / "hot_idx")
     cell_subs = {str(r["cell"]): r["n_subs"] for r in ns.collect()}
     S.write_ann_index(split, path, ["cell", "sub"], {"k": 1, "cell_subs": cell_subs})
-    params = S.index_params(spark, path)
+    params = S.index_params(path)
     indexed = S.load_ann_index(spark, path, {"k": 1})
     cs = S.cell_subs_from_params(spark, params)
 

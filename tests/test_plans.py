@@ -756,7 +756,7 @@ def test_ivf_serving_dpp_survives_filterless_batch(spark, sf001):
     )
     idx_path = _ivf_vec_index(spark, sf001, 16)
     indexed = S.load_ann_index(spark, idx_path, _ivf_index_params(16))
-    cell_subs = S.cell_subs_from_params(spark, S.index_params(spark, idx_path))
+    cell_subs = S.cell_subs_from_params(spark, S.index_params(idx_path))
     batch = (
         emb.where(F.col("vec_id") < 12)
         .select("vec_id", "embedding")
