@@ -2379,7 +2379,7 @@ def llm_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "embeddings.parquet")
     pq_params = {
         "kind": "ivfpq_codes", "cents": f"vec_id<{cents_lt}", "m": 8, "dsub": 8,
-        "residual": False, "partition": "cell",
+        "residual": False, "partition": "cell,sub", "sub_cap": _IVF_SUB_CAP,
     }
     if (
         not os.path.exists(success)
@@ -2387,12 +2387,17 @@ def llm_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pre-guard caches have no param sidecar: rebuild, don't error
         or not os.path.exists(os.path.join(idx_path, S.INDEX_SIDECAR))
     ):
-        S.write_ann_index(
+        # hot-cell cap at the SCAN level (VERDICT r4 item #2): the code
+        # table's ADC scoring is map-side (no per-cell cogroup task),
+        # so sub-splitting here bounds PARTITION sizes — a 30% hot cell
+        # becomes n bounded dirs instead of one giant one; serving
+        # joins on cell, DPP prunes identically, the sub column rides
+        # along unreferenced
+        split, _ = S.ivf_subsplit(
             S.pq_codes_wide(c, cents_).join(S.ivf_cells(c, cents_), "c_id"),
-            idx_path,
-            ["cell"],
-            pq_params,
+            cap_rows=_IVF_SUB_CAP,
         )
+        S.write_ann_index(split, idx_path, ["cell", "sub"], pq_params)
     indexed = S.load_ann_index(spark, idx_path, pq_params)
     return S.ivfpq_topk(
         q, cents_, cents_, indexed, k=5, nprobe=4
@@ -2528,7 +2533,7 @@ def llm_sim_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "embeddings.parquet")
     res_params = {
         "kind": "ivfpq_codes", "cents": f"vec_id<{cents_lt}", "m": 8, "dsub": 8,
-        "residual": True, "partition": "cell",
+        "residual": True, "partition": "cell,sub", "sub_cap": _IVF_SUB_CAP,
     }
     if (
         not os.path.exists(success)
@@ -2538,12 +2543,11 @@ def llm_sim_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         cells = S.ivf_cells(c, cents_)
         res = S.ivf_residuals(c, cells, cents_)
-        S.write_ann_index(
+        split, _ = S.ivf_subsplit(
             S.pq_codes_wide(res.select("c_id", "vec"), cents_).join(cells, "c_id"),
-            idx_path,
-            ["cell"],
-            res_params,
+            cap_rows=_IVF_SUB_CAP,
         )
+        S.write_ann_index(split, idx_path, ["cell", "sub"], res_params)
     indexed = S.load_ann_index(spark, idx_path, res_params)
     return S.ivfpq_topk(
         q, cents_, cents_, indexed, k=5, nprobe=4, residual=True
