@@ -566,3 +566,68 @@ def test_compaction_crash_windows_recover(spark, tmpdir):
     recover_compaction(d)
     assert os.path.isdir(f"{d}/base1")
     assert rows(d) == want
+
+
+def test_compaction_between_stream_runs_preserves_dedup(spark, sf_dir, tmpdir):
+    """Integration of r5's three streaming pillars: a killed
+    incremental-dedup stream, INDEX COMPACTION while it is down (the
+    maintenance window), then resume from the checkpoint — the final
+    pair set must still hash-equal the uninterrupted run (compaction
+    changed layout, not state; batch numbering and the exclude-own-
+    batch replay guard keep working beside the compacted base)."""
+    from mo_etl_spark.streaming import compact_batched, read_batched
+    from mo_etl_spark.suites.streaming_real import (
+        _incr_dedup_apply_batch,
+        _incr_dedup_seed_dirs,
+        _incr_feed,
+    )
+    from mo_etl_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") < 400).select("doc_id", "text")
+    full_feed = _incr_feed(spark, sf_dir)
+
+    idxT, arrT, pairsT = f"{tmpdir}/idxT", f"{tmpdir}/arrT", f"{tmpdir}/pairsT"
+    _incr_dedup_seed_dirs(spark, sf_dir, base, idxT, arrT, pairsT)
+    for i in range(4):
+        _incr_dedup_apply_batch(
+            spark, base, idxT, arrT, pairsT, spark.read.parquet(f"{full_feed}/b{i}"), i
+        )
+    truth = sorted(tuple(r) for r in read_batched(spark, pairsT).collect())
+
+    feed = f"{tmpdir}/staged"
+    os.makedirs(feed)
+    shutil.copytree(f"{full_feed}/b0", f"{feed}/b0")
+    shutil.copytree(f"{full_feed}/b1", f"{feed}/b1")
+    idx, arr, pairs = f"{tmpdir}/idx", f"{tmpdir}/arr", f"{tmpdir}/pairs"
+    ckpt = f"{tmpdir}/ckpt"
+    _incr_dedup_seed_dirs(spark, sf_dir, base, idx, arr, pairs)
+
+    def run():
+        def sink(batch_df, batch_id):
+            _incr_dedup_apply_batch(spark, base, idx, arr, pairs, batch_df, batch_id)
+
+        q = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .format("parquet")
+            .load(feed)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run()  # drains b0, b1; "dies"
+    # maintenance window: compact BOTH state tables while the stream is
+    # down (min_dirs=2 so the 3-dir tables qualify)
+    assert compact_batched(spark, idx, target_bytes=1 << 20, min_dirs=2) > 0
+    assert compact_batched(spark, arr, target_bytes=1 << 20, min_dirs=2) > 0
+    shutil.copytree(f"{full_feed}/b2", f"{feed}/b2")
+    shutil.copytree(f"{full_feed}/b3", f"{feed}/b3")
+    run()  # resume
+
+    assert sorted(tuple(r) for r in read_batched(spark, pairs).collect()) == truth
