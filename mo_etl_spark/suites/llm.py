@@ -4491,3 +4491,89 @@ def llm_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+_SQL_INCR_CDC = f"""
+    WITH corpus AS ({_SQL_INCR_CORPUS}),
+    toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+      FROM corpus
+    ),
+    pos AS (
+      SELECT doc_id, i AS pos, w[i] AS tok
+      FROM toks, unnest(range(1, len(w) + 1)) AS t(i)
+    ),
+    flagged AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN substring(md5(tok), 1, 1) = '0' THEN 1 ELSE 0 END AS b
+      FROM pos
+    ),
+    numbered AS (
+      SELECT doc_id, pos, tok,
+             CAST(coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS chunk_idx
+      FROM flagged
+    ),
+    chunk_tbl AS (
+      SELECT doc_id, chunk_idx,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+      FROM numbered GROUP BY doc_id, chunk_idx
+    )
+    SELECT least(a.doc_id, b.doc_id) AS id_a,
+           greatest(a.doc_id, b.doc_id) AS id_b,
+           CAST(count(DISTINCT a.chunk_hash) AS BIGINT) AS n_shared_chunks
+    FROM chunk_tbl a JOIN chunk_tbl b USING (chunk_hash)
+    WHERE a.doc_id <> b.doc_id
+      AND (a.doc_id >= 400 OR b.doc_id >= 400)
+    GROUP BY 1, 2
+    """
+
+
+@query(
+    "llm_dedup_incremental_cdc",
+    oracle=_SQL_INCR_CDC,
+    tags=("dedup_incremental", "cdc_chunking", "dedup_exact", "incremental_etl"),
+)
+def llm_dedup_incremental_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL chunk-hash dedup — the daily-crawl form of the CDC
+    chunker: the base corpus's chunk-hash table is built once and
+    persisted (mtime-invalidated cache, boundary rule in the key); a
+    new batch is CDC-chunked and its hashes probe index ∪ batch — so
+    only the batch is re-chunked, and every emitted pair has >= 1 new
+    side.  Because CDC boundaries are shift-resistant, a truncated
+    re-crawl shares every full chunk of its surviving prefix with the
+    indexed original — which is exactly what the planted +20000 dups
+    demonstrate.  At 100 TB: the index is ONE (chunk_hash, doc_id)
+    table bucketed by hash, the daily probe is |batch chunks| +
+    matched hashes, never |corpus| (the minhash-incremental cost shape
+    at exact-substring granularity, with no banding machinery)."""
+    import os
+
+    docs = _docs(spark, sf_dir)
+    base = docs.where(F.col("doc_id") < 400).select("doc_id", "text")
+    new_batch = _incr_new_batch(docs)
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    idx_path = os.path.join(
+        "/root/repo/.cache", tag, "cdc_chunk_index__b0_base400"
+    )
+    success = os.path.join(idx_path, "_SUCCESS")
+    src = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(success) or os.path.getmtime(success) < os.path.getmtime(src):
+        X.cdc_chunks(base).select("doc_id", "chunk_hash").write.mode(
+            "overwrite"
+        ).parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+    new_chunks = X.cdc_chunks(new_batch).select("doc_id", "chunk_hash")
+    all_chunks = index.unionByName(new_chunks)
+    return (
+        new_chunks.select(F.col("doc_id").alias("nid"), "chunk_hash")
+        .join(all_chunks.select(F.col("doc_id").alias("oid"), "chunk_hash"), "chunk_hash")
+        .where(F.col("nid") != F.col("oid"))
+        .groupBy(
+            F.least("nid", "oid").alias("id_a"),
+            F.greatest("nid", "oid").alias("id_b"),
+        )
+        .agg(F.countDistinct("chunk_hash").alias("n_shared_chunks"))
+    )
