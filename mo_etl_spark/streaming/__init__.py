@@ -83,17 +83,22 @@ _COMPACT_NEW = ".compact_new"
 _COMPACT_COMMIT = ".compact_commit"
 
 
-def recover_compaction(root: str) -> None:
+def recover_compaction(root: str, reclaim_stale: bool = False) -> None:
     """Complete or discard an interrupted compact_batched swap.
 
     The swap is journaled so every crash window is recoverable:
-    - ``.compact_new`` WITHOUT ``.compact_commit``: the rewrite died
-      mid-build; the old subdirs are intact — discard the partial
-      build.
     - ``.compact_commit`` present: the commit point was reached (the
       rewrite is complete and durable); finish it — delete the listed
-      old subdirs that remain, promote ``.compact_new`` to ``base``,
-      drop the marker.  Idempotent: safe to re-run at any point.
+      old subdirs that remain, promote ``.compact_new`` to its target,
+      drop the marker.  Idempotent: safe to re-run at any point, BY
+      ANYONE (readers included — rolling forward a committed swap is
+      always correct).
+    - ``.compact_new`` WITHOUT ``.compact_commit``: either a crashed
+      mid-build OR a compaction currently running in another process —
+      the two are indistinguishable from the filesystem, so only the
+      COMPACTOR reclaims it (``reclaim_stale=True``, about to rebuild
+      anyway); readers leave it alone and simply don't see it (dot-dir
+      skip), never deleting a live build out from under its writer.
     """
     import shutil
 
@@ -113,7 +118,7 @@ def recover_compaction(root: str) -> None:
         if os.path.isdir(new_dir):
             os.rename(new_dir, os.path.join(root, target))
         os.remove(marker)
-    elif os.path.isdir(new_dir):
+    elif reclaim_stale and os.path.isdir(new_dir):
         shutil.rmtree(new_dir, ignore_errors=True)
 
 
@@ -158,7 +163,7 @@ def compact_batched(
     window in tests/test_streaming.py."""
     import shutil
 
-    recover_compaction(root)
+    recover_compaction(root, reclaim_stale=True)
     subs = sorted(
         d
         for d in os.listdir(root)

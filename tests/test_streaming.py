@@ -529,11 +529,17 @@ def test_compaction_crash_windows_recover(spark, tmpdir):
 
     want = list(range(30))
 
-    # window A: crash mid-build (.compact_new, no marker) -> discard
+    # window A: crash mid-build (.compact_new, no marker) — readers
+    # must IGNORE it (it may be a live build in another process, which
+    # a reader must never delete); only the next compaction reclaims it
+    from mo_etl_spark.streaming import compact_batched
+
     a = fresh("a")
     spark.range(99).selectExpr("id AS v").write.parquet(f"{a}/.compact_new/g0")
     assert rows(a) == want
-    assert not os.path.exists(f"{a}/.compact_new")
+    assert os.path.exists(f"{a}/.compact_new")  # reader left it alone
+    assert compact_batched(spark, a, target_bytes=1 << 20, min_dirs=2) > 0
+    assert rows(a) == want  # reclaim + rebuild: the junk never leaked in
 
     def staged(name):
         """A table frozen at the COMMIT POINT: complete build +
