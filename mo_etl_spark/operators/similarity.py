@@ -39,6 +39,33 @@ from pyspark.sql import functions as F
 INDEX_SIDECAR = "_index_params.json"
 
 
+def index_is_stale(path: str, src: str, expect: dict) -> bool:
+    """Build-if-stale predicate for a cached ANN index (ADVICE r5):
+    True when the index must be rebuilt — missing or older than its
+    source table, sidecar absent (pre-guard build), sidecar unreadable,
+    or ANY expected build param differing from the sidecar's.  The last
+    clause is load-bearing: load_ann_index refuses a param-mismatched
+    index, so a builder that only checks existence would loop forever
+    on a stale cache after a param change (fresh _SUCCESS + old params
+    → load fails → nothing rebuilds).  Putting the params in the
+    REBUILD condition, not just the load guard, closes the loop."""
+    import json
+    import os
+
+    success = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(success) or os.path.getmtime(success) < os.path.getmtime(
+        src
+    ):
+        return True
+    sidecar = os.path.join(path, INDEX_SIDECAR)
+    try:
+        with open(sidecar) as f:
+            got = json.load(f)
+    except (FileNotFoundError, ValueError):
+        return True
+    return any(got.get(k) != v for k, v in expect.items())
+
+
 def write_ann_index(
     df: DataFrame, path: str, partition_cols: list[str], params: dict
 ) -> None:

@@ -1212,14 +1212,10 @@ def _ivf_vec_index(spark: SparkSession, sf_dir: str, cents_lt: int = 16) -> str:
     idx_path = os.path.join(
         "/root/repo/.cache", tag, f"ivf_vec_index__cents_lt{cents_lt}"
     )
-    success = os.path.join(idx_path, "_SUCCESS")
     src = os.path.join(sf_dir, "embeddings.parquet")
-    if (
-        not os.path.exists(success)
-        or os.path.getmtime(success) < os.path.getmtime(src)
-        # pre-guard caches have no param sidecar: rebuild, don't error
-        or not os.path.exists(os.path.join(idx_path, S.INDEX_SIDECAR))
-    ):
+    # param-aware staleness (ADVICE r5): a changed _IVF_SUB_CAP or
+    # centroid spec rebuilds instead of failing the load guard forever
+    if S.index_is_stale(idx_path, src, _ivf_index_params(cents_lt)):
         split, ns = S.ivf_subsplit(
             S.ivf_cells(c, cents_).join(c, "c_id"), cap_rows=_IVF_SUB_CAP
         )
@@ -1586,18 +1582,13 @@ def llm_sim_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_path = os.path.join(
         "/root/repo/.cache", tag, f"lsh_vec_index__p{n_planes}_s{seed}"
     )
-    success = os.path.join(idx_path, "_SUCCESS")
     src = os.path.join(sf_dir, "embeddings.parquet")
     lsh_params = {
         "kind": "lsh_vec", "n_planes": n_planes, "seed": seed, "dim": 64,
         "partition": "bucket",
     }
-    if (
-        not os.path.exists(success)
-        or os.path.getmtime(success) < os.path.getmtime(src)
-        # pre-guard caches have no param sidecar: rebuild, don't error
-        or not os.path.exists(os.path.join(idx_path, S.INDEX_SIDECAR))
-    ):
+    # param-aware staleness (ADVICE r5): plane/seed changes rebuild
+    if S.index_is_stale(idx_path, src, lsh_params):
         c_all = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec"))
         S.write_ann_index(
             S.hyperplane_lsh_buckets(emb, dim=64, n_planes=n_planes, seed=seed)
@@ -2375,18 +2366,13 @@ def llm_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_path = os.path.join(
         "/root/repo/.cache", tag, f"ivfpq_code_index__cents_lt{cents_lt}_m8"
     )
-    success = os.path.join(idx_path, "_SUCCESS")
     src = os.path.join(sf_dir, "embeddings.parquet")
     pq_params = {
         "kind": "ivfpq_codes", "cents": f"vec_id<{cents_lt}", "m": 8, "dsub": 8,
         "residual": False, "partition": "cell,sub", "sub_cap": _IVF_SUB_CAP,
     }
-    if (
-        not os.path.exists(success)
-        or os.path.getmtime(success) < os.path.getmtime(src)
-        # pre-guard caches have no param sidecar: rebuild, don't error
-        or not os.path.exists(os.path.join(idx_path, S.INDEX_SIDECAR))
-    ):
+    # param-aware staleness (ADVICE r5): m/dsub/sub_cap changes rebuild
+    if S.index_is_stale(idx_path, src, pq_params):
         # hot-cell cap at the SCAN level (VERDICT r4 item #2): the code
         # table's ADC scoring is map-side (no per-cell cogroup task),
         # so sub-splitting here bounds PARTITION sizes — a 30% hot cell
@@ -2529,18 +2515,13 @@ def llm_sim_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_path = os.path.join(
         "/root/repo/.cache", tag, f"ivfpq_residual_index__cents_lt{cents_lt}_m8"
     )
-    success = os.path.join(idx_path, "_SUCCESS")
     src = os.path.join(sf_dir, "embeddings.parquet")
     res_params = {
         "kind": "ivfpq_codes", "cents": f"vec_id<{cents_lt}", "m": 8, "dsub": 8,
         "residual": True, "partition": "cell,sub", "sub_cap": _IVF_SUB_CAP,
     }
-    if (
-        not os.path.exists(success)
-        or os.path.getmtime(success) < os.path.getmtime(src)
-        # pre-guard caches have no param sidecar: rebuild, don't error
-        or not os.path.exists(os.path.join(idx_path, S.INDEX_SIDECAR))
-    ):
+    # param-aware staleness (ADVICE r5): m/dsub/sub_cap changes rebuild
+    if S.index_is_stale(idx_path, src, res_params):
         cells = S.ivf_cells(c, cents_)
         res = S.ivf_residuals(c, cells, cents_)
         split, _ = S.ivf_subsplit(

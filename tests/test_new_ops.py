@@ -385,6 +385,27 @@ def test_ann_index_param_guard(spark, tmp_path):
     with pytest.raises(ValueError, match="no _index_params.json"):
         S.load_ann_index(spark, str(tmp_path / "never_built_with_guard"), params)
 
+    # ADVICE r5 (medium): the BUILDER's staleness check must also flip
+    # on a param change — an existence-only rebuild condition leaves a
+    # fresh-_SUCCESS + old-params cache that load_ann_index rejects on
+    # every run, a permanent failure loop nothing ever repairs
+    import os
+    import time
+
+    src = str(tmp_path / "src.txt")
+    with open(src, "w") as f:
+        f.write("corpus")
+    past = time.time() - 3600
+    os.utime(src, (past, past))  # source predates the index build
+    assert not S.index_is_stale(path, src, params)
+    assert S.index_is_stale(path, src, {**params, "seed": 7})  # param drift
+    assert S.index_is_stale(path, src, {**params, "extra": 1})  # new param
+    os.utime(src)  # source newer than the build
+    assert S.index_is_stale(path, src, params)
+    os.utime(src, (past, past))
+    os.remove(os.path.join(path, S.INDEX_SIDECAR))  # pre-guard cache
+    assert S.index_is_stale(path, src, params)
+
     # column guard: handing the LSH index to the IVF server (no cell
     # column) is a plan-time ValueError, not a silent empty result
     q = spark.range(2).select(

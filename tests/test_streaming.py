@@ -279,25 +279,25 @@ def test_incremental_dedup_batch_replay_idempotent(spark, sf_dir, tmpdir):
     idx, arrived, pairs = f"{tmpdir}/idx", f"{tmpdir}/arr", f"{tmpdir}/pairs"
     _incr_dedup_seed_dirs(spark, sf_dir, base, idx, arrived, pairs)
 
-    _incr_dedup_apply_batch(spark, base, idx, arrived, pairs, b0, 0)
+    _incr_dedup_apply_batch(spark, idx, arrived, pairs, b0, 0)
     once = {
         d: _sorted_rows(read_batched(spark, d)) for d in (idx, arrived, pairs)
     }
     assert once[pairs], "expected batch 0 to find pairs"
     # replay batch 0 — a crashed-then-restarted attempt
-    _incr_dedup_apply_batch(spark, base, idx, arrived, pairs, b0, 0)
+    _incr_dedup_apply_batch(spark, idx, arrived, pairs, b0, 0)
     for d in (idx, arrived, pairs):
         assert _sorted_rows(read_batched(spark, d)) == once[d], d
 
     # later batch on the replayed state must equal later batch on the
     # clean state (fresh dirs, no replay)
-    _incr_dedup_apply_batch(spark, base, idx, arrived, pairs, b1, 1)
+    _incr_dedup_apply_batch(spark, idx, arrived, pairs, b1, 1)
     after_b1 = _sorted_rows(read_batched(spark, pairs))
 
     idx2, arr2, pairs2 = f"{tmpdir}/idx2", f"{tmpdir}/arr2", f"{tmpdir}/pairs2"
     _incr_dedup_seed_dirs(spark, sf_dir, base, idx2, arr2, pairs2)
-    _incr_dedup_apply_batch(spark, base, idx2, arr2, pairs2, b0, 0)
-    _incr_dedup_apply_batch(spark, base, idx2, arr2, pairs2, b1, 1)
+    _incr_dedup_apply_batch(spark, idx2, arr2, pairs2, b0, 0)
+    _incr_dedup_apply_batch(spark, idx2, arr2, pairs2, b1, 1)
     assert _sorted_rows(read_batched(spark, pairs2)) == after_b1
 
 
@@ -326,7 +326,7 @@ def test_incremental_dedup_stream_kill_and_resume(spark, sf_dir, tmpdir):
     _incr_dedup_seed_dirs(spark, sf_dir, base, idxT, arrT, pairsT)
     for i in range(4):
         bdf = spark.read.parquet(f"{full_feed}/b{i}")
-        _incr_dedup_apply_batch(spark, base, idxT, arrT, pairsT, bdf, i)
+        _incr_dedup_apply_batch(spark, idxT, arrT, pairsT, bdf, i)
     truth = _sorted_rows(read_batched(spark, pairsT))
 
     # --- staged feed: two files, kill, plant crash debris, resume ---
@@ -340,7 +340,7 @@ def test_incremental_dedup_stream_kill_and_resume(spark, sf_dir, tmpdir):
 
     def run_stream():
         def sink(batch_df, batch_id):
-            _incr_dedup_apply_batch(spark, base, idx, arr, pairs, batch_df, batch_id)
+            _incr_dedup_apply_batch(spark, idx, arr, pairs, batch_df, batch_id)
 
         q = (
             spark.readStream.schema("doc_id BIGINT, text STRING")
@@ -488,30 +488,32 @@ def test_incremental_dedup_replay_split_property(spark, sf_dir, tmpdir, seed):
     idx, arr, pairs = f"{tmpdir}/idx", f"{tmpdir}/arr", f"{tmpdir}/pairs"
     _incr_dedup_seed_dirs(spark, sf_dir, base, idx, arr, pairs)
     for i, b in enumerate(batches):
-        _incr_dedup_apply_batch(spark, base, idx, arr, pairs, b, i)
+        _incr_dedup_apply_batch(spark, idx, arr, pairs, b, i)
         if i in replayed:  # at-least-once: same batch applied again
-            _incr_dedup_apply_batch(spark, base, idx, arr, pairs, b, i)
+            _incr_dedup_apply_batch(spark, idx, arr, pairs, b, i)
     got = sorted(tuple(r) for r in read_batched(spark, pairs).collect())
 
     idx1, arr1, p1 = f"{tmpdir}/idx1", f"{tmpdir}/arr1", f"{tmpdir}/pairs1"
     _incr_dedup_seed_dirs(spark, sf_dir, base, idx1, arr1, p1)
-    _incr_dedup_apply_batch(spark, base, idx1, arr1, p1, new, 0)
+    _incr_dedup_apply_batch(spark, idx1, arr1, p1, new, 0)
     want = sorted(tuple(r) for r in read_batched(spark, p1).collect())
     assert got == want, (seed, n_parts, sorted(replayed))
 
 
 def test_compaction_crash_windows_recover(spark, tmpdir):
-    """Every crash window of the journaled compaction swap must leave
-    the table recoverable to EXACTLY its pre- or post-compaction rows
-    (never less): before the commit marker the partial build is
-    discarded; from the marker on, recovery rolls forward — including
-    the window where the build was already promoted and the victims
-    list still names the OLD base (the generation-suffixed target must
-    not be mistaken for a victim)."""
+    """Every crash window of the MANIFEST-COMMIT compaction must leave
+    every reader seeing exactly the pre- or post-compaction rows with
+    NO reader-side repair step: before the manifest write nothing
+    changes for readers (the in-flight build and a
+    promoted-but-uncommitted base generation are both invisible); from
+    the manifest write on, the new base is live and consumed dirs are
+    excluded even when their deletion crashed.  Readers never delete,
+    rename, or rewrite anything — so concurrent readers cannot race a
+    live compactor or each other (ADVICE r5)."""
     from mo_etl_spark.streaming import (
+        compact_batched,
         idempotent_batch_write,
         read_batched,
-        recover_compaction,
     )
 
     def fresh(name):
@@ -529,49 +531,95 @@ def test_compaction_crash_windows_recover(spark, tmpdir):
 
     want = list(range(30))
 
-    # window A: crash mid-build (.compact_new, no marker) — readers
+    # window A: crash mid-build (.compact_new, no manifest) — readers
     # must IGNORE it (it may be a live build in another process, which
     # a reader must never delete); only the next compaction reclaims it
-    from mo_etl_spark.streaming import compact_batched
-
     a = fresh("a")
     spark.range(99).selectExpr("id AS v").write.parquet(f"{a}/.compact_new/g0")
     assert rows(a) == want
     assert os.path.exists(f"{a}/.compact_new")  # reader left it alone
     assert compact_batched(spark, a, target_bytes=1 << 20, min_dirs=2) > 0
     assert rows(a) == want  # reclaim + rebuild: the junk never leaked in
+    assert not os.path.exists(f"{a}/.compact_new")
 
-    def staged(name):
-        """A table frozen at the COMMIT POINT: complete build +
-        marker, victims not yet deleted."""
-        root = fresh(name)
-        subs = sorted(d for d in os.listdir(root) if not d.startswith("."))
-        spark.read.parquet(*[f"{root}/{d}" for d in subs]).coalesce(1).write.parquet(
-            f"{root}/.compact_new/g0"
-        )
-        with open(f"{root}/.compact_commit", "w") as f:
-            f.write("\n".join(["target=base1", *subs]))
-        return root, subs
-
-    # window B: marker written, nothing deleted -> roll forward
-    b, _ = staged("b")
+    # window B: build PROMOTED to base1, crash BEFORE the manifest
+    # write — base1 is inert (readers only trust manifest-named base
+    # generations), the original dirs are still the table; the next
+    # compaction garbage-collects the orphan and rebuilds
+    b = fresh("b")
+    subs = sorted(d for d in os.listdir(b) if not d.startswith("."))
+    spark.read.parquet(*[f"{b}/{d}" for d in subs]).coalesce(1).write.parquet(
+        f"{b}/base1"
+    )
+    assert rows(b) == want  # NOT doubled: orphan base1 invisible
+    assert compact_batched(spark, b, target_bytes=1 << 20, min_dirs=2) > 0
     assert rows(b) == want
-    assert os.path.isdir(f"{b}/base1") and not os.path.exists(f"{b}/.compact_commit")
 
-    # window C: marker written, SOME victims deleted -> roll forward
-    c, subs = staged("c")
-    shutil.rmtree(f"{c}/{subs[0]}")
+    # window C: manifest committed, victim deletion crashed — the
+    # manifest excludes the leftover dir, and a later compaction
+    # garbage-collects it (consumed list carries forward)
+    c = fresh("c")
+    assert compact_batched(spark, c, target_bytes=1 << 20, min_dirs=2) > 0
+    idempotent_batch_write(  # resurrect a victim: deletion "crashed"
+        spark.range(0, 10).select(F.col("id").alias("v")), c, 0
+    )
+    assert rows(c) == want  # excluded by manifest, not double-read
+    assert compact_batched(spark, c, target_bytes=1 << 20, min_dirs=1) > 0
+    assert not os.path.isdir(f"{c}/b0")  # GC'd on the next run
     assert rows(c) == want
 
-    # window D: build promoted, marker not yet removed -> victims
-    # swept, promoted base kept (the old-base-in-victims trap)
-    d, subs = staged("d")
-    for s in subs:
-        shutil.rmtree(f"{d}/{s}")
-    os.rename(f"{d}/.compact_new", f"{d}/base1")
-    recover_compaction(d)
-    assert os.path.isdir(f"{d}/base1")
-    assert rows(d) == want
+    # a corrupt manifest is a NAMED failure, never a silent misread
+    # (an fsync'd tmp+rename write can't produce one — this is the
+    # outside-interference path)
+    d = fresh("d")
+    assert compact_batched(spark, d, target_bytes=1 << 20, min_dirs=2) > 0
+    with open(f"{d}/_MANIFEST", "w") as f:
+        f.write("")
+    with pytest.raises(ValueError, match="manifest"):
+        read_batched(spark, d)
+
+    # an empty/unseeded table: named error, or a typed empty read
+    e = f"{tmpdir}/empty"
+    os.makedirs(e)
+    with pytest.raises(ValueError, match="no live"):
+        read_batched(spark, e)
+    assert read_batched(spark, e, schema="v BIGINT").count() == 0
+
+
+def test_maintain_batched_bounds_live_dirs_long_run(spark, tmpdir):
+    """AUTO-maintenance policy (VERDICT r5 item #3): a 24-trigger run
+    with maintain_batched in each maintenance window keeps the live
+    dir count bounded at max_dirs FOREVER (no one has to remember to
+    compact), preserves contents exactly, and keeps the probe-key
+    partition layout prunable end to end."""
+    from mo_etl_spark.streaming import (
+        _live_dirs,
+        idempotent_batch_write,
+        maintain_batched,
+        read_batched,
+    )
+
+    root = f"{tmpdir}/t"
+    want = []
+    for b in range(24):
+        df = spark.range(b * 5, b * 5 + 5).select(
+            F.col("id").alias("v"), F.pmod("id", F.lit(4)).alias("db")
+        )
+        idempotent_batch_write(df, root, b, partition_cols=["db"])
+        want.extend(range(b * 5, b * 5 + 5))
+        maintain_batched(spark, root, max_dirs=6, partition_cols=["db"])
+        assert len(_live_dirs(root)) <= 6  # bounded listing, always
+    got = sorted(
+        r["v"] for r in read_batched(spark, root, partitioned=True).collect()
+    )
+    assert got == sorted(want)
+    # partition layout survived every compaction: db still prunes
+    f2 = read_batched(spark, root, partitioned=True).where(F.col("db") == 2)
+    plan = f2._jdf.queryExecution().toString()
+    assert "PartitionFilters: [" in plan
+    assert sorted(r["v"] for r in f2.collect()) == sorted(
+        v for v in want if v % 4 == 2
+    )
 
 
 def test_compaction_between_stream_runs_preserves_dedup(spark, sf_dir, tmpdir):
@@ -597,7 +645,7 @@ def test_compaction_between_stream_runs_preserves_dedup(spark, sf_dir, tmpdir):
     _incr_dedup_seed_dirs(spark, sf_dir, base, idxT, arrT, pairsT)
     for i in range(4):
         _incr_dedup_apply_batch(
-            spark, base, idxT, arrT, pairsT, spark.read.parquet(f"{full_feed}/b{i}"), i
+            spark, idxT, arrT, pairsT, spark.read.parquet(f"{full_feed}/b{i}"), i
         )
     truth = sorted(tuple(r) for r in read_batched(spark, pairsT).collect())
 
@@ -611,7 +659,7 @@ def test_compaction_between_stream_runs_preserves_dedup(spark, sf_dir, tmpdir):
 
     def run():
         def sink(batch_df, batch_id):
-            _incr_dedup_apply_batch(spark, base, idx, arr, pairs, batch_df, batch_id)
+            _incr_dedup_apply_batch(spark, idx, arr, pairs, batch_df, batch_id)
 
         q = (
             spark.readStream.schema("doc_id BIGINT, text STRING")
@@ -629,9 +677,20 @@ def test_compaction_between_stream_runs_preserves_dedup(spark, sf_dir, tmpdir):
 
     run()  # drains b0, b1; "dies"
     # maintenance window: compact BOTH state tables while the stream is
-    # down (min_dirs=2 so the 3-dir tables qualify)
-    assert compact_batched(spark, idx, target_bytes=1 << 20, min_dirs=2) > 0
-    assert compact_batched(spark, arr, target_bytes=1 << 20, min_dirs=2) > 0
+    # down (min_dirs=2 so the 3-dir tables qualify) — PRESERVING the
+    # probe-key partition layout the stream's pruned reads depend on
+    assert (
+        compact_batched(
+            spark, idx, target_bytes=1 << 20, min_dirs=2, partition_cols=["ib"]
+        )
+        > 0
+    )
+    assert (
+        compact_batched(
+            spark, arr, target_bytes=1 << 20, min_dirs=2, partition_cols=["db"]
+        )
+        > 0
+    )
     shutil.copytree(f"{full_feed}/b2", f"{feed}/b2")
     shutil.copytree(f"{full_feed}/b3", f"{feed}/b3")
     run()  # resume
