@@ -26,6 +26,15 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     qs = entrymod.queries()
     names = HEADLINE or list(qs)
+    # stream_real_* runs LAST (VERDICT r5 item #5): the multi-trigger
+    # streams are the queries most sensitive to session/host churn
+    # (state-store init, trigger scheduling), and mid-bench readings
+    # of them have measured 3x their solo-warm walls; tail position +
+    # the retime pass below keeps their recorded numbers within the
+    # solo-warm regime round-over-round
+    names = [n for n in names if not n.startswith("stream_real_")] + [
+        n for n in names if n.startswith("stream_real_")
+    ]
 
     # one-time warmup (untimed): JVM codegen, parquet reader, and the
     # Arrow python-worker pool all pay a first-use cost that would
@@ -67,16 +76,18 @@ def main() -> None:
     # cache cold-starts / JIT / a transient co-tenant stop looking
     # like regressions.  ~+1 min total; full min-of-2 would double the
     # bench wall for queries nobody compares.
+    # stream_real_* are ALWAYS retime candidates (VERDICT r5 item #5):
+    # their first-pass walls carry the most session noise, and their
+    # pipelines are re-execution-safe by design (uuid-fresh scratch
+    # dirs per invocation, replay-idempotent sinks) — the recorded
+    # number is then a warm reading comparable to a solo re-time, with
+    # the discarded first run kept in retimed_first_runs for the
+    # contention signal
+    stream_names = [n for n in timings if n.startswith("stream_real_")]
+    slowest_20 = sorted(timings, key=lambda k: -timings[k])[:20]
     retimed: dict[str, float] = {}
-    for name in sorted(timings, key=lambda k: -timings[k])[:20]:
+    for name in dict.fromkeys([*slowest_20, *stream_names]):
         if timings[name] < 0:
-            continue
-        # stream_real_* queries rewrite scratch/index dirs per run —
-        # idempotent today (uuid scratch dirs), but re-executing a
-        # side-effecting pipeline in the retime loop buys little and
-        # is easy to regress (ADVICE r4): their first-run walls are
-        # dominated by fixed trigger-scheduling constants anyway
-        if name.startswith("stream_real_"):
             continue
         t0 = time.time()
         try:

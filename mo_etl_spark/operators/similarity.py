@@ -557,6 +557,7 @@ def kmeanspp_seeds(
     vec_col: str = "embedding",
     round_digits: int = 6,
     sample_cap: int = 4096,
+    metric: str = "cos",
 ) -> DataFrame:
     """Deterministic k-means++-style FARTHEST-POINT seeding (VERDICT
     r4 item #5) — RNG-free and SQL-replayable, unlike classic
@@ -580,6 +581,12 @@ def kmeanspp_seeds(
     Farthest-point spreading provably 2-approximates the k-center
     objective (Gonzalez 1985), which is what balanced-ish coarse cells
     need.
+
+    ``metric``: ``"cos"`` (the coarse-quantizer default; zero-norm
+    vectors score similarity 0.0 instead of dividing by zero) or
+    ``"l2"`` — similarity = −rounded squared-L2, the right spread for
+    PQ SUB-quantizer seeding where subvectors may be zero and the
+    downstream Lloyd's assignment is squared-L2 (pq_train_codebooks).
 
     PARITY: the greedy loop runs driver-side over the collected sample
     (<= sample_cap · dim doubles) in pure Python with LEFT-TO-RIGHT
@@ -616,12 +623,26 @@ def kmeanspp_seeds(
         nb = 0.0
         for y in b:
             nb = nb + y * y
+        if na == 0.0 or nb == 0.0:
+            return 0.0  # zero-norm: no direction, no similarity
         return _round_half_away_scalar(
             da / ((na**0.5) * (nb**0.5)), round_digits
         )
 
+    def _negl2(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return -_round_half_away_scalar(acc, round_digits)
+
+    if metric == "cos":
+        _sim = _cos
+    elif metric == "l2":
+        _sim = _negl2
+    else:
+        raise ValueError(f"unknown kmeanspp metric {metric!r} (cos | l2)")
     picked = [0]  # index into the sample; seed 1 = first in md5 order
-    best = [_cos(v, vecs[0]) for v in vecs]
+    best = [_sim(v, vecs[0]) for v in vecs]
     for _ in range(min(k, len(rows)) - 1):
         # argmin of best over non-picked, ties -> smaller id
         cand = min(
@@ -630,7 +651,7 @@ def kmeanspp_seeds(
         )
         picked.append(cand)
         for i, v in enumerate(vecs):
-            c = _cos(v, vecs[cand])
+            c = _sim(v, vecs[cand])
             if c > best[i]:
                 best[i] = c
     spark = corpus.sparkSession
@@ -722,6 +743,111 @@ def kmeans_train(
             .localCheckpoint()
         )
     return cents
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    dsub: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    c_id: str = "c_id",
+    vec: str = "vec",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-subspace k-means-TRAINED PQ codebooks (Jégou, Douze &
+    Schmid 2011 §II: m independent sub-quantizers) — the quality step
+    the untrained contract codebooks deliberately skip (VERDICT r5
+    item #2).  Deterministic end to end, reusing the repo's quantizer
+    discipline:
+
+    - seeding: per subspace, the same hash-seeded farthest-point
+      spread as the coarse quantizer (kmeanspp_seeds over the
+      subvectors — md5-ordered sample, driver-side greedy, bounded by
+      sample_cap), codes renumbered 0..k-1 by picked vector id;
+    - Lloyd's: ``iters`` fixed iterations, ALL m subspaces advanced in
+      ONE distributed job per iteration — assignment by squared-L2 to
+      the broadcast (s, code) codebook (ties -> lowest code), update =
+      per-dimension mean rounded to ``round_digits``; a code that
+      loses all members keeps its previous entry (deterministic, no
+      collapse);
+    - packing: the m codebooks return as ``k_codes`` synthetic
+      FULL-dimension vectors (entry j's dims [s·dsub, (s+1)·dsub) are
+      code j of subspace s) — exactly the shape pq_codes_wide /
+      pq_lut_wide split back apart, so trained codebooks ride the
+      identical serving plumbing and plans as the contract set.
+
+    Scale: per iteration one broadcast join over (n·m) subvector rows
+    + one (s, code, dim) aggregation of k·m·dsub output rows; seeding
+    collects are sample_cap-bounded.  Returns (cent_id, ``vec``)."""
+    spark = corpus.sparkSession
+    sub = _pq_sub_split(
+        corpus.select(F.col(c_id), as_double(F.col(vec)).alias("_dv")),
+        "m_id",
+        "mv",
+        "_dv",
+        m,
+        dsub,
+    )
+    seed_rows: list[tuple[int, int, list[float]]] = []
+    for s in range(m):
+        picks = kmeanspp_seeds(
+            sub.where(F.col("s") == s).select("m_id", "mv"),
+            k_codes,
+            id_col="m_id",
+            vec_col="mv",
+            round_digits=round_digits,
+            metric="l2",
+        ).collect()
+        # code labels 0..k-1 by picked vector id: deterministic and
+        # label-irrelevant (codes are names, not values)
+        for j, r in enumerate(sorted(picks, key=lambda r: r["cent_id"])):
+            seed_rows.append((s, j, [float(x) for x in r["cv"]]))
+    cb = spark.createDataFrame(
+        seed_rows, "s INT, code BIGINT, cv ARRAY<DOUBLE>"
+    ).localCheckpoint()
+    body = sub.localCheckpoint()  # scanned once per iteration
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with("mv", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        round_digits,
+    )
+    for _ in range(iters):
+        assigned = (
+            body.join(F.broadcast(cb), "s")
+            .select("m_id", "s", "mv", "code", d2.alias("d2"))
+            .groupBy("m_id", "s")
+            .agg(
+                F.min_by("code", F.struct("d2", "code")).alias("code"),
+                F.any_value("mv").alias("mv"),  # constant within group
+            )
+        )
+        means = (
+            assigned.select("s", "code", F.posexplode("mv").alias("pos", "x"))
+            .groupBy("s", "code", "pos")
+            .agg(F.round(F.avg("x"), round_digits).alias("val"))
+            .groupBy("s", "code")
+            .agg(F.sort_array(F.collect_list(F.struct("pos", "val"))).alias("pv"))
+            .select("s", "code", F.expr("transform(pv, p -> p.val)").alias("new_cv"))
+        )
+        cb = (
+            cb.join(means, ["s", "code"], "left")
+            .select(
+                "s", "code", F.coalesce("new_cv", "cv").alias("cv")
+            )
+            .localCheckpoint()
+        )
+    return (
+        cb.groupBy("code")
+        .agg(F.sort_array(F.collect_list(F.struct("s", "cv"))).alias("sc"))
+        .select(
+            F.col("code").alias("cent_id"),
+            F.flatten(F.expr("transform(sc, x -> x.cv)")).alias(vec),
+        )
+    )
 
 
 def threshold_pairs(

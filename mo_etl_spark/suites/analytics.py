@@ -756,14 +756,22 @@ def graph_pagerank_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     6 dp: float-sum ordering divergence across engines is ~1e-12 after
     8 iterations, far inside the rounding guard.
 
-    Scale: the edge list is shuffled ONCE onto src and reused by every
-    iteration (edges_deg below); at 100 TB you would persist
-    edges_deg partitioned by src and checkpoint ranks every few
-    iterations to cut lineage — noted, not needed at bench scale.  The
-    oracle unrolls the same 8 iterations as chained CTEs.  Core:
-    operators/graph.py pagerank (stress-tested at millions of edges).
+    Scale ROUTING (VERDICT r5 item #4): below the gate the edge list
+    is shuffled ONCE onto src and reused by every iteration
+    (pagerank's checkpoint form — one narrow contribution shuffle per
+    iteration); past ~5 GB of lineitem (a free file-size stat, no
+    count job) the query routes through pagerank_bucketed — the
+    degree-annotated edges persist once as a dst-BUCKETED table and
+    every iteration's contribution aggregate is EXCHANGE-FREE
+    (plan-pinned in tests/test_plans.py; pagerank_8it was the worst
+    30× scaler at 18.5×, and the per-iteration shuffle is what grows).
+    Both routes compute identical ranks (unit-pinned).  The oracle
+    unrolls the same 8 iterations as chained CTEs.  Core:
+    operators/graph.py pagerank / pagerank_bucketed.
     """
-    from mo_etl_spark.operators.graph import pagerank
+    import os
+
+    from mo_etl_spark.operators.graph import pagerank, pagerank_bucketed
 
     li = _t(spark, sf_dir, "lineitem")
     e0 = (
@@ -774,7 +782,19 @@ def graph_pagerank_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     edges = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    ranks = pagerank(edges, iters=_PR_ITERS, d=_PR_D)
+    src_path = os.path.join(sf_dir, "lineitem.parquet")
+    src_bytes = sum(
+        os.path.getsize(os.path.join(dp, n))
+        for dp, _, names in os.walk(src_path)
+        for n in names
+    ) if os.path.isdir(src_path) else os.path.getsize(src_path)
+    if src_bytes > (5 << 30):
+        tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
+        ranks = pagerank_bucketed(
+            edges, iters=_PR_ITERS, d=_PR_D, table=f"pr_edges_supply_{tag}"
+        )
+    else:
+        ranks = pagerank(edges, iters=_PR_ITERS, d=_PR_D)
     nn = edges.select(F.col("src").alias("node")).distinct().agg(
         F.count("*").alias("n")
     )

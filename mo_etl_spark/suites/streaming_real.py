@@ -1280,6 +1280,203 @@ def dedup_oracle(corpus_sql: str) -> str:
 _wire_incr_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Streamed CDC-chunk incremental dedup (VERDICT r5 item #7): the
+# chunk-hash index run under the same idempotent-sink + probe-keyed
+# discipline as the minhash stream — crash-replayable AND
+# bucket-pruned, closing the "batch-only, index not hash-partitioned"
+# caveats in one shape.
+# ---------------------------------------------------------------------------
+
+#: chunk-hash index buckets — same production sizing rule as _INCR_IB
+_CDC_HB = 32
+
+
+def _cdc_bucket(n_hb: int):
+    return F.pmod(F.xxhash64("chunk_hash"), F.lit(int(n_hb)))
+
+
+def _incr_cdc_seed_dirs(
+    spark: SparkSession,
+    sf_dir: str,
+    base: DataFrame,
+    idx_dir: str,
+    pairs_dir: str,
+    base_lt: int = 400,
+    n_hb: int = _CDC_HB,
+) -> None:
+    """Pre-stream CDC state: the base corpus's (doc_id, chunk_hash)
+    index PARTITIONED by hb = pmod(xxhash64(chunk_hash), n_hb) — the
+    probe key — cached per sf (boundary rule + bucket count in the
+    key) and file-copied into the run dir's ``base`` subdir; pairs
+    get an empty seed.  No arrived-docs table at all: chunk-hash
+    dedup verifies by hash equality, so the index IS the state."""
+    from mo_etl_spark.operators import text as X
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    snap = os.path.join(
+        _CACHE, tag, f"stream_base_cdc_index__b0_base{base_lt}_hb{n_hb}"
+    )
+    success = os.path.join(snap, "_SUCCESS")
+    src = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(success) or os.path.getmtime(success) < os.path.getmtime(
+        src
+    ):
+        X.cdc_chunks(base).select("doc_id", "chunk_hash").withColumn(
+            "hb", _cdc_bucket(n_hb)
+        ).repartition(F.col("hb")).write.mode("overwrite").partitionBy(
+            "hb"
+        ).parquet(snap)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    os.makedirs(idx_dir, exist_ok=True)
+    shutil.copytree(snap, os.path.join(idx_dir, "base"))
+    shutil.rmtree(pairs_dir, ignore_errors=True)
+    spark.createDataFrame(
+        [], "id_a BIGINT, id_b BIGINT, n_shared_chunks BIGINT"
+    ).write.mode("overwrite").parquet(os.path.join(pairs_dir, "base"))
+
+
+def _incr_cdc_apply_batch(
+    spark: SparkSession,
+    idx_dir: str,
+    pairs_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    n_hb: int = _CDC_HB,
+    plan_probe: dict | None = None,
+) -> None:
+    """One micro-batch of the streamed CDC-chunk dedup — the same two
+    guarantees as _incr_dedup_apply_batch:
+
+    - REPLAY-IDEMPOTENT: the batch is chunked once (checkpointed);
+      its chunks overwrite ``idx/b<id>`` FIRST, then the probe reads
+      run — a replayed batch rewrites identical state before any
+      read, and the index probe excludes its own subdir (the batch's
+      chunks join via the in-memory table instead);
+    - MATCHED-BUCKET READS: the index scan carries a static
+      ``hb IN (...)`` partition filter from the batch's own ≤
+      min(|batch chunks|, n_hb) collected bucket values, pushed
+      through the per-batch-dir union — per-trigger cost is
+      |batch chunks| + matched hash buckets, never |index|.
+
+    Pair completeness under ANY batch split: a pair lands exactly in
+    the trigger of its LATER member, where the index holds ALL of the
+    earlier doc's chunks and the batch all of the newer one's — so
+    n_shared_chunks is complete and the per-batch union equals the
+    one-shot run (the oracle hash-checks exactly this)."""
+    from mo_etl_spark.operators import text as X
+
+    b = batch_df.localCheckpoint(eager=True)
+    chunks = (
+        X.cdc_chunks(b).select("doc_id", "chunk_hash").localCheckpoint(eager=True)
+    )
+    idempotent_batch_write(
+        chunks.withColumn("hb", _cdc_bucket(n_hb)),
+        idx_dir,
+        batch_id,
+        partition_cols=["hb"],
+    )
+    hb_vals = sorted(
+        r["hb"]
+        for r in chunks.select(_cdc_bucket(n_hb).alias("hb")).distinct().collect()
+    )
+    index = (
+        read_batched(spark, idx_dir, exclude_batch=batch_id, partitioned=True)
+        .where(F.col("hb").isin(hb_vals) if hb_vals else F.lit(False))
+        .select("doc_id", "chunk_hash")
+    )
+    all_chunks = index.unionByName(chunks)
+    pairs = (
+        chunks.select(F.col("doc_id").alias("nid"), "chunk_hash")
+        .join(
+            all_chunks.select(F.col("doc_id").alias("oid"), "chunk_hash"),
+            "chunk_hash",
+        )
+        .where(F.col("nid") != F.col("oid"))
+        .groupBy(
+            F.least("nid", "oid").alias("id_a"),
+            F.greatest("nid", "oid").alias("id_b"),
+        )
+        .agg(F.countDistinct("chunk_hash").alias("n_shared_chunks"))
+    )
+    if plan_probe is not None:
+        plan_probe["probe"] = pairs._jdf.queryExecution().toString()
+    idempotent_batch_write(pairs, pairs_dir, batch_id)
+
+
+@query(
+    "stream_real_incremental_cdc",
+    oracle=None,  # wired below: shares llm_dedup_incremental_cdc's oracle
+    tags=(
+        "dedup_incremental",
+        "cdc_chunking",
+        "dedup_exact",
+        "update_mode",
+        "foreachBatch_etl",
+        "stream_source",
+        "incremental_etl",
+    ),
+)
+@_stream_tuned
+def stream_real_incremental_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC chunk-hash dedup pipeline as a GENUINE STREAM (VERDICT
+    r5 item #7): the persisted chunk-hash index over the 400-doc base
+    corpus is probed AND upserted by a foreachBatch loop over the
+    4-file crawl feed, one file per trigger.  Per micro-batch: chunk
+    the batch, upsert its (doc_id, chunk_hash) rows into the
+    hb-partitioned index, probe matched hash buckets for shared
+    chunks, append complete pairs.  Same replay-idempotence +
+    probe-keyed-state mechanisms as stream_real_incremental_dedup
+    (per-batch overwrite subdirs, write-before-read, static bucket
+    pruning — plan-pinned in tests/test_plans.py); the DuckDB oracle
+    is the batch twin's (llm_dedup_incremental_cdc), hash-checking
+    that the streamed chain — chunking, upsert ordering, probe, pair
+    counting — converges to the one-shot incremental run."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") < 400).select("doc_id", "text")
+    feed = _incr_feed(spark, sf_dir)
+    ckpt = _scratch("incr_cdc_ckpt")
+    idx_dir = _scratch("incr_cdc_index")
+    pairs_dir = _scratch("incr_cdc_pairs")
+    _incr_cdc_seed_dirs(spark, sf_dir, base, idx_dir, pairs_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        _incr_cdc_apply_batch(spark, idx_dir, pairs_dir, batch_df, batch_id)
+
+    q = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .format("parquet")
+        .load(feed)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return read_batched(spark, pairs_dir).select("id_a", "id_b", "n_shared_chunks")
+
+
+def _wire_cdc_oracle() -> None:
+    from mo_etl_spark.registry import QUERIES, QuerySpec
+    from mo_etl_spark.suites.llm import _SQL_INCR_CDC
+
+    spec = QUERIES["stream_real_incremental_cdc"]
+    QUERIES["stream_real_incremental_cdc"] = QuerySpec(
+        name=spec.name,
+        fn=spec.fn,
+        oracle=_SQL_INCR_CDC,
+        tags=spec.tags,
+    )
+
+
+_wire_cdc_oracle()
+
+
 def _ivf_query_feed(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     """The serving feed: the 50 contract queries (vec_id < 50) split
     into ``n_files`` parquet files by pmod(vec_id, n) — per-query

@@ -419,6 +419,36 @@ def test_pq_recall_vs_exact_topk(spark):
     assert recall > 0.08, recall
 
 
+def test_trained_pq_codebooks_beat_untrained(spark):
+    """VERDICT r5 item #2: k-means-trained per-subspace codebooks
+    (m=8 × 256 codes, L2 kpp seeding + 2 Lloyd's iterations) must
+    beat the untrained contract codebooks on recall@5 AND clear the
+    raised 0.35 gate bound — for BOTH the flat and the residual
+    (IVFADC) form, where trained-on-residuals codebooks must recover
+    the paper's residual advantage that untrained ones invert."""
+    from mo_etl_spark.suites.llm import (
+        _recall_assert,
+        _trained_ivfpq_topk,
+        llm_sim_ivfpq_topk,
+    )
+
+    SF = "/root/testdata/sf0.001"
+
+    def ok(df):
+        row = df.collect()[0]
+        return bool(row["recall_ok"])
+
+    trained = _trained_ivfpq_topk(spark, SF, residual=False)
+    trained_res = _trained_ivfpq_topk(spark, SF, residual=True)
+    assert ok(_recall_assert(spark, SF, trained, bound=0.35))
+    assert ok(_recall_assert(spark, SF, trained_res, bound=0.35))
+    # discrimination: the untrained pipeline must NOT clear the new
+    # bound — i.e. a silent fallback to contract codebooks trips the
+    # gate instead of passing it
+    untrained = llm_sim_ivfpq_topk(spark, SF)
+    assert not ok(_recall_assert(spark, SF, untrained, bound=0.35))
+
+
 def test_winnow_fingerprint_guarantee(spark):
     """MOSS winnowing invariants: (1) an exact copy shares every
     fingerprint; (2) two docs sharing a run of >= k + w - 1 tokens
