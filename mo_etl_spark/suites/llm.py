@@ -542,36 +542,50 @@ def llm_dedup_incremental_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     (db = pmod(doc_id, 16)), and exact-Jaccard verification reads only
     the partitions holding candidate docs — Dynamic Partition Pruning
     off the broadcast candidate set, plan-pinned in
-    tests/test_plans.py.  Same pipeline, same oracle, identical pair
-    set as llm_dedup_incremental_minhash (the bucket key is pure
-    pmod(id), so the added equi-condition cannot change the join) —
-    what changes is the 100-TB cost shape: a daily batch pays
-    |batch| + matched buckets of the corpus table, never a full
-    corpus scan."""
+    tests/test_plans.py.  The band INDEX is likewise persisted
+    partitioned by its probe key ib = pmod(xxhash64(band, bk), 32)
+    (r6: the "index sits bucketed by (band, bk)" docstring claim, now
+    mechanized like the stream's) and the probe reads only the
+    batch's own band buckets via a static ``ib IN (...)`` filter.
+    Same pipeline, same oracle, identical pair set as
+    llm_dedup_incremental_minhash (both bucket keys are pure
+    functions of join keys, so the added conditions cannot change
+    either join) — what changes is the 100-TB cost shape: a daily
+    batch pays |batch| + matched buckets of both tables, never a full
+    scan of either."""
     import os
 
     docs = _docs(spark, sf_dir)
     base = docs.where(F.col("doc_id") < 400).select("doc_id", "text")
     new_batch = _incr_new_batch(docs)
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    k, bands, base_lt, nb = 16, 8, 400, 16
+    k, bands, base_lt, nb, n_ib = 16, 8, 400, 16, 32
     idx_path = os.path.join(
-        "/root/repo/.cache", tag, f"minhash_band_index__k{k}_b{bands}_base{base_lt}"
+        "/root/repo/.cache",
+        tag,
+        f"minhash_band_index__k{k}_b{bands}_base{base_lt}_ib{n_ib}",
     )
     # bucket-partitioned corpus snapshot (the persisted table a daily
-    # pipeline maintains); cache key carries the bucket count so a
+    # pipeline maintains); cache keys carry the bucket counts so a
     # layout change can never probe a stale table
     corp_path = os.path.join(
         "/root/repo/.cache", tag, f"incr_corpus_bucketed__nb{nb}_base{base_lt}"
     )
     src = os.path.join(sf_dir, "documents.parquet")
-    for path, build in (
-        (idx_path, lambda: D.minhash_md5_band_index(base, k=k, bands=bands)),
+    for path, build, pcol in (
+        (
+            idx_path,
+            lambda: D.minhash_md5_band_index(base, k=k, bands=bands).withColumn(
+                "ib", D.band_bucket("band", "bk", n_ib)
+            ),
+            "ib",
+        ),
         (
             corp_path,
             lambda: base.unionByName(new_batch).withColumn(
                 "db", F.pmod("doc_id", F.lit(nb))
             ),
+            "db",
         ),
     ):
         success = os.path.join(path, "_SUCCESS")
@@ -579,11 +593,25 @@ def llm_dedup_incremental_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             src
         ):
             df = build()
-            w = df.write.mode("overwrite")
-            if path is corp_path:
-                w = w.partitionBy("db")
-            w.parquet(path)
-    index = spark.read.parquet(idx_path)
+            df.repartition(F.col(pcol)).write.mode("overwrite").partitionBy(
+                pcol
+            ).parquet(path)
+    # the batch's own band buckets: a bounded collect (≤ min(bands ×
+    # |batch|, n_ib) values) — the banding plan is NOT checkpointed,
+    # so its source filters keep the DPP build side selective (the
+    # Filter-node constraint pinned in tests/test_plans.py)
+    banded = D.minhash_md5_band_index(new_batch, k=k, bands=bands)
+    ib_vals = sorted(
+        r["ib"]
+        for r in banded.select(D.band_bucket("band", "bk", n_ib).alias("ib"))
+        .distinct()
+        .collect()
+    )
+    index = (
+        spark.read.parquet(idx_path)
+        .where(F.col("ib").isin(ib_vals) if ib_vals else F.lit(False))
+        .select("id", "band", "bk")
+    )
     corpus = spark.read.parquet(corp_path)
     return D.minhash_md5_incremental_pairs(
         index,
@@ -594,6 +622,7 @@ def llm_dedup_incremental_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         verify_threshold=0.8,
         corpus_bucket_col="db",
         n_buckets=nb,
+        new_banded=banded,
     )
 
 

