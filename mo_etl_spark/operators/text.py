@@ -584,6 +584,72 @@ def bpe_merge_rounds(words_freq, rounds: int = 3) -> "DataFrame":  # noqa: F821
     return reduce(DataFrame.unionByName, merges)
 
 
+def bpe_encode_docs(
+    docs,
+    rounds: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":  # noqa: F821
+    """TOKENIZER APPLICATION at corpus scale: encode every document
+    with the merges :func:`bpe_merge_rounds` trains on the same corpus
+    — the missing half of the BPE story (train ... then TOKENIZE the
+    100 TB with it).  Returns (doc_id, n_words, n_bpe_symbols): the
+    post-merge symbol count is the sequence length a packing/budgeting
+    stage consumes.
+
+    Plan shape: the ``rounds`` trained argmax rows (1-row tables)
+    BROADCAST into a per-word sentinel-spaced rewrite — the identical
+    two-pass ``replace`` fixpoint construction as training, so
+    encoding is pure map-side string work in whole-stage codegen (no
+    UDF, no regex, no shuffle beyond the final per-doc count agg).
+    At 100 TB: training is the once-per-tokenizer cost; this encode is
+    one narrow pass over the corpus plus one doc-keyed count — the
+    embarrassing-parallel shape tokenization should have."""
+    from pyspark.sql import functions as F
+
+    words_freq = (
+        docs.select(
+            F.explode(
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("w")
+        )
+        .where(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    merges, _ = _bpe_rounds(words_freq, rounds)
+    seq = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("w"),
+        )
+        .where(F.length("w") >= 1)
+        .select(
+            id_col,
+            F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")).alias("s"),
+        )
+    )
+    for best in merges:
+        b = best.select(F.col("pair").alias("bp"))
+        search = F.concat(F.lit(" "), F.col("bp"), F.lit(" "))
+        repl = F.concat(
+            F.lit(" "), F.replace(F.col("bp"), F.lit(" "), F.lit("")), F.lit(" ")
+        )
+        # LEFT join on TRUE (same empty-argmax guard as training)
+        seq = seq.join(F.broadcast(b), F.lit(True), "left").select(
+            id_col,
+            F.when(F.col("bp").isNull(), F.col("s"))
+            .otherwise(F.replace(F.replace(F.col("s"), search, repl), search, repl))
+            .alias("s"),
+        )
+    return seq.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.size(F.split(F.trim("s"), " "))).alias("n_bpe_symbols"),
+    )
+
+
 def bpe_vocab(words_freq, rounds: int = 3, top: int = 20) -> "DataFrame":  # noqa: F821
     """Apply :func:`bpe_merge_rounds`'s trained merges to the corpus
     and return the resulting symbol vocabulary — the tokenizer side of

@@ -3387,7 +3387,33 @@ def _bpe_sql(rounds: int = 3, emit: str = "merges") -> str:
                  ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ') END AS s
         FROM seq{r} LEFT JOIN best{r} b ON TRUE
     )""")
-    if emit == "vocab":
+    if emit == "encode":
+        # per-document chain: the SAME trained argmaxes rewrite each
+        # doc's words (tokenizer application — bpe_encode_docs' twin)
+        parts.append(""",
+    docwords AS (
+        SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split(
+                regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+            FROM documents
+        ) WHERE len(w) >= 1
+    ),
+    dseq1 AS (SELECT doc_id, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s
+              FROM docwords)""")
+        for r in range(1, rounds + 1):
+            parts.append(f""",
+    dseq{r + 1} AS MATERIALIZED (
+        SELECT doc_id, CASE WHEN b.pair IS NULL THEN s ELSE
+               replace(replace(s,
+                 ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),
+                 ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ') END AS s
+        FROM dseq{r} LEFT JOIN best{r} b ON TRUE
+    )""")
+        parts.append(f"""
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(string_split(trim(s), ' '))) AS BIGINT) AS n_bpe_symbols
+    FROM dseq{rounds + 1} GROUP BY doc_id""")
+    elif emit == "vocab":
         parts.append(f"""
     SELECT sym, CAST(sum(freq) AS BIGINT) AS n
     FROM (SELECT freq, unnest(string_split(trim(s), ' ')) AS sym FROM seq{rounds + 1})
@@ -3444,6 +3470,25 @@ def llm_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     return X.bpe_vocab(words, rounds=3, top=20)
+
+
+@query(
+    "llm_bpe_encode_docs",
+    oracle=_bpe_sql(3, emit="encode"),
+    tags=("bpe_training", "tokenize", "token_count", "text_analysis"),
+)
+def llm_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER APPLICATION (r6): encode every document with the
+    corpus-trained BPE merges and emit per-doc (n_words,
+    n_bpe_symbols) — the sequence-length table a packing/token-budget
+    stage consumes, and the missing half of the BPE family (train
+    once, then tokenize the 100 TB).  The 3 trained argmax rows
+    broadcast into a map-side two-pass sentinel replace per word (no
+    UDF, no regex in the rewrite, whole-stage codegen); the only
+    shuffles are the training pair-counts and the final doc-keyed
+    count.  The oracle replays training AND per-doc encoding end to
+    end (operators/text.bpe_encode_docs)."""
+    return X.bpe_encode_docs(_docs(spark, sf_dir))
 
 
 @query(

@@ -32,6 +32,7 @@ from mo_etl_spark.streaming import (
     foreach_batch_etl,
     idempotent_batch_write,
     idempotent_batch_write_to,
+    maintain_batched,
     read_batched,
 )
 from mo_etl_spark.tables import load_table
@@ -1058,6 +1059,14 @@ def stream_real_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
+    # maintenance window (VERDICT r5 item #3): auto-compact the state
+    # tables when their live-dir count crosses the threshold,
+    # PRESERVING the probe-key partition layout — a no-op at this
+    # feed's 4 triggers, the bounded-listing guarantee for a
+    # long-lived deployment (24-trigger proof in tests/test_streaming)
+    maintain_batched(spark, idx_dir, partition_cols=["ib"])
+    maintain_batched(spark, arrived_dir, partition_cols=["db"])
+    maintain_batched(spark, pairs_dir)
     return read_batched(spark, pairs_dir).select("id_a", "id_b", "jaccard")
 
 
@@ -1458,6 +1467,10 @@ def stream_real_incremental_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
+    # maintenance window: same auto-compaction policy as the minhash
+    # stream, preserving the hb partition layout
+    maintain_batched(spark, idx_dir, partition_cols=["hb"])
+    maintain_batched(spark, pairs_dir)
     return read_batched(spark, pairs_dir).select("id_a", "id_b", "n_shared_chunks")
 
 

@@ -64,6 +64,7 @@ CARTESIAN_OK = {
     "win_sessionize_skew",  # 1-row total-count scalar broadcast-crossed into the hot_frac routing gate
     "llm_bpe_merges",  # each round's 1-row argmax pair broadcast-crossed into the sequence rewrite
     "llm_bpe_vocab",  # same per-round argmax crosses as llm_bpe_merges
+    "llm_bpe_encode_docs",  # same argmax crosses, applied per doc (tokenizer apply)
     "llm_corpus_temperature_mix",  # 1-row sqrt-total scalar broadcast-crossed into weights
     # two-pass global-order primitives (operators/global_order.py): the
     # cross-partition prefix offset is a self-cross-join of the
@@ -135,6 +136,7 @@ EXCHANGES_OK = {
     "llm_bpe_merges",
     # same loop plus the final vocab count over the merged sequences
     "llm_bpe_vocab",
+    "llm_bpe_encode_docs",
     # three INDEPENDENT exact two-pass ntiles (range shuffle + pid-window
     # shuffle + tiny count agg each) + three custkey joins — 3 global
     # sorts by construction; the textual plan double-counts the shared
