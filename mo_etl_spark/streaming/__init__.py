@@ -83,12 +83,14 @@ _COMPACT_NEW = ".compact_new"
 
 def _read_manifest(root: str) -> dict | None:
     """The committed manifest, or None when the table has never been
-    compacted.  A present-but-unparseable manifest raises a NAMED
-    error rather than silently mis-reading the table: the write
-    protocol (tmp + fsync + rename, see _write_manifest) guarantees
-    readers see either the old or the new complete manifest, so a
-    corrupt one means outside interference, and ignoring it would
-    drop the compacted base from every read."""
+    compacted.  ``consumed`` maps each excluded dir to the epoch
+    seconds at which it was first excluded (the GC grace clock).  A
+    present-but-unparseable manifest raises a NAMED error rather than
+    silently mis-reading the table: the write protocol (tmp + fsync +
+    rename, see _write_manifest) guarantees readers see either the
+    old or the new complete manifest, so a corrupt one means outside
+    interference, and ignoring it would drop the compacted base from
+    every read."""
     path = os.path.join(root, _MANIFEST)
     try:
         with open(path) as f:
@@ -100,6 +102,8 @@ def _read_manifest(root: str) -> dict | None:
         if not isinstance(man, dict):
             raise ValueError("not an object")
         _ = man["gen"], man["base"], man["consumed"]
+        if not isinstance(man["consumed"], dict):
+            raise ValueError("consumed must map dir -> excluded-at epoch")
         return man
     except (ValueError, KeyError) as e:
         raise ValueError(
@@ -109,7 +113,7 @@ def _read_manifest(root: str) -> dict | None:
         ) from e
 
 
-def _write_manifest(root: str, gen: int, base: str, consumed: list[str]) -> None:
+def _write_manifest(root: str, gen: int, base: str, consumed: dict[str, float]) -> None:
     """THE COMMIT POINT of a compaction: atomically replace the
     manifest.  fsync-before-rename (and fsync of the directory after)
     so a power loss can never leave a persisted-but-empty manifest;
@@ -120,7 +124,11 @@ def _write_manifest(root: str, gen: int, base: str, consumed: list[str]) -> None
     path = os.path.join(root, _MANIFEST)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        f.write(json.dumps({"gen": gen, "base": base, "consumed": sorted(consumed)}))
+        f.write(
+            json.dumps(
+                {"gen": gen, "base": base, "consumed": consumed}, sort_keys=True
+            )
+        )
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, path)
@@ -224,6 +232,7 @@ def compact_batched(
     target_bytes: int = 128 << 20,
     min_dirs: int = 8,
     partition_cols: Sequence[str] | None = None,
+    gc_grace_sec: float = 300.0,
 ) -> int:
     """Index maintenance for streaming upserts (VERDICT r4 item #4):
     fold a ``read_batched`` table's accumulated per-batch
@@ -268,31 +277,49 @@ def compact_batched(
        the consumed dirs (fsync'd tmp+rename; a single PUT on an
        object store — no atomic-rename requirement, VERDICT r5
        what's-wrong #2);
-    5. delete consumed dirs, best-effort — a crash here only leaves
-       garbage the manifest already excludes (carried in ``consumed``
-       until a later GC removes it).
+    5. GC consumed dirs only after ``gc_grace_sec`` has elapsed since
+       their exclusion (retention-based vacuum, the Iceberg/Delta
+       discipline): an in-flight reader that resolved the PREVIOUS
+       manifest may still be scanning the previous base when the next
+       compaction commits — deleting it immediately yields
+       FileNotFoundException mid-scan (caught by the concurrent-reader
+       test).  Within the grace window victims stay on disk, excluded
+       by the manifest; any later compaction deletes them once
+       expired.  ``gc_grace_sec=0`` restores immediate cleanup for
+       single-process callers.
     A crash in ANY window leaves every concurrent reader seeing
     exactly the pre- or post-compaction table, with no reader-side
     recovery step — unit-proven per window in tests/test_streaming.py.
     """
+    import time
+
     if not os.path.isdir(root):
         return 0
     man = _read_manifest(root)
+    now = time.time()
     # GC (compactor-only): a dot build dir is either our predecessor's
     # crash or a concurrent compactor — single-compactor operation is
     # the contract (document: run in the maintenance window), so
-    # reclaim it.  Unreferenced base generations and still-present
-    # consumed dirs are crash leftovers readers already ignore.
+    # reclaim it.  Unreferenced base generations (crashed before their
+    # manifest write) were NEVER visible to any reader — immediate
+    # delete; grace-expired consumed dirs go too.
     shutil.rmtree(os.path.join(root, _COMPACT_NEW), ignore_errors=True)
     live_base = man["base"] if man else "base"
-    consumed_prev = set(man["consumed"]) if man else set()
+    consumed_prev: dict[str, float] = dict(man["consumed"]) if man else {}
     for d in os.listdir(root):
         p = os.path.join(root, d)
         if not os.path.isdir(p) or d.startswith("."):
             continue
-        if (d in consumed_prev) or (d.startswith("base") and d != live_base):
+        if d in consumed_prev:
+            if now - consumed_prev[d] >= gc_grace_sec:
+                shutil.rmtree(p, ignore_errors=True)
+        elif d.startswith("base") and d != live_base:
             shutil.rmtree(p, ignore_errors=True)
-    consumed_prev = {d for d in consumed_prev if os.path.isdir(os.path.join(root, d))}
+    consumed_prev = {
+        d: ts
+        for d, ts in consumed_prev.items()
+        if os.path.isdir(os.path.join(root, d))
+    }
 
     subs = _live_dirs(root)
     if len(subs) < min_dirs:
@@ -343,10 +370,16 @@ def compact_batched(
     gen = (man["gen"] if man else 0) + 1
     target = f"base{gen}"
     os.rename(tmp, os.path.join(root, target))  # inert until committed
-    consumed = sorted(consumed_prev | {os.path.basename(p) for p in subs})
+    consumed = dict(consumed_prev)
+    for p in subs:
+        consumed.setdefault(os.path.basename(p), now)
     _write_manifest(root, gen, target, consumed)  # COMMIT POINT
-    for d in consumed:
-        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    # vacuum: only grace-expired victims die now; fresh ones stay on
+    # disk (manifest-excluded) for in-flight readers of the previous
+    # generation
+    for d, ts in consumed.items():
+        if now - ts >= gc_grace_sec:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     return n_groups
 
 
@@ -356,6 +389,7 @@ def maintain_batched(
     max_dirs: int = 16,
     target_bytes: int = 128 << 20,
     partition_cols: Sequence[str] | None = None,
+    gc_grace_sec: float = 300.0,
 ) -> int:
     """AUTO-compaction policy (VERDICT r5 item #3): compact when the
     live-dir count reaches ``max_dirs``, else no-op.  Called by the
@@ -375,6 +409,7 @@ def maintain_batched(
         target_bytes=target_bytes,
         min_dirs=0,
         partition_cols=partition_cols,
+        gc_grace_sec=gc_grace_sec,
     )
 
 

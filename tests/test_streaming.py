@@ -538,7 +538,10 @@ def test_compaction_crash_windows_recover(spark, tmpdir):
     spark.range(99).selectExpr("id AS v").write.parquet(f"{a}/.compact_new/g0")
     assert rows(a) == want
     assert os.path.exists(f"{a}/.compact_new")  # reader left it alone
-    assert compact_batched(spark, a, target_bytes=1 << 20, min_dirs=2) > 0
+    assert (
+        compact_batched(spark, a, target_bytes=1 << 20, min_dirs=2, gc_grace_sec=0)
+        > 0
+    )
     assert rows(a) == want  # reclaim + rebuild: the junk never leaked in
     assert not os.path.exists(f"{a}/.compact_new")
 
@@ -552,19 +555,28 @@ def test_compaction_crash_windows_recover(spark, tmpdir):
         f"{b}/base1"
     )
     assert rows(b) == want  # NOT doubled: orphan base1 invisible
-    assert compact_batched(spark, b, target_bytes=1 << 20, min_dirs=2) > 0
+    assert (
+        compact_batched(spark, b, target_bytes=1 << 20, min_dirs=2, gc_grace_sec=0)
+        > 0
+    )
     assert rows(b) == want
 
     # window C: manifest committed, victim deletion crashed — the
     # manifest excludes the leftover dir, and a later compaction
     # garbage-collects it (consumed list carries forward)
     c = fresh("c")
-    assert compact_batched(spark, c, target_bytes=1 << 20, min_dirs=2) > 0
+    assert (
+        compact_batched(spark, c, target_bytes=1 << 20, min_dirs=2, gc_grace_sec=0)
+        > 0
+    )
     idempotent_batch_write(  # resurrect a victim: deletion "crashed"
         spark.range(0, 10).select(F.col("id").alias("v")), c, 0
     )
     assert rows(c) == want  # excluded by manifest, not double-read
-    assert compact_batched(spark, c, target_bytes=1 << 20, min_dirs=1) > 0
+    assert (
+        compact_batched(spark, c, target_bytes=1 << 20, min_dirs=1, gc_grace_sec=0)
+        > 0
+    )
     assert not os.path.isdir(f"{c}/b0")  # GC'd on the next run
     assert rows(c) == want
 
@@ -572,7 +584,10 @@ def test_compaction_crash_windows_recover(spark, tmpdir):
     # (an fsync'd tmp+rename write can't produce one — this is the
     # outside-interference path)
     d = fresh("d")
-    assert compact_batched(spark, d, target_bytes=1 << 20, min_dirs=2) > 0
+    assert (
+        compact_batched(spark, d, target_bytes=1 << 20, min_dirs=2, gc_grace_sec=0)
+        > 0
+    )
     with open(f"{d}/_MANIFEST", "w") as f:
         f.write("")
     with pytest.raises(ValueError, match="manifest"):
@@ -607,7 +622,9 @@ def test_maintain_batched_bounds_live_dirs_long_run(spark, tmpdir):
         )
         idempotent_batch_write(df, root, b, partition_cols=["db"])
         want.extend(range(b * 5, b * 5 + 5))
-        maintain_batched(spark, root, max_dirs=6, partition_cols=["db"])
+        maintain_batched(
+            spark, root, max_dirs=6, partition_cols=["db"], gc_grace_sec=0
+        )
         assert len(_live_dirs(root)) <= 6  # bounded listing, always
     got = sorted(
         r["v"] for r in read_batched(spark, root, partitioned=True).collect()
@@ -776,3 +793,53 @@ def test_cdc_stream_replay_and_kill_resume(spark, sf_dir, tmpdir):
     assert (
         read_batched(spark, p2).where(F.col("id_a") == 999999).count() == 0
     )
+
+
+def test_concurrent_readers_during_compaction(spark, tmpdir):
+    """The manifest protocol's headline guarantee (ADVICE r5 medium:
+    the old rename-journal recovery raced concurrent readers): readers
+    hammering read_batched WHILE a compactor repeatedly rewrites the
+    table must always see exactly the full row set — never a partial
+    build (dot-dir), an uncommitted base generation, a double-read of
+    base+victims, or a crash from a victim vanishing mid-list.
+    Readers are pure readers, so any interleaving is safe."""
+    import threading
+
+    from mo_etl_spark.streaming import (
+        compact_batched,
+        idempotent_batch_write,
+        read_batched,
+    )
+
+    root = f"{tmpdir}/t"
+    for b in range(6):
+        idempotent_batch_write(
+            spark.range(b * 10, b * 10 + 10).select(F.col("id").alias("v")), root, b
+        )
+    want = sorted(range(60))
+    errors: list = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                got = sorted(r["v"] for r in read_batched(spark, root).collect())
+                if got != want:
+                    errors.append(("rows", len(got)))
+                    return
+            except Exception as e:  # noqa: BLE001 - recorded for assert
+                errors.append(("exc", repr(e)))
+                return
+
+    threads = [threading.Thread(target=reader) for _ in range(2)]
+    for t in threads:
+        t.start()
+    try:
+        for _ in range(4):  # each run consumes the previous base (gen++)
+            assert compact_batched(spark, root, target_bytes=1 << 20, min_dirs=1) > 0
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(60)
+    assert not errors, errors
+    assert sorted(r["v"] for r in read_batched(spark, root).collect()) == want
