@@ -52,12 +52,15 @@ def idempotent_batch_write(
     (hive-style ``col=value`` subdirs) — the PROBE-KEYED state layout
     (VERDICT r5 item #1): a persisted index/corpus partitioned by its
     probe key serves later triggers via partition pruning instead of
-    full state scans.  The repartition-before-partitionBy keeps one
-    file per partition value instead of n_tasks × n_partitions
-    slivers."""
+    full state scans.  The batch is coalesced to ONE task first: a
+    micro-batch is one trigger's data, so a single task writing one
+    file per partition value costs no shuffle and no n_tasks ×
+    n_partitions slivers (a deployment with huge triggers would
+    ``repartition(partition_cols)`` instead — the index-SNAPSHOT
+    builds in the suites do exactly that)."""
     w = batch_df
     if partition_cols:
-        w = w.repartition(*[F.col(c) for c in partition_cols])
+        w = w.coalesce(1)
     w = w.write.mode("overwrite")
     if partition_cols:
         w = w.partitionBy(*partition_cols)

@@ -1077,8 +1077,8 @@ def stream_real_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
 #: n_ib in the thousands) so a batch's matched buckets stay a tiny
 #: fraction of the persisted state — the scale harness runs with
 #: large counts to demonstrate the flat-per-trigger shape.
-_INCR_NB = 16  # arrived-corpus buckets: db = pmod(doc_id, nb)
-_INCR_IB = 32  # band-index buckets: ib = pmod(xxhash64(band, bk), n_ib)
+_INCR_NB = 8  # arrived-corpus buckets: db = pmod(doc_id, nb)
+_INCR_IB = 8  # band-index buckets: ib = pmod(xxhash64(band, bk), n_ib)
 
 
 def _incr_dedup_seed_dirs(
@@ -1298,7 +1298,7 @@ _wire_incr_oracle()
 # ---------------------------------------------------------------------------
 
 #: chunk-hash index buckets — same production sizing rule as _INCR_IB
-_CDC_HB = 32
+_CDC_HB = 8
 
 
 def _cdc_bucket(n_hb: int):
