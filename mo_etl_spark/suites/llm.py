@@ -626,6 +626,77 @@ def llm_dedup_incremental_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_INCR_CORPUS_RETRACT = """
+    SELECT doc_id, text FROM documents WHERE doc_id < 400 AND doc_id % 37 <> 0
+    UNION ALL
+    SELECT doc_id + 20000 AS doc_id,
+           array_to_string(
+             list_slice(string_split(text, ' '), 1,
+                        greatest(CAST(floor(len(string_split(text, ' ')) * 4 / 5) AS INT), 1)),
+             ' ') AS text
+    FROM documents WHERE doc_id < 50
+    UNION ALL
+    SELECT doc_id, text FROM documents WHERE doc_id >= 400 AND doc_id < 500
+"""
+
+
+@query(
+    "llm_dedup_incremental_retract",
+    oracle=D.minhash_md5_incremental_oracle_sql(
+        _SQL_INCR_CORPUS_RETRACT, new_pred="id >= 400", k=16, bands=8,
+        verify_threshold=0.8,
+    ),
+    tags=("dedup_incremental", "dedup_minhash", "lsh_banding", "incremental_etl"),
+)
+def llm_dedup_incremental_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup with RETRACTIONS (r6): the production gap the
+    operator's own PRECONDITIONS flag — documents deleted upstream
+    (takedowns, GDPR erasure, re-crawl replacement) must stop matching
+    WITHOUT rebuilding the persisted index.  Mechanism: a TOMBSTONE
+    table of deleted ids (here every 37th base doc, including doc 0,
+    whose near-dup twin is in today's batch — so retraction provably
+    removes pairs) anti-joins the persisted band index at probe time,
+    and the verify corpus excludes the same ids.  The tombstone set is
+    small by nature, so both anti-joins broadcast; the index file
+    itself is immutable until the next compaction folds the
+    tombstones in — exactly the merge-on-read delete pattern of
+    Delta/Iceberg.  The oracle replays the pipeline over the retained
+    corpus: a tombstoned doc contributes no bands, no candidates, no
+    pairs — hash-checked, not assumed."""
+    import os
+
+    docs = _docs(spark, sf_dir)
+    base = docs.where(F.col("doc_id") < 400).select("doc_id", "text")
+    new_batch = _incr_new_batch(docs)
+    deleted = (
+        docs.where((F.col("doc_id") < 400) & (F.pmod("doc_id", F.lit(37)) == 0))
+        .select("doc_id")
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    k, bands, base_lt = 16, 8, 400
+    # SAME persisted index as llm_dedup_incremental_minhash — the
+    # point is that retraction needs no rebuild
+    idx_path = os.path.join(
+        "/root/repo/.cache", tag, f"minhash_band_index__k{k}_b{bands}_base{base_lt}"
+    )
+    success = os.path.join(idx_path, "_SUCCESS")
+    src = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(success) or os.path.getmtime(success) < os.path.getmtime(src):
+        D.minhash_md5_band_index(base, k=k, bands=bands).write.mode(
+            "overwrite"
+        ).parquet(idx_path)
+    tomb = deleted.withColumnRenamed("doc_id", "id")
+    index_live = spark.read.parquet(idx_path).join(
+        F.broadcast(tomb), "id", "left_anti"
+    )
+    corpus = base.join(F.broadcast(deleted), "doc_id", "left_anti").unionByName(
+        new_batch
+    )
+    return D.minhash_md5_incremental_pairs(
+        index_live, new_batch, corpus, k=k, bands=bands, verify_threshold=0.8
+    )
+
+
 @query(
     "llm_dedup_simhash_checked",
     oracle=D.simhash_md5_oracle_sql(_SQL_NEAR_DUPS),

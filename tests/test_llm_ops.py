@@ -801,3 +801,30 @@ def test_cdc_chunks_shift_resistant(spark):
     )
     rebuilt = " ".join(t for d, _, t in texts if d == 1)
     assert rebuilt == " ".join(base_words)
+
+
+def test_incremental_retract_removes_tombstoned_pairs(spark):
+    """r6 retraction semantics, pinned exactly: the tombstoned run's
+    pair set equals the full run's MINUS every pair touching a
+    tombstoned id — nothing else removed, nothing added, and the
+    planted case (doc 0's truncated twin 20000) proves the removal is
+    load-bearing."""
+    from mo_etl_spark.suites.llm import (
+        llm_dedup_incremental_minhash,
+        llm_dedup_incremental_retract,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in llm_dedup_incremental_minhash(spark, SF).collect()
+    }
+    retr = {
+        (r["id_a"], r["id_b"])
+        for r in llm_dedup_incremental_retract(spark, SF).collect()
+    }
+    deleted = set(range(0, 400, 37))
+    assert (0, 20000) in full and (0, 20000) not in retr
+    assert retr == {
+        p for p in full if p[0] not in deleted and p[1] not in deleted
+    }
