@@ -39,29 +39,36 @@ from pyspark.sql import functions as F
 INDEX_SIDECAR = "_index_params.json"
 
 
-def index_is_stale(path: str, src: str, expect: dict) -> bool:
-    """Build-if-stale predicate for a cached ANN index (ADVICE r5):
-    True when the index must be rebuilt — missing or older than its
-    source table, sidecar absent (pre-guard build), sidecar unreadable,
-    or ANY expected build param differing from the sidecar's.  The last
-    clause is load-bearing: load_ann_index refuses a param-mismatched
-    index, so a builder that only checks existence would loop forever
-    on a stale cache after a param change (fresh _SUCCESS + old params
-    → load fails → nothing rebuilds).  Putting the params in the
-    REBUILD condition, not just the load guard, closes the loop."""
+def _read_sidecar(path: str) -> dict | None:
     import json
     import os
 
-    success = os.path.join(path, "_SUCCESS")
+    try:
+        with open(os.path.join(path, INDEX_SIDECAR)) as f:
+            return json.load(f)
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def index_is_stale(path: str, src: str, expect: dict) -> bool:
+    """Build-if-stale predicate for a cached ANN index (ADVICE r5):
+    True when the index must be rebuilt — sidecar absent or unreadable
+    (pre-guard or pre-generation build), live generation missing or
+    incomplete, older than its source table, or ANY expected build
+    param differing from the sidecar's.  The param clause is
+    load-bearing: load_ann_index refuses a param-mismatched index, so
+    a builder that only checks existence would loop forever on a
+    stale cache after a param change.  Putting the params in the
+    REBUILD condition, not just the load guard, closes the loop."""
+    import os
+
+    got = _read_sidecar(path)
+    if got is None or "live" not in got:
+        return True
+    success = os.path.join(path, got["live"], "_SUCCESS")
     if not os.path.exists(success) or os.path.getmtime(success) < os.path.getmtime(
         src
     ):
-        return True
-    sidecar = os.path.join(path, INDEX_SIDECAR)
-    try:
-        with open(sidecar) as f:
-            got = json.load(f)
-    except (FileNotFoundError, ValueError):
         return True
     return any(got.get(k) != v for k, v in expect.items())
 
@@ -70,43 +77,88 @@ def write_ann_index(
     df: DataFrame, path: str, partition_cols: list[str], params: dict
 ) -> None:
     """Persist an ANN serving index (partitioned by its probe key)
-    WITH its build parameters: the parquet table plus an
-    ``_index_params.json`` sidecar.  ``load_ann_index`` refuses to
-    serve the index unless the caller's expected params match — the
-    stale/mismatched-index guard the suite-level cache keys enforce
-    only by convention.  (On an object store the sidecar is one more
-    PUT; table-catalog deployments would use table properties.)"""
+    WITH its build parameters — GENERATION-DIR layout with an atomic
+    sidecar pointer (r6): the table lands in ``path/gen<N>`` and the
+    ``_index_params.json`` sidecar (params + ``live: gen<N>``) is
+    swapped in via fsync'd tmp+rename — one PUT on an object store.
+    Consequences a plain in-place overwrite lacks:
+
+    - a CRASHED rebuild can never brick serving: the old sidecar still
+      points at the old complete generation, and the partial build is
+      an unreferenced dir the next build garbage-collects;
+    - an IN-FLIGHT reader of the previous generation keeps its files —
+      only generations older than the immediate predecessor are GC'd
+      (the same retention discipline as streaming.compact_batched).
+
+    ``load_ann_index`` refuses to serve unless the caller's expected
+    params match the sidecar — the stale/mismatched-index guard the
+    suite-level cache keys enforce only by convention."""
     import json
     import os
+    import shutil
 
+    prev = _read_sidecar(path)
+    prev_live = prev.get("live") if isinstance(prev, dict) else None
+    gen = (
+        int(prev_live[3:]) + 1
+        if prev_live and prev_live.startswith("gen") and prev_live[3:].isdigit()
+        else 1
+    )
+    target = f"gen{gen}"
+    os.makedirs(path, exist_ok=True)
     # cluster rows by the partition key before writing: without this,
     # every shuffle task writes a sliver into every partition dir and
     # the index becomes n_tasks x n_partitions tiny files — measured
     # 3x slower to serve at sf0.01 and pathological on an object store
     df.repartition(*[F.col(c) for c in partition_cols]).write.mode(
         "overwrite"
-    ).partitionBy(*partition_cols).parquet(path)
-    with open(os.path.join(path, INDEX_SIDECAR), "w") as f:
-        json.dump(params, f, sort_keys=True)
+    ).partitionBy(*partition_cols).parquet(os.path.join(path, target))
+    sidecar = os.path.join(path, INDEX_SIDECAR)
+    tmp = sidecar + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({**params, "live": target}, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, sidecar)  # COMMIT POINT
+    # GC: anything that is neither the new live gen, its immediate
+    # predecessor (in-flight readers), nor the sidecar — including
+    # pre-generation flat layouts and crashed partial builds
+    keep = {target, prev_live, INDEX_SIDECAR}
+    for entry in os.listdir(path):
+        if entry in keep or entry == INDEX_SIDECAR + ".tmp":
+            continue
+        p = os.path.join(path, entry)
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        else:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
 
 
 def load_ann_index(spark, path: str, expect: dict) -> DataFrame:
     """Open a persisted ANN index for serving, VALIDATING that it was
     built with the parameters the query side is about to use.  Raises
     ValueError (never serves silently-wrong neighbors) when the
-    sidecar is absent (pre-guard index: rebuild) or any expected param
-    differs (stale index: rebuild or fix the caller)."""
-    import json
+    sidecar is absent (pre-guard index: rebuild), the layout predates
+    generation dirs (rebuild), or any expected param differs (stale
+    index: rebuild or fix the caller).  Reads the generation the
+    sidecar points at — a rebuild in progress is invisible until its
+    sidecar swap commits."""
     import os
 
-    sidecar = os.path.join(path, INDEX_SIDECAR)
-    if not os.path.exists(sidecar):
+    got = _read_sidecar(path)
+    if got is None:
         raise ValueError(
             f"ANN index at {path} has no {INDEX_SIDECAR} sidecar — built "
             "before the param guard or by hand; rebuild via write_ann_index"
         )
-    with open(sidecar) as f:
-        got = json.load(f)
+    if "live" not in got:
+        raise ValueError(
+            f"ANN index at {path} predates the generation-dir layout — "
+            "rebuild via write_ann_index (index_is_stale reports this)"
+        )
     mismatched = {
         k: (v, got.get(k)) for k, v in expect.items() if got.get(k) != v
     }
@@ -116,7 +168,7 @@ def load_ann_index(spark, path: str, expect: dict) -> DataFrame:
             f"the serving query expects (expected, found): {mismatched} — "
             "serving would return wrong/empty neighbors; rebuild the index"
         )
-    return spark.read.parquet(path)
+    return spark.read.parquet(os.path.join(path, got["live"]))
 
 
 def _require_index_cols(indexed: DataFrame, required: set[str], kind: str) -> None:

@@ -500,3 +500,56 @@ def test_ivf_hotcell_subsplit_equal_and_capped(spark, tmp_path):
     per_sub = indexed.groupBy("cell", "sub").count().collect()
     assert max(r["count"] for r in per_sub) <= 25
     assert sum(1 for r in per_sub if r["cell"] == 0) >= 4  # 80 rows / 25
+
+
+def test_ann_index_rebuild_crash_never_bricks_serving(spark, tmp_path):
+    """r6 generation-dir index layout: a crashed rebuild must leave
+    serving on the old complete generation (the sidecar pointer is the
+    commit), and the next successful rebuild must clobber the debris,
+    bump the pointer, and retain the predecessor for in-flight
+    readers."""
+    import json
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mo_etl_spark.operators import similarity as S
+
+    def table(n):
+        return spark.range(n).select(
+            F.col("id").alias("c_id"),
+            F.array(F.lit(1.0), F.lit(2.0)).alias("vec"),
+            (F.col("id") % 2).alias("bucket"),
+        )
+
+    path = str(tmp_path / "idx")
+    params = {"kind": "lsh_vec", "n_planes": 4, "seed": 42}
+    src = str(tmp_path / "src.txt")
+    with open(src, "w") as f:
+        f.write("corpus")
+    past = time.time() - 3600
+    os.utime(src, (past, past))
+
+    S.write_ann_index(table(8), path, ["bucket"], params)
+    assert S.load_ann_index(spark, path, params).count() == 8
+    side = json.load(open(os.path.join(path, S.INDEX_SIDECAR)))
+    assert side["live"] == "gen1"
+
+    # crashed rebuild: a partial new generation, sidecar untouched
+    table(3).write.parquet(os.path.join(path, "gen2"))
+    assert S.load_ann_index(spark, path, params).count() == 8  # still gen1
+    assert not S.index_is_stale(path, src, params)  # and not a rebuild loop
+
+    # successful rebuild clobbers the debris and commits gen2
+    S.write_ann_index(table(16), path, ["bucket"], params)
+    assert S.load_ann_index(spark, path, params).count() == 16
+    side = json.load(open(os.path.join(path, S.INDEX_SIDECAR)))
+    assert side["live"] == "gen2"
+    assert os.path.isdir(os.path.join(path, "gen1"))  # in-flight readers
+
+    # one more: gen1 (now two generations back) is garbage-collected
+    S.write_ann_index(table(4), path, ["bucket"], params)
+    assert S.load_ann_index(spark, path, params).count() == 4
+    assert not os.path.isdir(os.path.join(path, "gen1"))
+    assert os.path.isdir(os.path.join(path, "gen2"))
