@@ -1600,3 +1600,161 @@ def _wire_ivf_serving_oracle() -> None:
 
 
 _wire_ivf_serving_oracle()
+
+
+def _ivf_corpus_feed(
+    spark: SparkSession, sf_dir: str, n_files: int = 4, base_lt: int = 256
+) -> str:
+    """The index-refresh feed: vectors ``vec_id >= base_lt`` split into
+    ``n_files`` parquet files by pmod — the daily embedding drops the
+    index-upsert stream consumes.  Write-once per sf,
+    mtime-invalidated."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = os.path.join(_CACHE, tag, f"ivf_corpus_feed_b{base_lt}")
+    success_any = os.path.join(path, f"b{n_files - 1}", "_SUCCESS")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    stale = os.path.exists(success_any) and os.path.getmtime(
+        success_any
+    ) < os.path.getmtime(src)
+    if stale or not os.path.exists(success_any):
+        emb = load_table(spark, sf_dir, "embeddings")
+        arrivals = emb.where(F.col("vec_id") >= base_lt).select(
+            "vec_id", "embedding"
+        )
+        for b in range(n_files):
+            arrivals.where(F.pmod("vec_id", F.lit(n_files)) == b).coalesce(
+                1
+            ).write.mode("overwrite").parquet(os.path.join(path, f"b{b}"))
+    return path
+
+
+@query(
+    "stream_real_ivf_index_upsert",
+    oracle=None,  # wired below: shares llm_sim_ivf_topk's oracle
+    tags=(
+        "sim_ivf",
+        "index_persistence",
+        "incremental_etl",
+        "update_mode",
+        "foreachBatch_etl",
+        "stream_source",
+    ),
+)
+@_stream_tuned
+def stream_real_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN INDEX MAINTENANCE as a stream (r6) — the other half of
+    stream_real_ivf_serving: there queries arrive and the index is
+    static; here NEW VECTORS arrive (the daily embedding refresh) and
+    the persisted cell-partitioned index grows.  Per micro-batch:
+    assign the batch to its IVF cells (one broadcast of the 16
+    centroids — assignment is per-vector, so ANY batch split yields
+    the identical final index) and upsert (c_id, vec, cell) into the
+    batched index under the replay-idempotent per-batch-overwrite
+    discipline, partitioned by the probe key ``cell``.
+
+    After the backfill the full contract top-5 serve runs against
+    base ∪ arrived with a STATIC probed-cell filter pushed through
+    the per-batch-dir union (matched cells only — the same pruning
+    shape as the dedup streams, plan-pinned in tests/test_plans.py).
+    Because the final index equals the one-shot assignment of the
+    whole corpus, the serve is value-identical to llm_sim_ivf_topk
+    and shares its oracle verbatim — the streamed index build is
+    hash-checked end to end."""
+    prepare(spark)
+    from mo_etl_spark.operators import similarity as S
+
+    base_lt, cents_lt, nprobe = 256, 16, 4
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") < base_lt).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec")
+    )
+    cents = emb.where(F.col("vec_id") < cents_lt).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("vec")
+    )
+    feed = _ivf_corpus_feed(spark, sf_dir, base_lt=base_lt)
+    ckpt = _scratch("ivf_upsert_ckpt")
+    idx_dir = _scratch("ivf_upsert_index")
+    # seed: the base corpus's assigned index, cell-partitioned (pure
+    # function of the base corpus -> mtime-invalidated cache snapshot)
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    snap = os.path.join(
+        _CACHE, tag, f"stream_base_ivf_index__c{cents_lt}_base{base_lt}"
+    )
+    success = os.path.join(snap, "_SUCCESS")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(success) or os.path.getmtime(success) < os.path.getmtime(
+        src
+    ):
+        S.ivf_cells(base, cents).join(base, "c_id").repartition(
+            F.col("cell")
+        ).write.mode("overwrite").partitionBy("cell").parquet(snap)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    os.makedirs(idx_dir, exist_ok=True)
+    shutil.copytree(snap, os.path.join(idx_dir, "base"))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select(
+            F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec")
+        ).localCheckpoint(eager=True)
+        idempotent_batch_write(
+            S.ivf_cells(b, cents).join(b, "c_id"),
+            idx_dir,
+            batch_id,
+            partition_cols=["cell"],
+        )
+
+    feed_schema = spark.read.option("recursiveFileLookup", "true").parquet(
+        feed
+    ).schema
+    q = (
+        spark.readStream.schema(feed_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .format("parquet")
+        .load(feed)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    maintain_batched(spark, idx_dir, partition_cols=["cell"])
+    queries = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+    )
+    # static probed-cell pruning: the 50-query batch probes <= 16
+    # cells; the collected list prunes every per-batch index scan
+    probed_cells = sorted(
+        r["cell"]
+        for r in S.brute_force_topk(
+            queries, cents, k=nprobe, c_id="cent_id", exclude_self=False,
+            n_q_blocks=4, n_c_blocks=1,
+        )
+        .select(F.col("cent_id").alias("cell"))
+        .distinct()
+        .collect()
+    )
+    idx = read_batched(spark, idx_dir, partitioned=True).where(
+        F.col("cell").isin(probed_cells)
+    )
+    return S.ivf_topk(
+        queries, None, cents, k=5, nprobe=nprobe, indexed_corpus=idx
+    ).select("q_id", "c_id", "cos_sim", "rnk")
+
+
+def _wire_ivf_upsert_oracle() -> None:
+    from mo_etl_spark.registry import QUERIES, QuerySpec
+    from mo_etl_spark.suites.llm import _SQL_IVF_ORACLE_HEAD
+
+    spec = QUERIES["stream_real_ivf_index_upsert"]
+    QUERIES["stream_real_ivf_index_upsert"] = QuerySpec(
+        name=spec.name,
+        fn=spec.fn,
+        oracle=_SQL_IVF_ORACLE_HEAD,
+        tags=spec.tags,
+    )
+
+
+_wire_ivf_upsert_oracle()

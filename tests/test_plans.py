@@ -887,3 +887,24 @@ def test_stream_cdc_state_reads_bucket_pruned(spark, sf001, tmpdir):
     for ln in scans:
         pf = ln.split("PartitionFilters")[1]
         assert "hb#" in pf and ("INSET" in pf or " IN " in pf), ln
+
+
+def test_stream_ivf_upsert_serve_is_cell_pruned(spark, sf001):
+    """The streamed index-upsert's final serve must read matched cells
+    only — static ``cell IN (...)`` partition filters on every
+    per-batch index scan (the r6 probe-keyed state discipline; scans
+    identified by their cell partition column since plan Location
+    strings truncate)."""
+    from mo_etl_spark.suites.streaming_real import stream_real_ivf_index_upsert
+
+    df = stream_real_ivf_index_upsert(spark, sf001)
+    plan = df._jdf.queryExecution().toString()
+    scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "cell#" in ln
+    ]
+    assert scans, plan
+    for ln in scans:
+        pf = ln.split("PartitionFilters")[1]
+        assert "cell#" in pf and ("INSET" in pf or " IN " in pf), ln

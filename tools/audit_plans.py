@@ -94,6 +94,12 @@ EXCHANGES_OK = {
     # by construction + the one-off edge materialization; per-iteration
     # cost is the claim, not total exchange count
     "graph_pagerank_supply",
+    # the streamed index-upsert's RETURNED plan is the final contract
+    # serve (probe top-k + cell-pruned cogroup + global top-k) over the
+    # multi-root batched index — the per-root union multiplies scan-side
+    # exchanges; the per-trigger sink itself is one assignment join +
+    # one partitioned write
+    "stream_real_ivf_index_upsert",
     # compact-forward triangle listing: degree agg + two degree-annotation
     # joins + wedge self-join + closing semi-join are the algorithm; each
     # is keyed and uniform (the orientation is what BOUNDS the wedge
