@@ -527,6 +527,13 @@ def _bpe_rounds(words_freq, rounds: int):
             .orderBy(F.col("n").desc(), "pair")
             .limit(1)
             .select(F.col("pair").alias("bp"), F.col("n").alias("bn"))
+            # eager 1-row checkpoint: each round's argmax otherwise
+            # re-derives the WHOLE previous chain in every consumer's
+            # lazy plan (merges, vocab, per-doc encode) — plan depth
+            # grows combinatorially with rounds; measured 19 s -> ~5 s
+            # cold for the 3-round family at sf0.1.  Values unchanged
+            # (the checkpoint is of a computed 1-row result).
+            .localCheckpoint(eager=True)
         )
         merges.append(
             best.select(
