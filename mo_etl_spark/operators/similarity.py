@@ -121,12 +121,21 @@ def write_ann_index(
         os.fsync(f.fileno())
     os.rename(tmp, sidecar)  # COMMIT POINT
     # GC: anything that is neither the new live gen, its immediate
-    # predecessor (in-flight readers), nor the sidecar — including
-    # pre-generation flat layouts and crashed partial builds
+    # predecessor (in-flight readers), nor the sidecar.  Two nuances
+    # (ADVICE r6): a PRE-GENERATION flat layout was the live index
+    # until this very commit, so when upgrading (gen == 1) its files
+    # get the same one-rebuild-cycle retention the gen-dir predecessor
+    # gets — an in-flight reader that resolved the flat layout keeps
+    # its files until the NEXT rebuild; and a leftover sidecar .tmp
+    # (a crashed writer's — ours was just renamed) is removed rather
+    # than skipped forever.
     keep = {target, prev_live, INDEX_SIDECAR}
     for entry in os.listdir(path):
-        if entry in keep or entry == INDEX_SIDECAR + ".tmp":
+        if entry in keep:
             continue
+        is_gen = entry.startswith("gen") and entry[3:].isdigit()
+        if gen == 1 and not is_gen and entry != INDEX_SIDECAR + ".tmp":
+            continue  # flat-layout predecessor: retain one cycle
         p = os.path.join(path, entry)
         if os.path.isdir(p):
             shutil.rmtree(p, ignore_errors=True)

@@ -327,6 +327,17 @@ def compact_batched(
     subs = _live_dirs(root)
     if len(subs) < min_dirs:
         return 0
+    # data-less table (empty partitioned batches write only _SUCCESS):
+    # nothing to rewrite — without this guard the partition_cols path
+    # reduces over an empty union and the binpack path renames a
+    # never-created build dir (ADVICE r6)
+    if not any(
+        n.endswith(".parquet")
+        for p in subs
+        for _, _, names in os.walk(p)
+        for n in names
+    ):
+        return 0
     tmp = os.path.join(root, _COMPACT_NEW)
     if partition_cols:
         # per-root loads + union: multi-root hive discovery in one

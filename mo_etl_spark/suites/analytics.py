@@ -789,10 +789,39 @@ def graph_pagerank_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
         for n in names
     ) if os.path.isdir(src_path) else os.path.getsize(src_path)
     if src_bytes > (5 << 30):
+        # persist-once-per-snapshot, honestly (ADVICE r6): reuse the
+        # bucketed edge table when it postdates the source snapshot
+        # (mtime-keyed marker, same discipline as the parquet index
+        # caches) instead of re-paying the bucketed write every run —
+        # and never DROP a table a concurrent session may be reading
+        # unless the snapshot actually changed.
         tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
+        src_mtime = max(
+            (
+                os.path.getmtime(os.path.join(dp, n))
+                for dp, _, names in os.walk(src_path)
+                for n in names
+            ),
+            default=0.0,
+        ) if os.path.isdir(src_path) else os.path.getmtime(src_path)
+        marker = f"/root/repo/.scratch/pr_edges_supply_{tag}.srcmtime"
+        fresh = False
+        try:
+            with open(marker) as fh:
+                fresh = float(fh.read()) >= src_mtime
+        except (OSError, ValueError):
+            pass
         ranks = pagerank_bucketed(
-            edges, iters=_PR_ITERS, d=_PR_D, table=f"pr_edges_supply_{tag}"
+            edges,
+            iters=_PR_ITERS,
+            d=_PR_D,
+            table=f"pr_edges_supply_{tag}",
+            reuse_existing=fresh,
         )
+        if not fresh:
+            os.makedirs(os.path.dirname(marker), exist_ok=True)
+            with open(marker, "w") as fh:
+                fh.write(str(src_mtime))
     else:
         ranks = pagerank(edges, iters=_PR_ITERS, d=_PR_D)
     nn = edges.select(F.col("src").alias("node")).distinct().agg(

@@ -553,3 +553,52 @@ def test_ann_index_rebuild_crash_never_bricks_serving(spark, tmp_path):
     assert S.load_ann_index(spark, path, params).count() == 4
     assert not os.path.isdir(os.path.join(path, "gen1"))
     assert os.path.isdir(os.path.join(path, "gen2"))
+
+
+def test_ann_index_flat_layout_upgrade_retention(spark, tmp_path):
+    """ADVICE r6: upgrading a PRE-GENERATION flat-layout index must
+    give the flat files the same one-rebuild-cycle retention as a
+    gen-dir predecessor (an in-flight reader that resolved the flat
+    layout may still be scanning them), and a crashed writer's stale
+    sidecar ``.tmp`` must be cleaned up, not skipped forever."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mo_etl_spark.operators import similarity as S
+
+    def table(n):
+        return spark.range(n).select(
+            F.col("id").alias("c_id"),
+            F.array(F.lit(1.0), F.lit(2.0)).alias("vec"),
+            (F.col("id") % 2).alias("bucket"),
+        )
+
+    # pre-generation layout: partition dirs directly under path, a
+    # legacy sidecar WITHOUT "live", plus a crashed writer's .tmp
+    path = str(tmp_path / "idx")
+    table(8).write.partitionBy("bucket").parquet(path)
+    with open(os.path.join(path, S.INDEX_SIDECAR), "w") as f:
+        json.dump({"kind": "lsh_vec"}, f)
+    with open(os.path.join(path, S.INDEX_SIDECAR + ".tmp"), "w") as f:
+        f.write("{crashed")
+    flat_entries = {
+        e for e in os.listdir(path)
+        if not e.startswith("gen") and not e.startswith(S.INDEX_SIDECAR)
+    }
+    assert flat_entries  # the layout under test really exists
+
+    # upgrade (gen1): flat files RETAINED one cycle, stale .tmp gone
+    params = {"kind": "lsh_vec", "n_planes": 4, "seed": 42}
+    S.write_ann_index(table(8), path, ["bucket"], params)
+    assert S.load_ann_index(spark, path, params).count() == 8
+    assert flat_entries <= set(os.listdir(path))
+    assert not os.path.exists(os.path.join(path, S.INDEX_SIDECAR + ".tmp"))
+
+    # next rebuild (gen2): the flat predecessor is garbage-collected,
+    # gen1 is retained as the in-flight-reader predecessor
+    S.write_ann_index(table(16), path, ["bucket"], params)
+    assert S.load_ann_index(spark, path, params).count() == 16
+    assert not (flat_entries & set(os.listdir(path)))
+    assert os.path.isdir(os.path.join(path, "gen1"))

@@ -843,3 +843,26 @@ def test_concurrent_readers_during_compaction(spark, tmpdir):
             t.join(60)
     assert not errors, errors
     assert sorted(r["v"] for r in read_batched(spark, root).collect()) == want
+
+
+def test_compact_batched_dataless_table_is_noop(spark, tmpdir):
+    """ADVICE r6: a table whose live dirs carry no parquet at all
+    (empty partitioned batches write only _SUCCESS) must compact to a
+    clean no-op — previously the partition_cols path reduced over an
+    empty list (TypeError) and the binpack path renamed a build dir
+    that was never created (FileNotFoundError)."""
+    import os
+
+    from mo_etl_spark.streaming import compact_batched
+
+    root = f"{tmpdir}/dataless"
+    for b in range(8):
+        d = os.path.join(root, f"b{b}")
+        os.makedirs(d)
+        open(os.path.join(d, "_SUCCESS"), "w").close()
+    assert compact_batched(spark, root, min_dirs=8) == 0
+    assert (
+        compact_batched(spark, root, min_dirs=8, partition_cols=["band", "bk"]) == 0
+    )
+    # the live dirs are untouched — a later batch with data compacts
+    assert sorted(os.listdir(root)) == [f"b{b}" for b in range(8)]

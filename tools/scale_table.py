@@ -35,6 +35,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -281,9 +282,6 @@ def workloads(spark, d: str, scale: float, ops: list[str] | None = None):
     if wanted("stream_incr_trigger"):
         from mo_etl_spark.operators.dedup import band_bucket
 
-        spark.conf.set(
-            "spark.sql.sources.parallelPartitionDiscovery.threshold", "1000000"
-        )
         n_sdocs = int(20_000 * scale)
         tok = (
             "transform(sequence(0, 19), j -> concat("
@@ -294,7 +292,15 @@ def workloads(spark, d: str, scale: float, ops: list[str] | None = None):
             F.col("id").alias("doc_id"),
             F.array_join(F.expr(tok), " ").alias("text"),
         )
-        if not os.path.exists(os.path.join(sarr, "base", "_SUCCESS")):
+        # seed gate checks ALL THREE state tables (ADVICE r6): a crash
+        # between the seed writes must rebuild, not silently reuse a
+        # half-seeded state (idx/pairs missing while arr exists)
+        if not all(
+            os.path.exists(os.path.join(p, "base", "_SUCCESS"))
+            for p in (sidx, sarr, spr)
+        ):
+            for p in (sidx, sarr, spr):
+                shutil.rmtree(p, ignore_errors=True)
             banded_full = minhash_md5_band_index(sdocs, k=16, bands=8).withColumn(
                 "ib", band_bucket("band", "bk", nib_s)
             )
@@ -315,6 +321,26 @@ def workloads(spark, d: str, scale: float, ops: list[str] | None = None):
             (F.col("doc_id") + 100_000_000).alias("doc_id"),
             strunc.alias("text"),
         ).localCheckpoint(eager=True)
+
+    def _stream_incr_trigger():
+        # local-fs partition discovery of the multi-thousand-dir state
+        # runs driver-side (threshold raised); SAVE/RESTORE the conf so
+        # later timed workloads in the same session see the default
+        # parallel-discovery behaviour (ADVICE r6)
+        key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "1000000")
+        try:
+            from mo_etl_spark.suites.streaming_real import _incr_dedup_apply_batch
+
+            return _incr_dedup_apply_batch(
+                spark, sidx, sarr, spr, stream_batch, 0, nb=nb_s, n_ib=nib_s
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
 
     # exchange-free PageRank route (VERDICT r5 item #4): dst-bucketed
     # persisted edge table, built untimed once per graph snapshot
@@ -525,11 +551,7 @@ def workloads(spark, d: str, scale: float, ops: list[str] | None = None):
             # probe-keyed state (fixed batch; replay-idempotent, so
             # reps overwrite the same b0 subdirs)
             "stream_incr_trigger",
-            lambda: __import__(
-                "mo_etl_spark.suites.streaming_real", fromlist=["x"]
-            )._incr_dedup_apply_batch(
-                spark, sidx, sarr, spr, stream_batch, 0, nb=nb_s, n_ib=nib_s
-            ),
+            _stream_incr_trigger,
         ),
         (
             # the r4 global-order rewrite's scaling claim: exact global
