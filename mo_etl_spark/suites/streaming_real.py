@@ -30,11 +30,13 @@ from mo_etl_spark.session import prepare
 from mo_etl_spark.streaming import (
     file_stream_source,
     foreach_batch_etl,
+    has_tombstones,
     idempotent_batch_write,
     idempotent_batch_write_to,
     maintain_batched,
     read_batched,
     read_manifest_extra,
+    read_tombstones,
 )
 from mo_etl_spark.tables import load_table
 
@@ -1065,8 +1067,10 @@ def stream_real_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     # PRESERVING the probe-key partition layout — a no-op at this
     # feed's 4 triggers, the bounded-listing guarantee for a
     # long-lived deployment (24-trigger proof in tests/test_streaming)
-    maintain_batched(spark, idx_dir, partition_cols=["ib"])
-    maintain_batched(spark, arrived_dir, partition_cols=["db"])
+    maintain_batched(spark, idx_dir, partition_cols=["ib"], tombstone_col="id")
+    maintain_batched(
+        spark, arrived_dir, partition_cols=["db"], tombstone_col="doc_id"
+    )
     maintain_batched(spark, pairs_dir)
     return read_batched(spark, pairs_dir).select("id_a", "id_b", "jaccard")
 
@@ -1229,6 +1233,20 @@ def _incr_dedup_apply_batch(
         .where(F.col("ib").isin(ib_vals) if ib_vals else F.lit(False))
         .select("id", "band", "bk")
     )
+    # RETRACTIONS (VERDICT r6 what's-wrong #2): pending tombstones
+    # (streaming.append_tombstones on the index table) broadcast-anti-
+    # join ABOVE the bucket-pruned scan — the static ib IN partition
+    # filters are untouched (plan-pinned), so retraction never forces
+    # the full-state read this layout exists to avoid.  The dir probe
+    # keeps the common no-retractions trigger join-free; the next
+    # maintain_batched(tombstone_col="id") pass folds the set
+    # physically and resets it.
+    if has_tombstones(idx_dir):
+        index = index.join(
+            F.broadcast(read_tombstones(spark, idx_dir, "id BIGINT").select("id")),
+            "id",
+            "left_anti",
+        )
     cand_plan = D.minhash_md5_candidates(index, banded)
     if plan_probe is not None:  # test hook: the probe plan BEFORE the
         # checkpoint cut (tests/test_plans.py pins its bucket pruning)

@@ -976,3 +976,141 @@ def test_stream_grown_index_hot_cell_capped(spark, tmpdir):
         ).collect()
     )
     assert sorted(tuple(r) for r in serve().collect()) == want2
+
+
+def test_compaction_folds_tombstones_and_resets(spark, tmpdir):
+    """VERDICT r6 what's-wrong #2 (the fold half): compact_batched
+    with tombstone_col= must DROP retracted rows while rewriting and
+    consume exactly the tombstone files it folded — the side table
+    resets per generation instead of growing forever, and a
+    retraction appended after the fold started (here: after it
+    finished) survives for the next one."""
+    import os
+
+    from mo_etl_spark.streaming import (
+        append_tombstones,
+        compact_batched,
+        has_tombstones,
+        idempotent_batch_write,
+        read_batched,
+        read_tombstones,
+    )
+
+    root = f"{tmpdir}/tomb_idx"
+    for b in range(4):
+        rows = spark.range(b * 10, b * 10 + 10).select(
+            F.col("id"), F.pmod("id", F.lit(4)).alias("ib")
+        )
+        idempotent_batch_write(rows, root, b, partition_cols=["ib"])
+    append_tombstones(spark.createDataFrame([(3,), (17,)], "id BIGINT"), root)
+    append_tombstones(spark.createDataFrame([(25,)], "id BIGINT"), root)
+    assert has_tombstones(root)
+
+    assert compact_batched(
+        spark, root, min_dirs=0, partition_cols=["ib"], tombstone_col="id",
+        gc_grace_sec=0.0,
+    ) > 0
+    got = sorted(r["id"] for r in read_batched(spark, root, partitioned=True).collect())
+    assert got == sorted(set(range(40)) - {3, 17, 25})
+    assert not has_tombstones(root)  # folded set consumed
+    assert read_tombstones(spark, root, "id BIGINT").count() == 0
+
+    # a post-fold retraction is pending for the NEXT generation
+    append_tombstones(spark.createDataFrame([(5,)], "id BIGINT"), root)
+    assert has_tombstones(root)
+    idempotent_batch_write(
+        spark.range(40, 44).select("id", F.pmod("id", F.lit(4)).alias("ib")),
+        root, 4, partition_cols=["ib"],
+    )
+    assert compact_batched(
+        spark, root, min_dirs=0, partition_cols=["ib"], tombstone_col="id",
+        gc_grace_sec=0.0,
+    ) > 0
+    got = sorted(r["id"] for r in read_batched(spark, root, partitioned=True).collect())
+    assert got == sorted(set(range(44)) - {3, 17, 25, 5})
+    assert not has_tombstones(root)
+
+
+def test_streamed_dedup_retraction_pruned_and_folded(spark, sf_dir, tmpdir):
+    """Retraction on the STREAMED dedup (VERDICT r6 what's-wrong #2):
+    a tombstoned base doc must stop matching in later triggers — with
+    the probe's static ib-IN bucket pruning intact — and the next
+    maintenance fold must remove its bands physically and reset the
+    side table, with probe results identical before and after the
+    fold."""
+    import os
+
+    from mo_etl_spark.streaming import (
+        append_tombstones,
+        compact_batched,
+        has_tombstones,
+        read_batched,
+    )
+    from mo_etl_spark.suites.streaming_real import (
+        _incr_dedup_apply_batch,
+        _incr_dedup_seed_dirs,
+        _incr_feed,
+    )
+    from mo_etl_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") < 400).select("doc_id", "text")
+    feed = _incr_feed(spark, sf_dir)
+    idx = f"{tmpdir}/idx"
+    arr = f"{tmpdir}/arr"
+    prs = f"{tmpdir}/prs"
+    _incr_dedup_seed_dirs(spark, sf_dir, base, idx, arr, prs)
+
+    batches = sorted(
+        os.path.join(feed, d) for d in os.listdir(feed) if d.startswith("b")
+    )
+    b0 = spark.read.parquet(batches[0])
+
+    # reference: no retraction — doc 0's truncated twin (20000) matches
+    _incr_dedup_apply_batch(spark, idx, arr, prs, b0, 0)
+    with_zero = {
+        (r["id_a"], r["id_b"])
+        for r in read_batched(spark, prs).collect()
+    }
+    assert any(0 in p for p in with_zero), with_zero
+
+    # retract doc 0, replay the same batch (idempotent overwrite of
+    # b0's outputs): its pairs vanish, everything else survives, and
+    # the probe plan keeps its static bucket pruning
+    _incr_dedup_seed_dirs(spark, sf_dir, base, idx, arr, prs)
+    append_tombstones(spark.createDataFrame([(0,)], "id BIGINT"), idx)
+    probe: dict = {}
+    _incr_dedup_apply_batch(spark, idx, arr, prs, b0, 0, plan_probe=probe)
+    without_zero = {
+        (r["id_a"], r["id_b"])
+        for r in read_batched(spark, prs).collect()
+    }
+    assert without_zero == {p for p in with_zero if 0 not in p}
+    scans = [
+        ln
+        for ln in probe["probe"].splitlines()
+        if "FileScan parquet" in ln and "ib#" in ln
+    ]
+    assert scans, probe["probe"]
+    for ln in scans:
+        pf = ln.split("PartitionFilters")[1]
+        assert "ib#" in pf and ("INSET" in pf or " IN " in pf), ln
+    assert "LeftAnti" in probe["probe"]
+
+    # fold: the band index physically loses id 0, the side table
+    # resets, and the next trigger's results are unchanged
+    assert compact_batched(
+        spark, idx, min_dirs=0, partition_cols=["ib"], tombstone_col="id",
+        gc_grace_sec=0.0,
+    ) > 0
+    assert not has_tombstones(idx)
+    ids = read_batched(spark, idx, partitioned=True).select("id").distinct()
+    assert ids.where(F.col("id") == 0).count() == 0
+    b1 = spark.read.parquet(batches[1])
+    _incr_dedup_apply_batch(spark, idx, arr, prs, b1, 1)
+    after_fold = {
+        (r["id_a"], r["id_b"])
+        for r in read_batched(spark, prs).collect()
+    }
+    assert not any(0 in p for p in after_fold)
+    assert without_zero <= after_fold
