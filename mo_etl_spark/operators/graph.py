@@ -124,6 +124,12 @@ def pagerank_bucketed(
     on the same graph (same join/agg arithmetic, same float-sum
     rounding regime)."""
     spark = edges.sparkSession
+    reusing = reuse_existing and spark.catalog.tableExists(table)
+    if n_nodes is None and reusing:
+        # free gate on the hot path: the build stored the node count
+        # as a table property, so per-snapshot reruns never pay a
+        # count job (driver-only catalog read)
+        n_nodes = _table_prop_int(spark, table, "mo_etl.n_nodes")
     if n_nodes is None:
         n_nodes = edges.select("src").distinct().count()
     if n_nodes > broadcast_cutoff:
@@ -135,12 +141,16 @@ def pagerank_bucketed(
             n_buckets=n_buckets,
             reuse_existing=reuse_existing,
         )
-    if not (reuse_existing and spark.catalog.tableExists(table)):
+    if not reusing:
         outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         edges.join(outdeg, "src").write.bucketBy(n_buckets, "dst").mode(
             "overwrite"
         ).saveAsTable(table)
+        spark.sql(
+            f"ALTER TABLE {table} SET TBLPROPERTIES "
+            f"('mo_etl.n_nodes'='{int(n_nodes)}')"
+        )
     ed = spark.table(table)
     nodes = (
         ed.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=False)
@@ -163,6 +173,16 @@ def pagerank_bucketed(
             )
         )
     return ranks
+
+
+def _table_prop_int(spark, table: str, key: str) -> int | None:
+    """A managed table's integer property, or None (pre-property
+    builds, fresh metastores) — driver-only, never a Spark job."""
+    try:
+        rows = spark.sql(f"SHOW TBLPROPERTIES {table}('{key}')").collect()
+        return int(rows[0]["value"]) if rows else None
+    except Exception:
+        return None
 
 
 def pagerank_cobucketed(

@@ -1410,9 +1410,14 @@ def _incr_cdc_seed_dirs(
     os.makedirs(idx_dir, exist_ok=True)
     shutil.copytree(snap, os.path.join(idx_dir, "base"))
     shutil.rmtree(pairs_dir, ignore_errors=True)
-    spark.createDataFrame(
-        [], "id_a BIGINT, id_b BIGINT, n_shared_chunks BIGINT"
-    ).write.mode("overwrite").parquet(os.path.join(pairs_dir, "base"))
+    # cached one-time empty seed, copied per run (no per-run Spark job)
+    empty_snap = os.path.join(_CACHE, "empty_cdc_pairs_seed")
+    if not os.path.exists(os.path.join(empty_snap, "_SUCCESS")):
+        spark.createDataFrame(
+            [], "id_a BIGINT, id_b BIGINT, n_shared_chunks BIGINT"
+        ).write.mode("overwrite").parquet(empty_snap)
+    os.makedirs(pairs_dir, exist_ok=True)
+    shutil.copytree(empty_snap, os.path.join(pairs_dir, "base"))
 
 
 def _incr_cdc_apply_batch(
@@ -1445,9 +1450,10 @@ def _incr_cdc_apply_batch(
     one-shot run (the oracle hash-checks exactly this)."""
     from mo_etl_spark.operators import text as X
 
-    b = batch_df.localCheckpoint(eager=True)
     chunks = (
-        X.cdc_chunks(b).select("doc_id", "chunk_hash").localCheckpoint(eager=True)
+        X.cdc_chunks(batch_df)
+        .select("doc_id", "chunk_hash")
+        .localCheckpoint(eager=True)
     )
     idempotent_batch_write(
         chunks.withColumn("hb", _cdc_bucket(n_hb)),
@@ -1455,12 +1461,21 @@ def _incr_cdc_apply_batch(
         batch_id,
         partition_cols=["hb"],
     )
+    # the batch's own hb bucket list comes free from the partition
+    # dirs the write above just created (same r7 job-budget cut as the
+    # minhash stream — listdir, no collect job)
+    bdir = os.path.join(idx_dir, f"b{batch_id}")
     hb_vals = sorted(
-        r["hb"]
-        for r in chunks.select(_cdc_bucket(n_hb).alias("hb")).distinct().collect()
+        int(d.split("=", 1)[1]) for d in os.listdir(bdir) if d.startswith("hb=")
     )
     index = (
-        read_batched(spark, idx_dir, exclude_batch=batch_id, partitioned=True)
+        read_batched(
+            spark,
+            idx_dir,
+            exclude_batch=batch_id,
+            partitioned=True,
+            schema="doc_id BIGINT, chunk_hash STRING, hb BIGINT",
+        )
         .where(F.col("hb").isin(hb_vals) if hb_vals else F.lit(False))
         .select("doc_id", "chunk_hash")
     )
@@ -1480,7 +1495,9 @@ def _incr_cdc_apply_batch(
     )
     if plan_probe is not None:
         plan_probe["probe"] = pairs._jdf.queryExecution().toString()
-    idempotent_batch_write(pairs, pairs_dir, batch_id)
+    # one output file: per-trigger pairs are batch-bounded (r7
+    # job-budget cut, same as the minhash stream)
+    idempotent_batch_write(pairs.coalesce(1), pairs_dir, batch_id)
 
 
 @query(
@@ -1541,7 +1558,11 @@ def stream_real_incremental_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream, preserving the hb partition layout
     maintain_batched(spark, idx_dir, partition_cols=["hb"])
     maintain_batched(spark, pairs_dir)
-    return read_batched(spark, pairs_dir).select("id_a", "id_b", "n_shared_chunks")
+    return read_batched(
+        spark,
+        pairs_dir,
+        schema="id_a BIGINT, id_b BIGINT, n_shared_chunks BIGINT",
+    ).select("id_a", "id_b", "n_shared_chunks")
 
 
 def _wire_cdc_oracle() -> None:
@@ -1653,7 +1674,11 @@ def stream_real_ivf_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
-    return read_batched(spark, out_dir).select("q_id", "c_id", "cos_sim", "rnk")
+    return read_batched(
+        spark,
+        out_dir,
+        schema="q_id BIGINT, c_id BIGINT, cos_sim DOUBLE, rnk INT",
+    ).select("q_id", "c_id", "cos_sim", "rnk")
 
 
 def _wire_ivf_serving_oracle() -> None:
@@ -1832,9 +1857,12 @@ def stream_real_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .collect()
     )
-    idx = read_batched(spark, idx_dir, partitioned=True).where(
-        F.col("cell").isin(probed_cells)
-    )
+    idx = read_batched(
+        spark,
+        idx_dir,
+        partitioned=True,
+        schema="c_id BIGINT, vec ARRAY<FLOAT>, cell BIGINT, sub INT",
+    ).where(F.col("cell").isin(probed_cells))
     cs = S.cell_subs_with_floor(
         spark,
         read_manifest_extra(idx_dir).get("cell_subs", {}),
