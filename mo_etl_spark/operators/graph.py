@@ -143,7 +143,7 @@ def pagerank_bucketed(
         )
     if not reusing:
         outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        _reset_managed_table(spark, table)
         edges.join(outdeg, "src").write.bucketBy(n_buckets, "dst").mode(
             "overwrite"
         ).saveAsTable(table)
@@ -173,6 +173,24 @@ def pagerank_bucketed(
             )
         )
     return ranks
+
+
+def _reset_managed_table(spark, table: str) -> None:
+    """DROP + clear the table's warehouse location.  A DROP alone is
+    not enough across sessions: the embedded metastore is per-session
+    but warehouse files persist, so a FRESH session rebuilding the
+    same table name hits LOCATION_ALREADY_EXISTS at CREATE time (the
+    catalog check runs before mode('overwrite') can help).  Deriving
+    the location from the SESSION's warehouse dir keeps this correct
+    under driver-provided sessions with their own warehouse."""
+    import os
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    wh = wh.removeprefix("file:")
+    if wh:
+        shutil.rmtree(os.path.join(wh, table.lower()), ignore_errors=True)
 
 
 def _table_prop_int(spark, table: str, key: str) -> int | None:
@@ -225,7 +243,7 @@ def pagerank_cobucketed(
     spark = edges.sparkSession
     if not (reuse_existing and spark.catalog.tableExists(table)):
         outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        _reset_managed_table(spark, table)
         edges.join(outdeg, "src").write.bucketBy(n_buckets, "src").sortBy(
             "src"
         ).mode("overwrite").saveAsTable(table)

@@ -1077,6 +1077,107 @@ def stream_real_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select("id_a", "id_b", "jaccard")
 
 
+@query(
+    "stream_real_dedup_retract",
+    oracle=None,  # wired below: the retained-corpus replay oracle,
+    # shared verbatim with llm_dedup_incremental_retract
+    tags=(
+        "dedup_incremental",
+        "dedup_incremental_retract",
+        "dedup_minhash",
+        "lsh_banding",
+        "update_mode",
+        "foreachBatch_etl",
+        "stream_source",
+        "incremental_etl",
+    ),
+)
+@_stream_tuned
+def stream_real_dedup_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRACTION on the streamed incremental dedup as a contract
+    query (r7; VERDICT r6 what's-wrong #2): the full tombstone
+    lifecycle — append, probe-time anti-join above the bucket-pruned
+    state reads, compaction FOLD that physically drops the dead bands
+    and resets the side table — run end to end and hash-checked.
+
+    Same stream as stream_real_incremental_dedup, except every 37th
+    base doc is tombstoned (streaming.append_tombstones on the index
+    table) BEFORE the first trigger — including doc 0, whose truncated
+    twin arrives in the feed, so retraction provably removes pairs.
+    Each trigger's probe anti-joins the pending set above its static
+    ib-IN pruning (plan shape unchanged); after the stream the
+    maintenance fold (compact_batched tombstone_col=\"id\") rewrites
+    the index without the dead rows and consumes the tombstones.  The
+    oracle replays the one-shot incremental pipeline over the RETAINED
+    corpus: a tombstoned doc contributes no bands, no candidates, no
+    pairs — and batch-split invariance holds exactly as in the
+    unretracted stream (pairs never involve tombstoned ids, so each
+    surviving pair still lands in its later member's trigger)."""
+    prepare(spark)
+    from mo_etl_spark.streaming import append_tombstones, compact_batched
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") < 400).select("doc_id", "text")
+    feed = _incr_feed(spark, sf_dir)
+    ckpt = _scratch("retract_dedup_ckpt")
+    idx_dir = _scratch("retract_dedup_index")
+    arrived_dir = _scratch("retract_dedup_arrived")
+    pairs_dir = _scratch("retract_dedup_pairs")
+    _incr_dedup_seed_dirs(spark, sf_dir, base, idx_dir, arrived_dir, pairs_dir)
+    append_tombstones(
+        docs.where((F.col("doc_id") < 400) & (F.pmod("doc_id", F.lit(37)) == 0))
+        .select(F.col("doc_id").alias("id")),
+        idx_dir,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        _incr_dedup_apply_batch(
+            spark, idx_dir, arrived_dir, pairs_dir, batch_df, batch_id
+        )
+
+    q = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .format("parquet")
+        .load(feed)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    # the FOLD, in the maintenance window: dead bands leave the index
+    # physically, the tombstone side table resets for the next
+    # generation (min_dirs=0: fold on every maintenance pass here —
+    # the contract demonstrates the lifecycle, not the dir threshold)
+    compact_batched(
+        spark, idx_dir, min_dirs=0, partition_cols=["ib"], tombstone_col="id"
+    )
+    maintain_batched(
+        spark, arrived_dir, partition_cols=["db"], tombstone_col="doc_id"
+    )
+    maintain_batched(spark, pairs_dir)
+    return read_batched(
+        spark, pairs_dir, schema="id_a BIGINT, id_b BIGINT, jaccard DOUBLE"
+    ).select("id_a", "id_b", "jaccard")
+
+
+def _wire_retract_oracle() -> None:
+    from mo_etl_spark.registry import QUERIES, QuerySpec
+    from mo_etl_spark.suites.llm import _SQL_INCR_CORPUS_RETRACT
+
+    spec = QUERIES["stream_real_dedup_retract"]
+    QUERIES["stream_real_dedup_retract"] = QuerySpec(
+        name=spec.name,
+        fn=spec.fn,
+        oracle=dedup_oracle(_SQL_INCR_CORPUS_RETRACT),
+        tags=spec.tags,
+    )
+
+
 #: probe-key bucket counts for the streamed dedup state (VERDICT r5
 #: item #1).  At sf0.01/sf0.1 these are deliberately small (file-count
 #: overhead dominates below ~GB); a production daily-crawl deployment
@@ -1357,6 +1458,7 @@ def dedup_oracle(corpus_sql: str) -> str:
 
 
 _wire_incr_oracle()
+_wire_retract_oracle()
 
 
 # ---------------------------------------------------------------------------

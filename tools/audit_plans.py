@@ -34,6 +34,7 @@ CARTESIAN_OK = {
     "join_q15_top_supplier",  # 1-row max-revenue scalar broadcast-crossed in
     "layout_zorder_orders",  # 1-row global min/max bounds broadcast-crossed in
     "graph_pagerank_supply",  # 1-row node-count scalar broadcast-crossed into every iteration
+    "graph_pagerank_cobucketed",  # same 1-row node-count scalar; ranks themselves are NEVER broadcast (pinned: zero BroadcastHashJoin)
     "qa_drift_value_histogram",  # 1-row population totals broadcast-crossed in
     "agg_theta_setops_users",  # crossJoin of two 1-row sketch aggregates
     "agg_heavy_hitters_mg",  # 1-row stream-total scalar broadcast-crossed into the threshold
@@ -94,6 +95,19 @@ EXCHANGES_OK = {
     # by construction + the one-off edge materialization; per-iteration
     # cost is the claim, not total exchange count
     "graph_pagerank_supply",
+    # co-bucketed PageRank (r7): per-iteration exchanges are narrow
+    # rank/contribution rows BY DESIGN (the broadcast-free route's
+    # intrinsic floor — edges never move, pinned by the src-exchange
+    # plan test); 8 iterations x (rank align + gather) is the algorithm
+    "graph_pagerank_cobucketed",
+    # pruned incremental dedup WITH retraction (r7): the plan is the
+    # full llm_dedup_incremental_pruned pipeline (banding + candidate
+    # join + DPP verify, each keyed and batch-bounded) plus ONE
+    # broadcast anti-join for the tombstones; the pruning pins
+    # (static ib IN + dynamicpruningexpression) hold with retraction
+    # active (tests/test_plans.py::test_incremental_retract_probe_
+    # stays_pruned), so the exchange count is composition, not waste
+    "llm_dedup_incremental_retract",
     # the streamed index-upsert's RETURNED plan is the final contract
     # serve (probe top-k + cell-pruned cogroup + global top-k) over the
     # multi-root batched index — the per-root union multiplies scan-side
