@@ -159,7 +159,11 @@ def workloads(spark, d: str, scale: float, ops: list[str] | None = None):
         minhash_md5_incremental_pairs,
         simhash_hamming_pairs,
     )
-    from mo_etl_spark.operators.graph import pagerank, pagerank_bucketed
+    from mo_etl_spark.operators.graph import (
+        pagerank,
+        pagerank_bucketed,
+        pagerank_cobucketed,
+    )
     from mo_etl_spark.operators.joins import asof_join
     from mo_etl_spark.operators.similarity import (
         as_double,
@@ -192,7 +196,8 @@ def workloads(spark, d: str, scale: float, ops: list[str] | None = None):
     ) else None
     emb = _read(spark, d, "embeddings")
     li = _read(spark, d, "lineitem") if wanted(
-        "pagerank_8it", "pagerank_bucketed_8it", "ntile_two_pass"
+        "pagerank_8it", "pagerank_bucketed_8it", "pagerank_cobucketed_8it",
+        "ntile_two_pass",
     ) else None
 
     corpus = emb.select(
@@ -345,6 +350,7 @@ def workloads(spark, d: str, scale: float, ops: list[str] | None = None):
     # exchange-free PageRank route (VERDICT r5 item #4): dst-bucketed
     # persisted edge table, built untimed once per graph snapshot
     pr_bkt_t = f"pr_bkt_{tag}".replace(".", "_").replace("-", "_")
+    pr_cob_t = f"pr_cob_{tag}".replace(".", "_").replace("-", "_")
 
     # persisted IVF index with vectors, partitioned by cell (untimed
     # once-per-snapshot build, like production)
@@ -434,6 +440,10 @@ def workloads(spark, d: str, scale: float, ops: list[str] | None = None):
             # iters=0: build the dst-bucketed table only (untimed,
             # once per graph snapshot — the production shape)
             pagerank_bucketed(edges, iters=0, table=pr_bkt_t)
+        if wanted("pagerank_cobucketed_8it") and not spark.catalog.tableExists(
+            pr_cob_t
+        ):
+            pagerank_cobucketed(edges, iters=0, table=pr_cob_t)
 
     return [
         (
@@ -544,6 +554,15 @@ def workloads(spark, d: str, scale: float, ops: list[str] | None = None):
             "pagerank_bucketed_8it",
             lambda: pagerank_bucketed(
                 edges, iters=8, table=pr_bkt_t, reuse_existing=True
+            ).count(),
+        ),
+        (
+            # r7: the BEYOND-broadcast route — ranks never broadcast,
+            # src-bucketed edges read in place, only narrow rank/
+            # contribution rows move per iteration
+            "pagerank_cobucketed_8it",
+            lambda: pagerank_cobucketed(
+                edges, iters=8, table=pr_cob_t, reuse_existing=True
             ).count(),
         ),
         (
