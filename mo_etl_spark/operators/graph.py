@@ -130,6 +130,14 @@ def pagerank_bucketed(
         # as a table property, so per-snapshot reruns never pay a
         # count job (driver-only catalog read)
         n_nodes = _table_prop_int(spark, table, "mo_etl.n_nodes")
+        if n_nodes is None:
+            # pre-property table (built before r7): pay the count ONCE
+            # and self-heal — store it so every later rerun is free
+            n_nodes = edges.select("src").distinct().count()
+            spark.sql(
+                f"ALTER TABLE {table} SET TBLPROPERTIES "
+                f"('mo_etl.n_nodes'='{int(n_nodes)}')"
+            )
     if n_nodes is None:
         n_nodes = edges.select("src").distinct().count()
     if n_nodes > broadcast_cutoff:
