@@ -1876,7 +1876,14 @@ def stream_real_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mo_etl_spark.operators import similarity as S
 
     base_lt, cents_lt, nprobe = 256, 16, 4
-    prov, cap_rows = 4, 512  # provisional subs per cell; compaction cap
+    # prov sizes the BETWEEN-compactions task bound (a fresh cell's
+    # worst task is arrivals_in_cell / prov until the next adaptive
+    # re-split): a deployment picks ~expected per-interval arrivals
+    # per hot cell / cap_rows.  At contract scale 2 suffices and each
+    # extra sub multiplies partition-dir count (A/B'd: prov=4 cost
+    # ~2 s/run in listing overhead for no tighter interim bound that
+    # matters at this volume).  cap_rows is the compaction-time cap.
+    prov, cap_rows = 2, 512
 
     def _with_sub(df: DataFrame) -> DataFrame:
         return df.withColumn(
