@@ -683,6 +683,7 @@ def maintain_batched(
     transform: Callable[[DataFrame], "DataFrame | tuple[DataFrame, dict]"] | None = None,
     tombstone_col: str | None = None,
     lease_ttl_sec: float = 3600.0,
+    max_tombstone_files: int = 16,
 ) -> int:
     """AUTO-compaction policy (VERDICT r5 item #3): compact when the
     live-dir count reaches ``max_dirs``, else no-op.  Called by the
@@ -691,10 +692,25 @@ def maintain_batched(
     cost at O(max_dirs) forever without anyone remembering to run
     compaction by hand — a long-lived table oscillates between
     ``1`` (fresh base) and ``max_dirs`` live dirs.  Returns the group
-    count from compact_batched (0 = below threshold)."""
+    count from compact_batched (0 = below threshold).
+
+    TOMBSTONE PRESSURE (r7): when ``tombstone_col`` is set, pending
+    retraction files also trigger the fold at ``max_tombstone_files``
+    — a QUIET table (few live dirs, steady retractions) must not pay a
+    growing probe-time anti-join forever just because its dir count
+    never crosses ``max_dirs``.  The threshold is file-count, not row
+    count: each append_tombstones call is one file, so this bounds the
+    number of retraction BATCHES a probe re-reads, the actual
+    per-trigger cost."""
     if not os.path.isdir(root):
         return 0
-    if len(_live_dirs(root)) < max_dirs:
+    tomb_pressure = False
+    if tombstone_col is not None:
+        tdir = os.path.join(root, _TOMBSTONES)
+        if os.path.isdir(tdir):
+            n_tomb = sum(1 for n in os.listdir(tdir) if n.endswith(".parquet"))
+            tomb_pressure = n_tomb >= max_tombstone_files
+    if len(_live_dirs(root)) < max_dirs and not tomb_pressure:
         return 0
     return compact_batched(
         spark,

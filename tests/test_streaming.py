@@ -1221,3 +1221,46 @@ def test_concurrent_compactors_lease_one_wins(spark, tmpdir):
         for d in os.listdir(root)
     )  # no orphan build past the committed generation
     assert sorted(r["v"] for r in read_batched(spark, root, partitioned=True).collect()) == want
+
+
+def test_maintain_batched_folds_under_tombstone_pressure(spark, tmpdir):
+    """r7: a QUIET table (live dirs below max_dirs) with steady
+    retractions must still fold — maintain_batched triggers at
+    max_tombstone_files pending retraction files, so probes never pay
+    an unboundedly growing anti-join on a table whose dir count alone
+    would never compact."""
+    import os
+
+    from mo_etl_spark.streaming import (
+        append_tombstones,
+        has_tombstones,
+        idempotent_batch_write,
+        maintain_batched,
+        read_batched,
+    )
+
+    root = f"{tmpdir}/quiet"
+    for b in range(3):  # far below max_dirs=16
+        idempotent_batch_write(
+            spark.range(b * 10, b * 10 + 10).select(
+                F.col("id"), F.pmod("id", F.lit(4)).alias("ib")
+            ),
+            root, b, partition_cols=["ib"],
+        )
+    for i in range(3):
+        append_tombstones(spark.createDataFrame([(i,)], "id BIGINT"), root)
+    # below both thresholds: no-op
+    assert maintain_batched(
+        spark, root, partition_cols=["ib"], tombstone_col="id",
+        max_tombstone_files=4, gc_grace_sec=0.0,
+    ) == 0
+    assert has_tombstones(root)
+    # the fourth retraction batch crosses the pressure threshold
+    append_tombstones(spark.createDataFrame([(3,)], "id BIGINT"), root)
+    assert maintain_batched(
+        spark, root, partition_cols=["ib"], tombstone_col="id",
+        max_tombstone_files=4, gc_grace_sec=0.0,
+    ) > 0
+    assert not has_tombstones(root)
+    got = sorted(r["id"] for r in read_batched(spark, root, partitioned=True).collect())
+    assert got == sorted(set(range(30)) - {0, 1, 2, 3})
