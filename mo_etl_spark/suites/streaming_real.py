@@ -1124,11 +1124,15 @@ def stream_real_dedup_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrived_dir = _scratch("retract_dedup_arrived")
     pairs_dir = _scratch("retract_dedup_pairs")
     _incr_dedup_seed_dirs(spark, sf_dir, base, idx_dir, arrived_dir, pairs_dir)
-    append_tombstones(
-        docs.where((F.col("doc_id") < 400) & (F.pmod("doc_id", F.lit(37)) == 0))
-        .select(F.col("doc_id").alias("id")),
-        idx_dir,
-    )
+    deleted = docs.where(
+        (F.col("doc_id") < 400) & (F.pmod("doc_id", F.lit(37)) == 0)
+    ).select("doc_id")
+    # erasure covers BOTH tables: the index (stops matching — applied
+    # at probe time from trigger 0) and the corpus (the TEXT itself
+    # must leave disk — folded in the maintenance window below; probes
+    # never look deleted docs up, so the fold can't change results)
+    append_tombstones(deleted.withColumnRenamed("doc_id", "id"), idx_dir)
+    append_tombstones(deleted, arrived_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         _incr_dedup_apply_batch(
@@ -1156,8 +1160,8 @@ def stream_real_dedup_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     compact_batched(
         spark, idx_dir, min_dirs=0, partition_cols=["ib"], tombstone_col="id"
     )
-    maintain_batched(
-        spark, arrived_dir, partition_cols=["db"], tombstone_col="doc_id"
+    compact_batched(
+        spark, arrived_dir, min_dirs=0, partition_cols=["db"], tombstone_col="doc_id"
     )
     maintain_batched(spark, pairs_dir)
     return read_batched(

@@ -1264,3 +1264,40 @@ def test_maintain_batched_folds_under_tombstone_pressure(spark, tmpdir):
     assert not has_tombstones(root)
     got = sorted(r["id"] for r in read_batched(spark, root, partitioned=True).collect())
     assert got == sorted(set(range(30)) - {0, 1, 2, 3})
+
+
+def test_retract_contract_query_erases_both_tables(spark):
+    """The streamed retraction CONTRACT query must leave the erased
+    docs physically gone from BOTH state tables after its maintenance
+    folds — the index (no bands) and the corpus (no text: GDPR erasure
+    is about the content, not just the match behavior) — with the
+    tombstone side tables reset."""
+    import glob
+    import os
+
+    from mo_etl_spark.streaming import has_tombstones, read_batched
+    from mo_etl_spark.suites.streaming_real import stream_real_dedup_retract
+
+    sf = "/root/testdata/sf0.001"
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in stream_real_dedup_retract(spark, sf).collect()
+    }
+    assert pairs and not any(a % 37 == 0 and a < 400 for a, _ in pairs)
+
+    scratch = "/root/repo/.cache/stream_scratch"
+    [idx] = glob.glob(os.path.join(scratch, "retract_dedup_index-*"))
+    [arr] = glob.glob(os.path.join(scratch, "retract_dedup_arrived-*"))
+    idx_ids = {
+        r["id"]
+        for r in read_batched(spark, idx, partitioned=True).select("id").distinct().collect()
+    }
+    arr_ids = {
+        r["doc_id"]
+        for r in read_batched(spark, arr, partitioned=True)
+        .select("doc_id").distinct().collect()
+    }
+    deleted = {i for i in range(400) if i % 37 == 0}
+    assert not (idx_ids & deleted)
+    assert not (arr_ids & deleted)
+    assert not has_tombstones(idx) and not has_tombstones(arr)
