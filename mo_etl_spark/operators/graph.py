@@ -152,9 +152,14 @@ def pagerank_bucketed(
     if not reusing:
         outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
         _reset_managed_table(spark, table)
-        edges.join(outdeg, "src").write.bucketBy(n_buckets, "dst").mode(
-            "overwrite"
-        ).saveAsTable(table)
+        # one file per bucket: a bucketed write does NOT shuffle, so
+        # without this each upstream task writes a sliver into every
+        # bucket (measured 32 files/bucket at 30x — a small-files
+        # problem that compounds at 100 TB); the one-time repartition
+        # is the build's cost, not the iterations'
+        edges.join(outdeg, "src").repartition(
+            n_buckets, F.col("dst")
+        ).write.bucketBy(n_buckets, "dst").mode("overwrite").saveAsTable(table)
         spark.sql(
             f"ALTER TABLE {table} SET TBLPROPERTIES "
             f"('mo_etl.n_nodes'='{int(n_nodes)}')"
@@ -252,9 +257,14 @@ def pagerank_cobucketed(
     if not (reuse_existing and spark.catalog.tableExists(table)):
         outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
         _reset_managed_table(spark, table)
-        edges.join(outdeg, "src").write.bucketBy(n_buckets, "src").sortBy(
-            "src"
-        ).mode("overwrite").saveAsTable(table)
+        # one file per bucket (see pagerank_bucketed) — ALSO what lets
+        # the sort-merge scatter read each bucket pre-sorted instead
+        # of re-sorting a multi-file bucket every iteration
+        edges.join(outdeg, "src").repartition(
+            n_buckets, F.col("src")
+        ).write.bucketBy(n_buckets, "src").sortBy("src").mode(
+            "overwrite"
+        ).saveAsTable(table)
     ed = spark.table(table)
     nodes = (
         ed.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=False)
