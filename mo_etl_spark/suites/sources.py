@@ -470,12 +470,21 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in (t_o, t_l):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
             shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+        # repartition on the bucket key first: a bucketed write does
+        # not shuffle, so each upstream task otherwise writes a sliver
+        # into every bucket (n_tasks x n_buckets files) and a
+        # multi-file bucket loses its sorted-scan property (r7, same
+        # fix as the pagerank tables)
         load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderstatus"
-        ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(t_o)
+        ).repartition(8, F.col("o_orderkey")).write.bucketBy(
+            8, "o_orderkey"
+        ).sortBy("o_orderkey").saveAsTable(t_o)
         load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_quantity"
-        ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(t_l)
+        ).repartition(8, F.col("l_orderkey")).write.bucketBy(
+            8, "l_orderkey"
+        ).sortBy("l_orderkey").saveAsTable(t_l)
     joined = spark.table(t_o).join(
         spark.table(t_l), F.col("l_orderkey") == F.col("o_orderkey")
     )
