@@ -1301,3 +1301,50 @@ def test_retract_contract_query_erases_both_tables(spark):
     assert not (idx_ids & deleted)
     assert not (arr_ids & deleted)
     assert not has_tombstones(idx) and not has_tombstones(arr)
+
+
+def test_manifest_extra_carried_by_transformless_compaction(spark, tmpdir):
+    """r7: a compaction WITHOUT a transform must carry the previous
+    generation's manifest ``extra`` forward — its rows are preserved
+    verbatim, so the serving metadata that described them (the ANN
+    cell_subs map) still does; dropping it would under-expand probes
+    on adaptively-split cells and lose results silently."""
+    from mo_etl_spark.operators import similarity as S
+    from mo_etl_spark.streaming import (
+        compact_batched,
+        idempotent_batch_write,
+        read_batched,
+        read_manifest_extra,
+    )
+
+    root = f"{tmpdir}/extra_carry"
+    for b in range(3):
+        rows = spark.range(b * 20, b * 20 + 20).select(
+            F.col("id").alias("c_id"),
+            F.lit(0).alias("cell"),
+            F.array(F.lit(1.0), F.lit(0.0)).alias("vec"),
+        )
+        idempotent_batch_write(rows, root, b, partition_cols=["cell"])
+    # adaptive split commits the map
+    assert compact_batched(
+        spark, root, min_dirs=0, partition_cols=["cell", "sub"],
+        transform=S.ann_resplit_transform(cap_rows=10), gc_grace_sec=0.0,
+    ) > 0
+    extra1 = read_manifest_extra(root)
+    assert extra1["cell_subs"].get("0", 1) >= 6  # 60 rows / cap 10
+
+    # a later transform-LESS maintenance pass (e.g. binpack-shaped
+    # partition rewrite) keeps rows and must keep the map
+    idempotent_batch_write(
+        spark.range(60, 64).select(
+            F.col("id").alias("c_id"), F.lit(0).alias("cell"),
+            F.array(F.lit(1.0), F.lit(0.0)).alias("vec"),
+            F.pmod(F.xxhash64("id"), F.lit(2)).cast("int").alias("sub"),
+        ),
+        root, 3, partition_cols=["cell", "sub"],
+    )
+    assert compact_batched(
+        spark, root, min_dirs=0, partition_cols=["cell", "sub"], gc_grace_sec=0.0
+    ) > 0
+    assert read_manifest_extra(root) == extra1
+    assert read_batched(spark, root, partitioned=True).count() == 64
