@@ -493,14 +493,16 @@ def cell_subs_with_floor(
     return spark.createDataFrame(rows, "cell BIGINT, n_subs INT")
 
 
-def cell_subs_from_params(spark, params: dict) -> DataFrame | None:
+def cell_subs_from_params(spark, params: dict, col: str = "cell") -> DataFrame | None:
     """Rebuild the (cell, n_subs) map a sub-split index stored in its
-    sidecar (``write_ann_index`` params key ``cell_subs``)."""
+    sidecar (``write_ann_index`` params key ``cell_subs``).  ``col``
+    names the probe-key column — "cell" for IVF, "bucket" for LSH (the
+    sub-split mechanism is probe-key-agnostic)."""
     m = params.get("cell_subs")
     if not m:
         return None
     return spark.createDataFrame(
-        [(int(c), int(n)) for c, n in m.items()], "cell BIGINT, n_subs INT"
+        [(int(c), int(n)) for c, n in m.items()], f"{col} BIGINT, n_subs INT"
     )
 
 
@@ -1031,6 +1033,7 @@ def lsh_topk(
     round_digits: int = 6,
     multiprobe: int = 0,
     indexed_corpus: DataFrame | None = None,
+    bucket_subs: DataFrame | None = None,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k, end to end: both sides bucket by
     sign-random-projection (same deterministic planes), candidates are
@@ -1041,7 +1044,15 @@ def lsh_topk(
     candidates; a corpus vector lives in exactly one bucket, so pairs
     never duplicate).  At corpus scale this is the LSH alternative to
     ivf_topk: no training, but buckets are unbalanced where IVF cells
-    are sized."""
+    are sized — which is exactly why a persisted LSH index gets the
+    SAME hot-key cap as IVF (r7): random hyperplanes over correlated
+    embeddings routinely park a large corpus fraction in a few
+    buckets, re-creating the one-unbounded-scoring-task straggler.  An
+    index carrying a ``sub`` column (ivf_subsplit with
+    cell_col="bucket") plus its ``bucket_subs`` map is served via
+    bounded (bucket, sub) cogroup tasks, results provably
+    split-invariant (one (bucket, sub) per corpus row; queries
+    replicate to every sub)."""
     qb = hyperplane_lsh_buckets(
         queries, dim, n_planes=n_planes, seed=seed, id_col=q_id, vec_col=vec
     )
@@ -1054,6 +1065,39 @@ def lsh_topk(
     q_side = queries.join(qb, q_id).select(
         F.col(q_id).alias("q_id"), F.col(vec).alias("qv"), "bucket"
     )
+    if indexed_corpus is not None and "sub" in indexed_corpus.columns:
+        # HOT-BUCKET-CAPPED serving (same machinery as ivf_topk's
+        # (cell, sub) path): each probed bucket expands to all its
+        # subs; scoring tasks are bounded at ~cap_rows regardless of
+        # how skewed the hyperplane buckets are
+        _require_index_cols(indexed_corpus, {c_id, vec, "bucket", "sub"}, "LSH")
+        if bucket_subs is None:
+            raise ValueError(
+                "index carries a 'sub' column (hot-bucket split) but no "
+                "bucket_subs map was supplied — load it from the index "
+                "sidecar (similarity.cell_subs_from_params(col='bucket'))"
+            )
+        qb_s = qb.join(F.broadcast(bucket_subs), "bucket").select(
+            q_id,
+            "bucket",
+            F.explode(F.sequence(F.lit(0), F.col("n_subs") - 1)).alias("sub"),
+        )
+        q_side = queries.join(qb_s, q_id).select(
+            F.col(q_id).alias("q_id"), F.col(vec).alias("qv"), "bucket", "sub"
+        )
+        probed = qb_s.select("bucket", "sub").distinct()
+        c_side = indexed_corpus.join(F.broadcast(probed), ["bucket", "sub"]).select(
+            F.col(c_id).alias("c_id"), F.col(vec).alias("cv"), "bucket", "sub"
+        )
+        partials = (
+            q_side.groupBy("bucket", "sub")
+            .cogroup(c_side.groupBy("bucket", "sub"))
+            .applyInPandas(
+                _partial_topk_fn(k, round_digits, exclude_self=True),
+                "q_id long, c_id long, cos_sim double",
+            )
+        )
+        return _global_topk(partials, k, q_id, c_id)
     if indexed_corpus is not None:
         # persisted serving (same mechanism as ivf_topk): the index
         # carries (c_id, vec, bucket) partitioned by bucket; the query

@@ -1714,18 +1714,28 @@ def llm_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_sim_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH serving from a PERSISTED bucket index — the training-free
     sibling of llm_sim_ivf_persisted: the (c_id, vec, bucket) table is
-    written once per corpus snapshot, partitioned by bucket, and a
-    query batch reads ONLY its probed buckets (bucket set broadcast →
-    Dynamic Partition Pruning on the index scan; no corpus-side
-    hashing or corpus-wide join at serve time).  Same planes, same
-    answers, same oracle as the inline llm_sim_lsh_topk."""
+    written once per corpus snapshot, partitioned by (bucket, sub),
+    and a query batch reads ONLY its probed buckets (bucket set
+    broadcast → Dynamic Partition Pruning on the index scan; no
+    corpus-side hashing or corpus-wide join at serve time).
+
+    HOT-BUCKET CAP (r7): hyperplane buckets are unbalanced by nature
+    — correlated embeddings park a large corpus fraction in a few
+    buckets, the same straggler IVF cells were capped for in r5 — so
+    the build runs the SAME ivf_subsplit (cell_col="bucket",
+    cap_rows), stores the (bucket, n_subs) map in the sidecar, and
+    serving expands each probed bucket to all its subs: scoring tasks
+    bounded at ~cap_rows however skewed the hash is, results provably
+    split-invariant (planted-hot-bucket test in tests/test_new_ops).
+    Same planes, same answers, same oracle as the inline
+    llm_sim_lsh_topk."""
     import os
 
     emb = _emb(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
     )
-    n_planes, seed = 4, 42
+    n_planes, seed, cap_rows = 4, 42, 256
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     idx_path = os.path.join(
         "/root/repo/.cache", tag, f"lsh_vec_index__p{n_planes}_s{seed}"
@@ -1733,25 +1743,48 @@ def llm_sim_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "embeddings.parquet")
     lsh_params = {
         "kind": "lsh_vec", "n_planes": n_planes, "seed": seed, "dim": 64,
-        "partition": "bucket",
+        "partition": "bucket,sub", "cap_rows": cap_rows,
     }
-    # param-aware staleness (ADVICE r5): plane/seed changes rebuild
+    # param-aware staleness (ADVICE r5): plane/seed/cap changes rebuild
+    # (the r6 bucket-only layout fails the partition param and is
+    # rebuilt sub-split on first touch)
     if S.index_is_stale(idx_path, src, lsh_params):
         c_all = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec"))
-        S.write_ann_index(
+        split, ns = S.ivf_subsplit(
             S.hyperplane_lsh_buckets(emb, dim=64, n_planes=n_planes, seed=seed)
             .withColumnRenamed("vec_id", "c_id")
             .join(c_all, "c_id"),
-            idx_path,
-            ["bucket"],
-            lsh_params,
+            cap_rows,
+            cell_col="bucket",
+        )
+        bucket_map = {
+            str(r["bucket"]): int(r["n_subs"])
+            for r in ns.where(F.col("n_subs") > 1).collect()
+        }
+        S.write_ann_index(
+            split, idx_path, ["bucket", "sub"],
+            {**lsh_params, "cell_subs": bucket_map},
         )
     # the query side hashes with (n_planes, seed) — load_ann_index
     # refuses a bucket table built with different planes (ADVICE r4:
     # the mismatch would silently return wrong/empty neighbor sets)
     indexed = S.load_ann_index(spark, idx_path, lsh_params)
+    # the map must cover EVERY probed bucket (the expansion join is
+    # inner): sidecar stores only buckets that split, so overlay it on
+    # the full bucket set with a 1-sub default
+    stored = S.cell_subs_from_params(
+        spark, S.index_params(idx_path), col="bucket"
+    )
+    subs = indexed.select("bucket").distinct()
+    if stored is None:
+        subs = subs.withColumn("n_subs", F.lit(1))
+    else:
+        subs = subs.join(stored, "bucket", "left").select(
+            "bucket", F.coalesce("n_subs", F.lit(1)).alias("n_subs")
+        )
     return S.lsh_topk(
-        q, None, k=5, dim=64, n_planes=n_planes, seed=seed, indexed_corpus=indexed
+        q, None, k=5, dim=64, n_planes=n_planes, seed=seed,
+        indexed_corpus=indexed, bucket_subs=subs,
     ).select("q_id", "c_id", "cos_sim", "rnk")
 
 

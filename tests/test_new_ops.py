@@ -602,3 +602,75 @@ def test_ann_index_flat_layout_upgrade_retention(spark, tmp_path):
     assert S.load_ann_index(spark, path, params).count() == 16
     assert not (flat_entries & set(os.listdir(path)))
     assert os.path.isdir(os.path.join(path, "gen1"))
+
+
+def test_lsh_hotbucket_subsplit_equal_and_capped(spark, tmp_path):
+    """r7: the persisted LSH index gets the same hot-key cap as IVF —
+    hyperplane buckets are unbalanced by nature (correlated embeddings
+    share sign patterns), so a planted hot bucket (~40% of the corpus
+    in one direction) must split into capped (bucket, sub) partitions
+    with serving results identical to the unsplit path."""
+    from pyspark.sql import functions as F
+
+    from mo_etl_spark.operators import similarity as S
+
+    # ids < 80 share a direction (same sign pattern -> same bucket)
+    corpus = spark.range(200).select(
+        F.col("id").alias("c_id"),
+        F.when(
+            F.col("id") < 80,
+            F.array(F.lit(1.0), F.lit(1.0), F.col("id").cast("double") / 1000),
+        )
+        .otherwise(
+            F.array(
+                F.sin(F.col("id").cast("double")),
+                F.cos(F.col("id") * F.lit(2.0)),
+                F.sin(F.col("id") * F.lit(3.0)),
+            )
+        )
+        .alias("vec"),
+    )
+    q = corpus.where(F.col("c_id") % 10 == 0).select(
+        F.col("c_id").alias("q_id"), "vec"
+    )
+    idx = (
+        S.hyperplane_lsh_buckets(
+            corpus.select(F.col("c_id").alias("vec_id"), F.col("vec").alias("embedding")),
+            dim=3, n_planes=3,
+        )
+        .withColumnRenamed("vec_id", "c_id")
+        .join(corpus, "c_id")
+    )
+    hot = idx.groupBy("bucket").count().orderBy(F.desc("count")).first()
+    assert hot["count"] >= 80  # the plant worked
+
+    split, ns = S.ivf_subsplit(idx, cap_rows=25, cell_col="bucket")
+    path = str(tmp_path / "lsh_hot")
+    bucket_map = {
+        str(r["bucket"]): int(r["n_subs"])
+        for r in ns.where(F.col("n_subs") > 1).collect()
+    }
+    params = {"kind": "lsh_vec", "n_planes": 3, "seed": 42, "cell_subs": bucket_map}
+    S.write_ann_index(split, path, ["bucket", "sub"], params)
+    indexed = S.load_ann_index(spark, path, {"kind": "lsh_vec"})
+    stored = S.cell_subs_from_params(spark, S.index_params(path), col="bucket")
+    subs = (
+        indexed.select("bucket").distinct()
+        .join(stored, "bucket", "left")
+        .select("bucket", F.coalesce("n_subs", F.lit(1)).alias("n_subs"))
+    )
+
+    got = S.lsh_topk(
+        q, None, k=5, dim=3, n_planes=3, indexed_corpus=indexed, bucket_subs=subs
+    )
+    want = S.lsh_topk(q, None, k=5, dim=3, n_planes=3, indexed_corpus=idx)
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in want.collect()
+    )
+    per_sub = indexed.groupBy("bucket", "sub").count().collect()
+    # sub assignment is hash-based, so per-sub sizes are cap-bounded in
+    # EXPECTATION (ceil(size/cap) subs); allow the hash's variance while
+    # still proving the straggler is gone (80-row bucket -> <= ~cap-rows
+    # tasks, not one 80-row task)
+    assert max(r["count"] for r in per_sub) <= 25 * 1.5
+    assert sum(1 for r in per_sub if r["bucket"] == hot["bucket"]) >= 4
