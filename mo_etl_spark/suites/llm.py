@@ -1770,18 +1770,15 @@ def llm_sim_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the mismatch would silently return wrong/empty neighbor sets)
     indexed = S.load_ann_index(spark, idx_path, lsh_params)
     # the map must cover EVERY probed bucket (the expansion join is
-    # inner): sidecar stores only buckets that split, so overlay it on
-    # the full bucket set with a 1-sub default
-    stored = S.cell_subs_from_params(
-        spark, S.index_params(idx_path), col="bucket"
+    # inner): sidecar stores only buckets that split, and the bucket
+    # DOMAIN is statically [0, 2^n_planes) — build the full map as a
+    # driver-side constant (2^n_planes rows; no index scan, no
+    # distinct exchange)
+    stored = S.index_params(idx_path).get("cell_subs") or {}
+    subs = spark.createDataFrame(
+        [(b, int(stored.get(str(b), 1))) for b in range(1 << n_planes)],
+        "bucket BIGINT, n_subs INT",
     )
-    subs = indexed.select("bucket").distinct()
-    if stored is None:
-        subs = subs.withColumn("n_subs", F.lit(1))
-    else:
-        subs = subs.join(stored, "bucket", "left").select(
-            "bucket", F.coalesce("n_subs", F.lit(1)).alias("n_subs")
-        )
     return S.lsh_topk(
         q, None, k=5, dim=64, n_planes=n_planes, seed=seed,
         indexed_corpus=indexed, bucket_subs=subs,

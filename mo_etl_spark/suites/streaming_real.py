@@ -1757,11 +1757,14 @@ def stream_real_ivf_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = batch_df.select(
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
         )
+        # one output file per trigger: a top-5 list for a query batch
+        # is a few hundred rows — multi-task tiny-file commits are
+        # pure overhead (r7 job-budget discipline)
         idempotent_batch_write(
             S.ivf_topk(
                 q, None, cents, k=5, nprobe=4,
                 indexed_corpus=indexed, cell_subs=cell_subs,
-            ),
+            ).coalesce(1),
             out_dir,
             batch_id,
         )
