@@ -539,11 +539,16 @@ def _compact_batched_locked(
                 shutil.rmtree(p, ignore_errors=True)
         elif d.startswith("base") and d != live_base:
             shutil.rmtree(p, ignore_errors=True)
-    consumed_prev = {
-        d: ts
-        for d, ts in consumed_prev.items()
-        if os.path.isdir(os.path.join(root, d))
-    }
+    # consumed names are carried in the manifest FOREVER — never
+    # pruned to "dirs that still exist" (the pre-r7 behavior): a
+    # trigger that crashed before its checkpoint commit can be
+    # replayed arbitrarily late, and if two maintenance compactions
+    # ran meanwhile (stream down, cron maintenance up) a pruned
+    # manifest would stop excluding the consumed name, so the replay's
+    # recreated b<id> dir would be DOUBLE-READ beside the consolidated
+    # base (caught by the model-based protocol property test).  Growth
+    # is one ~20-byte entry per consumed batch — bounded by trigger
+    # count, trivial for years of daily-crawl cadence.
 
     subs = _live_dirs(root)
     if len(subs) < min_dirs:

@@ -1348,3 +1348,120 @@ def test_manifest_extra_carried_by_transformless_compaction(spark, tmpdir):
     ) > 0
     assert read_manifest_extra(root) == extra1
     assert read_batched(spark, root, partitioned=True).count() == 64
+
+
+def test_batched_table_model_property(spark, tmpdir):
+    """Model-based property check of the batched-table protocol (r7):
+    the protocol has grown (manifest commit, retention GC, transform +
+    manifest extra, tombstone fold, lease) and its INTERACTIONS are
+    where invariants rot.  Drive a seeded-random op sequence — batch
+    writes/overwrites, tombstone appends, compactions with and without
+    fold, crash debris (orphan build dirs, inert promoted bases) —
+    against both the real table and a dict model; after every step a
+    reader must see exactly the model's live rows."""
+    import random
+
+    from mo_etl_spark.streaming import (
+        append_tombstones,
+        compact_batched,
+        idempotent_batch_write,
+        read_batched,
+    )
+
+    rng = random.Random(1347)
+    root = f"{tmpdir}/model"
+    model: dict[int, list[int]] = {}  # batch_id -> ids
+    consumed: dict[int, list[int]] = {}  # batch ids a compaction folded in
+    tombs: set[int] = set()
+    folded: set[int] = set()
+    next_id = 0
+    next_batch = 0
+
+    def live() -> set[int]:
+        ids = {i for ids in model.values() for i in ids}
+        return ids - folded  # pending tombstones hide at PROBE time,
+        # which is caller policy — the TABLE contract is: folded rows
+        # gone, everything else present
+
+    def check():
+        got = sorted(
+            r["id"]
+            for r in read_batched(
+                spark, root, partitioned=True, schema="id BIGINT, ib BIGINT"
+            ).collect()
+        )
+        assert got == sorted(live()), (got, sorted(live()))
+
+    for step in range(24):
+        op = rng.choice(
+            ["write", "rewrite", "tomb", "compact", "fold", "debris",
+             "replay_consumed"]
+        )
+        if op == "write" or not model:
+            ids = list(range(next_id, next_id + rng.randint(1, 6)))
+            next_id += len(ids)
+            model[next_batch] = ids
+            idempotent_batch_write(
+                spark.createDataFrame([(i, i % 4) for i in ids], "id BIGINT, ib BIGINT"),
+                root, next_batch, partition_cols=["ib"],
+            )
+            next_batch += 1
+        elif op == "rewrite":  # replay: same batch id, same content
+            replayable = [b for b in model if b >= 0]  # -1 = the
+            # consolidated base, not a batch — only real batch ids replay
+            if replayable:
+                b = rng.choice(replayable)
+                idempotent_batch_write(
+                    spark.createDataFrame(
+                        [(i, i % 4) for i in model[b]], "id BIGINT, ib BIGINT"
+                    ),
+                    root, b, partition_cols=["ib"],
+                )
+        elif op == "tomb":
+            pool = sorted(live() - tombs)
+            if pool:
+                dead = rng.sample(pool, min(2, len(pool)))
+                append_tombstones(
+                    spark.createDataFrame([(i,) for i in dead], "id BIGINT"), root
+                )
+                tombs.update(dead)
+        elif op == "compact":
+            compact_batched(
+                spark, root, min_dirs=0, partition_cols=["ib"], gc_grace_sec=0.0
+            )
+            consumed.update({b: v for b, v in model.items() if b >= 0})
+            model = {-1: sorted(live())}  # consolidated base
+        elif op == "fold":
+            compact_batched(
+                spark, root, min_dirs=0, partition_cols=["ib"],
+                tombstone_col="id", gc_grace_sec=0.0,
+            )
+            folded |= tombs
+            consumed.update({b: v for b, v in model.items() if b >= 0})
+            model = {-1: sorted(live())}
+        elif op == "replay_consumed" and consumed:
+            # a crashed trigger whose batch a compaction already
+            # consumed is replayed on restart: the rewrite recreates
+            # b<id>, but the manifest excludes that name forever, so
+            # readers never double-count its rows (they live in the
+            # consolidated base) — the model is UNCHANGED
+            b = rng.choice(sorted(consumed))
+            idempotent_batch_write(
+                spark.createDataFrame(
+                    [(i, i % 4) for i in consumed[b]], "id BIGINT, ib BIGINT"
+                ),
+                root, b, partition_cols=["ib"],
+            )
+        elif op == "debris":  # crash leftovers readers must ignore
+            import os
+
+            kind = rng.choice(["build", "inert_base"])
+            if kind == "build":
+                spark.createDataFrame([(999999, 0)], "id BIGINT, ib BIGINT").write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(root, ".compact_new", "g0"))
+            else:
+                spark.createDataFrame([(888888, 0)], "id BIGINT, ib BIGINT").write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(root, "base999"))
+        check()
