@@ -1350,7 +1350,8 @@ def test_manifest_extra_carried_by_transformless_compaction(spark, tmpdir):
     assert read_batched(spark, root, partitioned=True).count() == 64
 
 
-def test_batched_table_model_property(spark, tmpdir):
+@pytest.mark.parametrize("seed", [1347, 40961])
+def test_batched_table_model_property(spark, tmpdir, seed):
     """Model-based property check of the batched-table protocol (r7):
     the protocol has grown (manifest commit, retention GC, transform +
     manifest extra, tombstone fold, lease) and its INTERACTIONS are
@@ -1368,8 +1369,8 @@ def test_batched_table_model_property(spark, tmpdir):
         read_batched,
     )
 
-    rng = random.Random(1347)
-    root = f"{tmpdir}/model"
+    rng = random.Random(seed)
+    root = f"{tmpdir}/model{seed}"
     model: dict[int, list[int]] = {}  # batch_id -> ids
     consumed: dict[int, list[int]] = {}  # batch ids a compaction folded in
     tombs: set[int] = set()
