@@ -146,7 +146,9 @@ def write_ann_index(
                 pass
 
 
-def load_ann_index(spark, path: str, expect: dict) -> DataFrame:
+def load_ann_index(
+    spark, path: str, expect: dict, schema: str | None = None
+) -> DataFrame:
     """Open a persisted ANN index for serving, VALIDATING that it was
     built with the parameters the query side is about to use.  Raises
     ValueError (never serves silently-wrong neighbors) when the
@@ -177,7 +179,14 @@ def load_ann_index(spark, path: str, expect: dict) -> DataFrame:
             f"the serving query expects (expected, found): {mismatched} — "
             "serving would return wrong/empty neighbors; rebuild the index"
         )
-    return spark.read.parquet(os.path.join(path, got["live"]))
+    # optional explicit schema: skips parquet footer inference — a
+    # per-trigger serving loop re-opening the index pays ~0.3 s per
+    # open in footer reads alone (the r7 read_batched finding); the
+    # index OWNER knows its serving schema, partition cols included
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.parquet(os.path.join(path, got["live"]))
 
 
 def _require_index_cols(indexed: DataFrame, required: set[str], kind: str) -> None:

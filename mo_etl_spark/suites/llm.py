@@ -1306,7 +1306,9 @@ def llm_sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("vec")
     )
     idx_path = _ivf_vec_index(spark, sf_dir, cents_lt)
-    indexed = S.load_ann_index(spark, idx_path, _ivf_index_params(cents_lt))
+    indexed = S.load_ann_index(
+        spark, idx_path, _ivf_index_params(cents_lt), schema="c_id BIGINT, vec ARRAY<FLOAT>, cell INT, sub INT"
+    )
     cell_subs = S.cell_subs_from_params(spark, S.index_params(idx_path))
     return S.ivf_topk(
         q, None, cents_, k=5, nprobe=4, indexed_corpus=indexed, cell_subs=cell_subs
@@ -1768,7 +1770,7 @@ def llm_sim_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the query side hashes with (n_planes, seed) — load_ann_index
     # refuses a bucket table built with different planes (ADVICE r4:
     # the mismatch would silently return wrong/empty neighbor sets)
-    indexed = S.load_ann_index(spark, idx_path, lsh_params)
+    indexed = S.load_ann_index(spark, idx_path, lsh_params, schema="c_id BIGINT, vec ARRAY<FLOAT>, bucket INT, sub INT")
     # the map must cover EVERY probed bucket (the expansion join is
     # inner): sidecar stores only buckets that split, and the bucket
     # DOMAIN is statically [0, 2^n_planes) — build the full map as a
@@ -2562,7 +2564,7 @@ def llm_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             cap_rows=_IVF_SUB_CAP,
         )
         S.write_ann_index(split, idx_path, ["cell", "sub"], pq_params)
-    indexed = S.load_ann_index(spark, idx_path, pq_params)
+    indexed = S.load_ann_index(spark, idx_path, pq_params, schema="c_id BIGINT, _sc ARRAY<STRUCT<s: INT, code: BIGINT>>, cell INT, sub INT")
     return S.ivfpq_topk(
         q, cents_, cents_, indexed, k=5, nprobe=4
     ).select("q_id", "c_id", "adc_dot", "rnk")
@@ -2707,7 +2709,7 @@ def llm_sim_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             cap_rows=_IVF_SUB_CAP,
         )
         S.write_ann_index(split, idx_path, ["cell", "sub"], res_params)
-    indexed = S.load_ann_index(spark, idx_path, res_params)
+    indexed = S.load_ann_index(spark, idx_path, res_params, schema="c_id BIGINT, _sc ARRAY<STRUCT<s: INT, code: BIGINT>>, cell INT, sub INT")
     return S.ivfpq_topk(
         q, cents_, cents_, indexed, k=5, nprobe=4, residual=True
     ).select("q_id", "c_id", "adc_dot", "rnk")
@@ -4636,7 +4638,10 @@ def _trained_ivfpq_topk(
             cap_rows=_IVF_SUB_CAP,
         )
         S.write_ann_index(split, idx_path, ["cell", "sub"], params)
-    indexed = S.load_ann_index(spark, idx_path, params)
+    indexed = S.load_ann_index(
+        spark, idx_path, params,
+        schema="c_id BIGINT, _sc ARRAY<STRUCT<s: INT, code: BIGINT>>, cell INT, sub INT",
+    )
     return S.ivfpq_topk(
         q, cents_, pq_cents, indexed, k=5, nprobe=4, residual=residual
     )

@@ -1747,7 +1747,9 @@ def stream_real_ivf_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("vec")
     )
     idx_path = _ivf_vec_index(spark, sf_dir, 16)
-    indexed = S.load_ann_index(spark, idx_path, _ivf_index_params(16))
+    indexed = S.load_ann_index(
+        spark, idx_path, _ivf_index_params(16), schema="c_id BIGINT, vec ARRAY<FLOAT>, cell INT, sub INT"
+    )
     cell_subs = S.cell_subs_from_params(spark, S.index_params(idx_path))
     feed = _ivf_query_feed(spark, sf_dir)
     ckpt = _scratch("ivf_serve_ckpt")
