@@ -1084,12 +1084,20 @@ def lsh_topk(
             raise ValueError(
                 "index carries a 'sub' column (hot-bucket split) but no "
                 "bucket_subs map was supplied — load it from the index "
-                "sidecar (similarity.cell_subs_from_params(col='bucket'))"
+                "sidecar (similarity.cell_subs_from_params(col='bucket')); "
+                "a partial map (split buckets only) is fine: probed "
+                "buckets absent from it default to n_subs=1"
             )
-        qb_s = qb.join(F.broadcast(bucket_subs), "bucket").select(
+        # LEFT join + n_subs=1 default: unlike IVF cells, an absent
+        # LSH bucket is usually NON-empty (the sidecar may store only
+        # the n_subs>1 buckets) — an inner join here would silently
+        # drop every probe into an unsplit bucket (ADVICE r7)
+        qb_s = qb.join(F.broadcast(bucket_subs), "bucket", "left").select(
             q_id,
             "bucket",
-            F.explode(F.sequence(F.lit(0), F.col("n_subs") - 1)).alias("sub"),
+            F.explode(
+                F.sequence(F.lit(0), F.coalesce(F.col("n_subs"), F.lit(1)) - 1)
+            ).alias("sub"),
         )
         q_side = queries.join(qb_s, q_id).select(
             F.col(q_id).alias("q_id"), F.col(vec).alias("qv"), "bucket", "sub"

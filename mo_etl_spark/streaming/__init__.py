@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import socket
 import threading
 from collections.abc import Callable, Sequence
 
@@ -88,6 +89,10 @@ _MANIFEST = "_MANIFEST"
 _COMPACT_NEW = ".compact_new"
 _TOMBSTONES = ".tombstones"
 _COMPACT_LEASE = ".compact_lease"
+#: recorded in the lease payload so the pid-liveness shortcut never
+#: reclaims a live compactor running on ANOTHER host of a shared
+#: filesystem (there, only TTL expiry applies — ADVICE r7)
+_HOSTNAME = socket.gethostname()
 
 
 class CompactorBusy(RuntimeError):
@@ -103,13 +108,25 @@ def _acquire_lease(root: str, ttl_sec: float) -> str:
     """Claim the table's compactor lease via exclusive-create — the
     local twin of an object store's conditional PUT (if-none-match),
     which is what keeps the protocol portable.  A holder is stale when
-    its TTL expired or its pid is provably dead (local fast path);
-    stale leases are reclaimed with one retry.  An unreadable lease is
+    its TTL expired or its pid is provably dead (local fast path,
+    applied ONLY when the holder recorded the same hostname — on a
+    shared filesystem a pid unknown HERE may be alive on another host,
+    where only TTL expiry applies; ADVICE r7).  Stale reclaim is
+    remove-then-recreate, which two reclaimers can interleave (A
+    removes+creates, B removes A's fresh lease and creates its own —
+    the ADVICE r7 medium), so it is hardened twice: the remove is
+    CONDITIONAL on the lease still holding the exact token judged
+    stale, and after creating our lease we RE-READ it and abort unless
+    the token on disk is ours.  Both holders of an interleave that
+    slips past the conditional remove therefore can't BOTH verify, and
+    the builders that do race further never share a build dir (each
+    compactor builds into ``.compact_new.<token>``) — CAS-on-gen at
+    the commit point alone decides the winner.  An unreadable lease is
     BUSY, not stale — it may be a winner mid-write."""
     import time
 
     path = os.path.join(root, _COMPACT_LEASE)
-    token = f"{os.getpid()}:{threading.get_ident()}:{time.time_ns()}"
+    token = f"{os.getpid()}-{threading.get_ident()}-{time.time_ns()}"
     for attempt in range(2):
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -125,7 +142,10 @@ def _acquire_lease(root: str, ttl_sec: float) -> str:
                     "possibly mid-claim); retry after the maintenance window"
                 ) from None
             pid_dead = False
-            if pid != os.getpid():
+            # pid-liveness shortcut only for a SAME-HOST holder; a
+            # lease written on another host (shared fs) with no
+            # hostname, or a different hostname, waits for its TTL
+            if pid != os.getpid() and holder.get("host") == _HOSTNAME:
                 try:
                     os.kill(pid, 0)
                 except ProcessLookupError:
@@ -139,19 +159,44 @@ def _acquire_lease(root: str, ttl_sec: float) -> str:
                     "the contract — the loser aborts instead of destroying "
                     "the winner's build"
                 )
-            try:  # stale: crashed or wedged holder — reclaim and retry
-                os.remove(path)
-            except OSError:
+            # stale: crashed or wedged holder — reclaim and retry, but
+            # only while the file still carries the token we judged
+            # stale (a fresh lease written between our read and this
+            # remove must survive; check-then-remove is not atomic, so
+            # the verify-after-create below is the backstop)
+            try:
+                with open(path) as f:
+                    if json.load(f).get("token") == holder.get("token"):
+                        os.remove(path)
+            except (OSError, ValueError):
                 pass
             continue
         with os.fdopen(fd, "w") as f:
             json.dump(
-                {"token": token, "pid": os.getpid(), "expires": time.time() + ttl_sec},
+                {
+                    "token": token,
+                    "pid": os.getpid(),
+                    "host": _HOSTNAME,
+                    "expires": time.time() + ttl_sec,
+                },
                 f,
             )
             f.flush()
             os.fsync(f.fileno())
-        return token
+        # verify-after-create: a concurrent reclaimer acting on a view
+        # from before our create may have removed our fresh lease and
+        # written its own — the disk decides, not the create we won
+        try:
+            with open(path) as f:
+                if json.load(f).get("token") == token:
+                    return token
+        except (OSError, ValueError):
+            pass
+        raise CompactorBusy(
+            f"compactor lease at {path!r} was reclaimed out from under "
+            "this claim (concurrent stale-lease takeover); the surviving "
+            "holder proceeds"
+        )
     raise CompactorBusy(f"could not claim compactor lease at {path!r}")
 
 
@@ -502,6 +547,8 @@ def compact_batched(
             gc_grace_sec,
             transform,
             tombstone_col,
+            lease,
+            lease_ttl_sec,
         )
     finally:
         _release_lease(root, lease)
@@ -516,18 +563,30 @@ def _compact_batched_locked(
     gc_grace_sec: float,
     transform: Callable[[DataFrame], "DataFrame | tuple[DataFrame, dict]"] | None,
     tombstone_col: str | None,
+    lease_token: str,
+    lease_ttl_sec: float,
 ) -> int:
     import time
 
     man = _read_manifest(root)
     now = time.time()
-    # GC (compactor-only): a dot build dir is either our predecessor's
-    # crash or a concurrent compactor — single-compactor operation is
-    # the contract (document: run in the maintenance window), so
-    # reclaim it.  Unreferenced base generations (crashed before their
-    # manifest write) were NEVER visible to any reader — immediate
-    # delete; grace-expired consumed dirs go too.
+    # GC (compactor-only): the legacy shared build-dir name is always
+    # crash debris; PER-TOKEN build dirs (ADVICE r7 medium: concurrent
+    # builders that race past the lease must never share a tmp path)
+    # are reclaimed only once TTL-stale — a zombie pre-takeover
+    # builder may still be writing its own dir, and it will lose at
+    # CAS-on-gen and remove it itself.  Unreferenced base generations
+    # (crashed before their manifest write) were NEVER visible to any
+    # reader — immediate delete; grace-expired consumed dirs go too.
     shutil.rmtree(os.path.join(root, _COMPACT_NEW), ignore_errors=True)
+    for d in os.listdir(root):
+        if d.startswith(_COMPACT_NEW + ".") and d != f"{_COMPACT_NEW}.{lease_token}":
+            p = os.path.join(root, d)
+            try:
+                if now - os.path.getmtime(p) >= lease_ttl_sec:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
     live_base = man["base"] if man else "base"
     consumed_prev: dict[str, float] = dict(man["consumed"]) if man else {}
     for d in os.listdir(root):
@@ -556,15 +615,28 @@ def _compact_batched_locked(
     # data-less table (empty partitioned batches write only _SUCCESS):
     # nothing to rewrite — without this guard the partition_cols path
     # reduces over an empty union and the binpack path renames a
-    # never-created build dir (ADVICE r6)
+    # never-created build dir (ADVICE r6).  Pending tombstones are
+    # still CONSUMED here (anti-joining no rows is a no-op, so simply
+    # deleting the snapshot is the fold) — otherwise a data-less table
+    # under tombstone pressure re-triggers a no-op compaction on every
+    # maintenance pass and the side table never resets (ADVICE r7).
     if not any(
         n.endswith(".parquet")
         for p in subs
         for _, _, names in os.walk(p)
         for n in names
     ):
+        if tombstone_col is not None:
+            tdir = os.path.join(root, _TOMBSTONES)
+            if os.path.isdir(tdir):
+                for n in list(os.listdir(tdir)):
+                    if n.endswith(".parquet") or n.endswith(".crc"):
+                        try:
+                            os.remove(os.path.join(tdir, n))
+                        except OSError:
+                            pass
         return 0
-    tmp = os.path.join(root, _COMPACT_NEW)
+    tmp = os.path.join(root, f"{_COMPACT_NEW}.{lease_token}")
     extra = read_manifest_extra(root) or None  # carried unless transformed
     if transform is not None and not partition_cols:
         raise ValueError(

@@ -674,3 +674,14 @@ def test_lsh_hotbucket_subsplit_equal_and_capped(spark, tmp_path):
     # tasks, not one 80-row task)
     assert max(r["count"] for r in per_sub) <= 25 * 1.5
     assert sum(1 for r in per_sub if r["bucket"] == hot["bucket"]) >= 4
+
+    # ADVICE r7: a PARTIAL subs map (the sidecar stores only n_subs>1
+    # buckets) must serve identically — probed unsplit buckets default
+    # to n_subs=1 instead of being inner-joined away (an absent LSH
+    # bucket is non-empty, unlike an absent IVF cell)
+    got_partial = S.lsh_topk(
+        q, None, k=5, dim=3, n_planes=3, indexed_corpus=indexed, bucket_subs=stored
+    )
+    assert sorted(tuple(r) for r in got_partial.collect()) == sorted(
+        tuple(r) for r in want.collect()
+    )

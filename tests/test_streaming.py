@@ -1466,3 +1466,101 @@ def test_batched_table_model_property(spark, tmpdir, seed):
                     "overwrite"
                 ).parquet(os.path.join(root, "base999"))
         check()
+
+
+def test_lease_reclaim_race_hardened(tmpdir, monkeypatch):
+    """ADVICE r7 medium: stale-lease reclaim is remove-then-recreate,
+    so two reclaimers can interleave (A removes+creates, B removes A's
+    FRESH lease and creates its own).  Hardened twice: (1) the remove
+    is conditional on the on-disk token still being the one judged
+    stale; (2) after creating our lease we re-read and abort unless
+    the token on disk is ours.  Plus the ADVICE r7 hostname low: a
+    pid unknown on THIS host is only 'provably dead' when the holder
+    recorded the same hostname — an other-host holder waits for TTL."""
+    import json
+    import os
+    import time
+
+    from mo_etl_spark import streaming as S
+
+    root = str(tmpdir)
+    path = os.path.join(root, S._COMPACT_LEASE)
+
+    def write_lease(token, pid, host, expires):
+        with open(path, "w") as f:
+            json.dump(
+                {"token": token, "pid": pid, "host": host, "expires": expires}, f
+            )
+
+    # (a) conditional remove: an expired lease is reclaimable, and the
+    # reclaim leaves the NEW holder's token on disk
+    write_lease("stale-1", os.getpid(), S._HOSTNAME, time.time() - 5)
+    tok = S._acquire_lease(root, ttl_sec=60)
+    with open(path) as f:
+        assert json.load(f)["token"] == tok
+    # a second claimant that judged the OLD lease stale must not evict
+    # the fresh holder: through the public API it sees fresh+alive
+    with pytest.raises(S.CompactorBusy, match="held by pid"):
+        S._acquire_lease(root, ttl_sec=60)
+    S._release_lease(root, tok)
+
+    # (b) verify-after-create backstop: a rival that slips past the
+    # conditional remove and overwrites our lease between create and
+    # verify must make OUR claim abort — simulate by hijacking the
+    # fsync that ends our lease write
+    real_fsync = os.fsync
+    hijacked = {}
+
+    def hijack(fd):
+        real_fsync(fd)
+        if not hijacked:
+            hijacked["done"] = True
+            write_lease("rival", os.getpid(), S._HOSTNAME, time.time() + 60)
+
+    monkeypatch.setattr(os, "fsync", hijack)
+    with pytest.raises(S.CompactorBusy, match="reclaimed out from under"):
+        S._acquire_lease(root, ttl_sec=60)
+    monkeypatch.setattr(os, "fsync", real_fsync)
+    os.remove(path)
+
+    # (c) hostname-gated pid fast path: a locally-unknown pid that
+    # belongs to ANOTHER host is NOT provably dead — unexpired lease
+    # holds (TTL is the only staleness signal on a shared fs)
+    write_lease("other-host", 2_000_000_000, "some-other-host", time.time() + 60)
+    with pytest.raises(S.CompactorBusy, match="held by pid"):
+        S._acquire_lease(root, ttl_sec=60)
+    # same pid, SAME host: provably dead, reclaimed immediately
+    write_lease("dead-local", 2_000_000_000, S._HOSTNAME, time.time() + 60)
+    tok2 = S._acquire_lease(root, ttl_sec=60)
+    S._release_lease(root, tok2)
+
+
+def test_compact_dataless_table_consumes_tombstones(spark, tmpdir):
+    """ADVICE r7: a data-less table (live dirs hold no parquet) with
+    pending tombstones must still CONSUME them (anti-joining nothing
+    is a no-op) — otherwise maintain_batched under tombstone pressure
+    re-triggers a no-op compaction on every pass and the side table
+    never resets."""
+    import os
+
+    from mo_etl_spark.streaming import (
+        append_tombstones,
+        has_tombstones,
+        maintain_batched,
+    )
+
+    root = f"{tmpdir}/dataless_tomb"
+    for b in range(3):
+        d = os.path.join(root, f"b{b}")
+        os.makedirs(d)
+        open(os.path.join(d, "_SUCCESS"), "w").close()
+    for i in range(4):
+        append_tombstones(spark.createDataFrame([(i,)], "id BIGINT"), root)
+    assert has_tombstones(root)
+    # pressure fold reaches the data-less guard; the snapshot is
+    # consumed so the NEXT pass is a true no-op below both thresholds
+    assert maintain_batched(
+        spark, root, partition_cols=["ib"], tombstone_col="id",
+        max_tombstone_files=4, gc_grace_sec=0.0,
+    ) == 0
+    assert not has_tombstones(root)
