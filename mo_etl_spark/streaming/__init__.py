@@ -59,14 +59,28 @@ def idempotent_batch_write(
     file per partition value costs no shuffle and no n_tasks ×
     n_partitions slivers (a deployment with huge triggers would
     ``repartition(partition_cols)`` instead — the index-SNAPSHOT
-    builds in the suites do exactly that)."""
+    builds in the suites do exactly that).
+
+    A replay whose ``b<batch_id>`` dir is already COMPLETE (its
+    ``_SUCCESS`` marker exists) is a NO-OP: the batch content is
+    deterministic given the checkpointed offsets, so the bytes on disk
+    are already the write's outcome — and skipping closes a real race
+    the r8 concurrent-interleaving model check found on its first run:
+    an overwrite-replay rewrites part files under NEW names while a
+    concurrent compactor's in-flight build still holds the old file
+    list, failing the build mid-job (safe — nothing was committed —
+    but a spurious compaction abort).  Only an INCOMPLETE dir (crash
+    mid-write, no marker) is rewritten."""
+    dst = batch_subdir(root, batch_id)
+    if os.path.exists(os.path.join(dst, "_SUCCESS")):
+        return
     w = batch_df
     if partition_cols:
         w = w.coalesce(1)
     w = w.write.mode("overwrite")
     if partition_cols:
         w = w.partitionBy(*partition_cols)
-    w.parquet(batch_subdir(root, batch_id))
+    w.parquet(dst)
 
 
 def idempotent_batch_write_to(root: str) -> Callable[[DataFrame, int], None]:
@@ -226,21 +240,47 @@ def append_tombstones(df: DataFrame, root: str) -> None:
     df.coalesce(1).write.mode("append").parquet(os.path.join(root, _TOMBSTONES))
 
 
+def _live_tomb_files(root: str) -> list[str]:
+    """The tombstone files a probe should anti-join: everything in the
+    side table MINUS the files a committed fold already consumed (the
+    manifest's ``tombs`` map).  Consumed files stay ON DISK at their
+    path until ``gc_grace_sec`` elapses — the same retention-grace
+    discipline as consumed batch dirs (r8): a concurrent reader that
+    planned its anti-join against the pre-fold file list may still be
+    executing when the fold commits, and an immediate ``os.remove``
+    would fail that read mid-scan.  Exclusion is by manifest, deletion
+    is by grace — readers never repair."""
+    tdir = os.path.join(root, _TOMBSTONES)
+    if not os.path.isdir(tdir):
+        return []
+    man = _read_manifest(root)
+    consumed = set(man.get("tombs", {})) if man else set()
+    return sorted(
+        os.path.join(tdir, n)
+        for n in os.listdir(tdir)
+        if n.endswith(".parquet") and n not in consumed
+    )
+
+
 def has_tombstones(root: str) -> bool:
-    """True when retraction keys are pending (cheap directory probe —
-    lets hot probe paths skip the anti-join entirely in the common
-    no-retractions case instead of planning a join against an empty
-    side table every trigger)."""
-    p = os.path.join(root, _TOMBSTONES)
-    return os.path.isdir(p) and any(n.endswith(".parquet") for n in os.listdir(p))
+    """True when retraction keys are pending (cheap directory-listing
+    + manifest probe — lets hot probe paths skip the anti-join
+    entirely in the common no-retractions case instead of planning a
+    join against an empty side table every trigger).  Files a
+    committed fold consumed are NOT pending, even while they remain on
+    disk inside their retention-grace window."""
+    return bool(_live_tomb_files(root))
 
 
 def read_tombstones(spark: SparkSession, root: str, schema: str) -> DataFrame:
     """The table's pending retraction keys (empty DataFrame of
-    ``schema`` when none have been appended since the last fold)."""
-    if not has_tombstones(root):
+    ``schema`` when none have been appended since the last fold).
+    Reads the LIVE file list explicitly, so grace-retained consumed
+    files are excluded without touching them."""
+    live = _live_tomb_files(root)
+    if not live:
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(os.path.join(root, _TOMBSTONES))
+    return spark.read.parquet(*live)
 
 
 def _read_manifest(root: str) -> dict | None:
@@ -281,6 +321,7 @@ def _write_manifest(
     base: str,
     consumed: dict[str, float],
     extra: dict | None = None,
+    tombs: dict[str, float] | None = None,
 ) -> None:
     """THE COMMIT POINT of a compaction: atomically replace the
     manifest.  fsync-before-rename (and fsync of the directory after)
@@ -302,6 +343,13 @@ def _write_manifest(
     man = {"gen": gen, "base": base, "consumed": consumed}
     if extra is not None:
         man["extra"] = extra
+    if tombs:
+        # tombstone files a fold consumed: excluded from probes by
+        # name here, physically deleted only once grace-expired (the
+        # r8 twin of the consumed-dir retention discipline); names ARE
+        # pruned after deletion — unlike batch ids, a tombstone file
+        # name (random part-file UUID) is never replayed
+        man["tombs"] = tombs
     with open(tmp, "w") as f:
         f.write(json.dumps(man, sort_keys=True))
         f.flush()
@@ -616,8 +664,8 @@ def _compact_batched_locked(
     # nothing to rewrite — without this guard the partition_cols path
     # reduces over an empty union and the binpack path renames a
     # never-created build dir (ADVICE r6).  Pending tombstones are
-    # still CONSUMED here (anti-joining no rows is a no-op, so simply
-    # deleting the snapshot is the fold) — otherwise a data-less table
+    # still CONSUMED here (anti-joining no rows is a no-op, so marking
+    # the snapshot consumed is the fold) — otherwise a data-less table
     # under tombstone pressure re-triggers a no-op compaction on every
     # maintenance pass and the side table never resets (ADVICE r7).
     if not any(
@@ -627,14 +675,19 @@ def _compact_batched_locked(
         for n in names
     ):
         if tombstone_col is not None:
-            tdir = os.path.join(root, _TOMBSTONES)
-            if os.path.isdir(tdir):
-                for n in list(os.listdir(tdir)):
-                    if n.endswith(".parquet") or n.endswith(".crc"):
-                        try:
-                            os.remove(os.path.join(tdir, n))
-                        except OSError:
-                            pass
+            pending = _live_tomb_files(root)
+            if pending:
+                tombs_man = dict(man.get("tombs", {})) if man else {}
+                tombs_man.update({os.path.basename(fp): now for fp in pending})
+                _write_manifest(
+                    root,
+                    man["gen"] if man else 0,
+                    live_base,
+                    consumed_prev,
+                    extra=read_manifest_extra(root) or None,
+                    tombs=tombs_man,
+                )
+                _vacuum_tombs(root, tombs_man, now, gc_grace_sec)
         return 0
     tmp = os.path.join(root, f"{_COMPACT_NEW}.{lease_token}")
     extra = read_manifest_extra(root) or None  # carried unless transformed
@@ -643,20 +696,19 @@ def _compact_batched_locked(
             "compact_batched: transform= requires partition_cols (the "
             "binpack path moves files verbatim and never sees rows)"
         )
-    # tombstone fold: snapshot the side table's file list BEFORE the
-    # rewrite — those files' keys are dropped and exactly those files
-    # deleted after the commit; concurrent appends survive to the
-    # next fold
+    # tombstone fold: snapshot the LIVE (unconsumed) side-table file
+    # list BEFORE the rewrite — those files' keys are dropped and
+    # exactly those files marked consumed in the committed manifest;
+    # concurrent appends survive to the next fold.  Consumed files are
+    # excluded by NAME and stay on disk for gc_grace_sec (r8): a
+    # concurrent probe that planned its anti-join against the pre-fold
+    # list may still be executing at commit time — an immediate delete
+    # would fail it mid-scan, the exact race the consumed-dir grace
+    # window already covers for data.
     tomb_files: list[str] = []
     tomb: DataFrame | None = None
     if tombstone_col is not None:
-        tdir = os.path.join(root, _TOMBSTONES)
-        if os.path.isdir(tdir):
-            tomb_files = sorted(
-                os.path.join(tdir, n)
-                for n in os.listdir(tdir)
-                if n.endswith(".parquet")
-            )
+        tomb_files = _live_tomb_files(root)
         if tomb_files:
             tomb = (
                 spark.read.parquet(*tomb_files)
@@ -716,7 +768,6 @@ def _compact_batched_locked(
         n_groups = len(groups)
     gen = (man["gen"] if man else 0) + 1
     target = f"base{gen}"
-    os.rename(tmp, os.path.join(root, target))  # inert until committed
     consumed = dict(consumed_prev)
     for p in subs:
         consumed.setdefault(os.path.basename(p), now)
@@ -724,30 +775,66 @@ def _compact_batched_locked(
     # another compactor committed while we built — only possible after
     # our lease was reclaimed as stale — our build is based on a dead
     # generation; abort and remove the orphan instead of clobbering
-    # the winner's commit
-    cur = _read_manifest(root)
-    if (cur["gen"] if cur else 0) != (man["gen"] if man else 0):
-        shutil.rmtree(os.path.join(root, target), ignore_errors=True)
+    # the winner's commit.  Checked BEFORE the promote rename too: a
+    # takeover winner that already committed owns the base<gen> name,
+    # and renaming onto it would fail with a raw ENOTEMPTY instead of
+    # the protocol's named abort (found by the r8 interleaving model).
+    def _cas_or_abort(orphan: str | None) -> None:
+        cur = _read_manifest(root)
+        if (cur["gen"] if cur else 0) != (man["gen"] if man else 0):
+            if orphan is not None:
+                shutil.rmtree(orphan, ignore_errors=True)
+            raise CompactorBusy(
+                f"batched table {root!r} advanced to gen "
+                f"{(cur['gen'] if cur else 0)} while this compactor (expired "
+                "lease) was building — aborting; the committed generation wins"
+            )
+
+    _cas_or_abort(tmp)
+    try:
+        os.rename(tmp, os.path.join(root, target))  # inert until committed
+    except OSError:
+        # the generation name is already occupied — a concurrent
+        # builder (expired-lease takeover race) promoted its build
+        # between our CAS read and this rename; it owns the commit
+        shutil.rmtree(tmp, ignore_errors=True)
         raise CompactorBusy(
-            f"batched table {root!r} advanced to gen "
-            f"{(cur['gen'] if cur else 0)} while this compactor (expired "
-            "lease) was building — aborting; the committed generation wins"
-        )
-    _write_manifest(root, gen, target, consumed, extra=extra)  # COMMIT POINT
-    # the folded tombstone files are consumed — delete exactly the
-    # snapshot; later appends (mid-compaction retractions) remain
-    for fp in tomb_files:
-        try:
-            os.remove(fp)
-        except OSError:
-            pass
+            f"batched table {root!r}: generation dir {target!r} already "
+            "promoted by a concurrent compactor — aborting; the promoted "
+            "build wins"
+        ) from None
+    _cas_or_abort(os.path.join(root, target))
+    # the folded tombstone files are consumed — mark exactly the
+    # snapshot in the manifest (names kept forever, like consumed
+    # dirs); later appends (mid-compaction retractions) remain live
+    tombs_man = dict(man.get("tombs", {})) if man else {}
+    tombs_man.update({os.path.basename(fp): now for fp in tomb_files})
+    _write_manifest(
+        root, gen, target, consumed, extra=extra, tombs=tombs_man or None
+    )  # COMMIT POINT
     # vacuum: only grace-expired victims die now; fresh ones stay on
     # disk (manifest-excluded) for in-flight readers of the previous
     # generation
     for d, ts in consumed.items():
         if now - ts >= gc_grace_sec:
             shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    _vacuum_tombs(root, tombs_man, now, gc_grace_sec)
     return n_groups
+
+
+def _vacuum_tombs(
+    root: str, tombs: dict[str, float], now: float, gc_grace_sec: float
+) -> None:
+    """Physically delete consumed tombstone files whose retention
+    grace expired (manifest exclusion happened at their fold's commit;
+    the delete is idempotent — names stay in the manifest)."""
+    tdir = os.path.join(root, _TOMBSTONES)
+    for name, ts in tombs.items():
+        if now - ts >= gc_grace_sec:
+            try:
+                os.remove(os.path.join(tdir, name))
+            except OSError:
+                pass
 
 
 def maintain_batched(
@@ -783,10 +870,9 @@ def maintain_batched(
         return 0
     tomb_pressure = False
     if tombstone_col is not None:
-        tdir = os.path.join(root, _TOMBSTONES)
-        if os.path.isdir(tdir):
-            n_tomb = sum(1 for n in os.listdir(tdir) if n.endswith(".parquet"))
-            tomb_pressure = n_tomb >= max_tombstone_files
+        # LIVE files only: consumed files retained inside their grace
+        # window must not re-trigger the fold they already got
+        tomb_pressure = len(_live_tomb_files(root)) >= max_tombstone_files
     if len(_live_dirs(root)) < max_dirs and not tomb_pressure:
         return 0
     return compact_batched(
