@@ -1284,10 +1284,19 @@ def _incr_dedup_apply_batch(
     nb: int = _INCR_NB,
     n_ib: int = _INCR_IB,
     plan_probe: dict | None = None,
+    crash_point: str | None = None,
 ) -> None:
     """One micro-batch of the incremental-dedup upsert loop —
     REPLAY-IDEMPOTENT and PROBE-PRUNED (VERDICT r4 item #1 + r5 item
     #1).
+
+    ``crash_point`` is a TEST HOOK (like ``plan_probe``): raise
+    ``PlantedCrash`` after a named table write — ``"after_arrived"``,
+    ``"after_index"``, or ``"mid_pairs"`` (pairs written but its
+    ``_SUCCESS`` marker torn off, a mid-write kill) — so the
+    cross-table model check can crash the trigger BETWEEN its three
+    state-table writes and assert the replay heals all three as a
+    unit.
 
     Order of operations: the batch's state upserts land FIRST (its
     docs into ``arrived/b<id>`` partitioned by db, its bands into
@@ -1354,12 +1363,16 @@ def _incr_dedup_apply_batch(
         batch_id,
         partition_cols=["db"],
     )
+    if crash_point == "after_arrived":
+        raise PlantedCrash("after_arrived")
     idempotent_batch_write(
         banded.withColumn("ib", D.band_bucket("band", "bk", n_ib)),
         idx_dir,
         batch_id,
         partition_cols=["ib"],
     )
+    if crash_point == "after_index":
+        raise PlantedCrash("after_index")
     # 2. probe: index scan statically pruned to the batch's band
     #    buckets — read off the partition dirs the write above just
     #    produced (mode-overwrite rewrites the whole b<id> dir, so a
@@ -1436,6 +1449,18 @@ def _incr_dedup_apply_batch(
     # pure commit overhead — a deployment with huge triggers would
     # raise this to a small constant, not remove it
     idempotent_batch_write(pairs.coalesce(1), pairs_dir, batch_id)
+    if crash_point == "mid_pairs":
+        # a kill mid-pairs-write: data landed but the marker didn't
+        try:
+            os.remove(os.path.join(pairs_dir, f"b{batch_id}", "_SUCCESS"))
+        except OSError:
+            pass
+        raise PlantedCrash("mid_pairs")
+
+
+class PlantedCrash(RuntimeError):
+    """Raised by _incr_dedup_apply_batch's ``crash_point`` test hook —
+    simulates a trigger dying between its per-table state writes."""
 
 
 # shared oracle twin: the streamed chain must hash-equal the one-shot

@@ -1805,3 +1805,160 @@ def test_batched_table_concurrent_interleaving_model(spark, tmpdir, seed):
                 apply_win(c)
             active.remove(c)
     check()
+
+
+@pytest.mark.parametrize("seed", [7, 13])
+def test_streamed_dedup_cross_table_model(spark, tmpdir, seed):
+    """VERDICT r7 next-round #2: the streamed dedup trigger updates
+    THREE batched tables (index, arrived corpus, pairs) — model the
+    per-trigger multi-table update AS A UNIT.  A chaos instance is
+    driven through a seeded schedule of full applies, crashes planted
+    BETWEEN the three table writes (via the crash_point hook), late
+    replays of committed batches, single-table compactions (fold the
+    index but not the corpus, binpack pairs alone), and tombstone
+    folds — against a clean truth instance applied sequentially.  At
+    every quiescent point (no crashed trigger outstanding) all three
+    tables must match: pairs hash-equal the truth prefix, the arrived
+    corpus holds exactly the committed docs (minus folded
+    retractions), the index exactly the committed ids (minus its own
+    folds) — the pairs ⊆ f(index, corpus) invariant and
+    tombstone-consistency across tables, checked after every step
+    rather than at hand-written points."""
+    import random
+
+    from mo_etl_spark.streaming import (
+        append_tombstones,
+        compact_batched,
+        read_batched,
+    )
+    from mo_etl_spark.suites.streaming_real import (
+        _INCR_ARR_SCHEMA,
+        _INCR_IDX_SCHEMA,
+        PlantedCrash,
+        _incr_dedup_apply_batch,
+    )
+
+    rng = random.Random(seed)
+    PAIRS_S = "id_a BIGINT, id_b BIGINT, jaccard DOUBLE"
+    N_BATCH, PER = 6, 12
+
+    # synthetic corpus with a WIDE vocab (the sf documents table's
+    # 31-token vocabulary band-collides everything) and planted
+    # near-dups that always reference an EARLIER batch (same-batch
+    # twins never pair: the probe excludes the batch's own bands)
+    vocab = [f"tok{j}" for j in range(500)]
+    gen = random.Random(97)  # corpus fixed across seeds; schedule varies
+    tokens: list[list[str]] = []
+    for i in range(N_BATCH * PER):
+        if i >= PER and gen.random() < 0.4:
+            src = tokens[gen.randrange((i // PER) * PER)]
+            toks = list(src)
+            toks[gen.randrange(len(toks))] = gen.choice(vocab)
+        else:
+            toks = gen.sample(vocab, 24)
+        tokens.append(toks)
+    docs = [(i, " ".join(t)) for i, t in enumerate(tokens)]
+    batches = [docs[b * PER : (b + 1) * PER] for b in range(N_BATCH)]
+    tomb_ids = [i for i, _ in batches[0] if i % 3 == 0]
+
+    def bdf(b: int):
+        return spark.createDataFrame(batches[b], "doc_id BIGINT, text STRING")
+
+    def seed_and_tomb(idx, arr, pairs):
+        _incr_dedup_apply_batch(spark, idx, arr, pairs, bdf(0), 0)
+        append_tombstones(
+            spark.createDataFrame([(i,) for i in tomb_ids], "id BIGINT"), idx
+        )
+        append_tombstones(
+            spark.createDataFrame([(i,) for i in tomb_ids], "doc_id BIGINT"), arr
+        )
+
+    # --- truth: clean sequential application, pairs snapshot per prefix
+    idxT, arrT, pairsT = f"{tmpdir}/idxT", f"{tmpdir}/arrT", f"{tmpdir}/pairsT"
+    seed_and_tomb(idxT, arrT, pairsT)
+    truth_pairs = {1: _sorted_rows(read_batched(spark, pairsT, schema=PAIRS_S))}
+    for b in range(1, N_BATCH):
+        _incr_dedup_apply_batch(spark, idxT, arrT, pairsT, bdf(b), b)
+        truth_pairs[b + 1] = _sorted_rows(read_batched(spark, pairsT, schema=PAIRS_S))
+    assert len(truth_pairs[N_BATCH]) > len(truth_pairs[1])  # dups paired
+
+    # --- chaos instance -------------------------------------------------
+    idx, arr, pairs = f"{tmpdir}/idxC", f"{tmpdir}/arrC", f"{tmpdir}/pairsC"
+    seed_and_tomb(idx, arr, pairs)
+    committed = 1  # batches 0..committed-1 are checkpoint-committed
+    crashed: int | None = None
+    folded_idx = folded_arr = False
+
+    def apply_full(b: int):
+        _incr_dedup_apply_batch(spark, idx, arr, pairs, bdf(b), b)
+
+    def check():
+        if crashed is not None:
+            return  # dirty window: uncommitted partials are visible
+        # by design until the replay heals them
+        got = _sorted_rows(read_batched(spark, pairs, schema=PAIRS_S))
+        assert got == truth_pairs[committed], (committed, len(got))
+        docs_in = {i for b in range(committed) for i, _ in batches[b]}
+        arr_ids = sorted(
+            r["doc_id"]
+            for r in read_batched(
+                spark, arr, partitioned=True, schema=_INCR_ARR_SCHEMA
+            ).collect()
+        )
+        assert arr_ids == sorted(docs_in - (set(tomb_ids) if folded_arr else set()))
+        idx_ids = {
+            r["id"]
+            for r in read_batched(
+                spark, idx, partitioned=True, schema=_INCR_IDX_SCHEMA
+            ).select("id").distinct().collect()
+        }
+        assert idx_ids == docs_in - (set(tomb_ids) if folded_idx else set())
+
+    for step in range(20):
+        op = rng.choice(
+            ["apply", "apply", "crash", "late_replay",
+             "fold_idx", "fold_arr", "compact_pairs"]
+        )
+        if op == "apply":
+            if crashed is not None:
+                apply_full(crashed)  # the checkpoint replays the batch
+                committed += 1
+                crashed = None
+            elif committed < N_BATCH:
+                apply_full(committed)
+                committed += 1
+        elif op == "crash" and crashed is None and committed < N_BATCH:
+            point = rng.choice(["after_arrived", "after_index", "mid_pairs"])
+            with pytest.raises(PlantedCrash):
+                _incr_dedup_apply_batch(
+                    spark, idx, arr, pairs, bdf(committed), committed,
+                    crash_point=point,
+                )
+            crashed = committed
+        elif op == "late_replay" and committed > 1:
+            apply_full(rng.randrange(1, committed))  # must be a no-op
+        elif op == "fold_idx":
+            compact_batched(
+                spark, idx, min_dirs=0, partition_cols=["ib"],
+                tombstone_col="id", gc_grace_sec=0.0,
+            )
+            folded_idx = True
+        elif op == "fold_arr":
+            compact_batched(
+                spark, arr, min_dirs=0, partition_cols=["db"],
+                tombstone_col="doc_id", gc_grace_sec=0.0,
+            )
+            folded_arr = True
+        elif op == "compact_pairs":
+            compact_batched(spark, pairs, min_dirs=0, gc_grace_sec=0.0)
+        check()
+    # drain: heal any crash, apply the rest, final full check
+    if crashed is not None:
+        apply_full(crashed)
+        committed += 1
+        crashed = None
+    while committed < N_BATCH:
+        apply_full(committed)
+        committed += 1
+    check()
+    assert committed == N_BATCH
