@@ -4706,6 +4706,77 @@ def llm_recall_ivfpq_residual_at5(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "llm_recall_lsh_at5",
+    oracle=_SQL_RECALL_ORACLE,
+    tags=("sim_lsh", "recall_assertion", "quality_gate"),
+)
+def llm_recall_lsh_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket-CAPPED persisted-LSH recall@5 vs exact, asserted
+    >= 0.28 (VERDICT r7 next-round #3: the capped serve path changed
+    in r7 and its hash oracle pins arithmetic, not quality — a broken
+    bucket/sub EXPANSION was invisible).  The gate builds its own
+    index with a deliberately small cap (cap_rows=24) so buckets
+    genuinely split at every sf — at the serving query's cap of 256
+    nothing splits at sf0.01 and the expansion would be inert — and
+    probes with multiprobe=3 (healthy mean recall measured
+    0.37/0.37/0.44 at sf0.001/0.01/0.1; a planted expansion bug that
+    serves only sub 0 of each split bucket drops to 0.20/0.19/0.10,
+    random is ~0.003-0.01; the pipeline is fully deterministic, so the
+    >= 0.08 margins on both sides are exact, not statistical)."""
+    import os
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+    )
+    n_planes, seed, cap_rows = 4, 42, 24
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    idx_path = os.path.join(
+        "/root/repo/.cache", tag, f"lsh_recall_gate__p{n_planes}_s{seed}_c{cap_rows}"
+    )
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    lsh_params = {
+        "kind": "lsh_vec", "n_planes": n_planes, "seed": seed, "dim": 64,
+        "partition": "bucket,sub", "cap_rows": cap_rows,
+    }
+    if S.index_is_stale(idx_path, src, lsh_params):
+        c_all = emb.select(
+            F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec")
+        )
+        split, ns = S.ivf_subsplit(
+            S.hyperplane_lsh_buckets(emb, dim=64, n_planes=n_planes, seed=seed)
+            .withColumnRenamed("vec_id", "c_id")
+            .join(c_all, "c_id"),
+            cap_rows,
+            cell_col="bucket",
+        )
+        bucket_map = {
+            str(r["bucket"]): int(r["n_subs"])
+            for r in ns.where(F.col("n_subs") > 1).collect()
+        }
+        S.write_ann_index(
+            split, idx_path, ["bucket", "sub"],
+            {**lsh_params, "cell_subs": bucket_map},
+        )
+    indexed = S.load_ann_index(
+        spark, idx_path, lsh_params,
+        schema="c_id BIGINT, vec ARRAY<FLOAT>, bucket INT, sub INT",
+    )
+    # partial map (split buckets only) — probed unsplit buckets
+    # default to n_subs=1 inside lsh_topk (ADVICE r7 closure)
+    subs = S.cell_subs_from_params(
+        spark, S.index_params(idx_path), col="bucket"
+    )
+    if subs is None:  # nothing split at this sf: all-default map
+        subs = spark.createDataFrame([], "bucket BIGINT, n_subs INT")
+    approx = S.lsh_topk(
+        q, None, k=5, dim=64, n_planes=n_planes, seed=seed, multiprobe=3,
+        indexed_corpus=indexed, bucket_subs=subs,
+    )
+    return _recall_assert(spark, sf_dir, approx, bound=0.28)
+
+
 # ---------------------------------------------------------------------------
 # Content-defined chunking (r5): the dedup-friendly chunker
 # ---------------------------------------------------------------------------

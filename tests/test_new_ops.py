@@ -685,3 +685,38 @@ def test_lsh_hotbucket_subsplit_equal_and_capped(spark, tmp_path):
     assert sorted(tuple(r) for r in got_partial.collect()) == sorted(
         tuple(r) for r in want.collect()
     )
+
+
+def test_lsh_recall_gate_discriminates_expansion_bug(spark):
+    """VERDICT r7 next-round #3 'done' criterion: llm_recall_lsh_at5's
+    bound must TRIP for a planted bucket/sub expansion bug.  Re-run
+    the gate's exact pipeline but with an all-ones subs map (the bug:
+    split buckets serve only sub 0) — recall_ok must flip to False
+    while the healthy gate passes (its CORRECTNESS entry)."""
+    from pyspark.sql import functions as F
+
+    from mo_etl_spark.operators import similarity as S
+    from mo_etl_spark.suites.llm import _emb, _recall_assert, llm_recall_lsh_at5
+
+    sf = "/root/testdata/sf0.01"
+    healthy = llm_recall_lsh_at5(spark, sf).first()
+    assert healthy["recall_ok"] is True
+
+    emb = _emb(spark, sf)
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+    )
+    idx_path = "/root/repo/.cache/sf0.01/lsh_recall_gate__p4_s42_c24"
+    indexed = S.load_ann_index(
+        spark, idx_path, {"kind": "lsh_vec", "n_planes": 4, "seed": 42},
+        schema="c_id BIGINT, vec ARRAY<FLOAT>, bucket INT, sub INT",
+    )
+    assert indexed.where(F.col("sub") > 0).count() > 0  # splits exist
+    broken_map = spark.createDataFrame(
+        [(b, 1) for b in range(16)], "bucket BIGINT, n_subs INT"
+    )
+    broken = S.lsh_topk(
+        q, None, k=5, dim=64, n_planes=4, seed=42, multiprobe=3,
+        indexed_corpus=indexed, bucket_subs=broken_map,
+    )
+    assert _recall_assert(spark, sf, broken, bound=0.28).first()["recall_ok"] is False

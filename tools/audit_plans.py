@@ -91,6 +91,7 @@ EXCHANGES_OK = {
     "llm_recall_ivf_at5",
     "llm_recall_ivfpq_at5",
     "llm_recall_ivfpq_residual_at5",
+    "llm_recall_lsh_at5",
     # fixed-iteration PageRank: 8 rank shuffles (one per power iteration)
     # by construction + the one-off edge materialization; per-iteration
     # cost is the claim, not total exchange count
