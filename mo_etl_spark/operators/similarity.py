@@ -515,6 +515,45 @@ def cell_subs_from_params(spark, params: dict, col: str = "cell") -> DataFrame |
     )
 
 
+def resolve_cell_subs(
+    spark,
+    path: str,
+    col: str = "cell",
+    cells: list | None = None,
+    floor: int = 1,
+) -> DataFrame:
+    """ONE reader for the hot-key split map (cell → n_subs), wherever
+    the index keeps it (VERDICT r7: two metadata channels for the same
+    concept were a drift class).  A BATCH-BUILT ANN index stores the
+    map in its sidecar params (``write_ann_index`` key ``cell_subs``);
+    a STREAM-GROWN batched table commits it as manifest ``extra``
+    (``ann_resplit_transform``) so the map is atomic with the rows it
+    describes.  The source is detected by which control file exists at
+    ``path`` — both channels stay (each is the right commit mechanism
+    for its build path); the READER is now one.
+
+    With ``cells`` (probed-cell serving of a stream-grown index),
+    returns one row per probed cell at ``max(map, floor)`` — the floor
+    covers per-batch rows that arrived since the last compaction with
+    a provisional ``pmod(xxhash64(id), floor)`` sub.  Without, returns
+    the stored (possibly PARTIAL — only split keys) map; the serve
+    expansions left-join it and default absent keys to n_subs=1."""
+    import os as _os
+
+    if _os.path.exists(_os.path.join(path, INDEX_SIDECAR)):
+        mapping = index_params(path).get("cell_subs") or {}
+    else:
+        from mo_etl_spark.streaming import read_manifest_extra
+
+        mapping = read_manifest_extra(path).get("cell_subs") or {}
+    if cells is not None:
+        return cell_subs_with_floor(spark, mapping, cells, floor)
+    return spark.createDataFrame(
+        [(int(c), int(n)) for c, n in mapping.items()],
+        f"{col} BIGINT, n_subs INT",
+    )
+
+
 def index_params(path: str) -> dict:
     """The raw sidecar contents of a persisted ANN index."""
     import json
@@ -590,13 +629,18 @@ def ivf_topk(
         if cell_subs is None:
             raise ValueError(
                 "index carries a 'sub' column (hot-cell split) but no "
-                "cell_subs map was supplied — load it from the index "
-                "sidecar (similarity.cell_subs_from_params)"
+                "cell_subs map was supplied — load it with "
+                "similarity.resolve_cell_subs(spark, index_path)"
             )
-        probes_s = probes.join(F.broadcast(cell_subs), "cell").select(
+        # LEFT join + n_subs=1 default (r8, matching lsh_topk): the map
+        # may be PARTIAL (split cells only) — an inner join would drop
+        # probes into unsplit cells
+        probes_s = probes.join(F.broadcast(cell_subs), "cell", "left").select(
             q_id,
             "cell",
-            F.explode(F.sequence(F.lit(0), F.col("n_subs") - 1)).alias("sub"),
+            F.explode(
+                F.sequence(F.lit(0), F.coalesce(F.col("n_subs"), F.lit(1)) - 1)
+            ).alias("sub"),
         )
         q_side = queries.join(probes_s, q_id).select(
             F.col(q_id).alias("q_id"), F.col(vec).alias("qv"), "cell", "sub"
@@ -1083,10 +1127,10 @@ def lsh_topk(
         if bucket_subs is None:
             raise ValueError(
                 "index carries a 'sub' column (hot-bucket split) but no "
-                "bucket_subs map was supplied — load it from the index "
-                "sidecar (similarity.cell_subs_from_params(col='bucket')); "
-                "a partial map (split buckets only) is fine: probed "
-                "buckets absent from it default to n_subs=1"
+                "bucket_subs map was supplied — load it with "
+                "similarity.resolve_cell_subs(spark, index_path, "
+                "col='bucket'); a partial map (split buckets only) is "
+                "fine: probed buckets absent from it default to n_subs=1"
             )
         # LEFT join + n_subs=1 default: unlike IVF cells, an absent
         # LSH bucket is usually NON-empty (the sidecar may store only

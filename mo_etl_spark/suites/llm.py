@@ -1309,7 +1309,7 @@ def llm_sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexed = S.load_ann_index(
         spark, idx_path, _ivf_index_params(cents_lt), schema="c_id BIGINT, vec ARRAY<FLOAT>, cell INT, sub INT"
     )
-    cell_subs = S.cell_subs_from_params(spark, S.index_params(idx_path))
+    cell_subs = S.resolve_cell_subs(spark, idx_path)
     return S.ivf_topk(
         q, None, cents_, k=5, nprobe=4, indexed_corpus=indexed, cell_subs=cell_subs
     ).select("q_id", "c_id", "cos_sim", "rnk")
@@ -1771,16 +1771,10 @@ def llm_sim_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # refuses a bucket table built with different planes (ADVICE r4:
     # the mismatch would silently return wrong/empty neighbor sets)
     indexed = S.load_ann_index(spark, idx_path, lsh_params, schema="c_id BIGINT, vec ARRAY<FLOAT>, bucket INT, sub INT")
-    # the map must cover EVERY probed bucket (the expansion join is
-    # inner): sidecar stores only buckets that split, and the bucket
-    # DOMAIN is statically [0, 2^n_planes) — build the full map as a
-    # driver-side constant (2^n_planes rows; no index scan, no
-    # distinct exchange)
-    stored = S.index_params(idx_path).get("cell_subs") or {}
-    subs = spark.createDataFrame(
-        [(b, int(stored.get(str(b), 1))) for b in range(1 << n_planes)],
-        "bucket BIGINT, n_subs INT",
-    )
+    # the ONE sub-map reader (r8): the sidecar stores only buckets
+    # that split; the serve expansion left-joins it and defaults
+    # absent probed buckets to n_subs=1
+    subs = S.resolve_cell_subs(spark, idx_path, col="bucket")
     return S.lsh_topk(
         q, None, k=5, dim=64, n_planes=n_planes, seed=seed,
         indexed_corpus=indexed, bucket_subs=subs,
@@ -4764,12 +4758,9 @@ def llm_recall_lsh_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="c_id BIGINT, vec ARRAY<FLOAT>, bucket INT, sub INT",
     )
     # partial map (split buckets only) — probed unsplit buckets
-    # default to n_subs=1 inside lsh_topk (ADVICE r7 closure)
-    subs = S.cell_subs_from_params(
-        spark, S.index_params(idx_path), col="bucket"
-    )
-    if subs is None:  # nothing split at this sf: all-default map
-        subs = spark.createDataFrame([], "bucket BIGINT, n_subs INT")
+    # default to n_subs=1 inside lsh_topk (ADVICE r7 closure); the
+    # unified reader handles sidecar vs manifest storage (r8)
+    subs = S.resolve_cell_subs(spark, idx_path, col="bucket")
     approx = S.lsh_topk(
         q, None, k=5, dim=64, n_planes=n_planes, seed=seed, multiprobe=3,
         indexed_corpus=indexed, bucket_subs=subs,

@@ -35,7 +35,6 @@ from mo_etl_spark.streaming import (
     idempotent_batch_write_to,
     maintain_batched,
     read_batched,
-    read_manifest_extra,
     read_tombstones,
 )
 from mo_etl_spark.tables import load_table
@@ -1775,7 +1774,7 @@ def stream_real_ivf_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexed = S.load_ann_index(
         spark, idx_path, _ivf_index_params(16), schema="c_id BIGINT, vec ARRAY<FLOAT>, cell INT, sub INT"
     )
-    cell_subs = S.cell_subs_from_params(spark, S.index_params(idx_path))
+    cell_subs = S.resolve_cell_subs(spark, idx_path)
     feed = _ivf_query_feed(spark, sf_dir)
     ckpt = _scratch("ivf_serve_ckpt")
     out_dir = _scratch("ivf_serve_out")
@@ -2006,12 +2005,10 @@ def stream_real_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         partitioned=True,
         schema="c_id BIGINT, vec ARRAY<FLOAT>, cell BIGINT, sub INT",
     ).where(F.col("cell").isin(probed_cells))
-    cs = S.cell_subs_with_floor(
-        spark,
-        read_manifest_extra(idx_dir).get("cell_subs", {}),
-        probed_cells,
-        floor=prov,
-    )
+    # the ONE sub-map reader (r8): resolves the manifest-extra channel
+    # here (stream-grown table), the sidecar channel for batch-built
+    # indexes — probed cells expand to max(map, provisional floor)
+    cs = S.resolve_cell_subs(spark, idx_dir, cells=probed_cells, floor=prov)
     return S.ivf_topk(
         queries, None, cents, k=5, nprobe=nprobe, indexed_corpus=idx, cell_subs=cs
     ).select("q_id", "c_id", "cos_sim", "rnk")
