@@ -2164,12 +2164,16 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("recency_days"),
         F.count("*").alias("frequency"),
         F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("monetary_cents"),
-    )
-    # three INDEPENDENT two-pass ntiles over the slim (key, metric)
-    # projections, joined back on custkey — chaining them would nest
-    # each pass's plan inside the next's two consumers and blow the
-    # plan up multiplicatively; independent slim branches keep each
-    # global sort to one range shuffle over two columns
+    ).localCheckpoint(eager=True)
+    # materialize the slim per-customer aggregate ONCE (r8): four
+    # consumers (three ntile branches + the join-back) would otherwise
+    # each re-run the full orders scan+agg — measured 1.57 -> 1.19 s
+    # solo-warm at sf0.1, and at 100 TB it is 4x the dominant scan
+    # — then three INDEPENDENT two-pass ntiles over the slim
+    # (key, metric) projections, joined back on custkey — chaining
+    # them would nest each pass's plan inside the next's two consumers
+    # and blow the plan up multiplicatively; independent slim branches
+    # keep each global sort to one range shuffle over two columns
     r = ntile_two_pass(
         rfm.select("o_custkey", "recency_days"),
         5,
