@@ -36,6 +36,7 @@ from mo_etl_spark.streaming import (
     maintain_batched,
     read_batched,
     read_tombstones,
+    seed_batched,
 )
 from mo_etl_spark.tables import load_table
 
@@ -1220,9 +1221,12 @@ def _incr_dedup_seed_dirs(
     verify read matched buckets, never the accumulated state.  The
     base snapshots are pure functions of the base corpus, so they
     live in the mtime-invalidated cache (params in the key) and are
-    FILE-COPIED into the run-scoped dirs' ``base`` subdirs — the
-    stream upserts into sibling subdirs and must never touch the
-    shared snapshots.  pairs gets an empty ``base`` seed so
+    SEEDED AS GENERATION-0 via streaming.seed_batched (VERDICT r7
+    item #6): the run table's manifest references the shared snapshot
+    in place (the shallow-clone seed — zero copy, manifest-committed
+    from trigger 0); the stream upserts into sibling subdirs and the
+    first compaction consolidates locally without ever touching the
+    shared snapshot.  pairs gets an empty seed the same way so
     first-batch reads see an empty table, not ENOENT."""
     from mo_etl_spark.operators import dedup as D
 
@@ -1255,19 +1259,17 @@ def _incr_dedup_seed_dirs(
         ).parquet(corp_snap)
     for d, snap in ((idx_dir, idx_snap), (arrived_dir, corp_snap)):
         shutil.rmtree(d, ignore_errors=True)
-        os.makedirs(d, exist_ok=True)
-        shutil.copytree(snap, os.path.join(d, "base"))
+        seed_batched(d, snap)
     shutil.rmtree(pairs_dir, ignore_errors=True)
     # the empty pairs seed is a pure constant — one cached parquet
-    # write ever, then a file copy per run (a Spark write job per run
-    # is pure fixed cost, r7 job-budget work)
+    # write ever, then a zero-copy manifest reference per run (a Spark
+    # write job per run is pure fixed cost, r7 job-budget work)
     empty_snap = os.path.join(_CACHE, "empty_pairs_seed")
     if not os.path.exists(os.path.join(empty_snap, "_SUCCESS")):
         spark.createDataFrame(
             [], "id_a BIGINT, id_b BIGINT, jaccard DOUBLE"
         ).write.mode("overwrite").parquet(empty_snap)
-    os.makedirs(pairs_dir, exist_ok=True)
-    shutil.copytree(empty_snap, os.path.join(pairs_dir, "base"))
+    seed_batched(pairs_dir, empty_snap)
 
 
 def _incr_dedup_apply_batch(
@@ -1537,17 +1539,16 @@ def _incr_cdc_seed_dirs(
             "hb"
         ).parquet(snap)
     shutil.rmtree(idx_dir, ignore_errors=True)
-    os.makedirs(idx_dir, exist_ok=True)
-    shutil.copytree(snap, os.path.join(idx_dir, "base"))
+    seed_batched(idx_dir, snap)  # zero-copy gen-0 reference (r8)
     shutil.rmtree(pairs_dir, ignore_errors=True)
-    # cached one-time empty seed, copied per run (no per-run Spark job)
+    # cached one-time empty seed, referenced per run (no per-run Spark
+    # job, no file copy)
     empty_snap = os.path.join(_CACHE, "empty_cdc_pairs_seed")
     if not os.path.exists(os.path.join(empty_snap, "_SUCCESS")):
         spark.createDataFrame(
             [], "id_a BIGINT, id_b BIGINT, n_shared_chunks BIGINT"
         ).write.mode("overwrite").parquet(empty_snap)
-    os.makedirs(pairs_dir, exist_ok=True)
-    shutil.copytree(empty_snap, os.path.join(pairs_dir, "base"))
+    seed_batched(pairs_dir, empty_snap)
 
 
 def _incr_cdc_apply_batch(
@@ -1947,8 +1948,7 @@ def stream_real_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cell"), F.col("sub")
         ).write.mode("overwrite").partitionBy("cell", "sub").parquet(snap)
     shutil.rmtree(idx_dir, ignore_errors=True)
-    os.makedirs(idx_dir, exist_ok=True)
-    shutil.copytree(snap, os.path.join(idx_dir, "base"))
+    seed_batched(idx_dir, snap)  # zero-copy gen-0 reference (r8)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df.select(

@@ -1962,3 +1962,62 @@ def test_streamed_dedup_cross_table_model(spark, tmpdir, seed):
         committed += 1
     check()
     assert committed == N_BATCH
+
+
+def test_seed_batched_external_base_zero_copy(spark, tmpdir):
+    """VERDICT r7 item #6: seeding a batched table is a MANIFEST
+    REFERENCE to the shared snapshot (shallow-clone gen-0), not a file
+    copy.  Readers resolve the external base like any generation;
+    upserts land as siblings; compaction consolidates into a
+    root-local generation, records the snapshot under its absolute
+    path, and NEVER deletes it (even at gc_grace_sec=0) — so one
+    snapshot can seed many tables concurrently."""
+    import os
+
+    from mo_etl_spark.streaming import (
+        append_tombstones,
+        compact_batched,
+        idempotent_batch_write,
+        read_batched,
+        seed_batched,
+    )
+
+    snap = f"{tmpdir}/shared_snap"
+    spark.range(10).select(
+        F.col("id"), F.pmod("id", F.lit(4)).alias("ib")
+    ).repartition(F.col("ib")).write.mode("overwrite").partitionBy("ib").parquet(snap)
+    t1, t2 = f"{tmpdir}/t1", f"{tmpdir}/t2"
+    seed_batched(t1, snap)
+    seed_batched(t2, snap)
+    assert not os.path.exists(os.path.join(t1, "base"))  # no copy
+    rows = lambda t: sorted(
+        r["id"] for r in read_batched(spark, t, partitioned=True).collect()
+    )
+    assert rows(t1) == list(range(10)) and rows(t2) == list(range(10))
+
+    # sibling upsert + a tombstone, then consolidate t1 locally
+    idempotent_batch_write(
+        spark.range(10, 14).select(F.col("id"), F.pmod("id", F.lit(4)).alias("ib")),
+        t1, 0, partition_cols=["ib"],
+    )
+    append_tombstones(spark.createDataFrame([(3,)], "id BIGINT"), t1)
+    assert compact_batched(
+        spark, t1, min_dirs=0, partition_cols=["ib"],
+        tombstone_col="id", gc_grace_sec=0.0,
+    ) > 0
+    assert rows(t1) == sorted(set(range(14)) - {3})
+    # the shared snapshot survives t1's zero-grace vacuum, t2 unharmed
+    assert os.path.exists(os.path.join(snap, "_SUCCESS"))
+    assert rows(t2) == list(range(10))
+    # and a SECOND compaction of t1 (manifest now lists the abs path
+    # as consumed forever) still never touches the snapshot
+    idempotent_batch_write(
+        spark.range(14, 16).select(F.col("id"), F.pmod("id", F.lit(4)).alias("ib")),
+        t1, 1, partition_cols=["ib"],
+    )
+    assert compact_batched(
+        spark, t1, min_dirs=0, partition_cols=["ib"], gc_grace_sec=0.0
+    ) > 0
+    assert rows(t1) == sorted(set(range(16)) - {3})
+    assert os.path.exists(os.path.join(snap, "_SUCCESS"))
+    assert rows(t2) == list(range(10))
