@@ -28,6 +28,8 @@ from mo_etl_spark.functions.numeric import cents
 from mo_etl_spark.registry import query
 from mo_etl_spark.session import prepare
 from mo_etl_spark.streaming import (
+    append_tombstones,
+    compact_batched,
     file_stream_source,
     foreach_batch_etl,
     has_tombstones,
@@ -1907,9 +1909,6 @@ def stream_real_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     and shares its oracle verbatim — the streamed index build is
     hash-checked end to end."""
     prepare(spark)
-    from mo_etl_spark.operators import similarity as S
-
-    base_lt, cents_lt, nprobe = 256, 16, 4
     # prov sizes the BETWEEN-compactions task bound (a fresh cell's
     # worst task is arrivals_in_cell / prov until the next adaptive
     # re-split): a deployment picks ~expected per-interval arrivals
@@ -1918,11 +1917,48 @@ def stream_real_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~2 s/run in listing overhead for no tighter interim bound that
     # matters at this volume).  cap_rows is the compaction-time cap.
     prov, cap_rows = 2, 512
+    from mo_etl_spark.operators import similarity as S
+
+    idx_dir = _scratch("ivf_upsert_index")
+    emb, cents = _grow_ivf_index(
+        spark, sf_dir, idx_dir, _scratch("ivf_upsert_ckpt"), prov=prov
+    )
+    maintain_batched(
+        spark,
+        idx_dir,
+        partition_cols=["cell", "sub"],
+        transform=S.ann_resplit_transform(cap_rows),
+    )
+    queries = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+    )
+    return _ivf_pruned_serve(spark, idx_dir, cents, queries, prov=prov)
+
+
+def _grow_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    idx_dir: str,
+    ckpt: str,
+    base_lt: int = 256,
+    cents_lt: int = 16,
+    prov: int = 2,
+    tombstones: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Seed the (cell, sub)-partitioned IVF index from the cached base
+    snapshot (zero-copy gen-0 manifest reference) and GROW it through
+    the vector feed's availableNow stream — the shared build phase of
+    the stream_real_ivf_index_upsert / stream_real_ivf_retract
+    contract queries.  ``tombstones`` (column ``c_id``) are appended
+    BEFORE the first trigger, so retraction is live from trigger 0.
+    Returns (embeddings table, centroid frame)."""
+    from mo_etl_spark.operators import similarity as S
 
     def _with_sub(df: DataFrame) -> DataFrame:
         return df.withColumn(
             "sub", F.pmod(F.xxhash64(F.col("c_id")), F.lit(prov)).cast("int")
         )
+
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.where(F.col("vec_id") < base_lt).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec")
@@ -1931,8 +1967,6 @@ def stream_real_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("vec")
     )
     feed = _ivf_corpus_feed(spark, sf_dir, base_lt=base_lt)
-    ckpt = _scratch("ivf_upsert_ckpt")
-    idx_dir = _scratch("ivf_upsert_index")
     # seed: the base corpus's assigned index, cell-partitioned (pure
     # function of the base corpus -> mtime-invalidated cache snapshot)
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
@@ -1949,6 +1983,8 @@ def stream_real_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.mode("overwrite").partitionBy("cell", "sub").parquet(snap)
     shutil.rmtree(idx_dir, ignore_errors=True)
     seed_batched(idx_dir, snap)  # zero-copy gen-0 reference (r8)
+    if tombstones is not None:
+        append_tombstones(tombstones.select("c_id"), idx_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df.select(
@@ -1978,17 +2014,27 @@ def stream_real_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
-    maintain_batched(
-        spark,
-        idx_dir,
-        partition_cols=["cell", "sub"],
-        transform=S.ann_resplit_transform(cap_rows),
-    )
-    queries = emb.where(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
-    )
-    # static probed-cell pruning: the 50-query batch probes <= 16
-    # cells; the collected list prunes every per-batch index scan
+    return emb, cents
+
+
+def _ivf_pruned_serve(
+    spark: SparkSession,
+    idx_dir: str,
+    cents: DataFrame,
+    queries: DataFrame,
+    nprobe: int = 4,
+    prov: int = 2,
+) -> DataFrame:
+    """The contract top-5 serve against a stream-grown index: STATIC
+    probed-cell pruning pushed through the per-batch-dir union
+    (matched cells only, plan-pinned), pending retraction keys
+    broadcast-anti-joined ABOVE the pruned scans (partition filters
+    untouched — the dedup streams' composition), sub expansion via the
+    unified map reader at max(map, provisional floor)."""
+    from mo_etl_spark.operators import similarity as S
+
+    # static probed-cell pruning: the query batch probes <= 16 cells;
+    # the collected list prunes every per-batch index scan
     probed_cells = sorted(
         r["cell"]
         for r in S.brute_force_topk(
@@ -2005,6 +2051,14 @@ def stream_real_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         partitioned=True,
         schema="c_id BIGINT, vec ARRAY<FLOAT>, cell BIGINT, sub INT",
     ).where(F.col("cell").isin(probed_cells))
+    if has_tombstones(idx_dir):
+        idx = idx.join(
+            F.broadcast(
+                read_tombstones(spark, idx_dir, "c_id BIGINT").select("c_id")
+            ),
+            "c_id",
+            "left_anti",
+        )
     # the ONE sub-map reader (r8): resolves the manifest-extra channel
     # here (stream-grown table), the sidecar channel for batch-built
     # indexes — probed cells expand to max(map, provisional floor)
@@ -2012,6 +2066,129 @@ def stream_real_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(
         queries, None, cents, k=5, nprobe=nprobe, indexed_corpus=idx, cell_subs=cs
     ).select("q_id", "c_id", "cos_sim", "rnk")
+
+
+@query(
+    "stream_real_ivf_retract",
+    oracle=None,  # wired below: the retained-corpus IVF oracle
+    tags=(
+        "sim_ivf",
+        "index_persistence",
+        "incremental_etl",
+        "tombstone_lifecycle",
+        "update_mode",
+        "foreachBatch_etl",
+        "stream_source",
+    ),
+)
+@_stream_tuned
+def stream_real_ivf_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VECTOR RETRACTION from the stream-grown ANN index (r8) — the
+    GDPR-for-embeddings lifecycle, composing the tombstone machinery
+    with the (cell, sub)-partitioned index: every 41st vector is
+    tombstoned BEFORE the first trigger (some live in the seed base,
+    some arrive in the feed — retraction must hold for both), the
+    index grows through the same availableNow upsert stream as
+    stream_real_ivf_index_upsert, serving anti-joins the pending set
+    ABOVE the probed-cell-pruned scans (partition filters untouched —
+    the dedup streams' composition), and the maintenance fold
+    physically drops the dead vectors WHILE ADAPTIVELY RE-SPLITTING
+    hot cells in the same rewrite (compact_batched composes
+    tombstone_col= with transform=ann_resplit_transform: the fold
+    runs first, the re-split maps the retained rows, and the
+    (cell, n_subs) map commits atomically with them).  The returned
+    post-fold serve is hash-checked against the IVF oracle over the
+    RETAINED corpus — a deleted vector contributes no cell rows and
+    no neighbors; the quantizer itself is FROZEN (centroids are
+    parameters, not corpus rows — deleting a vector never retrains
+    the coarse quantizer, the production semantics).  Pre-fold
+    (pending anti-join) and post-fold serves are pinned equal in
+    tests/test_streaming.py."""
+    prepare(spark)
+    from mo_etl_spark.operators import similarity as S
+
+    prov, cap_rows = 2, 512
+    emb_all = load_table(spark, sf_dir, "embeddings")
+    deleted = emb_all.where(F.pmod("vec_id", F.lit(41)) == 0).select(
+        F.col("vec_id").alias("c_id")
+    )
+    idx_dir = _scratch("ivf_retract_index")
+    emb, cents = _grow_ivf_index(
+        spark, sf_dir, idx_dir, _scratch("ivf_retract_ckpt"),
+        prov=prov, tombstones=deleted,
+    )
+    # the maintenance fold: retraction and hot-cell re-split in ONE
+    # rewrite, map + rows committed atomically
+    compact_batched(
+        spark,
+        idx_dir,
+        min_dirs=0,
+        partition_cols=["cell", "sub"],
+        transform=S.ann_resplit_transform(cap_rows),
+        tombstone_col="c_id",
+    )
+    queries = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+    )
+    return _ivf_pruned_serve(spark, idx_dir, cents, queries, prov=prov)
+
+
+def _wire_ivf_retract_oracle() -> None:
+    from mo_etl_spark.registry import QUERIES, QuerySpec
+    from mo_etl_spark.suites.llm import _SQL_COS_EC, _SQL_COSINE
+
+    # the retained-corpus twin of _SQL_IVF_ORACLE_HEAD: deleted
+    # vectors (vec_id % 41 = 0) contribute no cells and no candidates;
+    # queries and the frozen quantizer (vec_id < 16) are unchanged
+    sql = f"""
+    WITH cents_ AS (
+      SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id < 16
+    ),
+    retained AS (
+      SELECT * FROM embeddings WHERE vec_id % 41 <> 0
+    ),
+    cells AS (
+      SELECT c_id, cent_id AS cell FROM (
+        SELECT ea.vec_id AS c_id, ec.cent_id,
+               row_number() OVER (PARTITION BY ea.vec_id
+                                  ORDER BY {_SQL_COS_EC} DESC, ec.cent_id) AS r
+        FROM retained ea CROSS JOIN cents_ ec)
+      WHERE r = 1
+    ),
+    probes AS (
+      SELECT q_id, cent_id AS cell FROM (
+        SELECT ea.vec_id AS q_id, ec.cent_id,
+               row_number() OVER (PARTITION BY ea.vec_id
+                                  ORDER BY {_SQL_COS_EC} DESC, ec.cent_id) AS r
+        FROM embeddings ea CROSS JOIN cents_ ec
+        WHERE ea.vec_id < 50)
+      WHERE r <= 4
+    ),
+    cand AS (
+      SELECT p.q_id, cl.c_id
+      FROM probes p JOIN cells cl USING (cell)
+      WHERE p.q_id <> cl.c_id
+    )
+    SELECT q_id, c_id, cos_sim, rnk FROM (
+      SELECT cand.q_id, cand.c_id,
+             {_SQL_COSINE} AS cos_sim,
+             row_number() OVER (PARTITION BY cand.q_id
+                                ORDER BY {_SQL_COSINE} DESC, cand.c_id) AS rnk
+      FROM cand
+      JOIN embeddings a ON a.vec_id = cand.q_id
+      JOIN retained b ON b.vec_id = cand.c_id)
+    WHERE rnk <= 5
+    """
+    spec = QUERIES["stream_real_ivf_retract"]
+    QUERIES["stream_real_ivf_retract"] = QuerySpec(
+        name=spec.name,
+        fn=spec.fn,
+        oracle=sql,
+        tags=spec.tags,
+    )
+
+
+_wire_ivf_retract_oracle()
 
 
 def _wire_ivf_upsert_oracle() -> None:

@@ -2021,3 +2021,60 @@ def test_seed_batched_external_base_zero_copy(spark, tmpdir):
     assert rows(t1) == sorted(set(range(16)) - {3})
     assert os.path.exists(os.path.join(snap, "_SUCCESS"))
     assert rows(t2) == list(range(10))
+
+
+def test_ivf_retract_pre_and_post_fold_serves_equal(spark, sf_dir):
+    """stream_real_ivf_retract (r8): the serve with PENDING tombstones
+    (broadcast anti-join above the probed-cell-pruned scans) must
+    equal the serve after the maintenance fold (dead vectors
+    physically dropped + hot cells re-split in the same rewrite, map
+    committed atomically) — retraction is visible from trigger 0 and
+    the fold can never change answers.  Also pins that a retracted
+    vector appears in NO result and, post-fold, in NO index row."""
+    from mo_etl_spark.operators import similarity as S
+    from mo_etl_spark.streaming import (
+        compact_batched,
+        has_tombstones,
+        read_batched,
+    )
+    from mo_etl_spark.suites.streaming_real import (
+        _grow_ivf_index,
+        _ivf_pruned_serve,
+        _scratch,
+    )
+    from mo_etl_spark.tables import load_table
+
+    prov, cap_rows = 2, 512
+    emb_all = load_table(spark, sf_dir, "embeddings")
+    deleted = emb_all.where(F.pmod("vec_id", F.lit(41)) == 0).select(
+        F.col("vec_id").alias("c_id")
+    )
+    dead_ids = {r["c_id"] for r in deleted.collect()}
+    assert dead_ids  # the plant has victims at this sf
+    idx_dir = _scratch("ivf_retract_test_index")
+    emb, cents = _grow_ivf_index(
+        spark, sf_dir, idx_dir, _scratch("ivf_retract_test_ckpt"),
+        prov=prov, tombstones=deleted,
+    )
+    queries = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+    )
+    assert has_tombstones(idx_dir)
+    pre = sorted(
+        map(tuple, _ivf_pruned_serve(spark, idx_dir, cents, queries, prov=prov).collect())
+    )
+    compact_batched(
+        spark, idx_dir, min_dirs=0, partition_cols=["cell", "sub"],
+        transform=S.ann_resplit_transform(cap_rows), tombstone_col="c_id",
+    )
+    assert not has_tombstones(idx_dir)
+    post = sorted(
+        map(tuple, _ivf_pruned_serve(spark, idx_dir, cents, queries, prov=prov).collect())
+    )
+    assert pre == post
+    assert not any(r[1] in dead_ids for r in post)  # no dead neighbors
+    left = read_batched(
+        spark, idx_dir, partitioned=True,
+        schema="c_id BIGINT, vec ARRAY<FLOAT>, cell BIGINT, sub INT",
+    ).where(F.col("c_id").isin(sorted(dead_ids)))
+    assert left.count() == 0  # physically erased

@@ -115,6 +115,9 @@ EXCHANGES_OK = {
     # exchanges; the per-trigger sink itself is one assignment join +
     # one partitioned write
     "stream_real_ivf_index_upsert",
+    # same serve shape plus the pending-retraction anti-join above the
+    # pruned scans (stream_real_ivf_retract = upsert + tombstone fold)
+    "stream_real_ivf_retract",
     # compact-forward triangle listing: degree agg + two degree-annotation
     # joins + wedge self-join + closing semi-join are the algorithm; each
     # is keyed and uniform (the orientation is what BOUNDS the wedge
