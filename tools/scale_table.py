@@ -355,11 +355,25 @@ def workloads(spark, d: str, scale: float, ops: list[str] | None = None):
     # persisted IVF index with vectors, partitioned by cell (untimed
     # once-per-snapshot build, like production)
     ivf_idx_p = f"/root/repo/.scratch/ivf_vec_idx_{tag}"
-    if wanted("ivf_serve_pruned") and not os.path.exists(os.path.join(ivf_idx_p, "_SUCCESS")):
+    if wanted("ivf_serve_pruned", "ivf_retract_serve") and not os.path.exists(
+        os.path.join(ivf_idx_p, "_SUCCESS")
+    ):
         ivf_cells(corpus, cents).join(corpus, "c_id").write.partitionBy(
             "cell"
         ).mode("overwrite").parquet(ivf_idx_p)
-    ivf_indexed = spark.read.parquet(ivf_idx_p) if wanted("ivf_serve_pruned") else None
+    ivf_indexed = (
+        spark.read.parquet(ivf_idx_p)
+        if wanted("ivf_serve_pruned", "ivf_retract_serve")
+        else None
+    )
+    # r8 retraction serve: a FIXED pending tombstone set (1000 ids —
+    # takedown/erasure load does not grow with the corpus) broadcast
+    # anti-joined above the probed-cell-pruned index scan
+    retract_ids = (
+        spark.range(0, 50_000, 50).select(F.col("id").alias("c_id"))
+        if wanted("ivf_retract_serve")
+        else None
+    )
 
     # IVF-PQ code index: cell assignment + 8-byte code arrays,
     # partitioned by cell (untimed once-per-snapshot build)
@@ -509,6 +523,18 @@ def workloads(spark, d: str, scale: float, ops: list[str] | None = None):
             "ivf_serve_pruned",
             lambda: ivf_topk(
                 queries, None, cents, k=10, nprobe=4, indexed_corpus=ivf_indexed
+            ).count(),
+        ),
+        (
+            # r8 vector retraction: the same pruned serve with a fixed
+            # 1000-id pending tombstone set anti-joined above the scan
+            # — retraction must not change the corpus-flat cost shape
+            "ivf_retract_serve",
+            lambda: ivf_topk(
+                queries, None, cents, k=10, nprobe=4,
+                indexed_corpus=ivf_indexed.join(
+                    F.broadcast(retract_ids), "c_id", "left_anti"
+                ),
             ).count(),
         ),
         (
