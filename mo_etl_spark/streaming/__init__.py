@@ -32,7 +32,7 @@ def batch_subdir(root: str, batch_id: int) -> str:
     return os.path.join(root, f"b{batch_id}")
 
 
-def seed_batched(root: str, snapshot: str) -> None:
+def seed_batched(root: str, snapshot: str, extra: dict | None = None) -> None:
     """Create a batched table whose generation-0 base is an EXTERNAL
     snapshot referenced IN PLACE — the shallow-clone seed (Delta
     ``CLONE`` / Iceberg ``register_table``): the manifest names the
@@ -47,9 +47,15 @@ def seed_batched(root: str, snapshot: str) -> None:
     snapshot can seed any number of tables concurrently and outlives
     them all.  The snapshot must be immutable while referenced (it is
     a content-keyed cache entry here; production would pin a version).
+
+    ``extra`` commits serving metadata describing the SNAPSHOT's rows
+    atomically with the gen-0 pointer (read_manifest_extra) — e.g. the
+    probe-key partition spec (``{"spec_n": n}``) the snapshot was
+    bucketed under, so spec-aware readers know the base's layout from
+    trigger 0.
     """
     os.makedirs(root, exist_ok=True)
-    _write_manifest(root, 0, os.path.abspath(snapshot), {})
+    _write_manifest(root, 0, os.path.abspath(snapshot), {}, extra=extra)
 
 
 def idempotent_batch_write(
@@ -499,6 +505,201 @@ def read_batched(
     if schema is not None:
         r = r.schema(schema)
     return r.parquet(*paths)
+
+
+#: per-dir partition-spec marker — the local twin of Iceberg's
+#: per-data-file spec id in partition evolution: a probe-key-bucketed
+#: dir records WHICH bucket count its partition values were computed
+#: under, so readers can prune a mixed-spec table exactly
+_SPEC_PREFIX = "_spec_"
+
+
+def stamp_spec(root: str, batch_id: int, n: int) -> None:
+    """Record the probe-key partition spec (bucket count ``n``) a
+    batch dir's partition values were computed under.  Written AFTER
+    the batch's parquet lands: a replay that rewrites the dir
+    (mode-overwrite clears it, marker included) re-stamps with its own
+    spec, and a crash between write and stamp leaves an UNSTAMPED dir
+    — which spec-aware readers scan unpruned (safe: one trigger's
+    data, correctness preserved, only that dir's pruning lost until
+    the next compaction absorbs it).  Keep-existing: a marker already
+    present describes the bytes on disk (the complete-dir replay
+    no-op skipped the rewrite, so the original spec still holds)."""
+    d = batch_subdir(root, batch_id)
+    for name in os.listdir(d):
+        if name.startswith(_SPEC_PREFIX):
+            return
+    with open(os.path.join(d, f"{_SPEC_PREFIX}{int(n)}"), "w"):
+        pass
+
+
+def dir_spec(path: str) -> int | None:
+    """The spec a dir was stamped with, or None (unstamped — scan it
+    unpruned)."""
+    try:
+        names = os.listdir(path)
+    except OSError:
+        return None
+    for name in names:
+        if name.startswith(_SPEC_PREFIX):
+            try:
+                return int(name[len(_SPEC_PREFIX):])
+            except ValueError:
+                continue
+    return None
+
+
+def current_spec(root: str, default_n: int) -> int:
+    """The table's LIVE probe-key spec: the ``spec_n`` the last
+    compaction (or the gen-0 seed) committed atomically in the
+    manifest, else ``default_n`` for a table that predates spec
+    tracking.  Writers read this once per trigger and compute their
+    partition values under it; it only ever changes at a compaction
+    commit, so all rows of any one generation share one spec."""
+    extra = read_manifest_extra(root)
+    try:
+        return int(extra["spec_n"])
+    except (KeyError, TypeError, ValueError):
+        return int(default_n)
+
+
+def spec_values(values: Sequence[int], n_from: int, n_to: int) -> list[int] | None:
+    """Translate a probe's bucket-value list computed under spec
+    ``n_from`` into the SOUND list for a dir laid out under spec
+    ``n_to``, exploiting ``pmod(h, m) == pmod(pmod(h, n), m)`` for
+    ``m | n`` (specs grow by DOUBLING, so any two specs divide one
+    another).  Coarser dir (``n_to | n_from``): each value maps to
+    ``v % n_to`` — no false negatives; rows that collide into the same
+    coarse bucket without matching the probe are false POSITIVES the
+    exact join above discards.  Finer dir (``n_from | n_to``): each
+    value expands to ``{v + k·n_from}`` — every residue class mod
+    ``n_to`` consistent with the known residue mod ``n_from``.
+    Incompatible specs return None (scan unpruned — correctness over
+    pruning; unreachable under the doubling discipline)."""
+    vals = sorted(set(int(v) for v in values))
+    if n_to == n_from:
+        return vals
+    if n_from % n_to == 0:
+        return sorted({v % n_to for v in vals})
+    if n_to % n_from == 0:
+        return sorted(
+            {v + k * n_from for v in vals for k in range(n_to // n_from)}
+        )
+    return None
+
+
+def read_batched_pruned(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    values: Sequence[int],
+    values_spec_n: int,
+    schema: str,
+    exclude_batch: int | None = None,
+) -> DataFrame:
+    """Spec-aware matched-bucket read of a probe-key-partitioned
+    batched table (PARTITION-SPEC EVOLUTION, r8): union the live dirs
+    with a per-dir static ``col IN (...)`` partition filter whose
+    value list is TRANSLATED to each dir's own spec (spec_values), so
+    pruning stays exact across an online re-bucketing —
+    the Iceberg-partition-evolution read shape adapted to the manifest
+    protocol.  Per-dir spec resolution: the live base generation's
+    spec is the manifest's ``spec_n`` (committed atomically with the
+    base's rows — never stale relative to them); batch dirs carry
+    their writer's stamp (stamp_spec); an UNSTAMPED dir (crash between
+    write and stamp, or a legacy table) is scanned unpruned — the safe
+    direction, one trigger's data.  Empty ``values`` short-circuits to
+    an empty DataFrame (nothing to probe).  The static per-scan IN
+    lists push into every scan's PartitionFilters exactly as the
+    fixed-spec read did (plan-pinned in tests/test_plans.py)."""
+    from functools import reduce
+
+    if not values:
+        return spark.createDataFrame([], schema)
+    man = _read_manifest(root) if os.path.isdir(root) else None
+    live_base = man["base"] if man else "base"
+    base_spec: int | None = None
+    if man and isinstance(man.get("extra"), dict):
+        try:
+            base_spec = int(man["extra"]["spec_n"])
+        except (KeyError, TypeError, ValueError):
+            base_spec = None
+    paths = _live_dirs(root, exclude_batch) if os.path.isdir(root) else []
+    parts: list[DataFrame] = []
+    for p in paths:
+        if not any(
+            n.endswith(".parquet") for _, _, names in os.walk(p) for n in names
+        ):
+            continue
+        is_base = (
+            p == live_base
+            if os.path.isabs(live_base)
+            else os.path.basename(p) == live_base
+        )
+        m = base_spec if is_base else dir_spec(p)
+        df = spark.read.schema(schema).parquet(p)
+        if m is not None:
+            vals = spec_values(values, values_spec_n, m)
+            if vals is not None:
+                df = df.where(
+                    F.col(col).isin(vals) if vals else F.lit(False)
+                )
+        parts.append(df)
+    if not parts:
+        return spark.createDataFrame([], schema)
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def rebucket_transform(
+    col: str,
+    recompute: Callable[[int], Column],
+    n_cur: int,
+    cap_rows: int,
+    prior_extra: dict | None = None,
+    n_max: int = 1 << 20,
+) -> Callable[[DataFrame], tuple[DataFrame, dict]]:
+    """``compact_batched(transform=)`` hook: ADAPTIVE ONLINE
+    RE-BUCKETING of a probe-key-partitioned table (the dedup/CDC twin
+    of the ANN hot-cell re-split, r8).  A fixed bucket count chosen at
+    table creation stops being corpus-flat as the table grows — every
+    bucket's size grows linearly with the corpus, so probes of
+    "matched buckets" eventually read corpus-linear bytes per trigger.
+    At compaction (the one moment the whole table is rewritten
+    anyway), measure the hottest bucket and DOUBLE the spec until the
+    projected max fits ``cap_rows``; recompute ``col`` over the
+    retained rows and commit the new spec atomically with them
+    (manifest ``extra.spec_n``).  Doubling — never arbitrary resizes —
+    keeps every pair of specs divisible, which is what makes
+    spec_values' mixed-window translation exact.  Hash-bucketed keys
+    split ~evenly per doubling; a single irreducible hot KEY (all rows
+    sharing one (band, bk)) cannot split — those rows must colocate to
+    join at all, the same floor the ANN per-cell cap has.
+
+    The measurement is one bounded job over the union being rewritten
+    (groupBy(col).max — a single collected row); ``prior_extra``
+    carries any other committed metadata forward (the transform's
+    return REPLACES the manifest extra)."""
+
+    def t(df: DataFrame) -> tuple[DataFrame, dict]:
+        row = (
+            df.groupBy(col)
+            .count()
+            .agg(F.max("count").alias("mx"))
+            .first()
+        )
+        mx = int(row["mx"]) if row and row["mx"] is not None else 0
+        n_new = int(n_cur)
+        est = mx
+        while est > cap_rows and n_new < n_max:
+            n_new *= 2
+            est = (est + 1) // 2
+        extra = dict(prior_extra or {})
+        extra["spec_n"] = n_new
+        if n_new != n_cur:
+            df = df.withColumn(col, recompute(n_new))
+        return df, extra
+
+    return t
 
 
 def compact_batched(

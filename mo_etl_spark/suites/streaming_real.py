@@ -30,6 +30,7 @@ from mo_etl_spark.session import prepare
 from mo_etl_spark.streaming import (
     append_tombstones,
     compact_batched,
+    current_spec,
     file_stream_source,
     foreach_batch_etl,
     has_tombstones,
@@ -37,8 +38,12 @@ from mo_etl_spark.streaming import (
     idempotent_batch_write_to,
     maintain_batched,
     read_batched,
+    read_batched_pruned,
+    read_manifest_extra,
     read_tombstones,
+    rebucket_transform,
     seed_batched,
+    stamp_spec,
 )
 from mo_etl_spark.tables import load_table
 
@@ -1184,6 +1189,147 @@ def _wire_retract_oracle() -> None:
     )
 
 
+@query(
+    "stream_real_dedup_rebucket",
+    oracle=None,  # wired below: shares the one-shot incremental
+    # replay oracle verbatim — layout evolution must be invisible
+    tags=(
+        "dedup_incremental",
+        "dedup_minhash",
+        "lsh_banding",
+        "partition_spec_evolution",
+        "update_mode",
+        "foreachBatch_etl",
+        "stream_source",
+        "incremental_etl",
+    ),
+)
+@_stream_tuned
+def stream_real_dedup_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE RE-BUCKETING of the streamed dedup state — PARTITION-SPEC
+    EVOLUTION as a contract query (r8).
+
+    Why it exists: the probe-key layouts (index by ``ib =
+    pmod(xxhash64(band, bk), n_ib)``, corpus by ``db = pmod(doc_id,
+    nb)``) keep per-trigger probes corpus-flat ONLY while per-bucket
+    size stays bounded — with a bucket count fixed at table creation,
+    every bucket grows linearly with the corpus and "matched buckets"
+    silently becomes corpus-linear bytes per trigger.  The ANN index
+    solved the same problem for its skew axis with adaptive hot-CELL
+    re-splits (r7); this query proves the dedup state solves it for
+    its growth axis: maintenance re-buckets the live table to a DOUBLED
+    spec when the hottest bucket outgrows its cap
+    (streaming.rebucket_transform), committing the new spec atomically
+    with the rewritten rows (manifest ``extra.spec_n``), while writers
+    stamp each batch dir with the spec its partition values were
+    computed under and readers translate their bucket lists per dir
+    (streaming.spec_values — exact under the doubling discipline, the
+    Iceberg partition-evolution read shape).
+
+    The run: both state tables are seeded DELIBERATELY UNDER-BUCKETED
+    (n_ib = nb = 2 — the "creation-time guess was wrong" scenario);
+    after trigger 1 commits, the maintenance window compacts with
+    tight per-bucket caps, growing the index spec 2→32 and the corpus
+    spec 2→8 mid-stream (at this corpus; the transform doubles until
+    the hottest bucket fits); triggers 2-3 then write, probe, and
+    verify against the re-bucketed state under the new specs.  The oracle is
+    the ONE-SHOT incremental replay shared verbatim with
+    stream_real_incremental_dedup: the final pair set must hash-equal
+    it exactly, proving the spec change is pure layout — no pair
+    gained, lost, or re-scored across the re-bucket boundary.  (Spec
+    growth itself, mixed-spec windows, and per-scan pruning are pinned
+    in tests/test_streaming.py + tests/test_plans.py.)"""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") < 400).select("doc_id", "text")
+    feed = _incr_feed(spark, sf_dir)
+    ckpt = _scratch("rebucket_dedup_ckpt")
+    idx_dir = _scratch("rebucket_dedup_index")
+    arrived_dir = _scratch("rebucket_dedup_arrived")
+    pairs_dir = _scratch("rebucket_dedup_pairs")
+    _incr_dedup_seed_dirs(
+        spark, sf_dir, base, idx_dir, arrived_dir, pairs_dir, nb=2, n_ib=2
+    )
+    from mo_etl_spark.operators import dedup as D
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        _incr_dedup_apply_batch(
+            spark,
+            idx_dir,
+            arrived_dir,
+            pairs_dir,
+            batch_df,
+            batch_id,
+            nb=2,
+            n_ib=2,
+        )
+        if batch_id == 1:
+            # the maintenance window, mid-stream: both tables outgrew
+            # their creation-time spec — fold and re-bucket (the
+            # transform measures the hottest bucket over the union it
+            # is rewriting anyway and doubles until it fits the cap)
+            compact_batched(
+                spark,
+                idx_dir,
+                min_dirs=0,
+                partition_cols=["ib"],
+                tombstone_col="id",
+                transform=rebucket_transform(
+                    "ib",
+                    lambda n: D.band_bucket("band", "bk", n),
+                    current_spec(idx_dir, 2),
+                    cap_rows=256,
+                    prior_extra=read_manifest_extra(idx_dir),
+                ),
+            )
+            compact_batched(
+                spark,
+                arrived_dir,
+                min_dirs=0,
+                partition_cols=["db"],
+                tombstone_col="doc_id",
+                transform=rebucket_transform(
+                    "db",
+                    lambda n: F.pmod("doc_id", F.lit(n)),
+                    current_spec(arrived_dir, 2),
+                    cap_rows=64,
+                    prior_extra=read_manifest_extra(arrived_dir),
+                ),
+            )
+
+    q = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .format("parquet")
+        .load(feed)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    maintain_batched(spark, pairs_dir)
+    return read_batched(
+        spark, pairs_dir, schema="id_a BIGINT, id_b BIGINT, jaccard DOUBLE"
+    ).select("id_a", "id_b", "jaccard")
+
+
+def _wire_rebucket_oracle() -> None:
+    from mo_etl_spark.registry import QUERIES, QuerySpec
+    from mo_etl_spark.suites.llm import _SQL_INCR_CORPUS
+
+    spec = QUERIES["stream_real_dedup_rebucket"]
+    QUERIES["stream_real_dedup_rebucket"] = QuerySpec(
+        name=spec.name,
+        fn=spec.fn,
+        oracle=dedup_oracle(_SQL_INCR_CORPUS),
+        tags=spec.tags,
+    )
+
+
 #: probe-key bucket counts for the streamed dedup state (VERDICT r5
 #: item #1).  At sf0.01/sf0.1 these are deliberately small (file-count
 #: overhead dominates below ~GB); a production daily-crawl deployment
@@ -1259,9 +1405,15 @@ def _incr_dedup_seed_dirs(
         corp.repartition(F.col("db")).write.mode("overwrite").partitionBy(
             "db"
         ).parquet(corp_snap)
-    for d, snap in ((idx_dir, idx_snap), (arrived_dir, corp_snap)):
+    # gen-0 commits each table's probe-key PARTITION SPEC atomically
+    # with the snapshot it describes (r8 spec evolution: writers read
+    # current_spec per trigger; maintenance may re-bucket online)
+    for d, snap, spec in (
+        (idx_dir, idx_snap, n_ib),
+        (arrived_dir, corp_snap, nb),
+    ):
         shutil.rmtree(d, ignore_errors=True)
-        seed_batched(d, snap)
+        seed_batched(d, snap, extra={"spec_n": spec})
     shutil.rmtree(pairs_dir, ignore_errors=True)
     # the empty pairs seed is a pure constant — one cached parquet
     # write ever, then a zero-copy manifest reference per run (a Spark
@@ -1358,22 +1510,34 @@ def _incr_dedup_apply_batch(
     banded = D.minhash_md5_band_index(batch_df, k=k, bands=bands).localCheckpoint(
         eager=True
     )
+    # PARTITION-SPEC EVOLUTION (r8): the live bucket counts come from
+    # the manifest, not the call site — maintenance may have
+    # RE-BUCKETED the state online (rebucket_transform doubles the
+    # spec when the hottest bucket outgrows its cap, keeping probes
+    # corpus-flat without an upfront production-sized guess).  Each
+    # batch dir is stamped with the spec its partition values were
+    # computed under, so the spec-aware reads below prune a
+    # mixed-spec table exactly (writer-in-flight-during-commit).
+    nb_cur = current_spec(arrived_dir, nb)
+    n_ib_cur = current_spec(idx_dir, n_ib)
     # 1. state upserts FIRST (idempotent per-batch overwrites,
     #    partitioned by probe key)
     idempotent_batch_write(
-        batch_df.withColumn("db", F.pmod("doc_id", F.lit(nb))),
+        batch_df.withColumn("db", F.pmod("doc_id", F.lit(nb_cur))),
         arrived_dir,
         batch_id,
         partition_cols=["db"],
     )
+    stamp_spec(arrived_dir, batch_id, nb_cur)
     if crash_point == "after_arrived":
         raise PlantedCrash("after_arrived")
     idempotent_batch_write(
-        banded.withColumn("ib", D.band_bucket("band", "bk", n_ib)),
+        banded.withColumn("ib", D.band_bucket("band", "bk", n_ib_cur)),
         idx_dir,
         batch_id,
         partition_cols=["ib"],
     )
+    stamp_spec(idx_dir, batch_id, n_ib_cur)
     if crash_point == "after_index":
         raise PlantedCrash("after_index")
     # 2. probe: index scan statically pruned to the batch's band
@@ -1388,17 +1552,15 @@ def _incr_dedup_apply_batch(
         for d in os.listdir(bdir)
         if d.startswith("ib=")
     )
-    index = (
-        read_batched(
-            spark,
-            idx_dir,
-            exclude_batch=batch_id,
-            partitioned=True,
-            schema=_INCR_IDX_SCHEMA,
-        )
-        .where(F.col("ib").isin(ib_vals) if ib_vals else F.lit(False))
-        .select("id", "band", "bk")
-    )
+    index = read_batched_pruned(
+        spark,
+        idx_dir,
+        "ib",
+        ib_vals,
+        n_ib_cur,
+        _INCR_IDX_SCHEMA,
+        exclude_batch=batch_id,
+    ).select("id", "band", "bk")
     # RETRACTIONS (VERDICT r6 what's-wrong #2): pending tombstones
     # (streaming.append_tombstones on the index table) broadcast-anti-
     # join ABOVE the bucket-pruned scan — the static ib IN partition
@@ -1429,7 +1591,7 @@ def _incr_dedup_apply_batch(
         for r in cand.select(
             F.explode(
                 F.array(
-                    F.pmod("id_a", F.lit(nb)), F.pmod("id_b", F.lit(nb))
+                    F.pmod("id_a", F.lit(nb_cur)), F.pmod("id_b", F.lit(nb_cur))
                 )
             ).alias("v")
         )
@@ -1437,9 +1599,9 @@ def _incr_dedup_apply_batch(
         .collect()
     )
     if db_vals:
-        corpus = read_batched(
-            spark, arrived_dir, partitioned=True, schema=_INCR_ARR_SCHEMA
-        ).where(F.col("db").isin(db_vals))
+        corpus = read_batched_pruned(
+            spark, arrived_dir, "db", db_vals, nb_cur, _INCR_ARR_SCHEMA
+        )
         pairs = D.jaccard_verify_candidates(
             cand, corpus, verify_threshold=verify_threshold
         )
@@ -1491,6 +1653,7 @@ def dedup_oracle(corpus_sql: str) -> str:
 
 _wire_incr_oracle()
 _wire_retract_oracle()
+_wire_rebucket_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -1541,7 +1704,10 @@ def _incr_cdc_seed_dirs(
             "hb"
         ).parquet(snap)
     shutil.rmtree(idx_dir, ignore_errors=True)
-    seed_batched(idx_dir, snap)  # zero-copy gen-0 reference (r8)
+    # zero-copy gen-0 reference (r8) with the probe-key spec committed
+    # atomically alongside it (spec evolution, same as the minhash
+    # stream — maintenance may re-bucket the index online)
+    seed_batched(idx_dir, snap, extra={"spec_n": n_hb})
     shutil.rmtree(pairs_dir, ignore_errors=True)
     # cached one-time empty seed, referenced per run (no per-run Spark
     # job, no file copy)
@@ -1588,12 +1754,17 @@ def _incr_cdc_apply_batch(
         .select("doc_id", "chunk_hash")
         .localCheckpoint(eager=True)
     )
+    # live spec from the manifest (spec evolution, r8): maintenance
+    # may have re-bucketed the index online; each batch is stamped
+    # with the spec its hb values were computed under
+    n_hb_cur = current_spec(idx_dir, n_hb)
     idempotent_batch_write(
-        chunks.withColumn("hb", _cdc_bucket(n_hb)),
+        chunks.withColumn("hb", _cdc_bucket(n_hb_cur)),
         idx_dir,
         batch_id,
         partition_cols=["hb"],
     )
+    stamp_spec(idx_dir, batch_id, n_hb_cur)
     # the batch's own hb bucket list comes free from the partition
     # dirs the write above just created (same r7 job-budget cut as the
     # minhash stream — listdir, no collect job)
@@ -1601,17 +1772,15 @@ def _incr_cdc_apply_batch(
     hb_vals = sorted(
         int(d.split("=", 1)[1]) for d in os.listdir(bdir) if d.startswith("hb=")
     )
-    index = (
-        read_batched(
-            spark,
-            idx_dir,
-            exclude_batch=batch_id,
-            partitioned=True,
-            schema="doc_id BIGINT, chunk_hash STRING, hb BIGINT",
-        )
-        .where(F.col("hb").isin(hb_vals) if hb_vals else F.lit(False))
-        .select("doc_id", "chunk_hash")
-    )
+    index = read_batched_pruned(
+        spark,
+        idx_dir,
+        "hb",
+        hb_vals,
+        n_hb_cur,
+        "doc_id BIGINT, chunk_hash STRING, hb BIGINT",
+        exclude_batch=batch_id,
+    ).select("doc_id", "chunk_hash")
     all_chunks = index.unionByName(chunks)
     pairs = (
         chunks.select(F.col("doc_id").alias("nid"), "chunk_hash")

@@ -1022,3 +1022,79 @@ def test_pagerank_cobucketed_no_rank_broadcast(spark, sf001):
         for t in ts:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
             shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+
+
+def test_spec_evolution_mixed_window_scans_pruned(spark, tmpdir):
+    """PARTITION-SPEC EVOLUTION (r8): after an online re-bucket, a
+    probe over a MIXED table — new-spec base, an old-spec-stamped
+    in-flight batch, and an unstamped (crashed-before-stamp) batch —
+    must still carry a static ``ib IN (...)`` partition filter on
+    every scan whose spec is known (with the value list TRANSLATED to
+    each dir's own spec), and scan the unstamped dir unpruned (the
+    safe direction) — never drop it."""
+    from pyspark.sql import functions as F
+
+    from mo_etl_spark import streaming as S
+
+    def ib(n):
+        return F.pmod(F.xxhash64("k"), F.lit(int(n)))
+
+    def batch(lo, hi, bid, n, stamp=True):
+        df = (
+            spark.range(lo, hi)
+            .select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+            .withColumn("ib", ib(n))
+        )
+        S.idempotent_batch_write(df, f"{tmpdir}/tbl", bid, partition_cols=["ib"])
+        if stamp:
+            S.stamp_spec(f"{tmpdir}/tbl", bid, n)
+
+    for b in range(4):
+        batch(b * 64, (b + 1) * 64, b, 2)
+    S.compact_batched(
+        spark,
+        f"{tmpdir}/tbl",
+        min_dirs=0,
+        partition_cols=["ib"],
+        gc_grace_sec=0,
+        transform=S.rebucket_transform(
+            "ib", ib, 2, cap_rows=16, prior_extra=S.read_manifest_extra(f"{tmpdir}/tbl")
+        ),
+    )
+    n_new = S.current_spec(f"{tmpdir}/tbl", 2)
+    assert n_new > 2
+    batch(1000, 1064, 50, 2)  # in-flight writer: old spec, stamped
+    batch(2000, 2064, 51, n_new, stamp=False)  # crashed before stamp
+    keys = [3, 1003, 2007]
+    vals = sorted(
+        r["v"]
+        for r in spark.createDataFrame([(k,) for k in keys], "k BIGINT")
+        .select(ib(n_new).alias("v"))
+        .distinct()
+        .collect()
+    )
+    got = S.read_batched_pruned(
+        spark, f"{tmpdir}/tbl", "ib", vals, n_new, "k BIGINT, v BIGINT, ib BIGINT"
+    )
+    plan = got._jdf.queryExecution().toString()
+    scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "ib#" in ln
+    ]
+    assert len(scans) == 3, plan  # base1 + b50 + b51
+    unpruned = [ln for ln in scans if "PartitionFilters: []" in ln]
+    pruned = [ln for ln in scans if ln not in unpruned]
+    assert len(unpruned) == 1, plan  # exactly the unstamped dir
+    for ln in pruned:
+        pf = ln.split("PartitionFilters")[1]
+        # a translated single-value list renders as an equality, a
+        # multi-value one as IN/INSET — all are static partition prunes
+        assert "ib#" in pf and (
+            "INSET" in pf or " IN " in pf or " = " in pf
+        ), ln
+    # and the rows are exact despite the mix
+    rows = sorted(
+        (r["k"], r["v"]) for r in got.where(F.col("k").isin(keys)).collect()
+    )
+    assert rows == [(k, k * 10) for k in sorted(keys)]

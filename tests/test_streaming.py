@@ -2078,3 +2078,166 @@ def test_ivf_retract_pre_and_post_fold_serves_equal(spark, sf_dir):
         schema="c_id BIGINT, vec ARRAY<FLOAT>, cell BIGINT, sub INT",
     ).where(F.col("c_id").isin(sorted(dead_ids)))
     assert left.count() == 0  # physically erased
+
+
+# ---------------------------------------------------------------------------
+# partition-spec evolution (r8): online re-bucketing of probe-key tables
+
+
+def test_spec_values_translation():
+    """spec_values is exact in both directions of the doubling lattice
+    and refuses (None -> unpruned) incompatible spec pairs."""
+    from mo_etl_spark.streaming import spec_values
+
+    assert spec_values([3, 7, 7], 8, 8) == [3, 7]
+    # coarser dir: v % m (dedup'd)
+    assert spec_values([3, 7, 11], 16, 4) == [3]
+    assert spec_values([1, 6], 8, 2) == [0, 1]
+    # finer dir: every residue mod n_to consistent with v mod n_from
+    assert spec_values([3], 4, 8) == [3, 7]
+    assert spec_values([1], 2, 8) == [1, 3, 5, 7]
+    # incompatible (non-doubling) specs: scan unpruned
+    assert spec_values([1], 6, 4) is None
+
+
+def _spec_ib(n):
+    return F.pmod(F.xxhash64("k"), F.lit(int(n)))
+
+
+def _spec_vals(spark, keys, n):
+    return sorted(
+        r["v"]
+        for r in spark.createDataFrame([(int(k),) for k in keys], "k BIGINT")
+        .select(_spec_ib(n).alias("v"))
+        .distinct()
+        .collect()
+    )
+
+
+_SPEC_SCHEMA = "k BIGINT, v BIGINT, ib BIGINT"
+
+
+def _spec_batch(spark, root, lo, hi, batch_id, n, stamp=True):
+    from mo_etl_spark import streaming as S
+
+    df = (
+        spark.range(lo, hi)
+        .select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+        .withColumn("ib", _spec_ib(n))
+    )
+    S.idempotent_batch_write(df, root, batch_id, partition_cols=["ib"])
+    if stamp:
+        S.stamp_spec(root, batch_id, n)
+
+
+def test_rebucket_grows_spec_and_preserves_probes(spark, tmpdir):
+    """The adaptive re-bucket doubles the committed spec until the
+    hottest bucket fits the cap, rewrites the rows under the new
+    layout atomically, and probes return identical results before and
+    after — layout evolution is invisible to queries."""
+    from mo_etl_spark import streaming as S
+
+    root = f"{tmpdir}/spec_tbl"
+    n0 = 2
+    for b in range(6):
+        _spec_batch(spark, root, b * 64, (b + 1) * 64, b, n0)
+    probe_keys = [3, 77, 200, 333]
+
+    def probe():
+        n_cur = S.current_spec(root, n0)
+        got = S.read_batched_pruned(
+            spark, root, "ib", _spec_vals(spark, probe_keys, n_cur), n_cur,
+            _SPEC_SCHEMA,
+        )
+        return sorted(
+            (r["k"], r["v"])
+            for r in got.where(F.col("k").isin(probe_keys)).collect()
+        )
+
+    before = probe()
+    assert before == [(k, k * 10) for k in sorted(probe_keys)]
+    groups = S.compact_batched(
+        spark,
+        root,
+        min_dirs=0,
+        partition_cols=["ib"],
+        gc_grace_sec=0,
+        transform=S.rebucket_transform(
+            "ib", _spec_ib, n0, cap_rows=32,
+            prior_extra=S.read_manifest_extra(root),
+        ),
+    )
+    assert groups > 0
+    n_new = S.current_spec(root, n0)
+    assert n_new > n0 and n_new % n0 == 0
+    # the rewritten base really is laid out under the new spec, and
+    # the hottest bucket is within the doubling estimate of the cap
+    base = spark.read.parquet(f"{root}/base1")
+    mx = base.groupBy("ib").count().agg(F.max("count").alias("m")).first()["m"]
+    assert mx <= 64  # cap 32, halving estimate: real max < 2x cap
+    assert probe() == before
+    # a no-growth maintenance pass keeps the spec (extra carried)
+    _spec_batch(spark, root, 600, 664, 90, n_new)
+    S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["ib"], gc_grace_sec=0,
+    )
+    assert S.current_spec(root, n0) == n_new
+
+
+def test_spec_mixed_window_and_unstamped_dirs_read_exactly(spark, tmpdir):
+    """The writer-in-flight race: a batch computed under the OLD spec
+    lands AFTER the re-bucket commit (its stamp says so) — per-dir
+    value translation prunes it exactly.  A dir with NO stamp (crash
+    between write and stamp) is scanned unpruned — present, never
+    dropped."""
+    from mo_etl_spark import streaming as S
+
+    root = f"{tmpdir}/spec_mixed"
+    n0 = 2
+    for b in range(4):
+        _spec_batch(spark, root, b * 64, (b + 1) * 64, b, n0)
+    S.compact_batched(
+        spark,
+        root,
+        min_dirs=0,
+        partition_cols=["ib"],
+        gc_grace_sec=0,
+        transform=S.rebucket_transform(
+            "ib", _spec_ib, n0, cap_rows=16,
+            prior_extra=S.read_manifest_extra(root),
+        ),
+    )
+    n_new = S.current_spec(root, n0)
+    assert n_new > n0
+    # in-flight writer: values computed at n0, stamped n0
+    _spec_batch(spark, root, 1000, 1064, 50, n0)
+    # crashed-before-stamp writer: values at n_new, NO stamp
+    _spec_batch(spark, root, 2000, 2064, 51, n_new, stamp=False)
+    probe_keys = [3, 130, 1003, 1050, 2007, 2063]
+    got = S.read_batched_pruned(
+        spark, root, "ib", _spec_vals(spark, probe_keys, n_new), n_new,
+        _SPEC_SCHEMA,
+    )
+    rows = sorted(
+        (r["k"], r["v"])
+        for r in got.where(F.col("k").isin(probe_keys)).collect()
+    )
+    assert rows == [(k, k * 10) for k in sorted(probe_keys)]
+
+
+def test_stamp_spec_keep_existing_and_replay(spark, tmpdir):
+    """stamp_spec keeps an existing marker (it describes the bytes on
+    disk — the complete-dir replay no-op never rewrote them), and a
+    genuine rewrite (torn dir, no _SUCCESS) re-stamps with the
+    replayer's spec."""
+    from mo_etl_spark import streaming as S
+
+    root = f"{tmpdir}/spec_stamp"
+    _spec_batch(spark, root, 0, 8, 0, 2)
+    assert S.dir_spec(f"{root}/b0") == 2
+    S.stamp_spec(root, 0, 4)  # late replay no-ops: marker kept
+    assert S.dir_spec(f"{root}/b0") == 2
+    # torn dir: marker gone with the overwrite, replay re-stamps
+    os.remove(f"{root}/b0/_SUCCESS")
+    _spec_batch(spark, root, 0, 8, 0, 4)
+    assert S.dir_spec(f"{root}/b0") == 4
