@@ -618,12 +618,12 @@ def read_batched_pruned(
         return spark.createDataFrame([], schema)
     man = _read_manifest(root) if os.path.isdir(root) else None
     live_base = man["base"] if man else "base"
-    base_spec: int | None = None
+    seed_spec: int | None = None
     if man and isinstance(man.get("extra"), dict):
         try:
-            base_spec = int(man["extra"]["spec_n"])
+            seed_spec = int(man["extra"]["spec_n"])
         except (KeyError, TypeError, ValueError):
-            base_spec = None
+            seed_spec = None
     paths = _live_dirs(root, exclude_batch) if os.path.isdir(root) else []
     parts: list[DataFrame] = []
     for p in paths:
@@ -631,12 +631,20 @@ def read_batched_pruned(
             n.endswith(".parquet") for _, _, names in os.walk(p) for n in names
         ):
             continue
-        is_base = (
-            p == live_base
-            if os.path.isabs(live_base)
-            else os.path.basename(p) == live_base
-        )
-        m = base_spec if is_base else dir_spec(p)
+        # per-dir spec: every root-local dir (batch OR compacted base)
+        # answers for its own rows via its stamp — a compaction that
+        # consolidated MIXED-spec inputs verbatim leaves its base
+        # UNSTAMPED, and claiming the manifest's writer-facing spec_n
+        # for it would drop rows written under older specs (a pruning
+        # false negative the r8 spec model check caught on its first
+        # run).  Only the EXTERNAL seed snapshot (absolute path,
+        # immutable, unstampable — referenced read-only) takes its
+        # spec from the manifest: seed_batched committed that claim
+        # atomically with the reference and nothing ever rewrites it.
+        if os.path.isabs(live_base) and p == live_base:
+            m = seed_spec
+        else:
+            m = dir_spec(p)
         df = spark.read.schema(schema).parquet(p)
         if m is not None:
             vals = spec_values(values, values_spec_n, m)
@@ -962,12 +970,52 @@ def _compact_batched_locked(
             )
         ]
         df = _fold(reduce(lambda a, b: a.unionByName(b), parts))
+        transform_extra: dict | None = None
         if transform is not None:
             res = transform(df)
-            df, extra = res if isinstance(res, tuple) else (res, extra)
+            if isinstance(res, tuple):
+                df, transform_extra = res
+                extra = transform_extra
+            else:
+                df = res
         df.repartition(*[F.col(c) for c in partition_cols]).write.mode(
             "overwrite"
         ).partitionBy(*partition_cols).parquet(tmp)
+        # SPEC DISCIPLINE (r8 partition-spec evolution): stamp the
+        # build with the spec its ROWS are actually laid out under —
+        # a transform that returned ``spec_n`` normalized them itself
+        # (rebucket_transform's contract); a transform-less rewrite
+        # carries rows VERBATIM, so the build inherits its inputs'
+        # spec only when they all share one known spec.  Mixed or
+        # unknown inputs leave the base UNSTAMPED, which spec-aware
+        # readers scan unpruned — the safe direction; claiming the
+        # manifest's writer-facing spec_n for verbatim-carried
+        # mixed-spec rows drops the older-spec ones (a pruning false
+        # negative found by the r8 spec model check on its first run).
+        out_spec: int | None = None
+        if transform_extra is not None and "spec_n" in transform_extra:
+            try:
+                out_spec = int(transform_extra["spec_n"])
+            except (TypeError, ValueError):
+                out_spec = None
+        else:
+            in_specs: set[int | None] = set()
+            for p in subs:
+                if os.path.isabs(live_base) and p == live_base:
+                    s = None
+                    if man and isinstance(man.get("extra"), dict):
+                        try:
+                            s = int(man["extra"]["spec_n"])
+                        except (KeyError, TypeError, ValueError):
+                            s = None
+                    in_specs.add(s)
+                else:
+                    in_specs.add(dir_spec(p))
+            if len(in_specs) == 1:
+                out_spec = in_specs.pop()
+        if out_spec is not None:
+            with open(os.path.join(tmp, f"{_SPEC_PREFIX}{out_spec}"), "w"):
+                pass
         n_groups = sum(
             1 for _, _, names in os.walk(tmp) if any(n.endswith(".parquet") for n in names)
         )

@@ -2241,3 +2241,125 @@ def test_stamp_spec_keep_existing_and_replay(spark, tmpdir):
     os.remove(f"{root}/b0/_SUCCESS")
     _spec_batch(spark, root, 0, 8, 0, 4)
     assert S.dir_spec(f"{root}/b0") == 4
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_spec_evolution_model_property(spark, tmpdir, seed):
+    """Model-based property check of PARTITION-SPEC EVOLUTION (r8):
+    seeded-random op sequences interleave spec-doubling re-buckets
+    with writers at the CURRENT spec, writers at a STALE spec (read
+    the manifest before the last commit — the in-flight window),
+    crash-before-stamp writers (unstamped dirs), torn replays
+    re-stamped at a newer spec, and plain compactions that must carry
+    the spec forward.  After every step a spec-aware probe of a random
+    key subset must return each live probed key EXACTLY once — a
+    missing key is a pruning false negative (the translation dropped a
+    dir), a doubled key is a double-read."""
+    import random
+
+    from mo_etl_spark import streaming as S
+
+    rng = random.Random(seed)
+    root = f"{tmpdir}/specmodel{seed}"
+    n0 = 2
+    model: dict[int, list[int]] = {}  # batch_id -> keys
+    spec_history = [n0]
+    next_key = 0
+    next_batch = 0
+
+    def ib(n):
+        return F.pmod(F.xxhash64("k"), F.lit(int(n)))
+
+    def write(bid, keys, n, stamp=True):
+        df = spark.createDataFrame([(k,) for k in keys], "k BIGINT").withColumn(
+            "ib", ib(n)
+        )
+        S.idempotent_batch_write(df, root, bid, partition_cols=["ib"])
+        if stamp:
+            S.stamp_spec(root, bid, n)
+
+    def live() -> set[int]:
+        return {k for ks in model.values() for k in ks}
+
+    def check():
+        cur = live()
+        if not cur:
+            return
+        probe = rng.sample(sorted(cur), min(5, len(cur)))
+        n_cur = S.current_spec(root, n0)
+        vals = sorted(
+            r["v"]
+            for r in spark.createDataFrame([(k,) for k in probe], "k BIGINT")
+            .select(ib(n_cur).alias("v"))
+            .distinct()
+            .collect()
+        )
+        got = [
+            r["k"]
+            for r in S.read_batched_pruned(
+                spark, root, "ib", vals, n_cur, "k BIGINT, ib BIGINT"
+            )
+            .where(F.col("k").isin(probe))
+            .collect()
+        ]
+        assert sorted(got) == sorted(probe), (sorted(got), sorted(probe))
+
+    for step in range(20):
+        op = rng.choice(
+            ["write", "write_stale", "write_unstamped", "torn_replay",
+             "rebucket", "compact_plain"]
+        )
+        n_now = S.current_spec(root, n0)
+        if op == "write" or not model:
+            keys = list(range(next_key, next_key + rng.randint(2, 8)))
+            next_key += len(keys)
+            model[next_batch] = keys
+            write(next_batch, keys, n_now)
+            next_batch += 1
+        elif op == "write_stale":
+            # a writer that resolved the spec BEFORE the last rebucket
+            # commit: values computed (and stamped) at the stale spec
+            keys = list(range(next_key, next_key + rng.randint(2, 6)))
+            next_key += len(keys)
+            model[next_batch] = keys
+            write(next_batch, keys, rng.choice(spec_history))
+            next_batch += 1
+        elif op == "write_unstamped":
+            keys = list(range(next_key, next_key + rng.randint(2, 6)))
+            next_key += len(keys)
+            model[next_batch] = keys
+            write(next_batch, keys, n_now, stamp=False)
+            next_batch += 1
+        elif op == "torn_replay":
+            batches = [b for b in model if os.path.isdir(f"{root}/b{b}")]
+            if batches:
+                b = rng.choice(batches)
+                try:
+                    os.remove(f"{root}/b{b}/_SUCCESS")
+                except OSError:
+                    continue
+                # the replayer recomputes under the spec IT reads now
+                write(b, model[b], n_now)
+        elif op == "rebucket":
+            cap = rng.choice([4, 8, 16])
+            S.compact_batched(
+                spark, root, min_dirs=0, partition_cols=["ib"],
+                gc_grace_sec=0.0,
+                transform=S.rebucket_transform(
+                    "ib", ib, n_now, cap_rows=cap,
+                    prior_extra=S.read_manifest_extra(root),
+                ),
+            )
+            model = {-1: sorted(live())}
+            n_after = S.current_spec(root, n0)
+            if n_after not in spec_history:
+                spec_history.append(n_after)
+        elif op == "compact_plain":
+            S.compact_batched(
+                spark, root, min_dirs=0, partition_cols=["ib"],
+                gc_grace_sec=0.0,
+            )
+            model = {-1: sorted(live())}
+            # spec must carry forward unchanged
+            assert S.current_spec(root, n0) == n_now
+        check()
