@@ -349,6 +349,12 @@ def workloads(spark, d: str, scale: float, ops: list[str] | None = None):
         try:
             from mo_etl_spark.suites.streaming_real import _incr_dedup_apply_batch
 
+            # a FULL trigger every rep: since r8 a replay whose b<id>
+            # dir is complete is a NO-OP, so without this reps 2+
+            # would skip the sink write (and the verify it forces) and
+            # min-of-reps would time a partial trigger
+            for p in (sidx, sarr, spr):
+                shutil.rmtree(os.path.join(p, "b0"), ignore_errors=True)
             return _incr_dedup_apply_batch(
                 spark, sidx, sarr, spr, stream_batch, 0, nb=nb_s, n_ib=nib_s
             )
