@@ -500,10 +500,20 @@ def read_batched(
             return r.parquet(p)
 
         parts = [rd(p) for p in nonempty]
-        return reduce(lambda a, b: a.unionByName(b), parts)
+        # allowMissingColumns: dirs from before an additive schema
+        # change lack the newer columns — fill null instead of failing
+        # the union (with schema= given, every per-root read already
+        # projects the full schema and this is a no-op)
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+        )
     r = spark.read.option("recursiveFileLookup", "true")
     if schema is not None:
         r = r.schema(schema)
+    else:
+        # no declared schema: merge footers so an additively evolved
+        # table yields the union schema, not the first file's
+        r = r.option("mergeSchema", "true")
     return r.parquet(*paths)
 
 
@@ -969,7 +979,21 @@ def _compact_batched_locked(
                 for n in names
             )
         ]
-        df = _fold(reduce(lambda a, b: a.unionByName(b), parts))
+        # ADDITIVE SCHEMA EVOLUTION (r8): a long-lived state table
+        # gains columns over its life (a quality score on the dedup
+        # index, a norm column on the ANN index) — batches written
+        # before the addition lack them.  allowMissingColumns fills
+        # the old generations' rows with null for the new columns
+        # (Delta mergeSchema semantics), so the consolidated base
+        # carries the UNION schema and later explicit-schema reads
+        # stop depending on which generation a row came from.
+        # Additive only: a renamed/retyped column is a different
+        # column and needs a transform= rewrite, not a union.
+        df = _fold(
+            reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+            )
+        )
         transform_extra: dict | None = None
         if transform is not None:
             res = transform(df)
@@ -1036,9 +1060,14 @@ def _compact_batched_locked(
             groups.setdefault(cum_before // target_bytes, []).append(fp)
             cum_before += sz
         for g, paths in groups.items():
-            _fold(spark.read.parquet(*paths)).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(tmp, f"g{g}"))
+            # mergeSchema: a binpack group may span generations with
+            # additively evolved schemas — the rewrite must carry the
+            # union schema, not whichever file's footer came first
+            _fold(
+                spark.read.option("mergeSchema", "true").parquet(*paths)
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(tmp, f"g{g}")
+            )
         n_groups = len(groups)
     gen = (man["gen"] if man else 0) + 1
     target = f"base{gen}"

@@ -2363,3 +2363,72 @@ def test_spec_evolution_model_property(spark, tmpdir, seed):
             # spec must carry forward unchanged
             assert S.current_spec(root, n0) == n_now
         check()
+
+
+def test_schema_evolution_additive_across_generations(spark, tmpdir):
+    """ADDITIVE SCHEMA EVOLUTION (r8): a long-lived state table gains
+    a column mid-life.  Old batches lack it; reads fill null; BOTH
+    compaction shapes (probe-key partitioned and binpack) consolidate
+    mixed-schema generations into the union schema; rows written
+    before the addition read back with null, after with their value —
+    across the rewrite."""
+    from mo_etl_spark import streaming as S
+
+    # partitioned shape
+    root = f"{tmpdir}/evo_part"
+    S.idempotent_batch_write(
+        spark.createDataFrame([(1, 0), (2, 1)], "k BIGINT, ib BIGINT"),
+        root, 0, partition_cols=["ib"],
+    )
+    # the schema change: later batches carry a quality score
+    S.idempotent_batch_write(
+        spark.createDataFrame(
+            [(3, 0, 0.9), (4, 1, 0.2)], "k BIGINT, ib BIGINT, q DOUBLE"
+        ),
+        root, 1, partition_cols=["ib"],
+    )
+    full = "k BIGINT, q DOUBLE, ib BIGINT"
+
+    def snap():
+        return sorted(
+            (r["k"], r["q"])
+            for r in S.read_batched(
+                spark, root, partitioned=True, schema=full
+            ).collect()
+        )
+
+    want = [(1, None), (2, None), (3, 0.9), (4, 0.2)]
+    assert snap() == want
+    # schemaless read also resolves the union schema (mergeSchema /
+    # allowMissingColumns), not whichever footer came first
+    cols = set(
+        S.read_batched(spark, root, partitioned=True).columns
+    )
+    assert cols == {"k", "q", "ib"}
+    S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["ib"], gc_grace_sec=0.0
+    )
+    assert snap() == want  # union schema survived the consolidation
+    # and a later full-schema batch unions cleanly with the new base
+    S.idempotent_batch_write(
+        spark.createDataFrame([(5, 0, 0.5)], "k BIGINT, ib BIGINT, q DOUBLE"),
+        root, 2, partition_cols=["ib"],
+    )
+    assert snap() == want + [(5, 0.5)]
+
+    # binpack shape (flat layout, no partition cols)
+    root2 = f"{tmpdir}/evo_flat"
+    S.idempotent_batch_write(
+        spark.createDataFrame([(1,), (2,)], "k BIGINT"), root2, 0
+    )
+    S.idempotent_batch_write(
+        spark.createDataFrame([(3, "en")], "k BIGINT, lang STRING"), root2, 1
+    )
+    S.compact_batched(spark, root2, min_dirs=0, gc_grace_sec=0.0)
+    got = sorted(
+        (r["k"], r["lang"])
+        for r in S.read_batched(
+            spark, root2, schema="k BIGINT, lang STRING"
+        ).collect()
+    )
+    assert got == [(1, None), (2, None), (3, "en")]
