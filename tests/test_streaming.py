@@ -2432,3 +2432,50 @@ def test_schema_evolution_additive_across_generations(spark, tmpdir):
         ).collect()
     )
     assert got == [(1, None), (2, None), (3, "en")]
+
+
+def test_rebucket_composes_with_tombstone_fold(spark, tmpdir):
+    """One rewrite does BOTH lifecycle jobs (the dedup twin of the ANN
+    retract+resplit composition): the fold drops retracted keys, the
+    transform re-buckets the survivors, and the new spec + retained
+    rows commit atomically.  Probes afterwards: dead keys gone,
+    survivors exact, spec grown."""
+    from mo_etl_spark import streaming as S
+
+    root = f"{tmpdir}/spec_tomb"
+    n0 = 2
+    for b in range(4):
+        _spec_batch(spark, root, b * 64, (b + 1) * 64, b, n0)
+    dead = [0, 7, 130, 200]
+    S.append_tombstones(
+        spark.createDataFrame([(k,) for k in dead], "k BIGINT"), root
+    )
+    S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["ib"], gc_grace_sec=0.0,
+        tombstone_col="k",
+        transform=S.rebucket_transform(
+            "ib", _spec_ib, n0, cap_rows=16,
+            prior_extra=S.read_manifest_extra(root),
+        ),
+    )
+    n_new = S.current_spec(root, n0)
+    assert n_new > n0
+    assert not S.has_tombstones(root)
+    probe = [0, 7, 130, 200, 3, 77, 255]
+    got = sorted(
+        r["k"]
+        for r in S.read_batched_pruned(
+            spark, root, "ib", _spec_vals(spark, probe, n_new), n_new,
+            _SPEC_SCHEMA,
+        )
+        .where(F.col("k").isin(probe))
+        .collect()
+    )
+    assert got == [3, 77, 255]  # survivors exact, dead gone
+    # physically gone, not just pruned away
+    assert (
+        S.read_batched(spark, root, partitioned=True, schema=_SPEC_SCHEMA)
+        .where(F.col("k").isin(dead))
+        .count()
+        == 0
+    )
