@@ -2479,3 +2479,79 @@ def test_rebucket_composes_with_tombstone_fold(spark, tmpdir):
         .count()
         == 0
     )
+
+
+def test_rebucket_concurrent_with_writer_mixed_window(spark, tmpdir):
+    """The REAL async spec race (the threaded form of the model's
+    write_stale op): a re-bucketing compactor pauses mid-build while a
+    live writer lands batches at the still-committed OLD spec; the
+    commit then flips the manifest to the new spec with those batches
+    live beside the new base (they were not in the compactor's
+    snapshot).  A reader DURING the pause sees the old generation
+    intact; a spec-aware probe AFTER the commit translates per dir and
+    returns every key exactly once."""
+    import threading
+
+    from mo_etl_spark import streaming as S
+
+    root = f"{tmpdir}/spec_race"
+    n0 = 2
+    for b in range(4):
+        _spec_batch(spark, root, b * 64, (b + 1) * 64, b, n0)
+
+    entered = threading.Event()
+    release = threading.Event()
+
+    def paused_rebucket(df):
+        inner = S.rebucket_transform(
+            "ib", _spec_ib, n0, cap_rows=16,
+            prior_extra=S.read_manifest_extra(root),
+        )
+        out = inner(df)
+        entered.set()
+        release.wait(180)
+        return out
+
+    result: dict = {}
+
+    def run():
+        result["n"] = S.compact_batched(
+            spark, root, min_dirs=0, partition_cols=["ib"],
+            gc_grace_sec=3600.0, transform=paused_rebucket,
+        )
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    assert entered.wait(120)
+    # the writer's trigger: resolves the COMMITTED spec (still n0 —
+    # the build has not committed), writes and stamps under it
+    assert S.current_spec(root, n0) == n0
+    _spec_batch(spark, root, 1000, 1064, 50, S.current_spec(root, n0))
+    # a reader during the build sees everything, unpruned state intact
+    mid = sorted(
+        r["k"]
+        for r in S.read_batched(
+            spark, root, partitioned=True, schema=_SPEC_SCHEMA
+        ).collect()
+    )
+    assert mid == list(range(256)) + list(range(1000, 1064))
+    release.set()
+    t.join(180)
+    assert result.get("n", 0) > 0
+    n_new = S.current_spec(root, n0)
+    assert n_new > n0
+    # the in-flight batch was NOT consumed (written after the
+    # compactor's snapshot) — it is live beside the new base at the
+    # old spec: the mixed window, probed exactly via translation
+    assert S.dir_spec(f"{root}/b50") == n0
+    probe = [3, 130, 255, 1000, 1063]
+    got = sorted(
+        r["k"]
+        for r in S.read_batched_pruned(
+            spark, root, "ib", _spec_vals(spark, probe, n_new), n_new,
+            _SPEC_SCHEMA,
+        )
+        .where(F.col("k").isin(probe))
+        .collect()
+    )
+    assert got == sorted(probe)
