@@ -386,6 +386,21 @@ def _write_manifest(
         os.fsync(dfd)
     finally:
         os.close(dfd)
+    # MANIFEST LOG (r8 time travel): an immutable per-generation copy
+    # beside the live pointer — the Iceberg metadata-log twin.  Written
+    # AFTER the commit (a crash between the two leaves the log one
+    # entry short, healed by the exists-check on the next commit of
+    # the same generation... which never happens — gens are monotone —
+    # so the gap simply narrows that table's travel horizon by one
+    # generation; the LIVE pointer is never at risk).  Log entries are
+    # tiny JSON and kept forever, like consumed names.
+    log = os.path.join(root, f"{_MANIFEST}.g{gen}")
+    if not os.path.exists(log):
+        with open(log + ".tmp", "w") as f:
+            f.write(json.dumps(man, sort_keys=True))
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(log + ".tmp", log)
 
 
 def read_manifest_extra(root: str) -> dict:
@@ -398,6 +413,139 @@ def read_manifest_extra(root: str) -> dict:
     man = _read_manifest(root)
     extra = man.get("extra") if man else None
     return dict(extra) if isinstance(extra, dict) else {}
+
+
+class SnapshotVacuumed(RuntimeError):
+    """The requested historical generation's base was already
+    garbage-collected (its retention grace expired) — the travel
+    horizon is the vacuum window, exactly as in Delta/Iceberg: time
+    travel reads files that retention has not yet reclaimed; it never
+    resurrects them."""
+
+
+def read_manifest_log(root: str) -> dict[int, dict]:
+    """The table's immutable per-generation manifest log (r8 time
+    travel — the Iceberg metadata-log twin): gen -> the manifest as
+    first committed.  A generation missing from the log (crash between
+    the live-pointer commit and the log append, or a pre-log table)
+    simply is not travelable; the live pointer is unaffected."""
+    out: dict[int, dict] = {}
+    if not os.path.isdir(root):
+        return out
+    for n in os.listdir(root):
+        if not n.startswith(_MANIFEST + ".g") or n.endswith(".tmp"):
+            continue
+        try:
+            g = int(n[len(_MANIFEST) + 2:])
+            with open(os.path.join(root, n)) as f:
+                out[g] = json.load(f)
+        except (OSError, ValueError):
+            continue
+    return out
+
+
+def read_batched_at(
+    spark: SparkSession,
+    root: str,
+    gen: int,
+    schema: str | None = None,
+) -> DataFrame:
+    """TIME-TRAVEL read: the table exactly as of generation ``gen``'s
+    commit.  Snapshots exist at COMPACTION POINTS — a commit
+    consolidates every live dir into its base, so "the table at gen N"
+    is precisely ``base<N>``'s rows (batches written after N belong to
+    no snapshot until N+1 consumes them; Iceberg's snapshot-per-commit
+    has the same shape, it just commits more often).  Readable while
+    retention keeps the old base on disk (``gc_grace_sec``): within
+    the grace window the dir is manifest-excluded but intact; once
+    vacuumed, SnapshotVacuumed — time travel never blocks GC and never
+    resurrects files."""
+    log = read_manifest_log(root)
+    if gen not in log:
+        raise SnapshotVacuumed(
+            f"batched table {root!r} has no manifest-log entry for "
+            f"generation {gen} (pre-log table, never committed, or the "
+            f"log append was lost to a crash); travelable: {sorted(log)}"
+        )
+    base = log[gen]["base"]
+    p = base if os.path.isabs(base) else os.path.join(root, base)
+    if not os.path.isdir(p) or not any(
+        n.endswith(".parquet") for _, _, names in os.walk(p) for n in names
+    ):
+        raise SnapshotVacuumed(
+            f"generation {gen}'s base {base!r} of {root!r} was vacuumed "
+            "(retention grace expired) — the travel horizon is the vacuum "
+            "window"
+        )
+    r = spark.read.option("recursiveFileLookup", "true")
+    if schema is not None:
+        r = r.schema(schema)
+    else:
+        r = r.option("mergeSchema", "true")
+    return r.parquet(p)
+
+
+def rollback_batched(root: str, gen: int, lease_ttl_sec: float = 3600.0) -> int:
+    """ROLL BACK the live table to historical generation ``gen`` —
+    by COMMITTING FORWARD, never by rewriting history: a new
+    generation is committed whose base is the old generation's base
+    dir (which retention must still hold), whose extra is the old
+    generation's (it describes those rows — the partition spec rides
+    along), and whose consumed set additionally covers every currently
+    live dir (the rolled-back rows must never be double-read if their
+    batches replay).  Lease-guarded like any commit.  Returns the new
+    live generation number."""
+    import time
+
+    lease = _acquire_lease(root, lease_ttl_sec)
+    try:
+        log = read_manifest_log(root)
+        if gen not in log:
+            raise SnapshotVacuumed(
+                f"cannot roll {root!r} back to generation {gen}: no "
+                f"manifest-log entry; travelable: {sorted(log)}"
+            )
+        old = log[gen]
+        base = old["base"]
+        p = base if os.path.isabs(base) else os.path.join(root, base)
+        if not os.path.isdir(p):
+            raise SnapshotVacuumed(
+                f"cannot roll {root!r} back to generation {gen}: its base "
+                f"{base!r} was vacuumed"
+            )
+        cur = _read_manifest(root)
+        now = time.time()
+        consumed = dict(cur["consumed"]) if cur else {}
+        # the restored base is LIVE again — remove it from the consumed
+        # map so retention GC stops counting its grace (base names are
+        # never replayed, unlike batch ids, so un-consuming is safe)
+        consumed.pop(base, None)
+        # consume every currently live dir by its MANIFEST NAME:
+        # root-local dirs by basename (consumed keys the GC matches
+        # against root listings); only an external seed base — the one
+        # case where the manifest itself holds an absolute path — is
+        # keyed absolutely (the isabs key is what tells GC "referenced,
+        # never owned, never delete")
+        cur_live = cur["base"] if cur else "base"
+        for d in _live_dirs(root):
+            if os.path.isabs(cur_live) and d == cur_live:
+                name = d
+            else:
+                name = os.path.basename(d)
+            if name != base:
+                consumed.setdefault(name, now)
+        new_gen = (cur["gen"] if cur else 0) + 1
+        _write_manifest(
+            root,
+            new_gen,
+            base,
+            consumed,
+            extra=old.get("extra"),
+            tombs=cur.get("tombs") if cur else None,
+        )
+        return new_gen
+    finally:
+        _release_lease(root, lease)
 
 
 def _live_dirs(root: str, exclude_batch: int | None = None) -> list[str]:

@@ -2555,3 +2555,124 @@ def test_rebucket_concurrent_with_writer_mixed_window(spark, tmpdir):
         .collect()
     )
     assert got == sorted(probe)
+
+
+def test_time_travel_and_rollback(spark, tmpdir):
+    """TIME TRAVEL + ROLLBACK (r8, the Iceberg metadata-log twin):
+    every commit appends an immutable per-generation manifest to the
+    log; read_batched_at(gen) reads that generation's consolidated
+    base while retention holds it; rollback commits FORWARD to the old
+    base (history is never rewritten), carrying its extra (the
+    partition spec rides along) and consuming the rolled-back dirs;
+    vacuumed generations raise the NAMED SnapshotVacuumed."""
+    from mo_etl_spark import streaming as S
+
+    root = f"{tmpdir}/tt"
+    n0 = 2
+    GRACE = 3600.0
+    for b in range(2):
+        _spec_batch(spark, root, b * 64, (b + 1) * 64, b, n0)
+    # gen1: plain consolidation of keys 0..127
+    S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["ib"], gc_grace_sec=GRACE
+    )
+    _spec_batch(spark, root, 128, 192, 2, S.current_spec(root, n0))
+    # gen2: re-bucketed consolidation of 0..191 minus retracted {5}
+    S.append_tombstones(spark.createDataFrame([(5,)], "k BIGINT"), root)
+    S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["ib"], gc_grace_sec=GRACE,
+        tombstone_col="k",
+        transform=S.rebucket_transform(
+            "ib", _spec_ib, S.current_spec(root, n0), cap_rows=16,
+            prior_extra=S.read_manifest_extra(root),
+        ),
+    )
+    n2 = S.current_spec(root, n0)
+    assert n2 > n0
+    log = S.read_manifest_log(root)
+    assert {1, 2} <= set(log)
+
+    def keys_at(gen):
+        return sorted(
+            r["k"]
+            for r in S.read_batched_at(spark, root, gen, _SPEC_SCHEMA).collect()
+        )
+
+    assert keys_at(1) == list(range(128))          # retraction not yet folded
+    assert keys_at(2) == [k for k in range(192) if k != 5]
+    with pytest.raises(S.SnapshotVacuumed):
+        S.read_batched_at(spark, root, 99, _SPEC_SCHEMA)
+    # ROLLBACK to gen1: live reads show gen1's rows, spec restored
+    new_gen = S.rollback_batched(root, 1)
+    assert new_gen == 3
+    live = sorted(
+        r["k"]
+        for r in S.read_batched(
+            spark, root, partitioned=True, schema=_SPEC_SCHEMA
+        ).collect()
+    )
+    assert live == list(range(128))
+    assert S.current_spec(root, n0) == n0  # gen1's extra carried back
+    # life goes on: a new batch + compaction on top of the rollback
+    _spec_batch(spark, root, 500, 532, 9, S.current_spec(root, n0))
+    S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["ib"], gc_grace_sec=GRACE
+    )
+    live = sorted(
+        r["k"]
+        for r in S.read_batched(
+            spark, root, partitioned=True, schema=_SPEC_SCHEMA
+        ).collect()
+    )
+    assert live == list(range(128)) + list(range(500, 532))
+    # gen2 is STILL travelable within grace (rollback never rewrites)
+    assert keys_at(2) == [k for k in range(192) if k != 5]
+    # vacuum: zero-grace compaction reclaims old bases -> named error
+    _spec_batch(spark, root, 600, 616, 10, S.current_spec(root, n0))
+    S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["ib"], gc_grace_sec=0.0
+    )
+    S.compact_batched(  # second pass deletes now-expired victims
+        spark, root, min_dirs=0, partition_cols=["ib"], gc_grace_sec=0.0
+    )
+    with pytest.raises(S.SnapshotVacuumed):
+        S.read_batched_at(spark, root, 2, _SPEC_SCHEMA)
+
+
+def test_rollback_to_external_seed_generation(spark, tmpdir):
+    """Rollback to generation 0 of a ZERO-COPY seeded table: the
+    restored base is the shared external snapshot (absolute manifest
+    reference) — readable, never owned, never deleted by the
+    rolled-forward table's GC."""
+    from mo_etl_spark import streaming as S
+
+    snap = f"{tmpdir}/shared_snap"
+    spark.createDataFrame(
+        [(k, k * 10, k % 2) for k in range(8)], _SPEC_SCHEMA
+    ).write.mode("overwrite").partitionBy("ib").parquet(snap)
+    root = f"{tmpdir}/seeded"
+    S.seed_batched(root, snap, extra={"spec_n": 2})
+    _spec_batch(spark, root, 100, 132, 0, 2)
+    S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["ib"], gc_grace_sec=3600.0
+    )
+    assert S.rollback_batched(root, 0) == 2
+    live = sorted(
+        r["k"]
+        for r in S.read_batched(
+            spark, root, partitioned=True, schema=_SPEC_SCHEMA
+        ).collect()
+    )
+    assert live == list(range(8))  # the snapshot alone
+    assert S.current_spec(root, 99) == 2  # seed extra restored
+    # travel both ways still works; b0 never reappears (consumed)
+    at1 = sorted(
+        r["k"] for r in S.read_batched_at(spark, root, 1, _SPEC_SCHEMA).collect()
+    )
+    assert at1 == list(range(8)) + list(range(100, 132))
+    # GC after the rollback never touches the shared snapshot
+    _spec_batch(spark, root, 200, 208, 5, 2)
+    S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["ib"], gc_grace_sec=0.0
+    )
+    assert os.path.exists(os.path.join(snap, "_SUCCESS"))
