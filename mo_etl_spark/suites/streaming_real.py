@@ -1317,6 +1317,91 @@ def stream_real_dedup_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "jaccard")
 
 
+@query(
+    "stream_state_time_travel",
+    oracle="""
+    SELECT 'gen1' AS snapshot, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum FROM orders
+    UNION ALL
+    SELECT 'gen2', count(*), CAST(sum(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 97 <> 0
+    UNION ALL
+    SELECT 'live_after_rollback', count(*), CAST(sum(o_orderkey) AS BIGINT)
+    FROM orders
+    """,
+    tags=(
+        "time_travel",
+        "rollback",
+        "index_compaction",
+        "tombstone_lifecycle",
+        "incremental_etl",
+    ),
+)
+def stream_state_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL + ROLLBACK on a batched state table as a contract
+    query (r8): build the table from three order batches, consolidate
+    (gen 1), retract every 97th key and FOLD it physically (gen 2),
+    then ROLL BACK to gen 1 — and prove all three states at once.
+    The result is one row per snapshot: ``gen1`` read via the
+    manifest log (all orders — the fold hadn't happened), ``gen2``
+    (the retained set — dead keys physically gone), and the LIVE
+    table after the rollback (all orders again: rollback commits
+    FORWARD to the old base, restoring the rows a later fold dropped;
+    their consumed tombstones do not re-apply).  The oracle recomputes
+    every snapshot's count and key checksum straight from the orders
+    table — the whole lifecycle (manifest log, vacuum-window read,
+    fold, forward-commit rollback) must reproduce exact relational
+    algebra or the hashes miss."""
+    prepare(spark)
+    from mo_etl_spark.streaming import (
+        append_tombstones as _tomb,
+        compact_batched as _compact,
+        read_batched_at,
+        rollback_batched,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    root = _scratch("time_travel_tbl")
+    for b in range(3):
+        idempotent_batch_write(
+            orders.where(F.pmod("o_orderkey", F.lit(3)) == b).withColumn(
+                "ob", F.pmod("o_orderkey", F.lit(4))
+            ),
+            root,
+            b,
+            partition_cols=["ob"],
+        )
+    _compact(
+        spark, root, min_dirs=0, partition_cols=["ob"], gc_grace_sec=3600.0
+    )  # gen 1: all orders
+    _tomb(
+        orders.where(F.pmod("o_orderkey", F.lit(97)) == 0), root
+    )
+    _compact(
+        spark, root, min_dirs=0, partition_cols=["ob"],
+        tombstone_col="o_orderkey", gc_grace_sec=3600.0,
+    )  # gen 2: retraction folded
+    rollback_batched(root, 1)
+    schema = "o_orderkey BIGINT, ob BIGINT"
+
+    def summ(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        ).select(F.lit(name).alias("snapshot"), "n", "key_sum")
+
+    return (
+        summ(read_batched_at(spark, root, 1, schema), "gen1")
+        .unionByName(summ(read_batched_at(spark, root, 2, schema), "gen2"))
+        .unionByName(
+            summ(
+                read_batched(spark, root, partitioned=True, schema=schema),
+                "live_after_rollback",
+            )
+        )
+    )
+
+
 def _wire_rebucket_oracle() -> None:
     from mo_etl_spark.registry import QUERIES, QuerySpec
     from mo_etl_spark.suites.llm import _SQL_INCR_CORPUS

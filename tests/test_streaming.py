@@ -1370,6 +1370,7 @@ def test_batched_table_model_property(spark, tmpdir, seed):
     reader must see exactly the model's live rows."""
     import random
 
+    from mo_etl_spark import streaming as S
     from mo_etl_spark.streaming import (
         append_tombstones,
         compact_batched,
@@ -1377,12 +1378,16 @@ def test_batched_table_model_property(spark, tmpdir, seed):
         read_batched,
     )
 
+    GRACE = 3600.0  # r8: retained victims keep old generations
+    # travelable, so the model can also exercise ROLLBACK
     rng = random.Random(seed)
     root = f"{tmpdir}/model{seed}"
     model: dict[int, list[int]] = {}  # batch_id -> ids
     consumed: dict[int, list[int]] = {}  # batch ids a compaction folded in
-    tombs: set[int] = set()
+    pending: set[int] = set()  # tombstoned, file not yet consumed
     folded: set[int] = set()
+    hist: dict[int, tuple[set, set]] = {}  # gen -> (live, folded) at commit
+    gen = 0
     next_id = 0
     next_batch = 0
 
@@ -1404,7 +1409,7 @@ def test_batched_table_model_property(spark, tmpdir, seed):
     for step in range(24):
         op = rng.choice(
             ["write", "rewrite", "tomb", "compact", "fold", "debris",
-             "replay_consumed"]
+             "replay_consumed", "rollback"]
         )
         if op == "write" or not model:
             ids = list(range(next_id, next_id + rng.randint(1, 6)))
@@ -1427,27 +1432,53 @@ def test_batched_table_model_property(spark, tmpdir, seed):
                     root, b, partition_cols=["ib"],
                 )
         elif op == "tomb":
-            pool = sorted(live() - tombs)
+            pool = sorted(live() - pending)
             if pool:
                 dead = rng.sample(pool, min(2, len(pool)))
                 append_tombstones(
                     spark.createDataFrame([(i,) for i in dead], "id BIGINT"), root
                 )
-                tombs.update(dead)
+                pending.update(dead)
         elif op == "compact":
             compact_batched(
-                spark, root, min_dirs=0, partition_cols=["ib"], gc_grace_sec=0.0
+                spark, root, min_dirs=0, partition_cols=["ib"],
+                gc_grace_sec=GRACE,
             )
             consumed.update({b: v for b, v in model.items() if b >= 0})
             model = {-1: sorted(live())}  # consolidated base
+            gen += 1
+            hist[gen] = (set(live()), set(folded))
         elif op == "fold":
             compact_batched(
                 spark, root, min_dirs=0, partition_cols=["ib"],
-                tombstone_col="id", gc_grace_sec=0.0,
+                tombstone_col="id", gc_grace_sec=GRACE,
             )
-            folded |= tombs
+            folded |= pending
+            pending = set()  # their files are consumed with the fold
             consumed.update({b: v for b, v in model.items() if b >= 0})
             model = {-1: sorted(live())}
+            gen += 1
+            hist[gen] = (set(live()), set(folded))
+        elif op == "rollback" and hist:
+            # r8: restore a travelable generation.  Rows a LATER fold
+            # dropped come back (the old base still has them) and
+            # their consumed tombstone files do NOT re-apply — a
+            # caller that needs them dead re-appends.  Tombstones
+            # still PENDING at rollback time stay pending.
+            g = rng.choice(sorted(hist))
+            S.rollback_batched(root, g)
+            live_g, folded_g = hist[g]
+            # batches rollback consumed are replayable debris too:
+            # their names are excluded forever, rows in NO base
+            consumed.update({b: v for b, v in model.items() if b >= 0})
+            model = {-1: sorted(live_g)}
+            folded = set(folded_g)
+            pending &= live_g | folded_g  # ids from rolled-back
+            # batches are gone entirely; their pending keys anti-join
+            # nothing (kept pending is also fine — keep the model to
+            # keys that exist)
+            gen += 1
+            hist[gen] = (set(live()), set(folded))
         elif op == "replay_consumed" and consumed:
             # a crashed trigger whose batch a compaction already
             # consumed is replayed on restart: the rewrite recreates
