@@ -1308,6 +1308,7 @@ def maintain_batched(
     tombstone_col: str | None = None,
     lease_ttl_sec: float = 3600.0,
     max_tombstone_files: int = 16,
+    rebucket: tuple[str, Callable[[int], Column], int, int] | None = None,
 ) -> int:
     """AUTO-compaction policy (VERDICT r5 item #3): compact when the
     live-dir count reaches ``max_dirs``, else no-op.  Called by the
@@ -1325,9 +1326,33 @@ def maintain_batched(
     never crosses ``max_dirs``.  The threshold is file-count, not row
     count: each append_tombstones call is one file, so this bounds the
     number of retraction BATCHES a probe re-reads, the actual
-    per-trigger cost."""
+    per-trigger cost.
+
+    AUTO RE-BUCKETING (r8 spec evolution): ``rebucket=(col,
+    recompute, default_n, cap_rows)`` makes every maintenance
+    compaction a spec-evolving one — the transform is built fresh per
+    pass from the table's CURRENT committed spec, so nobody has to
+    remember to re-bucket either: when the hottest bucket has outgrown
+    ``cap_rows`` by the time dir/tombstone pressure triggers a pass,
+    the same rewrite doubles the spec; when it hasn't, the transform
+    is measurement-only and the layout is carried unchanged.
+    Mutually exclusive with ``transform`` (a caller with a custom
+    transform owns its own spec discipline)."""
     if not os.path.isdir(root):
         return 0
+    if rebucket is not None:
+        if transform is not None:
+            raise ValueError(
+                "maintain_batched: pass transform= or rebucket=, not both"
+            )
+        col, recompute, default_n, cap_rows = rebucket
+        transform = rebucket_transform(
+            col,
+            recompute,
+            current_spec(root, default_n),
+            cap_rows,
+            prior_extra=read_manifest_extra(root),
+        )
     tomb_pressure = False
     if tombstone_col is not None:
         # LIVE files only: consumed files retained inside their grace

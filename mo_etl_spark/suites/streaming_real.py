@@ -1073,10 +1073,22 @@ def stream_real_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     # tables when their live-dir count crosses the threshold,
     # PRESERVING the probe-key partition layout — a no-op at this
     # feed's 4 triggers, the bounded-listing guarantee for a
-    # long-lived deployment (24-trigger proof in tests/test_streaming)
-    maintain_batched(spark, idx_dir, partition_cols=["ib"], tombstone_col="id")
+    # long-lived deployment (24-trigger proof in tests/test_streaming).
+    # rebucket= (r8): maintenance also owns SPEC growth — at the
+    # production cap the toy corpus never trips it, so the layout (and
+    # the oracle) are unchanged here; a deployment whose buckets
+    # outgrow the cap gets the doubling for free on this same call
+    from mo_etl_spark.operators import dedup as D
+
     maintain_batched(
-        spark, arrived_dir, partition_cols=["db"], tombstone_col="doc_id"
+        spark, idx_dir, partition_cols=["ib"], tombstone_col="id",
+        rebucket=("ib", lambda n: D.band_bucket("band", "bk", n),
+                  _INCR_IB, 1 << 20),
+    )
+    maintain_batched(
+        spark, arrived_dir, partition_cols=["db"], tombstone_col="doc_id",
+        rebucket=("db", lambda n: F.pmod("doc_id", F.lit(n)),
+                  _INCR_NB, 1 << 20),
     )
     maintain_batched(spark, pairs_dir)
     return read_batched(

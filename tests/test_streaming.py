@@ -2707,3 +2707,52 @@ def test_rollback_to_external_seed_generation(spark, tmpdir):
         spark, root, min_dirs=0, partition_cols=["ib"], gc_grace_sec=0.0
     )
     assert os.path.exists(os.path.join(snap, "_SUCCESS"))
+
+
+def test_maintain_batched_auto_rebuckets_under_growth(spark, tmpdir):
+    """maintain_batched(rebucket=) owns spec growth the way it owns
+    dir-count pressure: when a maintenance pass triggers and the
+    hottest bucket has outgrown the cap, the SAME rewrite doubles the
+    spec; below the cap the pass is layout-preserving."""
+    from mo_etl_spark import streaming as S
+
+    root = f"{tmpdir}/auto_rebucket"
+    n0 = 2
+    for b in range(6):
+        _spec_batch(spark, root, b * 64, (b + 1) * 64, b, n0)
+    reb = ("ib", _spec_ib, n0, 32)
+    # below dir pressure: no-op, spec unchanged
+    assert (
+        S.maintain_batched(
+            spark, root, max_dirs=16, partition_cols=["ib"],
+            gc_grace_sec=0.0, rebucket=reb,
+        )
+        == 0
+    )
+    assert S.current_spec(root, n0) == n0
+    # dir pressure + outgrown cap: one pass compacts AND re-buckets
+    assert (
+        S.maintain_batched(
+            spark, root, max_dirs=4, partition_cols=["ib"],
+            gc_grace_sec=0.0, rebucket=reb,
+        )
+        > 0
+    )
+    n_new = S.current_spec(root, n0)
+    assert n_new > n0
+    # next pressure pass with room under the cap: spec carried
+    for b in range(20, 25):
+        _spec_batch(spark, root, 1000 + b * 8, 1008 + b * 8, b, n_new)
+    assert (
+        S.maintain_batched(
+            spark, root, max_dirs=4, partition_cols=["ib"],
+            gc_grace_sec=0.0, rebucket=("ib", _spec_ib, n0, 1 << 20),
+        )
+        > 0
+    )
+    assert S.current_spec(root, n0) == n_new
+    with pytest.raises(ValueError):
+        S.maintain_batched(
+            spark, root, partition_cols=["ib"], rebucket=reb,
+            transform=lambda df: df,
+        )
