@@ -2756,3 +2756,71 @@ def test_maintain_batched_auto_rebuckets_under_growth(spark, tmpdir):
             spark, root, partition_cols=["ib"], rebucket=reb,
             transform=lambda df: df,
         )
+
+
+def test_concurrent_readers_across_rollbacks(spark, tmpdir):
+    """Rollback is just another manifest commit, so the reader
+    guarantee must hold across it identically: readers hammering
+    read_batched while the table oscillates compact → rollback →
+    compact must always see exactly ONE committed state's rows —
+    grace-retained victims keep every in-flight generation readable,
+    and no interleaving shows a partial or doubled set."""
+    import threading
+
+    from mo_etl_spark import streaming as S
+
+    root = f"{tmpdir}/rbread"
+    for b in range(4):
+        S.idempotent_batch_write(
+            spark.range(b * 10, b * 10 + 10).select(F.col("id").alias("v")),
+            root, b,
+        )
+    S.compact_batched(
+        spark, root, min_dirs=0, target_bytes=1 << 20, gc_grace_sec=3600.0
+    )  # gen1: 0..39
+    S.idempotent_batch_write(
+        spark.range(100, 110).select(F.col("id").alias("v")), root, 9
+    )
+    S.compact_batched(
+        spark, root, min_dirs=0, target_bytes=1 << 20, gc_grace_sec=3600.0
+    )  # gen2: 0..39 + 100..109
+    set1 = sorted(range(40))
+    set2 = sorted(range(40)) + list(range(100, 110))
+    valid = {tuple(set1), tuple(set2)}
+    errors: list = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                got = tuple(
+                    sorted(
+                        r["v"]
+                        for r in S.read_batched(
+                            spark, root, schema="v BIGINT"
+                        ).collect()
+                    )
+                )
+                if got not in valid:
+                    errors.append(("rows", len(got)))
+                    return
+            except Exception as e:  # noqa: BLE001 - recorded for assert
+                errors.append(("exc", repr(e)))
+                return
+
+    threads = [threading.Thread(target=reader) for _ in range(2)]
+    for t in threads:
+        t.start()
+    try:
+        for _ in range(3):
+            S.rollback_batched(root, 1)
+            S.rollback_batched(root, 2)
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(60)
+    assert not errors, errors
+    got = sorted(
+        r["v"] for r in S.read_batched(spark, root, schema="v BIGINT").collect()
+    )
+    assert got == set2
