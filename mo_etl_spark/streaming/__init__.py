@@ -485,6 +485,41 @@ def read_batched_at(
     return r.parquet(p)
 
 
+def diff_batched(
+    spark: SparkSession,
+    root: str,
+    gen_from: int,
+    gen_to: int,
+    key_cols: Sequence[str],
+    schema: str | None = None,
+) -> DataFrame:
+    """CHANGE DATA FEED between two committed generations (the Delta
+    CDF / Iceberg changelog twin, riding the r8 manifest log): the
+    keyed delta a downstream consumer applies to catch up from
+    ``gen_from`` to ``gen_to`` without replaying the table — rows
+    whose key appears only in the newer snapshot come back with
+    ``_change = 'insert'``, only in the older with ``'delete'``.
+    Both snapshots must still be travelable (SnapshotVacuumed
+    otherwise — the feed's horizon is the vacuum window, exactly like
+    time travel).  Keyed, not positional: this protocol's tables
+    mutate by append + retraction fold, so a key present in both
+    snapshots is by construction the same row and emits nothing
+    (an updated-payload table would retract + re-append, which this
+    feed reports as delete + insert — the merge-on-read shape).
+    Cost: two base scans + one full-outer anti pass on the keys —
+    never a replay of the intermediate batches."""
+    a = read_batched_at(spark, root, gen_from, schema)
+    b = read_batched_at(spark, root, gen_to, schema)
+    keys = [str(k) for k in key_cols]
+    ins = b.join(a.select(*keys), keys, "left_anti").withColumn(
+        "_change", F.lit("insert")
+    )
+    dels = a.join(b.select(*keys), keys, "left_anti").withColumn(
+        "_change", F.lit("delete")
+    )
+    return ins.unionByName(dels)
+
+
 def rollback_batched(root: str, gen: int, lease_ttl_sec: float = 3600.0) -> int:
     """ROLL BACK the live table to historical generation ``gen`` —
     by COMMITTING FORWARD, never by rewriting history: a new

@@ -1414,6 +1414,77 @@ def stream_state_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_state_change_feed",
+    oracle="""
+    SELECT 'delete' AS _change, o_orderkey FROM orders
+    WHERE o_orderkey % 97 = 0
+    UNION ALL
+    SELECT 'insert', o_orderkey + 10000000 FROM orders
+    WHERE o_orderkey % 500 = 0
+    """,
+    tags=(
+        "change_data_feed",
+        "time_travel",
+        "index_compaction",
+        "tombstone_lifecycle",
+        "cdc_merge",
+        "incremental_etl",
+    ),
+)
+def stream_state_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED between generations of a batched state table
+    (r8 — the Delta CDF / Iceberg changelog twin, riding the manifest
+    log): a downstream consumer catches up from generation N to N+1 by
+    applying a keyed insert/delete delta instead of replaying the
+    table.  The run: consolidate all orders (gen 1), then one
+    lifecycle step — a batch of NEW keys (every 500th order key,
+    offset by 10M) arrives AND every 97th key is retracted — folded
+    into gen 2; ``diff_batched(1, 2)`` must emit exactly the retracted
+    keys as deletes and the arrivals as inserts, nothing else (the
+    ~15k unchanged keys are silent).  The oracle recomputes the delta
+    straight from the orders table, so the whole chain — manifest-log
+    snapshots, the fold, the keyed anti-joins — must reproduce exact
+    set difference or the hashes miss."""
+    prepare(spark)
+    from mo_etl_spark.streaming import (
+        append_tombstones as _tomb,
+        compact_batched as _compact,
+        diff_batched,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    root = _scratch("change_feed_tbl")
+    for b in range(2):
+        idempotent_batch_write(
+            orders.where(F.pmod("o_orderkey", F.lit(2)) == b).withColumn(
+                "ob", F.pmod("o_orderkey", F.lit(4))
+            ),
+            root,
+            b,
+            partition_cols=["ob"],
+        )
+    _compact(
+        spark, root, min_dirs=0, partition_cols=["ob"], gc_grace_sec=3600.0
+    )  # gen 1: all orders
+    idempotent_batch_write(
+        orders.where(F.pmod("o_orderkey", F.lit(500)) == 0)
+        .select((F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"))
+        .withColumn("ob", F.pmod("o_orderkey", F.lit(4))),
+        root,
+        2,
+        partition_cols=["ob"],
+    )
+    _tomb(orders.where(F.pmod("o_orderkey", F.lit(97)) == 0), root)
+    _compact(
+        spark, root, min_dirs=0, partition_cols=["ob"],
+        tombstone_col="o_orderkey", gc_grace_sec=3600.0,
+    )  # gen 2: arrivals in, retractions folded
+    return diff_batched(
+        spark, root, 1, 2, ["o_orderkey"], "o_orderkey BIGINT, ob BIGINT"
+    ).select("_change", "o_orderkey")
+
+
 def _wire_rebucket_oracle() -> None:
     from mo_etl_spark.registry import QUERIES, QuerySpec
     from mo_etl_spark.suites.llm import _SQL_INCR_CORPUS
