@@ -2824,3 +2824,91 @@ def test_concurrent_readers_across_rollbacks(spark, tmpdir):
         r["v"] for r in S.read_batched(spark, root, schema="v BIGINT").collect()
     )
     assert got == set2
+
+
+def test_rollback_is_lease_guarded(spark, tmpdir):
+    """rollback_batched is a commit like any other: while a live
+    compactor holds the lease it aborts with the NAMED CompactorBusy,
+    and a rollback that reclaims an EXPIRED lease mid-build bumps the
+    generation so the zombie's CAS-on-gen aborts its commit — the
+    rollback wins, the build is discarded, rows stay exact."""
+    import threading
+    import time as _t
+
+    from mo_etl_spark import streaming as S
+
+    root = f"{tmpdir}/rb_lease"
+    for b in range(3):
+        S.idempotent_batch_write(
+            spark.range(b * 10, b * 10 + 10).select(
+                F.col("id").alias("v"), (F.col("id") % 4).alias("ib")
+            ),
+            root, b, partition_cols=["ib"],
+        )
+    S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["ib"], gc_grace_sec=3600.0
+    )  # gen1: 0..29
+    S.idempotent_batch_write(
+        spark.range(100, 110).select(
+            F.col("id").alias("v"), (F.col("id") % 4).alias("ib")
+        ),
+        root, 9, partition_cols=["ib"],
+    )
+
+    entered = threading.Event()
+    release = threading.Event()
+    result: dict = {}
+
+    def paused(df):
+        entered.set()
+        release.wait(180)
+        return df
+
+    def run_paused(ttl):
+        try:
+            result["n"] = S.compact_batched(
+                spark, root, min_dirs=0, partition_cols=["ib"],
+                gc_grace_sec=3600.0, transform=paused, lease_ttl_sec=ttl,
+            )
+        except S.CompactorBusy as e:
+            result["busy"] = str(e)
+        except Exception as e:  # noqa: BLE001 - recorded for assert
+            result["error"] = repr(e)
+
+    # 1. live unexpired holder: rollback aborts NAMED
+    th = threading.Thread(target=run_paused, args=(3600.0,), daemon=True)
+    th.start()
+    assert entered.wait(120), result
+    with pytest.raises(S.CompactorBusy):
+        S.rollback_batched(root, 1)
+    release.set()
+    th.join(180)
+    assert result.get("n", 0) > 0, result  # the holder committed (gen2)
+
+    # 2. expired holder: rollback reclaims the lease mid-build; the
+    # zombie's commit CAS-aborts NAMED and its build is discarded
+    entered.clear()
+    release.clear()
+    result.clear()
+    S.idempotent_batch_write(
+        spark.range(200, 210).select(
+            F.col("id").alias("v"), (F.col("id") % 4).alias("ib")
+        ),
+        root, 10, partition_cols=["ib"],
+    )
+    th = threading.Thread(target=run_paused, args=(0.2,), daemon=True)
+    th.start()
+    assert entered.wait(120), result
+    _t.sleep(0.3)  # let the lease lapse
+    new_gen = S.rollback_batched(root, 1)
+    release.set()
+    th.join(180)
+    assert "busy" in result, result  # named abort, never raw
+    live = sorted(
+        r["v"]
+        for r in S.read_batched(
+            spark, root, partitioned=True, schema="v BIGINT, ib BIGINT"
+        ).collect()
+    )
+    assert live == sorted(range(30))  # gen1 restored, zombie discarded
+    assert S._read_manifest(root)["gen"] == new_gen
