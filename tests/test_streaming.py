@@ -1945,10 +1945,14 @@ def test_streamed_dedup_cross_table_model(spark, tmpdir, seed):
         }
         assert idx_ids == docs_in - (set(tomb_ids) if folded_idx else set())
 
+    from mo_etl_spark import streaming as SS
+    from mo_etl_spark.operators import dedup as D
+
     for step in range(20):
         op = rng.choice(
             ["apply", "apply", "crash", "late_replay",
-             "fold_idx", "fold_arr", "compact_pairs"]
+             "fold_idx", "fold_arr", "compact_pairs",
+             "rebucket_idx", "rebucket_arr"]
         )
         if op == "apply":
             if crashed is not None:
@@ -1982,6 +1986,32 @@ def test_streamed_dedup_cross_table_model(spark, tmpdir, seed):
             folded_arr = True
         elif op == "compact_pairs":
             compact_batched(spark, pairs, min_dirs=0, gc_grace_sec=0.0)
+        elif op == "rebucket_idx":
+            # r8 spec evolution under multi-table chaos: the index
+            # re-buckets mid-schedule (fold included — maintenance
+            # shape); later triggers AND crash replays write at the
+            # grown spec while pre-rebucket dirs translate
+            compact_batched(
+                spark, idx, min_dirs=0, partition_cols=["ib"],
+                tombstone_col="id", gc_grace_sec=0.0,
+                transform=SS.rebucket_transform(
+                    "ib", lambda n: D.band_bucket("band", "bk", n),
+                    SS.current_spec(idx, 8), cap_rows=48,
+                    prior_extra=SS.read_manifest_extra(idx),
+                ),
+            )
+            folded_idx = True
+        elif op == "rebucket_arr":
+            compact_batched(
+                spark, arr, min_dirs=0, partition_cols=["db"],
+                tombstone_col="doc_id", gc_grace_sec=0.0,
+                transform=SS.rebucket_transform(
+                    "db", lambda n: F.pmod("doc_id", F.lit(n)),
+                    SS.current_spec(arr, 8), cap_rows=8,
+                    prior_extra=SS.read_manifest_extra(arr),
+                ),
+            )
+            folded_arr = True
         check()
     # drain: heal any crash, apply the rest, final full check
     if crashed is not None:
