@@ -2355,20 +2355,23 @@ def test_spec_evolution_model_property(spark, tmpdir, seed):
             .distinct()
             .collect()
         )
+        sch = (
+            "k BIGINT, q DOUBLE, ib BIGINT" if evolved else "k BIGINT, ib BIGINT"
+        )
         got = [
             r["k"]
-            for r in S.read_batched_pruned(
-                spark, root, "ib", vals, n_cur, "k BIGINT, ib BIGINT"
-            )
+            for r in S.read_batched_pruned(spark, root, "ib", vals, n_cur, sch)
             .where(F.col("k").isin(probe))
             .collect()
         ]
         assert sorted(got) == sorted(probe), (sorted(got), sorted(probe))
 
+    evolved = False  # becomes True once a batch carries the q column
+
     for step in range(20):
         op = rng.choice(
             ["write", "write_stale", "write_unstamped", "torn_replay",
-             "rebucket", "compact_plain"]
+             "rebucket", "compact_plain", "write_evolved"]
         )
         n_now = S.current_spec(root, n0)
         if op == "write" or not model:
@@ -2423,6 +2426,22 @@ def test_spec_evolution_model_property(spark, tmpdir, seed):
             model = {-1: sorted(live())}
             # spec must carry forward unchanged
             assert S.current_spec(root, n0) == n_now
+        elif op == "write_evolved":
+            # ADDITIVE SCHEMA EVOLUTION interleaved with spec ops: the
+            # batch carries an extra column; older dirs null-fill and
+            # every later compaction (plain, rebucket, mixed-spec)
+            # must consolidate to the union schema without dropping a
+            # key
+            keys = list(range(next_key, next_key + rng.randint(2, 5)))
+            next_key += len(keys)
+            model[next_batch] = keys
+            df = spark.createDataFrame(
+                [(k, float(k)) for k in keys], "k BIGINT, q DOUBLE"
+            ).withColumn("ib", ib(n_now))
+            S.idempotent_batch_write(df, root, next_batch, partition_cols=["ib"])
+            S.stamp_spec(root, next_batch, n_now)
+            next_batch += 1
+            evolved = True
         check()
 
 
