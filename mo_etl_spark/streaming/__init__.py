@@ -386,18 +386,29 @@ def _write_manifest(
         os.fsync(dfd)
     finally:
         os.close(dfd)
-    # MANIFEST LOG (r8 time travel): an immutable per-generation copy
-    # beside the live pointer — the Iceberg metadata-log twin.  Written
-    # AFTER the commit (a crash between the two leaves the log one
-    # entry short, healed by the exists-check on the next commit of
-    # the same generation... which never happens — gens are monotone —
-    # so the gap simply narrows that table's travel horizon by one
-    # generation; the LIVE pointer is never at risk).  Log entries are
-    # tiny JSON and kept forever, like consumed names.
+    # MANIFEST LOG (r8 time travel): a per-generation copy beside the
+    # live pointer — the Iceberg metadata-log twin.  Written AFTER the
+    # commit (a crash between the two leaves the log one entry short,
+    # which simply narrows that table's travel horizon by one
+    # generation; the LIVE pointer is never at risk).  Generations are
+    # NOT write-once: the data-less tombstone-consume path recommits
+    # the SAME generation with an updated tombs map, so the entry is
+    # REWRITTEN (atomic tmp+rename — log readers see the old or new
+    # complete copy) whenever its content drifted from the live commit
+    # (ADVICE r8 low: the old exists-check kept the first copy, leaving
+    # the log's tombs/consumed stale for that gen).  Content-compared
+    # first so the steady state stays one cheap read, no write.
     log = os.path.join(root, f"{_MANIFEST}.g{gen}")
-    if not os.path.exists(log):
+    payload = json.dumps(man, sort_keys=True)
+    current: str | None = None
+    try:
+        with open(log) as f:
+            current = f.read()
+    except OSError:
+        pass
+    if current != payload:
         with open(log + ".tmp", "w") as f:
-            f.write(json.dumps(man, sort_keys=True))
+            f.write(payload)
             f.flush()
             os.fsync(f.fileno())
         os.rename(log + ".tmp", log)
@@ -449,6 +460,7 @@ def read_batched_at(
     root: str,
     gen: int,
     schema: str | None = None,
+    partitioned: bool = False,
 ) -> DataFrame:
     """TIME-TRAVEL read: the table exactly as of generation ``gen``'s
     commit.  Snapshots exist at COMPACTION POINTS — a commit
@@ -459,7 +471,17 @@ def read_batched_at(
     retention keeps the old base on disk (``gc_grace_sec``): within
     the grace window the dir is manifest-excluded but intact; once
     vacuumed, SnapshotVacuumed — time travel never blocks GC and never
-    resurrects files."""
+    resurrects files.
+
+    ``partitioned=True`` mirrors read_batched's flag (ADVICE r8
+    medium): a base written by a ``partition_cols`` compaction is
+    hive-partitioned (``col=value`` children), and the default
+    recursiveFileLookup read DISABLES hive discovery — the partition
+    column would read back null (with schema) or be missing (without).
+    Pass True for probe-keyed state tables so time travel — and
+    diff_batched keyed on a partition column — sees the full schema;
+    ``schema`` (when given) must include the partition columns, same
+    contract as read_batched."""
     log = read_manifest_log(root)
     if gen not in log:
         raise SnapshotVacuumed(
@@ -477,6 +499,11 @@ def read_batched_at(
             "(retention grace expired) — the travel horizon is the vacuum "
             "window"
         )
+    if partitioned:
+        r = spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        return r.parquet(p)
     r = spark.read.option("recursiveFileLookup", "true")
     if schema is not None:
         r = r.schema(schema)
@@ -492,6 +519,7 @@ def diff_batched(
     gen_to: int,
     key_cols: Sequence[str],
     schema: str | None = None,
+    partitioned: bool = False,
 ) -> DataFrame:
     """CHANGE DATA FEED between two committed generations (the Delta
     CDF / Iceberg changelog twin, riding the r8 manifest log): the
@@ -507,9 +535,13 @@ def diff_batched(
     (an updated-payload table would retract + re-append, which this
     feed reports as delete + insert — the merge-on-read shape).
     Cost: two base scans + one full-outer anti pass on the keys —
-    never a replay of the intermediate batches."""
-    a = read_batched_at(spark, root, gen_from, schema)
-    b = read_batched_at(spark, root, gen_to, schema)
+    never a replay of the intermediate batches.  ``partitioned=True``
+    for probe-keyed tables whose bases are hive-partitioned — REQUIRED
+    when ``key_cols`` names a partition column (the recursive read
+    yields it null, which would report every row as both insert and
+    delete; ADVICE r8 medium)."""
+    a = read_batched_at(spark, root, gen_from, schema, partitioned=partitioned)
+    b = read_batched_at(spark, root, gen_to, schema, partitioned=partitioned)
     keys = [str(k) for k in key_cols]
     ins = b.join(a.select(*keys), keys, "left_anti").withColumn(
         "_change", F.lit("insert")
@@ -570,6 +602,21 @@ def rollback_batched(root: str, gen: int, lease_ttl_sec: float = 3600.0) -> int:
             if name != base:
                 consumed.setdefault(name, now)
         new_gen = (cur["gen"] if cur else 0) + 1
+        # CAS-on-gen at the commit point (ADVICE r8 low — the same
+        # re-check compact_batched performs): a wedged rollback whose
+        # lease was TTL-reclaimed could otherwise commit over a
+        # takeover compactor's newer generation.  The window here is
+        # tiny (no Spark job between the post-lease read and this
+        # write), but the guard makes rollback symmetric with
+        # compaction: the committed generation wins, the zombie aborts.
+        latest = _read_manifest(root)
+        if (latest["gen"] if latest else 0) != (cur["gen"] if cur else 0):
+            raise CompactorBusy(
+                f"batched table {root!r} advanced to gen "
+                f"{(latest['gen'] if latest else 0)} while this rollback "
+                "(expired lease) was preparing — aborting; the committed "
+                "generation wins"
+            )
         _write_manifest(
             root,
             new_gen,
@@ -896,8 +943,16 @@ def rebucket_transform(
             est = (est + 1) // 2
         extra = dict(prior_extra or {})
         extra["spec_n"] = n_new
-        if n_new != n_cur:
-            df = df.withColumn(col, recompute(n_new))
+        # recompute UNCONDITIONALLY — even when the spec did not grow
+        # (ADVICE r8 medium): the union being rewritten may contain an
+        # old-spec in-flight batch (the writer-in-flight-during-commit
+        # window the read path explicitly tolerates), and carrying its
+        # rows verbatim into a base stamped ``spec_n`` would make
+        # spec-translated probes prune them away (silent false
+        # negatives).  The table is being fully rewritten anyway, so
+        # normalizing every row to the output spec costs one column
+        # expression, not an extra pass.
+        df = df.withColumn(col, recompute(n_new))
         return df, extra
 
     return t

@@ -2961,3 +2961,112 @@ def test_rollback_is_lease_guarded(spark, tmpdir):
     )
     assert live == sorted(range(30))  # gen1 restored, zombie discarded
     assert S._read_manifest(root)["gen"] == new_gen
+
+
+def test_rebucket_no_growth_normalizes_stale_spec_rows(spark, tmpdir):
+    """ADVICE r8 (medium): a NO-GROWTH rebucket compaction must still
+    recompute the bucket column over every retained row.  The union
+    being rewritten can contain an old-spec in-flight batch (the
+    writer-in-flight-during-commit window the read path tolerates);
+    carried verbatim into a base stamped with the current spec, those
+    rows would be pruned away by spec-translated probes — silent false
+    negatives.  The fix recomputes unconditionally."""
+    from mo_etl_spark import streaming as S
+
+    root = f"{tmpdir}/spec_stale"
+    n_cur = 4
+    _spec_batch(spark, root, 0, 64, 0, n_cur)
+    _spec_batch(spark, root, 64, 128, 1, n_cur)
+    # the in-flight straggler: written (and stamped) under the OLD spec
+    _spec_batch(spark, root, 128, 160, 2, 2)
+    groups = S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["ib"], gc_grace_sec=0,
+        transform=S.rebucket_transform(
+            "ib", _spec_ib, n_cur, cap_rows=10_000,
+        ),
+    )
+    assert groups > 0
+    assert S.current_spec(root, 99) == n_cur  # cap huge: spec unchanged
+    # the base claims spec n_cur — every row must actually be laid out
+    # under it, stale-spec inputs included
+    base = spark.read.schema(_SPEC_SCHEMA).parquet(f"{root}/base1")
+    bad = base.where(F.col("ib") != _spec_ib(n_cur)).count()
+    assert bad == 0
+    # and probes for the straggler's keys survive the rewrite
+    probe_keys = list(range(128, 160))
+    got = sorted(
+        r["k"]
+        for r in S.read_batched_pruned(
+            spark, root, "ib", _spec_vals(spark, probe_keys, n_cur), n_cur,
+            _SPEC_SCHEMA,
+        )
+        .where(F.col("k").isin(probe_keys))
+        .collect()
+    )
+    assert got == probe_keys
+
+
+def test_time_travel_partitioned_and_cdf_on_partition_column(spark, tmpdir):
+    """ADVICE r8 (medium): compacted bases are partitionBy-written, and
+    the default recursive time-travel read disables hive discovery —
+    the partition column read back null, so a change feed keyed on it
+    reported every row as both insert and delete.  partitioned=True
+    mirrors read_batched's per-dir hive read."""
+    from mo_etl_spark import streaming as S
+
+    root = f"{tmpdir}/tt_part"
+    n0 = 2
+    _spec_batch(spark, root, 0, 64, 0, n0)
+    S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["ib"], gc_grace_sec=3600.0
+    )  # gen1
+    _spec_batch(spark, root, 64, 96, 1, n0)
+    S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["ib"], gc_grace_sec=3600.0
+    )  # gen2
+    at1 = S.read_batched_at(spark, root, 1, _SPEC_SCHEMA, partitioned=True)
+    # the partition column is real data, not nulls
+    assert at1.where(F.col("ib").isNull()).count() == 0
+    assert at1.where(F.col("ib") != _spec_ib(n0)).count() == 0
+    assert sorted(r["k"] for r in at1.collect()) == list(range(64))
+    # CDF keyed on (k, ib) — ib IS the partition column, the broken case
+    feed = S.diff_batched(
+        spark, root, 1, 2, ["k", "ib"], _SPEC_SCHEMA, partitioned=True
+    ).collect()
+    ins = sorted(r["k"] for r in feed if r["_change"] == "insert")
+    dels = [r["k"] for r in feed if r["_change"] == "delete"]
+    assert ins == list(range(64, 96))
+    assert dels == []
+
+
+def test_manifest_log_tracks_same_gen_tombs_recommit(spark, tmpdir):
+    """ADVICE r8 (low): the data-less tombstone-consume path recommits
+    the SAME generation with an updated tombs map; the manifest log's
+    old exists-check kept the first copy, leaving the log entry's
+    tombs stale relative to the live pointer.  The log entry must
+    refresh whenever the live commit's content drifted."""
+    from mo_etl_spark import streaming as S
+
+    root = f"{tmpdir}/log_refresh"
+    # an EMPTY partitioned batch (only _SUCCESS): a data-less table
+    S.idempotent_batch_write(
+        spark.createDataFrame([], _SPEC_SCHEMA), root, 0, partition_cols=["ib"]
+    )
+    S.append_tombstones(spark.createDataFrame([(1,)], "k BIGINT"), root)
+    S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["ib"], gc_grace_sec=3600.0,
+        tombstone_col="k",
+    )
+    man1 = S._read_manifest(root)
+    assert man1 is not None and man1.get("tombs")
+    assert S.read_manifest_log(root)[man1["gen"]] == man1
+    # second retraction, second data-less fold: same gen, more tombs
+    S.append_tombstones(spark.createDataFrame([(2,)], "k BIGINT"), root)
+    S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["ib"], gc_grace_sec=3600.0,
+        tombstone_col="k",
+    )
+    man2 = S._read_manifest(root)
+    assert man2["gen"] == man1["gen"]  # same-gen recommit
+    assert set(man2["tombs"]) > set(man1["tombs"])  # tombs advanced
+    assert S.read_manifest_log(root)[man2["gen"]] == man2  # log refreshed
