@@ -99,6 +99,34 @@ def main() -> None:
         except Exception as e:
             print(f"# bench retime error {name}: {e!r}", file=sys.stderr)
 
+    # STABLE-INTERSECTION companion metric (VERDICT r8 what's-wrong #1):
+    # the headline total is composition-sensitive — every round adds
+    # intrinsically expensive lifecycle queries, so the one number the
+    # driver records drifts upward even when nothing regressed.  Emit
+    # the subtotal over the PINNED round-2 closing battery (321 query
+    # names, tools/stable_r2_queries.json, r2 total 257.8 s) so the
+    # recorded artifact is round-comparable without BENCH_DETAIL
+    # forensics: stable_r2_subtotal / 257.8 is the drift ratio on the
+    # unchanged query set.
+    stable_meta: dict = {}
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "tools",
+                "stable_r2_queries.json",
+            )
+        ) as f:
+            pinned = json.load(f)
+        hit = [n for n in pinned["queries"] if timings.get(n, -1.0) >= 0]
+        stable_meta = {
+            "stable_r2_subtotal": round(sum(timings[n] for n in hit), 3),
+            "stable_r2_n": len(hit),
+            "stable_r2_baseline_total": pinned["r2_total_sec"],
+        }
+    except Exception as e:
+        print(f"# bench stable-subtotal skipped: {e!r}", file=sys.stderr)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # full per-query detail goes to a file; stdout gets ONE SMALL JSON
     # line (r1 driver truncated the 308-entry line and recorded
@@ -113,6 +141,7 @@ def main() -> None:
         "n_errors": sum(1 for v in timings.values() if v < 0),
         "queries": slowest,
         "detail_file": detail_path,
+        **stable_meta,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # 1-min loadavg at start/end; n_cpus for context.  start >>
         # n_cpus means other tenants were burning the box before we
