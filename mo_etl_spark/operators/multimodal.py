@@ -45,7 +45,24 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_image(payload: bytes) -> tuple[int, int]:
-    """Real decoder slot — image libs absent in this environment."""
+    """Real decoder slot — image libs absent in this environment.
+
+    SWAP-IN CONTRACT (what a deployment plugs here): a pure function
+    ``(payload: bytes) -> (width: int, height: int)`` — no Spark, no
+    I/O, no shared state (it runs inside an Arrow worker, one call per
+    row, many workers in parallel).  Raise ``ValueError`` on a corrupt
+    payload; ``decode_batch`` callers decide drop-vs-fail policy.  With
+    PIL::
+
+        from io import BytesIO
+        from PIL import Image
+        def decode_image(payload):
+            with Image.open(BytesIO(payload)) as im:
+                return im.size  # (width, height)
+
+    Then point ``decode_batch``'s inner call at it (or monkeypatch this
+    name) — the mapInPandas plumbing, DECODED_SCHEMA, and partitioning
+    are already real and tested against ``fake_decode``."""
     raise NotImplementedError("image decoding requires PIL/opencv; see fake_decode")
 
 
@@ -89,7 +106,22 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_image(payload: bytes, size: tuple[int, int]) -> bytes:
-    """Real resize slot — image libs absent in this environment."""
+    """Real resize slot — image libs absent in this environment.
+
+    SWAP-IN CONTRACT: a pure function ``(payload: bytes, size: (w, h))
+    -> bytes`` returning the re-encoded thumbnail (same constraints as
+    ``decode_image``: stateless, no I/O, ValueError on corrupt input).
+    With PIL::
+
+        from io import BytesIO
+        from PIL import Image
+        def resize_image(payload, size):
+            with Image.open(BytesIO(payload)) as im:
+                buf = BytesIO()
+                im.resize(size).save(buf, format="PNG")
+                return buf.getvalue()
+
+    ``resize_batch`` then hashes/ships the returned bytes unchanged."""
     raise NotImplementedError("resize requires PIL/opencv; see fake_resize")
 
 
