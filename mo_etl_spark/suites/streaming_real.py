@@ -1485,6 +1485,122 @@ def stream_state_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("_change", "o_orderkey")
 
 
+@query(
+    "stream_state_change_feed_apply",
+    oracle="""
+    WITH final AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderkey % 97 <> 0 AND o_orderkey % 89 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000 FROM orders WHERE o_orderkey % 500 = 0
+      UNION ALL
+      SELECT o_orderkey + 20000000 FROM orders WHERE o_orderkey % 300 = 0
+    )
+    SELECT 'mv_gen3' AS snapshot, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum FROM final
+    UNION ALL
+    SELECT 'direct_gen3', count(*), CAST(sum(o_orderkey) AS BIGINT) FROM final
+    """,
+    tags=(
+        "change_data_feed",
+        "cdc_merge",
+        "incremental_etl",
+        "time_travel",
+        "tombstone_lifecycle",
+        "index_compaction",
+    ),
+)
+def stream_state_change_feed_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE-FEED CONSUMER loop (r9, VERDICT r8 item #2 — the
+    Delta-CDF->MV maintenance pattern): a downstream materialized table
+    is kept current by APPLYING the keyed feed generation-by-generation
+    instead of re-reading snapshots.  The upstream lifecycle runs three
+    generations: gen 1 consolidates all orders; gen 2 folds in a batch
+    of NEW keys (every 500th, offset +10M) and retracts every 97th;
+    gen 3 folds another arrival wave (every 300th, offset +20M) and
+    retracts every 89th.  The consumer seeds its MV from the gen-1
+    snapshot (materialize_snapshot), then advances 1->2 and 2->3 purely
+    by diff_batched deltas (apply_change_feed: deletes anti-joined out,
+    inserts unioned in — cost scales with the delta, never the table).
+    The result reports (count, key checksum) for BOTH the feed-built MV
+    and the direct gen-3 snapshot read; the oracle recomputes the same
+    two rows from relational algebra over orders, so a consumer that
+    drops, duplicates, or mis-keys a single delta row hash-misses.
+    Feeds ride partitioned=True reads — the partition column carries
+    real values through the delta (ADVICE r8)."""
+    prepare(spark)
+    from mo_etl_spark.streaming import (
+        append_tombstones as _tomb,
+        apply_change_feed,
+        compact_batched as _compact,
+        materialize_snapshot,
+        read_batched_at,
+        read_materialized,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    root = _scratch("cdf_apply_tbl")
+    mv_root = _scratch("cdf_apply_mv")
+    schema = "o_orderkey BIGINT, ob BIGINT"
+    for b in range(2):
+        idempotent_batch_write(
+            orders.where(F.pmod("o_orderkey", F.lit(2)) == b).withColumn(
+                "ob", F.pmod("o_orderkey", F.lit(4))
+            ),
+            root,
+            b,
+            partition_cols=["ob"],
+        )
+    _compact(
+        spark, root, min_dirs=0, partition_cols=["ob"], gc_grace_sec=3600.0
+    )  # gen 1: all orders
+    idempotent_batch_write(
+        orders.where(F.pmod("o_orderkey", F.lit(500)) == 0)
+        .select((F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"))
+        .withColumn("ob", F.pmod("o_orderkey", F.lit(4))),
+        root,
+        2,
+        partition_cols=["ob"],
+    )
+    _tomb(orders.where(F.pmod("o_orderkey", F.lit(97)) == 0), root)
+    _compact(
+        spark, root, min_dirs=0, partition_cols=["ob"],
+        tombstone_col="o_orderkey", gc_grace_sec=3600.0,
+    )  # gen 2
+    idempotent_batch_write(
+        orders.where(F.pmod("o_orderkey", F.lit(300)) == 0)
+        .select((F.col("o_orderkey") + F.lit(20_000_000)).alias("o_orderkey"))
+        .withColumn("ob", F.pmod("o_orderkey", F.lit(4))),
+        root,
+        3,
+        partition_cols=["ob"],
+    )
+    _tomb(orders.where(F.pmod("o_orderkey", F.lit(89)) == 0), root)
+    _compact(
+        spark, root, min_dirs=0, partition_cols=["ob"],
+        tombstone_col="o_orderkey", gc_grace_sec=3600.0,
+    )  # gen 3
+    # the consumer loop: seed at gen 1, then catch up delta-by-delta
+    materialize_snapshot(spark, root, mv_root, 1, schema, partitioned=True)
+    for g in (2, 3):
+        apply_change_feed(
+            spark, root, mv_root, g, ["o_orderkey"], schema, partitioned=True
+        )
+
+    def summ(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        ).select(F.lit(name).alias("snapshot"), "n", "key_sum")
+
+    return summ(read_materialized(spark, mv_root, schema), "mv_gen3").unionByName(
+        summ(
+            read_batched_at(spark, root, 3, schema, partitioned=True),
+            "direct_gen3",
+        )
+    )
+
+
 def _wire_rebucket_oracle() -> None:
     from mo_etl_spark.registry import QUERIES, QuerySpec
     from mo_etl_spark.suites.llm import _SQL_INCR_CORPUS

@@ -3070,3 +3070,89 @@ def test_manifest_log_tracks_same_gen_tombs_recommit(spark, tmpdir):
     assert man2["gen"] == man1["gen"]  # same-gen recommit
     assert set(man2["tombs"]) > set(man1["tombs"])  # tombs advanced
     assert S.read_manifest_log(root)[man2["gen"]] == man2  # log refreshed
+
+
+def test_change_feed_consumer_kill_and_resume(spark, tmpdir):
+    """CDF->MV consumer protocol (r9): seeding is idempotent, each
+    application is replay-idempotent, a consumer killed mid-application
+    (incomplete MV dir, no _SUCCESS) resumes by re-applying from the
+    last COMPLETE generation, catch-up skips nothing and no-ops when
+    current — and the MV always hash-equals the direct snapshot."""
+    from mo_etl_spark import streaming as S
+
+    root = f"{tmpdir}/cdf_up"
+    mv = f"{tmpdir}/cdf_mv"
+    GRACE = 3600.0
+
+    def batch(lo, hi, b):
+        S.idempotent_batch_write(
+            spark.range(lo, hi).select(
+                F.col("id").alias("k"), F.pmod("id", F.lit(4)).alias("ib")
+            ),
+            root, b, partition_cols=["ib"],
+        )
+
+    def compact(**kw):
+        S.compact_batched(
+            spark, root, min_dirs=0, partition_cols=["ib"],
+            gc_grace_sec=GRACE, **kw,
+        )
+
+    def keys(df):
+        return sorted(r["k"] for r in df.collect())
+
+    schema = "k BIGINT, ib BIGINT"
+    batch(0, 100, 0)
+    compact()                                       # gen1: 0..99
+    batch(100, 140, 1)
+    S.append_tombstones(
+        spark.createDataFrame([(k,) for k in range(0, 100, 10)], "k BIGINT"),
+        root,
+    )
+    compact(tombstone_col="k")                      # gen2: +100..139, -multiples of 10
+    batch(200, 220, 2)
+    compact()                                       # gen3: +200..219
+
+    # unseeded apply is a NAMED error; seed, then re-seed is a no-op
+    with pytest.raises(ValueError):
+        S.apply_change_feed(spark, root, mv, 2, ["k"], schema)
+    S.materialize_snapshot(spark, root, mv, 1, schema, partitioned=True)
+    S.materialize_snapshot(spark, root, mv, 1, schema, partitioned=True)
+    assert S.latest_materialized_gen(mv) == 1
+    assert keys(S.read_materialized(spark, mv, schema)) == list(range(100))
+
+    # KILL mid-application: fake an incomplete g2 (data, no _SUCCESS)
+    os.makedirs(f"{mv}/g2", exist_ok=True)
+    spark.createDataFrame([(999999, 0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{mv}/g2/_tmp_partial")
+    os.remove(f"{mv}/g2/_tmp_partial/_SUCCESS")  # the partial attempt
+    assert S.latest_materialized_gen(mv) == 1  # incomplete dir ignored
+
+    # RESUME: re-apply 1->2; the partial dir is overwritten wholesale
+    assert S.apply_change_feed(
+        spark, root, mv, 2, ["k"], schema, partitioned=True
+    ) == 2
+    want2 = [k for k in range(140) if not (k < 100 and k % 10 == 0)]
+    assert keys(S.read_materialized(spark, mv, schema)) == want2
+    assert keys(
+        S.read_batched_at(spark, root, 2, schema, partitioned=True)
+    ) == want2
+
+    # replay of an already-applied generation is byte-stable (no-op
+    # merge re-run) and catch-up 2->3 lands exactly the new arrivals
+    assert S.apply_change_feed(
+        spark, root, mv, 2, ["k"], schema, partitioned=True
+    ) == 2
+    assert S.apply_change_feed(
+        spark, root, mv, 3, ["k"], schema, partitioned=True
+    ) == 3
+    want3 = want2 + list(range(200, 220))
+    assert keys(S.read_materialized(spark, mv, schema)) == sorted(want3)
+    assert keys(
+        S.read_batched_at(spark, root, 3, schema, partitioned=True)
+    ) == sorted(want3)
+    # already caught up: no-op, returns current generation
+    assert S.apply_change_feed(
+        spark, root, mv, 3, ["k"], schema, partitioned=True
+    ) == 3
