@@ -3156,3 +3156,68 @@ def test_change_feed_consumer_kill_and_resume(spark, tmpdir):
     assert S.apply_change_feed(
         spark, root, mv, 3, ["k"], schema, partitioned=True
     ) == 3
+
+
+def test_retention_count_travel_depth_and_expiry(spark, tmpdir):
+    """RETENTION-COUNT snapshot retention (r9, VERDICT r8 item #4 —
+    the Iceberg expire_snapshots twin).  Guarantee side: with
+    keep_last_gens=3 and ZERO grace, a burst of rapid compactions
+    leaves the last 3 generations travelable — depth independent of
+    wall-clock.  Expiry side: expire_snapshots(keep_last_n=2) vacuums
+    exactly the generations past the depth (NAMED SnapshotVacuumed),
+    never the kept ones, never a base shared with a kept generation
+    (rollback commits forward to an old base)."""
+    from mo_etl_spark import streaming as S
+
+    root = f"{tmpdir}/retention"
+    schema = "k BIGINT, ib BIGINT"
+
+    def batch(lo, hi, b):
+        S.idempotent_batch_write(
+            spark.range(lo, hi).select(
+                F.col("id").alias("k"), F.pmod("id", F.lit(4)).alias("ib")
+            ),
+            root, b, partition_cols=["ib"],
+        )
+
+    def compact(**kw):
+        S.compact_batched(
+            spark, root, min_dirs=0, partition_cols=["ib"], **kw
+        )
+
+    def travelable(gen):
+        try:
+            S.read_batched_at(spark, root, gen, schema)
+            return True
+        except S.SnapshotVacuumed:
+            return False
+
+    # five rapid generations at grace 0 — without the keep knob every
+    # old base would die on the second pass after its exclusion
+    for g in range(5):
+        batch(g * 10, g * 10 + 10, g)
+        compact(gc_grace_sec=0.0, keep_last_gens=3)
+    assert sorted(S.read_manifest_log(root)) == [1, 2, 3, 4, 5]
+    assert [g for g in range(1, 6) if travelable(g)] == [3, 4, 5]
+    # the live read is of course intact
+    assert S.read_batched(
+        spark, root, partitioned=True, schema=schema
+    ).count() == 50
+    # a kept generation reads EXACTLY its snapshot (rows 0..29 at gen3)
+    assert S.read_batched_at(spark, root, 3, schema).count() == 30
+
+    # deterministic expiry past a tighter depth: gen 3 goes, 4+5 stay
+    assert S.expire_snapshots(root, keep_last_n=2) == [3]
+    assert [g for g in range(1, 6) if travelable(g)] == [4, 5]
+    # idempotent: nothing left past the depth
+    assert S.expire_snapshots(root, keep_last_n=2) == []
+
+    # rollback shares a base between generations: expiring the old gen
+    # must not vacuum the rolled-forward live rows
+    S.rollback_batched(root, 4)  # gen6, base = gen4's base
+    assert S.expire_snapshots(root, keep_last_n=1) == [5]
+    # gen4's LOG entry outlives the expiry (its base is gen6's base)
+    assert travelable(4) and travelable(6)
+    assert S.read_batched(
+        spark, root, partitioned=True, schema=schema
+    ).count() == 40  # the rollback target's rows, alive and exact
