@@ -32,118 +32,142 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-#: sidecar filename carrying an index's build parameters (ADVICE r4:
-#: a persisted ANN index served with mismatched query-side params —
-#: different LSH planes, a different centroid set — yields wrong or
-#: empty neighbor sets SILENTLY; the sidecar makes the mismatch loud)
+#: LEGACY sidecar filename (pre-r9 layout).  Batch-built ANN indexes
+#: now commit params atomically inside the streaming-manifest protocol
+#: (VERDICT r8 item #3 — ONE versioning mechanism for batch-built and
+#: stream-grown state); the constant remains only so upgrades can
+#: recognize and retire sidecar-era layouts.
 INDEX_SIDECAR = "_index_params.json"
-
-
-def _read_sidecar(path: str) -> dict | None:
-    import json
-    import os
-
-    try:
-        with open(os.path.join(path, INDEX_SIDECAR)) as f:
-            return json.load(f)
-    except (FileNotFoundError, ValueError):
-        return None
 
 
 def index_is_stale(path: str, src: str, expect: dict) -> bool:
     """Build-if-stale predicate for a cached ANN index (ADVICE r5):
-    True when the index must be rebuilt — sidecar absent or unreadable
-    (pre-guard or pre-generation build), live generation missing or
-    incomplete, older than its source table, or ANY expected build
-    param differing from the sidecar's.  The param clause is
-    load-bearing: load_ann_index refuses a param-mismatched index, so
-    a builder that only checks existence would loop forever on a
-    stale cache after a param change.  Putting the params in the
+    True when the index must be rebuilt — manifest absent (never
+    built, a pre-r9 sidecar-era layout, or pre-guard), live base
+    missing or incomplete, older than its source table, or ANY
+    expected build param differing from the committed ones.  The param
+    clause is load-bearing: load_ann_index refuses a param-mismatched
+    index, so a builder that only checks existence would loop forever
+    on a stale cache after a param change.  Putting the params in the
     REBUILD condition, not just the load guard, closes the loop."""
     import os
 
-    got = _read_sidecar(path)
-    if got is None or "live" not in got:
+    from mo_etl_spark import streaming as ST
+
+    try:
+        man = ST._read_manifest(path)
+    except ValueError:
+        return True  # corrupt manifest: rebuild rather than serve blind
+    if man is None:
         return True
-    success = os.path.join(path, got["live"], "_SUCCESS")
+    success = os.path.join(path, man["base"], "_SUCCESS")
     if not os.path.exists(success) or os.path.getmtime(success) < os.path.getmtime(
         src
     ):
         return True
-    return any(got.get(k) != v for k, v in expect.items())
+    extra = man.get("extra") if isinstance(man.get("extra"), dict) else {}
+    return any(extra.get(k) != v for k, v in expect.items())
 
 
 def write_ann_index(
     df: DataFrame, path: str, partition_cols: list[str], params: dict
 ) -> None:
     """Persist an ANN serving index (partitioned by its probe key)
-    WITH its build parameters — GENERATION-DIR layout with an atomic
-    sidecar pointer (r6): the table lands in ``path/gen<N>`` and the
-    ``_index_params.json`` sidecar (params + ``live: gen<N>``) is
-    swapped in via fsync'd tmp+rename — one PUT on an object store.
-    Consequences a plain in-place overwrite lacks:
+    WITH its build parameters — committed through the SAME manifest
+    protocol as stream-grown batched tables (r9, VERDICT r8 item #3:
+    the r6 sidecar-pointer generations and the streaming manifest were
+    two versioning mechanisms for one concept, exactly the drift class
+    the r7 sub-map split caused).  The build lands in an inert
+    ``base<N>`` dir; ``streaming._write_manifest`` atomically binds
+    {generation pointer, params-as-extra} in one fsync'd PUT.  What
+    this buys beyond the sidecar:
 
-    - a CRASHED rebuild can never brick serving: the old sidecar still
-      points at the old complete generation, and the partial build is
-      an unreferenced dir the next build garbage-collects;
+    - TIME TRAVEL and ROLLBACK come free: the per-generation manifest
+      log (``_MANIFEST.g<N>``) makes ``read_batched_at`` /
+      ``rollback_batched`` / ``expire_snapshots`` work on ANN indexes
+      with zero extra code — one protocol, one set of model checks;
+    - a CRASHED rebuild still can never brick serving: the manifest
+      points at the old complete base, and the unreferenced build dir
+      is clobbered by the next build;
     - an IN-FLIGHT reader of the previous generation keeps its files —
-      only generations older than the immediate predecessor are GC'd
-      (the same retention discipline as streaming.compact_batched).
+      retention is ``expire_snapshots(keep_last_n=2)``, the identical
+      discipline compact_batched's grace window implements;
+    - builds are LEASE-GUARDED: two concurrent builders can't promote
+      the same generation (CompactorBusy for the loser).
 
-    ``load_ann_index`` refuses to serve unless the caller's expected
-    params match the sidecar — the stale/mismatched-index guard the
-    suite-level cache keys enforce only by convention."""
-    import json
+    A pre-r9 layout (flat partition dirs, or sidecar-era ``gen<N>``
+    dirs) is upgraded in place: its entries are marked consumed at the
+    first manifest commit and retained ONE rebuild cycle for in-flight
+    readers (ADVICE r6 discipline), then removed.  ``load_ann_index``
+    refuses to serve unless the caller's expected params match the
+    committed extra."""
     import os
     import shutil
+    import time
 
-    prev = _read_sidecar(path)
-    prev_live = prev.get("live") if isinstance(prev, dict) else None
-    gen = (
-        int(prev_live[3:]) + 1
-        if prev_live and prev_live.startswith("gen") and prev_live[3:].isdigit()
-        else 1
-    )
-    target = f"gen{gen}"
+    from mo_etl_spark import streaming as ST
+
     os.makedirs(path, exist_ok=True)
-    # cluster rows by the partition key before writing: without this,
-    # every shuffle task writes a sliver into every partition dir and
-    # the index becomes n_tasks x n_partitions tiny files — measured
-    # 3x slower to serve at sf0.01 and pathological on an object store
-    df.repartition(*[F.col(c) for c in partition_cols]).write.mode(
-        "overwrite"
-    ).partitionBy(*partition_cols).parquet(os.path.join(path, target))
-    sidecar = os.path.join(path, INDEX_SIDECAR)
-    tmp = sidecar + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({**params, "live": target}, f, sort_keys=True)
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, sidecar)  # COMMIT POINT
-    # GC: anything that is neither the new live gen, its immediate
-    # predecessor (in-flight readers), nor the sidecar.  Two nuances
-    # (ADVICE r6): a PRE-GENERATION flat layout was the live index
-    # until this very commit, so when upgrading (gen == 1) its files
-    # get the same one-rebuild-cycle retention the gen-dir predecessor
-    # gets — an in-flight reader that resolved the flat layout keeps
-    # its files until the NEXT rebuild; and a leftover sidecar .tmp
-    # (a crashed writer's — ours was just renamed) is removed rather
-    # than skipped forever.
-    keep = {target, prev_live, INDEX_SIDECAR}
-    for entry in os.listdir(path):
-        if entry in keep:
-            continue
-        is_gen = entry.startswith("gen") and entry[3:].isdigit()
-        if gen == 1 and not is_gen and entry != INDEX_SIDECAR + ".tmp":
-            continue  # flat-layout predecessor: retain one cycle
-        p = os.path.join(path, entry)
-        if os.path.isdir(p):
-            shutil.rmtree(p, ignore_errors=True)
-        else:
-            try:
-                os.remove(p)
-            except OSError:
-                pass
+    lease = ST._acquire_lease(path, 3600.0)
+    try:
+        man = ST._read_manifest(path)
+        now = time.time()
+        gen = (man["gen"] if man else 0) + 1
+        target = f"base{gen}"
+        # crash debris: base dirs no manifest-log entry ever named were
+        # never visible to any reader — clobber before building
+        logged = {m["base"] for m in ST.read_manifest_log(path).values()}
+        for entry in os.listdir(path):
+            p = os.path.join(path, entry)
+            if (
+                entry.startswith("base")
+                and os.path.isdir(p)
+                and entry not in logged
+            ):
+                shutil.rmtree(p, ignore_errors=True)
+        # cluster rows by the partition key before writing: without
+        # this, every shuffle task writes a sliver into every partition
+        # dir and the index becomes n_tasks x n_partitions tiny files —
+        # measured 3x slower to serve at sf0.01 and pathological on an
+        # object store
+        df.repartition(*[F.col(c) for c in partition_cols]).write.mode(
+            "overwrite"
+        ).partitionBy(*partition_cols).parquet(os.path.join(path, target))
+        consumed = dict(man["consumed"]) if man else {}
+        if man is not None and not os.path.isabs(man["base"]):
+            consumed.setdefault(man["base"], now)
+        # legacy upgrade: flat-layout files and sidecar-era gen dirs
+        # were the live index until this commit — consume them now
+        # (one-cycle retention below), like any superseded base
+        for entry in os.listdir(path):
+            if entry == target or entry.startswith(("base", "_MANIFEST", ".")):
+                continue
+            consumed.setdefault(entry, now)
+        ST._write_manifest(path, gen, target, consumed, extra=dict(params))
+        # COMMITTED.  Retention: live + immediate predecessor.
+        ST._expire_snapshots_locked(path, keep_last_n=2)
+        # consumed LEGACY (non-base) entries past one rebuild cycle die
+        # too; a crashed legacy writer's sidecar .tmp is removed now —
+        # it was never a live layout (ADVICE r6)
+        for entry, ts in consumed.items():
+            if entry.startswith("base") or os.path.isabs(entry):
+                continue
+            if ts < now:
+                p = os.path.join(path, entry)
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                else:
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
+        tmp_sidecar = os.path.join(path, INDEX_SIDECAR + ".tmp")
+        try:
+            os.remove(tmp_sidecar)
+        except OSError:
+            pass
+    finally:
+        ST._release_lease(path, lease)
 
 
 def load_ann_index(
@@ -152,24 +176,24 @@ def load_ann_index(
     """Open a persisted ANN index for serving, VALIDATING that it was
     built with the parameters the query side is about to use.  Raises
     ValueError (never serves silently-wrong neighbors) when the
-    sidecar is absent (pre-guard index: rebuild), the layout predates
-    generation dirs (rebuild), or any expected param differs (stale
-    index: rebuild or fix the caller).  Reads the generation the
-    sidecar points at — a rebuild in progress is invisible until its
-    sidecar swap commits."""
+    manifest is absent (never built with the guard, or a pre-r9
+    sidecar-era layout: rebuild — index_is_stale reports both) or any
+    expected param differs from the committed extra (stale index:
+    rebuild or fix the caller).  Reads the base generation the LIVE
+    manifest names — a rebuild in progress is invisible until its
+    manifest commit."""
     import os
 
-    got = _read_sidecar(path)
-    if got is None:
+    from mo_etl_spark import streaming as ST
+
+    man = ST._read_manifest(path)
+    if man is None:
         raise ValueError(
-            f"ANN index at {path} has no {INDEX_SIDECAR} sidecar — built "
-            "before the param guard or by hand; rebuild via write_ann_index"
+            f"ANN index at {path} has no _MANIFEST — never built via "
+            "write_ann_index, or a pre-r9 sidecar-era layout; rebuild "
+            "(index_is_stale reports this)"
         )
-    if "live" not in got:
-        raise ValueError(
-            f"ANN index at {path} predates the generation-dir layout — "
-            "rebuild via write_ann_index (index_is_stale reports this)"
-        )
+    got = man.get("extra") if isinstance(man.get("extra"), dict) else {}
     mismatched = {
         k: (v, got.get(k)) for k, v in expect.items() if got.get(k) != v
     }
@@ -186,7 +210,7 @@ def load_ann_index(
     r = spark.read
     if schema is not None:
         r = r.schema(schema)
-    return r.parquet(os.path.join(path, got["live"]))
+    return r.parquet(os.path.join(path, man["base"]))
 
 
 def _require_index_cols(indexed: DataFrame, required: set[str], kind: str) -> None:
@@ -503,10 +527,10 @@ def cell_subs_with_floor(
 
 
 def cell_subs_from_params(spark, params: dict, col: str = "cell") -> DataFrame | None:
-    """Rebuild the (cell, n_subs) map a sub-split index stored in its
-    sidecar (``write_ann_index`` params key ``cell_subs``).  ``col``
-    names the probe-key column — "cell" for IVF, "bucket" for LSH (the
-    sub-split mechanism is probe-key-agnostic)."""
+    """Rebuild the (cell, n_subs) map a sub-split index committed in
+    its manifest extra (``write_ann_index`` params key ``cell_subs``).
+    ``col`` names the probe-key column — "cell" for IVF, "bucket" for
+    LSH (the sub-split mechanism is probe-key-agnostic)."""
     m = params.get("cell_subs")
     if not m:
         return None
@@ -522,15 +546,14 @@ def resolve_cell_subs(
     cells: list | None = None,
     floor: int = 1,
 ) -> DataFrame:
-    """ONE reader for the hot-key split map (cell → n_subs), wherever
-    the index keeps it (VERDICT r7: two metadata channels for the same
-    concept were a drift class).  A BATCH-BUILT ANN index stores the
-    map in its sidecar params (``write_ann_index`` key ``cell_subs``);
-    a STREAM-GROWN batched table commits it as manifest ``extra``
-    (``ann_resplit_transform``) so the map is atomic with the rows it
-    describes.  The source is detected by which control file exists at
-    ``path`` — both channels stay (each is the right commit mechanism
-    for its build path); the READER is now one.
+    """ONE reader for the hot-key split map (cell → n_subs) — and
+    since r9, one CHANNEL too (VERDICT r7 unified the reader over two
+    channels; VERDICT r8 item #3 unified the channels themselves): a
+    BATCH-BUILT ANN index (``write_ann_index``) and a STREAM-GROWN
+    batched table (``ann_resplit_transform`` via compact_batched) both
+    commit the map as manifest ``extra``, atomic with the rows it
+    describes, so this is a single read_manifest_extra whatever built
+    the index.
 
     With ``cells`` (probed-cell serving of a stream-grown index),
     returns one row per probed cell at ``max(map, floor)`` — the floor
@@ -538,14 +561,9 @@ def resolve_cell_subs(
     a provisional ``pmod(xxhash64(id), floor)`` sub.  Without, returns
     the stored (possibly PARTIAL — only split keys) map; the serve
     expansions left-join it and default absent keys to n_subs=1."""
-    import os as _os
+    from mo_etl_spark.streaming import read_manifest_extra
 
-    if _os.path.exists(_os.path.join(path, INDEX_SIDECAR)):
-        mapping = index_params(path).get("cell_subs") or {}
-    else:
-        from mo_etl_spark.streaming import read_manifest_extra
-
-        mapping = read_manifest_extra(path).get("cell_subs") or {}
+    mapping = read_manifest_extra(path).get("cell_subs") or {}
     if cells is not None:
         return cell_subs_with_floor(spark, mapping, cells, floor)
     return spark.createDataFrame(
@@ -555,12 +573,11 @@ def resolve_cell_subs(
 
 
 def index_params(path: str) -> dict:
-    """The raw sidecar contents of a persisted ANN index."""
-    import json
-    import os
+    """The build parameters a persisted ANN index's LIVE generation
+    committed (manifest ``extra`` — empty dict for an unbuilt path)."""
+    from mo_etl_spark.streaming import read_manifest_extra
 
-    with open(os.path.join(path, INDEX_SIDECAR)) as f:
-        return json.load(f)
+    return read_manifest_extra(path)
 
 
 def ivf_topk(

@@ -501,37 +501,46 @@ def expire_snapshots(
     Lease-guarded like any maintenance op (a concurrent compactor's
     in-flight build must not race the deletes).  Returns the expired
     generation numbers."""
-    import time
-
     lease = _acquire_lease(root, lease_ttl_sec)
     try:
-        man = _read_manifest(root)
-        log = read_manifest_log(root)
-        gens = sorted(log)
-        keep = set(gens[-max(int(keep_last_n), 1):])
-        kept_bases = {log[g]["base"] for g in keep}
-        live_base = man["base"] if man else None
-        consumed = dict(man["consumed"]) if man else {}
-        now = time.time()
-        expired: list[int] = []
-        for g in gens:
-            if g in keep:
-                continue
-            base = log[g]["base"]
-            if os.path.isabs(base):
-                continue  # external seed: referenced, never owned
-            if base == live_base or base in kept_bases:
-                continue  # shared with the live/kept generations
-            if now - consumed.get(base, 0.0) < older_than_sec:
-                continue
-            p = os.path.join(root, base)
-            if not os.path.isdir(p):
-                continue  # already vacuumed (grace GC or a prior expiry)
-            shutil.rmtree(p, ignore_errors=True)
-            expired.append(g)
-        return expired
+        return _expire_snapshots_locked(root, keep_last_n, older_than_sec)
     finally:
         _release_lease(root, lease)
+
+
+def _expire_snapshots_locked(
+    root: str, keep_last_n: int, older_than_sec: float = 0.0
+) -> list[int]:
+    """expire_snapshots body for callers that already hold the table's
+    lease (write_ann_index runs it inside its build-commit critical
+    section)."""
+    import time
+
+    man = _read_manifest(root)
+    log = read_manifest_log(root)
+    gens = sorted(log)
+    keep = set(gens[-max(int(keep_last_n), 1):])
+    kept_bases = {log[g]["base"] for g in keep}
+    live_base = man["base"] if man else None
+    consumed = dict(man["consumed"]) if man else {}
+    now = time.time()
+    expired: list[int] = []
+    for g in gens:
+        if g in keep:
+            continue
+        base = log[g]["base"]
+        if os.path.isabs(base):
+            continue  # external seed: referenced, never owned
+        if base == live_base or base in kept_bases:
+            continue  # shared with the live/kept generations
+        if now - consumed.get(base, 0.0) < older_than_sec:
+            continue
+        p = os.path.join(root, base)
+        if not os.path.isdir(p):
+            continue  # already vacuumed (grace GC or a prior expiry)
+        shutil.rmtree(p, ignore_errors=True)
+        expired.append(g)
+    return expired
 
 
 def read_batched_at(

@@ -382,7 +382,7 @@ def test_ann_index_param_guard(spark, tmp_path):
     assert S.load_ann_index(spark, path, params).count() == 8
     with pytest.raises(ValueError, match="different parameters"):
         S.load_ann_index(spark, path, {**params, "seed": 7})
-    with pytest.raises(ValueError, match="no _index_params.json"):
+    with pytest.raises(ValueError, match="no _MANIFEST"):
         S.load_ann_index(spark, str(tmp_path / "never_built_with_guard"), params)
 
     # ADVICE r5 (medium): the BUILDER's staleness check must also flip
@@ -403,7 +403,7 @@ def test_ann_index_param_guard(spark, tmp_path):
     os.utime(src)  # source newer than the build
     assert S.index_is_stale(path, src, params)
     os.utime(src, (past, past))
-    os.remove(os.path.join(path, S.INDEX_SIDECAR))  # pre-guard cache
+    os.remove(os.path.join(path, "_MANIFEST"))  # pre-guard cache
     assert S.index_is_stale(path, src, params)
 
     # column guard: handing the LSH index to the IVF server (no cell
@@ -503,17 +503,19 @@ def test_ivf_hotcell_subsplit_equal_and_capped(spark, tmp_path):
 
 
 def test_ann_index_rebuild_crash_never_bricks_serving(spark, tmp_path):
-    """r6 generation-dir index layout: a crashed rebuild must leave
-    serving on the old complete generation (the sidecar pointer is the
-    commit), and the next successful rebuild must clobber the debris,
-    bump the pointer, and retain the predecessor for in-flight
-    readers."""
-    import json
+    """r9 manifest-protocol index layout (VERDICT r8 item #3): a
+    crashed rebuild must leave serving on the old complete generation
+    (the manifest commit is the pointer), the next successful rebuild
+    must clobber the debris, bump the generation, and retain the
+    predecessor for in-flight readers — and because the index now
+    rides the SAME protocol as stream-grown state, time travel and
+    rollback work on it with zero extra code."""
     import os
     import time
 
     from pyspark.sql import functions as F
 
+    from mo_etl_spark import streaming as ST
     from mo_etl_spark.operators import similarity as S
 
     def table(n):
@@ -533,34 +535,48 @@ def test_ann_index_rebuild_crash_never_bricks_serving(spark, tmp_path):
 
     S.write_ann_index(table(8), path, ["bucket"], params)
     assert S.load_ann_index(spark, path, params).count() == 8
-    side = json.load(open(os.path.join(path, S.INDEX_SIDECAR)))
-    assert side["live"] == "gen1"
+    assert ST._read_manifest(path)["base"] == "base1"
+    assert S.index_params(path) == params  # committed atomically
 
-    # crashed rebuild: a partial new generation, sidecar untouched
-    table(3).write.parquet(os.path.join(path, "gen2"))
-    assert S.load_ann_index(spark, path, params).count() == 8  # still gen1
+    # crashed rebuild: a partial new generation, manifest untouched
+    table(3).write.parquet(os.path.join(path, "base2"))
+    assert S.load_ann_index(spark, path, params).count() == 8  # still base1
     assert not S.index_is_stale(path, src, params)  # and not a rebuild loop
 
-    # successful rebuild clobbers the debris and commits gen2
+    # successful rebuild clobbers the debris and commits generation 2
     S.write_ann_index(table(16), path, ["bucket"], params)
     assert S.load_ann_index(spark, path, params).count() == 16
-    side = json.load(open(os.path.join(path, S.INDEX_SIDECAR)))
-    assert side["live"] == "gen2"
-    assert os.path.isdir(os.path.join(path, "gen1"))  # in-flight readers
+    assert ST._read_manifest(path)["base"] == "base2"
+    assert os.path.isdir(os.path.join(path, "base1"))  # in-flight readers
 
-    # one more: gen1 (now two generations back) is garbage-collected
+    # TIME TRAVEL comes free from the shared protocol: both committed
+    # generations are readable via the manifest log, params ride along
+    assert ST.read_batched_at(spark, path, 1, partitioned=True).count() == 8
+    assert ST.read_batched_at(spark, path, 2, partitioned=True).count() == 16
+
+    # one more: gen 1 (now two generations back) is garbage-collected
+    # (expire_snapshots keep_last_n=2 retention inside the write)
     S.write_ann_index(table(4), path, ["bucket"], params)
     assert S.load_ann_index(spark, path, params).count() == 4
-    assert not os.path.isdir(os.path.join(path, "gen1"))
-    assert os.path.isdir(os.path.join(path, "gen2"))
+    assert not os.path.isdir(os.path.join(path, "base1"))
+    assert os.path.isdir(os.path.join(path, "base2"))
+    with pytest.raises(ST.SnapshotVacuumed):
+        ST.read_batched_at(spark, path, 1)
+
+    # ROLLBACK comes free too: one bad deploy reverted in place — the
+    # live index serves generation 2's rows again, params restored
+    ST.rollback_batched(path, 2)
+    assert S.load_ann_index(spark, path, params).count() == 16
 
 
 def test_ann_index_flat_layout_upgrade_retention(spark, tmp_path):
-    """ADVICE r6: upgrading a PRE-GENERATION flat-layout index must
-    give the flat files the same one-rebuild-cycle retention as a
-    gen-dir predecessor (an in-flight reader that resolved the flat
-    layout may still be scanning them), and a crashed writer's stale
-    sidecar ``.tmp`` must be cleaned up, not skipped forever."""
+    """ADVICE r6 (discipline carried into the r9 manifest protocol):
+    upgrading a PRE-MANIFEST layout — flat partition dirs, or
+    sidecar-era ``gen<N>`` dirs + ``_index_params.json`` — must give
+    the legacy files one-rebuild-cycle retention (an in-flight reader
+    that resolved the old layout may still be scanning them), and a
+    crashed writer's stale sidecar ``.tmp`` must be cleaned up, not
+    skipped forever."""
     import json
     import os
 
@@ -575,33 +591,44 @@ def test_ann_index_flat_layout_upgrade_retention(spark, tmp_path):
             (F.col("id") % 2).alias("bucket"),
         )
 
-    # pre-generation layout: partition dirs directly under path, a
-    # legacy sidecar WITHOUT "live", plus a crashed writer's .tmp
+    # legacy layout: flat partition dirs directly under path, PLUS a
+    # sidecar-era generation dir + pointer sidecar, plus a crashed
+    # writer's .tmp — everything a pre-r9 cache could contain at once
     path = str(tmp_path / "idx")
     table(8).write.partitionBy("bucket").parquet(path)
+    table(6).write.partitionBy("bucket").parquet(os.path.join(path, "gen1"))
     with open(os.path.join(path, S.INDEX_SIDECAR), "w") as f:
-        json.dump({"kind": "lsh_vec"}, f)
+        json.dump({"kind": "lsh_vec", "live": "gen1"}, f)
     with open(os.path.join(path, S.INDEX_SIDECAR + ".tmp"), "w") as f:
         f.write("{crashed")
-    flat_entries = {
+    # dot-prefixed entries (hadoop .crc files) are never live data —
+    # the protocol skips them everywhere, so retention ignores them
+    legacy_entries = {
         e for e in os.listdir(path)
-        if not e.startswith("gen") and not e.startswith(S.INDEX_SIDECAR)
+        if not e.startswith((S.INDEX_SIDECAR + ".tmp", "."))
     }
-    assert flat_entries  # the layout under test really exists
+    assert legacy_entries  # the layout under test really exists
 
-    # upgrade (gen1): flat files RETAINED one cycle, stale .tmp gone
+    # a sidecar-era index is reported STALE (manifest absent), and
+    # load refuses it loudly — the upgrade is one ordinary rebuild
+    src = os.path.join(path, "_SUCCESS")
     params = {"kind": "lsh_vec", "n_planes": 4, "seed": 42}
+    assert S.index_is_stale(path, src, params)
+    with pytest.raises(ValueError, match="no _MANIFEST"):
+        S.load_ann_index(spark, path, params)
+
+    # upgrade (gen 1): legacy files RETAINED one cycle, stale .tmp gone
     S.write_ann_index(table(8), path, ["bucket"], params)
     assert S.load_ann_index(spark, path, params).count() == 8
-    assert flat_entries <= set(os.listdir(path))
+    assert legacy_entries <= set(os.listdir(path))
     assert not os.path.exists(os.path.join(path, S.INDEX_SIDECAR + ".tmp"))
 
-    # next rebuild (gen2): the flat predecessor is garbage-collected,
-    # gen1 is retained as the in-flight-reader predecessor
+    # next rebuild (gen 2): the legacy predecessor is garbage-collected
+    # wholesale, base1 retained as the in-flight-reader predecessor
     S.write_ann_index(table(16), path, ["bucket"], params)
     assert S.load_ann_index(spark, path, params).count() == 16
-    assert not (flat_entries & set(os.listdir(path)))
-    assert os.path.isdir(os.path.join(path, "gen1"))
+    assert not (legacy_entries & set(os.listdir(path)))
+    assert os.path.isdir(os.path.join(path, "base1"))
 
 
 def test_lsh_hotbucket_subsplit_equal_and_capped(spark, tmp_path):
