@@ -1619,10 +1619,21 @@ def test_batched_table_concurrent_interleaving_model(spark, tmpdir, seed):
     CAS/guarded-rename — this schedule found the raw-ENOTEMPTY rename
     collision the commit path now guards), and PID-REUSE (a lease
     whose pid is alive locally but is not a compactor: unexpired waits
-    for TTL, expired is reclaimed despite the live pid).  After every
-    scheduler step the reader must see exactly the model's live rows
-    and the manifest generation must equal the number of committed
-    compactions."""
+    for TTL, expired is reclaimed despite the live pid).
+
+    r9 (VERDICT r8 item #1) folds the two remaining op families into
+    the same seeded schedule: SPEC-EVOLVING compactions (a random
+    compactor runs rebucket_transform — growing or no-growth — so
+    mixed-spec windows, stale-spec stragglers, and spec-carrying
+    commits interleave with every other op; the probe check below
+    verifies translated pruning stays exact) and ROLLBACKS (to any
+    still-travelable recorded generation: lease-guarded against a live
+    holder, winning over an expired zombie whose commit must then
+    CAS-abort NAMED).  Writers resolve the COMMITTED spec per trigger
+    and stamp their dirs, exactly like production.  After every
+    scheduler step the reader must see exactly the model's live rows,
+    a spec-translated pruned probe must find sampled live ids, and the
+    manifest generation must equal the model's committed-ops count."""
     import json
     import os
     import random
@@ -1647,16 +1658,23 @@ def test_batched_table_concurrent_interleaving_model(spark, tmpdir, seed):
     folded: set[int] = set()
     protected: set[int] = set()  # batch-0 ids: never tombstoned, so
     # the table is never data-less (that path has its own test)
+    batch_history: dict[int, tuple[list[int], int]] = {}
+    gen_snapshots: dict[int, list[int]] = {}  # gen -> base's live rows
     next_id = 0
     next_batch = 0
-    wins = 0
+    expected_gen = 0
 
     def live() -> set[int]:
         return {i for ids in model.values() for i in ids} - folded
 
+    def _ib(n):
+        return F.pmod(F.xxhash64("id"), F.lit(int(n)))
+
     class Compactor:
-        def __init__(self, ttl: float):
+        def __init__(self, ttl: float, rebucket: bool):
             self.ttl = ttl
+            self.rebucket = rebucket
+            self.cap = rng.choice([2, 1_000_000])  # grow vs no-growth
             self.t0 = time.time()
             self.entered = threading.Event()
             self.release = threading.Event()
@@ -1670,6 +1688,12 @@ def test_batched_table_concurrent_interleaving_model(spark, tmpdir, seed):
         def _tf(self, df):
             self.entered.set()
             self.release.wait(180)
+            if self.rebucket:
+                inner = S.rebucket_transform(
+                    "ib", _ib, S.current_spec(root, 4), self.cap,
+                    prior_extra=S.read_manifest_extra(root),
+                )
+                return inner(df)
             return df
 
         def _run(self):
@@ -1698,14 +1722,20 @@ def test_batched_table_concurrent_interleaving_model(spark, tmpdir, seed):
         if next_batch == 0:
             protected.update(ids)
         model[next_batch] = ids
+        # the writer's trigger: resolve the COMMITTED spec, write under
+        # it, stamp the dir (the production write path)
+        n_spec = S.current_spec(root, 4)
+        batch_history[next_batch] = (ids, n_spec)
         idempotent_batch_write(
-            spark.createDataFrame([(i, i % 4) for i in ids], "id BIGINT, ib BIGINT"),
+            spark.createDataFrame([(i,) for i in ids], "id BIGINT")
+            .withColumn("ib", _ib(n_spec)),
             root, next_batch, partition_cols=["ib"],
         )
+        S.stamp_spec(root, next_batch, n_spec)
         next_batch += 1
 
-    def apply_win(c: Compactor):
-        nonlocal model, tombs, folded, wins
+    def apply_win(c):
+        nonlocal model, tombs, folded, expected_gen
         folded |= c.snap_tombs
         tombs -= c.snap_tombs
         consolidated = sorted(
@@ -1713,7 +1743,11 @@ def test_batched_table_concurrent_interleaving_model(spark, tmpdir, seed):
         )
         model = {b: v for b, v in model.items() if b not in c.snap_batches}
         model[-1] = consolidated
-        wins += 1
+        expected_gen += 1
+        # the committed base's rows: consolidated minus everything
+        # folded so far (earlier folds already left model[-1] stale-
+        # inclusive; live() subtracts globally) — recorded for rollback
+        gen_snapshots[expected_gen] = sorted(set(consolidated) - folded)
 
     def finish(c: Compactor):
         c.release.set()
@@ -1734,15 +1768,39 @@ def test_batched_table_concurrent_interleaving_model(spark, tmpdir, seed):
         )
         assert got == sorted(live()), (got, sorted(live()))
         man = S._read_manifest(root)
-        assert (man["gen"] if man else 0) == wins
+        assert (man["gen"] if man else 0) == expected_gen
+        # spec-translated pruned probe: sampled live ids must each be
+        # found through per-dir translated partition pruning, whatever
+        # mix of specs the schedule has produced so far
+        pool = sorted(live())
+        if pool:
+            probe = rng.sample(pool, min(3, len(pool)))
+            n_cur = S.current_spec(root, 4)
+            vals = sorted(
+                r["v"]
+                for r in spark.createDataFrame([(i,) for i in probe], "id BIGINT")
+                .select(_ib(n_cur).alias("v"))
+                .distinct()
+                .collect()
+            )
+            got_p = sorted(
+                r["id"]
+                for r in S.read_batched_pruned(
+                    spark, root, "ib", vals, n_cur, "id BIGINT, ib BIGINT"
+                )
+                .where(F.col("id").isin(probe))
+                .collect()
+            )
+            assert got_p == sorted(probe), (got_p, probe, n_cur)
 
     write_batch()  # the table always has data
     lease_path = os.path.join(root, S._COMPACT_LEASE)
     try:
-        for step in range(26):
+        for step in range(30):
             op = rng.choice(
                 ["write", "replay", "tomb", "start", "start", "finish",
-                 "finish", "busy_probe", "pid_reuse"]
+                 "finish", "busy_probe", "pid_reuse", "rollback",
+                 "replay_consumed"]
             )
             if op == "write":
                 write_batch()
@@ -1750,12 +1808,51 @@ def test_batched_table_concurrent_interleaving_model(spark, tmpdir, seed):
                 real = [b for b in model if b >= 0]
                 if real:
                     b = rng.choice(real)
+                    ids, n_spec = batch_history[b]
                     idempotent_batch_write(
-                        spark.createDataFrame(
-                            [(i, i % 4) for i in model[b]], "id BIGINT, ib BIGINT"
-                        ),
+                        spark.createDataFrame([(i,) for i in ids], "id BIGINT")
+                        .withColumn("ib", _ib(n_spec)),
                         root, b, partition_cols=["ib"],
                     )
+                    S.stamp_spec(root, b, n_spec)
+            elif op == "replay_consumed":
+                # a trigger replayed arbitrarily late, AFTER its batch
+                # was consumed into a base (possibly by a rollback):
+                # the manifest excludes the name forever — the reader
+                # must not double-count its rows
+                consumed_b = [
+                    b for b in batch_history if b not in model and b >= 0
+                ]
+                if consumed_b:
+                    b = rng.choice(consumed_b)
+                    ids, n_spec = batch_history[b]
+                    idempotent_batch_write(
+                        spark.createDataFrame([(i,) for i in ids], "id BIGINT")
+                        .withColumn("ib", _ib(n_spec)),
+                        root, b, partition_cols=["ib"],
+                    )
+                    S.stamp_spec(root, b, n_spec)
+            elif op == "rollback":
+                holder = next((c for c in active if c.entered.is_set()), None)
+                candidates = [
+                    g for g in sorted(S.read_manifest_log(root))
+                    if g in gen_snapshots
+                ]
+                if holder is not None and not holder.expired():
+                    # a live holder's lease blocks rollback, NAMED
+                    if candidates:
+                        with pytest.raises(CompactorBusy):
+                            S.rollback_batched(root, candidates[-1])
+                elif candidates:
+                    # no holder, or an expired zombie (which must then
+                    # CAS-abort its own commit — asserted in finish)
+                    g = rng.choice(candidates)
+                    new_gen = S.rollback_batched(root, g)
+                    assert new_gen == expected_gen + 1
+                    model = {-1: list(gen_snapshots[g])}
+                    folded = set()
+                    expected_gen = new_gen
+                    gen_snapshots[new_gen] = gen_snapshots[g]
             elif op == "tomb":
                 pool = sorted(live() - tombs - protected)
                 if pool:
@@ -1767,22 +1864,23 @@ def test_batched_table_concurrent_interleaving_model(spark, tmpdir, seed):
                     tombs.update(dead)
             elif op == "start" and len(active) < 2:
                 holder = next((c for c in active if c.entered.is_set()), None)
+                rb = rng.random() < 0.5  # spec-evolving half the time
                 if holder is not None and not holder.expired():
                     # unexpired holder: the claimant aborts NAMED, fast
-                    c = Compactor(ttl=3600.0)
+                    c = Compactor(ttl=3600.0, rebucket=rb)
                     assert c.done.wait(60)
                     assert "busy" in c.result, c.result
                 elif holder is not None:
                     # expired holder: takeover — zombie keeps building
                     # in its own per-token dir, new holder claims
-                    c = Compactor(ttl=3600.0)
+                    c = Compactor(ttl=3600.0, rebucket=rb)
                     while not (c.entered.is_set() or c.done.is_set()):
                         time.sleep(0.01)
                     assert c.entered.is_set(), c.result
                     active.append(c)
                 else:
                     ttl = rng.choice([3600.0, 0.2])
-                    c = Compactor(ttl=ttl)
+                    c = Compactor(ttl=ttl, rebucket=rb)
                     while not (c.entered.is_set() or c.done.is_set()):
                         time.sleep(0.01)
                     assert c.entered.is_set(), c.result
