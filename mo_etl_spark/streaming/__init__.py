@@ -1356,6 +1356,24 @@ def _compact_batched_locked(
     # count, trivial for years of daily-crawl cadence.
 
     subs = _live_dirs(root)
+    # a batch dir WITHOUT its _SUCCESS marker is an in-flight or
+    # CRASHED trigger write (r9 — found by the ANN chaos model on its
+    # first run): its content is partial and its batch id WILL be
+    # replayed from the checkpoint.  Consuming it would bake the
+    # partial rows into the base and exclude the name forever, so the
+    # replay's complete rewrite would never be read — silent permanent
+    # loss of the rest of the batch.  Leave it LIVE and unconsumed:
+    # readers keep the at-least-once partial visibility they already
+    # tolerate, the replay overwrites the dir in place, and the next
+    # fold consumes it complete.  Only b<id> dirs are screened — bases
+    # and external seeds always carry their writer's marker.
+    def _complete(p: str) -> bool:
+        name = os.path.basename(p)
+        if not (name.startswith("b") and name[1:].isdigit()):
+            return True
+        return os.path.exists(os.path.join(p, "_SUCCESS"))
+
+    subs = [p for p in subs if _complete(p)]
     if len(subs) < min_dirs:
         return 0
     # data-less table (empty partitioned batches write only _SUCCESS):

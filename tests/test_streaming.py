@@ -3319,3 +3319,193 @@ def test_retention_count_travel_depth_and_expiry(spark, tmpdir):
     assert S.read_batched(
         spark, root, partitioned=True, schema=schema
     ).count() == 40  # the rollback target's rows, alive and exact
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_streamed_ann_index_chaos_model(spark, tmpdir, seed):
+    """VERDICT r8 item #6: the ANN stream family (index-upsert /
+    retract / serving) mutates ONE batched table plus its manifest
+    sub-map and tombstone side table under the same replay/compaction
+    races as the dedup trio — model it with a seeded chaos schedule.
+    Ops: full upserts, crashes planted mid-batch-write (partial dir,
+    no _SUCCESS), checkpoint replays that heal them, late replays of
+    committed batches (no-op), vector retractions (pending anti-join),
+    maintenance folds composing tombstone_col with the adaptive
+    hot-cell re-split (map + rows committed atomically), and a PAUSED
+    compactor holding the lease while writers and serves proceed.  At
+    every quiescent step the full pruned SERVE (static probed-cell
+    pruning + pending-tombstone anti-join + unified sub-map expansion,
+    the production path via _ivf_pruned_serve) must equal brute-force
+    truth over exactly the committed-minus-retracted vectors — with 4
+    centroids and nprobe=4 every cell is probed, so IVF truth IS
+    brute-force truth and any dropped/duplicated/stale row hash-misses."""
+    import os
+    import random
+    import threading
+
+    from mo_etl_spark import streaming as SS
+    from mo_etl_spark.operators import similarity as S
+    from mo_etl_spark.suites.streaming_real import _ivf_pruned_serve
+
+    rng = random.Random(seed)
+    gen = random.Random(31)  # data fixed across seeds; schedule varies
+    DIM, PROV, CAP = 6, 2, 12
+    N_BATCH, PER, SEED_N = 5, 16, 40
+
+    def vec():
+        return [round(gen.uniform(-1.0, 1.0), 3) for _ in range(DIM)]
+
+    all_ids = list(range(SEED_N + N_BATCH * PER))
+    vecs = {i: vec() for i in all_ids}
+    cents = spark.createDataFrame(
+        [(c, vec()) for c in range(4)], "cent_id BIGINT, vec ARRAY<FLOAT>"
+    ).cache()
+    queries = spark.createDataFrame(
+        [(9000 + j, vec()) for j in range(6)], "q_id BIGINT, vec ARRAY<FLOAT>"
+    ).cache()
+    batches = [list(range(SEED_N))] + [
+        list(range(SEED_N + b * PER, SEED_N + (b + 1) * PER))
+        for b in range(N_BATCH)
+    ]
+
+    root = f"{tmpdir}/ann_chaos"
+
+    def assigned(ids):
+        b = spark.createDataFrame(
+            [(i, vecs[i]) for i in ids], "c_id BIGINT, vec ARRAY<FLOAT>"
+        )
+        return S.ivf_cells(b, cents).join(b, "c_id").withColumn(
+            "sub", F.pmod(F.xxhash64(F.col("c_id")), F.lit(PROV)).cast("int")
+        )
+
+    def apply_batch(b):
+        SS.idempotent_batch_write(
+            assigned(batches[b]), root, b, partition_cols=["cell", "sub"]
+        )
+
+    committed = 0
+    crashed: int | None = None
+    tombstoned: set[int] = set()
+
+    def serve():
+        return sorted(
+            (r["q_id"], r["c_id"], round(r["cos_sim"], 5), r["rnk"])
+            for r in _ivf_pruned_serve(
+                spark, root, cents, queries, nprobe=4, prov=PROV
+            ).collect()
+        )
+
+    def check():
+        if crashed is not None:
+            return  # dirty window: the partial dir is visible until
+            # the checkpoint replay heals it
+        live = sorted(
+            {i for b in range(committed) for i in batches[b]} - tombstoned
+        )
+        corpus = spark.createDataFrame(
+            [(i, vecs[i]) for i in live], "c_id BIGINT, vec ARRAY<FLOAT>"
+        )
+        want = sorted(
+            (r["q_id"], r["c_id"], round(r["cos_sim"], 5), r["rnk"])
+            for r in S.brute_force_topk(
+                queries, corpus, k=5, exclude_self=False,
+                n_q_blocks=2, n_c_blocks=2,
+            ).collect()
+        )
+        assert serve() == want, (committed, len(live))
+
+    def fold(paused=False):
+        nonlocal committed
+        tf = S.ann_resplit_transform(CAP)
+        if not paused:
+            SS.compact_batched(
+                spark, root, min_dirs=0, partition_cols=["cell", "sub"],
+                transform=tf, tombstone_col="c_id", gc_grace_sec=3600.0,
+            )
+            return
+        entered, release = threading.Event(), threading.Event()
+        result: dict = {}
+
+        def paused_tf(df):
+            entered.set()
+            release.wait(180)
+            return tf(df)
+
+        def run():
+            try:
+                result["n"] = SS.compact_batched(
+                    spark, root, min_dirs=0, partition_cols=["cell", "sub"],
+                    transform=paused_tf, tombstone_col="c_id",
+                    gc_grace_sec=3600.0,
+                )
+            except Exception as e:  # pragma: no cover - assert below
+                result["error"] = repr(e)
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        assert entered.wait(120)
+        # mid-build: a writer lands the next batch (not in the build's
+        # snapshot — it must stay live beside the new base) and the
+        # serve still answers exactly from the pre-commit table
+        if crashed is None and committed < len(batches):
+            apply_batch(committed)
+            committed += 1
+        check()
+        release.set()
+        t.join(180)
+        assert "error" not in result, result
+        assert result.get("n", 0) > 0
+
+    apply_batch(0)
+    committed = 1
+    for step in range(18):
+        op = rng.choice(
+            ["apply", "apply", "crash", "late_replay", "retract",
+             "fold", "fold", "fold_paused"]
+        )
+        if op == "apply":
+            if crashed is not None:
+                apply_batch(crashed)  # checkpoint replay heals
+                committed += 1
+                crashed = None
+            elif committed < len(batches):
+                apply_batch(committed)
+                committed += 1
+        elif op == "crash" and crashed is None and committed < len(batches):
+            dst = SS.batch_subdir(root, committed)
+            assigned(batches[committed]).limit(5).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(dst)
+            os.remove(os.path.join(dst, "_SUCCESS"))  # mid-write crash
+            crashed = committed
+        elif op == "late_replay" and committed > 1:
+            apply_batch(rng.randrange(committed))  # complete dir: no-op
+        elif op == "retract":
+            pool = sorted(
+                {i for b in range(committed) for i in batches[b]} - tombstoned
+            )
+            if len(pool) > 10:  # keep the table populated
+                dead = rng.sample(pool, 2)
+                SS.append_tombstones(
+                    spark.createDataFrame([(i,) for i in dead], "c_id BIGINT"),
+                    root,
+                )
+                tombstoned.update(dead)
+        elif op == "fold":
+            fold()
+        elif op == "fold_paused" and crashed is None:
+            fold(paused=True)
+        check()
+    # drain: heal any crash, apply the rest, final fold, full check
+    if crashed is not None:
+        apply_batch(crashed)
+        committed += 1
+        crashed = None
+    while committed < len(batches):
+        apply_batch(committed)
+        committed += 1
+    fold()
+    check()
+    # the fold really split hot cells within the cap's doubling bound
+    man_subs = SS.read_manifest_extra(root).get("cell_subs") or {}
+    assert man_subs, "expected at least one split cell at this volume"
