@@ -1601,6 +1601,105 @@ def stream_state_change_feed_apply(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query(
+    "stream_state_snapshot_expiry",
+    oracle="""
+    SELECT 'gen1' AS snapshot, FALSE AS travelable,
+           CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS key_sum
+    UNION ALL
+    SELECT 'gen2', TRUE, count(*) + (SELECT count(*) FROM orders WHERE o_orderkey % 400 = 0),
+           CAST(sum(o_orderkey) + (SELECT sum(o_orderkey + 10000000) FROM orders WHERE o_orderkey % 400 = 0) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'gen3', TRUE,
+           (SELECT count(*) FROM orders WHERE o_orderkey % 97 <> 0)
+             + (SELECT count(*) FROM orders WHERE o_orderkey % 400 = 0),
+           CAST((SELECT sum(o_orderkey) FROM orders WHERE o_orderkey % 97 <> 0)
+             + (SELECT sum(o_orderkey + 10000000) FROM orders WHERE o_orderkey % 400 = 0) AS BIGINT)
+    """,
+    tags=(
+        "time_travel",
+        "snapshot_retention",
+        "index_compaction",
+        "tombstone_lifecycle",
+        "incremental_etl",
+    ),
+)
+def stream_state_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETENTION-COUNT snapshot retention as a contract query (r9,
+    VERDICT r8 item #4 — the Iceberg expire_snapshots lifecycle).
+    Three generations are committed under gc_grace_sec=0 WITH
+    keep_last_gens=3: the travel-depth GUARANTEE is what keeps gens 1–2
+    readable at all (zero grace would otherwise vacuum each superseded
+    base on the next pass).  Then ``expire_snapshots(keep_last_n=2)``
+    deterministically vacuums exactly generation 1.  The result reports
+    per-generation (travelable, count, key checksum): gen 1 must raise
+    the NAMED SnapshotVacuumed (reported as travelable=false/null),
+    gens 2–3 must reproduce exact relational algebra over orders — so
+    a retention knob that over- or under-vacuums by one generation
+    hash-misses, in either direction."""
+    prepare(spark)
+    from mo_etl_spark.streaming import (
+        SnapshotVacuumed,
+        append_tombstones as _tomb,
+        compact_batched as _compact,
+        expire_snapshots,
+        read_batched_at,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    root = _scratch("snap_expiry_tbl")
+    schema = "o_orderkey BIGINT, ob BIGINT"
+
+    def compact():
+        _compact(
+            spark, root, min_dirs=0, partition_cols=["ob"],
+            tombstone_col="o_orderkey", gc_grace_sec=0.0, keep_last_gens=3,
+        )
+
+    for b in range(2):
+        idempotent_batch_write(
+            orders.where(F.pmod("o_orderkey", F.lit(2)) == b).withColumn(
+                "ob", F.pmod("o_orderkey", F.lit(4))
+            ),
+            root,
+            b,
+            partition_cols=["ob"],
+        )
+    compact()  # gen 1: all orders
+    idempotent_batch_write(
+        orders.where(F.pmod("o_orderkey", F.lit(400)) == 0)
+        .select((F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"))
+        .withColumn("ob", F.pmod("o_orderkey", F.lit(4))),
+        root,
+        2,
+        partition_cols=["ob"],
+    )
+    compact()  # gen 2: + arrivals
+    _tomb(orders.where(F.pmod("o_orderkey", F.lit(97)) == 0), root)
+    compact()  # gen 3: retraction folded
+    expire_snapshots(root, keep_last_n=2)
+
+    def summ(gen: int) -> DataFrame:
+        try:
+            df = read_batched_at(spark, root, gen, schema, partitioned=True)
+        except SnapshotVacuumed:
+            return spark.createDataFrame(
+                [(f"gen{gen}", False, None, None)],
+                "snapshot STRING, travelable BOOLEAN, n BIGINT, key_sum BIGINT",
+            )
+        return df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("key_sum")
+        ).select(
+            F.lit(f"gen{gen}").alias("snapshot"),
+            F.lit(True).alias("travelable"),
+            "n",
+            "key_sum",
+        )
+
+    return summ(1).unionByName(summ(2)).unionByName(summ(3))
+
+
 def _wire_rebucket_oracle() -> None:
     from mo_etl_spark.registry import QUERIES, QuerySpec
     from mo_etl_spark.suites.llm import _SQL_INCR_CORPUS
