@@ -754,6 +754,39 @@ def apply_change_feed(
     return gen_to
 
 
+def prune_materialized(mv_root: str, keep_last_n: int) -> list[int]:
+    """Retention for a change-feed-maintained materialized table: keep
+    the last ``keep_last_n`` COMPLETE generations, delete everything
+    older (plus any incomplete dirs older than the newest complete one
+    — crash debris a later successful application superseded).  The
+    newest complete generation is never deleted (``keep_last_n`` is
+    floored at 1): it is the consumer's resume point.  Returns the
+    generation numbers removed."""
+    import shutil as _sh
+
+    latest = latest_materialized_gen(mv_root)
+    if latest is None:
+        return []
+    complete: list[int] = []
+    debris: list[int] = []
+    for n in os.listdir(mv_root):
+        if not n.startswith("g"):
+            continue
+        try:
+            g = int(n[1:])
+        except ValueError:
+            continue
+        if os.path.exists(os.path.join(mv_root, n, "_SUCCESS")):
+            complete.append(g)
+        elif g < latest:
+            debris.append(g)
+    keep = set(sorted(complete)[-max(int(keep_last_n), 1):])
+    removed = sorted(set(complete) - keep | set(debris))
+    for g in removed:
+        _sh.rmtree(os.path.join(mv_root, f"g{g}"), ignore_errors=True)
+    return removed
+
+
 def rollback_batched(root: str, gen: int, lease_ttl_sec: float = 3600.0) -> int:
     """ROLL BACK the live table to historical generation ``gen`` —
     by COMMITTING FORWARD, never by rewriting history: a new

@@ -3509,3 +3509,56 @@ def test_streamed_ann_index_chaos_model(spark, tmpdir, seed):
     # the fold really split hot cells within the cap's doubling bound
     man_subs = SS.read_manifest_extra(root).get("cell_subs") or {}
     assert man_subs, "expected at least one split cell at this volume"
+
+
+def test_materialized_view_retention(spark, tmpdir):
+    """prune_materialized keeps the last N complete MV generations
+    (never fewer than the newest — the consumer's resume point),
+    removes older ones plus superseded incomplete debris, and the
+    consumer keeps advancing normally afterwards."""
+    from mo_etl_spark import streaming as S
+
+    root = f"{tmpdir}/mvr_up"
+    mv = f"{tmpdir}/mvr_mv"
+    schema = "k BIGINT, ib BIGINT"
+
+    def gen_step(lo, hi, b):
+        S.idempotent_batch_write(
+            spark.range(lo, hi).select(
+                F.col("id").alias("k"), F.pmod("id", F.lit(4)).alias("ib")
+            ),
+            root, b, partition_cols=["ib"],
+        )
+        S.compact_batched(
+            spark, root, min_dirs=0, partition_cols=["ib"],
+            gc_grace_sec=3600.0,
+        )
+
+    gen_step(0, 20, 0)
+    S.materialize_snapshot(spark, root, mv, 1, schema, partitioned=True)
+    for g in range(2, 5):
+        gen_step(g * 20, g * 20 + 20, g)
+        S.apply_change_feed(spark, root, mv, g, ["k"], schema, partitioned=True)
+    # plant superseded incomplete debris (a killed application of g2)
+    os.makedirs(f"{mv}/g2", exist_ok=True)
+    os.remove(f"{mv}/g2/_SUCCESS")
+    assert S.latest_materialized_gen(mv) == 4
+    assert S.prune_materialized(mv, keep_last_n=2) == [1, 2]
+    assert sorted(
+        n for n in os.listdir(mv) if n.startswith("g")
+    ) == ["g3", "g4"]
+    # floored at 1: the resume point always survives
+    assert S.prune_materialized(mv, keep_last_n=0) == [3]
+    # the consumer still advances from the retained generation
+    gen_step(100, 110, 9)
+    S.apply_change_feed(spark, root, mv, 5, ["k"], schema, partitioned=True)
+    got = sorted(
+        r["k"] for r in S.read_materialized(spark, mv, schema).collect()
+    )
+    want = sorted(
+        r["k"]
+        for r in S.read_batched(
+            spark, root, partitioned=True, schema=schema
+        ).collect()
+    )
+    assert got == want
