@@ -796,7 +796,16 @@ def rollback_batched(root: str, gen: int, lease_ttl_sec: float = 3600.0) -> int:
     along), and whose consumed set additionally covers every currently
     live dir (the rolled-back rows must never be double-read if their
     batches replay).  Lease-guarded like any commit.  Returns the new
-    live generation number."""
+    live generation number.
+
+    Rollback consumes INCOMPLETE batch dirs too — deliberately, unlike
+    compaction (which must leave them for their checkpoint replay): a
+    rollback's contract is "the table is exactly generation ``gen``",
+    and post-snapshot data is being discarded by operator intent, so a
+    crashed trigger's partial dir AND its later replay are both
+    excluded.  A stream resumed after a rollback should restart from a
+    fresh checkpoint (or accept that in-flight-at-rollback batches are
+    gone — they are exactly the data the operator rolled back)."""
     import time
 
     lease = _acquire_lease(root, lease_ttl_sec)

@@ -3383,9 +3383,26 @@ def test_streamed_ann_index_chaos_model(spark, tmpdir, seed):
             assigned(batches[b]), root, b, partition_cols=["cell", "sub"]
         )
 
-    committed = 0
+    # model state (r9.5: rollback/expire ops need generation history):
+    # VISIBLE vectors = base content ∪ live (complete, unconsumed)
+    # batch dirs; SERVING truth = visible − pending retractions.
+    # Folded retractions are physically gone from the base, and their
+    # consumed tombstone files never re-apply — which is exactly why a
+    # rollback brings later-folded vectors BACK.
     crashed: int | None = None
-    tombstoned: set[int] = set()
+    discarded: set[int] = set()  # batches consumed-incomplete by a
+    # rollback: their replay is invisible forever (documented
+    # rollback semantics — post-snapshot data is discarded by intent)
+    next_b = 1
+    base_vecs: set[int] = set()
+    live_batches: set[int] = {0}
+    pending_tombs: set[int] = set()
+    gen = 0
+    gen_snap: dict[int, set[int]] = {}
+    expired_gens: set[int] = set()
+
+    def visible() -> set[int]:
+        return base_vecs | {i for b in live_batches for i in batches[b]}
 
     def serve():
         return sorted(
@@ -3399,9 +3416,7 @@ def test_streamed_ann_index_chaos_model(spark, tmpdir, seed):
         if crashed is not None:
             return  # dirty window: the partial dir is visible until
             # the checkpoint replay heals it
-        live = sorted(
-            {i for b in range(committed) for i in batches[b]} - tombstoned
-        )
+        live = sorted(visible() - pending_tombs)
         corpus = spark.createDataFrame(
             [(i, vecs[i]) for i in live], "c_id BIGINT, vec ARRAY<FLOAT>"
         )
@@ -3412,16 +3427,28 @@ def test_streamed_ann_index_chaos_model(spark, tmpdir, seed):
                 n_q_blocks=2, n_c_blocks=2,
             ).collect()
         )
-        assert serve() == want, (committed, len(live))
+        assert serve() == want, (gen, len(live))
+
+    def fold_bookkeep(snap_batches: set[int], snap_tombs: set[int]):
+        nonlocal gen, base_vecs
+        gen += 1
+        base_vecs = (
+            base_vecs | {i for b in snap_batches for i in batches[b]}
+        ) - snap_tombs
+        live_batches.difference_update(snap_batches)
+        pending_tombs.difference_update(snap_tombs)
+        gen_snap[gen] = set(base_vecs)
 
     def fold(paused=False):
-        nonlocal committed
+        nonlocal next_b
+        snap_b, snap_t = set(live_batches), set(pending_tombs)
         tf = S.ann_resplit_transform(CAP)
         if not paused:
             SS.compact_batched(
                 spark, root, min_dirs=0, partition_cols=["cell", "sub"],
                 transform=tf, tombstone_col="c_id", gc_grace_sec=3600.0,
             )
+            fold_bookkeep(snap_b, snap_t)
             return
         entered, release = threading.Event(), threading.Event()
         result: dict = {}
@@ -3447,63 +3474,99 @@ def test_streamed_ann_index_chaos_model(spark, tmpdir, seed):
         # mid-build: a writer lands the next batch (not in the build's
         # snapshot — it must stay live beside the new base) and the
         # serve still answers exactly from the pre-commit table
-        if crashed is None and committed < len(batches):
-            apply_batch(committed)
-            committed += 1
+        if crashed is None and next_b < len(batches):
+            apply_batch(next_b)
+            live_batches.add(next_b)
+            next_b += 1
         check()
         release.set()
         t.join(180)
         assert "error" not in result, result
         assert result.get("n", 0) > 0
+        fold_bookkeep(snap_b, snap_t)
 
     apply_batch(0)
-    committed = 1
-    for step in range(18):
+    for step in range(20):
         op = rng.choice(
             ["apply", "apply", "crash", "late_replay", "retract",
-             "fold", "fold", "fold_paused"]
+             "fold", "fold_paused", "rollback", "expire"]
         )
         if op == "apply":
             if crashed is not None:
                 apply_batch(crashed)  # checkpoint replay heals
-                committed += 1
+                if crashed not in discarded:
+                    live_batches.add(crashed)
                 crashed = None
-            elif committed < len(batches):
-                apply_batch(committed)
-                committed += 1
-        elif op == "crash" and crashed is None and committed < len(batches):
-            dst = SS.batch_subdir(root, committed)
-            assigned(batches[committed]).limit(5).coalesce(1).write.mode(
+            elif next_b < len(batches):
+                apply_batch(next_b)
+                live_batches.add(next_b)
+                next_b += 1
+        elif op == "crash" and crashed is None and next_b < len(batches):
+            dst = SS.batch_subdir(root, next_b)
+            assigned(batches[next_b]).limit(5).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(dst)
             os.remove(os.path.join(dst, "_SUCCESS"))  # mid-write crash
-            crashed = committed
-        elif op == "late_replay" and committed > 1:
-            apply_batch(rng.randrange(committed))  # complete dir: no-op
+            crashed = next_b
+            next_b += 1
+        elif op == "late_replay" and next_b > 1:
+            b = rng.randrange(next_b)
+            if b != crashed:
+                apply_batch(b)  # complete or consumed dir: no-op
         elif op == "retract":
-            pool = sorted(
-                {i for b in range(committed) for i in batches[b]} - tombstoned
-            )
+            pool = sorted(visible() - pending_tombs)
             if len(pool) > 10:  # keep the table populated
                 dead = rng.sample(pool, 2)
                 SS.append_tombstones(
                     spark.createDataFrame([(i,) for i in dead], "c_id BIGINT"),
                     root,
                 )
-                tombstoned.update(dead)
+                pending_tombs.update(dead)
         elif op == "fold":
             fold()
         elif op == "fold_paused" and crashed is None:
             fold(paused=True)
+        elif op == "rollback":
+            cands = [g for g in sorted(gen_snap) if g not in expired_gens]
+            if cands:
+                g = rng.choice(cands)
+                try:
+                    new_gen = SS.rollback_batched(root, g)
+                except SS.SnapshotVacuumed:
+                    # a rollback-created gen shares its base with an
+                    # expired sibling: the dir died with the sibling's
+                    # expiry — NAMED error, no state change
+                    expired_gens.add(g)
+                    new_gen = None
+                if new_gen is not None:
+                    assert new_gen == gen + 1
+                    if crashed is not None:
+                        # the in-flight partial dir was consumed: its
+                        # replay is invisible forever — rollback
+                        # discards post-snapshot data by intent
+                        discarded.add(crashed)
+                        crashed = None
+                    base_vecs = set(gen_snap[g])
+                    live_batches = set()
+                    gen = new_gen
+                    gen_snap[new_gen] = set(gen_snap[g])
+        elif op == "expire" and len(gen_snap) > 2:
+            got = SS.expire_snapshots(root, keep_last_n=2)
+            # never the last two generations (shared-base gens may
+            # survive past the depth — that is the documented edge)
+            assert not (set(got) & set(sorted(gen_snap)[-2:])), got
+            expired_gens.update(got)
         check()
     # drain: heal any crash, apply the rest, final fold, full check
     if crashed is not None:
         apply_batch(crashed)
-        committed += 1
+        if crashed not in discarded:
+            live_batches.add(crashed)
         crashed = None
-    while committed < len(batches):
-        apply_batch(committed)
-        committed += 1
+    while next_b < len(batches):
+        apply_batch(next_b)
+        live_batches.add(next_b)
+        next_b += 1
     fold()
     check()
     # the fold really split hot cells within the cap's doubling bound
