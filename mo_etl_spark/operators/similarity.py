@@ -511,6 +511,79 @@ def ann_resplit_transform(
     return _transform
 
 
+def ann_requantize_transform(
+    k: int,
+    iters: int = 1,
+    cap_rows: int = 512,
+    id_col: str = "c_id",
+    vec_col: str = "vec",
+):
+    """RE-QUANTIZATION maintenance for a stream-grown IVF index (r9 —
+    the ANN twin of streaming.rebucket_transform): the coarse quantizer
+    is trained at index creation and FROZEN thereafter, so a corpus
+    whose distribution drifts (new domains in the embedding feed) ends
+    up with a few giant cells — probed-cell pruning saturates exactly
+    like a frozen dedup bucket spec.  At compaction (the one moment the
+    whole table is rewritten anyway), RETRAIN the quantizer on the
+    accumulated corpus (kmeans_train: hash-seeded farthest-point init +
+    fixed Lloyd's iterations — deterministic, RNG-free, SQL-replayable),
+    reassign every row, re-split hot cells, and commit {centroids,
+    cell_subs} ATOMICALLY with the rewritten rows as manifest extra —
+    serving then probes with ``quantizer_from_manifest``, so the
+    quantizer can never be stale relative to the cells it describes
+    (the same invariant the sub-map got in r6).
+
+    Pass to ``streaming.compact_batched(transform=...,
+    partition_cols=["cell", "sub"])``.  Drops any previous cell/sub
+    layout columns; everything else rides through."""
+
+    def _t(df: DataFrame) -> tuple[DataFrame, dict]:
+        body = df.select(F.col(id_col), F.col(vec_col))
+        cents = kmeans_train(
+            body, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+        assigned = ivf_cells(
+            body, cents.select("cent_id", F.col("cv").alias(vec_col))
+        )
+        split, ns = ivf_subsplit(body.join(assigned, id_col), cap_rows)
+        mapping = {
+            str(r["cell"]): int(r["n_subs"])
+            for r in ns.where(F.col("n_subs") > 1).collect()
+        }
+        cmap = {
+            str(r["cent_id"]): [float(x) for x in r["cv"]]
+            for r in cents.collect()  # k x dim doubles: tiny
+        }
+        return split, {
+            "cell_subs": mapping,
+            "cap_rows": cap_rows,
+            "centroids": cmap,
+            "quantizer_k": k,
+            "quantizer_iters": iters,
+        }
+
+    return _t
+
+
+def quantizer_from_manifest(
+    spark, path: str, cent_id: str = "cent_id", vec: str = "vec"
+) -> DataFrame | None:
+    """The re-trained coarse quantizer the last re-quantization
+    committed atomically with the rows it assigned
+    (ann_requantize_transform's manifest-extra key ``centroids``), as
+    the centroid frame ivf serving consumes — or None for an index
+    still on its creation-time quantizer (serve with that one)."""
+    from mo_etl_spark.streaming import read_manifest_extra
+
+    cmap = read_manifest_extra(path).get("centroids")
+    if not cmap:
+        return None
+    return spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cmap.items()],
+        f"{cent_id} BIGINT, {vec} ARRAY<DOUBLE>",
+    )
+
+
 def cell_subs_with_floor(
     spark, mapping: dict, cells: list, floor: int
 ) -> DataFrame:

@@ -2743,6 +2743,126 @@ def _wire_ivf_retract_oracle() -> None:
 _wire_ivf_retract_oracle()
 
 
+@query(
+    "stream_real_ivf_requantize",
+    oracle=None,  # wired below: full training replay + serve oracle
+    tags=(
+        "sim_ivf",
+        "index_persistence",
+        "quantizer_training",
+        "kmeans",
+        "incremental_etl",
+        "partition_spec_evolution",
+        "foreachBatch_etl",
+        "stream_source",
+    ),
+)
+@_stream_tuned
+def stream_real_ivf_requantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTIZER RE-TRAINING as index maintenance (r9 — the ANN twin
+    of the dedup spec evolution, round-10 lead #4 done early): the
+    coarse quantizer is trained at creation and frozen, so a drifting
+    embedding feed ends up with a few giant cells and probed-cell
+    pruning saturates exactly like a frozen dedup bucket spec.  The
+    index grows through the same availableNow upsert stream as
+    stream_real_ivf_index_upsert (creation-time quantizer = the first
+    16 vectors); the maintenance fold then runs
+    ``ann_requantize_transform``: RETRAIN k=8 centroids on the whole
+    accumulated corpus (kmeans_train — hash-seeded farthest-point
+    init, one Lloyd's iteration, rounded updates: deterministic and
+    SQL-replayable), reassign every row, re-split hot cells, and
+    commit {centroids, cell_subs} atomically with the rewritten rows.
+    Serving probes with ``quantizer_from_manifest`` — the quantizer
+    can never be stale relative to the cells it describes.  The oracle
+    replays TRAINING ITSELF in unrolled CTEs (seeding included) and
+    then the full probed-cell serve over the retrained cells, so a
+    drifted centroid, a mis-assigned row, or a stale quantizer at
+    serve time all hash-miss."""
+    prepare(spark)
+    from mo_etl_spark.operators import similarity as S
+
+    prov = 2
+    idx_dir = _scratch("ivf_requant_index")
+    emb, _cents0 = _grow_ivf_index(
+        spark, sf_dir, idx_dir, _scratch("ivf_requant_ckpt"), prov=prov
+    )
+    compact_batched(
+        spark,
+        idx_dir,
+        min_dirs=0,
+        partition_cols=["cell", "sub"],
+        transform=S.ann_requantize_transform(k=8, iters=1, cap_rows=512),
+    )
+    cents = S.quantizer_from_manifest(spark, idx_dir)
+    assert cents is not None  # the requantize pass just committed it
+    queries = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+    )
+    return _ivf_pruned_serve(spark, idx_dir, cents, queries, prov=prov)
+
+
+def _wire_ivf_requantize_oracle() -> None:
+    from mo_etl_spark.registry import QUERIES, QuerySpec
+    from mo_etl_spark.suites.llm import _km_cos, _kpp_seed_ctes, _SQL_COSINE
+
+    # training replay (the _kmeans_sql shape, k=8, one Lloyd's
+    # iteration) over the FULL embeddings table — the streamed index's
+    # accumulated corpus IS all embeddings (base vec_id<256 + feed
+    # vec_id>=256) — then the probed-cell serve over retrained cells
+    seed_ctes, c0 = _kpp_seed_ctes(8)
+    parts = [
+        "emb AS (SELECT vec_id, list_transform(range(1,65),"
+        " i -> CAST(embedding[i] AS DOUBLE)) AS v FROM embeddings)",
+        *seed_ctes,
+        c0,
+        f"a1 AS (SELECT vec_id, cell FROM ("
+        f" SELECT e.vec_id, c.cent_id AS cell,"
+        f" row_number() OVER (PARTITION BY e.vec_id"
+        f" ORDER BY {_km_cos('e', 'c')} DESC, c.cent_id) AS r"
+        f" FROM emb e CROSS JOIN c0 c) t WHERE r = 1)",
+        "u1 AS (SELECT a.cell, d.i, round(avg(e.v[d.i]), 6) AS val"
+        " FROM a1 a JOIN emb e USING (vec_id)"
+        " CROSS JOIN (SELECT unnest(range(1,65)) AS i) d"
+        " GROUP BY a.cell, d.i)",
+        "c1 AS (SELECT cell AS cent_id, list(val ORDER BY i) AS v"
+        " FROM u1 GROUP BY cell)",
+        f"cells AS (SELECT vec_id AS c_id, cell FROM ("
+        f" SELECT e.vec_id, c.cent_id AS cell,"
+        f" row_number() OVER (PARTITION BY e.vec_id"
+        f" ORDER BY {_km_cos('e', 'c')} DESC, c.cent_id) AS r"
+        f" FROM emb e CROSS JOIN c1 c) t WHERE r = 1)",
+        f"probes AS (SELECT vec_id AS q_id, cell FROM ("
+        f" SELECT e.vec_id, c.cent_id AS cell,"
+        f" row_number() OVER (PARTITION BY e.vec_id"
+        f" ORDER BY {_km_cos('e', 'c')} DESC, c.cent_id) AS r"
+        f" FROM emb e CROSS JOIN c1 c WHERE e.vec_id < 50) t WHERE r <= 4)",
+        "cand AS (SELECT p.q_id, cl.c_id FROM probes p"
+        " JOIN cells cl USING (cell) WHERE p.q_id <> cl.c_id)",
+    ]
+    sql = (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT q_id, c_id, cos_sim, rnk FROM (
+      SELECT cand.q_id, cand.c_id,
+             {_SQL_COSINE} AS cos_sim,
+             row_number() OVER (PARTITION BY cand.q_id
+                                ORDER BY {_SQL_COSINE} DESC, cand.c_id) AS rnk
+      FROM cand
+      JOIN embeddings a ON a.vec_id = cand.q_id
+      JOIN embeddings b ON b.vec_id = cand.c_id)
+    WHERE rnk <= 5
+    """
+    )
+    spec = QUERIES["stream_real_ivf_requantize"]
+    QUERIES["stream_real_ivf_requantize"] = QuerySpec(
+        name=spec.name, fn=spec.fn, oracle=sql, tags=spec.tags
+    )
+
+
+_wire_ivf_requantize_oracle()
+
+
 def _wire_ivf_upsert_oracle() -> None:
     from mo_etl_spark.registry import QUERIES, QuerySpec
     from mo_etl_spark.suites.llm import _SQL_IVF_ORACLE_HEAD

@@ -115,6 +115,13 @@ EXCHANGES_OK = {
     # exchanges; the per-trigger sink itself is one assignment join +
     # one partitioned write
     "stream_real_ivf_index_upsert",
+    # quantizer RE-TRAINING as maintenance (r9): the plan is kmeans
+    # training (seeding sample + per-iteration assignment GEMM +
+    # (cell, dim) centroid update — keyed exchanges by construction,
+    # same as llm_sim_kmeans_assign) + hot-cell re-split + the pruned
+    # serve; training runs once per maintenance pass and persists, the
+    # serving path alone stays within budget (same pins as upsert)
+    "stream_real_ivf_requantize",
     # same serve shape plus the pending-retraction anti-join above the
     # pruned scans (stream_real_ivf_retract = upsert + tombstone fold)
     "stream_real_ivf_retract",
