@@ -687,18 +687,27 @@ def materialize_snapshot(
     gen: int,
     schema: str | None = None,
     partitioned: bool = False,
+    lease_ttl_sec: float = 3600.0,
 ) -> None:
     """Seed a downstream materialized table with generation ``gen`` of
     a batched table — the bootstrap step of the CDF->MV maintenance
     loop (apply_change_feed).  Idempotent: a complete ``g<gen>`` dir is
     kept (re-seeding is a no-op); an incomplete one (killed mid-write,
-    no _SUCCESS) is overwritten."""
+    no _SUCCESS) is overwritten.  Lease-guarded like apply_change_feed
+    (two racing seeders would overwrite one dir concurrently)."""
     dst = os.path.join(mv_root, f"g{gen}")
     if os.path.exists(os.path.join(dst, "_SUCCESS")):
         return
-    read_batched_at(spark, root, gen, schema, partitioned=partitioned).write.mode(
-        "overwrite"
-    ).parquet(dst)
+    os.makedirs(mv_root, exist_ok=True)
+    lease = _acquire_lease(mv_root, lease_ttl_sec)
+    try:
+        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+            return  # a racing seeder finished while we claimed
+        read_batched_at(
+            spark, root, gen, schema, partitioned=partitioned
+        ).write.mode("overwrite").parquet(dst)
+    finally:
+        _release_lease(mv_root, lease)
 
 
 def apply_change_feed(
@@ -709,6 +718,7 @@ def apply_change_feed(
     key_cols: Sequence[str],
     schema: str | None = None,
     partitioned: bool = False,
+    lease_ttl_sec: float = 3600.0,
 ) -> int:
     """CHANGE-FEED CONSUMER (VERDICT r8 item #2 — the Delta-CDF->MV
     maintenance loop): advance a downstream materialized table to the
@@ -727,10 +737,18 @@ def apply_change_feed(
     — and write the result as ``g<gen_to>``.  Each application is
     REPLAY-IDEMPOTENT (deterministic inputs: two immutable snapshots +
     the complete ``g<cur>``), so kill-and-resume is just calling this
-    again; old MV generations are kept for the caller's own retention
-    policy to prune.  Both upstream generations must still be
-    travelable (SnapshotVacuumed otherwise — run the consumer more
-    often than the upstream vacuum horizon).
+    again; old MV generations are kept for ``prune_materialized`` to
+    prune.  Both upstream generations must still be travelable
+    (SnapshotVacuumed otherwise — run the consumer more often than the
+    upstream vacuum horizon).
+
+    SINGLE-CONSUMER, lease-guarded (r9): two consumers racing the same
+    ``mv_root`` would write the same ``g<N>`` dir concurrently —
+    Spark's overwrite is not atomic under a concurrent writer, so the
+    loser must abort with the NAMED CompactorBusy instead (the same
+    ``.compact_lease`` protocol the upstream compactor uses, here on
+    the MV root); a crashed consumer's lease expires by TTL/dead-pid
+    and the takeover's application is a fresh deterministic rewrite.
 
     Returns the MV generation after application (``gen_to``, or
     ``cur`` when already caught up)."""
@@ -742,16 +760,25 @@ def apply_change_feed(
         )
     if cur >= gen_to:
         return cur
-    keys = [str(k) for k in key_cols]
-    feed = diff_batched(
-        spark, root, cur, gen_to, keys, schema, partitioned=partitioned
-    )
-    mv = read_materialized(spark, mv_root, schema, gen=cur)
-    dels = feed.where(F.col("_change") == "delete").select(*keys)
-    ins = feed.where(F.col("_change") == "insert").drop("_change")
-    out = mv.join(dels, keys, "left_anti").unionByName(ins)
-    out.write.mode("overwrite").parquet(os.path.join(mv_root, f"g{gen_to}"))
-    return gen_to
+    lease = _acquire_lease(mv_root, lease_ttl_sec)
+    try:
+        # re-resolve under the lease: a consumer that raced us here may
+        # have advanced the MV while we waited for the claim
+        cur = latest_materialized_gen(mv_root)
+        if cur is None or cur >= gen_to:
+            return cur if cur is not None else gen_to
+        keys = [str(k) for k in key_cols]
+        feed = diff_batched(
+            spark, root, cur, gen_to, keys, schema, partitioned=partitioned
+        )
+        mv = read_materialized(spark, mv_root, schema, gen=cur)
+        dels = feed.where(F.col("_change") == "delete").select(*keys)
+        ins = feed.where(F.col("_change") == "insert").drop("_change")
+        out = mv.join(dels, keys, "left_anti").unionByName(ins)
+        out.write.mode("overwrite").parquet(os.path.join(mv_root, f"g{gen_to}"))
+        return gen_to
+    finally:
+        _release_lease(mv_root, lease)
 
 
 def prune_materialized(mv_root: str, keep_last_n: int) -> list[int]:

@@ -3625,3 +3625,57 @@ def test_materialized_view_retention(spark, tmpdir):
         ).collect()
     )
     assert got == want
+
+
+def test_change_feed_consumer_lease(spark, tmpdir):
+    """The CDF->MV consumer is single-consumer by lease (r9): a second
+    consumer racing the same mv_root aborts with the NAMED
+    CompactorBusy instead of concurrently overwriting the same g<N>
+    dir; a crashed consumer's expired lease is reclaimed and the
+    takeover's application is a fresh deterministic rewrite."""
+    import json as _json
+    import time as _t
+
+    from mo_etl_spark import streaming as S
+
+    root = f"{tmpdir}/cl_up"
+    mv = f"{tmpdir}/cl_mv"
+    schema = "k BIGINT, ib BIGINT"
+
+    def gen_step(lo, hi, b):
+        S.idempotent_batch_write(
+            spark.range(lo, hi).select(
+                F.col("id").alias("k"), F.pmod("id", F.lit(4)).alias("ib")
+            ),
+            root, b, partition_cols=["ib"],
+        )
+        S.compact_batched(
+            spark, root, min_dirs=0, partition_cols=["ib"], gc_grace_sec=3600.0
+        )
+
+    gen_step(0, 10, 0)   # gen 1
+    S.materialize_snapshot(spark, root, mv, 1, schema, partitioned=True)
+    gen_step(10, 20, 1)  # gen 2
+
+    # a live holder blocks both application and re-seeding, NAMED
+    token = S._acquire_lease(mv, 3600.0)
+    with pytest.raises(S.CompactorBusy):
+        S.apply_change_feed(spark, root, mv, 2, ["k"], schema, partitioned=True)
+    S._release_lease(mv, token)
+    assert S.apply_change_feed(
+        spark, root, mv, 2, ["k"], schema, partitioned=True
+    ) == 2
+
+    # an EXPIRED crashed consumer's lease is reclaimed by the takeover
+    gen_step(20, 30, 2)  # gen 3
+    with open(os.path.join(mv, S._COMPACT_LEASE), "w") as f:
+        _json.dump(
+            {"token": "crashed", "pid": os.getpid(), "host": S._HOSTNAME,
+             "expires": _t.time() - 1}, f,
+        )
+    assert S.apply_change_feed(
+        spark, root, mv, 3, ["k"], schema, partitioned=True
+    ) == 3
+    assert sorted(
+        r["k"] for r in S.read_materialized(spark, mv, schema).collect()
+    ) == list(range(30))
