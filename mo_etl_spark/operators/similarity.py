@@ -550,17 +550,89 @@ def ann_requantize_transform(
             str(r["cell"]): int(r["n_subs"])
             for r in ns.where(F.col("n_subs") > 1).collect()
         }
-        cmap = {
-            str(r["cent_id"]): [float(x) for x in r["cv"]]
+        crows = sorted(
+            (int(r["cent_id"]), [float(x) for x in r["cv"]])
             for r in cents.collect()  # k x dim doubles: tiny
-        }
+        )
+        import hashlib
+        import json
+
+        qid = hashlib.md5(
+            json.dumps(crows, sort_keys=True).encode()
+        ).hexdigest()[:12]
         return split, {
             "cell_subs": mapping,
             "cap_rows": cap_rows,
-            "centroids": cmap,
+            "centroids": {str(c): v for c, v in crows},
+            # layout claim: the build's rows are assigned under THIS
+            # quantizer — compact stamps the base with it, and serving
+            # prunes only layout-matched dirs (streaming.stamp_layout)
+            "layout_id": qid,
             "quantizer_k": k,
             "quantizer_iters": iters,
         }
+
+    return _t
+
+
+def quantizer_id(cents: DataFrame, cent_id: str = "cent_id", vec: str = "vec") -> str:
+    """Content hash of a quantizer's centroid table — the LAYOUT id
+    (streaming.stamp_layout) dirs assigned under it carry, and the key
+    serving uses to decide which dirs its probed-cell values are
+    comparable with.  Deterministic: sorted (id, vector) rows, JSON
+    floats (exact shortest-repr round trip — the same floats land in
+    the manifest's ``centroids`` payload), md5/12.  k x dim doubles:
+    one tiny collect."""
+    import hashlib
+    import json
+
+    rows = sorted(
+        (int(r[cent_id]), [float(x) for x in r[vec]]) for r in cents.collect()
+    )
+    return hashlib.md5(
+        json.dumps(rows, sort_keys=True).encode()
+    ).hexdigest()[:12]
+
+
+def ann_maintenance_transform(
+    cap_rows: int,
+    retrain: tuple[int, int, int] | None = None,
+    cell_col: str = "cell",
+    id_col: str = "c_id",
+    vec_col: str = "vec",
+):
+    """AUTO maintenance policy for a stream-grown IVF index (r9 — the
+    ANN twin of maintain_batched(rebucket=)): every pass re-splits hot
+    cells (ann_resplit_transform); with ``retrain=(k, iters,
+    cell_cap_rows)`` it additionally measures the hottest CELL inside
+    the rewrite and, when it exceeds ``cell_cap_rows``, RETRAINS the
+    quantizer on the accumulated corpus instead
+    (ann_requantize_transform) — sub-splitting caps task sizes but
+    cannot fix a drifted quantizer's probe quality (one giant cell
+    means every probe reads a corpus-scale fraction); re-training
+    rebalances the cells themselves.  Nobody has to remember to
+    requantize: the trigger is the measured drift, exactly like
+    rebucket's hottest-bucket cap.  The measurement is one bounded
+    groupBy job over the union being rewritten anyway."""
+
+    def _t(df: DataFrame) -> tuple[DataFrame, dict]:
+        if retrain is not None:
+            k, iters, cell_cap = retrain
+            row = (
+                df.groupBy(cell_col)
+                .count()
+                .agg(F.max("count").alias("mx"))
+                .first()
+            )
+            mx = int(row["mx"]) if row and row["mx"] is not None else 0
+            if mx > cell_cap:
+                return ann_requantize_transform(
+                    k, iters=iters, cap_rows=cap_rows,
+                    id_col=id_col, vec_col=vec_col,
+                )(df)
+        return ann_resplit_transform(
+            cap_rows, cell_col=cell_col, id_col=id_col
+        )(df)
 
     return _t
 

@@ -1169,6 +1169,106 @@ def read_batched_pruned(
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
+#: per-dir LAYOUT marker (r9) — the equality-only sibling of the
+#: _spec_ doubling marker: a dir records WHICH derived-layout recipe
+#: (e.g. which trained quantizer) its partition values were computed
+#: under.  Unlike bucket specs, two quantizers have NO sound value
+#: translation (unrelated Voronoi partitions), so the read discipline
+#: is match-or-scan: a dir stamped with the layout being probed prunes
+#: by partition values; any other (or unstamped) dir is scanned
+#: unpruned — the safe direction, one trigger's data per dir.
+_LAYOUT_PREFIX = "_layout_"
+
+
+def stamp_layout(root: str, batch_id: int, layout_id: str) -> None:
+    """Record the derived-layout id (e.g. quantizer content hash) a
+    batch dir's partition values were computed under.  Same discipline
+    as stamp_spec: written after the parquet lands, keep-existing on
+    replay, a crash between write and stamp leaves the dir unstamped
+    (scanned unpruned — safe)."""
+    d = batch_subdir(root, batch_id)
+    for name in os.listdir(d):
+        if name.startswith(_LAYOUT_PREFIX):
+            return
+    safe = "".join(c for c in str(layout_id) if c.isalnum() or c in "-_")
+    with open(os.path.join(d, f"{_LAYOUT_PREFIX}{safe}"), "w"):
+        pass
+
+
+def dir_layout(path: str) -> str | None:
+    """The layout id a dir was stamped with, or None (unstamped —
+    scan it unpruned)."""
+    try:
+        names = os.listdir(path)
+    except OSError:
+        return None
+    for name in names:
+        if name.startswith(_LAYOUT_PREFIX):
+            return name[len(_LAYOUT_PREFIX):]
+    return None
+
+
+def read_batched_layout_split(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    values: Sequence,
+    layout_id: str,
+    schema: str,
+    exclude_batch: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Layout-aware split read (r9 — the quantizer sibling of
+    read_batched_pruned): returns ``(matched, foreign)`` over the live
+    dirs.  ``matched`` unions the dirs stamped with ``layout_id`` (the
+    layout the probe's ``values`` were computed under), pruned by
+    ``col IN (values)`` — the fast serving path.  ``foreign`` unions
+    every OTHER dir (stamped with a layout a later re-train replaced,
+    or unstamped) UNPRUNED and UNFILTERED: their partition values are
+    incomparable with the probe's (no translation exists between two
+    trained quantizers — unlike doubling bucket specs), so the caller
+    must score those rows directly (e.g. brute force) instead of
+    relying on the layout column at all.  Each foreign dir is one
+    trigger's data, so the window is bounded, and the next compaction
+    (which re-derives the layout for every retained row) empties it.
+    The external seed base takes its layout from the manifest extra
+    claim (``layout_id``), exactly like the spec reader."""
+    from functools import reduce
+
+    man = _read_manifest(root) if os.path.isdir(root) else None
+    live_base = man["base"] if man else "base"
+    seed_layout: str | None = None
+    if man and isinstance(man.get("extra"), dict):
+        v = man["extra"].get("layout_id")
+        seed_layout = str(v) if v is not None else None
+    paths = _live_dirs(root, exclude_batch) if os.path.isdir(root) else []
+    matched: list[DataFrame] = []
+    foreign: list[DataFrame] = []
+    vals = sorted(set(values))
+    for p in paths:
+        if not any(
+            n.endswith(".parquet") for _, _, names in os.walk(p) for n in names
+        ):
+            continue
+        if os.path.isabs(live_base) and p == live_base:
+            lid = seed_layout
+        else:
+            lid = dir_layout(p)
+        df = spark.read.schema(schema).parquet(p)
+        if lid is not None and lid == str(layout_id):
+            matched.append(df.where(F.col(col).isin(vals)))
+        else:
+            foreign.append(df)
+
+    def _union(parts: list[DataFrame]) -> DataFrame:
+        if not parts:
+            return spark.createDataFrame([], schema)
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    if not vals:
+        matched = []
+    return _union(matched), _union(foreign)
+
+
 def rebucket_transform(
     col: str,
     recompute: Callable[[int], Column],
@@ -1540,7 +1640,16 @@ def _compact_batched_locked(
             res = transform(df)
             if isinstance(res, tuple):
                 df, transform_extra = res
-                extra = transform_extra
+                # MERGE over the prior generation's extra, transform
+                # keys winning (r9): a transform owns only the keys it
+                # returns — replacing the whole payload would silently
+                # drop metadata a DIFFERENT maintenance pass committed
+                # (e.g. a plain hot-cell re-split after a quantizer
+                # re-train clobbering ``centroids``: serving would fall
+                # back to the stale creation-time quantizer and probe
+                # the wrong cells).  A transform that must retire a key
+                # it owns overwrites it; foreign keys survive.
+                extra = {**(extra or {}), **transform_extra}
             else:
                 df = res
         df.repartition(*[F.col(c) for c in partition_cols]).write.mode(
@@ -1580,6 +1689,35 @@ def _compact_batched_locked(
                 out_spec = in_specs.pop()
         if out_spec is not None:
             with open(os.path.join(tmp, f"{_SPEC_PREFIX}{out_spec}"), "w"):
+                pass
+        # LAYOUT DISCIPLINE (r9 — the quantizer sibling of the spec
+        # stamp above, same inheritance rule): a transform that claims
+        # ``layout_id`` re-derived the partition values itself; a
+        # transform-less (or layout-agnostic) rewrite carries rows
+        # verbatim, so the build inherits its inputs' layout only when
+        # they all share one.  Mixed or unknown inputs leave the base
+        # UNSTAMPED — layout-aware readers scan it unpruned.
+        out_layout: str | None = None
+        if transform_extra is not None and "layout_id" in transform_extra:
+            out_layout = str(transform_extra["layout_id"])
+        else:
+            in_layouts: set[str | None] = set()
+            for p in subs:
+                if os.path.isabs(live_base) and p == live_base:
+                    s = None
+                    if man and isinstance(man.get("extra"), dict):
+                        v = man["extra"].get("layout_id")
+                        s = str(v) if v is not None else None
+                    in_layouts.add(s)
+                else:
+                    in_layouts.add(dir_layout(p))
+            if len(in_layouts) == 1:
+                out_layout = in_layouts.pop()
+        if out_layout is not None:
+            safe = "".join(
+                c for c in out_layout if c.isalnum() or c in "-_"
+            )
+            with open(os.path.join(tmp, f"{_LAYOUT_PREFIX}{safe}"), "w"):
                 pass
         n_groups = sum(
             1 for _, _, names in os.walk(tmp) if any(n.endswith(".parquet") for n in names)

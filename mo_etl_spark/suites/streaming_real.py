@@ -21,7 +21,7 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mo_etl_spark.functions.numeric import cents
@@ -2534,7 +2534,11 @@ def _grow_ivf_index(
             F.col("cell"), F.col("sub")
         ).write.mode("overwrite").partitionBy("cell", "sub").parquet(snap)
     shutil.rmtree(idx_dir, ignore_errors=True)
-    seed_batched(idx_dir, snap)  # zero-copy gen-0 reference (r8)
+    # layout id of the creation quantizer (r9): every dir assigned
+    # under it is stamped, so a later re-quantization's serve knows
+    # which dirs its probed-cell values are comparable with
+    qid0 = S.quantizer_id(cents)
+    seed_batched(idx_dir, snap, extra={"layout_id": qid0})
     if tombstones is not None:
         append_tombstones(tombstones.select("c_id"), idx_dir)
 
@@ -2548,6 +2552,9 @@ def _grow_ivf_index(
             batch_id,
             partition_cols=["cell", "sub"],
         )
+        from mo_etl_spark.streaming import stamp_layout
+
+        stamp_layout(idx_dir, batch_id, qid0)
 
     feed_schema = spark.read.option("recursiveFileLookup", "true").parquet(
         feed
@@ -2582,8 +2589,20 @@ def _ivf_pruned_serve(
     (matched cells only, plan-pinned), pending retraction keys
     broadcast-anti-joined ABOVE the pruned scans (partition filters
     untouched — the dedup streams' composition), sub expansion via the
-    unified map reader at max(map, provisional floor)."""
+    unified map reader at max(map, provisional floor).
+
+    QUANTIZER-AWARE since r9: dirs are layout-stamped with the
+    quantizer their cells were assigned under (stamp_layout /
+    ann_requantize_transform's layout claim); only dirs matching the
+    SERVING quantizer take the probed-cell path — an in-flight batch
+    assigned under a quantizer a later re-train replaced has
+    incomparable cell numbers, so its rows are scored by BRUTE FORCE
+    (one trigger's worth — bounded) and merged into the global top-k.
+    In the steady state every dir matches and the foreign leg is an
+    empty literal; after a re-quantization the window closes at the
+    next compaction, which re-assigns every retained row."""
     from mo_etl_spark.operators import similarity as S
+    from mo_etl_spark.streaming import read_batched_layout_split
 
     # static probed-cell pruning: the query batch probes <= 16 cells;
     # the collected list prunes every per-batch index scan
@@ -2597,27 +2616,39 @@ def _ivf_pruned_serve(
         .distinct()
         .collect()
     )
-    idx = read_batched(
-        spark,
-        idx_dir,
-        partitioned=True,
-        schema="c_id BIGINT, vec ARRAY<FLOAT>, cell BIGINT, sub INT",
-    ).where(F.col("cell").isin(probed_cells))
+    schema = "c_id BIGINT, vec ARRAY<FLOAT>, cell BIGINT, sub INT"
+    idx, foreign = read_batched_layout_split(
+        spark, idx_dir, "cell", probed_cells, S.quantizer_id(cents), schema
+    )
     if has_tombstones(idx_dir):
-        idx = idx.join(
-            F.broadcast(
-                read_tombstones(spark, idx_dir, "c_id BIGINT").select("c_id")
-            ),
-            "c_id",
-            "left_anti",
+        dead = F.broadcast(
+            read_tombstones(spark, idx_dir, "c_id BIGINT").select("c_id")
         )
+        idx = idx.join(dead, "c_id", "left_anti")
+        foreign = foreign.join(dead, "c_id", "left_anti")
     # the ONE sub-map reader (r8): resolves the manifest-extra channel
-    # here (stream-grown table), the sidecar channel for batch-built
-    # indexes — probed cells expand to max(map, provisional floor)
+    # — probed cells expand to max(map, provisional floor)
     cs = S.resolve_cell_subs(spark, idx_dir, cells=probed_cells, floor=prov)
-    return S.ivf_topk(
+    ranked = S.ivf_topk(
         queries, None, cents, k=5, nprobe=nprobe, indexed_corpus=idx, cell_subs=cs
-    ).select("q_id", "c_id", "cos_sim", "rnk")
+    ).select("q_id", "c_id", "cos_sim")
+    # foreign-layout leg: per-trigger bounded, exact by construction
+    extra = S.brute_force_topk(
+        queries,
+        foreign.select("c_id", "vec"),
+        k=5,
+        n_q_blocks=2,
+        n_c_blocks=1,
+    ).select("q_id", "c_id", "cos_sim")
+    merged = ranked.unionByName(extra)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("c_id")
+    )
+    return (
+        merged.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("q_id", "c_id", "cos_sim", "rnk")
+    )
 
 
 @query(

@@ -3378,10 +3378,13 @@ def test_streamed_ann_index_chaos_model(spark, tmpdir, seed):
             "sub", F.pmod(F.xxhash64(F.col("c_id")), F.lit(PROV)).cast("int")
         )
 
+    qid = S.quantizer_id(cents)
+
     def apply_batch(b):
         SS.idempotent_batch_write(
             assigned(batches[b]), root, b, partition_cols=["cell", "sub"]
         )
+        SS.stamp_layout(root, b, qid)
 
     # model state (r9.5: rollback/expire ops need generation history):
     # VISIBLE vectors = base content ∪ live (complete, unconsumed)
@@ -3679,3 +3682,125 @@ def test_change_feed_consumer_lease(spark, tmpdir):
     assert sorted(
         r["k"] for r in S.read_materialized(spark, mv, schema).collect()
     ) == list(range(30))
+
+
+def test_requantize_then_resplit_keeps_quantizer(spark, tmpdir):
+    """r9 extra-merge fix + auto maintenance policy: a quantizer
+    re-train commits ``centroids`` in the manifest extra; a LATER
+    plain re-split maintenance pass must carry them forward (transform
+    extras merge over the prior payload — replacing it would silently
+    revert serving to the stale creation-time quantizer).  The auto
+    policy (ann_maintenance_transform) retrains only past the drift
+    cap, re-splits otherwise, and the serve stays brute-force-exact
+    through the whole lifecycle."""
+    import random
+
+    from mo_etl_spark import streaming as SS
+    from mo_etl_spark.operators import similarity as S
+    from mo_etl_spark.suites.streaming_real import _ivf_pruned_serve
+
+    gen = random.Random(7)
+    DIM, PROV = 6, 2
+
+    def vec(near=None):
+        if near is None:
+            return [round(gen.uniform(-1.0, 1.0), 3) for _ in range(DIM)]
+        return [round(x + gen.uniform(-0.05, 0.05), 3) for x in near]
+
+    vecs = {i: vec() for i in range(60)}
+    hot = vecs[3]
+    # drifted arrivals: 40 vectors clustered near one direction — under
+    # the creation quantizer they all land in one cell
+    for i in range(100, 140):
+        vecs[i] = vec(near=hot)
+    cents0 = spark.createDataFrame(
+        [(c, vecs[c]) for c in range(4)], "cent_id BIGINT, vec ARRAY<FLOAT>"
+    )
+    queries = spark.createDataFrame(
+        [(9000 + j, vec()) for j in range(5)], "q_id BIGINT, vec ARRAY<FLOAT>"
+    )
+    root = f"{tmpdir}/requant"
+
+    qid0 = S.quantizer_id(cents0)
+
+    def put(ids, b):
+        d = spark.createDataFrame(
+            [(i, vecs[i]) for i in ids], "c_id BIGINT, vec ARRAY<FLOAT>"
+        )
+        SS.idempotent_batch_write(
+            S.ivf_cells(d, cents0).join(d, "c_id").withColumn(
+                "sub", F.pmod(F.xxhash64(F.col("c_id")), F.lit(PROV)).cast("int")
+            ),
+            root, b, partition_cols=["cell", "sub"],
+        )
+        SS.stamp_layout(root, b, qid0)
+
+    def serve(cents):
+        return sorted(
+            (r["q_id"], r["c_id"], round(r["cos_sim"], 5), r["rnk"])
+            for r in _ivf_pruned_serve(
+                spark, root, cents, queries, nprobe=4, prov=PROV
+            ).collect()
+        )
+
+    def truth(ids):
+        corpus = spark.createDataFrame(
+            [(i, vecs[i]) for i in sorted(ids)], "c_id BIGINT, vec ARRAY<FLOAT>"
+        )
+        return sorted(
+            (r["q_id"], r["c_id"], round(r["cos_sim"], 5), r["rnk"])
+            for r in S.brute_force_topk(
+                queries, corpus, k=5, exclude_self=False,
+                n_q_blocks=2, n_c_blocks=2,
+            ).collect()
+        )
+
+    put(list(range(60)), 0)
+    # balanced corpus: the auto policy must NOT retrain (re-split only)
+    SS.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["cell", "sub"],
+        gc_grace_sec=3600.0,
+        transform=S.ann_maintenance_transform(
+            cap_rows=12, retrain=(4, 1, 50)
+        ),
+    )
+    assert "centroids" not in SS.read_manifest_extra(root)
+    # drifted arrivals cross the cell cap: the same policy RETRAINS
+    put(list(range(100, 140)), 1)
+    SS.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["cell", "sub"],
+        gc_grace_sec=3600.0,
+        transform=S.ann_maintenance_transform(
+            cap_rows=12, retrain=(4, 1, 50)
+        ),
+    )
+    extra = SS.read_manifest_extra(root)
+    assert "centroids" in extra and len(extra["centroids"]) == 4
+    cents = S.quantizer_from_manifest(spark, root)
+    all_ids = set(range(60)) | set(range(100, 140))
+    assert serve(cents) == truth(all_ids)
+    # the retrained quantizer really rebalanced the drifted mass
+    base = SS.read_batched(
+        spark, root, partitioned=True,
+        schema="c_id BIGINT, vec ARRAY<FLOAT>, cell BIGINT, sub INT",
+    )
+    mx = base.groupBy("cell").count().agg(F.max("count").alias("m")).first()["m"]
+    assert mx < 60  # was ~64+ in the creation quantizer's hot cell
+    # a LATER plain re-split pass must CARRY the quantizer forward —
+    # and the new batch is assigned (and stamped) under the CREATION
+    # quantizer, the post-requantize mixed window: its cell numbers
+    # are incomparable with the retrained probes, so the serve must
+    # route it through the foreign-layout brute-force leg rather than
+    # prune it away (the r9 layout-split discipline)
+    vecs[200], vecs[201] = vec(), vec()
+    put([200, 201], 2)
+    SS.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["cell", "sub"],
+        gc_grace_sec=3600.0,
+        transform=S.ann_resplit_transform(12),
+    )
+    extra2 = SS.read_manifest_extra(root)
+    assert extra2.get("centroids") == extra["centroids"]  # carried
+    assert serve(S.quantizer_from_manifest(spark, root)) == truth(
+        all_ids | {200, 201}
+    )
