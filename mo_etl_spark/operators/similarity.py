@@ -637,6 +637,46 @@ def ann_maintenance_transform(
     return _t
 
 
+def ann_reassign_transform(
+    root: str,
+    cap_rows: int,
+    id_col: str = "c_id",
+    vec_col: str = "vec",
+):
+    """RE-ASSIGN-only maintenance (r9): re-derive every retained row's
+    cell under the COMMITTED quantizer (quantizer_from_manifest) — no
+    retraining.  This is what restores FULL pruning after a
+    re-quantization's mixed window: a verbatim re-split consolidation
+    of mixed-layout inputs leaves the base unstamped (served exactly
+    via the foreign brute-force leg, but unpruned); re-assignment
+    makes every retained row comparable with the committed quantizer
+    again and claims its layout, at the cost of one assignment GEMM —
+    a fraction of the rewrite that is happening anyway.  Falls back to
+    a plain re-split when the table has no committed quantizer yet
+    (creation-quantizer tables: their writers stamp dirs themselves)."""
+
+    def _t(df: DataFrame) -> tuple[DataFrame, dict]:
+        cents = quantizer_from_manifest(df.sparkSession, root)
+        if cents is None:
+            return ann_resplit_transform(
+                cap_rows, id_col=id_col
+            )(df)
+        body = df.select(F.col(id_col), F.col(vec_col))
+        assigned = ivf_cells(body, cents)
+        split, ns = ivf_subsplit(body.join(assigned, id_col), cap_rows)
+        mapping = {
+            str(r["cell"]): int(r["n_subs"])
+            for r in ns.where(F.col("n_subs") > 1).collect()
+        }
+        return split, {
+            "cell_subs": mapping,
+            "cap_rows": cap_rows,
+            "layout_id": quantizer_id(cents),
+        }
+
+    return _t
+
+
 def quantizer_from_manifest(
     spark, path: str, cent_id: str = "cent_id", vec: str = "vec"
 ) -> DataFrame | None:

@@ -3801,6 +3801,24 @@ def test_requantize_then_resplit_keeps_quantizer(spark, tmpdir):
     )
     extra2 = SS.read_manifest_extra(root)
     assert extra2.get("centroids") == extra["centroids"]  # carried
+    # the verbatim consolidation mixed two layouts: base unstamped,
+    # served exactly via the foreign brute-force leg (unpruned)
+    man = SS._read_manifest(root)
+    assert SS.dir_layout(os.path.join(root, man["base"])) is None
     assert serve(S.quantizer_from_manifest(spark, root)) == truth(
         all_ids | {200, 201}
     )
+    # RE-ASSIGN maintenance restores full pruning: every retained row
+    # re-derived under the committed quantizer, base stamped with it
+    SS.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["cell", "sub"],
+        gc_grace_sec=3600.0,
+        transform=S.ann_reassign_transform(root, 12),
+    )
+    man = SS._read_manifest(root)
+    cents_committed = S.quantizer_from_manifest(spark, root)
+    assert SS.dir_layout(os.path.join(root, man["base"])) == S.quantizer_id(
+        cents_committed
+    )
+    assert SS.read_manifest_extra(root).get("centroids") == extra["centroids"]
+    assert serve(cents_committed) == truth(all_ids | {200, 201})
