@@ -3408,10 +3408,16 @@ def test_streamed_ann_index_chaos_model(spark, tmpdir, seed):
         return base_vecs | {i for b in live_batches for i in batches[b]}
 
     def serve():
+        # the production choice: probe with the COMMITTED quantizer
+        # when a requantize has run, else the creation quantizer —
+        # mixed-layout windows route dirs between the pruned and the
+        # foreign brute-force legs per their stamps (r9 layout split)
+        qcents = S.quantizer_from_manifest(spark, root)
         return sorted(
             (r["q_id"], r["c_id"], round(r["cos_sim"], 5), r["rnk"])
             for r in _ivf_pruned_serve(
-                spark, root, cents, queries, nprobe=4, prov=PROV
+                spark, root, qcents if qcents is not None else cents,
+                queries, nprobe=4, prov=PROV,
             ).collect()
         )
 
@@ -3442,10 +3448,19 @@ def test_streamed_ann_index_chaos_model(spark, tmpdir, seed):
         pending_tombs.difference_update(snap_tombs)
         gen_snap[gen] = set(base_vecs)
 
-    def fold(paused=False):
+    def fold(paused=False, mode="resplit"):
         nonlocal next_b
         snap_b, snap_t = set(live_batches), set(pending_tombs)
-        tf = S.ann_resplit_transform(CAP)
+        if mode == "requantize":
+            # retrain the quantizer mid-chaos: k=4 keeps nprobe=4
+            # exhaustive, so truth stays brute force; the serve then
+            # probes with the committed quantizer and routes old-stamp
+            # dirs through the foreign leg
+            tf = S.ann_requantize_transform(4, iters=1, cap_rows=CAP)
+        elif mode == "reassign":
+            tf = S.ann_reassign_transform(root, CAP)
+        else:
+            tf = S.ann_resplit_transform(CAP)
         if not paused:
             SS.compact_batched(
                 spark, root, min_dirs=0, partition_cols=["cell", "sub"],
@@ -3492,7 +3507,7 @@ def test_streamed_ann_index_chaos_model(spark, tmpdir, seed):
     for step in range(20):
         op = rng.choice(
             ["apply", "apply", "crash", "late_replay", "retract",
-             "fold", "fold_paused", "rollback", "expire"]
+             "fold", "fold_paused", "rollback", "expire", "requantize"]
         )
         if op == "apply":
             if crashed is not None:
@@ -3526,9 +3541,13 @@ def test_streamed_ann_index_chaos_model(spark, tmpdir, seed):
                 )
                 pending_tombs.update(dead)
         elif op == "fold":
-            fold()
+            # re-split or (once a quantizer is committed) a re-assign
+            # under it — the pruning-restoring maintenance pass
+            fold(mode=rng.choice(["resplit", "reassign"]))
+        elif op == "requantize":
+            fold(mode="requantize")
         elif op == "fold_paused" and crashed is None:
-            fold(paused=True)
+            fold(paused=True, mode=rng.choice(["resplit", "requantize"]))
         elif op == "rollback":
             cands = [g for g in sorted(gen_snap) if g not in expired_gens]
             if cands:
@@ -3822,3 +3841,49 @@ def test_requantize_then_resplit_keeps_quantizer(spark, tmpdir):
     )
     assert SS.read_manifest_extra(root).get("centroids") == extra["centroids"]
     assert serve(cents_committed) == truth(all_ids | {200, 201})
+
+
+def test_manifest_log_append_loss_narrows_horizon_only(spark, tmpdir):
+    """Fault window between the live-pointer commit and the manifest
+    LOG append (the one crash window inside _write_manifest itself):
+    the generation is simply not travelable — NAMED SnapshotVacuumed,
+    never a mis-read — the LIVE pointer and all reads are unaffected,
+    and later commits append their own entries normally (the horizon
+    is narrowed by exactly the lost generation, as documented)."""
+    from mo_etl_spark import streaming as S
+
+    root = f"{tmpdir}/log_loss"
+    schema = "k BIGINT, ib BIGINT"
+
+    def gen_step(lo, hi, b):
+        S.idempotent_batch_write(
+            spark.range(lo, hi).select(
+                F.col("id").alias("k"), F.pmod("id", F.lit(4)).alias("ib")
+            ),
+            root, b, partition_cols=["ib"],
+        )
+        S.compact_batched(
+            spark, root, min_dirs=0, partition_cols=["ib"],
+            gc_grace_sec=3600.0,
+        )
+
+    gen_step(0, 20, 0)  # gen 1
+    os.remove(os.path.join(root, "_MANIFEST.g1"))  # crash lost the append
+    # live reads are untouched — the pointer committed first
+    assert S.read_batched(
+        spark, root, partitioned=True, schema=schema
+    ).count() == 20
+    with pytest.raises(S.SnapshotVacuumed):
+        S.read_batched_at(spark, root, 1, schema)
+    # rollback to the lost generation is the same NAMED refusal
+    with pytest.raises(S.SnapshotVacuumed):
+        S.rollback_batched(root, 1)
+    # the table keeps living: gen 2 commits, logs, travels normally
+    gen_step(20, 30, 1)
+    assert sorted(S.read_manifest_log(root)) == [2]
+    assert S.read_batched_at(
+        spark, root, 2, schema, partitioned=True
+    ).count() == 30
+    assert S.read_batched(
+        spark, root, partitioned=True, schema=schema
+    ).count() == 30
