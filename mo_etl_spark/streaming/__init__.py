@@ -1844,6 +1844,7 @@ def maintain_batched(
     max_tombstone_files: int = 16,
     rebucket: tuple[str, Callable[[int], Column], int, int] | None = None,
     keep_last_gens: int | None = None,
+    ann: tuple[int, tuple[int, int, int] | None] | None = None,
 ) -> int:
     """AUTO-compaction policy (VERDICT r5 item #3): compact when the
     live-dir count reaches ``max_dirs``, else no-op.  Called by the
@@ -1872,14 +1873,22 @@ def maintain_batched(
     the same rewrite doubles the spec; when it hasn't, the transform
     is measurement-only and the layout is carried unchanged.
     Mutually exclusive with ``transform`` (a caller with a custom
-    transform owns its own spec discipline)."""
+    transform owns its own spec discipline).
+
+    AUTO ANN MAINTENANCE (r9): ``ann=(cap_rows, retrain)`` gives an
+    IVF index table the same nobody-has-to-remember discipline —
+    every triggered pass runs ``similarity.ann_maintenance_transform``
+    (hot-cell re-split; with ``retrain=(k, iters, cell_cap_rows)``
+    also the drift-triggered quantizer re-train).  Mutually exclusive
+    with ``transform`` and ``rebucket``."""
     if not os.path.isdir(root):
         return 0
+    if sum(x is not None for x in (transform, rebucket, ann)) > 1:
+        raise ValueError(
+            "maintain_batched: pass at most one of transform=, "
+            "rebucket=, ann="
+        )
     if rebucket is not None:
-        if transform is not None:
-            raise ValueError(
-                "maintain_batched: pass transform= or rebucket=, not both"
-            )
         col, recompute, default_n, cap_rows = rebucket
         transform = rebucket_transform(
             col,
@@ -1888,6 +1897,13 @@ def maintain_batched(
             cap_rows,
             prior_extra=read_manifest_extra(root),
         )
+    if ann is not None:
+        from mo_etl_spark.operators.similarity import (
+            ann_maintenance_transform,
+        )
+
+        cap_rows, retrain = ann
+        transform = ann_maintenance_transform(cap_rows, retrain=retrain)
     tomb_pressure = False
     if tombstone_col is not None:
         # LIVE files only: consumed files retained inside their grace

@@ -3887,3 +3887,58 @@ def test_manifest_log_append_loss_narrows_horizon_only(spark, tmpdir):
     assert S.read_batched(
         spark, root, partitioned=True, schema=schema
     ).count() == 30
+
+
+def test_maintain_batched_ann_auto_policy(spark, tmpdir):
+    """maintain_batched(ann=) owns ANN maintenance the way rebucket=
+    owns spec growth: dir-count pressure triggers the pass, the policy
+    re-splits (and past the drift cap, re-trains) without anyone
+    remembering which transform to build."""
+    import random
+
+    from mo_etl_spark import streaming as SS
+    from mo_etl_spark.operators import similarity as S
+
+    gen = random.Random(11)
+    rows = [
+        (i, [round(gen.uniform(-1, 1), 3) for _ in range(4)])
+        for i in range(40)
+    ]
+    hot = rows[2][1]
+    rows += [
+        (100 + i, [round(x + gen.uniform(-0.05, 0.05), 3) for x in hot])
+        for i in range(60)
+    ]  # drifted mass: one creation-cell swallows it
+    cents0 = spark.createDataFrame(
+        [(c, rows[c][1]) for c in range(3)], "cent_id BIGINT, vec ARRAY<FLOAT>"
+    )
+    root = f"{tmpdir}/ann_auto"
+    for b in range(4):
+        d = spark.createDataFrame(
+            rows[b * 25:(b + 1) * 25], "c_id BIGINT, vec ARRAY<FLOAT>"
+        )
+        SS.idempotent_batch_write(
+            S.ivf_cells(d, cents0).join(d, "c_id").withColumn(
+                "sub", F.pmod(F.xxhash64("c_id"), F.lit(2)).cast("int")
+            ),
+            root, b, partition_cols=["cell", "sub"],
+        )
+        SS.stamp_layout(root, b, S.quantizer_id(cents0))
+    # below dir pressure: no-op
+    assert SS.maintain_batched(
+        spark, root, max_dirs=16, partition_cols=["cell", "sub"],
+        ann=(10, (4, 1, 40)), gc_grace_sec=3600.0,
+    ) == 0
+    # at pressure: the pass runs and the drift cap triggers a re-train
+    assert SS.maintain_batched(
+        spark, root, max_dirs=4, partition_cols=["cell", "sub"],
+        ann=(10, (4, 1, 40)), gc_grace_sec=3600.0,
+    ) > 0
+    extra = SS.read_manifest_extra(root)
+    assert "centroids" in extra and len(extra["centroids"]) == 4
+    # mutually exclusive knobs stay a loud error
+    with pytest.raises(ValueError, match="at most one"):
+        SS.maintain_batched(
+            spark, root, partition_cols=["cell", "sub"],
+            ann=(10, None), rebucket=("ib", lambda n: F.lit(0), 2, 4),
+        )
