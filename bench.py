@@ -85,19 +85,62 @@ def main() -> None:
     # contention signal
     stream_names = [n for n in timings if n.startswith("stream_real_")]
     slowest_20 = sorted(timings, key=lambda k: -timings[k])[:20]
+    # LOAD-ROBUSTNESS retime (VERDICT r9 item #4): BENCH_r09's recorded
+    # subtotal read 22% above a quiet-box run of the SAME code because
+    # ambient co-tenant load inflated trivially-small queries 4-10x.
+    # Any query measuring >3x its committed reference (last round's
+    # BENCH_DETAIL entry, falling back to the pinned r2 per-query
+    # timing) is a contention suspect — retime it (up to twice, keeping
+    # the min, stopping early once within 1.5x of the reference) so the
+    # one number the driver records tracks the plan, not the co-tenant.
+    ref: dict[str, float] = {}
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "tools",
+                "stable_r2_queries.json",
+            )
+        ) as f:
+            _pinned_early = json.load(f)
+        ref.update(_pinned_early.get("per_query") or {})
+    except Exception:
+        pass
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+            )
+        ) as f:
+            prev = json.load(f).get("queries") or {}
+        ref.update({k: v for k, v in prev.items() if v >= 0})
+    except Exception:
+        pass
+    inflated = [
+        n
+        for n, t in timings.items()
+        if t >= 0 and ref.get(n, -1.0) > 0 and t > 3.0 * ref[n]
+    ]
     retimed: dict[str, float] = {}
-    for name in dict.fromkeys([*slowest_20, *stream_names]):
+    for name in dict.fromkeys([*slowest_20, *stream_names, *inflated]):
         if timings[name] < 0:
             continue
-        t0 = time.time()
-        try:
-            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            second = round(time.time() - t0, 3)
-            if second < timings[name]:
-                retimed[name] = timings[name]  # keep the discarded first run
-                timings[name] = second
-        except Exception as e:
-            print(f"# bench retime error {name}: {e!r}", file=sys.stderr)
+        reps = 2 if name in inflated else 1
+        for _ in range(reps):
+            t0 = time.time()
+            try:
+                qs[name](spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                second = round(time.time() - t0, 3)
+                if second < timings[name]:
+                    retimed.setdefault(name, timings[name])  # discarded first run
+                    timings[name] = second
+            except Exception as e:
+                print(f"# bench retime error {name}: {e!r}", file=sys.stderr)
+                break
+            if ref.get(name, -1.0) > 0 and timings[name] <= 1.5 * ref[name]:
+                break
 
     # STABLE-INTERSECTION companion metric (VERDICT r8 what's-wrong #1):
     # the headline total is composition-sensitive — every round adds
@@ -124,6 +167,20 @@ def main() -> None:
             "stable_r2_n": len(hit),
             "stable_r2_baseline_total": pinned["r2_total_sec"],
         }
+        # ADVICE r9 low: an errored pinned query silently dropped from
+        # the subtotal while the ratio denominator stayed the full r2
+        # total would bias the drift ratio LOW.  The pinned file now
+        # ships per-query r2 timings, so also emit the baseline
+        # restricted to the same hit set — the honest denominator —
+        # and name the misses outright.
+        per_q = pinned.get("per_query") or {}
+        if per_q:
+            stable_meta["stable_r2_baseline_hit_subtotal"] = round(
+                sum(per_q.get(n, 0.0) for n in hit), 3
+            )
+        missed = [n for n in pinned["queries"] if timings.get(n, -1.0) < 0]
+        if missed:
+            stable_meta["stable_r2_missing"] = missed
     except Exception as e:
         print(f"# bench stable-subtotal skipped: {e!r}", file=sys.stderr)
 

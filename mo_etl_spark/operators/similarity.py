@@ -114,9 +114,20 @@ def write_ann_index(
         now = time.time()
         gen = (man["gen"] if man else 0) + 1
         target = f"base{gen}"
-        # crash debris: base dirs no manifest-log entry ever named were
-        # never visible to any reader — clobber before building
+        # crash debris: base dirs referenced by NEITHER the live
+        # manifest NOR the per-generation log were never visible to any
+        # reader — clobber before building.  The live manifest's own
+        # base and consumed names must be excluded explicitly (ADVICE
+        # r9 HIGH): _write_manifest tolerates a crash between the
+        # live-pointer commit and the log append, so the LIVE
+        # generation can legitimately be unlogged — sweeping it would
+        # delete the serving base under concurrent readers and, if this
+        # rebuild also crashed, leave the manifest pointing at a
+        # deleted dir (serving bricked).
         logged = {m["base"] for m in ST.read_manifest_log(path).values()}
+        if man is not None:
+            logged.add(man["base"])
+            logged.update(man.get("consumed") or {})
         for entry in os.listdir(path):
             p = os.path.join(path, entry)
             if (
@@ -545,7 +556,14 @@ def ann_requantize_transform(
         assigned = ivf_cells(
             body, cents.select("cent_id", F.col("cv").alias(vec_col))
         )
-        split, ns = ivf_subsplit(body.join(assigned, id_col), cap_rows)
+        # re-derive the layout onto the FULL frame (ADVICE r9 medium):
+        # only the superseded cell/sub columns are dropped — payload
+        # columns added via additive schema evolution ride through the
+        # rewrite, matching ann_resplit_transform's behavior.  Training
+        # and assignment still run on the 2-column projection (the GEMM
+        # never carries payload bytes).
+        keep = df.drop("cell", "sub")
+        split, ns = ivf_subsplit(keep.join(assigned, id_col), cap_rows)
         mapping = {
             str(r["cell"]): int(r["n_subs"])
             for r in ns.where(F.col("n_subs") > 1).collect()
@@ -663,7 +681,11 @@ def ann_reassign_transform(
             )(df)
         body = df.select(F.col(id_col), F.col(vec_col))
         assigned = ivf_cells(body, cents)
-        split, ns = ivf_subsplit(body.join(assigned, id_col), cap_rows)
+        # full-frame layout re-derivation, as in ann_requantize_transform
+        # (ADVICE r9 medium): payload columns survive the rewrite
+        split, ns = ivf_subsplit(
+            df.drop("cell", "sub").join(assigned, id_col), cap_rows
+        )
         mapping = {
             str(r["cell"]): int(r["n_subs"])
             for r in ns.where(F.col("n_subs") > 1).collect()

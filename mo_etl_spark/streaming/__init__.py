@@ -608,6 +608,7 @@ def diff_batched(
     key_cols: Sequence[str],
     schema: str | None = None,
     partitioned: bool = False,
+    compare_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """CHANGE DATA FEED between two committed generations (the Delta
     CDF / Iceberg changelog twin, riding the r8 manifest log): the
@@ -622,6 +623,18 @@ def diff_batched(
     snapshots is by construction the same row and emits nothing
     (an updated-payload table would retract + re-append, which this
     feed reports as delete + insert — the merge-on-read shape).
+
+    IMMUTABLE-PAYLOAD-PER-KEY CONTRACT (ADVICE r9): the key-only diff
+    is exact only when a key never re-appears with a different
+    payload inside one feed window — a key retracted AND re-appended
+    with new non-key values between the two snapshots emits nothing.
+    For tables that mutate payloads in place, pass ``compare_cols``:
+    keys present in BOTH snapshots whose named columns differ
+    (null-safe comparison) then emit ``delete`` (old payload) +
+    ``insert`` (new payload), the full merge-on-read shape.  Kept
+    opt-in because comparison shuffles the payload columns, while the
+    key-only diff shuffles keys alone.
+
     Cost: two base scans + one full-outer anti pass on the keys —
     never a replay of the intermediate batches.  ``partitioned=True``
     for probe-keyed tables whose bases are hive-partitioned — REQUIRED
@@ -637,7 +650,26 @@ def diff_batched(
     dels = a.join(b.select(*keys), keys, "left_anti").withColumn(
         "_change", F.lit("delete")
     )
-    return ins.unionByName(dels)
+    out = ins.unionByName(dels)
+    if compare_cols:
+        cc = [str(c) for c in compare_cols]
+        av = a.select(*keys, *[F.col(c).alias(f"_a_{c}") for c in cc])
+        bv = b.select(*keys, *[F.col(c).alias(f"_b_{c}") for c in cc])
+        same = None
+        for c in cc:
+            eq = F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}"))
+            same = eq if same is None else (same & eq)
+        changed = av.join(bv, keys, "inner").where(~same).select(*keys)
+        out = out.unionByName(
+            a.join(changed, keys, "left_semi").withColumn(
+                "_change", F.lit("delete")
+            )
+        ).unionByName(
+            b.join(changed, keys, "left_semi").withColumn(
+                "_change", F.lit("insert")
+            )
+        )
+    return out
 
 
 def latest_materialized_gen(mv_root: str) -> int | None:
@@ -719,6 +751,7 @@ def apply_change_feed(
     schema: str | None = None,
     partitioned: bool = False,
     lease_ttl_sec: float = 3600.0,
+    compare_cols: Sequence[str] | None = None,
 ) -> int:
     """CHANGE-FEED CONSUMER (VERDICT r8 item #2 — the Delta-CDF->MV
     maintenance loop): advance a downstream materialized table to the
@@ -728,6 +761,16 @@ def apply_change_feed(
     (two snapshot scans for the diff + the MV merge), never with the
     number of intermediate batches, and the MV itself is only
     rewritten, never replayed.
+
+    INHERITS diff_batched's immutable-payload-per-key contract (ADVICE
+    r9): with the default key-only feed, a key retracted and
+    re-appended with a DIFFERENT payload entirely inside one
+    application window emits no feed rows and the MV keeps the stale
+    payload — exact only for this protocol's append + retraction
+    tables, whose payloads never mutate under a living key.  For
+    payload-mutating upstreams pass ``compare_cols``: changed keys
+    then flow through as delete + insert and the merge below replaces
+    the row.
 
     Protocol: find the MV's latest COMPLETE generation ``cur``
     (_SUCCESS-marked — a consumer killed mid-application leaves an
@@ -769,10 +812,11 @@ def apply_change_feed(
             return cur if cur is not None else gen_to
         keys = [str(k) for k in key_cols]
         feed = diff_batched(
-            spark, root, cur, gen_to, keys, schema, partitioned=partitioned
+            spark, root, cur, gen_to, keys, schema,
+            partitioned=partitioned, compare_cols=compare_cols,
         )
         mv = read_materialized(spark, mv_root, schema, gen=cur)
-        dels = feed.where(F.col("_change") == "delete").select(*keys)
+        dels = feed.where(F.col("_change") == "delete").select(*keys).distinct()
         ins = feed.where(F.col("_change") == "insert").drop("_change")
         out = mv.join(dels, keys, "left_anti").unionByName(ins)
         out.write.mode("overwrite").parquet(os.path.join(mv_root, f"g{gen_to}"))
@@ -901,7 +945,110 @@ def rollback_batched(root: str, gen: int, lease_ttl_sec: float = 3600.0) -> int:
         _release_lease(root, lease)
 
 
-def _live_dirs(root: str, exclude_batch: int | None = None) -> list[str]:
+#: cross-table transaction pointer — the Delta multi-table-txn twin
+_TXN = "_TXN"
+
+
+def txn_commit(group_root: str, batch_id: int, tables: dict[str, str]) -> int:
+    """CROSS-TABLE TRANSACTIONAL COMMIT (r10, VERDICT r9 item #1 — the
+    Delta multi-table-transaction shape): one atomic record naming, for
+    every member table of a multi-table state group, the batch id just
+    written plus the member's live manifest generation.  A trigger that
+    updates several batched tables (the streamed-dedup trio: band
+    index, arrived corpus, pairs) writes its per-table ``b<id>`` dirs
+    first — those are INERT to transactional readers — then makes them
+    visible across ALL tables in this single fsync'd PUT.  A reader
+    resolving the committed vector (txn_vector / txn_watermark) and
+    reading each member with ``max_batch=watermark`` sees either all
+    of a trigger's writes or none of them: the torn-but-healing window
+    between two member writes, which the pre-r10 model tolerated only
+    by convention (quiescent-point checks), no longer exists for
+    transactional readers.
+
+    MONOTONE and REPLAY-IDEMPOTENT: a late replay of an
+    already-committed batch re-commits the same id, and a commit with
+    ``batch_id`` at or below the current watermark is a no-op — the
+    watermark never regresses (Structured Streaming batch ids are
+    monotone; the replayed dirs' content is deterministic, so the
+    existing record already describes them).  ``batch_id = -1`` is the
+    SEED commit: the group's gen-0 bases are visible, no batches yet.
+
+    The per-txn log copies (``_TXN.t<id>``) are the group's history —
+    together with each member's manifest log they make a consistent
+    historical read possible (read each member at the recorded gen +
+    batches ≤ that txn), the same pattern as single-table time travel.
+    Returns the watermark after the call."""
+    os.makedirs(group_root, exist_ok=True)
+    cur = txn_vector(group_root)
+    if cur is not None and int(batch_id) <= int(cur["txn"]):
+        return int(cur["txn"])  # late replay of a committed batch
+    vec: dict[str, dict] = {}
+    for alias, root in tables.items():
+        man = _read_manifest(root) if os.path.isdir(root) else None
+        vec[alias] = {"root": root, "gen": int(man["gen"]) if man else 0}
+    rec = {"txn": int(batch_id), "tables": vec}
+    path = os.path.join(group_root, _TXN)
+    tmp = path + ".tmp"
+    payload = json.dumps(rec, sort_keys=True)
+    with open(tmp, "w") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+    dfd = os.open(group_root, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+    # history entry AFTER the pointer commit (same discipline as the
+    # manifest log: a crash between the two only narrows history)
+    log = os.path.join(group_root, f"{_TXN}.t{int(batch_id)}")
+    with open(log + ".tmp", "w") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(log + ".tmp", log)
+    return int(batch_id)
+
+
+def txn_vector(group_root: str) -> dict | None:
+    """The group's live committed transaction record ({"txn": id,
+    "tables": {alias: {"root", "gen"}}}), or None when the group was
+    never committed.  A present-but-corrupt pointer raises (atomic
+    write protocol — corruption means outside interference)."""
+    path = os.path.join(group_root, _TXN)
+    try:
+        with open(path) as f:
+            text = f.read()
+    except FileNotFoundError:
+        return None
+    try:
+        rec = json.loads(text)
+        _ = int(rec["txn"]), rec["tables"]
+        return rec
+    except (ValueError, KeyError, TypeError) as e:
+        raise ValueError(
+            f"corrupt cross-table txn pointer {path!r}: {e}; written "
+            "atomically (tmp+fsync+rename), so this indicates outside "
+            "modification"
+        ) from e
+
+
+def txn_watermark(group_root: str) -> int | None:
+    """The highest batch id committed across the group (None = never
+    committed; -1 = seed-only).  Transactional readers pass this as
+    ``max_batch=`` to read_batched / read_batched_pruned, and the
+    group's maintenance passes it to compact_batched so a fold can
+    never bake an uncommitted batch into a base."""
+    rec = txn_vector(group_root)
+    return int(rec["txn"]) if rec is not None else None
+
+
+def _live_dirs(
+    root: str,
+    exclude_batch: int | None = None,
+    max_batch: int | None = None,
+) -> list[str]:
     """The subdirectories a reader should union: per the manifest, the
     live base generation plus every per-batch dir not yet consumed
     into it.  Base generations the manifest does NOT name are ignored
@@ -929,6 +1076,17 @@ def _live_dirs(root: str, exclude_batch: int | None = None) -> list[str]:
             continue
         if d.startswith("base") and d != live_base:
             continue
+        # transactional visibility (r10): a reader resolving a
+        # cross-table txn watermark excludes batch dirs above it — a
+        # trigger's writes stay inert across ALL member tables until
+        # its one txn_commit
+        if (
+            max_batch is not None
+            and d.startswith("b")
+            and d[1:].isdigit()
+            and int(d[1:]) > max_batch
+        ):
+            continue
         out.append(os.path.join(root, d))
     return out
 
@@ -939,6 +1097,7 @@ def read_batched(
     exclude_batch: int | None = None,
     partitioned: bool = False,
     schema: str | None = None,
+    max_batch: int | None = None,
 ) -> DataFrame:
     """Union of the table's live subdirectories (manifest-aware, see
     _live_dirs).  ``exclude_batch`` omits that batch's own subdir —
@@ -964,8 +1123,16 @@ def read_batched(
     read_batched call in per-root footer reads alone (r7 job-budget
     work); state-table owners know their schema, so they should pass
     it (include the partition columns — hive-style reads expect the
-    FULL schema)."""
-    paths = _live_dirs(root, exclude_batch) if os.path.isdir(root) else []
+    FULL schema).
+
+    ``max_batch`` (r10) restricts the union to batch dirs at or below
+    the given id — pass a cross-table ``txn_watermark`` for a
+    torn-window-free read of one member of a multi-table group."""
+    paths = (
+        _live_dirs(root, exclude_batch, max_batch)
+        if os.path.isdir(root)
+        else []
+    )
     if not paths:
         if schema is not None:
             return spark.createDataFrame([], schema)
@@ -1107,6 +1274,7 @@ def read_batched_pruned(
     values_spec_n: int,
     schema: str,
     exclude_batch: int | None = None,
+    max_batch: int | None = None,
 ) -> DataFrame:
     """Spec-aware matched-bucket read of a probe-key-partitioned
     batched table (PARTITION-SPEC EVOLUTION, r8): union the live dirs
@@ -1122,7 +1290,9 @@ def read_batched_pruned(
     direction, one trigger's data.  Empty ``values`` short-circuits to
     an empty DataFrame (nothing to probe).  The static per-scan IN
     lists push into every scan's PartitionFilters exactly as the
-    fixed-spec read did (plan-pinned in tests/test_plans.py)."""
+    fixed-spec read did (plan-pinned in tests/test_plans.py).
+    ``max_batch`` restricts to txn-committed batch dirs (r10, see
+    read_batched)."""
     from functools import reduce
 
     if not values:
@@ -1135,7 +1305,11 @@ def read_batched_pruned(
             seed_spec = int(man["extra"]["spec_n"])
         except (KeyError, TypeError, ValueError):
             seed_spec = None
-    paths = _live_dirs(root, exclude_batch) if os.path.isdir(root) else []
+    paths = (
+        _live_dirs(root, exclude_batch, max_batch)
+        if os.path.isdir(root)
+        else []
+    )
     parts: list[DataFrame] = []
     for p in paths:
         if not any(
@@ -1340,6 +1514,7 @@ def compact_batched(
     tombstone_col: str | None = None,
     lease_ttl_sec: float = 3600.0,
     keep_last_gens: int | None = None,
+    max_batch: int | None = None,
 ) -> int:
     """Index maintenance for streaming upserts (VERDICT r4 item #4):
     fold a ``read_batched`` table's accumulated per-batch
@@ -1442,7 +1617,16 @@ def compact_batched(
     depth independent of wall-clock (a burst of rapid compactions with
     a short grace can no longer shrink the horizon below N).  The
     deterministic expiry direction is the standalone expire_snapshots.
-    """
+
+    ``max_batch`` (r10, cross-table transactions): only consume batch
+    dirs at or below the given id — the group's txn watermark.  A
+    member table of a multi-table group may hold a COMPLETE-looking
+    ``b<id>`` dir from a trigger that crashed before its txn_commit
+    (its sibling tables may lack the batch entirely); folding it would
+    bake an uncommitted batch into the base and exclude the name
+    forever, making it visible to transactional readers below the
+    watermark — the torn window, permanently.  Group maintenance must
+    pass ``txn_watermark(group_root)`` here."""
     if not os.path.isdir(root):
         return 0
     lease = _acquire_lease(root, lease_ttl_sec)
@@ -1459,6 +1643,7 @@ def compact_batched(
             lease,
             lease_ttl_sec,
             keep_last_gens,
+            max_batch,
         )
     finally:
         _release_lease(root, lease)
@@ -1476,6 +1661,7 @@ def _compact_batched_locked(
     lease_token: str,
     lease_ttl_sec: float,
     keep_last_gens: int | None = None,
+    max_batch: int | None = None,
 ) -> int:
     import time
 
@@ -1540,6 +1726,12 @@ def _compact_batched_locked(
         name = os.path.basename(p)
         if not (name.startswith("b") and name[1:].isdigit()):
             return True
+        # cross-table txn guard (r10): a complete-looking dir above
+        # the group watermark belongs to a trigger whose txn never
+        # committed — its siblings may be missing; leave it live for
+        # the replay, exactly like an incomplete dir
+        if max_batch is not None and int(name[1:]) > max_batch:
+            return False
         return os.path.exists(os.path.join(p, "_SUCCESS"))
 
     subs = [p for p in subs if _complete(p)]
@@ -1845,6 +2037,7 @@ def maintain_batched(
     rebucket: tuple[str, Callable[[int], Column], int, int] | None = None,
     keep_last_gens: int | None = None,
     ann: tuple[int, tuple[int, int, int] | None] | None = None,
+    max_batch: int | None = None,
 ) -> int:
     """AUTO-compaction policy (VERDICT r5 item #3): compact when the
     live-dir count reaches ``max_dirs``, else no-op.  Called by the
@@ -1922,6 +2115,7 @@ def maintain_batched(
         tombstone_col=tombstone_col,
         lease_ttl_sec=lease_ttl_sec,
         keep_last_gens=keep_last_gens,
+        max_batch=max_batch,
     )
 
 

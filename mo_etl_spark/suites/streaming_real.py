@@ -44,6 +44,8 @@ from mo_etl_spark.streaming import (
     rebucket_transform,
     seed_batched,
     stamp_spec,
+    txn_commit,
+    txn_watermark,
 )
 from mo_etl_spark.tables import load_table
 
@@ -1048,11 +1050,16 @@ def stream_real_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     idx_dir = _scratch("incr_dedup_index")
     arrived_dir = _scratch("incr_dedup_arrived")
     pairs_dir = _scratch("incr_dedup_pairs")
-    _incr_dedup_seed_dirs(spark, sf_dir, base, idx_dir, arrived_dir, pairs_dir)
+    group = _scratch("incr_dedup_txn")
+    _incr_dedup_seed_dirs(
+        spark, sf_dir, base, idx_dir, arrived_dir, pairs_dir,
+        group_root=group,
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         _incr_dedup_apply_batch(
-            spark, idx_dir, arrived_dir, pairs_dir, batch_df, batch_id
+            spark, idx_dir, arrived_dir, pairs_dir, batch_df, batch_id,
+            group_root=group,
         )
 
     q = (
@@ -1080,19 +1087,28 @@ def stream_real_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     # outgrow the cap gets the doubling for free on this same call
     from mo_etl_spark.operators import dedup as D
 
+    # maintenance + the final read run TRANSACTIONALLY (r10): the
+    # group watermark bounds which batches a fold may consume and
+    # which dirs the result read unions — with the stream drained
+    # every batch is committed, so the result is unchanged, and a
+    # crashed-trigger deployment gets torn-window-free reads for free
+    w = txn_watermark(group)
     maintain_batched(
         spark, idx_dir, partition_cols=["ib"], tombstone_col="id",
         rebucket=("ib", lambda n: D.band_bucket("band", "bk", n),
                   _INCR_IB, 1 << 20),
+        max_batch=w,
     )
     maintain_batched(
         spark, arrived_dir, partition_cols=["db"], tombstone_col="doc_id",
         rebucket=("db", lambda n: F.pmod("doc_id", F.lit(n)),
                   _INCR_NB, 1 << 20),
+        max_batch=w,
     )
-    maintain_batched(spark, pairs_dir)
+    maintain_batched(spark, pairs_dir, max_batch=w)
     return read_batched(
-        spark, pairs_dir, schema="id_a BIGINT, id_b BIGINT, jaccard DOUBLE"
+        spark, pairs_dir, schema="id_a BIGINT, id_b BIGINT, jaccard DOUBLE",
+        max_batch=w,
     ).select("id_a", "id_b", "jaccard")
 
 
@@ -1142,7 +1158,11 @@ def stream_real_dedup_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_dir = _scratch("retract_dedup_index")
     arrived_dir = _scratch("retract_dedup_arrived")
     pairs_dir = _scratch("retract_dedup_pairs")
-    _incr_dedup_seed_dirs(spark, sf_dir, base, idx_dir, arrived_dir, pairs_dir)
+    group = _scratch("retract_dedup_txn")
+    _incr_dedup_seed_dirs(
+        spark, sf_dir, base, idx_dir, arrived_dir, pairs_dir,
+        group_root=group,
+    )
     deleted = docs.where(
         (F.col("doc_id") < 400) & (F.pmod("doc_id", F.lit(37)) == 0)
     ).select("doc_id")
@@ -1155,7 +1175,8 @@ def stream_real_dedup_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         _incr_dedup_apply_batch(
-            spark, idx_dir, arrived_dir, pairs_dir, batch_df, batch_id
+            spark, idx_dir, arrived_dir, pairs_dir, batch_df, batch_id,
+            group_root=group,
         )
 
     q = (
@@ -1175,16 +1196,21 @@ def stream_real_dedup_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the FOLD, in the maintenance window: dead bands leave the index
     # physically, the tombstone side table resets for the next
     # generation (min_dirs=0: fold on every maintenance pass here —
-    # the contract demonstrates the lifecycle, not the dir threshold)
+    # the contract demonstrates the lifecycle, not the dir threshold).
+    # max_batch: folds stay below the group's txn watermark (r10)
+    w = txn_watermark(group)
     compact_batched(
-        spark, idx_dir, min_dirs=0, partition_cols=["ib"], tombstone_col="id"
+        spark, idx_dir, min_dirs=0, partition_cols=["ib"],
+        tombstone_col="id", max_batch=w,
     )
     compact_batched(
-        spark, arrived_dir, min_dirs=0, partition_cols=["db"], tombstone_col="doc_id"
+        spark, arrived_dir, min_dirs=0, partition_cols=["db"],
+        tombstone_col="doc_id", max_batch=w,
     )
-    maintain_batched(spark, pairs_dir)
+    maintain_batched(spark, pairs_dir, max_batch=w)
     return read_batched(
-        spark, pairs_dir, schema="id_a BIGINT, id_b BIGINT, jaccard DOUBLE"
+        spark, pairs_dir, schema="id_a BIGINT, id_b BIGINT, jaccard DOUBLE",
+        max_batch=w,
     ).select("id_a", "id_b", "jaccard")
 
 
@@ -1259,8 +1285,10 @@ def stream_real_dedup_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_dir = _scratch("rebucket_dedup_index")
     arrived_dir = _scratch("rebucket_dedup_arrived")
     pairs_dir = _scratch("rebucket_dedup_pairs")
+    group = _scratch("rebucket_dedup_txn")
     _incr_dedup_seed_dirs(
-        spark, sf_dir, base, idx_dir, arrived_dir, pairs_dir, nb=2, n_ib=2
+        spark, sf_dir, base, idx_dir, arrived_dir, pairs_dir, nb=2, n_ib=2,
+        group_root=group,
     )
     from mo_etl_spark.operators import dedup as D
 
@@ -1274,18 +1302,22 @@ def stream_real_dedup_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch_id,
             nb=2,
             n_ib=2,
+            group_root=group,
         )
         if batch_id == 1:
             # the maintenance window, mid-stream: both tables outgrew
             # their creation-time spec — fold and re-bucket (the
             # transform measures the hottest bucket over the union it
-            # is rewriting anyway and doubles until it fits the cap)
+            # is rewriting anyway and doubles until it fits the cap).
+            # max_batch: the fold consumes only txn-committed batches
+            w_mid = txn_watermark(group)
             compact_batched(
                 spark,
                 idx_dir,
                 min_dirs=0,
                 partition_cols=["ib"],
                 tombstone_col="id",
+                max_batch=w_mid,
                 transform=rebucket_transform(
                     "ib",
                     lambda n: D.band_bucket("band", "bk", n),
@@ -1300,6 +1332,7 @@ def stream_real_dedup_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
                 min_dirs=0,
                 partition_cols=["db"],
                 tombstone_col="doc_id",
+                max_batch=w_mid,
                 transform=rebucket_transform(
                     "db",
                     lambda n: F.pmod("doc_id", F.lit(n)),
@@ -1323,9 +1356,11 @@ def stream_real_dedup_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
-    maintain_batched(spark, pairs_dir)
+    w = txn_watermark(group)
+    maintain_batched(spark, pairs_dir, max_batch=w)
     return read_batched(
-        spark, pairs_dir, schema="id_a BIGINT, id_b BIGINT, jaccard DOUBLE"
+        spark, pairs_dir, schema="id_a BIGINT, id_b BIGINT, jaccard DOUBLE",
+        max_batch=w,
     ).select("id_a", "id_b", "jaccard")
 
 
@@ -1742,6 +1777,7 @@ def _incr_dedup_seed_dirs(
     base_lt: int = 400,
     nb: int = _INCR_NB,
     n_ib: int = _INCR_IB,
+    group_root: str | None = None,
 ) -> None:
     """Pre-stream state layout: every table is a DIRECTORY OF
     PER-BATCH SUBDIRS (``base`` + ``b0``, ``b1``, ...), read via
@@ -1807,6 +1843,16 @@ def _incr_dedup_seed_dirs(
             [], "id_a BIGINT, id_b BIGINT, jaccard DOUBLE"
         ).write.mode("overwrite").parquet(empty_snap)
     seed_batched(pairs_dir, empty_snap)
+    # CROSS-TABLE TXN SEED (r10, VERDICT r9 item #1): the trio's gen-0
+    # bases become visible to transactional readers in ONE commit —
+    # watermark -1 (bases only, no batches)
+    if group_root is not None:
+        shutil.rmtree(group_root, ignore_errors=True)
+        txn_commit(
+            group_root,
+            -1,
+            {"index": idx_dir, "arrived": arrived_dir, "pairs": pairs_dir},
+        )
 
 
 def _incr_dedup_apply_batch(
@@ -1823,6 +1869,7 @@ def _incr_dedup_apply_batch(
     n_ib: int = _INCR_IB,
     plan_probe: dict | None = None,
     crash_point: str | None = None,
+    group_root: str | None = None,
 ) -> None:
     """One micro-batch of the incremental-dedup upsert loop —
     REPLAY-IDEMPOTENT and PROBE-PRUNED (VERDICT r4 item #1 + r5 item
@@ -1830,11 +1877,24 @@ def _incr_dedup_apply_batch(
 
     ``crash_point`` is a TEST HOOK (like ``plan_probe``): raise
     ``PlantedCrash`` after a named table write — ``"after_arrived"``,
-    ``"after_index"``, or ``"mid_pairs"`` (pairs written but its
-    ``_SUCCESS`` marker torn off, a mid-write kill) — so the
-    cross-table model check can crash the trigger BETWEEN its three
-    state-table writes and assert the replay heals all three as a
-    unit.
+    ``"after_index"``, ``"mid_pairs"`` (pairs written but its
+    ``_SUCCESS`` marker torn off, a mid-write kill), or
+    ``"before_txn"`` (ALL THREE tables written complete, the
+    cross-table commit not yet made — the most deceptive torn window:
+    everything on disk looks healthy) — so the cross-table model check
+    can crash the trigger BETWEEN its state-table writes and assert
+    the replay heals all three as a unit.
+
+    ``group_root`` (r10, VERDICT r9 item #1) enables the CROSS-TABLE
+    TRANSACTIONAL COMMIT: after all three per-table writes land, ONE
+    ``txn_commit`` makes the batch visible across the trio.  A reader
+    resolving ``txn_watermark(group_root)`` and passing it as
+    ``max_batch=`` to the table reads sees no torn window at ANY
+    point — not merely at quiescent ones — and group maintenance
+    passing the watermark to compact_batched can never bake an
+    uncommitted batch into a base.  The trigger's own intra-batch
+    reads are WRITER reads (single-writer discipline: it must see its
+    own just-written state), so they stay on the live manifests.
 
     Order of operations: the batch's state upserts land FIRST (its
     docs into ``arrived/b<id>`` partitioned by db, its bands into
@@ -2004,6 +2064,16 @@ def _incr_dedup_apply_batch(
         except OSError:
             pass
         raise PlantedCrash("mid_pairs")
+    if crash_point == "before_txn":
+        raise PlantedCrash("before_txn")
+    # 4. THE cross-table commit: one atomic record makes this batch
+    #    visible across all three tables at once (r10)
+    if group_root is not None:
+        txn_commit(
+            group_root,
+            batch_id,
+            {"index": idx_dir, "arrived": arrived_dir, "pairs": pairs_dir},
+        )
 
 
 class PlantedCrash(RuntimeError):

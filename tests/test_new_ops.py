@@ -569,6 +569,88 @@ def test_ann_index_rebuild_crash_never_bricks_serving(spark, tmp_path):
     assert S.load_ann_index(spark, path, params).count() == 16
 
 
+def test_ann_index_unlogged_live_base_survives_debris_sweep(spark, tmp_path):
+    """ADVICE r9 HIGH: _write_manifest tolerates a crash between the
+    live-pointer commit and the per-generation log append, so the LIVE
+    generation can legitimately be absent from the manifest log.  The
+    next rebuild's crash-debris sweep must therefore never treat an
+    unlogged-but-live (or unlogged-but-consumed) base as debris —
+    pre-fix it rmtree'd the serving base before the new build
+    committed, failing concurrent readers mid-scan and, if the rebuild
+    then crashed too, leaving the manifest pointing at a deleted dir
+    (serving bricked)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mo_etl_spark import streaming as ST
+    from mo_etl_spark.operators import similarity as S
+
+    def table(n):
+        return spark.range(n).select(
+            F.col("id").alias("c_id"),
+            F.array(F.lit(1.0), F.lit(2.0)).alias("vec"),
+            (F.col("id") % 2).alias("bucket"),
+        )
+
+    path = str(tmp_path / "idx")
+    params = {"kind": "lsh_vec", "n_planes": 4, "seed": 42}
+    S.write_ann_index(table(8), path, ["bucket"], params)
+    S.write_ann_index(table(16), path, ["bucket"], params)
+    # simulate the tolerated crash window: pointer committed, log lost
+    # — for BOTH the live gen (base2) and the consumed one (base1)
+    os.remove(os.path.join(path, "_MANIFEST.g1"))
+    os.remove(os.path.join(path, "_MANIFEST.g2"))
+    assert ST.read_manifest_log(path) == {}
+    assert ST._read_manifest(path)["base"] == "base2"
+
+    # the rebuild must NOT sweep base1/base2: base2 is the serving
+    # base an in-flight reader is scanning, base1 its grace-retained
+    # predecessor.  (Pre-fix: both rmtree'd before the new build.)
+    S.write_ann_index(table(4), path, ["bucket"], params)
+    assert S.load_ann_index(spark, path, params).count() == 4
+    assert os.path.isdir(os.path.join(path, "base2"))  # predecessor kept
+
+    # a TRULY unreferenced base (no manifest, no log, no consumed
+    # entry) is still recognized as debris and clobbered
+    table(3).write.parquet(os.path.join(path, "base99"))
+    S.write_ann_index(table(6), path, ["bucket"], params)
+    assert not os.path.isdir(os.path.join(path, "base99"))
+    assert S.load_ann_index(spark, path, params).count() == 6
+
+
+def test_ann_requantize_and_reassign_preserve_payload_columns(spark):
+    """ADVICE r9 MEDIUM: the requantize/reassign maintenance folds
+    rebuild the table layout from (id, vec) but must carry every OTHER
+    column through the rewrite — payload columns added via the
+    compactor's additive schema evolution would otherwise be
+    permanently dropped when compaction consumes the inputs."""
+    from pyspark.sql import functions as F
+
+    from mo_etl_spark.operators import similarity as S
+
+    df = spark.range(40).select(
+        F.col("id").alias("c_id"),
+        F.array(
+            (F.col("id") % 7 + 1).cast("double"),
+            (F.col("id") % 3 + 1).cast("double"),
+        ).alias("vec"),
+        F.concat(F.lit("doc-"), F.col("id")).alias("payload"),
+        F.lit(0).alias("cell"),  # stale layout: must be re-derived
+        F.lit(0).alias("sub"),
+    )
+
+    out, extra = S.ann_requantize_transform(k=2, iters=1, cap_rows=8)(df)
+    assert {"c_id", "vec", "payload", "cell", "sub"} <= set(out.columns)
+    rows = {r["c_id"]: r["payload"] for r in out.collect()}
+    assert len(rows) == 40 and rows[7] == "doc-7"
+    assert "centroids" in extra and "layout_id" in extra
+
+    out2, extra2 = S.ann_reassign_transform("/nonexistent-root", cap_rows=8)(df)
+    assert {"c_id", "vec", "payload"} <= set(out2.columns)
+    assert out2.count() == 40
+
+
 def test_ann_index_flat_layout_upgrade_retention(spark, tmp_path):
     """ADVICE r6 (discipline carried into the r9 manifest protocol):
     upgrading a PRE-MANIFEST layout — flat partition dirs, or

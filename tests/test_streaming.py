@@ -1937,28 +1937,36 @@ def test_batched_table_concurrent_interleaving_model(spark, tmpdir, seed):
 
 
 @pytest.mark.parametrize("seed", [7, 13])
-def test_streamed_dedup_cross_table_model(spark, tmpdir, seed):
-    """VERDICT r7 next-round #2: the streamed dedup trigger updates
+def test_streamed_dedup_cross_table_chaos_model(spark, tmpdir, seed):
+    """VERDICT r7 next-round #2, upgraded to the TRANSACTIONAL form
+    (r10, VERDICT r9 item #1): the streamed dedup trigger updates
     THREE batched tables (index, arrived corpus, pairs) — model the
     per-trigger multi-table update AS A UNIT.  A chaos instance is
     driven through a seeded schedule of full applies, crashes planted
-    BETWEEN the three table writes (via the crash_point hook), late
-    replays of committed batches, single-table compactions (fold the
-    index but not the corpus, binpack pairs alone), and tombstone
-    folds — against a clean truth instance applied sequentially.  At
-    every quiescent point (no crashed trigger outstanding) all three
-    tables must match: pairs hash-equal the truth prefix, the arrived
-    corpus holds exactly the committed docs (minus folded
-    retractions), the index exactly the committed ids (minus its own
-    folds) — the pairs ⊆ f(index, corpus) invariant and
-    tombstone-consistency across tables, checked after every step
-    rather than at hand-written points."""
+    BETWEEN the three table writes AND after all three but before the
+    cross-table commit (the before_txn window — everything on disk
+    complete, commit missing), late replays of committed batches,
+    single-table compactions, tombstone folds, and online re-buckets
+    — against a clean truth instance applied sequentially.
+
+    TWO read disciplines are asserted:
+    - TRANSACTIONAL (the r10 guarantee): at EVERY step — crashed
+      trigger outstanding or not — reading each table with
+      ``max_batch=txn_watermark(group)`` must match the truth at the
+      committed prefix exactly.  No torn window exists for a
+      transactional reader at any point in the schedule, not just at
+      quiescent ones; maintenance passes the watermark so a fold can
+      never bake an uncommitted batch into a base.
+    - RAW (the pre-r10 convention, kept): at quiescent points the
+      unrestricted reads agree too.
+    """
     import random
 
     from mo_etl_spark.streaming import (
         append_tombstones,
         compact_batched,
         read_batched,
+        txn_watermark,
     )
     from mo_etl_spark.suites.streaming_real import (
         _INCR_ARR_SCHEMA,
@@ -1993,8 +2001,10 @@ def test_streamed_dedup_cross_table_model(spark, tmpdir, seed):
     def bdf(b: int):
         return spark.createDataFrame(batches[b], "doc_id BIGINT, text STRING")
 
-    def seed_and_tomb(idx, arr, pairs):
-        _incr_dedup_apply_batch(spark, idx, arr, pairs, bdf(0), 0)
+    def seed_and_tomb(idx, arr, pairs, group=None):
+        _incr_dedup_apply_batch(
+            spark, idx, arr, pairs, bdf(0), 0, group_root=group
+        )
         append_tombstones(
             spark.createDataFrame([(i,) for i in tomb_ids], "id BIGINT"), idx
         )
@@ -2013,21 +2023,56 @@ def test_streamed_dedup_cross_table_model(spark, tmpdir, seed):
 
     # --- chaos instance -------------------------------------------------
     idx, arr, pairs = f"{tmpdir}/idxC", f"{tmpdir}/arrC", f"{tmpdir}/pairsC"
-    seed_and_tomb(idx, arr, pairs)
+    group = f"{tmpdir}/groupC"
+    seed_and_tomb(idx, arr, pairs, group=group)
     committed = 1  # batches 0..committed-1 are checkpoint-committed
     crashed: int | None = None
     folded_idx = folded_arr = False
 
     def apply_full(b: int):
-        _incr_dedup_apply_batch(spark, idx, arr, pairs, bdf(b), b)
+        _incr_dedup_apply_batch(
+            spark, idx, arr, pairs, bdf(b), b, group_root=group
+        )
 
     def check():
+        # TRANSACTIONAL reads hold at EVERY step, torn windows included
+        # (r10): the watermark is the committed prefix, and max_batch
+        # excludes every uncommitted (crashed) trigger's dirs across
+        # all three tables at once
+        w = txn_watermark(group)
+        assert w == committed - 1, (w, committed)
+        got_t = _sorted_rows(
+            read_batched(spark, pairs, schema=PAIRS_S, max_batch=w)
+        )
+        assert got_t == truth_pairs[committed], (
+            "txn torn window", committed, crashed, len(got_t),
+        )
+        docs_in = {i for b in range(committed) for i, _ in batches[b]}
+        arr_ids_t = sorted(
+            r["doc_id"]
+            for r in read_batched(
+                spark, arr, partitioned=True, schema=_INCR_ARR_SCHEMA,
+                max_batch=w,
+            ).collect()
+        )
+        assert arr_ids_t == sorted(
+            docs_in - (set(tomb_ids) if folded_arr else set())
+        ), ("txn torn window: arrived", committed, crashed)
+        idx_ids_t = {
+            r["id"]
+            for r in read_batched(
+                spark, idx, partitioned=True, schema=_INCR_IDX_SCHEMA,
+                max_batch=w,
+            ).select("id").distinct().collect()
+        }
+        assert idx_ids_t == docs_in - (
+            set(tomb_ids) if folded_idx else set()
+        ), ("txn torn window: index", committed, crashed)
         if crashed is not None:
-            return  # dirty window: uncommitted partials are visible
-        # by design until the replay heals them
+            return  # raw reads below: uncommitted partials are visible
+        # by design until the replay heals them (pre-r10 convention)
         got = _sorted_rows(read_batched(spark, pairs, schema=PAIRS_S))
         assert got == truth_pairs[committed], (committed, len(got))
-        docs_in = {i for b in range(committed) for i, _ in batches[b]}
         arr_ids = sorted(
             r["doc_id"]
             for r in read_batched(
@@ -2061,11 +2106,13 @@ def test_streamed_dedup_cross_table_model(spark, tmpdir, seed):
                 apply_full(committed)
                 committed += 1
         elif op == "crash" and crashed is None and committed < N_BATCH:
-            point = rng.choice(["after_arrived", "after_index", "mid_pairs"])
+            point = rng.choice(
+                ["after_arrived", "after_index", "mid_pairs", "before_txn"]
+            )
             with pytest.raises(PlantedCrash):
                 _incr_dedup_apply_batch(
                     spark, idx, arr, pairs, bdf(committed), committed,
-                    crash_point=point,
+                    crash_point=point, group_root=group,
                 )
             crashed = committed
         elif op == "late_replay" and committed > 1:
@@ -2074,16 +2121,21 @@ def test_streamed_dedup_cross_table_model(spark, tmpdir, seed):
             compact_batched(
                 spark, idx, min_dirs=0, partition_cols=["ib"],
                 tombstone_col="id", gc_grace_sec=0.0,
+                max_batch=txn_watermark(group),
             )
             folded_idx = True
         elif op == "fold_arr":
             compact_batched(
                 spark, arr, min_dirs=0, partition_cols=["db"],
                 tombstone_col="doc_id", gc_grace_sec=0.0,
+                max_batch=txn_watermark(group),
             )
             folded_arr = True
         elif op == "compact_pairs":
-            compact_batched(spark, pairs, min_dirs=0, gc_grace_sec=0.0)
+            compact_batched(
+                spark, pairs, min_dirs=0, gc_grace_sec=0.0,
+                max_batch=txn_watermark(group),
+            )
         elif op == "rebucket_idx":
             # r8 spec evolution under multi-table chaos: the index
             # re-buckets mid-schedule (fold included — maintenance
@@ -2092,6 +2144,7 @@ def test_streamed_dedup_cross_table_model(spark, tmpdir, seed):
             compact_batched(
                 spark, idx, min_dirs=0, partition_cols=["ib"],
                 tombstone_col="id", gc_grace_sec=0.0,
+                max_batch=txn_watermark(group),
                 transform=SS.rebucket_transform(
                     "ib", lambda n: D.band_bucket("band", "bk", n),
                     SS.current_spec(idx, 8), cap_rows=48,
@@ -2103,6 +2156,7 @@ def test_streamed_dedup_cross_table_model(spark, tmpdir, seed):
             compact_batched(
                 spark, arr, min_dirs=0, partition_cols=["db"],
                 tombstone_col="doc_id", gc_grace_sec=0.0,
+                max_batch=txn_watermark(group),
                 transform=SS.rebucket_transform(
                     "db", lambda n: F.pmod("doc_id", F.lit(n)),
                     SS.current_spec(arr, 8), cap_rows=8,
@@ -2121,6 +2175,60 @@ def test_streamed_dedup_cross_table_model(spark, tmpdir, seed):
         committed += 1
     check()
     assert committed == N_BATCH
+
+
+def test_txn_protocol_monotone_and_fold_guard(spark, tmpdir):
+    """Cross-table txn protocol unit pins (r10): the watermark is
+    monotone under late replays, the seed commit is -1 (bases visible,
+    no batches), transactional reads exclude uncommitted batch dirs,
+    and a fold given the watermark refuses to consume a
+    complete-looking dir above it — the exact leak that would make a
+    torn window permanent."""
+    from mo_etl_spark import streaming as S
+
+    root = f"{tmpdir}/t1"
+    group = f"{tmpdir}/g"
+    schema = "k BIGINT"
+
+    def write(lo, hi, b):
+        S.idempotent_batch_write(
+            spark.range(lo, hi).select(F.col("id").alias("k")), root, b
+        )
+
+    assert S.txn_watermark(group) is None
+    assert S.txn_commit(group, -1, {"t": root}) == -1   # seed commit
+    write(0, 10, 0)
+    assert S.txn_commit(group, 0, {"t": root}) == 0
+    vec = S.txn_vector(group)
+    assert vec["txn"] == 0 and vec["tables"]["t"]["root"] == root
+
+    # batch 1 written COMPLETE but not committed: invisible to txn
+    # readers, visible raw
+    write(10, 15, 1)
+    w = S.txn_watermark(group)
+    assert w == 0
+    assert S.read_batched(spark, root, schema=schema, max_batch=w).count() == 10
+    assert S.read_batched(spark, root, schema=schema).count() == 15
+
+    # the fold at the watermark must NOT consume b1 (complete or not)
+    S.compact_batched(spark, root, min_dirs=0, gc_grace_sec=0.0, max_batch=w)
+    man = S._read_manifest(root)
+    assert "b0" in man["consumed"] and "b1" not in man["consumed"]
+    assert S.read_batched(spark, root, schema=schema, max_batch=w).count() == 10
+    assert S.read_batched(spark, root, schema=schema).count() == 15
+
+    # commit heals: watermark advances, txn read now includes b1
+    assert S.txn_commit(group, 1, {"t": root}) == 1
+    assert (
+        S.read_batched(spark, root, schema=schema, max_batch=1).count() == 15
+    )
+    # late replay of batch 0 never regresses the watermark
+    write(0, 10, 0)
+    assert S.txn_commit(group, 0, {"t": root}) == 1
+    assert S.txn_watermark(group) == 1
+    # history entries exist for group time travel
+    assert os.path.exists(f"{group}/_TXN.t0")
+    assert os.path.exists(f"{group}/_TXN.t1")
 
 
 def test_seed_batched_external_base_zero_copy(spark, tmpdir):
@@ -3254,6 +3362,75 @@ def test_change_feed_consumer_kill_and_resume(spark, tmpdir):
     assert S.apply_change_feed(
         spark, root, mv, 3, ["k"], schema, partitioned=True
     ) == 3
+
+
+def test_change_feed_compare_cols_catches_payload_rewrite(spark, tmpdir):
+    """ADVICE r9 (low): the key-only change feed is exact only under
+    the immutable-payload-per-key contract — a key retracted and
+    re-appended with a DIFFERENT payload entirely within one
+    application window emits no feed rows, and a key-only consumer
+    keeps the stale payload.  ``compare_cols`` closes it: changed keys
+    emit delete (old payload) + insert (new payload), and the MV
+    converges to the snapshot."""
+    from mo_etl_spark import streaming as S
+
+    root = f"{tmpdir}/cdf_pay"
+    mv = f"{tmpdir}/cdf_pay_mv"
+    schema = "k BIGINT, ib BIGINT, v STRING"
+
+    def write(rows, b):
+        S.idempotent_batch_write(
+            spark.createDataFrame(rows, schema), root, b,
+            partition_cols=["ib"],
+        )
+
+    def compact(**kw):
+        S.compact_batched(
+            spark, root, min_dirs=0, partition_cols=["ib"],
+            gc_grace_sec=3600.0, **kw,
+        )
+
+    write([(k, k % 2, "old") for k in range(6)], 0)
+    compact()                                          # gen1: 0..5 'old'
+    S.append_tombstones(spark.createDataFrame([(5,)], "k BIGINT"), root)
+    compact(tombstone_col="k")                         # gen2: -5
+    write([(5, 1, "new"), (6, 0, "new")], 1)
+    compact()                                          # gen3: +5' +6
+
+    # key-only feed across the whole window: k=5's rewrite is INVISIBLE
+    feed0 = S.diff_batched(
+        spark, root, 1, 3, ["k"], schema, partitioned=True
+    ).collect()
+    assert {(r["k"], r["_change"]) for r in feed0} == {(6, "insert")}
+
+    # compare_cols: the rewrite surfaces as delete(old) + insert(new)
+    feed1 = S.diff_batched(
+        spark, root, 1, 3, ["k"], schema, partitioned=True,
+        compare_cols=["v"],
+    ).collect()
+    assert {(r["k"], r["_change"], r["v"]) for r in feed1} == {
+        (6, "insert", "new"),
+        (5, "delete", "old"),
+        (5, "insert", "new"),
+    }
+
+    # and the consumer converges to the snapshot with it
+    S.materialize_snapshot(spark, root, mv, 1, schema, partitioned=True)
+    assert S.apply_change_feed(
+        spark, root, mv, 3, ["k"], schema, partitioned=True,
+        compare_cols=["v"],
+    ) == 3
+    got = sorted(
+        (r["k"], r["v"])
+        for r in S.read_materialized(spark, mv, schema).collect()
+    )
+    want = sorted(
+        (r["k"], r["v"])
+        for r in S.read_batched_at(
+            spark, root, 3, schema, partitioned=True
+        ).collect()
+    )
+    assert got == want and (5, "new") in got
 
 
 def test_retention_count_travel_depth_and_expiry(spark, tmpdir):
