@@ -1637,6 +1637,151 @@ def stream_state_change_feed_apply(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "stream_real_change_feed_consumer",
+    oracle="""
+    WITH final AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderkey % 97 <> 0 AND o_orderkey % 89 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000 FROM orders WHERE o_orderkey % 500 = 0
+      UNION ALL
+      SELECT o_orderkey + 20000000 FROM orders WHERE o_orderkey % 300 = 0
+    )
+    SELECT 'mv' AS snapshot, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum FROM final
+    UNION ALL
+    SELECT 'direct', count(*), CAST(sum(o_orderkey) AS BIGINT) FROM final
+    """,
+    tags=(
+        "change_data_feed",
+        "cdc_merge",
+        "incremental_etl",
+        "foreachBatch_etl",
+        "stream_source",
+        "tombstone_lifecycle",
+        "index_compaction",
+    ),
+)
+def stream_real_change_feed_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED CDF->MV consumer (r10, VERDICT r9 item #3): the
+    change-feed maintenance loop as a REAL foreachBatch stream, resumed
+    off the MV's transactionally-committed generation cursor
+    (streaming.read_mv_cursor) instead of discrete apply calls scanning
+    MV dirs.  Per trigger, the sink (1) folds one arrival wave + its
+    retraction batch into the upstream batched table (a new committed
+    generation), then (2) runs streaming.change_feed_consumer's step:
+    apply ``diff_batched(cursor, live)`` and advance the cursor in one
+    fsync'd PUT.  The MV is seeded at generation 1; two triggers carry
+    it 1->2->3 purely by keyed deltas — cost per trigger scales with
+    the delta, never the table (SCALE_r10 measures this).  The wave's
+    retraction is derived from the wave CONTENT (its key offset), so
+    the result is invariant to file-discovery order and to foreachBatch
+    replays (upstream writes idempotent per wave, feed application
+    replay-idempotent through the cursor).  Result: (count, key
+    checksum) for the feed-built MV and the direct live read — the
+    oracle recomputes both rows relationally, so one dropped,
+    duplicated, or mis-keyed delta row hash-misses."""
+    prepare(spark)
+    from mo_etl_spark.streaming import (
+        append_tombstones as _tomb,
+        change_feed_consumer,
+        compact_batched as _compact,
+        materialize_snapshot,
+        read_materialized,
+        read_mv_cursor,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    root = _scratch("cdf_consumer_tbl")
+    mv_root = _scratch("cdf_consumer_mv")
+    ckpt = _scratch("cdf_consumer_ckpt")
+    feed = _scratch("cdf_consumer_feed")
+    schema = "o_orderkey BIGINT, ob BIGINT"
+    for b in range(2):
+        idempotent_batch_write(
+            orders.where(F.pmod("o_orderkey", F.lit(2)) == b).withColumn(
+                "ob", F.pmod("o_orderkey", F.lit(4))
+            ),
+            root,
+            b,
+            partition_cols=["ob"],
+        )
+    _compact(
+        spark, root, min_dirs=0, partition_cols=["ob"], gc_grace_sec=3600.0
+    )  # gen 1: all orders
+    materialize_snapshot(spark, root, mv_root, 1, schema, partitioned=True)
+    # the feed: two arrival waves, one parquet file each
+    orders.where(F.pmod("o_orderkey", F.lit(500)) == 0).select(
+        (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey")
+    ).coalesce(1).write.parquet(os.path.join(feed, "wave_a"))
+    orders.where(F.pmod("o_orderkey", F.lit(300)) == 0).select(
+        (F.col("o_orderkey") + F.lit(20_000_000)).alias("o_orderkey")
+    ).coalesce(1).write.parquet(os.path.join(feed, "wave_b"))
+    consume = change_feed_consumer(
+        spark, root, mv_root, ["o_orderkey"], schema, partitioned=True
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # wave identity from CONTENT (not batch id): replay- and
+        # discovery-order-invariant
+        mx = batch_df.agg(F.max("o_orderkey")).first()[0]
+        if mx is None:
+            return
+        wave_a = mx < 20_000_000
+        idempotent_batch_write(
+            batch_df.withColumn("ob", F.pmod("o_orderkey", F.lit(4))),
+            root,
+            2 if wave_a else 3,
+            partition_cols=["ob"],
+        )
+        _tomb(
+            orders.where(
+                F.pmod("o_orderkey", F.lit(97 if wave_a else 89)) == 0
+            ),
+            root,
+        )
+        _compact(
+            spark, root, min_dirs=0, partition_cols=["ob"],
+            tombstone_col="o_orderkey", gc_grace_sec=3600.0,
+        )
+        consume(batch_df, batch_id)  # the consumer's per-trigger step
+
+    q = (
+        spark.readStream.schema("o_orderkey BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .format("parquet")
+        .load(feed)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    # the cursor tracked the stream to the LIVE generation (== 3 on a
+    # clean run; a foreachBatch replay would add a no-op generation,
+    # so compare against the manifest, not a literal)
+    from mo_etl_spark.streaming import _read_manifest as _rm
+
+    assert read_mv_cursor(mv_root) == _rm(root)["gen"]
+
+    def summ(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        ).select(F.lit(name).alias("snapshot"), "n", "key_sum")
+
+    return summ(read_materialized(spark, mv_root, schema), "mv").unionByName(
+        summ(
+            read_batched(spark, root, partitioned=True, schema=schema),
+            "direct",
+        )
+    )
+
+
+@query(
     "stream_state_snapshot_expiry",
     oracle="""
     SELECT 'gen1' AS snapshot, FALSE AS travelable,

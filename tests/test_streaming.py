@@ -1633,7 +1633,24 @@ def test_batched_table_concurrent_interleaving_model(spark, tmpdir, seed):
     and stamp their dirs, exactly like production.  After every
     scheduler step the reader must see exactly the model's live rows,
     a spec-translated pruned probe must find sampled live ids, and the
-    manifest generation must equal the model's committed-ops count."""
+    manifest generation must equal the model's committed-ops count.
+
+    r10 (VERDICT r9 item #2) adds the ANN MAINTENANCE family to the
+    SAME seeded schedule, on a sibling IVF table: threaded compactors
+    running ann_requantize_transform (quantizer re-train — claims a
+    NEW layout id), ann_reassign_transform (re-derive cells under the
+    committed quantizer), and ann_resplit_transform (layout-inheriting
+    hot-cell re-split), interleaved with writers that resolve the
+    COMMITTED quantizer/layout per trigger and stamp their dirs, plus
+    rollbacks — the zombie-requantizer-vs-takeover-rollback window
+    included (an expired requantizer's commit must CAS-abort NAMED
+    after a rollback won).  After every step the ANN leg asserts: the
+    full read equals the model, the generation matches, and a
+    LAYOUT-SPLIT probe of sampled live rows (pruned matched leg +
+    unpruned foreign leg, read_batched_layout_split) finds each row
+    EXACTLY ONCE — no silent drop of foreign-layout dirs, no
+    double-serving across the legs, whatever interleaving of
+    re-trains, re-splits, replays, and rollbacks produced the state."""
     import json
     import os
     import random
@@ -1641,6 +1658,7 @@ def test_batched_table_concurrent_interleaving_model(spark, tmpdir, seed):
     import time
 
     from mo_etl_spark import streaming as S
+    from mo_etl_spark.operators import similarity as SIM
     from mo_etl_spark.streaming import (
         CompactorBusy,
         append_tombstones,
@@ -1793,14 +1811,183 @@ def test_batched_table_concurrent_interleaving_model(spark, tmpdir, seed):
             )
             assert got_p == sorted(probe), (got_p, probe, n_cur)
 
+    # ---- ANN leg (r10, VERDICT r9 item #2): sibling IVF table -------
+    ANN_SCHEMA = "c_id BIGINT, vec ARRAY<DOUBLE>, cell BIGINT, sub INT"
+    ann_root = f"{tmpdir}/ann{seed}"
+    CREATION = {0: [1.0, 0.0], 1: [0.0, 1.0], 2: [0.7, 0.7]}
+    ann_model: dict[int, list[int]] = {}
+    ann_snapshots: dict[int, list[int]] = {}  # gen -> base's rows
+    ann_expected_gen = 0
+    ann_next_batch = 0
+    ann_next_id = 0
+    ann_history: dict[int, list[int]] = {}
+
+    def _vec(i: int) -> list[float]:
+        return [float(i % 7 + 1), float(i % 5 + 2)]
+
+    def _committed_quantizer() -> tuple[str, dict[int, list[float]]]:
+        # the production writer's resolution: quantizer + layout id
+        # from the LIVE manifest extra (a re-quantization committed
+        # them atomically with its rows), else the creation quantizer
+        extra = S.read_manifest_extra(ann_root)
+        cmap = extra.get("centroids")
+        if cmap:
+            return str(extra["layout_id"]), {
+                int(c): [float(x) for x in v] for c, v in cmap.items()
+            }
+        return "creation0", CREATION
+
+    def _cell_of(v: list[float], cents: dict[int, list[float]]) -> int:
+        import math
+
+        nv = math.sqrt(sum(x * x for x in v))
+        best, best_s = None, None
+        for cid in sorted(cents):
+            c = cents[cid]
+            s = sum(a * b for a, b in zip(v, c)) / (
+                nv * math.sqrt(sum(x * x for x in c))
+            )
+            if best_s is None or s > best_s + 1e-12:
+                best, best_s = cid, s
+        return int(best)
+
+    def ann_live() -> set[int]:
+        return {i for ids in ann_model.values() for i in ids}
+
+    def ann_write_batch(b: int | None = None):
+        nonlocal ann_next_id, ann_next_batch
+        if b is None:
+            b = ann_next_batch
+            ids = list(range(ann_next_id, ann_next_id + rng.randint(1, 4)))
+            ann_next_id += len(ids)
+            ann_model[b] = ids
+            ann_history[b] = ids
+            ann_next_batch += 1
+        else:
+            ids = ann_history[b]  # idempotent replay
+        lid, cents = _committed_quantizer()
+        rows = [(i, _vec(i), _cell_of(_vec(i), cents), i % 2) for i in ids]
+        idempotent_batch_write(
+            spark.createDataFrame(rows, ANN_SCHEMA),
+            ann_root, b, partition_cols=["cell", "sub"],
+        )
+        S.stamp_layout(ann_root, b, lid)
+
+    class AnnCompactor:
+        def __init__(self, ttl: float, kind: str):
+            self.ttl = ttl
+            self.kind = kind
+            self.t0 = time.time()
+            self.entered = threading.Event()
+            self.release = threading.Event()
+            self.done = threading.Event()
+            self.result: dict = {}
+            self.snap_batches = set(ann_model.keys())
+            self.thread = threading.Thread(target=self._run, daemon=True)
+            self.thread.start()
+
+        def _tf(self, df):
+            self.entered.set()
+            self.release.wait(300)
+            if self.kind == "requantize":
+                return SIM.ann_requantize_transform(
+                    k=3, iters=1, cap_rows=6
+                )(df)
+            if self.kind == "reassign":
+                return SIM.ann_reassign_transform(ann_root, cap_rows=6)(df)
+            return SIM.ann_resplit_transform(6)(df)
+
+        def _run(self):
+            try:
+                self.result["n"] = compact_batched(
+                    spark, ann_root, min_dirs=0,
+                    partition_cols=["cell", "sub"], transform=self._tf,
+                    gc_grace_sec=GRACE, lease_ttl_sec=self.ttl,
+                )
+            except CompactorBusy as e:
+                self.result["busy"] = str(e)
+            except Exception as e:  # losers must abort NAMED, never raw
+                self.result["error"] = repr(e)
+            finally:
+                self.done.set()
+
+        def expired(self) -> bool:
+            return time.time() >= self.t0 + self.ttl
+
+    ann_active: list[AnnCompactor] = []
+
+    def ann_apply_win(c):
+        nonlocal ann_model, ann_expected_gen
+        consolidated = sorted(
+            {i for b in c.snap_batches if b in ann_model for i in ann_model[b]}
+        )
+        ann_model = {
+            b: v for b, v in ann_model.items() if b not in c.snap_batches
+        }
+        ann_model[-1] = consolidated
+        ann_expected_gen += 1
+        ann_snapshots[ann_expected_gen] = consolidated
+
+    def ann_finish(c: AnnCompactor):
+        c.release.set()
+        c.thread.join(300)
+        assert c.done.is_set()
+        assert "error" not in c.result, c.result
+        if "n" in c.result:
+            assert c.result["n"] > 0
+            ann_apply_win(c)
+        ann_active.remove(c)
+
+    def ann_check():
+        got = sorted(
+            r["c_id"]
+            for r in read_batched(
+                spark, ann_root, partitioned=True, schema=ANN_SCHEMA
+            ).collect()
+        )
+        assert got == sorted(ann_live()), (got, sorted(ann_live()))
+        man = S._read_manifest(ann_root)
+        assert (man["gen"] if man else 0) == ann_expected_gen
+        # LAYOUT-SPLIT probe: sampled live rows must each be served
+        # EXACTLY ONCE across the pruned matched leg + unpruned foreign
+        # leg, whatever mix of layouts the schedule produced
+        pool = sorted(ann_live())
+        if pool:
+            probe = rng.sample(pool, min(3, len(pool)))
+            rows = (
+                read_batched(
+                    spark, ann_root, partitioned=True, schema=ANN_SCHEMA
+                )
+                .where(F.col("c_id").isin(probe))
+                .select("c_id", "cell")
+                .collect()
+            )
+            cells = sorted({int(r["cell"]) for r in rows})
+            lid, _ = _committed_quantizer()
+            matched, foreign = S.read_batched_layout_split(
+                spark, ann_root, "cell", cells, lid, ANN_SCHEMA
+            )
+            found = (
+                matched.unionByName(foreign)
+                .where(F.col("c_id").isin(probe))
+                .groupBy("c_id")
+                .count()
+                .collect()
+            )
+            per = {int(r["c_id"]): int(r["count"]) for r in found}
+            assert per == {i: 1 for i in probe}, (per, probe, lid)
+
     write_batch()  # the table always has data
+    ann_write_batch()  # and so does the ANN leg
     lease_path = os.path.join(root, S._COMPACT_LEASE)
     try:
-        for step in range(30):
+        for step in range(36):
             op = rng.choice(
                 ["write", "replay", "tomb", "start", "start", "finish",
                  "finish", "busy_probe", "pid_reuse", "rollback",
-                 "replay_consumed"]
+                 "replay_consumed",
+                 "ann_write", "ann_replay", "ann_start", "ann_start",
+                 "ann_finish", "ann_finish", "ann_rollback"]
             )
             if op == "write":
                 write_batch()
@@ -1925,7 +2112,65 @@ def test_batched_table_concurrent_interleaving_model(spark, tmpdir, seed):
                 assert n > 0
                 c = type("Snap", (), {"snap_batches": snap_b, "snap_tombs": snap_t})
                 apply_win(c)
+            elif op == "ann_write":
+                ann_write_batch()
+            elif op == "ann_replay":
+                real = [b for b in ann_model if b >= 0]
+                if real:
+                    ann_write_batch(rng.choice(real))  # must be a no-op
+            elif op == "ann_start" and len(ann_active) < 2:
+                holder = next(
+                    (c for c in ann_active if c.entered.is_set()), None
+                )
+                kind = rng.choice(["requantize", "reassign", "resplit"])
+                if holder is not None and not holder.expired():
+                    # unexpired holder: the claimant aborts NAMED, fast
+                    c = AnnCompactor(ttl=3600.0, kind=kind)
+                    assert c.done.wait(60)
+                    assert "busy" in c.result, c.result
+                elif holder is not None:
+                    # expired holder (a zombie requantizer, possibly):
+                    # takeover builds concurrently in its own token dir
+                    c = AnnCompactor(ttl=3600.0, kind=kind)
+                    while not (c.entered.is_set() or c.done.is_set()):
+                        time.sleep(0.01)
+                    assert c.entered.is_set(), c.result
+                    ann_active.append(c)
+                else:
+                    ttl = rng.choice([3600.0, 0.2])
+                    c = AnnCompactor(ttl=ttl, kind=kind)
+                    while not (c.entered.is_set() or c.done.is_set()):
+                        time.sleep(0.01)
+                    assert c.entered.is_set(), c.result
+                    ann_active.append(c)
+                    if ttl < 1:  # let the lease lapse: a later
+                        time.sleep(0.3)  # ann_start/rollback takes over
+            elif op == "ann_finish" and ann_active:
+                ann_finish(rng.choice(ann_active))
+            elif op == "ann_rollback":
+                # the zombie-requantizer-vs-takeover-rollback window:
+                # a live holder blocks NAMED; an expired one loses —
+                # its commit must CAS-abort (asserted in ann_finish)
+                holder = next(
+                    (c for c in ann_active if c.entered.is_set()), None
+                )
+                candidates = [
+                    g for g in sorted(S.read_manifest_log(ann_root))
+                    if g in ann_snapshots
+                ]
+                if holder is not None and not holder.expired():
+                    if candidates:
+                        with pytest.raises(CompactorBusy):
+                            S.rollback_batched(ann_root, candidates[-1])
+                elif candidates:
+                    g = rng.choice(candidates)
+                    new_gen = S.rollback_batched(ann_root, g)
+                    assert new_gen == ann_expected_gen + 1
+                    ann_model = {-1: list(ann_snapshots[g])}
+                    ann_expected_gen = new_gen
+                    ann_snapshots[new_gen] = ann_snapshots[g]
             check()
+            ann_check()
     finally:
         for c in list(active):
             c.release.set()
@@ -1933,7 +2178,14 @@ def test_batched_table_concurrent_interleaving_model(spark, tmpdir, seed):
             if "n" in c.result and c.result["n"] > 0:
                 apply_win(c)
             active.remove(c)
+        for c in list(ann_active):
+            c.release.set()
+            c.thread.join(300)
+            if "n" in c.result and c.result["n"] > 0:
+                ann_apply_win(c)
+            ann_active.remove(c)
     check()
+    ann_check()
 
 
 @pytest.mark.parametrize("seed", [7, 13])
@@ -3431,6 +3683,104 @@ def test_change_feed_compare_cols_catches_payload_rewrite(spark, tmpdir):
         ).collect()
     )
     assert got == want and (5, "new") in got
+
+
+def test_change_feed_consumer_stream_kill_resume_through_checkpoint(
+    spark, tmpdir
+):
+    """STREAMED CDF consumer kill-and-resume THROUGH the checkpoint
+    (r10, VERDICT r9 item #3): the foreachBatch consumer
+    (streaming.change_feed_consumer) is killed mid-stream after its
+    first trigger fully applied; the MV cursor is then REWOUND to
+    simulate the torn window (kill between the MV generation write and
+    the cursor commit — the complete g2 dir exists, the cursor still
+    says 1).  The resumed stream runs on the SAME Spark checkpoint:
+    the failed trigger replays (upstream writes idempotent), the
+    consumer re-applies 1->2 as a deterministic overwrite off the old
+    cursor, the second trigger carries it to 3 — and the MV
+    hash-equals the direct live read."""
+    from mo_etl_spark import streaming as S
+
+    root = f"{tmpdir}/ccs_tbl"
+    mv = f"{tmpdir}/ccs_mv"
+    feed = f"{tmpdir}/ccs_feed"
+    ckpt = f"{tmpdir}/ccs_ckpt"
+    schema = "k BIGINT, ib BIGINT"
+
+    def kdf(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), F.pmod("id", F.lit(4)).alias("ib")
+        )
+
+    S.idempotent_batch_write(kdf(0, 100), root, 0, partition_cols=["ib"])
+    S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["ib"], gc_grace_sec=3600.0
+    )  # gen 1: 0..99
+    S.materialize_snapshot(spark, root, mv, 1, schema, partitioned=True)
+    assert S.read_mv_cursor(mv) == 1
+    # two wave files: +200s then +300s keys
+    kdf(200, 240).select("k").coalesce(1).write.parquet(f"{feed}/w1")
+    kdf(300, 330).select("k").coalesce(1).write.parquet(f"{feed}/w2")
+    consume = S.change_feed_consumer(
+        spark, root, mv, ["k"], schema, partitioned=True
+    )
+    crash = {"armed": True}
+
+    def sink(batch_df, batch_id):
+        mx = batch_df.agg(F.max("k")).first()[0]
+        if mx is None:
+            return
+        b = 1 if mx < 300 else 2
+        S.idempotent_batch_write(
+            batch_df.withColumn("ib", F.pmod("k", F.lit(4))),
+            root, b, partition_cols=["ib"],
+        )
+        S.compact_batched(
+            spark, root, min_dirs=0, partition_cols=["ib"],
+            gc_grace_sec=3600.0,
+        )
+        consume(batch_df, batch_id)
+        if crash["armed"]:
+            raise RuntimeError("planted mid-stream kill")
+
+    def run():
+        return (
+            spark.readStream.schema("k BIGINT")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .format("parquet")
+            .load(feed)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    with pytest.raises(Exception, match="planted"):
+        run().awaitTermination()
+    assert S.read_mv_cursor(mv) == 2  # first trigger fully applied
+    # simulate the kill BETWEEN the MV write and the cursor commit:
+    # the complete g2 dir stays, the cursor is rewound to 1
+    with open(f"{mv}/_CURSOR", "w") as f:
+        f.write('{"gen": 1}')
+    crash["armed"] = False
+    run().awaitTermination()  # SAME checkpoint: replay w1, then w2
+    # the replayed trigger re-folds the upstream (an extra no-op
+    # generation — deterministic content); the cursor must track the
+    # LIVE generation, whatever number the replay left it at
+    assert S.read_mv_cursor(mv) == S._read_manifest(root)["gen"]
+    got = sorted(
+        r["k"] for r in S.read_materialized(spark, mv, schema).collect()
+    )
+    want = sorted(
+        r["k"]
+        for r in S.read_batched(
+            spark, root, partitioned=True, schema=schema
+        ).collect()
+    )
+    assert got == want
+    assert set(range(200, 240)) <= set(got) and set(range(300, 330)) <= set(got)
 
 
 def test_retention_count_travel_depth_and_expiry(spark, tmpdir):
