@@ -1556,7 +1556,11 @@ def stream_state_change_feed_apply(spark: SparkSession, sf_dir: str) -> DataFram
     retracts every 89th.  The consumer seeds its MV from the gen-1
     snapshot (materialize_snapshot), then advances 1->2 and 2->3 purely
     by diff_batched deltas (apply_change_feed: deletes anti-joined out,
-    inserts unioned in — cost scales with the delta, never the table).
+    inserts unioned in — cost never scales with the number of
+    intermediate batches; SCALE_r10 decomposes what DOES scale: the
+    key-pruned snapshot diff is the sublinear floor and this merge
+    mode's whole-MV rewrite is table-bound — the r10
+    apply_change_feed_batched mode removes that rewrite).
     The result reports (count, key checksum) for BOTH the feed-built MV
     and the direct gen-3 snapshot read; the oracle recomputes the same
     two rows from relational algebra over orders, so a consumer that
@@ -1672,8 +1676,10 @@ def stream_real_change_feed_consumer(spark: SparkSession, sf_dir: str) -> DataFr
     generation), then (2) runs streaming.change_feed_consumer's step:
     apply ``diff_batched(cursor, live)`` and advance the cursor in one
     fsync'd PUT.  The MV is seeded at generation 1; two triggers carry
-    it 1->2->3 purely by keyed deltas — cost per trigger scales with
-    the delta, never the table (SCALE_r10 measures this).  The wave's
+    it 1->2->3 purely by keyed deltas — never a replay of intermediate
+    batches; SCALE_r10 measures the per-trigger cost decomposition
+    (key-pruned diff = the sublinear floor, delta-sized MV writes in
+    the batched mode vs this merge mode's table-bound rewrite).  The wave's
     retraction is derived from the wave CONTENT (its key offset), so
     the result is invariant to file-discovery order and to foreachBatch
     replays (upstream writes idempotent per wave, feed application

@@ -3685,6 +3685,77 @@ def test_change_feed_compare_cols_catches_payload_rewrite(spark, tmpdir):
     assert got == want and (5, "new") in got
 
 
+def test_apply_change_feed_batched_delta_proportional_mode(spark, tmpdir):
+    """Delta-proportional MV mode (r10, VERDICT r9 item #7): the MV as
+    a batched table — applications write ONLY delta-sized artifacts
+    (one insert batch dir + one tombstone file + the cursor), reads
+    anti-join pending tombstones, maintenance folds amortize the
+    table-sized rewrite.  Must stay row-equal with the full-merge mode
+    and with the direct snapshot across a multi-generation lifecycle,
+    survive a replayed application, and fold clean."""
+    from mo_etl_spark import streaming as S
+
+    root = f"{tmpdir}/dp_tbl"
+    mv_m = f"{tmpdir}/dp_mv_merge"
+    mv_b = f"{tmpdir}/dp_mv_batched"
+    schema = "k BIGINT, ib BIGINT"
+
+    def kdf(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), F.pmod("id", F.lit(4)).alias("ib")
+        )
+
+    S.idempotent_batch_write(kdf(0, 500), root, 0, partition_cols=["ib"])
+    S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["ib"], gc_grace_sec=3600.0
+    )  # gen1
+    S.idempotent_batch_write(kdf(1000, 1100), root, 1, partition_cols=["ib"])
+    S.append_tombstones(
+        spark.createDataFrame([(k,) for k in range(0, 500, 7)], "k BIGINT"),
+        root,
+    )
+    S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["ib"],
+        tombstone_col="k", gc_grace_sec=3600.0,
+    )  # gen2
+    S.idempotent_batch_write(kdf(2000, 2050), root, 2, partition_cols=["ib"])
+    S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["ib"], gc_grace_sec=3600.0
+    )  # gen3
+
+    S.materialize_snapshot(spark, root, mv_m, 1, schema, partitioned=True)
+    S.materialize_snapshot_batched(spark, root, mv_b, 1, partitioned=True,
+                                   schema=schema)
+    for g in (2, 3):
+        S.apply_change_feed(spark, root, mv_m, g, ["k"], schema,
+                            partitioned=True)
+        S.apply_change_feed_batched(spark, root, mv_b, g, "k", schema,
+                                    partitioned=True)
+    # the application wrote only delta artifacts: per-gen batch dirs,
+    # no MV-wide rewrite (no base generation yet)
+    assert S._read_manifest(mv_b) is None
+
+    def keys(df):
+        return sorted(r["k"] for r in df.collect())
+
+    want = keys(S.read_batched_at(spark, root, 3, schema, partitioned=True))
+    assert keys(S.read_materialized(spark, mv_m, schema)) == want
+    assert keys(S.read_materialized_batched(spark, mv_b, "k", schema)) == want
+
+    # replayed application: idempotent through the cursor
+    assert S.apply_change_feed_batched(
+        spark, root, mv_b, 3, "k", schema, partitioned=True
+    ) == 3
+    assert keys(S.read_materialized_batched(spark, mv_b, "k", schema)) == want
+
+    # maintenance folds the MV like any batched table; result unchanged
+    S.compact_batched(
+        spark, mv_b, min_dirs=0, tombstone_col="k", gc_grace_sec=0.0
+    )
+    assert S._read_manifest(mv_b) is not None
+    assert keys(S.read_materialized_batched(spark, mv_b, "k", schema)) == want
+
+
 def test_change_feed_consumer_stream_kill_resume_through_checkpoint(
     spark, tmpdir
 ):
