@@ -699,6 +699,104 @@ def ann_reassign_transform(
     return _t
 
 
+def ann_pq_retrain_transform(
+    m: int = 8,
+    dsub: int = 8,
+    k_codes: int = 16,
+    iters: int = 1,
+    id_col: str = "c_id",
+    vec_col: str = "vec",
+    coarse: DataFrame | None = None,
+):
+    """PQ CODEBOOK RE-TRAINING as maintenance (r10, VERDICT r9 item
+    #5 — the requantize twin for the PQ family): ``pq_train_codebooks``
+    trains at index creation and the codebooks then stay frozen, so a
+    drifting corpus degrades ADC ranking exactly like a drifted coarse
+    quantizer.  At compaction (the whole table is rewritten anyway),
+    RETRAIN the per-subspace codebooks on the accumulated corpus
+    (deterministic: L2 farthest-point seeding + fixed Lloyd's
+    iterations), RE-ENCODE every retained row's ``_sc`` code array,
+    and commit {codebooks, params, layout} ATOMICALLY with the
+    rewritten rows as manifest extra — serving unpacks them with
+    ``pq_codebooks_from_manifest``, so the LUT can never be stale
+    relative to the codes it scores.
+
+    LAYOUT DISCIPLINE: codes quantized under different codebooks are
+    incomparable with a LUT built from either — the transform claims
+    ``layout_id = "pq<codebook-hash>"``, so post-retrain in-flight
+    dirs (codes under the OLD books) read back through the FOREIGN leg
+    of read_batched_layout_split and get scored directly on their raw
+    vectors, never ADC-mis-scored; the next compaction re-encodes and
+    absorbs them.  The table must RETAIN the raw vector column
+    (``vec_col``) — codes are not invertible, so maintenance re-derives
+    them from the source of truth, the same reason the streamed IVF
+    table keeps vectors.
+
+    ``coarse`` (optional, (cent_id, vec)): train and encode on IVFADC
+    residuals r(y) = y − centroid(cell) instead of raw vectors —
+    requires a ``cell`` column assigned under exactly that quantizer.
+    Everything other than ``_sc`` rides through the rewrite.  Pass to
+    ``compact_batched(transform=..., partition_cols=["cell","sub"])``."""
+
+    def _t(df: DataFrame) -> tuple[DataFrame, dict]:
+        import hashlib
+        import json
+
+        body = df.select(F.col(id_col), F.col(vec_col))
+        if coarse is not None:
+            cells = df.select(F.col(id_col), F.col("cell"))
+            enc_input = ivf_residuals(
+                body, cells, coarse, c_id=id_col, vec=vec_col
+            ).select(id_col, vec_col)
+        else:
+            enc_input = body
+        cb = pq_train_codebooks(
+            enc_input, m=m, dsub=dsub, k_codes=k_codes, iters=iters,
+            c_id=id_col, vec=vec_col,
+        )
+        coded = pq_codes_wide(
+            enc_input, cb, c_id=id_col, vec=vec_col, m=m, dsub=dsub
+        )
+        out = df.drop("_sc").join(coded, id_col)
+        crows = sorted(
+            (int(r["cent_id"]), [float(x) for x in r[vec_col]])
+            for r in cb.collect()  # k_codes x dim doubles: bounded
+        )
+        pqid = hashlib.md5(
+            json.dumps(crows, sort_keys=True).encode()
+        ).hexdigest()[:12]
+        return out, {
+            "pq_codebooks": {str(c): v for c, v in crows},
+            "pq_m": m,
+            "pq_dsub": dsub,
+            "pq_k": k_codes,
+            "pq_iters": iters,
+            "pq_residual": coarse is not None,
+            "layout_id": f"pq{pqid}",
+        }
+
+    return _t
+
+
+def pq_codebooks_from_manifest(
+    spark, path: str, cent_id: str = "cent_id", vec: str = "vec"
+) -> DataFrame | None:
+    """The re-trained PQ codebooks the last maintenance fold committed
+    atomically with the codes they quantize
+    (ann_pq_retrain_transform's manifest-extra key ``pq_codebooks``),
+    in the packed synthetic-centroid form pq_lut_wide / ivfpq_topk
+    consume — or None for a table still on its creation-time books."""
+    from mo_etl_spark.streaming import read_manifest_extra
+
+    cmap = read_manifest_extra(path).get("pq_codebooks")
+    if not cmap:
+        return None
+    return spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cmap.items()],
+        f"{cent_id} BIGINT, {vec} ARRAY<DOUBLE>",
+    )
+
+
 def quantizer_from_manifest(
     spark, path: str, cent_id: str = "cent_id", vec: str = "vec"
 ) -> DataFrame | None:

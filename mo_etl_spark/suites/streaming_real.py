@@ -3053,6 +3053,66 @@ def stream_real_ivf_requantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_pruned_serve(spark, idx_dir, cents, queries, prov=prov)
 
 
+@query(
+    "stream_real_ivf_auto_maintenance",
+    oracle=None,  # wired below: shares the requantize training-replay
+    # oracle — the auto policy's retrain branch runs the IDENTICAL
+    # transform, so the served result must hash-equal it
+    tags=(
+        "stream_ann_serving",
+        "stream_ann_index_upsert",
+        "state_auto_maintenance",
+        "ann_requantize",
+        "index_compaction",
+        "quantizer_seeding_kpp",
+    ),
+)
+def stream_real_ivf_auto_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTO ANN MAINTENANCE POLICY end to end (r10, VERDICT r9 item
+    #6): the ``maintain_batched(ann=(cap_rows, retrain))`` knob —
+    unit-tested in r9 but not exercised by any contract query — now
+    drives the SAME index lifecycle as stream_real_ivf_requantize
+    through the POLICY instead of an explicit transform.  The index
+    grows through the availableNow upsert stream; the maintenance
+    window then runs TWO auto passes: (1) ``ann=(512, (8, 1,
+    1_000_000))`` — the hottest cell is under the drift cap, so the
+    policy takes the RE-SPLIT branch (layout-preserving, results
+    unchanged); (2) ``ann=(512, (8, 1, 1))`` — every cell now exceeds
+    the cap, so the policy takes the RETRAIN branch:
+    ann_requantize_transform with the identical (k=8, iters=1)
+    parameters the explicit query uses.  Nobody named a transform;
+    the measured drift did.  Serving probes with
+    ``quantizer_from_manifest`` and must hash-equal the requantize
+    oracle (training replay in unrolled CTEs), so a policy that takes
+    the wrong branch, re-trains with different parameters, or serves a
+    stale quantizer all hash-miss."""
+    prepare(spark)
+    from mo_etl_spark.operators import similarity as S
+
+    prov = 2
+    idx_dir = _scratch("ivf_automaint_index")
+    emb, _cents0 = _grow_ivf_index(
+        spark, sf_dir, idx_dir, _scratch("ivf_automaint_ckpt"), prov=prov
+    )
+    # pass 1: dir pressure triggers, drift cap NOT exceeded -> re-split
+    maintain_batched(
+        spark, idx_dir, max_dirs=1, partition_cols=["cell", "sub"],
+        ann=(512, (8, 1, 1_000_000)),
+    )
+    assert S.quantizer_from_manifest(spark, idx_dir) is None  # no retrain
+    # pass 2: drift cap exceeded -> the policy retrains the quantizer
+    maintain_batched(
+        spark, idx_dir, max_dirs=1, partition_cols=["cell", "sub"],
+        ann=(512, (8, 1, 1)),
+    )
+    cents = S.quantizer_from_manifest(spark, idx_dir)
+    assert cents is not None  # the auto retrain committed it
+    queries = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+    )
+    return _ivf_pruned_serve(spark, idx_dir, cents, queries, prov=prov)
+
+
 def _wire_ivf_requantize_oracle() -> None:
     from mo_etl_spark.registry import QUERIES, QuerySpec
     from mo_etl_spark.suites.llm import _km_cos, _kpp_seed_ctes, _SQL_COSINE
@@ -3106,10 +3166,13 @@ def _wire_ivf_requantize_oracle() -> None:
     WHERE rnk <= 5
     """
     )
-    spec = QUERIES["stream_real_ivf_requantize"]
-    QUERIES["stream_real_ivf_requantize"] = QuerySpec(
-        name=spec.name, fn=spec.fn, oracle=sql, tags=spec.tags
-    )
+    # the auto-maintenance query's retrain branch runs the identical
+    # transform, so both share the training-replay oracle (r10)
+    for name in ("stream_real_ivf_requantize", "stream_real_ivf_auto_maintenance"):
+        spec = QUERIES[name]
+        QUERIES[name] = QuerySpec(
+            name=spec.name, fn=spec.fn, oracle=sql, tags=spec.tags
+        )
 
 
 _wire_ivf_requantize_oracle()
