@@ -1261,6 +1261,144 @@ def txn_vector(group_root: str) -> dict | None:
         ) from e
 
 
+def txn_log(group_root: str) -> dict[int, dict]:
+    """The group's per-transaction history (txn id -> record), the
+    group twin of read_manifest_log.  An entry missing (crash between
+    the pointer commit and the log append) narrows group time travel
+    by that transaction; the live pointer is unaffected."""
+    out: dict[int, dict] = {}
+    if not os.path.isdir(group_root):
+        return out
+    for n in os.listdir(group_root):
+        if not n.startswith(_TXN + ".t") or n.endswith(".tmp"):
+            continue
+        try:
+            t = int(n[len(_TXN) + 2:])
+            with open(os.path.join(group_root, n)) as f:
+                out[t] = json.load(f)
+        except (OSError, ValueError):
+            continue
+    return out
+
+
+def read_group_at(
+    spark: SparkSession,
+    group_root: str,
+    txn_id: int,
+    alias: str,
+    schema: str | None = None,
+    partitioned: bool = False,
+) -> DataFrame:
+    """GROUP TIME TRAVEL (r10): read one member of a multi-table group
+    exactly as transactional readers saw it at transaction ``txn_id``
+    — the recorded generation's base plus the batch dirs at or below
+    the txn watermark that generation had not yet consumed.  Because
+    every member is resolved from the SAME txn record, reading several
+    members at one ``txn_id`` yields a mutually CONSISTENT historical
+    view — the all-or-nothing trigger visibility the live read has,
+    projected backward.  Horizon: the member's own vacuum window (a
+    consumed base or batch dir reclaimed by retention raises the NAMED
+    SnapshotVacuumed) and the group's txn log (an entry lost to the
+    tolerated commit/log crash window is simply not travelable).
+    Same read semantics as read_batched: pending tombstones are a
+    probe-time overlay, not part of the snapshot."""
+    from functools import reduce
+
+    log = txn_log(group_root)
+    if txn_id not in log:
+        raise SnapshotVacuumed(
+            f"group {group_root!r} has no txn-log entry for transaction "
+            f"{txn_id}; travelable: {sorted(log)}"
+        )
+    member = log[txn_id]["tables"].get(alias)
+    if member is None:
+        raise ValueError(
+            f"group {group_root!r} txn {txn_id} has no member {alias!r}; "
+            f"members: {sorted(log[txn_id]['tables'])}"
+        )
+    root, gen = member["root"], int(member["gen"])
+    paths: list[str] = []
+    consumed_at_gen: set[str] = set()
+    mlog = read_manifest_log(root) if os.path.isdir(root) else {}
+    if gen in mlog:
+        rec = mlog[gen]
+        consumed_at_gen = set(rec["consumed"])
+        base = rec["base"]
+        p = base if os.path.isabs(base) else os.path.join(root, base)
+        if not os.path.isdir(p):
+            raise SnapshotVacuumed(
+                f"generation {gen}'s base {base!r} of member {alias!r} "
+                "was vacuumed — the group travel horizon is the member's "
+                "vacuum window"
+            )
+        if any(
+            n.endswith(".parquet") for _, _, ns in os.walk(p) for n in ns
+        ):
+            paths.append(p)
+    elif gen > 0:
+        raise SnapshotVacuumed(
+            f"member {alias!r} of group txn {txn_id} recorded generation "
+            f"{gen}, which has no manifest-log entry on {root!r}; "
+            f"travelable: {sorted(mlog)}"
+        )
+    # gen == 0 with no log entry = the member had no manifest at commit
+    # time (pre-fold): its state was batch dirs only
+    # a batch dir the snapshot needs may have been consumed by a LATER
+    # generation and then grace-vacuumed — that is a vacuumed snapshot,
+    # not an empty one: raise NAMED rather than silently dropping rows
+    live_man = _read_manifest(root)
+    later_consumed = (
+        set(live_man["consumed"]) if live_man else set()
+    ) - consumed_at_gen
+    for name in later_consumed:
+        if (
+            name.startswith("b")
+            and name[1:].isdigit()
+            and int(name[1:]) <= txn_id
+            and not os.path.isdir(os.path.join(root, name))
+        ):
+            raise SnapshotVacuumed(
+                f"batch dir {name!r} of member {alias!r}, part of group "
+                f"txn {txn_id}'s snapshot, was consumed by a later "
+                "generation and vacuumed — the group travel horizon is "
+                "the member's vacuum window"
+            )
+    for d in sorted(os.listdir(root)) if os.path.isdir(root) else []:
+        if not (d.startswith("b") and d[1:].isdigit()):
+            continue
+        if int(d[1:]) > txn_id or d in consumed_at_gen:
+            continue
+        p = os.path.join(root, d)
+        if not os.path.isdir(p):
+            continue
+        if any(
+            n.endswith(".parquet") for _, _, ns in os.walk(p) for n in ns
+        ):
+            paths.append(p)
+    if not paths:
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        raise SnapshotVacuumed(
+            f"member {alias!r} has no surviving files at group txn "
+            f"{txn_id} (pass schema= for an empty read)"
+        )
+
+    def rd(p: str) -> DataFrame:
+        r = spark.read
+        if not partitioned:
+            r = r.option("recursiveFileLookup", "true")
+        if schema is not None:
+            r = r.schema(schema)
+        elif not partitioned:
+            r = r.option("mergeSchema", "true")
+        return r.parquet(p)
+
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True),
+        [rd(p) for p in paths],
+    )
+
+
 def txn_watermark(group_root: str) -> int | None:
     """The highest batch id committed across the group (None = never
     committed; -1 = seed-only).  Transactional readers pass this as

@@ -3685,6 +3685,68 @@ def test_change_feed_compare_cols_catches_payload_rewrite(spark, tmpdir):
     assert got == want and (5, "new") in got
 
 
+def test_group_time_travel_consistent_historical_reads(spark, tmpdir):
+    """Group time travel (r10): reading the members of a multi-table
+    group at a past txn via read_group_at yields the mutually
+    CONSISTENT historical view transactional readers had then —
+    base-of-recorded-gen + unconsumed batches ≤ the txn — across
+    later writes, folds, and replays; a snapshot whose batch dir was
+    consumed by a later fold and vacuumed raises the NAMED
+    SnapshotVacuumed."""
+    from mo_etl_spark import streaming as S
+
+    g = f"{tmpdir}/grp"
+    ta, tb = f"{tmpdir}/ta", f"{tmpdir}/tb"
+    schema = "k BIGINT"
+
+    def write_both(lo, hi, b):
+        for root, off in ((ta, 0), (tb, 1000)):
+            S.idempotent_batch_write(
+                spark.range(lo + off, hi + off).select(
+                    F.col("id").alias("k")
+                ),
+                root, b,
+            )
+        S.txn_commit(g, b, {"a": ta, "b": tb})
+
+    def keys(df):
+        return sorted(r["k"] for r in df.collect())
+
+    write_both(0, 10, 0)
+    write_both(10, 25, 1)
+    # fold table a only, then a third txn lands on both
+    S.compact_batched(spark, ta, min_dirs=0, gc_grace_sec=3600.0)
+    write_both(25, 30, 2)
+
+    # txn 1's view: both members at 0..24 (+offset), table a's fold
+    # and txn 2's batches invisible
+    assert keys(
+        S.read_group_at(spark, g, 1, "a", schema)
+    ) == list(range(25))
+    assert keys(
+        S.read_group_at(spark, g, 1, "b", schema)
+    ) == list(range(1000, 1025))
+    # txn 0's view
+    assert keys(S.read_group_at(spark, g, 0, "a", schema)) == list(range(10))
+    # txn 2 == the live transactional read
+    assert keys(S.read_group_at(spark, g, 2, "a", schema)) == keys(
+        S.read_batched(spark, ta, schema=schema,
+                       max_batch=S.txn_watermark(g))
+    )
+    # unknown txn / unknown member are NAMED errors
+    with pytest.raises(S.SnapshotVacuumed):
+        S.read_group_at(spark, g, 9, "a", schema)
+    with pytest.raises(ValueError, match="no member"):
+        S.read_group_at(spark, g, 1, "zz", schema)
+    # vacuum the fold's consumed inputs -> txn-1 travel raises NAMED
+    # (its batches were consumed by table a's gen-1 base and are gone)
+    S.compact_batched(spark, ta, min_dirs=0, gc_grace_sec=0.0)
+    S.expire_snapshots(ta, keep_last_n=1)
+    if not os.path.isdir(os.path.join(ta, "b0")):
+        with pytest.raises(S.SnapshotVacuumed):
+            S.read_group_at(spark, g, 1, "a", schema)
+
+
 def test_pq_codebook_retrain_maintenance_fold(spark, tmpdir):
     """PQ codebook re-training as maintenance (r10, VERDICT r9 item
     #5): a code table whose ``_sc`` was encoded under STALE codebooks
