@@ -122,6 +122,11 @@ EXCHANGES_OK = {
     # serve; training runs once per maintenance pass and persists, the
     # serving path alone stays within budget (same pins as upsert)
     "stream_real_ivf_requantize",
+    # the auto-maintenance policy query (r10) serves the IDENTICAL
+    # retrained-quantizer plan as stream_real_ivf_requantize — the
+    # only difference is WHO named the transform (the drift-cap policy
+    # vs the call site); same rationale, same serve pins
+    "stream_real_ivf_auto_maintenance",
     # same serve shape plus the pending-retraction anti-join above the
     # pruned scans (stream_real_ivf_retract = upsert + tombstone fold)
     "stream_real_ivf_retract",
