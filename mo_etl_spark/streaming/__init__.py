@@ -348,6 +348,7 @@ def _write_manifest(
     consumed: dict[str, float],
     extra: dict | None = None,
     tombs: dict[str, float] | None = None,
+    plain: bool | None = None,
 ) -> None:
     """THE COMMIT POINT of a compaction: atomically replace the
     manifest.  fsync-before-rename (and fsync of the directory after)
@@ -367,6 +368,17 @@ def _write_manifest(
     path = os.path.join(root, _MANIFEST)
     tmp = path + ".tmp"
     man = {"gen": gen, "base": base, "consumed": consumed}
+    if plain is not None:
+        # PLAIN-FOLD MARKER (r10): True = this generation rewrote its
+        # inputs VERBATIM modulo the tombstone anti-join — no transform
+        # re-derived rows, no rollback reverted content.  The marker is
+        # what makes the adjacent-generation change-file CDF fast path
+        # (diff_batched_adjacent) sound: across a window of plain
+        # folds, the newly consumed batch dirs + newly folded tombstone
+        # files ARE the delta.  Absent/False = reconstructing the delta
+        # from consumed names is unsound; readers fall back to the
+        # snapshot diff.
+        man["plain"] = bool(plain)
     if extra is not None:
         man["extra"] = extra
     if tombs:
@@ -672,6 +684,114 @@ def diff_batched(
     return out
 
 
+def diff_batched_adjacent(
+    spark: SparkSession,
+    root: str,
+    gen_from: int,
+    gen_to: int,
+    key_cols: Sequence[str],
+    schema: str | None = None,
+) -> DataFrame | None:
+    """CHANGE-FILE CDF fast path (r10 — the Delta change-file shape):
+    across a window of PLAIN folds, the delta between two generations
+    is ALREADY MATERIALIZED on disk — the batch dirs the window's
+    folds consumed are the inserts, the tombstone files they folded
+    are the deletes.  Reading those directly is DELTA-PROPORTIONAL:
+    no snapshot scan at all, unlike diff_batched's two key-pruned base
+    scans (the sublinear-but-not-flat floor SCALE_r10 measured).
+
+    Returns None — caller falls back to the snapshot diff — whenever
+    reconstruction is unsound or the change files are gone:
+    any generation in ``(gen_from, gen_to]`` missing from the manifest
+    log or not marked ``plain`` (a transform re-derived rows; a
+    rollback reverted content; a pre-r10 fold), a consumed batch dir
+    or folded tombstone file already vacuumed, or a tombstone file
+    lacking the key columns.
+
+    EXACTNESS CONTRACT (the same append+retraction lifecycle the
+    protocol's own tables follow, enforced for the batched MV by the
+    resurrection guard): window batches append NEW keys only, and
+    tombstones name keys live in the window or in ``gen_from``.  Under
+    it the output matches diff_batched row-for-row on inserts; DELETE
+    rows carry the key columns with every other column null — the
+    change files record keys, not payloads (Delta's CDF has the same
+    key-level shape for deletion vectors).  Consumers that only key on
+    deletes (apply_change_feed / apply_change_feed_batched) are
+    unaffected; a consumer needing full delete payloads uses the
+    snapshot diff."""
+    from functools import reduce
+
+    log = read_manifest_log(root)
+    if gen_from not in log or gen_to not in log:
+        return None
+    if any(
+        g not in log or not log[g].get("plain")
+        for g in range(gen_from + 1, gen_to + 1)
+    ):
+        return None
+    cons_from = set(log[gen_from]["consumed"])
+    cons_to = set(log[gen_to]["consumed"])
+    batch_names = sorted(
+        n
+        for n in cons_to - cons_from
+        if n.startswith("b") and n[1:].isdigit()
+    )
+    tombs_from = set(log[gen_from].get("tombs") or {})
+    tombs_to = set(log[gen_to].get("tombs") or {})
+    tomb_files = sorted(
+        os.path.join(root, _TOMBSTONES, n) for n in tombs_to - tombs_from
+    )
+    keys = [str(k) for k in key_cols]
+    ins_parts: list[DataFrame] = []
+    for n in batch_names:
+        p = os.path.join(root, n)
+        if not os.path.isdir(p):
+            return None  # change file vacuumed: fall back
+        if any(
+            f.endswith(".parquet") for _, _, fs in os.walk(p) for f in fs
+        ):
+            r = spark.read
+            r = r.schema(schema) if schema else r
+            ins_parts.append(r.parquet(p))
+    for fp in tomb_files:
+        if not os.path.exists(fp):
+            return None
+    if ins_parts:
+        ins_raw = reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True),
+            ins_parts,
+        )
+    elif schema is not None:
+        ins_raw = spark.createDataFrame([], schema)
+    else:
+        return None  # no schema, no insert files to infer one from
+    tomb_keys: DataFrame | None = None
+    if tomb_files:
+        tk = spark.read.parquet(*tomb_files)
+        if not set(keys) <= set(tk.columns):
+            return None  # tombstones keyed differently: fall back
+        tomb_keys = tk.select(*keys).distinct()
+    ins = ins_raw
+    if tomb_keys is not None:
+        ins = ins.join(tomb_keys, keys, "left_anti")
+    out = ins.withColumn("_change", F.lit("insert"))
+    if tomb_keys is not None:
+        dels = tomb_keys.join(
+            ins_raw.select(*keys).distinct(), keys, "left_anti"
+        )
+        for f in ins_raw.schema.fields:
+            if f.name not in keys:
+                dels = dels.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
+        out = out.unionByName(
+            dels.select(*ins_raw.columns).withColumn(
+                "_change", F.lit("delete")
+            )
+        )
+    return out
+
+
 #: MV generation cursor — the consumer's transactional resume point
 _MV_CURSOR = "_CURSOR"
 
@@ -798,6 +918,7 @@ def apply_change_feed(
     partitioned: bool = False,
     lease_ttl_sec: float = 3600.0,
     compare_cols: Sequence[str] | None = None,
+    change_files: bool = False,
 ) -> int:
     """CHANGE-FEED CONSUMER (VERDICT r8 item #2 — the Delta-CDF->MV
     maintenance loop): advance a downstream materialized table to the
@@ -867,10 +988,21 @@ def apply_change_feed(
         if cur is None or cur >= gen_to:
             return cur if cur is not None else gen_to
         keys = [str(k) for k in key_cols]
-        feed = diff_batched(
-            spark, root, cur, gen_to, keys, schema,
-            partitioned=partitioned, compare_cols=compare_cols,
-        )
+        # change-file fast path (r10): delta-proportional across a
+        # plain-fold window, silent fallback to the snapshot diff
+        # whenever unsound/vacuumed (diff_batched_adjacent docstring);
+        # compare_cols requires payload comparison only the snapshot
+        # diff can do
+        feed = None
+        if change_files and not compare_cols:
+            feed = diff_batched_adjacent(
+                spark, root, cur, gen_to, keys, schema
+            )
+        if feed is None:
+            feed = diff_batched(
+                spark, root, cur, gen_to, keys, schema,
+                partitioned=partitioned, compare_cols=compare_cols,
+            )
         mv = read_materialized(spark, mv_root, schema, gen=cur)
         dels = feed.where(F.col("_change") == "delete").select(*keys).distinct()
         ins = feed.where(F.col("_change") == "insert").drop("_change")
@@ -967,6 +1099,7 @@ def apply_change_feed_batched(
     schema: str | None = None,
     partitioned: bool = False,
     lease_ttl_sec: float = 3600.0,
+    change_files: bool = False,
 ) -> int:
     """DELTA-PROPORTIONAL change-feed application (r10, VERDICT r9
     item #7): where ``apply_change_feed`` merges the feed into a FULL
@@ -1010,15 +1143,55 @@ def apply_change_feed_batched(
         cur = read_mv_cursor(mv_root)
         if cur is None or cur >= gen_to:
             return cur if cur is not None else gen_to
-        # the feed is DELTA-sized but its PLAN scans both snapshots:
-        # materialize it once (localCheckpoint) so the delete/insert
-        # consumers below don't each re-run the table-sized diff
-        feed = diff_batched(
-            spark, root, cur, gen_to, [key_col], schema,
-            partitioned=partitioned,
-        ).localCheckpoint(eager=True)
+        # the feed is DELTA-sized but its PLAN scans both snapshots —
+        # unless the change-file fast path applies (r10:
+        # diff_batched_adjacent — a plain-fold window's consumed batch
+        # dirs + folded tombstone files ARE the delta, zero snapshot
+        # scans).  Either way, materialize once (localCheckpoint) so
+        # the delete/insert consumers below don't re-run the diff.
+        feed = None
+        if change_files:
+            feed = diff_batched_adjacent(
+                spark, root, cur, gen_to, [key_col], schema
+            )
+        if feed is None:
+            feed = diff_batched(
+                spark, root, cur, gen_to, [key_col], schema,
+                partitioned=partitioned,
+            )
+        feed = feed.localCheckpoint(eager=True)
         dels = feed.where(F.col("_change") == "delete").select(key_col)
         ins = feed.where(F.col("_change") == "insert").drop("_change")
+        # RESURRECTION GUARD (r10): the keys-never-resurrect contract
+        # is ENFORCED at apply time, not just documented — an insert
+        # whose key has a PENDING (unfolded) MV tombstone would be
+        # served correctly by the read's anti-join until the next fold
+        # SILENTLY ERASED it (the fold drops by key).  Delta-sized
+        # check: feed inserts semi-joined against the pending tombstone
+        # keys; a hit is a NAMED error naming sample keys.  A key whose
+        # tombstone was already folded is physically gone and genuinely
+        # re-insertable — the guard covers exactly the silent-erasure
+        # window.
+        if has_tombstones(mv_root):
+            pend = read_tombstones(
+                spark, mv_root, None
+            ).select(key_col).distinct()
+            bad = [
+                r[key_col]
+                for r in ins.select(key_col)
+                .join(F.broadcast(pend), key_col, "left_semi")
+                .limit(5)
+                .collect()
+            ]
+            if bad:
+                raise ValueError(
+                    f"apply_change_feed_batched: feed re-inserts keys "
+                    f"with PENDING tombstones on {mv_root!r} (sample: "
+                    f"{bad}) — the batched MV mode requires "
+                    "keys-never-resurrect (the next fold would silently "
+                    "erase them); use the merge mode (apply_change_feed) "
+                    "for resurrecting upstreams"
+                )
         if dels.limit(1).count():
             append_tombstones(dels.coalesce(1), mv_root)
         idempotent_batch_write(ins.coalesce(1), mv_root, gen_to)
@@ -2355,7 +2528,8 @@ def _compact_batched_locked(
     tombs_man = dict(man.get("tombs", {})) if man else {}
     tombs_man.update({os.path.basename(fp): now for fp in tomb_files})
     _write_manifest(
-        root, gen, target, consumed, extra=extra, tombs=tombs_man or None
+        root, gen, target, consumed, extra=extra, tombs=tombs_man or None,
+        plain=transform is None,
     )  # COMMIT POINT
     # vacuum: only grace-expired victims die now; fresh ones stay on
     # disk (manifest-excluded) for in-flight readers of the previous

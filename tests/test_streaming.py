@@ -2347,7 +2347,7 @@ def test_streamed_dedup_cross_table_chaos_model(spark, tmpdir, seed):
         op = rng.choice(
             ["apply", "apply", "crash", "late_replay",
              "fold_idx", "fold_arr", "compact_pairs",
-             "rebucket_idx", "rebucket_arr"]
+             "rebucket_idx", "rebucket_arr", "fold_stale_watermark"]
         )
         if op == "apply":
             if crashed is not None:
@@ -2416,6 +2416,20 @@ def test_streamed_dedup_cross_table_chaos_model(spark, tmpdir, seed):
                 ),
             )
             folded_arr = True
+        elif op == "fold_stale_watermark":
+            # r10 lead: maintenance RACING a commit — the compactor
+            # resolved the watermark one transaction before the latest
+            # landed.  The guard's direction is safe by construction
+            # (consume FEWER batches, never an uncommitted one), and
+            # every transactional read below must stay exact with the
+            # latest batch left live-unconsumed.
+            w = txn_watermark(group)
+            stale = (w - 1) if w is not None and w > 0 else w
+            compact_batched(
+                spark, idx, min_dirs=0, partition_cols=["ib"],
+                tombstone_col="id", gc_grace_sec=0.0, max_batch=stale,
+            )
+            folded_idx = True
         check()
     # drain: heal any crash, apply the rest, final full check
     if crashed is not None:
@@ -3685,6 +3699,100 @@ def test_change_feed_compare_cols_catches_payload_rewrite(spark, tmpdir):
     assert got == want and (5, "new") in got
 
 
+def test_change_file_cdf_fast_path(spark, tmpdir):
+    """Change-file CDF fast path (r10 — round-11 lead #1 done early):
+    across a window of PLAIN folds, diff_batched_adjacent reads the
+    window's consumed batch dirs + folded tombstone files directly —
+    zero snapshot scans — and a consumer applying it converges to the
+    same MV as the snapshot diff.  Soundness gates pinned: a transform
+    (rebucket) generation in the window, a vacuumed change file, or a
+    missing log entry each return None (callers fall back)."""
+    from mo_etl_spark import streaming as S
+
+    root = f"{tmpdir}/cf_tbl"
+    schema = "k BIGINT, ib BIGINT"
+
+    def kdf(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), F.pmod("id", F.lit(4)).alias("ib")
+        )
+
+    def compact(**kw):
+        S.compact_batched(
+            spark, root, min_dirs=0, partition_cols=["ib"],
+            gc_grace_sec=3600.0, **kw,
+        )
+
+    S.idempotent_batch_write(kdf(0, 200), root, 0, partition_cols=["ib"])
+    compact()  # gen1 (plain)
+    assert S._read_manifest(root)["plain"] is True
+    S.idempotent_batch_write(kdf(500, 560), root, 1, partition_cols=["ib"])
+    S.append_tombstones(
+        spark.createDataFrame([(k,) for k in range(0, 200, 9)], "k BIGINT"),
+        root,
+    )
+    compact(tombstone_col="k")  # gen2 (plain): +500..559, -mult of 9
+    S.idempotent_batch_write(kdf(700, 720), root, 2, partition_cols=["ib"])
+    compact()  # gen3 (plain): +700..719
+
+    fast = S.diff_batched_adjacent(spark, root, 1, 3, ["k"], schema)
+    assert fast is not None
+    rows = fast.collect()
+    ins = sorted(r["k"] for r in rows if r["_change"] == "insert")
+    dels = sorted(r["k"] for r in rows if r["_change"] == "delete")
+    assert ins == list(range(500, 560)) + list(range(700, 720))
+    assert dels == list(range(0, 200, 9))
+    # insert rows carry full payload; delete rows are key-level
+    assert all(
+        r["ib"] is not None for r in rows if r["_change"] == "insert"
+    )
+    # snapshot-diff parity on inserts and delete KEYS
+    slow = S.diff_batched(
+        spark, root, 1, 3, ["k"], schema, partitioned=True
+    ).collect()
+    assert ins == sorted(r["k"] for r in slow if r["_change"] == "insert")
+    assert dels == sorted(r["k"] for r in slow if r["_change"] == "delete")
+
+    # consumers converge identically through the fast path
+    mv_a = f"{tmpdir}/cf_mv_snapshot"
+    mv_b = f"{tmpdir}/cf_mv_changefiles"
+    S.materialize_snapshot(spark, root, mv_a, 1, schema, partitioned=True)
+    S.materialize_snapshot_batched(spark, root, mv_b, 1, partitioned=True,
+                                   schema=schema)
+    S.apply_change_feed(spark, root, mv_a, 3, ["k"], schema,
+                        partitioned=True)
+    S.apply_change_feed_batched(spark, root, mv_b, 3, "k", schema,
+                                partitioned=True, change_files=True)
+
+    def keys(df):
+        return sorted(r["k"] for r in df.collect())
+
+    want = keys(S.read_batched_at(spark, root, 3, schema, partitioned=True))
+    assert keys(S.read_materialized(spark, mv_a, schema)) == want
+    assert keys(S.read_materialized_batched(spark, mv_b, "k", schema)) == want
+
+    # SOUNDNESS GATES: a rebucket generation poisons its window...
+    S.idempotent_batch_write(kdf(800, 810), root, 3, partition_cols=["ib"])
+    compact(transform=S.rebucket_transform(
+        "ib", lambda n: F.pmod("k", F.lit(n)), 4, cap_rows=8,
+        prior_extra=S.read_manifest_extra(root),
+    ))  # gen4 (NOT plain)
+    assert S._read_manifest(root).get("plain") is False
+    assert S.diff_batched_adjacent(spark, root, 3, 4, ["k"], schema) is None
+    assert S.diff_batched_adjacent(spark, root, 1, 4, ["k"], schema) is None
+    # ...but a later plain window past it is fine again
+    S.idempotent_batch_write(kdf(900, 905), root, 4, partition_cols=["ib"])
+    compact()  # gen5 (plain)
+    f45 = S.diff_batched_adjacent(spark, root, 4, 5, ["k"], schema)
+    assert f45 is not None
+    assert sorted(r["k"] for r in f45.collect()) == list(range(900, 905))
+    # vacuumed change file: fall back, never silently drop
+    shutil.rmtree(f"{root}/b4")
+    assert S.diff_batched_adjacent(spark, root, 4, 5, ["k"], schema) is None
+    # missing log entry
+    assert S.diff_batched_adjacent(spark, root, 1, 99, ["k"], schema) is None
+
+
 def test_group_time_travel_consistent_historical_reads(spark, tmpdir):
     """Group time travel (r10): reading the members of a multi-table
     group at a past txn via read_group_at yields the mutually
@@ -3921,6 +4029,35 @@ def test_apply_change_feed_batched_delta_proportional_mode(spark, tmpdir):
     )
     assert S._read_manifest(mv_b) is not None
     assert keys(S.read_materialized_batched(spark, mv_b, "k", schema)) == want
+
+    # RESURRECTION GUARD (r10, round-11 lead #4 done early): retract a
+    # key upstream, apply (its MV tombstone now PENDING), then
+    # re-append the same key upstream — the next batched apply must
+    # abort NAMED instead of queuing an insert the next fold would
+    # silently erase
+    S.append_tombstones(
+        spark.createDataFrame([(2000,)], "k BIGINT"), root
+    )
+    S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["ib"],
+        tombstone_col="k", gc_grace_sec=3600.0,
+    )  # gen4: -2000
+    assert S.apply_change_feed_batched(
+        spark, root, mv_b, 4, "k", schema, partitioned=True
+    ) == 4
+    S.idempotent_batch_write(kdf(2000, 2001), root, 3, partition_cols=["ib"])
+    S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["ib"], gc_grace_sec=3600.0
+    )  # gen5: +2000 again (contract violation for the batched mode)
+    with pytest.raises(ValueError, match="resurrect"):
+        S.apply_change_feed_batched(
+            spark, root, mv_b, 5, "k", schema, partitioned=True
+        )
+    # the merge mode handles resurrecting upstreams fine
+    S.apply_change_feed(spark, root, mv_m, 5, ["k"], schema, partitioned=True)
+    assert keys(S.read_materialized(spark, mv_m, schema)) == keys(
+        S.read_batched_at(spark, root, 5, schema, partitioned=True)
+    )
 
 
 def test_change_feed_consumer_stream_kill_resume_through_checkpoint(

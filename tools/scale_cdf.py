@@ -97,6 +97,13 @@ def measure(spark, root: str, scale: str, out) -> None:
         ).write.mode("overwrite").format("noop").save(),
     )
 
+    def run_cf():
+        df = S.diff_batched_adjacent(spark, root, 1, 2, ["k"], schema)
+        assert df is not None  # plain-fold window: fast path must apply
+        df.write.mode("overwrite").format("noop").save()
+
+    rep("cdf_diff_changefiles", run_cf)
+
     mv = f"{SCRATCH}/mv_merge_{scale}"
 
     def seed_merge():
@@ -125,6 +132,23 @@ def measure(spark, root: str, scale: str, out) -> None:
             spark, root, mvb, 2, "k", schema, partitioned=True
         ),
         setup=seed_batched,
+    )
+
+    mvc = f"{SCRATCH}/mv_batched_cf_{scale}"
+
+    def seed_batched_cf():
+        shutil.rmtree(mvc, ignore_errors=True)
+        S.materialize_snapshot_batched(
+            spark, root, mvc, 1, partitioned=True, schema=schema
+        )
+
+    rep(
+        "cdf_mv_apply_batched_changefiles",
+        lambda: S.apply_change_feed_batched(
+            spark, root, mvc, 2, "k", schema, partitioned=True,
+            change_files=True,
+        ),
+        setup=seed_batched_cf,
     )
 
 
