@@ -741,6 +741,26 @@ def diff_batched_adjacent(
     tomb_files = sorted(
         os.path.join(root, _TOMBSTONES, n) for n in tombs_to - tombs_from
     )
+    return _assemble_change_feed(
+        spark, root, batch_names, tomb_files, key_cols, schema
+    )
+
+
+def _assemble_change_feed(
+    spark: SparkSession,
+    root: str,
+    batch_names: Sequence[str],
+    tomb_files: Sequence[str],
+    key_cols: Sequence[str],
+    schema: str | None,
+) -> DataFrame | None:
+    """Shared change-file feed assembly (diff_batched_adjacent /
+    diff_group_adjacent): inserts = the named batch dirs minus window
+    tombstone keys, deletes = window tombstone keys minus window
+    inserts (key-level, other columns null).  None when a change file
+    is gone or the tombstones aren't keyed on ``key_cols``."""
+    from functools import reduce
+
     keys = [str(k) for k in key_cols]
     ins_parts: list[DataFrame] = []
     for n in batch_names:
@@ -767,7 +787,7 @@ def diff_batched_adjacent(
         return None  # no schema, no insert files to infer one from
     tomb_keys: DataFrame | None = None
     if tomb_files:
-        tk = spark.read.parquet(*tomb_files)
+        tk = spark.read.parquet(*list(tomb_files))
         if not set(keys) <= set(tk.columns):
             return None  # tombstones keyed differently: fall back
         tomb_keys = tk.select(*keys).distinct()
@@ -790,6 +810,80 @@ def diff_batched_adjacent(
             )
         )
     return out
+
+
+def diff_group_adjacent(
+    spark: SparkSession,
+    group_root: str,
+    txn_from: int,
+    txn_to: int,
+    alias: str,
+    key_cols: Sequence[str],
+    schema: str | None = None,
+) -> DataFrame | None:
+    """GROUP-LEVEL change-file CDF (r10): the keyed delta of ONE
+    member of a multi-table group between two committed TRANSACTIONS —
+    inserts are the member's batch dirs in ``(txn_from, txn_to]``
+    (batch ids are the group's trigger ids, so the window is the same
+    for every member), deletes the tombstone files folded by the
+    member's generations across the same window.  Calling this for
+    each member at one txn pair advances a multi-MV consumer of the
+    whole group (e.g. a serving tier mirroring the dedup trio) from
+    ONE consistent vector — the group twin of diff_batched_adjacent,
+    delta-proportional for the same reason.
+
+    Returns None (fall back to per-member snapshot diffs between
+    read_group_at views) when unsound: either txn missing from the
+    group log, the member absent or re-rooted, any window generation
+    non-plain or missing from the member's manifest log, a change
+    file vacuumed, or tombstones keyed differently.  Same
+    append+retraction exactness contract as diff_batched_adjacent."""
+    tlog = txn_log(group_root)
+    if txn_from not in tlog or txn_to not in tlog:
+        return None
+    m_from = tlog[txn_from]["tables"].get(alias)
+    m_to = tlog[txn_to]["tables"].get(alias)
+    if not m_from or not m_to or m_from["root"] != m_to["root"]:
+        return None
+    root = m_to["root"]
+    g_from, g_to = int(m_from["gen"]), int(m_to["gen"])
+    mlog = read_manifest_log(root) if os.path.isdir(root) else {}
+    for g in range(g_from + 1, g_to + 1):
+        if g not in mlog or not mlog[g].get("plain"):
+            return None
+    tombs_from = (
+        set(mlog[g_from].get("tombs") or {}) if g_from in mlog else set()
+    )
+    tombs_to = set(mlog[g_to].get("tombs") or {}) if g_to in mlog else set()
+    tomb_files = sorted(
+        os.path.join(root, _TOMBSTONES, n) for n in tombs_to - tombs_from
+    )
+    batch_names = sorted(
+        d
+        for d in (os.listdir(root) if os.path.isdir(root) else [])
+        if d.startswith("b")
+        and d[1:].isdigit()
+        and txn_from < int(d[1:]) <= txn_to
+    )
+    # every batch id committed in the window must still be on disk —
+    # one consumed-then-vacuumed dir makes the reconstruction silently
+    # lossy, so verify against the window's consumed-name diff too
+    if g_to in mlog:
+        cons_to = set(mlog[g_to]["consumed"])
+        cons_from = (
+            set(mlog[g_from]["consumed"]) if g_from in mlog else set()
+        )
+        for n in cons_to - cons_from:
+            if (
+                n.startswith("b")
+                and n[1:].isdigit()
+                and txn_from < int(n[1:]) <= txn_to
+                and n not in batch_names
+            ):
+                return None  # consumed in window and already vacuumed
+    return _assemble_change_feed(
+        spark, root, batch_names, tomb_files, key_cols, schema
+    )
 
 
 #: MV generation cursor — the consumer's transactional resume point
@@ -2341,8 +2435,26 @@ def _compact_batched_locked(
         # relation is not supported (same constraint as read_batched)
         from functools import reduce
 
+        def _rd_sub(p: str) -> DataFrame:
+            # LAYOUT-MIXED history (r10, found by the group change-feed
+            # test): a previous BINPACK fold nests its group files in
+            # g<N> subdirs, which plain hive-discovery reads cannot
+            # see — a later partition_cols compaction over such a base
+            # failed with UNABLE_TO_INFER_SCHEMA.  Per-dir detection:
+            # hive-style (col=value children) dirs keep the plain read
+            # (partition columns must resolve); anything else reads
+            # recursively.
+            hive = any(
+                "=" in n and os.path.isdir(os.path.join(p, n))
+                for n in os.listdir(p)
+            )
+            r = spark.read
+            if not hive:
+                r = r.option("recursiveFileLookup", "true")
+            return r.parquet(p)
+
         parts = [
-            spark.read.parquet(p)
+            _rd_sub(p)
             for p in subs
             if any(
                 n.endswith(".parquet")

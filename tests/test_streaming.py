@@ -3793,6 +3793,167 @@ def test_change_file_cdf_fast_path(spark, tmpdir):
     assert S.diff_batched_adjacent(spark, root, 1, 99, ["k"], schema) is None
 
 
+@pytest.mark.parametrize("seed", [3, 19])
+def test_change_file_consumer_chaos_model(spark, tmpdir, seed):
+    """Seeded chaos schedule for the change-file CDF consumer (r10 —
+    round-11 lead #3 done early): interleave upstream arrival batches,
+    retraction appends, PLAIN folds, REBUCKET folds (poisoning their
+    window for the fast path), snapshot-count retention expiry
+    (vacuuming change files), and consumer catch-up applications with
+    ``change_files=True`` — asserting after EVERY apply that the
+    batched MV exactly equals the upstream's transactional content.
+    The point is the FALLBACK BOUNDARY: whether any given window took
+    the change-file fast path or fell back to the snapshot diff is
+    load-dependent state the consumer must never get wrong; the twin
+    merge-mode MV (always snapshot diff) is applied alongside as the
+    oracle."""
+    import random
+
+    from mo_etl_spark import streaming as S
+
+    rng = random.Random(seed)
+    root = f"{tmpdir}/cfc_tbl"
+    mv_b = f"{tmpdir}/cfc_mv_b"   # batched MV, change_files=True
+    mv_m = f"{tmpdir}/cfc_mv_m"   # merge MV, snapshot diff (the twin)
+    schema = "k BIGINT, ib BIGINT"
+    GRACE = 3600.0
+    next_key = 0
+    live: set[int] = set()
+    retracted: set[int] = set()
+    batch_id = 0
+
+    def ib(n):
+        return F.pmod("k", F.lit(n))
+
+    def arrive(n_rows: int):
+        nonlocal next_key, batch_id
+        ks = list(range(next_key, next_key + n_rows))
+        next_key += n_rows
+        S.idempotent_batch_write(
+            spark.createDataFrame([(k, k % 4) for k in ks], schema),
+            root, batch_id, partition_cols=["ib"],
+        )
+        S.stamp_spec(root, batch_id, 4)
+        batch_id += 1
+        live.update(ks)
+
+    def keys(df):
+        return sorted(r["k"] for r in df.collect())
+
+    arrive(40)
+    S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["ib"], gc_grace_sec=GRACE
+    )  # gen1, plain
+    S.materialize_snapshot(spark, root, mv_m, 1, schema, partitioned=True)
+    S.materialize_snapshot_batched(
+        spark, root, mv_b, 1, partitioned=True, schema=schema
+    )
+
+    for step in range(18):
+        op = rng.choice(
+            ["arrive", "arrive", "retract", "fold", "fold",
+             "rebucket", "expire", "apply", "apply", "apply"]
+        )
+        if op == "arrive":
+            arrive(rng.randint(3, 10))
+        elif op == "retract":
+            pool = sorted(live - retracted)
+            if pool:
+                dead = rng.sample(pool, min(3, len(pool)))
+                S.append_tombstones(
+                    spark.createDataFrame([(k,) for k in dead], "k BIGINT"),
+                    root,
+                )
+                retracted.update(dead)  # applied at the next fold
+        elif op == "fold":
+            S.compact_batched(
+                spark, root, min_dirs=0, partition_cols=["ib"],
+                tombstone_col="k", gc_grace_sec=GRACE,
+            )
+            live.difference_update(retracted)
+            retracted.clear()
+        elif op == "rebucket":
+            S.compact_batched(
+                spark, root, min_dirs=0, partition_cols=["ib"],
+                tombstone_col="k", gc_grace_sec=GRACE,
+                transform=S.rebucket_transform(
+                    "ib", ib, S.current_spec(root, 4), cap_rows=64,
+                    prior_extra=S.read_manifest_extra(root),
+                ),
+            )
+            live.difference_update(retracted)
+            retracted.clear()
+        elif op == "expire":
+            # vacuum old snapshots + their grace-held change files:
+            # fast-path windows crossing them must fall back, never
+            # silently drop
+            S.expire_snapshots(root, keep_last_n=2)
+        elif op == "apply":
+            man = S._read_manifest(root)
+            gen = int(man["gen"]) if man else 0
+            if gen < 1:
+                continue
+            # a consumer lagging past the vacuum horizon gets the
+            # NAMED SnapshotVacuumed and re-seeds — the documented
+            # operator response, exercised whenever the schedule's
+            # expire outruns the cursor
+            try:
+                S.apply_change_feed(
+                    spark, root, mv_m, gen, ["k"], schema, partitioned=True
+                )
+            except S.SnapshotVacuumed:
+                shutil.rmtree(mv_m, ignore_errors=True)
+                S.materialize_snapshot(
+                    spark, root, mv_m, gen, schema, partitioned=True
+                )
+            try:
+                S.apply_change_feed_batched(
+                    spark, root, mv_b, gen, "k", schema, partitioned=True,
+                    change_files=True,
+                )
+            except S.SnapshotVacuumed:
+                shutil.rmtree(mv_b, ignore_errors=True)
+                S.materialize_snapshot_batched(
+                    spark, root, mv_b, gen, partitioned=True, schema=schema
+                )
+            want = keys(
+                S.read_batched_at(spark, root, gen, schema, partitioned=True)
+            )
+            got_b = keys(S.read_materialized_batched(spark, mv_b, "k", schema))
+            got_m = keys(S.read_materialized(spark, mv_m, schema))
+            assert got_b == want, (step, gen, len(got_b), len(want))
+            assert got_m == want, (step, gen)
+    # drain: one final fold + apply, both MVs equal the live table
+    S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["ib"],
+        tombstone_col="k", gc_grace_sec=GRACE,
+    )
+    live.difference_update(retracted)
+    retracted.clear()
+    gen = int(S._read_manifest(root)["gen"])
+    try:
+        S.apply_change_feed(
+            spark, root, mv_m, gen, ["k"], schema, partitioned=True
+        )
+    except S.SnapshotVacuumed:
+        shutil.rmtree(mv_m, ignore_errors=True)
+        S.materialize_snapshot(spark, root, mv_m, gen, schema, partitioned=True)
+    try:
+        S.apply_change_feed_batched(
+            spark, root, mv_b, gen, "k", schema, partitioned=True,
+            change_files=True,
+        )
+    except S.SnapshotVacuumed:
+        shutil.rmtree(mv_b, ignore_errors=True)
+        S.materialize_snapshot_batched(
+            spark, root, mv_b, gen, partitioned=True, schema=schema
+        )
+    want = keys(S.read_batched(spark, root, partitioned=True, schema=schema))
+    assert keys(S.read_materialized_batched(spark, mv_b, "k", schema)) == want
+    assert keys(S.read_materialized(spark, mv_m, schema)) == want
+    assert sorted(live) == want
+
+
 def test_group_time_travel_consistent_historical_reads(spark, tmpdir):
     """Group time travel (r10): reading the members of a multi-table
     group at a past txn via read_group_at yields the mutually
@@ -3853,6 +4014,89 @@ def test_group_time_travel_consistent_historical_reads(spark, tmpdir):
     if not os.path.isdir(os.path.join(ta, "b0")):
         with pytest.raises(S.SnapshotVacuumed):
             S.read_group_at(spark, g, 1, "a", schema)
+
+
+def test_group_change_feed_consistent_vector(spark, tmpdir):
+    """Group-level change-file CDF (r10 — round-11 lead #2 done
+    early): diff_group_adjacent yields each member's keyed delta
+    between two committed TRANSACTIONS — batch-dir inserts in the txn
+    window + tombstone files folded across the member's generation
+    window — so a multi-MV consumer advances every member from ONE
+    consistent vector.  Soundness gates pinned: a non-plain (rebucket)
+    generation in a member's window, a missing txn, or an unknown
+    member each return None."""
+    from mo_etl_spark import streaming as S
+
+    g = f"{tmpdir}/gcf"
+    ta, tb = f"{tmpdir}/gcf_a", f"{tmpdir}/gcf_b"
+    schema = "k BIGINT"
+
+    def write_both(lo, hi, b):
+        for root, off in ((ta, 0), (tb, 1000)):
+            S.idempotent_batch_write(
+                spark.range(lo + off, hi + off).select(
+                    F.col("id").alias("k")
+                ),
+                root, b,
+            )
+        S.txn_commit(g, b, {"a": ta, "b": tb})
+
+    write_both(0, 20, 0)
+    # member a folds with a retraction between txn 0 and txn 2;
+    # member b stays unfolded
+    S.append_tombstones(
+        spark.createDataFrame([(k,) for k in range(0, 20, 5)], "k BIGINT"),
+        ta,
+    )
+    S.compact_batched(
+        spark, ta, min_dirs=0, tombstone_col="k", gc_grace_sec=3600.0
+    )  # a: gen1, plain
+    write_both(20, 30, 1)
+    write_both(30, 33, 2)
+
+    feed_a = S.diff_group_adjacent(spark, g, 0, 2, "a", ["k"], schema)
+    assert feed_a is not None
+    ins_a = sorted(r["k"] for r in feed_a.collect() if r["_change"] == "insert")
+    del_a = sorted(r["k"] for r in feed_a.collect() if r["_change"] == "delete")
+    assert ins_a == list(range(20, 33))
+    assert del_a == list(range(0, 20, 5))
+    feed_b = S.diff_group_adjacent(spark, g, 0, 2, "b", ["k"], schema)
+    assert feed_b is not None
+    rows_b = feed_b.collect()
+    assert sorted(r["k"] for r in rows_b) == list(range(1020, 1033))
+    assert all(r["_change"] == "insert" for r in rows_b)
+    # the pair of feeds IS one consistent vector: applying both to
+    # txn-0 views reproduces the txn-2 transactional reads exactly
+    for alias, root, feed in (("a", ta, feed_a), ("b", tb, feed_b)):
+        base = S.read_group_at(spark, g, 0, alias, schema)
+        ins = feed.where(F.col("_change") == "insert").select("k")
+        dels = feed.where(F.col("_change") == "delete").select("k")
+        got = sorted(
+            r["k"]
+            for r in base.join(dels, "k", "left_anti")
+            .unionByName(ins)
+            .collect()
+        )
+        want = sorted(
+            r["k"] for r in S.read_group_at(spark, g, 2, alias, schema).collect()
+        )
+        assert got == want, alias
+
+    # soundness: a TRANSFORM generation inside a's window poisons it
+    # (here a layout-deriving rewrite bucketing the flat table)
+    S.compact_batched(
+        spark, ta, min_dirs=0, gc_grace_sec=3600.0,
+        partition_cols=["ib"],
+        transform=lambda df: (
+            df.withColumn("ib", F.pmod("k", F.lit(2))), {"spec_n": 2}
+        ),
+    )  # a: gen2, NOT plain
+    write_both(33, 35, 3)
+    assert S.diff_group_adjacent(spark, g, 0, 3, "a", ["k"], schema) is None
+    # ...while b (no fold at all) still serves the fast path
+    assert S.diff_group_adjacent(spark, g, 0, 3, "b", ["k"], schema) is not None
+    assert S.diff_group_adjacent(spark, g, 0, 9, "a", ["k"], schema) is None
+    assert S.diff_group_adjacent(spark, g, 0, 3, "zz", ["k"], schema) is None
 
 
 def test_pq_codebook_retrain_maintenance_fold(spark, tmpdir):
