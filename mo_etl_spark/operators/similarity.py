@@ -612,12 +612,53 @@ def quantizer_id(cents: DataFrame, cent_id: str = "cent_id", vec: str = "vec") -
     ).hexdigest()[:12]
 
 
+def pq_distortion(
+    df: DataFrame,
+    books: DataFrame,
+    m: int,
+    dsub: int,
+    id_col: str = "c_id",
+    vec_col: str = "vec",
+    sample_mod: int = 8,
+) -> float:
+    """Mean per-subspace QUANTIZATION DISTORTION of a hash-sample of
+    rows against a codebook set — the drift metric the auto PQ
+    maintenance policy triggers on (r10): for each sampled row and
+    subspace, the squared L2 distance to the NEAREST codebook entry,
+    averaged.  A corpus that drifted away from the books' training
+    distribution has nowhere near a code to land — distortion rises
+    monotonically with drift, exactly like a hot cell rises with
+    coarse-quantizer drift.  One bounded job: |sample| x m rows
+    against a broadcast codebook."""
+    sample = df.select(F.col(id_col), F.col(vec_col)).where(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(sample_mod))) == 0
+    )
+    cb = _pq_sub_split(books, "cent_id", "csub", vec_col, m, dsub)
+    dbsub = _pq_sub_split(sample, "m_id", "sub", vec_col, m, dsub)
+    d2 = F.aggregate(
+        F.zip_with("sub", "csub", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    row = (
+        dbsub.join(F.broadcast(cb), "s")
+        .select("m_id", "s", d2.alias("d2"))
+        .groupBy("m_id", "s")
+        .agg(F.min("d2").alias("best"))
+        .agg(F.avg("best").alias("mean_d"))
+        .first()
+    )
+    return float(row["mean_d"]) if row and row["mean_d"] is not None else 0.0
+
+
 def ann_maintenance_transform(
     cap_rows: int,
     retrain: tuple[int, int, int] | None = None,
     cell_col: str = "cell",
     id_col: str = "c_id",
     vec_col: str = "vec",
+    pq: tuple[int, int, int, int, float] | None = None,
+    root: str | None = None,
 ):
     """AUTO maintenance policy for a stream-grown IVF index (r9 — the
     ANN twin of maintain_batched(rebucket=)): every pass re-splits hot
@@ -631,9 +672,47 @@ def ann_maintenance_transform(
     rebalances the cells themselves.  Nobody has to remember to
     requantize: the trigger is the measured drift, exactly like
     rebucket's hottest-bucket cap.  The measurement is one bounded
-    groupBy job over the union being rewritten anyway."""
+    groupBy job over the union being rewritten anyway.
+
+    ``pq=(m, dsub, k_codes, iters, distortion_cap)`` (r10 — the PQ
+    twin of ``retrain``, closing the parallel loop): every pass
+    measures the sampled quantization distortion of the accumulated
+    corpus against the COMMITTED codebooks (pq_distortion; ``root``
+    required to read them) and, past ``distortion_cap`` — or when the
+    table has no committed books yet — runs
+    ``ann_pq_retrain_transform``: retrain the books, re-encode every
+    ``_sc``, commit atomically.  Mutually exclusive with ``retrain``
+    (one drifted quantizer at a time; run alternating passes for
+    both)."""
+    if pq is not None and retrain is not None:
+        raise ValueError(
+            "ann_maintenance_transform: pass at most one of retrain= "
+            "(coarse quantizer) and pq= (codebooks) per pass"
+        )
+    if pq is not None and root is None:
+        raise ValueError(
+            "ann_maintenance_transform: pq= needs root= to read the "
+            "committed codebooks the distortion is measured against"
+        )
 
     def _t(df: DataFrame) -> tuple[DataFrame, dict]:
+        if pq is not None:
+            m, dsub, k_codes, iters, cap_d = pq
+            books = pq_codebooks_from_manifest(df.sparkSession, root)
+            drifted = books is None or (
+                pq_distortion(
+                    df, books, m, dsub, id_col=id_col, vec_col=vec_col
+                )
+                > cap_d
+            )
+            if drifted:
+                return ann_pq_retrain_transform(
+                    m=m, dsub=dsub, k_codes=k_codes, iters=iters,
+                    id_col=id_col, vec_col=vec_col,
+                )(df)
+            return ann_resplit_transform(
+                cap_rows, cell_col=cell_col, id_col=id_col
+            )(df)
         if retrain is not None:
             k, iters, cell_cap = retrain
             row = (

@@ -1548,29 +1548,15 @@ def txn_log(group_root: str) -> dict[int, dict]:
     return out
 
 
-def read_group_at(
-    spark: SparkSession,
-    group_root: str,
-    txn_id: int,
-    alias: str,
-    schema: str | None = None,
-    partitioned: bool = False,
-) -> DataFrame:
-    """GROUP TIME TRAVEL (r10): read one member of a multi-table group
-    exactly as transactional readers saw it at transaction ``txn_id``
-    — the recorded generation's base plus the batch dirs at or below
-    the txn watermark that generation had not yet consumed.  Because
-    every member is resolved from the SAME txn record, reading several
-    members at one ``txn_id`` yields a mutually CONSISTENT historical
-    view — the all-or-nothing trigger visibility the live read has,
-    projected backward.  Horizon: the member's own vacuum window (a
-    consumed base or batch dir reclaimed by retention raises the NAMED
-    SnapshotVacuumed) and the group's txn log (an entry lost to the
-    tolerated commit/log crash window is simply not travelable).
-    Same read semantics as read_batched: pending tombstones are a
-    probe-time overlay, not part of the snapshot."""
-    from functools import reduce
-
+def _group_paths_at(
+    group_root: str, txn_id: int, alias: str
+) -> tuple[str, list[str], int | None]:
+    """Resolve the on-disk dirs making up one group member's state at
+    transaction ``txn_id`` (read_group_at / read_group_at_pruned
+    share this): the recorded generation's base + unconsumed batch
+    dirs ≤ the txn.  Returns (member root, paths, the external seed
+    base's committed spec_n claim or None).  Raises the NAMED
+    SnapshotVacuumed past any horizon."""
     log = txn_log(group_root)
     if txn_id not in log:
         raise SnapshotVacuumed(
@@ -1586,6 +1572,7 @@ def read_group_at(
     root, gen = member["root"], int(member["gen"])
     paths: list[str] = []
     consumed_at_gen: set[str] = set()
+    seed_spec: int | None = None
     mlog = read_manifest_log(root) if os.path.isdir(root) else {}
     if gen in mlog:
         rec = mlog[gen]
@@ -1598,6 +1585,11 @@ def read_group_at(
                 "was vacuumed — the group travel horizon is the member's "
                 "vacuum window"
             )
+        if os.path.isabs(base) and isinstance(rec.get("extra"), dict):
+            try:
+                seed_spec = int(rec["extra"]["spec_n"])
+            except (KeyError, TypeError, ValueError):
+                seed_spec = None
         if any(
             n.endswith(".parquet") for _, _, ns in os.walk(p) for n in ns
         ):
@@ -1642,6 +1634,78 @@ def read_group_at(
             n.endswith(".parquet") for _, _, ns in os.walk(p) for n in ns
         ):
             paths.append(p)
+    return root, paths, seed_spec
+
+
+def read_group_at_pruned(
+    spark: SparkSession,
+    group_root: str,
+    txn_id: int,
+    alias: str,
+    col: str,
+    values: Sequence[int],
+    values_spec_n: int,
+    schema: str,
+) -> DataFrame:
+    """SPEC-AWARE historical matched-bucket read of a group member
+    (r10 — the group twin of read_batched_pruned): resolve the
+    member's dirs at the txn (_group_paths_at), then prune each with a
+    ``col IN (...)`` list TRANSLATED to the dir's own committed spec —
+    a member re-bucketed between the txn and the read still serves the
+    historical probe exactly (pre-rebucket batch dirs carry their
+    writer's stamp; a verbatim-consolidated mixed base is unstamped
+    and scans unpruned, the safe direction — same discipline as the
+    live pruned read).  Empty ``values`` short-circuits."""
+    from functools import reduce
+
+    if not values:
+        return spark.createDataFrame([], schema)
+    root, paths, seed_spec = _group_paths_at(group_root, txn_id, alias)
+    parts: list[DataFrame] = []
+    for p in paths:
+        # only an EXTERNAL seed base (outside the member root) takes
+        # its spec from the manifest claim; every root-local dir
+        # answers via its own stamp — all paths here are absolute, so
+        # containment (not isabs) is the discriminator
+        external = os.path.dirname(p) != os.path.normpath(root)
+        m = seed_spec if external else dir_spec(p)
+        df = spark.read.schema(schema).parquet(p)
+        if m is not None:
+            vals = spec_values(values, values_spec_n, m)
+            if vals is not None:
+                df = df.where(
+                    F.col(col).isin(vals) if vals else F.lit(False)
+                )
+        parts.append(df)
+    if not parts:
+        return spark.createDataFrame([], schema)
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def read_group_at(
+    spark: SparkSession,
+    group_root: str,
+    txn_id: int,
+    alias: str,
+    schema: str | None = None,
+    partitioned: bool = False,
+) -> DataFrame:
+    """GROUP TIME TRAVEL (r10): read one member of a multi-table group
+    exactly as transactional readers saw it at transaction ``txn_id``
+    — the recorded generation's base plus the batch dirs at or below
+    the txn watermark that generation had not yet consumed.  Because
+    every member is resolved from the SAME txn record, reading several
+    members at one ``txn_id`` yields a mutually CONSISTENT historical
+    view — the all-or-nothing trigger visibility the live read has,
+    projected backward.  Horizon: the member's own vacuum window (a
+    consumed base or batch dir reclaimed by retention raises the NAMED
+    SnapshotVacuumed) and the group's txn log (an entry lost to the
+    tolerated commit/log crash window is simply not travelable).
+    Same read semantics as read_batched: pending tombstones are a
+    probe-time overlay, not part of the snapshot."""
+    from functools import reduce
+
+    root, paths, _ = _group_paths_at(group_root, txn_id, alias)
     if not paths:
         if schema is not None:
             return spark.createDataFrame([], schema)
@@ -2687,7 +2751,7 @@ def maintain_batched(
     max_tombstone_files: int = 16,
     rebucket: tuple[str, Callable[[int], Column], int, int] | None = None,
     keep_last_gens: int | None = None,
-    ann: tuple[int, tuple[int, int, int] | None] | None = None,
+    ann: "tuple | None" = None,
     max_batch: int | None = None,
 ) -> int:
     """AUTO-compaction policy (VERDICT r5 item #3): compact when the
@@ -2723,8 +2787,12 @@ def maintain_batched(
     IVF index table the same nobody-has-to-remember discipline —
     every triggered pass runs ``similarity.ann_maintenance_transform``
     (hot-cell re-split; with ``retrain=(k, iters, cell_cap_rows)``
-    also the drift-triggered quantizer re-train).  Mutually exclusive
-    with ``transform`` and ``rebucket``."""
+    also the drift-triggered quantizer re-train).  r10 adds the PQ
+    leg: ``ann=(cap_rows, None, (m, dsub, k_codes, iters,
+    distortion_cap))`` measures the sampled codebook distortion
+    (similarity.pq_distortion) and re-trains + re-encodes past the
+    cap (or bootstraps a book-less table).  Mutually exclusive with
+    ``transform`` and ``rebucket``."""
     if not os.path.isdir(root):
         return 0
     if sum(x is not None for x in (transform, rebucket, ann)) > 1:
@@ -2746,8 +2814,13 @@ def maintain_batched(
             ann_maintenance_transform,
         )
 
-        cap_rows, retrain = ann
-        transform = ann_maintenance_transform(cap_rows, retrain=retrain)
+        # (cap_rows, retrain) — r9; (cap_rows, retrain, pq) — r10 adds
+        # the codebook drift trigger (similarity.pq_distortion)
+        cap_rows, retrain, *rest = ann
+        pq = rest[0] if rest else None
+        transform = ann_maintenance_transform(
+            cap_rows, retrain=retrain, pq=pq, root=root
+        )
     tomb_pressure = False
     if tombstone_col is not None:
         # LIVE files only: consumed files retained inside their grace

@@ -4016,6 +4016,76 @@ def test_group_time_travel_consistent_historical_reads(spark, tmpdir):
             S.read_group_at(spark, g, 1, "a", schema)
 
 
+def test_read_group_at_pruned_spec_translation(spark, tmpdir):
+    """Spec-aware group time travel (r10 — round-11 lead #1 done
+    early): a member RE-BUCKETED after the txn still serves a
+    historical matched-bucket probe exactly — read_group_at_pruned
+    translates the probe's bucket values (computed under the CURRENT
+    spec) down/up to each historical dir's stamped spec, scanning
+    unstamped dirs unpruned."""
+    from mo_etl_spark import streaming as S
+
+    g = f"{tmpdir}/gsp"
+    ta = f"{tmpdir}/gsp_a"
+    schema = "k BIGINT, ib BIGINT"
+
+    def ib(n):
+        return F.pmod("k", F.lit(n))
+
+    def write(lo, hi, b, spec):
+        S.idempotent_batch_write(
+            spark.range(lo, hi).select(
+                F.col("id").alias("k"), ib(spec).alias("ib")
+            ),
+            ta, b, partition_cols=["ib"],
+        )
+        S.stamp_spec(ta, b, spec)
+        S.txn_commit(g, b, {"a": ta})
+
+    write(0, 40, 0, 2)
+    write(40, 70, 1, 2)
+    write(70, 90, 2, 2)  # txn 2, post-snapshot data for txn-1 reads
+    # REBUCKET after the commits: live spec doubles to 4
+    S.compact_batched(
+        spark, ta, min_dirs=0, partition_cols=["ib"], gc_grace_sec=3600.0,
+        max_batch=S.txn_watermark(g),
+        transform=S.rebucket_transform(
+            "ib", ib, 2, cap_rows=8,
+            prior_extra=S.read_manifest_extra(ta),
+        ),
+    )
+    n_cur = S.current_spec(ta, 2)
+    assert n_cur >= 4  # the spec actually grew
+
+    # historical probe AT TXN 1, values computed under the CURRENT
+    # spec: dirs b0/b1 are stamped spec-2 — translation must find
+    # every sampled key, and b2/base must stay invisible
+    probe = [3, 17, 44, 69]
+    vals = sorted({k % n_cur for k in probe})
+    got = sorted(
+        r["k"]
+        for r in S.read_group_at_pruned(
+            spark, g, 1, "a", "ib", vals, n_cur, schema
+        )
+        .where(F.col("k").isin(probe))
+        .collect()
+    )
+    assert got == probe
+    full = sorted(
+        r["k"]
+        for r in S.read_group_at(spark, g, 1, "a", schema, partitioned=True)
+        .collect()
+    )
+    assert full == list(range(70))  # txn-2 data and the new base invisible
+    # and the pruned read really pruned: a probe for one key reads
+    # only matching-bucket rows from the stamped dirs
+    one = S.read_group_at_pruned(
+        spark, g, 1, "a", "ib", [3 % n_cur], n_cur, schema
+    )
+    ks = {r["k"] for r in one.collect()}
+    assert 3 in ks and len(ks) < 70
+
+
 def test_group_change_feed_consistent_vector(spark, tmpdir):
     """Group-level change-file CDF (r10 — round-11 lead #2 done
     early): diff_group_adjacent yields each member's keyed delta
@@ -4202,6 +4272,89 @@ def test_pq_codebook_retrain_maintenance_fold(spark, tmpdir):
     assert r_new >= 0.5, (r_stale, r_new)
     man = S._read_manifest(root)
     assert S.dir_layout(os.path.join(root, man["base"])) == extra["layout_id"]
+
+
+def test_pq_auto_maintenance_policy_drift_trigger(spark, tmpdir):
+    """PQ codebook re-training in the AUTO maintenance policy (r10 —
+    round-11 lead #4 done early): ``maintain_batched(ann=(cap, None,
+    (m, dsub, k, iters, distortion_cap)))`` measures the sampled
+    quantization distortion against the COMMITTED books each pass and
+    re-trains only past the cap.  Trigger pinned in BOTH directions:
+    a book-less table bootstraps (retrain), a stable corpus under the
+    cap takes the re-split branch (books and layout carried), a
+    DRIFTED corpus past the cap re-trains (new layout, new books)."""
+    import random
+
+    from mo_etl_spark import streaming as S
+    from mo_etl_spark.operators import similarity as SIM
+
+    rng = random.Random(11)
+    DIM, M, DSUB, KC = 16, 4, 4, 8
+    PQ = (M, DSUB, KC, 1, 0.5)
+
+    def mk(lo, hi, off=0.0):
+        return [
+            (
+                i,
+                [rng.uniform(-1, 1) + off for _ in range(DIM)],
+                i % 3,
+                0,
+                [{"s": s, "code": 0} for s in range(M)],  # stale codes
+            )
+            for i in range(lo, hi)
+        ]
+
+    schema = (
+        "c_id BIGINT, vec ARRAY<DOUBLE>, cell BIGINT, sub INT, "
+        "_sc ARRAY<STRUCT<s: INT, code: BIGINT>>"
+    )
+    root = f"{tmpdir}/pqauto"
+    S.idempotent_batch_write(
+        spark.createDataFrame(mk(0, 60), schema), root, 0,
+        partition_cols=["cell", "sub"],
+    )
+    # pass 1: no committed books -> bootstrap retrain
+    assert S.maintain_batched(
+        spark, root, max_dirs=1, partition_cols=["cell", "sub"],
+        ann=(64, None, PQ),
+    ) > 0
+    extra1 = S.read_manifest_extra(root)
+    assert "pq_codebooks" in extra1
+    lid1 = extra1["layout_id"]
+    # pass 2: same corpus, distortion under the cap -> re-split branch,
+    # books and layout carried unchanged
+    assert S.maintain_batched(
+        spark, root, max_dirs=1, partition_cols=["cell", "sub"],
+        ann=(64, None, PQ),
+    ) > 0
+    extra2 = S.read_manifest_extra(root)
+    assert extra2["layout_id"] == lid1
+    assert extra2["pq_codebooks"] == extra1["pq_codebooks"]
+    # drifted arrivals (offset distribution) push distortion past the
+    # cap -> pass 3 re-trains: new books, new layout claim
+    S.idempotent_batch_write(
+        spark.createDataFrame(mk(100, 160, off=5.0), schema), root, 1,
+        partition_cols=["cell", "sub"],
+    )
+    assert S.maintain_batched(
+        spark, root, max_dirs=1, partition_cols=["cell", "sub"],
+        ann=(64, None, PQ),
+    ) > 0
+    extra3 = S.read_manifest_extra(root)
+    assert extra3["layout_id"] != lid1
+    assert extra3["pq_codebooks"] != extra1["pq_codebooks"]
+    # the re-encode covered every retained row (codes no longer stale)
+    got = S.read_batched(spark, root, partitioned=True, schema=schema)
+    assert got.count() == 120
+    n_nonzero = got.where(
+        F.exists("_sc", lambda x: x["code"] != 0)
+    ).count()
+    assert n_nonzero > 0  # stale all-zero codes were rewritten
+    # retrain=/pq= are one-drifted-quantizer-at-a-time, NAMED
+    with pytest.raises(ValueError, match="at most one"):
+        SIM.ann_maintenance_transform(64, retrain=(4, 1, 1), pq=PQ, root=root)
+    with pytest.raises(ValueError, match="needs root"):
+        SIM.ann_maintenance_transform(64, pq=PQ)
 
 
 def test_apply_change_feed_batched_delta_proportional_mode(spark, tmpdir):
