@@ -1319,6 +1319,101 @@ def read_materialized_batched(
     return df
 
 
+def materialize_group_member(
+    spark: SparkSession,
+    group_root: str,
+    mv_root: str,
+    alias: str,
+    txn: int,
+    schema: str | None = None,
+) -> None:
+    """Seed a downstream mirror of ONE group member at transaction
+    ``txn`` (read_group_at snapshot as the MV's first batch; the MV's
+    cursor tracks the GROUP TXN, not a table generation).  Batch dirs
+    are named ``b<txn+1>`` — shifted so the seed txn −1 lands at b0
+    and every later feed at its txn's successor, keeping ids natural.
+    Idempotent like every seed."""
+    os.makedirs(mv_root, exist_ok=True)
+    if read_mv_cursor(mv_root) is not None:
+        return
+    lease = _acquire_lease(mv_root, 3600.0)
+    try:
+        if read_mv_cursor(mv_root) is not None:
+            return
+        snap = read_group_at(
+            spark, group_root, txn, alias, schema, partitioned=True
+        )
+        idempotent_batch_write(snap.coalesce(4), mv_root, txn + 1)
+        _commit_mv_cursor(mv_root, txn)
+    finally:
+        _release_lease(mv_root, lease)
+
+
+def apply_group_feed_batched(
+    spark: SparkSession,
+    group_root: str,
+    mv_root: str,
+    alias: str,
+    key_cols: Sequence[str],
+    txn_to: int,
+    schema: str | None = None,
+    lease_ttl_sec: float = 3600.0,
+) -> int:
+    """GROUP-CONSUMER application (r10): advance one member's
+    downstream mirror from its GROUP-TXN cursor to ``txn_to`` — the
+    change-file fast path (diff_group_adjacent: batch-dir inserts in
+    the txn window + window-folded tombstone keys) with a
+    group-time-travel snapshot diff as the sound fallback.  Because
+    every member's feed is derived from the SAME txn pair, a consumer
+    applying all members at one ``txn_to`` mirrors the group
+    all-or-nothing: no member's MV ever reflects a trigger another
+    member's MV lacks.  Delta artifacts only (insert batch dir named
+    ``b<txn_to+1>``, tombstone file, cursor), replay-idempotent, same
+    keys-never-resurrect contract as apply_change_feed_batched."""
+    cur = read_mv_cursor(mv_root)
+    if cur is None:
+        raise ValueError(
+            f"group-member mirror {mv_root!r} was never seeded — call "
+            "materialize_group_member first"
+        )
+    if cur >= txn_to:
+        return cur
+    lease = _acquire_lease(mv_root, lease_ttl_sec)
+    try:
+        cur = read_mv_cursor(mv_root)
+        if cur is None or cur >= txn_to:
+            return cur if cur is not None else txn_to
+        keys = [str(k) for k in key_cols]
+        feed = diff_group_adjacent(
+            spark, group_root, cur, txn_to, alias, keys, schema
+        )
+        if feed is None:
+            # sound fallback: keyed diff of the two group-travel views
+            a = read_group_at(
+                spark, group_root, cur, alias, schema, partitioned=True
+            )
+            b = read_group_at(
+                spark, group_root, txn_to, alias, schema, partitioned=True
+            )
+            ins = b.join(a.select(*keys), keys, "left_anti").withColumn(
+                "_change", F.lit("insert")
+            )
+            dels = a.join(b.select(*keys), keys, "left_anti").withColumn(
+                "_change", F.lit("delete")
+            )
+            feed = ins.unionByName(dels)
+        feed = feed.localCheckpoint(eager=True)
+        dels = feed.where(F.col("_change") == "delete").select(*keys)
+        ins = feed.where(F.col("_change") == "insert").drop("_change")
+        if dels.limit(1).count():
+            append_tombstones(dels.distinct().coalesce(1), mv_root)
+        idempotent_batch_write(ins.coalesce(1), mv_root, txn_to + 1)
+        _commit_mv_cursor(mv_root, txn_to)
+        return txn_to
+    finally:
+        _release_lease(mv_root, lease)
+
+
 def prune_materialized(mv_root: str, keep_last_n: int) -> list[int]:
     """Retention for a change-feed-maintained materialized table: keep
     the last ``keep_last_n`` COMPLETE generations, delete everything

@@ -1113,6 +1113,148 @@ def stream_real_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "stream_real_group_consumer",
+    oracle=None,  # wired below: pairs via the shared incremental
+    # oracle CTE, corpus/index summaries relationally
+    tags=(
+        "cross_table_txn",
+        "change_data_feed",
+        "dedup_incremental",
+        "incremental_etl",
+        "foreachBatch_etl",
+        "stream_source",
+    ),
+)
+def stream_real_group_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED GROUP CONSUMER (r10 — round-11 lead #1 done early):
+    a downstream serving tier mirrors ALL THREE dedup-trio tables
+    (band index, arrived corpus, pairs), advanced per trigger from ONE
+    consistent transaction vector.  The trio stream runs exactly as in
+    stream_real_incremental_dedup (cross-table txn_commit per
+    trigger); after each trigger's commit, the consumer advances each
+    member's mirror with ``apply_group_feed_batched`` — the
+    change-file group feed (diff_group_adjacent: batch-dir inserts in
+    the txn window) with the group-time-travel snapshot diff as the
+    sound fallback, cursors tracking the GROUP txn.  No member's
+    mirror ever reflects a trigger another member's mirror lacks.
+    The result summarizes all three mirrors — and the PAIRS mirror is
+    the strong gate: its rows are the end-to-end streamed dedup
+    output, which the oracle recomputes from first principles (md5
+    signatures, banding, probe, exact-Jaccard verify), so one dropped
+    or duplicated feed row on any member hash-misses."""
+    prepare(spark)
+    from mo_etl_spark.streaming import (
+        apply_group_feed_batched,
+        materialize_group_member,
+        read_materialized_batched,
+        read_mv_cursor,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") < 400).select("doc_id", "text")
+    feed = _incr_feed(spark, sf_dir)
+    ckpt = _scratch("group_consumer_ckpt")
+    idx_dir = _scratch("group_consumer_index")
+    arrived_dir = _scratch("group_consumer_arrived")
+    pairs_dir = _scratch("group_consumer_pairs")
+    group = _scratch("group_consumer_txn")
+    _incr_dedup_seed_dirs(
+        spark, sf_dir, base, idx_dir, arrived_dir, pairs_dir,
+        group_root=group,
+    )
+    PAIRS_S = "id_a BIGINT, id_b BIGINT, jaccard DOUBLE"
+    members = (
+        ("index", _scratch("group_consumer_mv_idx"),
+         ["id", "band", "bk"], _INCR_IDX_SCHEMA),
+        ("arrived", _scratch("group_consumer_mv_arr"),
+         ["doc_id"], _INCR_ARR_SCHEMA),
+        ("pairs", _scratch("group_consumer_mv_pairs"),
+         ["id_a", "id_b"], PAIRS_S),
+    )
+    for alias, mv, _k, sch in members:
+        materialize_group_member(spark, group, mv, alias, -1, sch)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        _incr_dedup_apply_batch(
+            spark, idx_dir, arrived_dir, pairs_dir, batch_df, batch_id,
+            group_root=group,
+        )
+        w = txn_watermark(group)
+        for alias, mv, k, sch in members:
+            apply_group_feed_batched(spark, group, mv, alias, k, w, sch)
+
+    q = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .format("parquet")
+        .load(feed)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    w = txn_watermark(group)
+    for _alias, mv, _k, _sch in members:
+        assert read_mv_cursor(mv) == w  # every mirror at the vector
+
+    def summ(alias: str, mv: str, key: str, sch: str) -> DataFrame:
+        return (
+            read_materialized_batched(spark, mv, key, sch)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(key).cast("long").alias("checksum"),
+            )
+            .select(F.lit(alias).alias("tbl"), "n", "checksum")
+        )
+
+    return (
+        summ("index", members[0][1], "id", _INCR_IDX_SCHEMA)
+        .unionByName(
+            summ("arrived", members[1][1], "doc_id", _INCR_ARR_SCHEMA)
+        )
+        .unionByName(
+            read_materialized_batched(
+                spark, members[2][1], "id_a", PAIRS_S
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                (F.sum("id_a") + F.sum("id_b")).cast("long").alias(
+                    "checksum"
+                ),
+            )
+            .select(F.lit("pairs").alias("tbl"), "n", "checksum")
+        )
+    )
+
+
+def _wire_group_consumer_oracle() -> None:
+    from mo_etl_spark.registry import QUERIES, QuerySpec
+    from mo_etl_spark.suites.llm import _SQL_INCR_CORPUS
+
+    pairs_sql = dedup_oracle(_SQL_INCR_CORPUS)
+    sql = f"""
+    WITH full_corpus AS ({_SQL_INCR_CORPUS}),
+    pairs AS ({pairs_sql})
+    SELECT 'index' AS tbl, 8 * count(*) AS n,
+           CAST(8 * sum(doc_id) AS BIGINT) AS checksum FROM full_corpus
+    UNION ALL
+    SELECT 'arrived', count(*), CAST(sum(doc_id) AS BIGINT)
+    FROM full_corpus
+    UNION ALL
+    SELECT 'pairs', count(*), CAST(sum(id_a) + sum(id_b) AS BIGINT)
+    FROM pairs
+    """
+    spec = QUERIES["stream_real_group_consumer"]
+    QUERIES["stream_real_group_consumer"] = QuerySpec(
+        name=spec.name, fn=spec.fn, oracle=sql, tags=spec.tags
+    )
+
+
+@query(
     "stream_real_dedup_retract",
     oracle=None,  # wired below: the retained-corpus replay oracle,
     # shared verbatim with llm_dedup_incremental_retract
@@ -2256,6 +2398,7 @@ def dedup_oracle(corpus_sql: str) -> str:
 
 
 _wire_incr_oracle()
+_wire_group_consumer_oracle()
 _wire_retract_oracle()
 _wire_rebucket_oracle()
 
