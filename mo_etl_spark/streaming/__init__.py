@@ -1566,8 +1566,38 @@ def txn_commit(group_root: str, batch_id: int, tables: dict[str, str]) -> int:
     together with each member's manifest log they make a consistent
     historical read possible (read each member at the recorded gen +
     batches ≤ that txn), the same pattern as single-table time travel.
-    Returns the watermark after the call."""
+    Returns the watermark after the call.
+
+    LEASE-SERIALIZED (r10 hardening): the monotonicity check is
+    read-then-write, so two RACING commits (unreachable under the
+    single-writer stream discipline — a checkpoint never starts
+    trigger N+1 before trigger N's sink returns — but cheap to close
+    anyway) could interleave a late replay's stale read under a newer
+    pointer and regress the watermark.  The group's lease serializes
+    commits; a commit finding the lease held retries briefly (commits
+    are millisecond-scale) and then surfaces the NAMED CompactorBusy."""
+    import time as _time
+
     os.makedirs(group_root, exist_ok=True)
+    lease = None
+    deadline = _time.monotonic() + 30.0  # commits are millisecond-scale
+    while True:
+        try:
+            lease = _acquire_lease(group_root, 60.0)
+            break
+        except CompactorBusy:
+            if _time.monotonic() >= deadline:
+                raise
+            _time.sleep(0.005)
+    try:
+        return _txn_commit_locked(group_root, batch_id, tables)
+    finally:
+        _release_lease(group_root, lease)
+
+
+def _txn_commit_locked(
+    group_root: str, batch_id: int, tables: dict[str, str]
+) -> int:
     cur = txn_vector(group_root)
     if cur is not None and int(batch_id) <= int(cur["txn"]):
         return int(cur["txn"])  # late replay of a committed batch

@@ -3954,6 +3954,100 @@ def test_change_file_consumer_chaos_model(spark, tmpdir, seed):
     assert sorted(live) == want
 
 
+@pytest.mark.parametrize("seed", [5, 21])
+def test_txn_commit_threaded_monotonicity_model(spark, tmpdir, seed):
+    """Threaded txn-protocol model (r10 — round-11 lead #2 done
+    early): concurrent commit attempts (the live writer's fresh
+    commits racing late REPLAY commits of old batches — unreachable
+    under the single-writer stream discipline, now lease-serialized
+    anyway) must never regress the watermark, and concurrent readers
+    polling the pointer must observe a MONOTONE sequence with every
+    observed vector internally consistent (the txn named in the
+    pointer always has its history entry and members)."""
+    import random
+    import threading
+
+    from mo_etl_spark import streaming as S
+
+    rng = random.Random(seed)
+    g = f"{tmpdir}/txn_threads"
+    root = f"{tmpdir}/txn_threads_tbl"
+    S.idempotent_batch_write(
+        spark.range(5).select(F.col("id").alias("k")), root, 0
+    )
+    S.txn_commit(g, 0, {"t": root})
+    N = 30
+    observations: list[list[int]] = [[], []]
+    stop = threading.Event()
+    errors: list[str] = []
+
+    def reader(out: list[int]):
+        # per-thread observation list: cross-thread append interleaving
+        # would fake non-monotonicity the protocol doesn't have
+        while not stop.is_set():
+            try:
+                rec = S.txn_vector(g)
+                if rec is not None:
+                    out.append(int(rec["txn"]))
+                    assert "t" in rec["tables"]
+            except Exception as e:  # noqa: BLE001 - collected for the assert
+                errors.append(repr(e))
+                return
+
+    threads = [
+        threading.Thread(target=reader, args=(obs,), daemon=True)
+        for obs in observations
+    ]
+    for t in threads:
+        t.start()
+
+    def committer(ids):
+        try:
+            for b in ids:
+                S.txn_commit(g, b, {"t": root})
+        except Exception as e:  # noqa: BLE001 - surfaced by the assert
+            errors.append(repr(e))
+
+    def replayer(rseed: int):
+        # a REPLAY always re-commits an ALREADY-COMMITTED batch (the
+        # checkpoint replays trigger N before running N+1) — sample at
+        # or below the live watermark at call time
+        r = random.Random(rseed)
+        try:
+            for _ in range(40):
+                w = S.txn_watermark(g)
+                S.txn_commit(g, r.randint(0, max(w or 0, 0)), {"t": root})
+        except Exception as e:  # noqa: BLE001
+            errors.append(repr(e))
+
+    # the live writer commits 1..N in order; two replayers concurrently
+    # re-commit committed batches the whole time
+    fresh = threading.Thread(target=committer, args=(range(1, N + 1),))
+    replays = [
+        threading.Thread(target=replayer, args=(rng.randrange(1 << 30),))
+        for _ in range(2)
+    ]
+    fresh.start()
+    for t in replays:
+        t.start()
+    fresh.join(120)
+    for t in replays:
+        t.join(120)
+    stop.set()
+    for t in threads:
+        t.join(10)
+    assert not errors, errors
+    assert S.txn_watermark(g) == N  # never regressed
+    # every reader's observation sequence monotone
+    for obs in observations:
+        for i in range(1, len(obs)):
+            assert obs[i] >= obs[i - 1], (i, obs[i - 1:i + 1])
+        assert obs  # the readers really observed the race window
+    # history complete for the fresh commits
+    hist = S.txn_log(g)
+    assert set(range(0, N + 1)) <= set(hist)
+
+
 def test_group_time_travel_consistent_historical_reads(spark, tmpdir):
     """Group time travel (r10): reading the members of a multi-table
     group at a past txn via read_group_at yields the mutually
