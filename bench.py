@@ -67,9 +67,8 @@ def main() -> None:
         except Exception as e:  # bench must always emit its JSON line
             timings[name] = -1.0
             print(f"# bench error {name}: {e!r}", file=sys.stderr)
-    total = round(time.time() - t_all, 3)  # first-pass wall: the
-    # headline metric stays comparable round-over-round (the retime
-    # pass below is bookkeeping, not workload)
+    first_pass_wall = round(time.time() - t_all, 3)
+    raw_subtotal = round(sum(t for t in timings.values() if t >= 0), 3)
     # noise floor (VERDICT r3 item #7): the top of the table is what
     # round-over-round comparisons read, so re-time the slowest 20 on
     # the now-warm session and keep the min — first-run outliers from
@@ -185,19 +184,35 @@ def main() -> None:
         print(f"# bench stable-subtotal skipped: {e!r}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # HEADLINE = sum of the per-query timings AFTER the retime pass
+    # (VERDICT r10 item #5): the raw first-pass wall drifted ~15% with
+    # ambient co-tenant load (567.1 s loaded vs 493.1 s quiet for
+    # identical r10 code) because inflated readings of sub-second
+    # queries were billed to the total even when the retime pass had
+    # already measured them cheaper.  The per-query minima ARE the
+    # load-robust readings, so their sum is the one number the driver
+    # should record; the raw first-pass wall and subtotal stay in the
+    # artifact (ADVICE r10 low: surface BOTH aggregates plus the retime
+    # count, so the direction and size of the retime correction is
+    # machine-visible rather than a silent bias).
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
     # full per-query detail goes to a file; stdout gets ONE SMALL JSON
     # line (r1 driver truncated the 308-entry line and recorded
     # parsed=null — VERDICT r1 item #5)
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     summary = {
-        "metric": "total_wall_clock_all_queries",
+        "metric": "sum_per_query_wall_retimed",
         "value": total,
         "unit": "sec",
         "n_queries": len(timings),
         "n_errors": sum(1 for v in timings.values() if v < 0),
         "queries": slowest,
         "detail_file": detail_path,
+        "first_pass_wall": first_pass_wall,
+        "raw_subtotal": raw_subtotal,
+        "n_retimed": len(retimed),
+        "retime_correction": round(raw_subtotal - total, 3),
         **stable_meta,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # 1-min loadavg at start/end; n_cpus for context.  start >>

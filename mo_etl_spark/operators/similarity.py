@@ -697,18 +697,53 @@ def ann_maintenance_transform(
 
     def _t(df: DataFrame) -> tuple[DataFrame, dict]:
         if pq is not None:
+            from mo_etl_spark.streaming import read_manifest_extra
+
             m, dsub, k_codes, iters, cap_d = pq
             books = pq_codebooks_from_manifest(df.sparkSession, root)
+            # RESIDUAL CONSISTENCY (ADVICE r10 low): books trained on
+            # IVFADC residuals (ann_pq_retrain_transform(coarse=...))
+            # must be measured against residuals and re-trained WITH
+            # the coarse quantizer — measuring raw vectors against
+            # residual books reads as permanent drift (every pass
+            # retrains) and a coarse-less retrain would silently flip
+            # the index from residual to raw encoding.  The committed
+            # ``pq_residual`` flag decides; a residual table whose
+            # coarse quantizer was never committed to the manifest
+            # (creation-time quantizer) raises NAMED rather than
+            # mis-measuring.
+            residual = bool(read_manifest_extra(root).get("pq_residual"))
+            coarse = None
+            meas = df
+            if residual and books is not None:
+                coarse = quantizer_from_manifest(df.sparkSession, root)
+                if coarse is None:
+                    raise ValueError(
+                        "ann_maintenance_transform: table "
+                        f"{root!r} committed residual PQ books "
+                        "(pq_residual=true) but no coarse quantizer "
+                        "('centroids') is in its manifest extra — "
+                        "cannot measure residual distortion or retrain "
+                        "consistently; run a requantize pass first or "
+                        "maintain this table without pq="
+                    )
+                meas = ivf_residuals(
+                    df.select(F.col(id_col), F.col(vec_col)),
+                    df.select(F.col(id_col), F.col(cell_col).alias("cell")),
+                    coarse,
+                    c_id=id_col,
+                    vec=vec_col,
+                )
             drifted = books is None or (
                 pq_distortion(
-                    df, books, m, dsub, id_col=id_col, vec_col=vec_col
+                    meas, books, m, dsub, id_col=id_col, vec_col=vec_col
                 )
                 > cap_d
             )
             if drifted:
                 return ann_pq_retrain_transform(
                     m=m, dsub=dsub, k_codes=k_codes, iters=iters,
-                    id_col=id_col, vec_col=vec_col,
+                    id_col=id_col, vec_col=vec_col, coarse=coarse,
                 )(df)
             return ann_resplit_transform(
                 cap_rows, cell_col=cell_col, id_col=id_col

@@ -867,20 +867,32 @@ def diff_group_adjacent(
     )
     # every batch id committed in the window must still be on disk —
     # one consumed-then-vacuumed dir makes the reconstruction silently
-    # lossy, so verify against the window's consumed-name diff too
-    if g_to in mlog:
-        cons_to = set(mlog[g_to]["consumed"])
-        cons_from = (
-            set(mlog[g_from]["consumed"]) if g_from in mlog else set()
-        )
-        for n in cons_to - cons_from:
-            if (
-                n.startswith("b")
-                and n[1:].isdigit()
-                and txn_from < int(n[1:]) <= txn_to
-                and n not in batch_names
-            ):
-                return None  # consumed in window and already vacuumed
+    # lossy.  Verify against the LIVE manifest's consumed set, not just
+    # g_to's (ADVICE r10 medium): a window batch consumed by a LATER
+    # generation (live gen > g_to — e.g. a maintenance fold after the
+    # last txn_commit) and then grace-vacuumed is invisible to both the
+    # os.listdir above and a g_to-only check, so the fast path would
+    # return a silently lossy feed (missing inserts).  The live
+    # consumed map is a superset of every generation's (names are
+    # carried forever), so one check covers both vacuum paths;
+    # _group_paths_at applies the same discipline for snapshot reads.
+    cons_from = (
+        set(mlog[g_from]["consumed"]) if g_from in mlog else set()
+    )
+    cons_later = (
+        set(mlog[g_to]["consumed"]) if g_to in mlog else set()
+    )
+    live_man = _read_manifest(root) if os.path.isdir(root) else None
+    if live_man:
+        cons_later |= set(live_man["consumed"])
+    for n in cons_later - cons_from:
+        if (
+            n.startswith("b")
+            and n[1:].isdigit()
+            and txn_from < int(n[1:]) <= txn_to
+            and n not in batch_names
+        ):
+            return None  # consumed in window and already vacuumed
     return _assemble_change_feed(
         spark, root, batch_names, tomb_files, key_cols, schema
     )
@@ -1298,22 +1310,31 @@ def apply_change_feed_batched(
 def read_materialized_batched(
     spark: SparkSession,
     mv_root: str,
-    key_col: str,
+    key_col: str | Sequence[str],
     schema: str | None = None,
     key_schema: str | None = None,
 ) -> DataFrame:
     """Read a delta-proportional MV: the live batched union minus
-    pending (not-yet-folded) tombstoned keys.  ``key_schema`` types
-    the tombstone read (defaults to ``<key_col> BIGINT``)."""
+    pending (not-yet-folded) tombstoned keys.  ``key_col`` accepts a
+    single column or the MV's FULL composite key (ADVICE r10 medium:
+    group mirrors keyed on e.g. ``[id, band, bk]`` append
+    composite-key tombstone rows — anti-joining one component would
+    silently drop every row sharing it, all bands of a doc at once);
+    pass exactly the key columns the feed application used.
+    ``key_schema`` types the tombstone read for the single-column
+    no-files edge (defaults to ``<key_col> BIGINT``); with pending
+    files on disk the tombstones' own parquet schema is used."""
+    keys = [key_col] if isinstance(key_col, str) else [str(k) for k in key_col]
     df = read_batched(spark, mv_root, schema=schema)
     if has_tombstones(mv_root):
+        default_sch = key_schema or ", ".join(f"{k} BIGINT" for k in keys)
         df = df.join(
             F.broadcast(
-                read_tombstones(
-                    spark, mv_root, key_schema or f"{key_col} BIGINT"
-                ).select(key_col).distinct()
+                read_tombstones(spark, mv_root, default_sch)
+                .select(*keys)
+                .distinct()
             ),
-            key_col,
+            keys,
             "left_anti",
         )
     return df
@@ -1405,6 +1426,30 @@ def apply_group_feed_batched(
         feed = feed.localCheckpoint(eager=True)
         dels = feed.where(F.col("_change") == "delete").select(*keys)
         ins = feed.where(F.col("_change") == "insert").drop("_change")
+        # RESURRECTION GUARD (ADVICE r10 low — the same enforcement
+        # apply_change_feed_batched has, on the COMPOSITE key): a feed
+        # insert whose full key has a PENDING mirror tombstone would be
+        # served correctly until the next fold silently erased it.
+        if has_tombstones(mv_root):
+            pend = (
+                read_tombstones(spark, mv_root, None)
+                .select(*keys)
+                .distinct()
+            )
+            bad = (
+                ins.select(*keys)
+                .join(F.broadcast(pend), keys, "left_semi")
+                .limit(5)
+                .collect()
+            )
+            if bad:
+                raise ValueError(
+                    f"apply_group_feed_batched: feed re-inserts keys "
+                    f"with PENDING tombstones on {mv_root!r} (sample: "
+                    f"{[tuple(r) for r in bad]}) — group mirrors require "
+                    "keys-never-resurrect (the next fold would silently "
+                    "erase them)"
+                )
         if dels.limit(1).count():
             append_tombstones(dels.distinct().coalesce(1), mv_root)
         idempotent_batch_write(ins.coalesce(1), mv_root, txn_to + 1)

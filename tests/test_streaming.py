@@ -5335,3 +5335,242 @@ def test_maintain_batched_ann_auto_policy(spark, tmpdir):
             spark, root, partition_cols=["cell", "sub"],
             ann=(10, None), rebucket=("ib", lambda n: F.lit(0), 2, 4),
         )
+
+
+def test_group_feed_vacuum_guard_later_generation(spark, tmpdir):
+    """ADVICE r10 medium: a window batch consumed by a generation
+    LATER than the txn record's gen (a maintenance fold run AFTER the
+    last txn_commit) and then grace-vacuumed was invisible to both the
+    os.listdir and the old g_to-bounded consumed check — the fast path
+    returned a silently LOSSY feed (missing every window insert).  The
+    guard now diffs against the LIVE manifest's consumed set and
+    returns None, pushing the caller to the snapshot path, whose own
+    vacuum discipline (_group_paths_at) raises NAMED."""
+    from mo_etl_spark import streaming as S
+
+    g = f"{tmpdir}/gv"
+    ta = f"{tmpdir}/gv_a"
+    schema = "k BIGINT"
+    for b, (lo, hi) in enumerate(((0, 10), (10, 20), (20, 25))):
+        S.idempotent_batch_write(
+            spark.range(lo, hi).select(F.col("id").alias("k")), ta, b
+        )
+        S.txn_commit(g, b, {"a": ta})
+    # maintenance fold AFTER the last commit: consumes b0..b2 into a
+    # base under a generation NEWER than any txn record's gen, then
+    # zero-grace vacuum removes the dirs immediately
+    S.compact_batched(spark, ta, min_dirs=0, gc_grace_sec=0.0)
+    assert not any(
+        os.path.isdir(os.path.join(ta, f"b{b}")) for b in range(3)
+    )
+    # the fast path must refuse (old behavior: empty insert feed)
+    assert S.diff_group_adjacent(spark, g, 0, 2, "a", ["k"], schema) is None
+    # and the snapshot path names the vacuum instead of dropping rows
+    with pytest.raises(S.SnapshotVacuumed):
+        S.read_group_at(spark, g, 0, "a", schema).collect()
+
+
+def test_group_mirror_composite_key_tombstones(spark, tmpdir):
+    """ADVICE r10 medium: group mirrors keyed on COMPOSITE keys (the
+    index mirror's [id, band, bk], the pairs mirror's [id_a, id_b])
+    append composite tombstone rows, but the old read anti-joined one
+    column — a single retracted (k, band) dropped EVERY band of that
+    k from the read.  read_materialized_batched now accepts the full
+    key list; apply_group_feed_batched enforces keys-never-resurrect
+    on the composite key (ADVICE r10 low) with the same NAMED error
+    apply_change_feed_batched raises."""
+    from mo_etl_spark import streaming as S
+
+    g = f"{tmpdir}/gc"
+    ta = f"{tmpdir}/gc_a"
+    mv = f"{tmpdir}/gc_mv"
+    schema = "k BIGINT, band BIGINT"
+    rows0 = [(1, 0), (1, 1), (2, 0), (2, 1)]
+    S.idempotent_batch_write(
+        spark.createDataFrame(rows0, schema), ta, 0, partition_cols=["band"]
+    )
+    S.txn_commit(g, 0, {"a": ta})
+    S.materialize_group_member(spark, g, mv, "a", 0, schema)
+
+    # a transform fold removes ONLY (1, 0) — one band of doc 1 —
+    # yielding a composite-key delete through the snapshot-diff
+    # fallback (the transform generation is non-plain by design)
+    S.compact_batched(
+        spark, ta, min_dirs=0, partition_cols=["band"],
+        gc_grace_sec=3600.0, max_batch=0,
+        transform=lambda df: df.where(
+            ~((F.col("k") == 1) & (F.col("band") == 0))
+        ),
+    )
+    S.idempotent_batch_write(
+        spark.createDataFrame([(3, 0)], schema), ta, 1,
+        partition_cols=["band"],
+    )
+    S.txn_commit(g, 1, {"a": ta})
+    assert S.apply_group_feed_batched(
+        spark, g, mv, "a", ["k", "band"], 1, schema
+    ) == 1
+    assert S.has_tombstones(mv)  # the composite delete is pending
+    got = sorted(
+        (r["k"], r["band"])
+        for r in S.read_materialized_batched(
+            spark, mv, ["k", "band"], schema
+        ).collect()
+    )
+    # (1, 1) SURVIVES: only the retracted composite key is gone (the
+    # old single-column anti-join erased it too)
+    assert got == [(1, 1), (2, 0), (2, 1), (3, 0)]
+
+    # resurrection on the composite key: re-insert (1, 0) upstream —
+    # the next application must abort NAMED, not queue a silent erase
+    S.idempotent_batch_write(
+        spark.createDataFrame([(1, 0)], schema), ta, 2,
+        partition_cols=["band"],
+    )
+    S.txn_commit(g, 2, {"a": ta})
+    with pytest.raises(ValueError, match="resurrect"):
+        S.apply_group_feed_batched(
+            spark, g, mv, "a", ["k", "band"], 2, schema
+        )
+
+
+def test_pq_residual_maintenance_consistency(spark, tmpdir):
+    """ADVICE r10 low: the pq= auto-maintenance branch ignored the
+    committed ``pq_residual`` flag — raw vectors measured against
+    residual-trained books always read as drifted, so every pass
+    retrained, and the triggered retrain ran WITHOUT coarse, silently
+    flipping the index from residual to raw encoding.  Pinned both
+    ways: a stable residual table under the cap keeps its books and
+    its residual flag; a residual table with NO committed coarse
+    quantizer raises NAMED instead of mis-measuring."""
+    import random
+
+    from mo_etl_spark import streaming as S
+    from mo_etl_spark.operators import similarity as SIM
+
+    rng = random.Random(23)
+    DIM, M, DSUB, KC = 8, 2, 4, 8
+    # two far-apart clusters: residual distortion (jitter scale) is
+    # orders below raw distortion (cluster-offset scale)
+    rows = [
+        (
+            i,
+            [
+                (5.0 if i % 2 else -5.0) + rng.uniform(-0.1, 0.1)
+                for _ in range(DIM)
+            ],
+        )
+        for i in range(80)
+    ]
+    corpus = spark.createDataFrame(rows, "c_id BIGINT, vec ARRAY<DOUBLE>")
+    root = f"{tmpdir}/pqres"
+    S.idempotent_batch_write(
+        corpus.withColumn("cell", F.pmod("c_id", F.lit(2)))
+        .withColumn("sub", F.lit(0))
+        .withColumn(
+            "_sc",
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("s"),
+                        F.lit(0).cast("bigint").alias("code"),
+                    )
+                    for s in range(M)
+                ]
+            ),
+        ),
+        root, 0, partition_cols=["cell", "sub"],
+    )
+    # 1) requantize commits the coarse quantizer ('centroids')...
+    S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["cell", "sub"],
+        gc_grace_sec=3600.0,
+        transform=SIM.ann_requantize_transform(k=2, iters=2, cap_rows=100),
+    )
+    coarse = SIM.quantizer_from_manifest(spark, root)
+    assert coarse is not None
+    # 2) ...then residual PQ books are trained against it and committed
+    S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["cell", "sub"],
+        gc_grace_sec=3600.0,
+        transform=SIM.ann_pq_retrain_transform(
+            m=M, dsub=DSUB, k_codes=KC, iters=2, coarse=coarse
+        ),
+    )
+    extra1 = S.read_manifest_extra(root)
+    assert extra1["pq_residual"] is True and "centroids" in extra1
+    # 3) stable corpus, generous cap: the pass must take the re-split
+    # branch (books + residual flag carried), because distortion is
+    # now measured on RESIDUALS — the old raw measurement always blew
+    # the cap and re-trained raw
+    PQ = (M, DSUB, KC, 1, 1.0)
+    assert S.maintain_batched(
+        spark, root, max_dirs=1, partition_cols=["cell", "sub"],
+        ann=(100, None, PQ), gc_grace_sec=3600.0,
+    ) > 0
+    extra2 = S.read_manifest_extra(root)
+    assert extra2["pq_residual"] is True
+    assert extra2["pq_codebooks"] == extra1["pq_codebooks"]
+    assert extra2["layout_id"] == extra1["layout_id"]
+    # 4) drifted arrivals past the cap: the retrain runs WITH coarse —
+    # new books, still residual
+    drift = [
+        (
+            1000 + i,
+            [10.0 + rng.uniform(-0.1, 0.1) for _ in range(DIM)],
+        )
+        for i in range(80)
+    ]
+    S.idempotent_batch_write(
+        spark.createDataFrame(drift, "c_id BIGINT, vec ARRAY<DOUBLE>")
+        .withColumn("cell", F.lit(0))
+        .withColumn("sub", F.lit(0))
+        .withColumn(
+            "_sc",
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("s"),
+                        F.lit(0).cast("bigint").alias("code"),
+                    )
+                    for s in range(M)
+                ]
+            ),
+        ),
+        root, 1, partition_cols=["cell", "sub"],
+    )
+    assert S.maintain_batched(
+        spark, root, max_dirs=1, partition_cols=["cell", "sub"],
+        ann=(100, None, (M, DSUB, KC, 1, 0.001)), gc_grace_sec=3600.0,
+    ) > 0
+    extra3 = S.read_manifest_extra(root)
+    assert extra3["pq_residual"] is True  # never silently flipped
+    assert extra3["pq_codebooks"] != extra1["pq_codebooks"]
+
+    # 5) residual books but NO committed coarse quantizer: NAMED error
+    root2 = f"{tmpdir}/pqres2"
+    S.idempotent_batch_write(
+        corpus.withColumn("cell", F.pmod("c_id", F.lit(2)))
+        .withColumn("sub", F.lit(0)),
+        root2, 0, partition_cols=["cell", "sub"],
+    )
+    # cent_ids aligned with the hand-assigned cell = pmod(c_id, 2):
+    # even ids sit at -5, odd at +5
+    cents2 = spark.createDataFrame(
+        [(0, [-5.0] * DIM), (1, [5.0] * DIM)],
+        "cent_id BIGINT, vec ARRAY<DOUBLE>",
+    )
+    S.compact_batched(
+        spark, root2, min_dirs=0, partition_cols=["cell", "sub"],
+        gc_grace_sec=3600.0,
+        transform=SIM.ann_pq_retrain_transform(
+            m=M, dsub=DSUB, k_codes=KC, iters=1, coarse=cents2
+        ),
+    )
+    assert S.read_manifest_extra(root2)["pq_residual"] is True
+    assert SIM.quantizer_from_manifest(spark, root2) is None
+    with pytest.raises(ValueError, match="coarse quantizer"):
+        S.maintain_batched(
+            spark, root2, max_dirs=1, partition_cols=["cell", "sub"],
+            ann=(100, None, PQ), gc_grace_sec=3600.0,
+        )
