@@ -483,11 +483,67 @@ def _protected_bases(root: str, keep_last_gens: int | None) -> set[str]:
     }
 
 
+def _group_protected_names(
+    root: str, keep_last_txns: "tuple[str, int] | None"
+) -> set[str]:
+    """Root-local dir names (bases + batch dirs) that the LAST K
+    transaction records of a group reference for this member — exempt
+    from every vacuum path, so operators can GUARANTEE a GROUP travel
+    depth (r11, VERDICT r10 item #3: the group twin of
+    ``keep_last_gens``).  Without it the group horizon is the MINIMUM
+    of its members' horizons: one aggressive member expiry vacuums a
+    generation a recent txn record still references, and
+    ``read_group_at`` can only fail NAMED — never stay green.
+
+    A txn record pins, for each member rooted here: the recorded
+    generation's base, plus every batch dir at or below the txn id
+    that generation had not consumed (exactly the set _group_paths_at
+    resolves).  Batch-name candidates are the union of the root
+    listing and the live manifest's consumed map — a name consumed by
+    a LATER generation is precisely the one that needs protecting.
+    ``keep_last_txns`` is ``(group_root, K)``."""
+    if not keep_last_txns:
+        return set()
+    group_root, k = keep_last_txns
+    tlog = txn_log(group_root)
+    if not tlog:
+        return set()
+    keep = sorted(tlog)[-max(int(k), 1):]
+    mlog = read_manifest_log(root)
+    man = _read_manifest(root)
+    candidates = {
+        d
+        for d in (os.listdir(root) if os.path.isdir(root) else [])
+        if d.startswith("b") and d[1:].isdigit()
+    } | {
+        n
+        for n in (man["consumed"] if man else {})
+        if n.startswith("b") and n[1:].isdigit()
+    }
+    out: set[str] = set()
+    rootn = os.path.normpath(root)
+    for t in keep:
+        for member in tlog[t]["tables"].values():
+            if os.path.normpath(member["root"]) != rootn:
+                continue
+            gen = int(member["gen"])
+            consumed_at: set[str] = set()
+            if gen in mlog:
+                consumed_at = set(mlog[gen]["consumed"])
+                if not os.path.isabs(mlog[gen]["base"]):
+                    out.add(mlog[gen]["base"])
+            for n in candidates:
+                if int(n[1:]) <= t and n not in consumed_at:
+                    out.add(n)
+    return out
+
+
 def expire_snapshots(
     root: str,
     keep_last_n: int,
     older_than_sec: float = 0.0,
     lease_ttl_sec: float = 3600.0,
+    keep_last_txns: "tuple[str, int] | None" = None,
 ) -> list[int]:
     """RETENTION-COUNT snapshot expiry (VERDICT r8 item #4 — the
     Iceberg ``expire_snapshots`` twin): actively vacuum the base dirs
@@ -510,18 +566,31 @@ def expire_snapshots(
     are kept: they are tiny, and a vacuumed gen's entry is what makes
     the failure a NAMED SnapshotVacuumed instead of a mystery.
 
+    ``keep_last_txns=(group_root, K)`` (r11, VERDICT r10 item #3)
+    additionally exempts every generation referenced by the group's
+    last K transaction records — the GROUP retention guarantee: a
+    member expiry can never shrink ``read_group_at``'s horizon below K
+    transactions, however aggressive ``keep_last_n`` is.  Past K the
+    vacuum proceeds and group travel raises the NAMED SnapshotVacuumed
+    as before.
+
     Lease-guarded like any maintenance op (a concurrent compactor's
     in-flight build must not race the deletes).  Returns the expired
     generation numbers."""
     lease = _acquire_lease(root, lease_ttl_sec)
     try:
-        return _expire_snapshots_locked(root, keep_last_n, older_than_sec)
+        return _expire_snapshots_locked(
+            root, keep_last_n, older_than_sec, keep_last_txns
+        )
     finally:
         _release_lease(root, lease)
 
 
 def _expire_snapshots_locked(
-    root: str, keep_last_n: int, older_than_sec: float = 0.0
+    root: str,
+    keep_last_n: int,
+    older_than_sec: float = 0.0,
+    keep_last_txns: "tuple[str, int] | None" = None,
 ) -> list[int]:
     """expire_snapshots body for callers that already hold the table's
     lease (write_ann_index runs it inside its build-commit critical
@@ -533,6 +602,7 @@ def _expire_snapshots_locked(
     gens = sorted(log)
     keep = set(gens[-max(int(keep_last_n), 1):])
     kept_bases = {log[g]["base"] for g in keep}
+    kept_bases |= _group_protected_names(root, keep_last_txns)
     live_base = man["base"] if man else None
     consumed = dict(man["consumed"]) if man else {}
     now = time.time()
@@ -2381,6 +2451,7 @@ def compact_batched(
     lease_ttl_sec: float = 3600.0,
     keep_last_gens: int | None = None,
     max_batch: int | None = None,
+    keep_last_txns: "tuple[str, int] | None" = None,
 ) -> int:
     """Index maintenance for streaming upserts (VERDICT r4 item #4):
     fold a ``read_batched`` table's accumulated per-batch
@@ -2484,6 +2555,13 @@ def compact_batched(
     a short grace can no longer shrink the horizon below N).  The
     deterministic expiry direction is the standalone expire_snapshots.
 
+    ``keep_last_txns=(group_root, K)`` (r11, VERDICT r10 item #3):
+    exempt from grace-based GC every base and batch dir the group's
+    last K transaction records reference — the group-retention twin of
+    ``keep_last_gens``, so member maintenance can never shrink
+    ``read_group_at``'s horizon (or the group change-file feed's
+    window) below K transactions.
+
     ``max_batch`` (r10, cross-table transactions): only consume batch
     dirs at or below the given id — the group's txn watermark.  A
     member table of a multi-table group may hold a COMPLETE-looking
@@ -2510,6 +2588,7 @@ def compact_batched(
             lease_ttl_sec,
             keep_last_gens,
             max_batch,
+            keep_last_txns,
         )
     finally:
         _release_lease(root, lease)
@@ -2528,6 +2607,7 @@ def _compact_batched_locked(
     lease_ttl_sec: float,
     keep_last_gens: int | None = None,
     max_batch: int | None = None,
+    keep_last_txns: "tuple[str, int] | None" = None,
 ) -> int:
     import time
 
@@ -2535,8 +2615,11 @@ def _compact_batched_locked(
     now = time.time()
     # travel-depth guarantee (r9): bases of the last N generations are
     # never grace-vacuumed; recomputed after the commit below so the
-    # window slides with the new generation
+    # window slides with the new generation.  The group-txn guarantee
+    # (r11) additionally pins every base/batch dir the group's last K
+    # txn records reference.
     protected = _protected_bases(root, keep_last_gens)
+    protected |= _group_protected_names(root, keep_last_txns)
     # GC (compactor-only): the legacy shared build-dir name is always
     # crash debris; PER-TOKEN build dirs (ADVICE r7 medium: concurrent
     # builders that race past the lease must never share a tmp path)
@@ -2884,6 +2967,7 @@ def _compact_batched_locked(
     # travel-depth guarantee re-resolves against the log INCLUDING the
     # generation just committed (the keep window slides forward).
     protected = _protected_bases(root, keep_last_gens)
+    protected |= _group_protected_names(root, keep_last_txns)
     for d, ts in consumed.items():
         if os.path.isabs(d) or d in protected:
             continue
@@ -2923,6 +3007,7 @@ def maintain_batched(
     keep_last_gens: int | None = None,
     ann: "tuple | None" = None,
     max_batch: int | None = None,
+    keep_last_txns: "tuple[str, int] | None" = None,
 ) -> int:
     """AUTO-compaction policy (VERDICT r5 item #3): compact when the
     live-dir count reaches ``max_dirs``, else no-op.  Called by the
@@ -3010,6 +3095,7 @@ def maintain_batched(
         lease_ttl_sec=lease_ttl_sec,
         keep_last_gens=keep_last_gens,
         max_batch=max_batch,
+        keep_last_txns=keep_last_txns,
     )
 
 

@@ -5574,3 +5574,70 @@ def test_pq_residual_maintenance_consistency(spark, tmpdir):
             spark, root2, max_dirs=1, partition_cols=["cell", "sub"],
             ann=(100, None, PQ), gc_grace_sec=3600.0,
         )
+
+
+def test_group_retention_keep_last_txns(spark, tmpdir):
+    """GROUP-LEVEL RETENTION GUARANTEE (r11, VERDICT r10 item #3):
+    without it the group travel horizon is the MINIMUM of its members'
+    horizons — per-member expire_snapshots(keep_last_n) can vacuum a
+    generation a recent group txn record references, and read_group_at
+    can only fail NAMED.  ``keep_last_txns=(group_root, K)`` exempts
+    every member generation (base + unconsumed window batch dirs) the
+    last K txn records reference.  Pinned: K txns stay travelable
+    under zero-grace member expiry, K+1 raises NAMED; and the
+    compact-GC path keeps the group change-file feed alive across a
+    post-commit zero-grace fold."""
+    from mo_etl_spark import streaming as S
+
+    # --- expiry path: each txn pins a distinct member generation
+    g = f"{tmpdir}/kt"
+    ta = f"{tmpdir}/kt_a"
+    schema = "k BIGINT"
+    for t in range(5):
+        S.idempotent_batch_write(
+            spark.range(t * 10, t * 10 + 10).select(F.col("id").alias("k")),
+            ta, t,
+        )
+        S.compact_batched(spark, ta, min_dirs=0, gc_grace_sec=3600.0)
+        S.txn_commit(g, t, {"a": ta})  # txn t records gen t+1
+    expired = S.expire_snapshots(
+        ta, keep_last_n=1, older_than_sec=0.0, keep_last_txns=(g, 2)
+    )
+    assert expired  # something WAS vacuumed (the guarantee is not
+    # "never expire" — only the last-K window is pinned)
+    # last K=2 txns stay green under the aggressive member expiry
+    for t in (3, 4):
+        got = sorted(
+            r["k"] for r in S.read_group_at(spark, g, t, "a", schema).collect()
+        )
+        assert got == list(range((t + 1) * 10)), t
+    # K+1 raises NAMED — the horizon is exactly K, never silently wrong
+    with pytest.raises(S.SnapshotVacuumed):
+        S.read_group_at(spark, g, 2, "a", schema).collect()
+
+    # --- compact-GC path: post-commit fold with zero grace would
+    # vacuum the window's batch dirs (the ADVICE r10 lossy-feed
+    # scenario); keep_last_txns pins them, so group travel AND the
+    # change-file fast path survive the fold
+    g2 = f"{tmpdir}/kt2"
+    tb = f"{tmpdir}/kt2_b"
+    for t in range(3):
+        S.idempotent_batch_write(
+            spark.range(t * 10, t * 10 + 10).select(F.col("id").alias("k")),
+            tb, t,
+        )
+        S.txn_commit(g2, t, {"b": tb})
+    S.compact_batched(
+        spark, tb, min_dirs=0, gc_grace_sec=0.0, keep_last_txns=(g2, 2)
+    )
+    # txn 1 and 2 snapshots green (b0..b2 pinned — txn 1 needs b0 too)
+    for t in (1, 2):
+        got = sorted(
+            r["k"] for r in S.read_group_at(spark, g2, t, "b", schema).collect()
+        )
+        assert got == list(range((t + 1) * 10)), t
+    # the group change-file feed across the last window is still the
+    # fast path (its batch dir survived the zero-grace fold)
+    feed = S.diff_group_adjacent(spark, g2, 1, 2, "b", ["k"], schema)
+    assert feed is not None
+    assert sorted(r["k"] for r in feed.collect()) == list(range(20, 30))
