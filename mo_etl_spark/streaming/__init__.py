@@ -128,6 +128,7 @@ def idempotent_batch_write_to(root: str) -> Callable[[DataFrame, int], None]:
 _MANIFEST = "_MANIFEST"
 _COMPACT_NEW = ".compact_new"
 _TOMBSTONES = ".tombstones"
+_CHANGES = ".changes"
 _COMPACT_LEASE = ".compact_lease"
 #: recorded in the lease payload so the pid-liveness shortcut never
 #: reclaims a live compactor running on ANOTHER host of a shared
@@ -349,6 +350,7 @@ def _write_manifest(
     extra: dict | None = None,
     tombs: dict[str, float] | None = None,
     plain: bool | None = None,
+    change: str | None = None,
 ) -> None:
     """THE COMMIT POINT of a compaction: atomically replace the
     manifest.  fsync-before-rename (and fsync of the directory after)
@@ -379,6 +381,16 @@ def _write_manifest(
         # from consumed names is unsound; readers fall back to the
         # snapshot diff.
         man["plain"] = bool(plain)
+    if change is not None:
+        # CHANGE-FILE POINTER (r11, VERDICT r10 item #4): the name of
+        # this generation's materialized delta under ``.changes/`` —
+        # a TRANSFORM fold (rebucket, requantize, PQ re-encode) that
+        # opted into ``change_feed=True`` wrote the row-level
+        # base-to-base diff it just enacted, so adjacent-generation
+        # CDF consumers can cross the maintenance window
+        # delta-proportionally instead of falling back to the snapshot
+        # diff (Delta writes CDF files on MERGE for the same reason).
+        man["change"] = str(change)
     if extra is not None:
         man["extra"] = extra
     if tombs:
@@ -770,13 +782,22 @@ def diff_batched_adjacent(
     no snapshot scan at all, unlike diff_batched's two key-pruned base
     scans (the sublinear-but-not-flat floor SCALE_r10 measured).
 
+    r11 (VERDICT r10 item #4): a window may now also contain TRANSFORM
+    generations that committed a materialized delta
+    (``compact_batched(change_feed=True)`` — the Delta MERGE-CDF
+    shape): per-generation events compose via _diff_adjacent_mixed,
+    still zero snapshot scans.  Key-only semantics are preserved
+    exactly: an in-window payload rewrite of a pre-existing key (a
+    rebucket moving its bucket column) emits NOTHING, matching
+    diff_batched without compare_cols.
+
     Returns None — caller falls back to the snapshot diff — whenever
     reconstruction is unsound or the change files are gone:
     any generation in ``(gen_from, gen_to]`` missing from the manifest
-    log or not marked ``plain`` (a transform re-derived rows; a
-    rollback reverted content; a pre-r10 fold), a consumed batch dir
-    or folded tombstone file already vacuumed, or a tombstone file
-    lacking the key columns.
+    log or neither ``plain`` nor carrying a ``change`` file (an
+    opted-out transform; a rollback; a pre-r10 fold), a consumed batch
+    dir, folded tombstone file, or change file already vacuumed, or a
+    tombstone/change file lacking the key columns.
 
     EXACTNESS CONTRACT (the same append+retraction lifecycle the
     protocol's own tables follow, enforced for the batched MV by the
@@ -789,30 +810,268 @@ def diff_batched_adjacent(
     deletes (apply_change_feed / apply_change_feed_batched) are
     unaffected; a consumer needing full delete payloads uses the
     snapshot diff."""
-    from functools import reduce
-
     log = read_manifest_log(root)
     if gen_from not in log or gen_to not in log:
         return None
+    window = list(range(gen_from + 1, gen_to + 1))
     if any(
-        g not in log or not log[g].get("plain")
-        for g in range(gen_from + 1, gen_to + 1)
+        g not in log
+        or not (log[g].get("plain") or log[g].get("change"))
+        for g in window
     ):
         return None
-    cons_from = set(log[gen_from]["consumed"])
-    cons_to = set(log[gen_to]["consumed"])
-    batch_names = sorted(
-        n
-        for n in cons_to - cons_from
-        if n.startswith("b") and n[1:].isdigit()
+    if all(log[g].get("plain") for g in window):
+        cons_from = set(log[gen_from]["consumed"])
+        cons_to = set(log[gen_to]["consumed"])
+        batch_names = sorted(
+            n
+            for n in cons_to - cons_from
+            if n.startswith("b") and n[1:].isdigit()
+        )
+        tombs_from = set(log[gen_from].get("tombs") or {})
+        tombs_to = set(log[gen_to].get("tombs") or {})
+        tomb_files = sorted(
+            os.path.join(root, _TOMBSTONES, n) for n in tombs_to - tombs_from
+        )
+        return _assemble_change_feed(
+            spark, root, batch_names, tomb_files, key_cols, schema
+        )
+    # MIXED window (r11, VERDICT r10 item #4): transform generations
+    # that committed a change file compose with plain generations via
+    # per-generation events — still zero snapshot scans
+    return _diff_adjacent_mixed(
+        spark, root, log, gen_from, gen_to, key_cols, schema
     )
-    tombs_from = set(log[gen_from].get("tombs") or {})
-    tombs_to = set(log[gen_to].get("tombs") or {})
-    tomb_files = sorted(
-        os.path.join(root, _TOMBSTONES, n) for n in tombs_to - tombs_from
+
+
+def _diff_adjacent_mixed(
+    spark: SparkSession,
+    root: str,
+    log: dict[int, dict],
+    gen_from: int,
+    gen_to: int,
+    key_cols: Sequence[str],
+    schema: str | None,
+    presence_keys: DataFrame | None = None,
+) -> DataFrame | None:
+    """Per-generation event collection for an adjacent-diff window
+    containing CHANGE-FILE transform generations (r11): plain
+    generations contribute their consumed batch dirs (inserts, ord
+    g-0.25) and folded tombstone files (deletes, ord g); change
+    generations contribute their materialized delta (deletes at
+    g-0.25, inserts at g — delete-then-insert inside one generation is
+    a payload update, which resolves to finally-present).  Returns
+    None whenever any needed artifact is gone or keyed differently —
+    the caller falls back to the snapshot diff."""
+    keys = [str(k) for k in key_cols]
+    ins_events: list[tuple[DataFrame, float]] = []
+    del_events: list[tuple[DataFrame, float]] = []
+    for g in range(gen_from + 1, gen_to + 1):
+        rec, prev = log[g], log.get(g - 1)
+        if prev is None:
+            return None  # per-generation attribution needs g-1's entry
+        if rec.get("plain"):
+            bnames = sorted(
+                n
+                for n in set(rec["consumed"]) - set(prev["consumed"])
+                if n.startswith("b") and n[1:].isdigit()
+            )
+            for n in bnames:
+                p = os.path.join(root, n)
+                if not os.path.isdir(p):
+                    return None  # change file vacuumed: fall back
+                if any(
+                    f.endswith(".parquet")
+                    for _, _, fs in os.walk(p)
+                    for f in fs
+                ):
+                    r = spark.read
+                    r = r.schema(schema) if schema else r
+                    ins_events.append((r.parquet(p), g - 0.25))
+            tnames = set(rec.get("tombs") or {}) - set(
+                prev.get("tombs") or {}
+            )
+            tfiles = sorted(
+                os.path.join(root, _TOMBSTONES, n) for n in tnames
+            )
+            for fp in tfiles:
+                if not os.path.exists(fp):
+                    return None
+            if tfiles:
+                tk = spark.read.parquet(*tfiles)
+                if not set(keys) <= set(tk.columns):
+                    return None
+                del_events.append((tk.select(*keys).distinct(), float(g)))
+        else:  # change-file transform generation
+            cdir = os.path.join(root, _CHANGES, str(rec["change"]))
+            if not os.path.isdir(cdir):
+                return None
+            has_pq = any(
+                f.endswith(".parquet")
+                for _, _, fs in os.walk(cdir)
+                for f in fs
+            )
+            if not has_pq:
+                if not os.path.exists(os.path.join(cdir, "_SUCCESS")):
+                    return None
+                continue  # complete, empty delta: no events
+            cf = spark.read.parquet(cdir)
+            if not set(keys) <= set(cf.columns):
+                return None
+            del_events.append(
+                (
+                    cf.where(F.col("_change") == "delete")
+                    .select(*keys)
+                    .distinct(),
+                    g - 0.25,
+                )
+            )
+            ins_events.append(
+                (
+                    cf.where(F.col("_change") == "insert").drop("_change"),
+                    float(g),
+                )
+            )
+    return _resolve_change_events(
+        spark, ins_events, del_events, keys, schema, presence_keys
     )
-    return _assemble_change_feed(
-        spark, root, batch_names, tomb_files, key_cols, schema
+
+
+def _align_to(df: DataFrame, fields) -> DataFrame:
+    """Project ``df`` onto the reference fields by name, casting types
+    (a hive-discovered partition column reads back INT where the table
+    schema says BIGINT) and null-filling absent columns."""
+    return df.select(
+        *[
+            (
+                F.col(f.name).cast(f.dataType)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in fields
+        ]
+    )
+
+
+def _resolve_change_events(
+    spark: SparkSession,
+    ins_events: "list[tuple[DataFrame, float]]",
+    del_events: "list[tuple[DataFrame, float]]",
+    key_cols: Sequence[str],
+    schema: str | None,
+    presence_keys: DataFrame | None = None,
+) -> DataFrame | None:
+    """Compose a window of per-generation change events into ONE keyed
+    feed with exactly ``diff_batched``'s key-only semantics (r11 —
+    what makes the change-file fast path sound across TRANSFORM
+    generations): each event is (rows, ord) — batch-dir inserts and
+    folded-tombstone deletes for plain generations, change-file
+    deletes/inserts for transform generations — and per key the
+    ordered history resolves to
+
+    - first event insert, finally present  -> INSERT (last payload)
+    - first event delete, finally absent   -> DELETE (key-level)
+    - first delete, finally present        -> nothing (an in-window
+      payload rewrite of a pre-existing key: the key-only snapshot
+      diff emits nothing for it either — consumers needing payload
+      updates use diff_batched(compare_cols=...))
+    - first insert, finally absent         -> nothing (appeared and
+      retracted entirely inside the window)
+
+    Ordering inside one generation is what distinguishes a transform
+    UPDATE (delete@g-eps then insert@g: finally present) from a plain
+    fold that consumed a batch and folded its retraction in the same
+    pass (insert@g-eps then tomb delete@g: finally absent) — callers
+    assign the fractional ords accordingly.  ``presence_keys`` marks
+    keys KNOWN present at window start even though their first event
+    is an insert (the group overlay case: a pre-window live batch
+    consumed by an in-window transform re-appears in its change file);
+    such keys follow the pre-existing rules instead."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    keys = [str(k) for k in key_cols]
+    if not ins_events and schema is None:
+        return None  # no schema and nothing to infer one from
+    ref_fields = (
+        spark.createDataFrame([], schema).schema.fields
+        if schema is not None
+        else ins_events[0][0].schema.fields
+    )
+    empty = spark.createDataFrame(
+        [], spark.createDataFrame([], schema).schema
+    ) if schema is not None else ins_events[0][0].limit(0)
+    ins_all = (
+        reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                _align_to(df, ref_fields).withColumn("_ord", F.lit(float(o)))
+                for df, o in ins_events
+            ],
+        )
+        if ins_events
+        else _align_to(empty, ref_fields).withColumn("_ord", F.lit(0.0))
+    )
+    del_all = (
+        reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                df.select(
+                    *[F.col(k) for k in keys], F.lit(float(o)).alias("_ord")
+                )
+                for df, o in del_events
+            ],
+        )
+        if del_events
+        else ins_all.select(*keys, "_ord").limit(0)
+    )
+    INF = float("inf")
+    ins_agg = ins_all.groupBy(*keys).agg(
+        F.min("_ord").alias("_min_i"), F.max("_ord").alias("_max_i")
+    )
+    del_agg = del_all.groupBy(*keys).agg(
+        F.min("_ord").alias("_min_d"), F.max("_ord").alias("_max_d")
+    )
+    st = ins_agg.join(del_agg, keys, "full_outer")
+    if presence_keys is not None:
+        st = st.join(
+            F.broadcast(
+                presence_keys.select(*keys)
+                .distinct()
+                .withColumn("_pre", F.lit(True))
+            ),
+            keys,
+            "left",
+        )
+    else:
+        st = st.withColumn("_pre", F.lit(None).cast("boolean"))
+    present_start = (
+        F.coalesce(F.col("_min_d"), F.lit(INF))
+        < F.coalesce(F.col("_min_i"), F.lit(INF))
+    ) | F.coalesce(F.col("_pre"), F.lit(False))
+    final_present = F.coalesce(F.col("_max_i"), F.lit(-INF)) > F.coalesce(
+        F.col("_max_d"), F.lit(-INF)
+    )
+    ins_keys = st.where(~present_start & final_present).select(*keys)
+    del_keys = st.where(present_start & ~final_present).select(*keys)
+    w = Window.partitionBy(*keys).orderBy(F.col("_ord").desc())
+    last_ins = (
+        ins_all.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_ord")
+    )
+    out = last_ins.join(ins_keys, keys, "left_semi").withColumn(
+        "_change", F.lit("insert")
+    )
+    dels = del_keys
+    for f in ref_fields:
+        if f.name not in keys:
+            dels = dels.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return out.unionByName(
+        dels.select(*[f.name for f in ref_fields]).withColumn(
+            "_change", F.lit("delete")
+        )
     )
 
 
@@ -905,9 +1164,13 @@ def diff_group_adjacent(
     Returns None (fall back to per-member snapshot diffs between
     read_group_at views) when unsound: either txn missing from the
     group log, the member absent or re-rooted, any window generation
-    non-plain or missing from the member's manifest log, a change
+    missing from the member's manifest log or neither plain nor
+    carrying a change file (r11 — transform folds that opted into
+    ``change_feed=True`` now serve the fast path too), a change
     file vacuumed, or tombstones keyed differently.  Same
     append+retraction exactness contract as diff_batched_adjacent."""
+    from functools import reduce
+
     tlog = txn_log(group_root)
     if txn_from not in tlog or txn_to not in tlog:
         return None
@@ -918,22 +1181,27 @@ def diff_group_adjacent(
     root = m_to["root"]
     g_from, g_to = int(m_from["gen"]), int(m_to["gen"])
     mlog = read_manifest_log(root) if os.path.isdir(root) else {}
-    for g in range(g_from + 1, g_to + 1):
-        if g not in mlog or not mlog[g].get("plain"):
+    window = list(range(g_from + 1, g_to + 1))
+    for g in window:
+        if g not in mlog or not (
+            mlog[g].get("plain") or mlog[g].get("change")
+        ):
             return None
-    tombs_from = (
-        set(mlog[g_from].get("tombs") or {}) if g_from in mlog else set()
+
+    def _bid(n: str) -> bool:
+        return n.startswith("b") and n[1:].isdigit()
+
+    def _inwin(n: str) -> bool:
+        return _bid(n) and txn_from < int(n[1:]) <= txn_to
+
+    cons_from = (
+        set(mlog[g_from]["consumed"]) if g_from in mlog else set()
     )
-    tombs_to = set(mlog[g_to].get("tombs") or {}) if g_to in mlog else set()
-    tomb_files = sorted(
-        os.path.join(root, _TOMBSTONES, n) for n in tombs_to - tombs_from
-    )
+    cons_to = set(mlog[g_to]["consumed"]) if g_to in mlog else set()
     batch_names = sorted(
         d
         for d in (os.listdir(root) if os.path.isdir(root) else [])
-        if d.startswith("b")
-        and d[1:].isdigit()
-        and txn_from < int(d[1:]) <= txn_to
+        if _inwin(d)
     )
     # every batch id committed in the window must still be on disk —
     # one consumed-then-vacuumed dir makes the reconstruction silently
@@ -946,25 +1214,139 @@ def diff_group_adjacent(
     # consumed map is a superset of every generation's (names are
     # carried forever), so one check covers both vacuum paths;
     # _group_paths_at applies the same discipline for snapshot reads.
-    cons_from = (
-        set(mlog[g_from]["consumed"]) if g_from in mlog else set()
-    )
-    cons_later = (
-        set(mlog[g_to]["consumed"]) if g_to in mlog else set()
-    )
     live_man = _read_manifest(root) if os.path.isdir(root) else None
-    if live_man:
-        cons_later |= set(live_man["consumed"])
+    cons_later = cons_to | (set(live_man["consumed"]) if live_man else set())
     for n in cons_later - cons_from:
-        if (
-            n.startswith("b")
-            and n[1:].isdigit()
-            and txn_from < int(n[1:]) <= txn_to
-            and n not in batch_names
-        ):
+        if _inwin(n) and n not in batch_names:
             return None  # consumed in window and already vacuumed
-    return _assemble_change_feed(
-        spark, root, batch_names, tomb_files, key_cols, schema
+    if all(mlog[g].get("plain") for g in window):
+        tombs_from = (
+            set(mlog[g_from].get("tombs") or {})
+            if g_from in mlog
+            else set()
+        )
+        tombs_to = (
+            set(mlog[g_to].get("tombs") or {}) if g_to in mlog else set()
+        )
+        tomb_files = sorted(
+            os.path.join(root, _TOMBSTONES, n) for n in tombs_to - tombs_from
+        )
+        return _assemble_change_feed(
+            spark, root, batch_names, tomb_files, key_cols, schema
+        )
+    # MIXED window (r11, VERDICT r10 item #4): transform generations
+    # with change files compose per-generation, with two group-only
+    # corrections — (a) pre-window LIVE batches a window transform
+    # consumed re-appear in its change file as inserts although their
+    # rows were already visible in the txn_from view: their keys are
+    # marked present-at-start so the resolution treats them as
+    # pre-existing; (b) window batches still unconsumed at g_to are
+    # direct inserts ordered after every generation event.
+    keys = [str(k) for k in key_cols]
+    ins_events: list[tuple[DataFrame, float]] = []
+    del_events: list[tuple[DataFrame, float]] = []
+    presence_parts: list[DataFrame] = []
+    covered: set[str] = set()
+
+    def _rd_batch(p: str) -> DataFrame:
+        r = spark.read
+        return (r.schema(schema) if schema else r).parquet(p)
+
+    for g in window:
+        rec = mlog[g]
+        prev = mlog.get(g - 1)
+        if prev is not None:
+            prev_cons = set(prev["consumed"])
+        elif g - 1 == g_from:
+            prev_cons = cons_from  # pre-fold member: gen 0, no entry
+        else:
+            return None
+        gained = {
+            n for n in set(rec["consumed"]) - prev_cons if _bid(n)
+        }
+        if rec.get("plain"):
+            for n in sorted(gained):
+                if not _inwin(n):
+                    continue  # pre-window batch folded: no view change
+                covered.add(n)
+                p = os.path.join(root, n)
+                if not os.path.isdir(p):
+                    return None
+                if any(
+                    f.endswith(".parquet")
+                    for _, _, fs in os.walk(p)
+                    for f in fs
+                ):
+                    ins_events.append((_rd_batch(p), g - 0.25))
+            tnames = set(rec.get("tombs") or {}) - set(
+                (prev or {}).get("tombs") or {}
+            )
+            tfiles = sorted(
+                os.path.join(root, _TOMBSTONES, n) for n in tnames
+            )
+            for fp in tfiles:
+                if not os.path.exists(fp):
+                    return None
+            if tfiles:
+                tk = spark.read.parquet(*tfiles)
+                if not set(keys) <= set(tk.columns):
+                    return None
+                del_events.append((tk.select(*keys).distinct(), float(g)))
+        else:  # change-file transform generation
+            for n in sorted(gained):
+                p = os.path.join(root, n)
+                if int(n[1:]) <= txn_from:
+                    # pre-window live batch: its keys were visible at
+                    # txn_from — needed for the presence correction
+                    if not os.path.isdir(p):
+                        return None
+                    presence_parts.append(_rd_batch(p).select(*keys))
+                elif _inwin(n):
+                    covered.add(n)  # the cf carries its rows
+            cdir = os.path.join(root, _CHANGES, str(rec["change"]))
+            if not os.path.isdir(cdir):
+                return None
+            has_pq = any(
+                f.endswith(".parquet")
+                for _, _, fs in os.walk(cdir)
+                for f in fs
+            )
+            if not has_pq:
+                if not os.path.exists(os.path.join(cdir, "_SUCCESS")):
+                    return None
+                continue
+            cf = spark.read.parquet(cdir)
+            if not set(keys) <= set(cf.columns):
+                return None
+            del_events.append(
+                (
+                    cf.where(F.col("_change") == "delete")
+                    .select(*keys)
+                    .distinct(),
+                    g - 0.25,
+                )
+            )
+            ins_events.append(
+                (
+                    cf.where(F.col("_change") == "insert").drop("_change"),
+                    float(g),
+                )
+            )
+    for n in batch_names:  # unconsumed-at-g_to window batches
+        if n in covered or n in cons_to or n in cons_from:
+            continue
+        p = os.path.join(root, n)
+        if any(
+            f.endswith(".parquet") for _, _, fs in os.walk(p) for f in fs
+        ):
+            ins_events.append((_rd_batch(p), g_to + 0.75))
+    presence = (
+        reduce(lambda a, b: a.unionByName(b), presence_parts)
+        if presence_parts
+        else None
+    )
+    return _resolve_change_events(
+        spark, ins_events, del_events, keys, schema, presence
     )
 
 
@@ -2452,6 +2834,7 @@ def compact_batched(
     keep_last_gens: int | None = None,
     max_batch: int | None = None,
     keep_last_txns: "tuple[str, int] | None" = None,
+    change_feed: bool = False,
 ) -> int:
     """Index maintenance for streaming upserts (VERDICT r4 item #4):
     fold a ``read_batched`` table's accumulated per-batch
@@ -2589,6 +2972,7 @@ def compact_batched(
             keep_last_gens,
             max_batch,
             keep_last_txns,
+            change_feed,
         )
     finally:
         _release_lease(root, lease)
@@ -2608,6 +2992,7 @@ def _compact_batched_locked(
     keep_last_gens: int | None = None,
     max_batch: int | None = None,
     keep_last_txns: "tuple[str, int] | None" = None,
+    change_feed: bool = False,
 ) -> int:
     import time
 
@@ -2951,6 +3336,17 @@ def _compact_batched_locked(
             "build wins"
         ) from None
     _cas_or_abort(os.path.join(root, target))
+    # CHANGE FILE (r11, VERDICT r10 item #4): a transform fold that
+    # opted in materializes its row-level delta now — inside the
+    # single-owner window (we own the promoted base<gen> name, so no
+    # racing compactor can commit this generation), before the commit
+    # that references it (a crash in between leaves an unreferenced
+    # orphan the next claim of this generation overwrites)
+    change_name: str | None = None
+    if change_feed and transform is not None:
+        change_name = _write_change_file(
+            spark, root, gen, os.path.join(root, target), man
+        )
     # the folded tombstone files are consumed — mark exactly the
     # snapshot in the manifest (names kept forever, like consumed
     # dirs); later appends (mid-compaction retractions) remain live
@@ -2958,7 +3354,7 @@ def _compact_batched_locked(
     tombs_man.update({os.path.basename(fp): now for fp in tomb_files})
     _write_manifest(
         root, gen, target, consumed, extra=extra, tombs=tombs_man or None,
-        plain=transform is None,
+        plain=transform is None, change=change_name,
     )  # COMMIT POINT
     # vacuum: only grace-expired victims die now; fresh ones stay on
     # disk (manifest-excluded) for in-flight readers of the previous
@@ -2975,6 +3371,70 @@ def _compact_batched_locked(
             shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     _vacuum_tombs(root, tombs_man, now, gc_grace_sec)
     return n_groups
+
+
+def _write_change_file(
+    spark: SparkSession, root: str, gen: int, new_base: str, man: dict | None
+) -> str | None:
+    """Materialize a TRANSFORM generation's row-level delta as a
+    CHANGE FILE (r11, VERDICT r10 item #4 — the Delta MERGE-CDF
+    shape): the full-row diff between the previous base and the
+    promoted build, written to ``.changes/g<gen>`` with a ``_change``
+    column, referenced from the manifest committed right after.  A
+    rebucket/requantize/PQ-re-encode fold rewrites rows it can
+    enumerate — materializing the diff lets adjacent-generation CDF
+    consumers cross the maintenance window delta-proportionally
+    instead of paying the table-bound snapshot diff.
+
+    Cost: two row-level scans + one shuffle (exceptAll both ways) on
+    top of a fold that is already rewriting the whole table, and the
+    written file is DELTA-sized (a rebucket that moved 3%% of rows
+    writes 6%% of rows: delete+insert per moved row).  Runs inside the
+    fold's single-owner window (after the promote rename, before the
+    manifest commit), so a racing compactor can never overwrite a
+    committed generation's file; a crash before the commit leaves an
+    orphan the next fold's claim of the same generation overwrites.
+
+    Columns follow the NEW build's schema; a column the transform
+    dropped is absent from the diff (payload comparison happens on the
+    output schema).  Returns the change name for the manifest, or None
+    when the previous base is gone (consumers then fall back)."""
+    r = spark.read
+    newb = r.parquet(new_base)  # hive-partitioned (partition_cols path)
+    prev: DataFrame | None = None
+    if man is not None:
+        base = man["base"]
+        p = base if os.path.isabs(base) else os.path.join(root, base)
+        if os.path.isdir(p) and any(
+            n.endswith(".parquet") for _, _, ns in os.walk(p) for n in ns
+        ):
+            hive = any(
+                "=" in n and os.path.isdir(os.path.join(p, n))
+                for n in os.listdir(p)
+            )
+            rr = spark.read
+            if not hive:
+                rr = rr.option("recursiveFileLookup", "true")
+            prev = rr.parquet(p)
+    cols = list(newb.schema.fields)
+    if prev is None:
+        prev_al = spark.createDataFrame([], newb.schema)
+    else:
+        prev_al = prev.select(
+            *[
+                (
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in prev.columns
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in cols
+            ]
+        )
+    dels = prev_al.exceptAll(newb).withColumn("_change", F.lit("delete"))
+    ins = newb.exceptAll(prev_al).withColumn("_change", F.lit("insert"))
+    cdir = os.path.join(root, _CHANGES, f"g{gen}")
+    dels.unionByName(ins).write.mode("overwrite").parquet(cdir)
+    return f"g{gen}"
 
 
 def _vacuum_tombs(
@@ -3008,6 +3468,7 @@ def maintain_batched(
     ann: "tuple | None" = None,
     max_batch: int | None = None,
     keep_last_txns: "tuple[str, int] | None" = None,
+    change_feed: bool = False,
 ) -> int:
     """AUTO-compaction policy (VERDICT r5 item #3): compact when the
     live-dir count reaches ``max_dirs``, else no-op.  Called by the
@@ -3096,6 +3557,7 @@ def maintain_batched(
         keep_last_gens=keep_last_gens,
         max_batch=max_batch,
         keep_last_txns=keep_last_txns,
+        change_feed=change_feed,
     )
 
 

@@ -5641,3 +5641,212 @@ def test_group_retention_keep_last_txns(spark, tmpdir):
     feed = S.diff_group_adjacent(spark, g2, 1, 2, "b", ["k"], schema)
     assert feed is not None
     assert sorted(r["k"] for r in feed.collect()) == list(range(20, 30))
+
+
+def test_change_file_transform_fold_fast_path(spark, tmpdir):
+    """CHANGE FILES FOR TRANSFORM GENERATIONS (r11, VERDICT r10 item
+    #4 — the Delta MERGE-CDF shape): a rebucket/requantize fold
+    rewrites rows it can enumerate, so ``change_feed=True`` makes it
+    materialize its row-level delta to ``.changes/g<gen>`` and commit
+    the pointer in the manifest; diff_batched_adjacent then composes
+    plain AND transform generations per-generation — zero snapshot
+    scans across a maintenance window.  Exactness pinned against
+    diff_batched on a window containing appends, retractions and a
+    spec-doubling rebucket; an opted-out transform still falls back."""
+    from mo_etl_spark import streaming as S
+
+    root = f"{tmpdir}/cf"
+    schema = "k BIGINT, ib BIGINT"
+
+    def kdf(lo, hi, n=4):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            F.pmod(F.xxhash64("id"), F.lit(n)).alias("ib"),
+        )
+
+    S.idempotent_batch_write(kdf(0, 200), root, 0, partition_cols=["ib"])
+    S.stamp_spec(root, 0, 4)
+    S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["ib"], gc_grace_sec=3600.0
+    )  # gen1, plain
+    S.idempotent_batch_write(kdf(1000, 1050), root, 1, partition_cols=["ib"])
+    S.stamp_spec(root, 1, 4)
+    S.append_tombstones(
+        spark.createDataFrame([(k,) for k in range(0, 200, 10)], "k BIGINT"),
+        root,
+    )
+    S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["ib"], gc_grace_sec=3600.0,
+        tombstone_col="k", change_feed=True,
+        transform=S.rebucket_transform(
+            "ib", lambda n: F.pmod(F.xxhash64("k"), F.lit(n)), 4,
+            cap_rows=10, prior_extra=S.read_manifest_extra(root),
+        ),
+    )  # gen2: TRANSFORM, with change file
+    man = S._read_manifest(root)
+    assert man["plain"] is False and man.get("change") == "g2"
+    assert os.path.isdir(os.path.join(root, ".changes", "g2"))
+    n_new = S.current_spec(root, 4)
+    assert n_new >= 8  # the spec actually doubled (payloads moved)
+    S.idempotent_batch_write(
+        kdf(2000, 2020, n=n_new), root, 2, partition_cols=["ib"]
+    )
+    S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["ib"], gc_grace_sec=3600.0
+    )  # gen3, plain
+
+    feed = S.diff_batched_adjacent(spark, root, 1, 3, ["k"], schema)
+    assert feed is not None  # the transform window serves the fast path
+    rows = feed.collect()
+    ins = sorted(r["k"] for r in rows if r["_change"] == "insert")
+    dls = sorted(r["k"] for r in rows if r["_change"] == "delete")
+    oracle = S.diff_batched(
+        spark, root, 1, 3, ["k"], schema, partitioned=True
+    ).collect()
+    assert ins == sorted(
+        r["k"] for r in oracle if r["_change"] == "insert"
+    )
+    assert dls == sorted(
+        r["k"] for r in oracle if r["_change"] == "delete"
+    )
+    # the rebucket moved payloads of surviving pre-window keys — the
+    # key-only feed correctly emits NOTHING for them (diff parity)
+    assert not (set(ins) & set(range(0, 200)))
+
+    # consumer through the window: the batched MV advanced via
+    # change_files=True crosses the transform generation on the fast
+    # path and stays row-equal with the direct snapshot
+    mv = f"{tmpdir}/cf_mv"
+    S.materialize_snapshot_batched(
+        spark, root, mv, 1, partitioned=True, schema=schema
+    )
+    assert S.apply_change_feed_batched(
+        spark, root, mv, 3, "k", schema, partitioned=True,
+        change_files=True,
+    ) == 3
+    got = sorted(
+        r["k"]
+        for r in S.read_materialized_batched(spark, mv, "k", schema).collect()
+    )
+    want = sorted(
+        r["k"]
+        for r in S.read_batched_at(
+            spark, root, 3, schema, partitioned=True
+        ).collect()
+    )
+    assert got == want
+
+    # an opted-OUT transform generation still poisons the window
+    S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["ib"], gc_grace_sec=3600.0,
+        transform=lambda df: (df, dict(S.read_manifest_extra(root))),
+    )  # gen4: transform, no change file
+    assert S.diff_batched_adjacent(spark, root, 1, 4, ["k"], schema) is None
+    # and a vacuumed change file falls back too
+    shutil.rmtree(os.path.join(root, ".changes", "g2"))
+    assert S.diff_batched_adjacent(spark, root, 1, 3, ["k"], schema) is None
+
+
+def test_group_feed_across_rebucket_window(spark, tmpdir):
+    """GROUP change-file feed across a MID-STREAM REBUCKET (r11): a
+    consumer lagging across a maintenance window previously paid the
+    table-bound snapshot diff (SCALE_r10: 13x at 30x) because the
+    transform generation poisoned the fast path.  With the fold
+    emitting its change file, diff_group_adjacent composes it with the
+    window's batch dirs — including the presence correction for
+    pre-window live batches the transform consumed — and a
+    composite-key mirror (key includes the bucket column) stays exact:
+    moved rows flow as delete(old bucket)+insert(new bucket)."""
+    from mo_etl_spark import streaming as S
+
+    g = f"{tmpdir}/gcf"
+    ta = f"{tmpdir}/gcf_t"
+    schema = "k BIGINT, ib BIGINT"
+
+    def kdf(lo, hi, n):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            F.pmod(F.xxhash64("id"), F.lit(n)).alias("ib"),
+        )
+
+    # txn 0: b0 folded plain -> gen1; txn 1: b1 LIVE (unconsumed)
+    S.idempotent_batch_write(kdf(0, 100, 4), ta, 0, partition_cols=["ib"])
+    S.stamp_spec(ta, 0, 4)
+    S.compact_batched(
+        spark, ta, min_dirs=0, partition_cols=["ib"], gc_grace_sec=3600.0
+    )
+    S.txn_commit(g, 0, {"t": ta})
+    S.idempotent_batch_write(kdf(500, 540, 4), ta, 1, partition_cols=["ib"])
+    S.stamp_spec(ta, 1, 4)
+    S.txn_commit(g, 1, {"t": ta})
+    # mirror seeded at txn 0 (so b1 is IN the consumer's window and
+    # gets consumed by the mid-window transform -> presence correction)
+    mv = f"{tmpdir}/gcf_mv"
+    S.materialize_group_member(spark, g, mv, "t", 0, schema)
+    # ...but we advance it only AFTER the rebucket below
+
+    # mid-window REBUCKET with change file (consumes live b1 too)
+    S.append_tombstones(
+        spark.createDataFrame([(k,) for k in range(0, 100, 9)], "k BIGINT"),
+        ta,
+    )
+    S.compact_batched(
+        spark, ta, min_dirs=0, partition_cols=["ib"], gc_grace_sec=3600.0,
+        tombstone_col="k", change_feed=True,
+        max_batch=S.txn_watermark(g),
+        transform=S.rebucket_transform(
+            "ib", lambda n: F.pmod(F.xxhash64("k"), F.lit(n)), 4,
+            cap_rows=10, prior_extra=S.read_manifest_extra(ta),
+        ),
+    )
+    n_new = S.current_spec(ta, 4)
+    assert n_new >= 8
+    # txn 2: one more live batch after the fold
+    S.idempotent_batch_write(kdf(900, 910, n_new), ta, 2, partition_cols=["ib"])
+    S.stamp_spec(ta, 2, n_new)
+    S.txn_commit(g, 2, {"t": ta})
+
+    # the fast path serves the whole 0 -> 2 window (transform inside)
+    feed = S.diff_group_adjacent(spark, g, 0, 2, "t", ["k"], schema)
+    assert feed is not None
+    rows = feed.collect()
+    ins = sorted(r["k"] for r in rows if r["_change"] == "insert")
+    dls = sorted(r["k"] for r in rows if r["_change"] == "delete")
+    # oracle: keyed diff of the two group-travel views
+    a = S.read_group_at(spark, g, 0, "t", schema, partitioned=True)
+    b = S.read_group_at(spark, g, 2, "t", schema, partitioned=True)
+    oins = sorted(
+        r["k"] for r in b.join(a.select("k"), "k", "left_anti").collect()
+    )
+    odls = sorted(
+        r["k"] for r in a.join(b.select("k"), "k", "left_anti").collect()
+    )
+    assert ins == oins  # b1's keys NOT double-counted (presence fix)
+    assert dls == odls
+
+    # composite-key mirror across the rebucket: moved rows mirror as
+    # delete(old bucket) + insert(new bucket), final state exact
+    mv2 = f"{tmpdir}/gcf_mv2"
+    S.materialize_group_member(spark, g, mv2, "t", 0, schema)
+    assert S.apply_group_feed_batched(
+        spark, g, mv2, "t", ["k", "ib"], 2, schema
+    ) == 2
+    got = sorted(
+        (r["k"], r["ib"])
+        for r in S.read_materialized_batched(
+            spark, mv2, ["k", "ib"], schema
+        ).collect()
+    )
+    want = sorted((r["k"], r["ib"]) for r in b.collect())
+    assert got == want
+
+    # the single-column-key mirror keeps diff parity too (payload
+    # moves invisible by contract)
+    assert S.apply_group_feed_batched(
+        spark, g, mv, "t", ["k"], 2, schema
+    ) == 2
+    gotk = sorted(
+        r["k"]
+        for r in S.read_materialized_batched(spark, mv, "k", schema).collect()
+    )
+    assert gotk == sorted(r["k"] for r in b.collect())

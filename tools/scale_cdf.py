@@ -67,6 +67,31 @@ def build_upstream(spark, root: str, n: int) -> None:
         spark, root, min_dirs=0, partition_cols=["ib"],
         tombstone_col="k", gc_grace_sec=3600.0,
     )  # gen2: n - DELTA_DEL + DELTA_INS rows
+    # gen3 (r11, VERDICT r10 item #4): a STEADY maintenance rebucket —
+    # spec stays 32 (cap far above the hottest bucket), but one
+    # old-spec in-flight batch (written under spec 16, the
+    # writer-in-flight shape) gets normalized by the unconditional
+    # recompute.  The moved rows are DELTA-sized, so the change file
+    # the fold emits (change_feed=True) is too — the realistic
+    # "consumer lagging across a maintenance window" case.  A
+    # spec-DOUBLING pass moves ~half the table and its change file is
+    # honestly move-proportional; that case is documented, not claimed
+    # flat.
+    S.idempotent_batch_write(
+        spark.range(20_000_000_000, 20_000_000_000 + DELTA_INS).select(
+            F.col("id").alias("k"), F.pmod("id", F.lit(16)).alias("ib")
+        ),
+        root, 2, partition_cols=["ib"],
+    )
+    S.stamp_spec(root, 2, 16)
+    S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["ib"], gc_grace_sec=3600.0,
+        change_feed=True,
+        transform=S.rebucket_transform(
+            "ib", lambda m: F.pmod("k", F.lit(m)), 32,
+            cap_rows=1 << 62, prior_extra=S.read_manifest_extra(root),
+        ),
+    )  # gen3: transform with change file; moved rows = the b2 stragglers
 
 
 def measure(spark, root: str, scale: str, out) -> None:
@@ -149,6 +174,41 @@ def measure(spark, root: str, scale: str, out) -> None:
             change_files=True,
         ),
         setup=seed_batched_cf,
+    )
+
+    # r11: the TRANSFORM-window pair — a consumer lagging across a
+    # steady maintenance rebucket (gen3 carries a change file).  The
+    # change-file path composes the plain gen2 with the transform gen3
+    # per-generation; the snapshot diff is what the same window cost
+    # before (the fallback, table-bound).
+    def run_cf_tw():
+        df = S.diff_batched_adjacent(spark, root, 1, 3, ["k"], schema)
+        assert df is not None  # transform gen has its change file
+        df.write.mode("overwrite").format("noop").save()
+
+    rep("cdf_diff_transform_window_changefiles", run_cf_tw)
+    rep(
+        "cdf_diff_transform_window_snapshot",
+        lambda: S.diff_batched(
+            spark, root, 1, 3, ["k"], schema, partitioned=True
+        ).write.mode("overwrite").format("noop").save(),
+    )
+
+    mvt = f"{SCRATCH}/mv_batched_tw_{scale}"
+
+    def seed_batched_tw():
+        shutil.rmtree(mvt, ignore_errors=True)
+        S.materialize_snapshot_batched(
+            spark, root, mvt, 1, partitioned=True, schema=schema
+        )
+
+    rep(
+        "cdf_mv_apply_batched_transform_cf",
+        lambda: S.apply_change_feed_batched(
+            spark, root, mvt, 3, "k", schema, partitioned=True,
+            change_files=True,
+        ),
+        setup=seed_batched_tw,
     )
 
 
