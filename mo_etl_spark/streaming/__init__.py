@@ -2708,6 +2708,7 @@ def read_batched_layout_split(
     layout_id: str,
     schema: str,
     exclude_batch: int | None = None,
+    max_batch: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Layout-aware split read (r9 — the quantizer sibling of
     read_batched_pruned): returns ``(matched, foreign)`` over the live
@@ -2723,7 +2724,10 @@ def read_batched_layout_split(
     trigger's data, so the window is bounded, and the next compaction
     (which re-derives the layout for every retained row) empties it.
     The external seed base takes its layout from the manifest extra
-    claim (``layout_id``), exactly like the spec reader."""
+    claim (``layout_id``), exactly like the spec reader.
+    ``max_batch`` restricts to txn-committed batch dirs (r10/r11 — a
+    cross-family group's serve reads AT the group watermark, so an
+    uncommitted trigger's index rows stay invisible)."""
     from functools import reduce
 
     man = _read_manifest(root) if os.path.isdir(root) else None
@@ -2732,7 +2736,11 @@ def read_batched_layout_split(
     if man and isinstance(man.get("extra"), dict):
         v = man["extra"].get("layout_id")
         seed_layout = str(v) if v is not None else None
-    paths = _live_dirs(root, exclude_batch) if os.path.isdir(root) else []
+    paths = (
+        _live_dirs(root, exclude_batch, max_batch)
+        if os.path.isdir(root)
+        else []
+    )
     matched: list[DataFrame] = []
     foreign: list[DataFrame] = []
     vals = sorted(set(values))

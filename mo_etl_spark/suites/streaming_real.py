@@ -2947,6 +2947,7 @@ def _ivf_pruned_serve(
     queries: DataFrame,
     nprobe: int = 4,
     prov: int = 2,
+    max_batch: int | None = None,
 ) -> DataFrame:
     """The contract top-5 serve against a stream-grown index: STATIC
     probed-cell pruning pushed through the per-batch-dir union
@@ -2982,7 +2983,8 @@ def _ivf_pruned_serve(
     )
     schema = "c_id BIGINT, vec ARRAY<FLOAT>, cell BIGINT, sub INT"
     idx, foreign = read_batched_layout_split(
-        spark, idx_dir, "cell", probed_cells, S.quantizer_id(cents), schema
+        spark, idx_dir, "cell", probed_cells, S.quantizer_id(cents), schema,
+        max_batch=max_batch,
     )
     if has_tombstones(idx_dir):
         dead = F.broadcast(
@@ -3335,3 +3337,290 @@ def _wire_ivf_upsert_oracle() -> None:
 
 
 _wire_ivf_upsert_oracle()
+
+
+#: cross-FAMILY group (r11, VERDICT r10 item #1): the vector corpus
+#: (relational family, db-bucketed) and the serving IVF index (ANN
+#: family, (cell, sub)-partitioned) advance under ONE txn_commit
+_VEC_CORPUS_SCHEMA = "c_id BIGINT, vec ARRAY<FLOAT>, db BIGINT"
+_VEC_NB = 8
+
+
+def _vec_group_seed_dirs(
+    spark: SparkSession,
+    sf_dir: str,
+    corpus_dir: str,
+    idx_dir: str,
+    group_root: str,
+    base_lt: int = 256,
+    cents_lt: int = 16,
+    prov: int = 2,
+    nb: int = _VEC_NB,
+):
+    """Seed the cross-family pair: the arrived-vector corpus
+    (db-bucketed) and the IVF index ((cell, sub)-partitioned,
+    layout-stamped with the creation quantizer) — both as zero-copy
+    gen-0 references to cached base snapshots, made visible in ONE
+    seed transaction (watermark -1).  Returns (embeddings table,
+    centroid frame, creation layout id)."""
+    from mo_etl_spark.operators import similarity as S
+    from mo_etl_spark.streaming import seed_batched as _seed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") < base_lt).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec")
+    )
+    cents = emb.where(F.col("vec_id") < cents_lt).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("vec")
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    src = os.path.join(sf_dir, "embeddings.parquet")
+
+    def _stale(snap: str) -> bool:
+        success = os.path.join(snap, "_SUCCESS")
+        return not os.path.exists(success) or os.path.getmtime(
+            success
+        ) < os.path.getmtime(src)
+
+    corp_snap = os.path.join(
+        _CACHE, tag, f"stream_base_vec_corpus__nb{nb}_base{base_lt}"
+    )
+    if _stale(corp_snap):
+        base.withColumn("db", F.pmod("c_id", F.lit(nb))).repartition(
+            F.col("db")
+        ).write.mode("overwrite").partitionBy("db").parquet(corp_snap)
+    idx_snap = os.path.join(
+        _CACHE,
+        tag,
+        f"stream_base_ivf_index__c{cents_lt}_base{base_lt}_sub{prov}",
+    )
+    if _stale(idx_snap):
+        S.ivf_cells(base, cents).join(base, "c_id").withColumn(
+            "sub", F.pmod(F.xxhash64(F.col("c_id")), F.lit(prov)).cast("int")
+        ).repartition(F.col("cell"), F.col("sub")).write.mode(
+            "overwrite"
+        ).partitionBy("cell", "sub").parquet(idx_snap)
+    qid0 = S.quantizer_id(cents)
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    _seed(corpus_dir, corp_snap, extra={"spec_n": nb})
+    _seed(idx_dir, idx_snap, extra={"layout_id": qid0})
+    shutil.rmtree(group_root, ignore_errors=True)
+    txn_commit(group_root, -1, {"vectors": corpus_dir, "index": idx_dir})
+    return emb, cents, qid0
+
+
+def _vec_group_apply_batch(
+    spark: SparkSession,
+    corpus_dir: str,
+    idx_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    cents: DataFrame,
+    qid0: str,
+    group_root: str,
+    nb: int = _VEC_NB,
+    prov: int = 2,
+    crash_point: str | None = None,
+) -> None:
+    """One trigger of the CROSS-FAMILY transactional loop (r11,
+    VERDICT r10 item #1): the embedding batch lands in the arrived
+    corpus (db-bucketed) AND, cell-assigned under the creation
+    quantizer, in the serving IVF index — two tables that share no
+    write path — then ONE ``txn_commit`` makes both visible together.
+    A transactional reader (serve at ``txn_watermark``) sees either
+    both halves of a trigger or neither: an embedding can never be
+    findable by the index but missing from the corpus, or vice versa.
+
+    ``crash_point`` (the chaos-model hook, mirroring
+    _incr_dedup_apply_batch's): ``"after_corpus"`` (corpus written,
+    index missing — the cross-family torn window), ``"mid_index"``
+    (index data landed, its _SUCCESS marker torn off), ``"before_txn"``
+    (both complete, the commit not made — everything on disk looks
+    healthy).  Replay-idempotent throughout: per-batch overwrites +
+    the monotone txn pointer."""
+    from mo_etl_spark.operators import similarity as S
+    from mo_etl_spark.streaming import stamp_layout
+
+    b = batch_df.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec")
+    ).localCheckpoint(eager=True)
+    idempotent_batch_write(
+        b.withColumn("db", F.pmod("c_id", F.lit(nb))),
+        corpus_dir,
+        batch_id,
+        partition_cols=["db"],
+    )
+    stamp_spec(corpus_dir, batch_id, nb)
+    if crash_point == "after_corpus":
+        raise PlantedCrash("after_corpus")
+    idempotent_batch_write(
+        S.ivf_cells(b, cents)
+        .join(b, "c_id")
+        .withColumn(
+            "sub", F.pmod(F.xxhash64(F.col("c_id")), F.lit(prov)).cast("int")
+        ),
+        idx_dir,
+        batch_id,
+        partition_cols=["cell", "sub"],
+    )
+    stamp_layout(idx_dir, batch_id, qid0)
+    if crash_point == "mid_index":
+        try:
+            os.remove(os.path.join(idx_dir, f"b{batch_id}", "_SUCCESS"))
+        except OSError:
+            pass
+        raise PlantedCrash("mid_index")
+    if crash_point == "before_txn":
+        raise PlantedCrash("before_txn")
+    txn_commit(
+        group_root, batch_id, {"vectors": corpus_dir, "index": idx_dir}
+    )
+
+
+@query(
+    "stream_real_txn_group_ann",
+    oracle=None,  # wired below: the shared IVF serve oracle + corpus SQL
+    tags=(
+        "cross_table_txn",
+        "sim_ivf",
+        "index_persistence",
+        "incremental_etl",
+        "foreachBatch_etl",
+        "stream_source",
+    ),
+)
+@_stream_tuned
+def stream_real_txn_group_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-FAMILY TRANSACTION GROUP (r11, VERDICT r10 item #1): the
+    group protocol generalizes beyond tables that share a write path —
+    embedding arrivals update the ARRIVED VECTOR CORPUS (relational
+    family) and the SERVING IVF INDEX (ANN family) in one
+    ``txn_commit`` per trigger, and every read happens AT THE GROUP
+    WATERMARK.  The torn window this kills is cross-family: without
+    the txn, a crash between the corpus and index writes leaves an
+    embedding findable by similarity search but absent from the
+    corpus (or arrived but unfindable) until the replay heals it.
+
+    The query makes transactional visibility LOAD-BEARING: after the
+    stream, a PHANTOM trigger (poison copies of the query vectors,
+    cosine ~1.0 — guaranteed top-1 hits if visible) is written to BOTH
+    tables but crashes ``before_txn``; index maintenance then folds AT
+    the watermark (``max_batch`` — the phantom cannot be baked into
+    the base); the layout-split pruned serve and the corpus summary
+    both read ``max_batch=watermark``.  One leaked phantom row
+    hash-misses the shared IVF oracle instantly.  The serve equals the
+    one-shot IVF assignment of the whole corpus (the upsert query's
+    exactness argument), and the corpus summary equals SQL over the
+    full embeddings table."""
+    prepare(spark)
+    from mo_etl_spark.operators import similarity as S
+
+    prov, cap_rows = 2, 512
+    corpus_dir = _scratch("txn_ann_corpus")
+    idx_dir = _scratch("txn_ann_index")
+    group = _scratch("txn_ann_group")
+    ckpt = _scratch("txn_ann_ckpt")
+    emb, cents, qid0 = _vec_group_seed_dirs(
+        spark, sf_dir, corpus_dir, idx_dir, group, prov=prov
+    )
+    feed = _ivf_corpus_feed(spark, sf_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        _vec_group_apply_batch(
+            spark, corpus_dir, idx_dir, batch_df, batch_id, cents, qid0,
+            group, prov=prov,
+        )
+
+    feed_schema = spark.read.option("recursiveFileLookup", "true").parquet(
+        feed
+    ).schema
+    q = (
+        spark.readStream.schema(feed_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .format("parquet")
+        .load(feed)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    w = txn_watermark(group)
+    assert w is not None and w >= 0
+    # PHANTOM uncommitted trigger: poison vectors (copies of the query
+    # embeddings under fresh ids) land COMPLETE in both tables, but
+    # the crash before txn_commit leaves them invisible to every
+    # transactional reader below
+    poison = emb.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 90_000).alias("vec_id"), "embedding"
+    )
+    try:
+        _vec_group_apply_batch(
+            spark, corpus_dir, idx_dir, poison, w + 1, cents, qid0, group,
+            prov=prov, crash_point="before_txn",
+        )
+    except PlantedCrash:
+        pass
+    assert txn_watermark(group) == w  # the phantom never committed
+    # group maintenance AT the watermark: the fold consolidates the
+    # committed batches and CANNOT bake the phantom (max_batch guard)
+    maintain_batched(
+        spark,
+        idx_dir,
+        max_dirs=2,
+        partition_cols=["cell", "sub"],
+        transform=S.ann_resplit_transform(cap_rows),
+        max_batch=w,
+    )
+    queries = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+    )
+    serve = _ivf_pruned_serve(
+        spark, idx_dir, cents, queries, prov=prov, max_batch=w
+    ).select(
+        F.lit("serve").alias("part"), "q_id", "c_id", "cos_sim"
+    )
+    corpus = (
+        read_batched(
+            spark,
+            corpus_dir,
+            partitioned=True,
+            schema=_VEC_CORPUS_SCHEMA,
+            max_batch=w,
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("q_id"),
+            F.sum("c_id").cast("long").alias("c_id"),
+        )
+        .select(
+            F.lit("corpus").alias("part"),
+            "q_id",
+            "c_id",
+            F.lit(0.0).alias("cos_sim"),
+        )
+    )
+    return serve.unionByName(corpus)
+
+
+def _wire_txn_group_ann_oracle() -> None:
+    from mo_etl_spark.registry import QUERIES, QuerySpec
+    from mo_etl_spark.suites.llm import _SQL_IVF_ORACLE_HEAD
+
+    sql = f"""
+    WITH serve AS ({_SQL_IVF_ORACLE_HEAD})
+    SELECT 'serve' AS part, q_id, c_id, cos_sim FROM serve
+    UNION ALL
+    SELECT 'corpus', count(*), CAST(sum(vec_id) AS BIGINT), 0.0
+    FROM embeddings
+    """
+    spec = QUERIES["stream_real_txn_group_ann"]
+    QUERIES["stream_real_txn_group_ann"] = QuerySpec(
+        name=spec.name, fn=spec.fn, oracle=sql, tags=spec.tags
+    )
+
+
+_wire_txn_group_ann_oracle()

@@ -5850,3 +5850,179 @@ def test_group_feed_across_rebucket_window(spark, tmpdir):
         for r in S.read_materialized_batched(spark, mv, "k", schema).collect()
     )
     assert gotk == sorted(r["k"] for r in b.collect())
+
+
+@pytest.mark.parametrize("seed", [3, 29])
+def test_cross_family_txn_group_chaos_model(spark, tmpdir, seed):
+    """CROSS-FAMILY txn group chaos model (r11, VERDICT r10 item #1):
+    the trio model proved the protocol for tables sharing one write
+    path; this instance drives a group whose members belong to
+    DIFFERENT operator families — the arrived-vector corpus
+    (db-bucketed relational state) and the serving IVF index
+    ((cell, sub)-partitioned ANN state) — through a seeded schedule of
+    applies, crashes planted BETWEEN the corpus and index writes
+    (after_corpus / mid_index / before_txn), late replays, per-member
+    folds (including the ANN re-split transform), and a
+    stale-watermark fold.  THE invariant, asserted at EVERY step
+    including open torn windows: transactional readers at
+    ``max_batch=txn_watermark`` see the SAME id set in both tables —
+    an embedding is never findable by similarity search but missing
+    from the corpus, or arrived but unfindable.  Final gate: the
+    layout-split pruned serve at the watermark equals the one-shot
+    top-5 over the committed corpus."""
+    import random
+
+    from mo_etl_spark import streaming as SS
+    from mo_etl_spark.operators import similarity as S
+    from mo_etl_spark.suites.streaming_real import (
+        _VEC_CORPUS_SCHEMA,
+        PlantedCrash,
+        _vec_group_apply_batch,
+    )
+
+    rng = random.Random(seed)
+    gen = random.Random(41)  # corpus fixed across seeds
+    DIM, N_BATCH, PER, PROV = 8, 5, 10, 2
+    protos = [
+        [(6.0 if j == c else -2.0) + gen.uniform(-0.2, 0.2) for j in range(DIM)]
+        for c in range(4)
+    ]
+    cents = spark.createDataFrame(
+        [(c, [float(x) for x in protos[c]]) for c in range(4)],
+        "cent_id BIGINT, vec ARRAY<FLOAT>",
+    ).localCheckpoint()
+    qid0 = S.quantizer_id(cents)
+
+    def mk_batch(b: int):
+        rows = []
+        for i in range(PER):
+            cid = b * PER + i
+            p = protos[gen.randrange(4)]
+            rows.append(
+                (cid, [x + gen.uniform(-0.3, 0.3) for x in p])
+            )
+        return rows
+
+    batches = [mk_batch(b) for b in range(N_BATCH)]
+
+    def bdf(b: int):
+        return spark.createDataFrame(
+            batches[b], "vec_id BIGINT, embedding ARRAY<FLOAT>"
+        )
+
+    corpus_dir, idx_dir = f"{tmpdir}/vg_corpus", f"{tmpdir}/vg_index"
+    group = f"{tmpdir}/vg_group"
+    IDX_SCHEMA = "c_id BIGINT, vec ARRAY<FLOAT>, cell BIGINT, sub INT"
+
+    def apply_full(b: int, crash: str | None = None):
+        _vec_group_apply_batch(
+            spark, corpus_dir, idx_dir, bdf(b), b, cents, qid0, group,
+            nb=4, prov=PROV, crash_point=crash,
+        )
+
+    apply_full(0)
+    committed = 1
+    crashed: int | None = None
+
+    def check():
+        w = SS.txn_watermark(group)
+        assert w == committed - 1, (w, committed)
+        want = {i for b in range(committed) for i, _ in batches[b]}
+        corp_ids = {
+            r["c_id"]
+            for r in SS.read_batched(
+                spark, corpus_dir, partitioned=True,
+                schema=_VEC_CORPUS_SCHEMA, max_batch=w,
+            ).select("c_id").collect()
+        }
+        idx_ids = {
+            r["c_id"]
+            for r in SS.read_batched(
+                spark, idx_dir, partitioned=True, schema=IDX_SCHEMA,
+                max_batch=w,
+            ).select("c_id").distinct().collect()
+        }
+        # THE cross-family invariant: both members at the watermark,
+        # torn window open or not
+        assert corp_ids == want, ("corpus torn", committed, crashed)
+        assert idx_ids == want, ("index torn", committed, crashed)
+
+    for step in range(16):
+        op = rng.choice(
+            ["apply", "apply", "crash", "late_replay",
+             "fold_idx", "fold_corpus", "fold_stale_watermark"]
+        )
+        if op == "apply":
+            if crashed is not None:
+                apply_full(crashed)
+                committed += 1
+                crashed = None
+            elif committed < N_BATCH:
+                apply_full(committed)
+                committed += 1
+        elif op == "crash" and crashed is None and committed < N_BATCH:
+            point = rng.choice(["after_corpus", "mid_index", "before_txn"])
+            with pytest.raises(PlantedCrash):
+                apply_full(committed, crash=point)
+            crashed = committed
+        elif op == "late_replay" and committed > 1:
+            apply_full(rng.randrange(committed))  # must be a no-op
+        elif op == "fold_idx":
+            SS.compact_batched(
+                spark, idx_dir, min_dirs=0, partition_cols=["cell", "sub"],
+                gc_grace_sec=0.0, max_batch=SS.txn_watermark(group),
+                transform=S.ann_resplit_transform(64),
+            )
+        elif op == "fold_corpus":
+            SS.compact_batched(
+                spark, corpus_dir, min_dirs=0, partition_cols=["db"],
+                gc_grace_sec=0.0, max_batch=SS.txn_watermark(group),
+            )
+        elif op == "fold_stale_watermark":
+            w = SS.txn_watermark(group)
+            stale = (w - 1) if w is not None and w > 0 else w
+            SS.compact_batched(
+                spark, idx_dir, min_dirs=0, partition_cols=["cell", "sub"],
+                gc_grace_sec=0.0, max_batch=stale,
+                transform=S.ann_resplit_transform(64),
+            )
+        check()
+    # drain and serve-check: the transactional layout-split serve at
+    # the watermark equals the one-shot top-5 over the committed
+    # corpus (nprobe = all 4 cells -> exact)
+    if crashed is not None:
+        apply_full(crashed)
+        committed += 1
+        crashed = None
+    while committed < N_BATCH:
+        apply_full(committed)
+        committed += 1
+    check()
+    from mo_etl_spark.suites.streaming_real import _ivf_pruned_serve
+
+    queries = spark.createDataFrame(
+        [
+            (100 + c, [x + 0.05 for x in protos[c]])
+            for c in range(4)
+        ],
+        "q_id BIGINT, vec ARRAY<FLOAT>",
+    )
+    w = SS.txn_watermark(group)
+    got = sorted(
+        (r["q_id"], r["rnk"], r["c_id"])
+        for r in _ivf_pruned_serve(
+            spark, idx_dir, cents, queries, nprobe=4, prov=PROV,
+            max_batch=w,
+        ).collect()
+    )
+    corpus_all = spark.createDataFrame(
+        [x for b in batches for x in b], "c_id BIGINT, vec ARRAY<FLOAT>"
+    )
+    want_serve = sorted(
+        (r["q_id"], r["rnk"], r["c_id"])
+        for r in S.brute_force_topk(
+            queries, corpus_all, k=5, exclude_self=False,
+            n_q_blocks=1, n_c_blocks=1,
+        ).collect()
+    )
+    assert got == want_serve
