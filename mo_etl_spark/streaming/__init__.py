@@ -2104,7 +2104,16 @@ def _txn_commit_locked(
         vec[alias] = {"root": root, "gen": int(man["gen"]) if man else 0}
     rec = {"txn": int(batch_id), "tables": vec}
     path = os.path.join(group_root, _TXN)
-    tmp = path + ".tmp"
+    # PER-ATTEMPT tmp names (r11, found by the full-protocol threaded
+    # model's debris leg on its first run): with the fixed ``.tmp``
+    # name, any concurrent writer to that path — crash debris being
+    # replanted, a TTL-reclaimed zombie committer — could have ITS
+    # bytes published by this commit's rename (rename is atomic, but
+    # the content under the shared name is not ours).  A unique name
+    # keeps the content private until the atomic publish; stale
+    # attempts' files are inert debris every reader skips (the
+    # ``.tmp`` suffix filter) and the next maintenance sweep removes.
+    tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
     payload = json.dumps(rec, sort_keys=True)
     with open(tmp, "w") as f:
         f.write(payload)
@@ -2119,11 +2128,12 @@ def _txn_commit_locked(
     # history entry AFTER the pointer commit (same discipline as the
     # manifest log: a crash between the two only narrows history)
     log = os.path.join(group_root, f"{_TXN}.t{int(batch_id)}")
-    with open(log + ".tmp", "w") as f:
+    ltmp = f"{log}.tmp.{os.getpid()}.{threading.get_ident()}"
+    with open(ltmp, "w") as f:
         f.write(payload)
         f.flush()
         os.fsync(f.fileno())
-    os.rename(log + ".tmp", log)
+    os.rename(ltmp, log)
     return int(batch_id)
 
 
@@ -2159,7 +2169,7 @@ def txn_log(group_root: str) -> dict[int, dict]:
     if not os.path.isdir(group_root):
         return out
     for n in os.listdir(group_root):
-        if not n.startswith(_TXN + ".t") or n.endswith(".tmp"):
+        if not n.startswith(_TXN + ".t") or ".tmp" in n:
             continue
         try:
             t = int(n[len(_TXN) + 2:])
@@ -2360,6 +2370,28 @@ def txn_watermark(group_root: str) -> int | None:
     never bake an uncommitted batch into a base."""
     rec = txn_vector(group_root)
     return int(rec["txn"]) if rec is not None else None
+
+
+def txn_watermark_logged(group_root: str) -> int | None:
+    """The highest committed transaction whose HISTORY ENTRY is also
+    durable — the safe target for group-feed consumers and group time
+    travel (r11, found by the full-protocol threaded model): the
+    commit is two steps (pointer PUT, then per-txn log append), so a
+    reader that resolves ``txn_watermark`` from the pointer and
+    immediately travels to it can race the gap — the entry has not
+    landed yet and read_group_at raises / diff_group_adjacent falls
+    back spuriously.  A consumer advancing to THIS value never races
+    it: the entry for txn N is durable before the pointer moves past
+    N (the next commit happens-after the previous log append in the
+    single-writer discipline, and the commit lease serializes racing
+    writers).  Live ``max_batch=`` readers don't need this — the
+    pointer alone defines their visibility; it matters exactly when
+    the txn's HISTORY record is about to be dereferenced."""
+    w = txn_watermark(group_root)
+    if w is None:
+        return None
+    logged = [t for t in txn_log(group_root) if t <= w]
+    return max(logged) if logged else None
 
 
 def _live_dirs(

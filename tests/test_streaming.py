@@ -6026,3 +6026,176 @@ def test_cross_family_txn_group_chaos_model(spark, tmpdir, seed):
         ).collect()
     )
     assert got == want_serve
+
+
+@pytest.mark.parametrize("seed", [5, 17, 29, 41])
+def test_txn_protocol_threaded_full_model(spark, tmpdir, seed):
+    """FULL-PROTOCOL threaded interleaving model (r11, VERDICT r10
+    item #2 — the monotonicity model extended to the whole op family):
+    a live WRITER committing fresh batches, TWO COMPACTORS folding
+    concurrently (one at the live watermark, one deliberately STALE),
+    a GROUP-FEED CONSUMER advancing a mirror mid-commit, a
+    TRANSACTIONAL READER asserting exact visibility at every poll, and
+    CRASH DEBRIS planted between the pointer write and the log append
+    (orphan ``_TXN.tmp`` / ``_TXN.t*.tmp`` files) — all interleaved by
+    the OS scheduler under a seeded op mix.  Invariants at every step:
+    the transactional read at the resolved watermark is EXACTLY the
+    committed prefix; the mirror equals the prefix at its cursor after
+    every application; racing compactors die with the NAMED
+    CompactorBusy, never corruption.  The consumer targets
+    ``txn_watermark_logged`` — the mid-commit-safe watermark this
+    model's first run motivated (a pointer can be visible before its
+    history entry lands)."""
+    import random
+    import threading
+
+    from mo_etl_spark import streaming as S
+
+    rng = random.Random(seed)
+    g = f"{tmpdir}/full_threads"
+    root = f"{tmpdir}/full_threads_tbl"
+    mv = f"{tmpdir}/full_threads_mv"
+    schema = "k BIGINT"
+    N, PER = 10, 5
+
+    def write_and_commit(b: int) -> None:
+        S.idempotent_batch_write(
+            spark.range(b * PER, (b + 1) * PER).select(
+                F.col("id").alias("k")
+            ),
+            root, b,
+        )
+        S.txn_commit(g, b, {"t": root})
+
+    write_and_commit(0)
+    S.materialize_group_member(spark, g, mv, "t", 0, schema)
+    errors: list[str] = []
+    stop = threading.Event()
+
+    def expected(w: int) -> set[int]:
+        return set(range((w + 1) * PER))
+
+    def writer():
+        try:
+            for b in range(1, N + 1):
+                write_and_commit(b)
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"writer: {e!r}")
+        finally:
+            stop.set()
+
+    def compactor(stale: bool, cseed: int):
+        r = random.Random(cseed)
+        while not stop.is_set():
+            try:
+                w = S.txn_watermark(g)
+                if w is None:
+                    continue
+                mb = max(w - 1, 0) if stale else w
+                S.compact_batched(
+                    spark, root, min_dirs=0, gc_grace_sec=3600.0,
+                    max_batch=mb, lease_ttl_sec=60.0,
+                )
+            except S.CompactorBusy:
+                pass  # the NAMED loss — exactly the contract
+            except Exception as e:  # noqa: BLE001
+                errors.append(f"compactor(stale={stale}): {e!r}")
+                return
+            stop.wait(r.uniform(0.05, 0.2))
+
+    def consumer():
+        # the mirror advances to the LOGGED watermark: the pointer can
+        # be momentarily ahead of its history entry mid-commit
+        while not stop.is_set() or S.read_mv_cursor(mv) < N:
+            try:
+                w = S.txn_watermark_logged(g)
+                cur = S.read_mv_cursor(mv)
+                if w is None or cur is None or w <= cur:
+                    continue
+                got = S.apply_group_feed_batched(
+                    spark, g, mv, "t", ["k"], w, schema
+                )
+                ids = {
+                    r["k"]
+                    for r in S.read_materialized_batched(
+                        spark, mv, "k", schema
+                    ).collect()
+                }
+                assert ids == expected(got), (
+                    "mirror mismatch", got, len(ids),
+                )
+            except S.CompactorBusy:
+                pass
+            except Exception as e:  # noqa: BLE001
+                errors.append(f"consumer: {e!r}")
+                return
+
+    def txn_reader(rounds: int):
+        try:
+            for _ in range(rounds):
+                w = S.txn_watermark(g)
+                if w is None:
+                    continue
+                ids = {
+                    r["k"]
+                    for r in S.read_batched(
+                        spark, root, schema=schema, max_batch=w
+                    ).collect()
+                }
+                assert ids == expected(w), ("txn read", w, len(ids))
+                if stop.is_set():
+                    break
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"txn_reader: {e!r}")
+
+    def debris(dseed: int):
+        # crash debris between the pointer write and the log append:
+        # orphan tmp files every protocol reader must skip
+        r = random.Random(dseed)
+        while not stop.is_set():
+            try:
+                with open(os.path.join(g, "_TXN.tmp"), "w") as f:
+                    f.write("{torn")
+                with open(
+                    os.path.join(g, f"_TXN.t{900 + r.randrange(90)}.tmp"),
+                    "w",
+                ) as f:
+                    f.write("{torn")
+            except Exception as e:  # noqa: BLE001
+                errors.append(f"debris: {e!r}")
+                return
+            stop.wait(r.uniform(0.02, 0.1))
+
+    threads = [
+        threading.Thread(target=writer),
+        threading.Thread(target=compactor, args=(False, rng.randrange(1 << 30))),
+        threading.Thread(target=compactor, args=(True, rng.randrange(1 << 30))),
+        threading.Thread(target=consumer),
+        threading.Thread(target=txn_reader, args=(12,)),
+        threading.Thread(target=debris, args=(rng.randrange(1 << 30),)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(300)
+        assert not t.is_alive(), "thread wedged"
+    assert not errors, errors
+    assert S.txn_watermark(g) == N
+    assert S.txn_watermark_logged(g) == N
+    # final mirror equality at the full prefix
+    assert S.read_mv_cursor(mv) == N
+    ids = {
+        r["k"]
+        for r in S.read_materialized_batched(spark, mv, "k", schema).collect()
+    }
+    assert ids == expected(N)
+    # final transactional read exact, debris still on disk and skipped
+    got = {
+        r["k"]
+        for r in S.read_batched(
+            spark, root, schema=schema, max_batch=N
+        ).collect()
+    }
+    assert got == expected(N)
+    assert any(n.endswith(".tmp") for n in os.listdir(g))
+    assert set(range(N + 1)) <= set(S.txn_log(g))
