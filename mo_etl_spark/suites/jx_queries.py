@@ -845,3 +845,56 @@ def jx_window_over_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark=spark,
         tables=_tables(spark, sf_dir, "events"),
     )
+
+
+@query(
+    "jx_fluent_window_limit",
+    oracle="""
+    SELECT event_type, n, CAST(total_cents AS BIGINT) AS total_cents, rk
+    FROM (
+        SELECT event_type,
+               count(*) AS n,
+               sum(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+               CAST(rank() OVER (
+                   ORDER BY sum(CAST(round(value * 100) AS BIGINT))
+                            DESC NULLS LAST) AS INTEGER) AS rk
+        FROM events
+        WHERE user_id < 120
+        GROUP BY event_type
+    )
+    ORDER BY rk, event_type
+    LIMIT 3
+    """,
+    tags=("jx", "fluent", "window", "groupby", "top_k"),
+)
+def jx_fluent_window_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fluent builder's OTHER clauses driver-gated (r11, VERDICT
+    r10 item #6 — jx_fluent_pipeline covers where/groupby/select/sort;
+    this one proves ``.window()`` / ``.limit()`` builder->IR->compile
+    parity): per-type revenue ranked by a builder-attached window,
+    then top-3 via the builder's sort+limit.  Identical jx dict
+    underneath, same decisive-null and integer-cents semantics."""
+    from mo_etl_spark.jx.fluent import Q
+
+    prepare(spark)
+    return (
+        Q("events", spark=spark, tables=_tables(spark, sf_dir, "events"))
+        .where({"lt": ["user_id", 120]})
+        .groupby("event_type")
+        .select(
+            {"name": "n", "aggregate": "count"},
+            {
+                "name": "total_cents",
+                "value": {"integer": {"round": [{"mult": ["value", 100]}, 0]}},
+                "aggregate": "sum",
+            },
+        )
+        .window(
+            name="rk",
+            aggregate="rank",
+            sort={"value": "total_cents", "sort": -1},
+        )
+        .sort("rk", "event_type")
+        .limit(3)
+        .df()
+    )

@@ -115,6 +115,12 @@ EXCHANGES_OK = {
     # exchanges; the per-trigger sink itself is one assignment join +
     # one partitioned write
     "stream_real_ivf_index_upsert",
+    # the cross-family txn group query (r11) returns that same serve
+    # shape at the group watermark PLUS the corpus summary aggregate in
+    # one plan; the per-trigger sink is one assignment join + two
+    # partitioned writes + the txn commit — exchange count is the
+    # multi-root union composition, not waste (same pins as upsert)
+    "stream_real_txn_group_ann",
     # quantizer RE-TRAINING as maintenance (r9): the plan is kmeans
     # training (seeding sample + per-iteration assignment GEMM +
     # (cell, dim) centroid update — keyed exchanges by construction,
