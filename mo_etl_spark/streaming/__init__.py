@@ -1035,14 +1035,18 @@ def _resolve_change_events(
     )
     st = ins_agg.join(del_agg, keys, "full_outer")
     if presence_keys is not None:
+        # FULL outer, not left: a present-at-start key with NO window
+        # events is a key the transform DROPPED entirely (a pre-window
+        # live batch consumed by the fold while its tombstone was
+        # folded in the same pass — absent from BOTH bases, so the
+        # change file never mentions it).  It must emit DELETE; a left
+        # join would silently drop it from the feed.
         st = st.join(
-            F.broadcast(
-                presence_keys.select(*keys)
-                .distinct()
-                .withColumn("_pre", F.lit(True))
-            ),
+            presence_keys.select(*keys)
+            .distinct()
+            .withColumn("_pre", F.lit(True)),
             keys,
-            "left",
+            "full_outer",
         )
     else:
         st = st.withColumn("_pre", F.lit(None).cast("boolean"))

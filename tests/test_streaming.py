@@ -6199,3 +6199,58 @@ def test_txn_protocol_threaded_full_model(spark, tmpdir, seed):
     assert got == expected(N)
     assert any(n.endswith(".tmp") for n in os.listdir(g))
     assert set(range(N + 1)) <= set(S.txn_log(g))
+
+
+def test_group_feed_presence_only_delete(spark, tmpdir):
+    """r11 self-review pin: a PRE-WINDOW live batch consumed by an
+    in-window change-generation fold while its key's tombstone folds
+    in the SAME pass leaves that key absent from BOTH bases — the
+    change file never mentions it, so a presence-marked key with no
+    window events must resolve to DELETE (a left-join presence overlay
+    silently dropped it from the feed)."""
+    from mo_etl_spark import streaming as S
+
+    g = f"{tmpdir}/po"
+    ta = f"{tmpdir}/po_t"
+    schema = "k BIGINT, ib BIGINT"
+
+    def kdf(lo, hi, n=4):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), F.pmod("id", F.lit(n)).alias("ib")
+        )
+
+    # txn 0: b0 LIVE (never folded before the commit)
+    S.idempotent_batch_write(kdf(0, 10), ta, 0, partition_cols=["ib"])
+    S.stamp_spec(ta, 0, 4)
+    S.txn_commit(g, 0, {"t": ta})
+    # tombstone one of b0's keys, then a CHANGE-fold consumes b0 and
+    # folds the tombstone in one pass
+    S.append_tombstones(spark.createDataFrame([(3,)], "k BIGINT"), ta)
+    S.compact_batched(
+        spark, ta, min_dirs=0, partition_cols=["ib"], gc_grace_sec=3600.0,
+        tombstone_col="k", change_feed=True, max_batch=0,
+        transform=S.rebucket_transform(
+            "ib", lambda n: F.pmod("k", F.lit(n)), 4,
+            cap_rows=1 << 60, prior_extra=S.read_manifest_extra(ta),
+        ),
+    )
+    S.idempotent_batch_write(kdf(20, 25), ta, 1, partition_cols=["ib"])
+    S.stamp_spec(ta, 1, 4)
+    S.txn_commit(g, 1, {"t": ta})
+
+    feed = S.diff_group_adjacent(spark, g, 0, 1, "t", ["k"], schema)
+    assert feed is not None  # the change file serves the fast path
+    rows = feed.collect()
+    ins = sorted(r["k"] for r in rows if r["_change"] == "insert")
+    dls = sorted(r["k"] for r in rows if r["_change"] == "delete")
+    assert dls == [3]  # the presence-only key DELETES (was dropped)
+    assert ins == list(range(20, 25))  # preserved b0 keys emit nothing
+    # and the snapshot-diff oracle agrees
+    a = S.read_group_at(spark, g, 0, "t", schema, partitioned=True)
+    b = S.read_group_at(spark, g, 1, "t", schema, partitioned=True)
+    assert sorted(
+        r["k"] for r in b.join(a.select("k"), "k", "left_anti").collect()
+    ) == ins
+    assert sorted(
+        r["k"] for r in a.join(b.select("k"), "k", "left_anti").collect()
+    ) == dls
