@@ -3624,3 +3624,90 @@ def _wire_txn_group_ann_oracle() -> None:
 
 
 _wire_txn_group_ann_oracle()
+
+
+@query(
+    "stream_state_group_retention",
+    oracle="""
+    SELECT 'txn0' AS snapshot, FALSE AS travelable,
+           CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS key_sum
+    UNION ALL
+    SELECT 'txn1', FALSE, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    UNION ALL
+    SELECT 'txn2', TRUE, count(*), CAST(sum(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 4 < 3
+    UNION ALL
+    SELECT 'txn3', TRUE, (SELECT count(*) FROM orders),
+           CAST((SELECT sum(o_orderkey) FROM orders) AS BIGINT)
+    """,
+    tags=(
+        "cross_table_txn",
+        "time_travel",
+        "snapshot_retention",
+        "index_compaction",
+        "incremental_etl",
+    ),
+)
+def stream_state_group_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-LEVEL RETENTION GUARANTEE as a contract query (r11,
+    VERDICT r10 item #3): four transactions commit order slices, each
+    followed by a ZERO-GRACE fold carrying ``keep_last_txns=(group,
+    2)`` — without the pin, every fold would immediately vacuum the
+    batch dirs and superseded bases the recent txn records reference
+    (the group travel horizon collapsing to the live txn).  With it,
+    the last TWO transactions' snapshots (base + unconsumed window
+    batch dirs) survive every pass; a final
+    ``expire_snapshots(keep_last_n=1, keep_last_txns=...)`` would
+    vacuum them if the knob were ignored — so a retention
+    implementation that over- or under-pins by one transaction
+    hash-misses in either direction.  txns 0–1 (outside the window)
+    report travelable=false via the NAMED SnapshotVacuumed; txns 2–3
+    reproduce exact relational algebra over orders."""
+    prepare(spark)
+    from mo_etl_spark.streaming import (
+        SnapshotVacuumed,
+        compact_batched as _compact,
+        expire_snapshots,
+        read_group_at,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    root = _scratch("group_ret_tbl")
+    group = _scratch("group_ret_txn")
+    schema = "o_orderkey BIGINT"
+    for t in range(4):
+        idempotent_batch_write(
+            orders.where(F.pmod("o_orderkey", F.lit(4)) == t), root, t
+        )
+        txn_commit(group, t, {"t": root})
+        _compact(
+            spark, root, min_dirs=0, gc_grace_sec=0.0,
+            max_batch=txn_watermark(group),
+            keep_last_txns=(group, 2),
+        )
+    expire_snapshots(
+        root, keep_last_n=1, older_than_sec=0.0, keep_last_txns=(group, 2)
+    )
+
+    def summ(t: int) -> DataFrame:
+        try:
+            df = read_group_at(spark, group, t, "t", schema)
+            df.first()  # force resolution: vacuumed raises here
+        except SnapshotVacuumed:
+            return spark.createDataFrame(
+                [(f"txn{t}", False, None, None)],
+                "snapshot STRING, travelable BOOLEAN, n BIGINT, key_sum BIGINT",
+            )
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        ).select(
+            F.lit(f"txn{t}").alias("snapshot"),
+            F.lit(True).alias("travelable"),
+            "n",
+            "key_sum",
+        )
+
+    return summ(0).unionByName(summ(1)).unionByName(summ(2)).unionByName(
+        summ(3)
+    )
