@@ -1098,3 +1098,30 @@ def test_spec_evolution_mixed_window_scans_pruned(spark, tmpdir):
         (r["k"], r["v"]) for r in got.where(F.col("k").isin(keys)).collect()
     )
     assert rows == [(k, k * 10) for k in sorted(keys)]
+
+
+def test_txn_group_ann_serve_excludes_uncommitted_batch(spark, sf001):
+    """The cross-family txn group query's serve (r11) reads AT the
+    group watermark: the phantom trigger's batch dir (written complete
+    to both tables, never committed) must be absent from the serve
+    plan's scan locations AND from the corpus summary's — one leaked
+    path is the torn window the group protocol exists to kill.  The
+    serve also keeps the matched-cell pruning of the upsert family."""
+    from mo_etl_spark.suites.streaming_real import stream_real_txn_group_ann
+
+    df = stream_real_txn_group_ann(spark, sf001)
+    plan = df._jdf.queryExecution().toString()
+    # the phantom batch is always watermark+1 = 4 at this feed split
+    # (4 files -> batches 0..3); both tables' b4 must not be scanned
+    assert "b4" not in plan, [
+        ln for ln in plan.splitlines() if "b4" in ln
+    ]
+    scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "cell#" in ln
+    ]
+    assert scans, plan
+    for ln in scans:
+        pf = ln.split("PartitionFilters")[1]
+        assert "cell#" in pf and ("INSET" in pf or " IN " in pf), ln
