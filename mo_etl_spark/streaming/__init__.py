@@ -3134,6 +3134,12 @@ def _compact_batched_locked(
             if pending:
                 tombs_man = dict(man.get("tombs", {})) if man else {}
                 tombs_man.update({os.path.basename(fp): now for fp in pending})
+                # the recommit REWRITES this generation's manifest (and
+                # its log entry), so the plain/change markers must ride
+                # along (r11 self-review): dropping them silently
+                # poisoned every change-file window containing this
+                # generation — the rows are untouched here, so the
+                # markers still describe them exactly
                 _write_manifest(
                     root,
                     man["gen"] if man else 0,
@@ -3141,6 +3147,8 @@ def _compact_batched_locked(
                     consumed_prev,
                     extra=read_manifest_extra(root) or None,
                     tombs=tombs_man,
+                    plain=man.get("plain") if man else None,
+                    change=man.get("change") if man else None,
                 )
                 _vacuum_tombs(root, tombs_man, now, gc_grace_sec)
         return 0

@@ -6254,3 +6254,49 @@ def test_group_feed_presence_only_delete(spark, tmpdir):
     assert sorted(
         r["k"] for r in a.join(b.select("k"), "k", "left_anti").collect()
     ) == dls
+
+
+def test_dataless_tombstone_recommit_keeps_markers(spark, tmpdir):
+    """r11 self-review pin: the data-less tombstone-consume path
+    recommits the SAME generation with an updated tombs map — it must
+    carry the ``plain``/``change`` markers through (the rows are
+    untouched, so the markers still describe them); dropping them
+    silently poisoned every change-file window containing the
+    generation (sound fallback, needless table-bound diff)."""
+    from mo_etl_spark import streaming as S
+
+    root = f"{tmpdir}/dl"
+    schema = "k BIGINT"
+    S.idempotent_batch_write(
+        spark.range(5).select(
+            F.col("id").alias("k"), F.pmod("id", F.lit(2)).alias("pb")
+        ),
+        root, 0, partition_cols=["pb"],
+    )
+    S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["pb"], gc_grace_sec=3600.0
+    )  # gen1 plain
+    assert S._read_manifest(root)["plain"] is True
+    # drain the table: the partitioned fold of zero rows writes a
+    # parquet-free base, making the data-less branch reachable
+    S.append_tombstones(
+        spark.createDataFrame([(k,) for k in range(5)], schema), root
+    )
+    S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["pb"],
+        tombstone_col="k", gc_grace_sec=3600.0,
+    )  # gen2: zero rows, still plain
+    man = S._read_manifest(root)
+    assert man["plain"] is True and man["gen"] == 2
+    # a NEW pending tombstone on the data-less table triggers the
+    # recommit-same-gen path; plain must survive it
+    S.append_tombstones(spark.createDataFrame([(99,)], schema), root)
+    S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["pb"],
+        tombstone_col="k", gc_grace_sec=3600.0,
+    )
+    man2 = S._read_manifest(root)
+    assert man2["gen"] == 2  # same generation recommitted
+    assert man2["plain"] is True  # marker carried (was dropped pre-fix)
+    # and the log entry agrees (the window stays fast-path eligible)
+    assert S.read_manifest_log(root)[2]["plain"] is True
