@@ -989,8 +989,6 @@ def _resolve_change_events(
     such keys follow the pre-existing rules instead."""
     from functools import reduce
 
-    from pyspark.sql import Window
-
     keys = [str(k) for k in key_cols]
     if not ins_events and schema is None:
         return None  # no schema and nothing to infer one from
@@ -1057,16 +1055,21 @@ def _resolve_change_events(
     final_present = F.coalesce(F.col("_max_i"), F.lit(-INF)) > F.coalesce(
         F.col("_max_d"), F.lit(-INF)
     )
-    ins_keys = st.where(~present_start & final_present).select(*keys)
-    del_keys = st.where(present_start & ~final_present).select(*keys)
-    w = Window.partitionBy(*keys).orderBy(F.col("_ord").desc())
-    last_ins = (
-        ins_all.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn", "_ord")
+    ins_keys = st.where(~present_start & final_present).select(
+        *keys, "_max_i"
     )
-    out = last_ins.join(ins_keys, keys, "left_semi").withColumn(
-        "_change", F.lit("insert")
+    del_keys = st.where(present_start & ~final_present).select(*keys)
+    # ALL rows of the key's LAST contributing event — a key may own
+    # several rows (the band index holds one row per (id, band) under
+    # a single-column id key), and diff_batched emits every one; a
+    # row_number()-style single-survivor pick would silently drop the
+    # rest.  Rows within one event share its ord, so the max-ord
+    # equijoin keeps exactly the winning event's row set.
+    out = (
+        ins_all.join(ins_keys, keys)
+        .where(F.col("_ord") == F.col("_max_i"))
+        .drop("_ord", "_max_i")
+        .withColumn("_change", F.lit("insert"))
     )
     dels = del_keys
     for f in ref_fields:

@@ -6300,3 +6300,49 @@ def test_dataless_tombstone_recommit_keeps_markers(spark, tmpdir):
     assert man2["plain"] is True  # marker carried (was dropped pre-fix)
     # and the log entry agrees (the window stays fast-path eligible)
     assert S.read_manifest_log(root)[2]["plain"] is True
+
+
+def test_mixed_window_feed_keeps_multirow_keys(spark, tmpdir):
+    """r11 self-review pin: a key owning SEVERAL rows (the band-index
+    shape — one row per (id, band) under a single-column id key) must
+    emit EVERY row through a mixed change-file window, exactly as
+    diff_batched does; a single-survivor pick per key silently dropped
+    all but one band."""
+    from mo_etl_spark import streaming as S
+
+    root = f"{tmpdir}/mr"
+    schema = "id BIGINT, band BIGINT, ib BIGINT"
+
+    def idx(lo, hi, n=4):
+        base = spark.range(lo, hi).select(F.col("id"))
+        return (
+            base.crossJoin(spark.range(2).select(F.col("id").alias("band")))
+            .select("id", "band")
+            .withColumn("ib", F.pmod("id", F.lit(n)))
+        )
+
+    S.idempotent_batch_write(idx(0, 10), root, 0, partition_cols=["ib"])
+    S.stamp_spec(root, 0, 4)
+    S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["ib"], gc_grace_sec=3600.0
+    )  # gen1 plain
+    # new ids arrive, then a change-file rebucket makes the window mixed
+    S.idempotent_batch_write(idx(100, 103), root, 1, partition_cols=["ib"])
+    S.stamp_spec(root, 1, 4)
+    S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["ib"], gc_grace_sec=3600.0,
+        change_feed=True,
+        transform=S.rebucket_transform(
+            "ib", lambda n: F.pmod("id", F.lit(n)), 4,
+            cap_rows=1 << 60, prior_extra=S.read_manifest_extra(root),
+        ),
+    )  # gen2: transform with change file
+    feed = S.diff_batched_adjacent(spark, root, 1, 2, ["id"], schema)
+    assert feed is not None
+    rows = [
+        (r["id"], r["band"]) for r in feed.collect() if r["_change"] == "insert"
+    ]
+    # BOTH band rows of every new id survive the composition
+    assert sorted(rows) == sorted(
+        (i, b) for i in range(100, 103) for b in range(2)
+    )
