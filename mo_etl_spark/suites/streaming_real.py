@@ -3711,3 +3711,135 @@ def stream_state_group_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summ(0).unionByName(summ(1)).unionByName(summ(2)).unionByName(
         summ(3)
     )
+
+
+@query(
+    "stream_state_change_feed_rebucket",
+    oracle="""
+    WITH final AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderkey % 97 <> 0 AND o_orderkey % 89 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000 FROM orders WHERE o_orderkey % 500 = 0
+      UNION ALL
+      SELECT o_orderkey + 20000000 FROM orders WHERE o_orderkey % 300 = 0
+    )
+    SELECT 'mv_gen3' AS snapshot, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum FROM final
+    UNION ALL
+    SELECT 'direct_gen3', count(*), CAST(sum(o_orderkey) AS BIGINT) FROM final
+    """,
+    tags=(
+        "change_data_feed",
+        "cdc_merge",
+        "partition_spec_evolution",
+        "incremental_etl",
+        "index_compaction",
+        "tombstone_lifecycle",
+    ),
+)
+def stream_state_change_feed_rebucket(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRANSFORM-WINDOW change-file consumer as a contract query (r11,
+    VERDICT r10 item #4 driver-gated): same upstream lifecycle as
+    stream_state_change_feed_apply, except generation 3 is a
+    SPEC-DOUBLING REBUCKET fold that emits its change file
+    (``change_feed=True``) while folding a retraction and consuming an
+    arrival batch in the same pass.  The delta-proportional batched-MV
+    consumer crosses the whole (1, 3] window on the change-file fast
+    path — the query ASSERTS the fast path is available (a regression
+    that poisons the transform window errors instead of silently
+    paying the snapshot diff) — and the MV's key set must equal the
+    direct snapshot's exactly: moved rows (bucket changed, key-only
+    contract) emit nothing, retractions delete, arrivals insert."""
+    prepare(spark)
+    from mo_etl_spark.streaming import (
+        append_tombstones as _tomb,
+        apply_change_feed_batched,
+        compact_batched as _compact,
+        current_spec as _spec,
+        diff_batched_adjacent,
+        materialize_snapshot_batched,
+        read_batched_at,
+        read_materialized_batched,
+        rebucket_transform as _rb,
+        read_manifest_extra as _extra,
+        stamp_spec as _stamp,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    root = _scratch("cdf_rb_tbl")
+    mv_root = _scratch("cdf_rb_mv")
+    schema = "o_orderkey BIGINT, ob BIGINT"
+    for b in range(2):
+        idempotent_batch_write(
+            orders.where(F.pmod("o_orderkey", F.lit(2)) == b).withColumn(
+                "ob", F.pmod("o_orderkey", F.lit(4))
+            ),
+            root, b, partition_cols=["ob"],
+        )
+        _stamp(root, b, 4)
+    _compact(
+        spark, root, min_dirs=0, partition_cols=["ob"], gc_grace_sec=3600.0
+    )  # gen 1: all orders, spec 4, plain
+    idempotent_batch_write(
+        orders.where(F.pmod("o_orderkey", F.lit(500)) == 0)
+        .select((F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"))
+        .withColumn("ob", F.pmod("o_orderkey", F.lit(4))),
+        root, 2, partition_cols=["ob"],
+    )
+    _stamp(root, 2, 4)
+    _tomb(orders.where(F.pmod("o_orderkey", F.lit(97)) == 0), root)
+    _compact(
+        spark, root, min_dirs=0, partition_cols=["ob"],
+        tombstone_col="o_orderkey", gc_grace_sec=3600.0,
+    )  # gen 2: plain
+    idempotent_batch_write(
+        orders.where(F.pmod("o_orderkey", F.lit(300)) == 0)
+        .select((F.col("o_orderkey") + F.lit(20_000_000)).alias("o_orderkey"))
+        .withColumn("ob", F.pmod("o_orderkey", F.lit(4))),
+        root, 3, partition_cols=["ob"],
+    )
+    _stamp(root, 3, 4)
+    _tomb(orders.where(F.pmod("o_orderkey", F.lit(89)) == 0), root)
+    _compact(
+        spark, root, min_dirs=0, partition_cols=["ob"],
+        tombstone_col="o_orderkey", gc_grace_sec=3600.0,
+        change_feed=True,
+        transform=_rb(
+            "ob", lambda n: F.pmod("o_orderkey", F.lit(n)),
+            # cap sized so the fold doubles the spec a couple of times
+            # at sf0.01 (15k orders / 4 buckets ≈ 3.8k max) without
+            # exploding the partition-dir count at sf0.1
+            _spec(root, 4), cap_rows=2048, prior_extra=_extra(root),
+        ),
+    )  # gen 3: spec-doubling REBUCKET with its change file
+    assert _spec(root, 4) > 4  # the spec actually grew
+    # the transform window must serve the fast path (load-bearing)
+    assert diff_batched_adjacent(
+        spark, root, 1, 3, ["o_orderkey"], schema
+    ) is not None
+    materialize_snapshot_batched(
+        spark, root, mv_root, 1, partitioned=True, schema=schema
+    )
+    assert apply_change_feed_batched(
+        spark, root, mv_root, 3, "o_orderkey", schema, partitioned=True,
+        change_files=True,
+    ) == 3
+
+    def summ(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        ).select(F.lit(name).alias("snapshot"), "n", "key_sum")
+
+    return summ(
+        read_materialized_batched(spark, mv_root, "o_orderkey", schema),
+        "mv_gen3",
+    ).unionByName(
+        summ(
+            read_batched_at(spark, root, 3, schema, partitioned=True),
+            "direct_gen3",
+        )
+    )
