@@ -6346,3 +6346,216 @@ def test_mixed_window_feed_keeps_multirow_keys(spark, tmpdir):
     assert sorted(rows) == sorted(
         (i, b) for i in range(100, 103) for b in range(2)
     )
+
+
+@pytest.mark.parametrize("seed", [7, 19, 31, 43])
+def test_txn_retention_cdf_threaded_model(spark, tmpdir, seed):
+    """RETENTION + CHANGE-FILE threaded interleaving model (r11 — the
+    full-protocol model extended with this round's NEW surfaces, per
+    the standing rule that every new protocol surface joins the seeded
+    models): a live WRITER paced by consumer backpressure, a CDF
+    COMPACTOR whose folds are TRANSFORM generations emitting change
+    files (``change_feed=True``) under ZERO-GRACE vacuum, a dedicated
+    VACUUM thread running ``expire_snapshots(keep_last_n=1,
+    keep_last_txns=(g, K))``, a GROUP-FEED CONSUMER that
+    non-deterministically rides the mixed change-file fast path or the
+    retention-pinned snapshot fallback, a TIME-TRAVEL READER asserting
+    the group retention guarantee live (a txn still within the last K
+    at failure time must NEVER be vacuumed), and the crash-debris
+    planter.  Invariants at every step: mirror equality after every
+    application; travel reads exact or LEGALLY vacuumed (j <= live
+    watermark - K); racing maintenance dies only with the NAMED
+    CompactorBusy."""
+    import random
+    import threading
+
+    from mo_etl_spark import streaming as S
+
+    rng = random.Random(seed)
+    g = f"{tmpdir}/ret_threads"
+    root = f"{tmpdir}/ret_threads_tbl"
+    mv = f"{tmpdir}/ret_threads_mv"
+    schema = "k BIGINT, ib BIGINT"
+    N, PER, K = 8, 5, 3
+
+    def write_and_commit(b: int) -> None:
+        S.idempotent_batch_write(
+            spark.range(b * PER, (b + 1) * PER).select(
+                F.col("id").alias("k"),
+                F.pmod("id", F.lit(4)).alias("ib"),
+            ),
+            root, b, partition_cols=["ib"],
+        )
+        S.txn_commit(g, b, {"t": root})
+
+    write_and_commit(0)
+    S.materialize_group_member(spark, g, mv, "t", 0, schema)
+    errors: list[str] = []
+    stop = threading.Event()
+
+    def expected(w: int) -> set[int]:
+        return set(range((w + 1) * PER))
+
+    def writer():
+        # paced by the mirror cursor: never more than K-1 txns ahead,
+        # so the consumer's own cursor snapshot stays inside the
+        # keep_last_txns pin window (a consumer that falls behind
+        # retention legitimately loses its snapshot — that lifecycle
+        # is pinned elsewhere; THIS model checks the pinned window)
+        try:
+            for b in range(1, N + 1):
+                while not stop.is_set():
+                    cur = S.read_mv_cursor(mv)
+                    if cur is not None and b - cur <= K - 1:
+                        break
+                    stop.wait(0.02)
+                write_and_commit(b)
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"writer: {e!r}")
+        finally:
+            stop.set()
+
+    def cdf_compactor(cseed: int):
+        r = random.Random(cseed)
+        while not stop.is_set():
+            try:
+                w = S.txn_watermark(g)
+                if w is not None:
+                    S.compact_batched(
+                        spark, root, min_dirs=0, gc_grace_sec=0.0,
+                        max_batch=w, lease_ttl_sec=60.0,
+                        keep_last_txns=(g, K), partition_cols=["ib"],
+                        transform=lambda df: df, change_feed=True,
+                    )
+            except S.CompactorBusy:
+                pass
+            except Exception as e:  # noqa: BLE001
+                errors.append(f"cdf_compactor: {e!r}")
+                return
+            stop.wait(r.uniform(0.05, 0.2))
+
+    def vacuum(vseed: int):
+        r = random.Random(vseed)
+        while not stop.is_set():
+            try:
+                S.expire_snapshots(
+                    root, keep_last_n=1, keep_last_txns=(g, K),
+                )
+            except S.CompactorBusy:
+                pass
+            except Exception as e:  # noqa: BLE001
+                errors.append(f"vacuum: {e!r}")
+                return
+            stop.wait(r.uniform(0.05, 0.2))
+
+    def consumer():
+        while not stop.is_set() or S.read_mv_cursor(mv) < N:
+            try:
+                w = S.txn_watermark_logged(g)
+                cur = S.read_mv_cursor(mv)
+                if w is None or cur is None or w <= cur:
+                    continue
+                got = S.apply_group_feed_batched(
+                    spark, g, mv, "t", ["k"], w, schema
+                )
+                ids = {
+                    r["k"]
+                    for r in S.read_materialized_batched(
+                        spark, mv, "k", schema
+                    ).collect()
+                }
+                assert ids == expected(got), (
+                    "mirror mismatch", got, len(ids),
+                )
+            except S.CompactorBusy:
+                pass
+            except Exception as e:  # noqa: BLE001
+                errors.append(f"consumer: {e!r}")
+                return
+
+    def travel_reader():
+        # the LIVE retention-guarantee check: read the previous txn
+        # while everything races; a SnapshotVacuumed is tolerated ONLY
+        # if the txn had already aged out of the last-K window by the
+        # time we observed the failure (j <= live watermark - K) —
+        # anything else is the vacuum deleting a pinned generation
+        while not stop.is_set():
+            try:
+                w = S.txn_watermark_logged(g)
+                if w is None or w < 1:
+                    continue
+                j = w - 1
+                try:
+                    ids = {
+                        r["k"]
+                        for r in S.read_group_at(
+                            spark, g, j, "t", schema, partitioned=True
+                        ).collect()
+                    }
+                    assert ids == expected(j), ("travel", j, len(ids))
+                except S.SnapshotVacuumed:
+                    w2 = S.txn_watermark(g)
+                    assert w2 is not None and j <= w2 - K, (
+                        "pinned txn vacuumed", j, w2,
+                    )
+            except Exception as e:  # noqa: BLE001
+                errors.append(f"travel_reader: {e!r}")
+                return
+
+    def debris(dseed: int):
+        r = random.Random(dseed)
+        while not stop.is_set():
+            try:
+                with open(os.path.join(g, "_TXN.tmp"), "w") as f:
+                    f.write("{torn")
+                with open(
+                    os.path.join(g, f"_TXN.t{900 + r.randrange(90)}.tmp"),
+                    "w",
+                ) as f:
+                    f.write("{torn")
+            except Exception as e:  # noqa: BLE001
+                errors.append(f"debris: {e!r}")
+                return
+            stop.wait(r.uniform(0.02, 0.1))
+
+    threads = [
+        threading.Thread(target=writer),
+        threading.Thread(target=cdf_compactor, args=(rng.randrange(1 << 30),)),
+        threading.Thread(target=vacuum, args=(rng.randrange(1 << 30),)),
+        threading.Thread(target=consumer),
+        threading.Thread(target=travel_reader),
+        threading.Thread(target=debris, args=(rng.randrange(1 << 30),)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(300)
+        assert not t.is_alive(), "thread wedged"
+    assert not errors, errors
+    assert S.txn_watermark(g) == N
+    assert S.read_mv_cursor(mv) == N
+    ids = {
+        r["k"]
+        for r in S.read_materialized_batched(spark, mv, "k", schema).collect()
+    }
+    assert ids == expected(N)
+    # deterministic retention check: one final CDF fold consumes every
+    # remaining batch dir, one final expiry vacuums everything outside
+    # the pin — the last K txns stay travelable as a vector, txn 0
+    # raises NAMED
+    S.compact_batched(
+        spark, root, min_dirs=0, gc_grace_sec=0.0, max_batch=N,
+        keep_last_txns=(g, K), partition_cols=["ib"],
+        transform=lambda df: df, change_feed=True,
+    )
+    S.expire_snapshots(root, keep_last_n=1, keep_last_txns=(g, K))
+    for j in range(N - K + 1, N + 1):
+        got = {
+            r["k"]
+            for r in S.read_group_at(
+                spark, g, j, "t", schema, partitioned=True
+            ).collect()
+        }
+        assert got == expected(j), ("final travel", j)
+    with pytest.raises(S.SnapshotVacuumed):
+        S.read_group_at(spark, g, 0, "t", schema, partitioned=True).collect()
