@@ -3843,3 +3843,116 @@ def stream_state_change_feed_rebucket(
             "direct_gen3",
         )
     )
+
+
+@query(
+    "stream_state_group_mirror_retract",
+    oracle="""
+    WITH bands(band) AS (VALUES (0), (1)),
+    final AS (
+      SELECT o_orderkey AS k, band FROM orders, bands
+      WHERE NOT (band = 0 AND o_orderkey % 7 = 0)
+      UNION ALL
+      SELECT o_orderkey + 10000000, band FROM orders, bands
+      WHERE o_orderkey % 400 = 0
+    )
+    SELECT 'mv' AS snapshot, CAST(band AS BIGINT) AS band,
+           count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum
+    FROM final GROUP BY band
+    UNION ALL
+    SELECT 'direct', CAST(band AS BIGINT), count(*), CAST(sum(k) AS BIGINT)
+    FROM final GROUP BY band
+    """,
+    tags=(
+        "change_data_feed",
+        "cross_table_txn",
+        "tombstone_lifecycle",
+        "cdc_merge",
+        "incremental_etl",
+    ),
+)
+def stream_state_group_mirror_retract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COMPOSITE-KEY DELETES THROUGH A GROUP MIRROR as a contract
+    query (r11 — driver-gating the path ADVICE r10 called 'latent
+    today only because the shipped group-consumer query is
+    append-only'): a (o_orderkey, band)-keyed member loses ONE band of
+    every 7th key to an in-window change-file transform fold; the
+    group-feed consumer applies the composite delete as a pending
+    mirror tombstone, and ``read_materialized_batched`` anti-joins on
+    the FULL composite key — the band-1 twin of every retracted
+    (k, 0) row must survive (the pre-fix single-column anti-join
+    erased both bands, so a regression hash-misses on band 1's count
+    and sum).  The window's feed is ASSERTED to ride the mixed
+    change-file fast path, and the mirror is compared against the
+    direct group-travel read at the same transaction."""
+    prepare(spark)
+    from mo_etl_spark.streaming import (
+        apply_group_feed_batched,
+        compact_batched as _compact,
+        diff_group_adjacent,
+        has_tombstones,
+        materialize_group_member,
+        read_group_at,
+        read_materialized_batched,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    both = orders.withColumn(
+        "band", F.explode(F.array(F.lit(0), F.lit(1)))
+    ).select(
+        F.col("o_orderkey").cast("bigint"), F.col("band").cast("bigint")
+    )
+    root = _scratch("gmr_tbl")
+    mv_root = _scratch("gmr_mv")
+    group = _scratch("gmr_txn")
+    schema = "o_orderkey BIGINT, band BIGINT"
+    keys = ["o_orderkey", "band"]
+    idempotent_batch_write(both, root, 0, partition_cols=["band"])
+    _compact(
+        spark, root, min_dirs=0, partition_cols=["band"],
+        gc_grace_sec=3600.0,
+    )  # gen 1: plain marker — the fast path's left anchor
+    txn_commit(group, 0, {"t": root})
+    materialize_group_member(spark, group, mv_root, "t", 0, schema)
+    # in-window transform fold: drop band 0 of every 7th key and emit
+    # the change file (composite deletes, Delta MERGE-CDF shape)
+    _compact(
+        spark, root, min_dirs=0, partition_cols=["band"],
+        gc_grace_sec=3600.0, change_feed=True,
+        transform=lambda df: df.where(
+            ~((F.col("band") == 0) & (F.pmod("o_orderkey", F.lit(7)) == 0))
+        ),
+    )
+    idempotent_batch_write(
+        orders.where(F.pmod("o_orderkey", F.lit(400)) == 0)
+        .select((F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"))
+        .withColumn("band", F.explode(F.array(F.lit(0), F.lit(1))))
+        .select(F.col("o_orderkey"), F.col("band").cast("bigint")),
+        root, 1, partition_cols=["band"],
+    )
+    txn_commit(group, 1, {"t": root})
+    # the mixed change-file fast path must serve this window
+    assert diff_group_adjacent(
+        spark, group, 0, 1, "t", keys, schema
+    ) is not None
+    assert apply_group_feed_batched(
+        spark, group, mv_root, "t", keys, 1, schema
+    ) == 1
+    assert has_tombstones(mv_root)  # the composite delete is PENDING
+
+    def summ(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("band").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        ).select(F.lit(name).alias("snapshot"), "band", "n", "key_sum")
+
+    return summ(
+        read_materialized_batched(spark, mv_root, keys, schema), "mv"
+    ).unionByName(
+        summ(
+            read_group_at(spark, group, 1, "t", schema, partitioned=True),
+            "direct",
+        )
+    )
