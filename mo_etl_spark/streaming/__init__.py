@@ -109,6 +109,37 @@ def idempotent_batch_write(
     w.parquet(dst)
 
 
+def stage_batch_write(
+    batch_df: DataFrame,
+    root: str,
+    batch_id: int,
+    branch: str,
+    partition_cols: Sequence[str] | None = None,
+) -> None:
+    """BRANCH-SCOPED batch write (r11 WAP): the staging twin of
+    idempotent_batch_write, landing in ``root/b<id>.stage.<branch>``
+    — a name NO main-path reader, fold, or vacuum ever matches (they
+    all filter ``b<digits>``), so an abandoned branch's data can
+    never leak into main reads even after competing commits push the
+    watermark past its staged ids (visibility-by-id-range alone
+    cannot give that guarantee).  publish_branch renames the staged
+    dirs to their ``b<id>`` names inside the publish — still inert
+    until the pointer moves, because their ids sit above the
+    watermark until exactly that moment.  Same replay-idempotent
+    _SUCCESS discipline as the main-path write."""
+    _validate_branch(branch)
+    dst = os.path.join(root, f"b{int(batch_id)}.stage.{branch}")
+    if os.path.exists(os.path.join(dst, "_SUCCESS")):
+        return
+    w = batch_df
+    if partition_cols:
+        w = w.coalesce(1)
+    w = w.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(dst)
+
+
 def idempotent_batch_write_to(root: str) -> Callable[[DataFrame, int], None]:
     """Curried ``idempotent_batch_write`` — the sink callable shape
     ``foreach_batch_etl``/``foreachBatch`` consume."""
@@ -2042,7 +2073,12 @@ def rollback_batched(root: str, gen: int, lease_ttl_sec: float = 3600.0) -> int:
 _TXN = "_TXN"
 
 
-def txn_commit(group_root: str, batch_id: int, tables: dict[str, str]) -> int:
+def txn_commit(
+    group_root: str,
+    batch_id: int,
+    tables: dict[str, str],
+    branch: str | None = None,
+) -> int:
     """CROSS-TABLE TRANSACTIONAL COMMIT (r10, VERDICT r9 item #1 — the
     Delta multi-table-transaction shape): one atomic record naming, for
     every member table of a multi-table state group, the batch id just
@@ -2079,7 +2115,28 @@ def txn_commit(group_root: str, batch_id: int, tables: dict[str, str]) -> int:
     anyway) could interleave a late replay's stale read under a newer
     pointer and regress the watermark.  The group's lease serializes
     commits; a commit finding the lease held retries briefly (commits
-    are millisecond-scale) and then surfaces the NAMED CompactorBusy."""
+    are millisecond-scale) and then surfaces the NAMED CompactorBusy.
+
+    ``branch=`` (r11 — the Iceberg/Nessie WRITE-AUDIT-PUBLISH shape):
+    commit to a STAGING BRANCH instead of the main pointer.  Staged
+    transactions are invisible to every main-pointer reader (their
+    batch ids sit ABOVE the main watermark, so ``max_batch=watermark``
+    readers and watermark-disciplined folds never touch their dirs);
+    audit them with read_branch_head, then make them ALL visible in
+    one atomic pointer move with publish_branch — or walk away, and
+    the staged dirs are inert debris.  The first branch commit records
+    ``base_txn`` (the main watermark it forked from); staged ids must
+    extend it, and publish fast-forwards ONLY when main still sits at
+    ``base_txn`` (BranchConflict otherwise — the WAP retry contract).
+    Branch state lives in ``_TXN.b.<branch>`` + per-txn history
+    ``_TXN.b.<branch>.t<id>`` — a separate namespace, so a staged id
+    can never collide with a main commit's history entry.  Stagers
+    write their batch dirs with ``stage_batch_write`` (branch-scoped
+    ``b<id>.stage.<branch>`` names, renamed into place by the
+    publish): that — not the id range — is what guarantees an
+    ABANDONED branch's data can never leak into main reads after a
+    competing commit pushes the watermark past its staged ids; see
+    drop_branch."""
     import time as _time
 
     os.makedirs(group_root, exist_ok=True)
@@ -2094,15 +2151,32 @@ def txn_commit(group_root: str, batch_id: int, tables: dict[str, str]) -> int:
                 raise
             _time.sleep(0.005)
     try:
-        return _txn_commit_locked(group_root, batch_id, tables)
+        return _txn_commit_locked(group_root, batch_id, tables, branch)
     finally:
         _release_lease(group_root, lease)
 
 
+def _validate_branch(branch: str) -> None:
+    if not branch or not all(
+        c.isalnum() or c in "-_" for c in branch
+    ):
+        raise ValueError(
+            f"invalid branch name {branch!r}: letters, digits, '-' and "
+            "'_' only (the name is embedded in pointer file names)"
+        )
+
+
 def _txn_commit_locked(
-    group_root: str, batch_id: int, tables: dict[str, str]
+    group_root: str,
+    batch_id: int,
+    tables: dict[str, str],
+    branch: str | None = None,
 ) -> int:
-    cur = txn_vector(group_root)
+    if branch is not None:
+        _validate_branch(branch)
+        cur = txn_branch_vector(group_root, branch)
+    else:
+        cur = txn_vector(group_root)
     if cur is not None and int(batch_id) <= int(cur["txn"]):
         return int(cur["txn"])  # late replay of a committed batch
     vec: dict[str, dict] = {}
@@ -2110,7 +2184,23 @@ def _txn_commit_locked(
         man = _read_manifest(root) if os.path.isdir(root) else None
         vec[alias] = {"root": root, "gen": int(man["gen"]) if man else 0}
     rec = {"txn": int(batch_id), "tables": vec}
-    path = os.path.join(group_root, _TXN)
+    if branch is not None:
+        if cur is not None:
+            base = int(cur["base_txn"])
+        else:
+            mw = txn_watermark(group_root)
+            base = -1 if mw is None else int(mw)
+        if int(batch_id) <= base:
+            raise ValueError(
+                f"staged txn {batch_id} does not extend branch "
+                f"{branch!r}'s fork point (main watermark {base} at "
+                "fork) — staged ids must continue main's monotone chain "
+                "for the fast-forward publish to be linear"
+            )
+        rec["base_txn"] = base
+        path = os.path.join(group_root, f"{_TXN}.b.{branch}")
+    else:
+        path = os.path.join(group_root, _TXN)
     # PER-ATTEMPT tmp names (r11, found by the full-protocol threaded
     # model's debris leg on its first run): with the fixed ``.tmp``
     # name, any concurrent writer to that path — crash debris being
@@ -2133,8 +2223,13 @@ def _txn_commit_locked(
     finally:
         os.close(dfd)
     # history entry AFTER the pointer commit (same discipline as the
-    # manifest log: a crash between the two only narrows history)
-    log = os.path.join(group_root, f"{_TXN}.t{int(batch_id)}")
+    # manifest log: a crash between the two only narrows history);
+    # branch commits log under the branch's own namespace
+    log = (
+        f"{path}.t{int(batch_id)}"
+        if branch is not None
+        else os.path.join(group_root, f"{_TXN}.t{int(batch_id)}")
+    )
     ltmp = f"{log}.tmp.{os.getpid()}.{threading.get_ident()}"
     with open(ltmp, "w") as f:
         f.write(payload)
@@ -2208,6 +2303,17 @@ def _group_paths_at(
             f"group {group_root!r} txn {txn_id} has no member {alias!r}; "
             f"members: {sorted(log[txn_id]['tables'])}"
         )
+    return _member_paths_for(member, txn_id, alias)
+
+
+def _member_paths_for(
+    member: dict, txn_id: int, alias: str
+) -> tuple[str, list[str], int | None]:
+    """Resolve one member's on-disk dirs from a txn RECORD's member
+    entry ({"root", "gen"}) at watermark ``txn_id`` — shared by group
+    time travel (_group_paths_at) and the branch audit read
+    (read_branch_head), which resolves from a staged record instead
+    of the main log."""
     root, gen = member["root"], int(member["gen"])
     paths: list[str] = []
     consumed_at_gen: set[str] = set()
@@ -2401,6 +2507,253 @@ def txn_watermark_logged(group_root: str) -> int | None:
     return max(logged) if logged else None
 
 
+class BranchConflict(RuntimeError):
+    """publish_branch found main advanced past the branch's fork
+    point: the fast-forward is no longer linear.  The WAP retry
+    contract — re-stage against the new watermark (or audit+publish
+    the competing writer's work first); nothing was modified."""
+
+
+def txn_branch_vector(group_root: str, branch: str) -> dict | None:
+    """The branch's staged head record ({"txn", "tables",
+    "base_txn"}), or None when the branch does not exist."""
+    _validate_branch(branch)
+    path = os.path.join(group_root, f"{_TXN}.b.{branch}")
+    try:
+        with open(path) as f:
+            text = f.read()
+    except FileNotFoundError:
+        return None
+    try:
+        rec = json.loads(text)
+        _ = int(rec["txn"]), rec["tables"], int(rec["base_txn"])
+        return rec
+    except (ValueError, KeyError, TypeError) as e:
+        raise ValueError(
+            f"corrupt branch pointer {path!r}: {e}; written atomically "
+            "(tmp+fsync+rename), so this indicates outside modification"
+        ) from e
+
+
+def txn_branch_watermark(group_root: str, branch: str) -> int | None:
+    """The branch's staged head txn id (None = no such branch)."""
+    rec = txn_branch_vector(group_root, branch)
+    return int(rec["txn"]) if rec is not None else None
+
+
+def txn_branch_log(group_root: str, branch: str) -> dict[int, dict]:
+    """The branch's staged per-transaction history (txn id ->
+    record) — the branch twin of txn_log, read from the branch's own
+    ``_TXN.b.<branch>.t<id>`` namespace."""
+    _validate_branch(branch)
+    prefix = f"{_TXN}.b.{branch}.t"
+    out: dict[int, dict] = {}
+    if not os.path.isdir(group_root):
+        return out
+    for n in os.listdir(group_root):
+        if not n.startswith(prefix) or ".tmp" in n:
+            continue
+        try:
+            t = int(n[len(prefix):])
+            with open(os.path.join(group_root, n)) as f:
+                out[t] = json.load(f)
+        except (OSError, ValueError):
+            continue
+    return out
+
+
+def read_branch_head(
+    spark: SparkSession,
+    group_root: str,
+    branch: str,
+    alias: str,
+    schema: str | None = None,
+    partitioned: bool = False,
+) -> DataFrame:
+    """AUDIT READ of a staging branch's head (r11 WAP): one member
+    exactly as publish would make it visible — the member's LIVE
+    state widened to ``max_batch = staged head`` (which INCLUDES the
+    staged batches: their ids extend main's chain).  Resolving
+    against the live manifest, not the record frozen at stage time,
+    keeps the audit view current across concurrent watermark-
+    disciplined folds — a fold rewrites storage, never visibility.
+    Run the QA/constraint checks on this view, then publish_branch or
+    walk away.  Raises for an unknown branch."""
+    rec = txn_branch_vector(group_root, branch)
+    if rec is None:
+        raise ValueError(
+            f"group {group_root!r} has no branch {branch!r}"
+        )
+    member = rec["tables"].get(alias)
+    if member is None:
+        raise ValueError(
+            f"branch {branch!r} head has no member {alias!r}; "
+            f"members: {sorted(rec['tables'])}"
+        )
+    root, head = member["root"], int(rec["txn"])
+    df = read_batched(
+        spark, root, partitioned=partitioned, schema=schema,
+        max_batch=head,
+    )
+    for p in _staged_dirs(root, branch, head):
+        r = spark.read
+        if not partitioned:
+            r = r.option("recursiveFileLookup", "true")
+        if schema is not None:
+            r = r.schema(schema)
+        df = df.unionByName(r.parquet(p), allowMissingColumns=True)
+    return df
+
+
+def _staged_dirs(root: str, branch: str, max_id: int) -> list[str]:
+    """This branch's staged batch dirs (``b<id>.stage.<branch>``)
+    with id <= max_id, complete files only."""
+    suffix = f".stage.{branch}"
+    out: list[str] = []
+    for d in sorted(os.listdir(root)) if os.path.isdir(root) else []:
+        if not (d.startswith("b") and d.endswith(suffix)):
+            continue
+        mid = d[1:-len(suffix)]
+        if not mid.isdigit() or int(mid) > max_id:
+            continue
+        p = os.path.join(root, d)
+        if os.path.isdir(p) and any(
+            n.endswith(".parquet") for _, _, ns in os.walk(p) for n in ns
+        ):
+            out.append(p)
+    return out
+
+
+def publish_branch(group_root: str, branch: str) -> int:
+    """PUBLISH a staging branch (r11 — the WAP fast-forward): under
+    the group's commit lease, verify main still sits at the branch's
+    fork point (``base_txn``; BranchConflict otherwise — nothing is
+    modified), copy the staged history records into the main log
+    namespace in ascending order, then move the main pointer to the
+    branch head in ONE atomic rename — every staged transaction
+    becomes visible to main-pointer readers at once, or none do.
+    Finally the branch's own files are removed.
+
+    Crash-safe in every window: before the pointer move, the copied
+    main-log entries sit ABOVE the watermark and are inert (readers
+    key off the pointer; a re-publish overwrites them with identical
+    bytes); after the pointer move but before cleanup, a re-publish
+    finds main already at the branch head and just finishes the
+    cleanup (idempotent).  A staged id whose branch history entry was
+    lost to the tolerated pointer/log crash window publishes with
+    narrowed history, exactly like a main commit's lost entry —
+    except the HEAD, whose record is the branch pointer itself.
+    Returns the published watermark."""
+    import time as _time
+
+    _validate_branch(branch)
+    lease = None
+    deadline = _time.monotonic() + 30.0
+    while True:
+        try:
+            lease = _acquire_lease(group_root, 60.0)
+            break
+        except CompactorBusy:
+            if _time.monotonic() >= deadline:
+                raise
+            _time.sleep(0.005)
+    try:
+        rec = txn_branch_vector(group_root, branch)
+        if rec is None:
+            raise ValueError(
+                f"group {group_root!r} has no branch {branch!r}"
+            )
+        head, base = int(rec["txn"]), int(rec["base_txn"])
+        mw = txn_watermark(group_root)
+        mweff = -1 if mw is None else int(mw)
+        if mweff == head:
+            _cleanup_branch(group_root, branch)  # crash-window replay
+            return head
+        if mweff != base:
+            raise BranchConflict(
+                f"cannot fast-forward branch {branch!r}: main moved "
+                f"from the fork point (forked at txn {base}, main now "
+                f"at {mweff}) — re-stage against the new watermark"
+            )
+        # materialize staged batch dirs under their main-path names
+        # BEFORE the pointer move: ids above the watermark are inert
+        # until the rename below, and a crash mid-way re-publishes
+        # idempotently (complete targets are skipped)
+        for alias, member in rec["tables"].items():
+            root = member["root"]
+            suffix = f".stage.{branch}"
+            for p in _staged_dirs(root, branch, head):
+                dst = p[: -len(suffix)]
+                if os.path.exists(os.path.join(dst, "_SUCCESS")):
+                    shutil.rmtree(p, ignore_errors=True)  # replay
+                    continue
+                if os.path.isdir(dst):
+                    shutil.rmtree(dst, ignore_errors=True)  # partial
+                os.rename(p, dst)
+        staged = txn_branch_log(group_root, branch)
+        main_rec = {"txn": head, "tables": rec["tables"]}
+        for t in sorted(k for k in staged if base < k <= head):
+            r = staged[t] if t != head else rec
+            body = {k: v for k, v in r.items() if k != "base_txn"}
+            _atomic_put_json(
+                os.path.join(group_root, f"{_TXN}.t{t}"), body
+            )
+        if head not in staged:
+            _atomic_put_json(
+                os.path.join(group_root, f"{_TXN}.t{head}"), main_rec
+            )
+        _atomic_put_json(
+            os.path.join(group_root, _TXN), main_rec, fsync_dir=True
+        )  # THE visibility event
+        _cleanup_branch(group_root, branch)
+        return head
+    finally:
+        _release_lease(group_root, lease)
+
+
+def _atomic_put_json(path: str, rec: dict, fsync_dir: bool = False) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
+    with open(tmp, "w") as f:
+        f.write(json.dumps(rec, sort_keys=True))
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+    if fsync_dir:
+        dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+
+
+def _cleanup_branch(group_root: str, branch: str) -> None:
+    prefix = f"{_TXN}.b.{branch}"
+    for n in sorted(os.listdir(group_root)):
+        if n == prefix or n.startswith(prefix + "."):
+            try:
+                os.remove(os.path.join(group_root, n))
+            except OSError:
+                pass
+
+
+def drop_branch(group_root: str, branch: str) -> None:
+    """ABANDON a staging branch (r11 WAP): delete its pointer,
+    staged history entries, and every member's staged batch dirs.
+    Nothing was ever visible to main readers (stage_batch_write's
+    names are invisible to them by construction), so dropping is pure
+    cleanup — the audit said no, walk away.  Unknown branches are a
+    no-op (drop is the crash-cleanup path)."""
+    _validate_branch(branch)
+    rec = txn_branch_vector(group_root, branch)
+    if rec is not None:
+        for member in rec["tables"].values():
+            root = member["root"]
+            for p in _staged_dirs(root, branch, 1 << 62):
+                shutil.rmtree(p, ignore_errors=True)
+    if os.path.isdir(group_root):
+        _cleanup_branch(group_root, branch)
+
+
 def _live_dirs(
     root: str,
     exclude_batch: int | None = None,
@@ -2429,6 +2782,9 @@ def _live_dirs(
     for d in sorted(os.listdir(root)):
         if d.startswith(".") or d in skip:
             continue
+        if ".stage." in d:
+            continue  # WAP branch-scoped dirs (r11): invisible to
+            # every main-path reader/fold until publish renames them
         if not os.path.isdir(os.path.join(root, d)):
             continue
         if d.startswith("base") and d != live_base:

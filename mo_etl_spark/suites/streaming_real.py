@@ -3956,3 +3956,113 @@ def stream_state_group_mirror_retract(
             "direct",
         )
     )
+
+
+@query(
+    "stream_state_wap_publish",
+    oracle="""
+    SELECT 'staged_main' AS snapshot, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 'audit', count(*), CAST(sum(o_orderkey) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'published', count(*), CAST(sum(o_orderkey) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'dropped_main', count(*), CAST(sum(o_orderkey) AS BIGINT)
+    FROM orders
+    """,
+    tags=(
+        "cross_table_txn",
+        "wap_branch",
+        "time_travel_rollback",
+        "incremental_etl",
+        "qa_gate",
+    ),
+)
+def stream_state_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH as a contract query (r11 — the
+    Iceberg/Nessie WAP pattern on the txn group): two transactions are
+    STAGED on a branch with branch-scoped batch dirs
+    (``stage_batch_write``) — the main read while they are staged must
+    show ONLY txn 0's slice (a staged-dir leak inflates
+    ``staged_main``), and a watermark-disciplined fold run mid-stage
+    must leave them untouched.  The audit read shows exactly what
+    publish will make visible; ``publish_branch`` then moves the main
+    pointer once — both txns appear atomically.  A second branch
+    stages POISON rows (keys shifted by 50M), fails its audit gate,
+    and is dropped: ``dropped_main`` must equal ``published`` exactly
+    — the walked-away branch can never leak, even though the main
+    watermark is far past its staged id."""
+    prepare(spark)
+    from mo_etl_spark.streaming import (
+        compact_batched as _compact,
+        drop_branch,
+        publish_branch,
+        read_branch_head,
+        stage_batch_write,
+        txn_branch_watermark,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint")
+    )
+    root = _scratch("wap_tbl")
+    group = _scratch("wap_txn")
+    schema = "o_orderkey BIGINT"
+
+    def sl(m: int) -> DataFrame:
+        return orders.where(F.pmod("o_orderkey", F.lit(3)) == m)
+
+    idempotent_batch_write(sl(0), root, 0)
+    txn_commit(group, 0, {"t": root})
+    stage_batch_write(sl(1), root, 1, "audit")
+    txn_commit(group, 1, {"t": root}, branch="audit")
+    stage_batch_write(sl(2), root, 2, "audit")
+    txn_commit(group, 2, {"t": root}, branch="audit")
+    # maintenance mid-stage: folds at the main watermark never touch
+    # the staged dirs
+    _compact(
+        spark, root, min_dirs=0, gc_grace_sec=3600.0,
+        max_batch=txn_watermark(group),
+    )
+
+    def summ(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        ).select(F.lit(name).alias("snapshot"), "n", "key_sum")
+
+    staged_main = summ(
+        read_batched(spark, root, schema=schema, max_batch=txn_watermark(group)),
+        "staged_main",
+    ).localCheckpoint(eager=True)  # pin BEFORE publish mutates state
+    audit_df = read_branch_head(spark, group, "audit", "t", schema)
+    # the audit QA gate this branch must pass: no null keys staged
+    assert audit_df.where(F.col("o_orderkey").isNull()).limit(1).count() == 0
+    audit = summ(audit_df, "audit").localCheckpoint(eager=True)
+    assert publish_branch(group, "audit") == 2
+    published = summ(
+        read_batched(spark, root, schema=schema, max_batch=txn_watermark(group)),
+        "published",
+    )
+    # the rejected branch: poison rows fail the audit, the branch is
+    # dropped, and nothing ever leaks
+    stage_batch_write(
+        orders.where(F.pmod("o_orderkey", F.lit(100)) == 0).select(
+            (F.col("o_orderkey") + F.lit(50_000_000)).alias("o_orderkey")
+        ),
+        root, 3, "bad",
+    )
+    txn_commit(group, 3, {"t": root}, branch="bad")
+    bad = read_branch_head(spark, group, "bad", "t", schema)
+    assert bad.where(F.col("o_orderkey") > 40_000_000).limit(1).count() > 0
+    drop_branch(group, "bad")
+    assert txn_branch_watermark(group, "bad") is None
+    dropped_main = summ(
+        read_batched(spark, root, schema=schema, max_batch=txn_watermark(group)),
+        "dropped_main",
+    )
+    return staged_main.unionByName(audit).unionByName(published).unionByName(
+        dropped_main
+    )

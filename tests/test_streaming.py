@@ -6131,6 +6131,10 @@ def test_txn_protocol_threaded_full_model(spark, tmpdir, seed):
                 return
 
     def txn_reader(rounds: int):
+        # same bounded-window discipline as the WAP model's main
+        # reader: a fold at a newer watermark can land between the
+        # pointer resolve and the collect, so the read must equal the
+        # committed prefix of SOME v in [w_before, w_after]
         try:
             for _ in range(rounds):
                 w = S.txn_watermark(g)
@@ -6142,7 +6146,10 @@ def test_txn_protocol_threaded_full_model(spark, tmpdir, seed):
                         spark, root, schema=schema, max_batch=w
                     ).collect()
                 }
-                assert ids == expected(w), ("txn read", w, len(ids))
+                w2 = S.txn_watermark(g)
+                assert any(
+                    ids == expected(v) for v in range(w, w2 + 1)
+                ), ("txn read", w, w2, len(ids))
                 if stop.is_set():
                     break
         except Exception as e:  # noqa: BLE001
@@ -6559,3 +6566,320 @@ def test_txn_retention_cdf_threaded_model(spark, tmpdir, seed):
         assert got == expected(j), ("final travel", j)
     with pytest.raises(S.SnapshotVacuumed):
         S.read_group_at(spark, g, 0, "t", schema, partitioned=True).collect()
+
+
+def test_wap_branch_stage_audit_publish(spark, tmpdir):
+    """WRITE-AUDIT-PUBLISH branches (r11 — the Iceberg/Nessie WAP
+    shape on the txn group): staged transactions are INVISIBLE to
+    main-pointer readers and watermark-disciplined folds; the audit
+    read sees exactly what publish would make visible; publish is ONE
+    atomic pointer move (all staged txns appear at once), idempotent
+    across its crash windows; a main commit after the fork raises the
+    NAMED BranchConflict and modifies nothing."""
+    from mo_etl_spark import streaming as S
+
+    g = f"{tmpdir}/wap"
+    root = f"{tmpdir}/wap_tbl"
+    schema = "k BIGINT"
+
+    def wr(b, lo, hi):
+        S.idempotent_batch_write(
+            spark.range(lo, hi).select(F.col("id").alias("k")), root, b
+        )
+
+    def main_ids():
+        w = S.txn_watermark(g)
+        return {
+            r["k"]
+            for r in S.read_batched(
+                spark, root, schema=schema, max_batch=w
+            ).collect()
+        }
+
+    def stg(b, lo, hi, br):
+        S.stage_batch_write(
+            spark.range(lo, hi).select(F.col("id").alias("k")), root, b, br
+        )
+
+    wr(0, 0, 10)
+    S.txn_commit(g, 0, {"t": root})
+    # stage txns 1..2 on the audit branch (branch-scoped dir names)
+    stg(1, 10, 20, "audit")
+    S.txn_commit(g, 1, {"t": root}, branch="audit")
+    stg(2, 20, 30, "audit")
+    S.txn_commit(g, 2, {"t": root}, branch="audit")
+    # invisible to main readers; watermark-disciplined fold never
+    # consumes the staged dirs
+    assert main_ids() == set(range(10))
+    S.compact_batched(
+        spark, root, min_dirs=0, gc_grace_sec=3600.0,
+        max_batch=S.txn_watermark(g),
+    )
+    assert os.path.isdir(f"{root}/b1.stage.audit")
+    assert os.path.isdir(f"{root}/b2.stage.audit")
+    assert main_ids() == set(range(10))
+    # the audit read sees exactly the would-be-published state
+    audit = {
+        r["k"]
+        for r in S.read_branch_head(
+            spark, g, "audit", "t", schema
+        ).collect()
+    }
+    assert audit == set(range(30))
+    # crash window 1: staged records copied to the main log but the
+    # pointer not yet moved — inert to readers, healed by re-publish
+    import json as _json
+
+    rec1 = S.txn_branch_log(g, "audit")[1]
+    body = {k: v for k, v in rec1.items() if k != "base_txn"}
+    with open(f"{g}/_TXN.t1", "w") as f:
+        f.write(_json.dumps(body, sort_keys=True))
+    assert S.txn_watermark(g) == 0
+    assert S.txn_watermark_logged(g) == 0  # entry above watermark inert
+    assert main_ids() == set(range(10))
+    # publish: all staged txns appear at once
+    assert S.publish_branch(g, "audit") == 2
+    assert S.txn_watermark(g) == 2
+    assert S.txn_watermark_logged(g) == 2
+    assert main_ids() == set(range(30))
+    assert set(S.txn_log(g)) == {0, 1, 2}
+    assert S.txn_branch_vector(g, "audit") is None  # branch gone
+    # group time travel works through published txns
+    got1 = {
+        r["k"] for r in S.read_group_at(spark, g, 1, "t", schema).collect()
+    }
+    assert got1 == set(range(20))
+    # conflict: stage on a new branch, then main advances past the fork
+    stg(3, 30, 40, "audit2")
+    S.txn_commit(g, 3, {"t": root}, branch="audit2")
+    wr(4, 40, 50)
+    S.txn_commit(g, 4, {"t": root})  # competing main writer wins
+    with pytest.raises(S.BranchConflict):
+        S.publish_branch(g, "audit2")
+    assert S.txn_watermark(g) == 4  # nothing modified
+    assert S.txn_branch_watermark(g, "audit2") == 3  # branch intact
+    # THE ABANDONMENT GUARANTEE (what branch-scoped dir names buy):
+    # main's watermark (4) has moved PAST the abandoned staged id (3),
+    # yet main readers never see the staged rows — then drop cleans up
+    assert main_ids() == set(range(30)) | set(range(40, 50))
+    S.drop_branch(g, "audit2")
+    assert not os.path.isdir(f"{root}/b3.stage.audit2")
+    assert S.txn_branch_vector(g, "audit2") is None
+    assert main_ids() == set(range(30)) | set(range(40, 50))
+    # staged id at/below the new watermark can no longer extend main:
+    # publishing would be non-linear, and re-staging is the contract
+    with pytest.raises(ValueError, match="extend"):
+        S.txn_commit(g, 4, {"t": root}, branch="fresh")
+    # crash window 2: pointer moved but branch files not cleaned —
+    # re-publish just finishes the cleanup
+    stg(5, 50, 60, "late")
+    S.txn_commit(g, 5, {"t": root}, branch="late")
+    pointer_bytes = open(f"{g}/_TXN.b.late").read()
+    assert S.publish_branch(g, "late") == 5
+    # a zombie stager replaying an already-published id is REJECTED
+    # named (the branch is gone; the id no longer extends main)
+    with pytest.raises(ValueError, match="extend"):
+        S.txn_commit(g, 5, {"t": root}, branch="late")
+    # crash window 2 proper: pointer moved but the branch files were
+    # not cleaned (plant the pre-publish pointer back) — re-publish
+    # finds main already at the head and only finishes the cleanup
+    with open(f"{g}/_TXN.b.late", "w") as f:
+        f.write(pointer_bytes)
+    assert S.publish_branch(g, "late") == 5
+    assert S.txn_branch_vector(g, "late") is None
+    assert main_ids() == set(range(30)) | set(range(40, 60))
+
+
+@pytest.mark.parametrize("seed", [11, 23, 37, 53])
+def test_wap_threaded_model(spark, tmpdir, seed):
+    """WAP under the threaded interleaving harness (r11 — the staging
+    surface joins the seeded models): ONE data writer (the protocol's
+    single-writer discipline) alternates direct commits with
+    stage-two-then-publish cycles while a change-file compactor folds
+    at the live watermark, a vacuum thread runs zero-retention expiry
+    with the keep_last_txns pin, a MAIN READER asserts the exact
+    committed prefix at every poll (any staged-dir leak or torn
+    publish breaks equality — a publish makes BOTH staged txns
+    visible at once or neither), a travel reader checks the retention
+    guarantee live, and the debris planter spams the txn namespace
+    with torn tmp files (now including branch-shaped ones)."""
+    import random
+    import threading
+
+    from mo_etl_spark import streaming as S
+
+    rng = random.Random(seed)
+    g = f"{tmpdir}/wap_threads"
+    root = f"{tmpdir}/wap_threads_tbl"
+    schema = "k BIGINT, ib BIGINT"
+    N, PER, K = 8, 5, 3
+
+    def rows(b):
+        return spark.range(b * PER, (b + 1) * PER).select(
+            F.col("id").alias("k"), F.pmod("id", F.lit(4)).alias("ib")
+        )
+
+    S.idempotent_batch_write(rows(0), root, 0, partition_cols=["ib"])
+    S.txn_commit(g, 0, {"t": root})
+    errors: list[str] = []
+    stop = threading.Event()
+
+    def expected(w: int) -> set[int]:
+        return set(range((w + 1) * PER))
+
+    def writer(wseed: int):
+        r = random.Random(wseed)
+        try:
+            b = 1
+            while b <= N:
+                if r.random() < 0.5 and b + 1 <= N:
+                    # stage two txns, audit, publish as one unit
+                    for j in (b, b + 1):
+                        S.stage_batch_write(
+                            rows(j), root, j, "audit",
+                            partition_cols=["ib"],
+                        )
+                        S.txn_commit(g, j, {"t": root}, branch="audit")
+                    audit = {
+                        row["k"]
+                        for row in S.read_branch_head(
+                            spark, g, "audit", "t", schema
+                        ).collect()
+                    }
+                    assert audit == expected(b + 1), ("audit", b)
+                    S.publish_branch(g, "audit")
+                    b += 2
+                else:
+                    S.idempotent_batch_write(
+                        rows(b), root, b, partition_cols=["ib"]
+                    )
+                    S.txn_commit(g, b, {"t": root})
+                    b += 1
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"writer: {e!r}")
+        finally:
+            stop.set()
+
+    def cdf_compactor(cseed: int):
+        r = random.Random(cseed)
+        while not stop.is_set():
+            try:
+                w = S.txn_watermark(g)
+                if w is not None:
+                    S.compact_batched(
+                        spark, root, min_dirs=0, gc_grace_sec=0.0,
+                        max_batch=w, lease_ttl_sec=60.0,
+                        keep_last_txns=(g, K), partition_cols=["ib"],
+                        transform=lambda df: df, change_feed=True,
+                    )
+            except S.CompactorBusy:
+                pass
+            except Exception as e:  # noqa: BLE001
+                errors.append(f"cdf_compactor: {e!r}")
+                return
+            stop.wait(r.uniform(0.05, 0.2))
+
+    def vacuum(vseed: int):
+        r = random.Random(vseed)
+        while not stop.is_set():
+            try:
+                S.expire_snapshots(
+                    root, keep_last_n=1, keep_last_txns=(g, K),
+                )
+            except S.CompactorBusy:
+                pass
+            except Exception as e:  # noqa: BLE001
+                errors.append(f"vacuum: {e!r}")
+                return
+            stop.wait(r.uniform(0.05, 0.2))
+
+    def main_reader():
+        # LINEARIZABILITY-STYLE check: between resolving the watermark
+        # and finishing the collect, a commit+fold can legitimately
+        # advance the live base past the stale watermark (the live
+        # read guarantees no-uncommitted-rows, not exactly-at-w —
+        # snapshot exactness is read_group_at's job).  The read must
+        # equal the committed prefix of SOME watermark in [w_before,
+        # w_after]; a torn publish (one of a staged pair visible)
+        # fails for EVERY v.
+        while not stop.is_set():
+            try:
+                w = S.txn_watermark(g)
+                if w is None:
+                    continue
+                ids = {
+                    r["k"]
+                    for r in S.read_batched(
+                        spark, root, schema=schema, max_batch=w
+                    ).collect()
+                }
+                w2 = S.txn_watermark(g)
+                assert any(
+                    ids == expected(v) for v in range(w, w2 + 1)
+                ), ("main read", w, w2, len(ids))
+            except Exception as e:  # noqa: BLE001
+                errors.append(f"main_reader: {e!r}")
+                return
+
+    def travel_reader():
+        while not stop.is_set():
+            try:
+                w = S.txn_watermark_logged(g)
+                if w is None or w < 1:
+                    continue
+                j = w - 1
+                try:
+                    ids = {
+                        r["k"]
+                        for r in S.read_group_at(
+                            spark, g, j, "t", schema, partitioned=True
+                        ).collect()
+                    }
+                    assert ids == expected(j), ("travel", j, len(ids))
+                except S.SnapshotVacuumed:
+                    w2 = S.txn_watermark(g)
+                    assert w2 is not None and j <= w2 - K, (
+                        "pinned txn vacuumed", j, w2,
+                    )
+            except Exception as e:  # noqa: BLE001
+                errors.append(f"travel_reader: {e!r}")
+                return
+
+    def debris(dseed: int):
+        r = random.Random(dseed)
+        while not stop.is_set():
+            try:
+                for n in ("_TXN.tmp", f"_TXN.t{900 + r.randrange(90)}.tmp",
+                          "_TXN.b.audit.tmp"):
+                    with open(os.path.join(g, n), "w") as f:
+                        f.write("{torn")
+            except Exception as e:  # noqa: BLE001
+                errors.append(f"debris: {e!r}")
+                return
+            stop.wait(r.uniform(0.02, 0.1))
+
+    threads = [
+        threading.Thread(target=writer, args=(rng.randrange(1 << 30),)),
+        threading.Thread(target=cdf_compactor, args=(rng.randrange(1 << 30),)),
+        threading.Thread(target=vacuum, args=(rng.randrange(1 << 30),)),
+        threading.Thread(target=main_reader),
+        threading.Thread(target=travel_reader),
+        threading.Thread(target=debris, args=(rng.randrange(1 << 30),)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(300)
+        assert not t.is_alive(), "thread wedged"
+    assert not errors, errors
+    assert S.txn_watermark(g) == N
+    got = {
+        r["k"]
+        for r in S.read_batched(
+            spark, root, schema=schema, max_batch=N
+        ).collect()
+    }
+    assert got == expected(N)
+    assert S.txn_branch_vector(g, "audit") is None  # no branch left
+    assert not S._staged_dirs(root, "audit", 1 << 62)  # no staged debris
+    assert set(range(N + 1)) <= set(S.txn_log(g))  # full history published
