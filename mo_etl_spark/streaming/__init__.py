@@ -766,6 +766,22 @@ def diff_batched(
     when ``key_cols`` names a partition column (the recursive read
     yields it null, which would report every row as both insert and
     delete; ADVICE r8 medium)."""
+    lg = read_manifest_log(root)
+
+    def _nops(g: int) -> int:
+        e = (lg.get(g) or {}).get("extra")
+        return len(e.get("schema_ops") or []) if isinstance(e, dict) else 0
+
+    if _nops(gen_from) != _nops(gen_to):
+        # the window crosses a rename/drop (r11): ONE explicit schema
+        # cannot read both endpoints by name — the old end would yield
+        # nulls for renamed columns and the keyed diff would silently
+        # report every row as changed
+        raise SchemaEvolved(
+            f"change feed window ({gen_from}, {gen_to}] on {root!r} "
+            "crosses a schema-evolution generation — re-seed the "
+            "consumer from the evolved snapshot"
+        )
     a = read_batched_at(spark, root, gen_from, schema, partitioned=partitioned)
     b = read_batched_at(spark, root, gen_to, schema, partitioned=partitioned)
     keys = [str(k) for k in key_cols]
@@ -1899,6 +1915,29 @@ def apply_group_feed_batched(
             spark, group_root, cur, txn_to, alias, keys, schema
         )
         if feed is None:
+            # the fallback's endpoints must agree on the member's
+            # schema ops (r11): a rename/drop between the two recorded
+            # generations makes one schema string unable to read both
+            tlog = txn_log(group_root)
+
+            def _gops(t: int) -> int:
+                mem = (tlog.get(t) or {}).get("tables", {}).get(alias)
+                if mem is None:
+                    return 0
+                mlg = read_manifest_log(mem["root"])
+                e = (mlg.get(int(mem["gen"])) or {}).get("extra")
+                return (
+                    len(e.get("schema_ops") or [])
+                    if isinstance(e, dict)
+                    else 0
+                )
+
+            if _gops(cur) != _gops(txn_to):
+                raise SchemaEvolved(
+                    f"group feed window ({cur}, {txn_to}] of member "
+                    f"{alias!r} crosses a schema-evolution generation "
+                    "— re-seed the mirror from the evolved snapshot"
+                )
             # sound fallback: keyed diff of the two group-travel views
             a = read_group_at(
                 spark, group_root, cur, alias, schema, partitioned=True
@@ -2734,6 +2773,234 @@ def _cleanup_branch(group_root: str, branch: str) -> None:
                 os.remove(os.path.join(group_root, n))
             except OSError:
                 pass
+
+
+class SchemaEvolved(RuntimeError):
+    """A change-feed window crosses a schema-evolution generation
+    (rename/drop): column names are not stable across the window, so
+    a keyed feed reading old dirs through the new schema would
+    silently yield nulls.  Re-seed the consumer from the evolved
+    snapshot — the same contract Delta's CDF has for
+    schema-incompatible changes."""
+
+
+def schema_ops(root: str) -> list[dict]:
+    """The table's recorded schema-evolution ops, oldest first
+    (empty = never evolved)."""
+    man = _read_manifest(root) if os.path.isdir(root) else None
+    if not man or not isinstance(man.get("extra"), dict):
+        return []
+    return list(man["extra"].get("schema_ops") or [])
+
+
+def apply_schema_ops(df: DataFrame, ops: Sequence[dict]) -> DataFrame:
+    """Apply recorded rename/drop ops to ONE dir's raw read, in
+    order, by name-presence — idempotent: a dir written after an op
+    already carries the new name, so the op no-ops on it; a fold
+    union carrying BOTH names (old dirs + new dirs) resolves by
+    coalesce (per row exactly one side is non-null: a row either came
+    from a pre-rename dir or a post-rename one)."""
+    for op in ops:
+        if op["op"] == "rename":
+            src, dst = op["from"], op["to"]
+            if src in df.columns and dst in df.columns:
+                df = df.withColumn(
+                    dst, F.coalesce(F.col(dst), F.col(src))
+                ).drop(src)
+            elif src in df.columns:
+                df = df.withColumnRenamed(src, dst)
+        elif op["op"] == "drop":
+            if op["col"] in df.columns:
+                df = df.drop(op["col"])
+    return df
+
+
+def evolve_schema(
+    spark: SparkSession,
+    root: str,
+    rename: dict[str, str] | None = None,
+    drop: Sequence[str] | None = None,
+    lease_ttl_sec: float = 3600.0,
+) -> int:
+    """NON-ADDITIVE SCHEMA EVOLUTION (r11 — the Iceberg/Delta
+    column-mapping twin for the batched protocol): commit a
+    METADATA-ONLY generation recording rename/drop ops — no data
+    rewrite, however large the table.  The live pointer advances to a
+    generation sharing the previous base and consumed set, with the
+    ops appended to ``extra.schema_ops``; expire_snapshots already
+    treats shared bases correctly.
+
+    Read paths: ``read_batched_evolved`` applies the ops per dir
+    (exact immediately, pre- and post-rename dirs mixed);
+    ``normalize_schema_transform`` lets the NEXT fold rewrite rows
+    physically to the current names, after which plain explicit-schema
+    readers are exact again.  Time travel returns the HISTORICAL
+    shape: a read at an old generation takes the schema the data had
+    then (Iceberg semantics — the caller-supplied schema string names
+    it).  Change feeds never cross an evolution silently: the
+    metadata generation carries no plain/change marker (fast path
+    falls back) and the snapshot diff raises the NAMED SchemaEvolved
+    when its endpoints disagree on the op count — consumers re-seed.
+
+    Validates against the CURRENT evolved live schema: rename sources
+    and dropped columns must exist; rename targets must be unused now
+    AND never used before (reusing a historical name would make the
+    coalesce-based mixed-dir read ambiguous).  Requires a manifest
+    (fold at least once before evolving).  Returns the new
+    generation."""
+    ren = dict(rename or {})
+    drops = [str(c) for c in (drop or [])]
+    if not ren and not drops:
+        raise ValueError("evolve_schema: nothing to do")
+    lease = _acquire_lease(root, lease_ttl_sec)
+    try:
+        man = _read_manifest(root)
+        if man is None:
+            raise ValueError(
+                f"evolve_schema: {root!r} has no manifest generation to "
+                "record the ops on — run compact_batched once first"
+            )
+        prior_extra = (
+            dict(man["extra"]) if isinstance(man.get("extra"), dict) else {}
+        )
+        ops = list(prior_extra.get("schema_ops") or [])
+        # current evolved live columns, from the live dirs' footers
+        live: set[str] = set()
+        for p in _live_dirs(root):
+            if not any(
+                n.endswith(".parquet")
+                for _, _, ns in os.walk(p)
+                for n in ns
+            ):
+                continue
+            hive = any(
+                "=" in n and os.path.isdir(os.path.join(p, n))
+                for n in os.listdir(p)
+            )
+            r = spark.read
+            if not hive:
+                r = r.option("recursiveFileLookup", "true")
+            live |= set(
+                apply_schema_ops(r.parquet(p), ops).columns
+            )
+        # partition columns are LAYOUT, not schema: renaming one would
+        # orphan every hive dir name; that migration is a rebucket/
+        # re-layout fold's job, not a metadata op
+        part_cols: set[str] = set()
+        for p in _live_dirs(root):
+            for n in os.listdir(p):
+                if "=" in n and os.path.isdir(os.path.join(p, n)):
+                    part_cols.add(n.split("=", 1)[0])
+        for c in set(ren) | set(ren.values()) | set(drops):
+            if c in part_cols:
+                raise ValueError(
+                    f"evolve_schema: {c!r} is a partition column of "
+                    f"{root!r} — layout columns evolve via a re-layout "
+                    "fold (rebucket_transform), not a metadata op"
+                )
+        historical: set[str] = set()
+        for op in ops:
+            if op["op"] == "rename":
+                historical |= {op["from"], op["to"]}
+            else:
+                historical.add(op["col"])
+        new_ops: list[dict] = []
+        gen = int(man["gen"]) + 1
+        for src, dst in ren.items():
+            if src not in live:
+                raise ValueError(
+                    f"evolve_schema: rename source {src!r} is not a "
+                    f"live column of {root!r} (live: {sorted(live)})"
+                )
+            if dst in live or dst in historical:
+                raise ValueError(
+                    f"evolve_schema: rename target {dst!r} is already "
+                    "a live or historical column name — reusing names "
+                    "would make the mixed-dir read ambiguous"
+                )
+            new_ops.append(
+                {"op": "rename", "from": str(src), "to": str(dst),
+                 "gen": gen}
+            )
+        for c in drops:
+            if c not in live:
+                raise ValueError(
+                    f"evolve_schema: drop column {c!r} is not a live "
+                    f"column of {root!r} (live: {sorted(live)})"
+                )
+            if c in ren:
+                raise ValueError(
+                    f"evolve_schema: column {c!r} both renamed and "
+                    "dropped in one call"
+                )
+            new_ops.append({"op": "drop", "col": c, "gen": gen})
+        prior_extra["schema_ops"] = ops + new_ops
+        _write_manifest(
+            root, gen, man["base"], dict(man["consumed"]),
+            extra=prior_extra, tombs=man.get("tombs") or None,
+        )  # no plain/change marker: CDF windows crossing this fall back
+        return gen
+    finally:
+        _release_lease(root, lease)
+
+
+def read_batched_evolved(
+    spark: SparkSession,
+    root: str,
+    schema: str | None = None,
+    max_batch: int | None = None,
+) -> DataFrame:
+    """Evolution-aware live read: per-dir raw reads with the recorded
+    rename/drop ops applied (pre- and post-rename dirs mix exactly),
+    unioned by name.  ``schema`` (the CURRENT names) aligns and types
+    the result.  Until a normalize fold has rewritten the rows, this
+    is THE exact reader for an evolved table — a plain explicit-schema
+    read of a pre-rename dir yields nulls for renamed columns."""
+    from functools import reduce
+
+    ops = schema_ops(root)
+    parts: list[DataFrame] = []
+    for p in _live_dirs(root, None, max_batch):
+        if not any(
+            n.endswith(".parquet") for _, _, ns in os.walk(p) for n in ns
+        ):
+            continue
+        hive = any(
+            "=" in n and os.path.isdir(os.path.join(p, n))
+            for n in os.listdir(p)
+        )
+        r = spark.read
+        if not hive:
+            r = r.option("recursiveFileLookup", "true")
+        parts.append(apply_schema_ops(r.parquet(p), ops))
+    if not parts:
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        raise ValueError(f"read_batched_evolved: {root!r} has no files")
+    df = reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+    )
+    if schema is not None:
+        df = _align_to(df, spark.createDataFrame([], schema).schema.fields)
+    return df
+
+
+def normalize_schema_transform(
+    root: str,
+) -> Callable[[DataFrame], "tuple[DataFrame, dict]"]:
+    """``compact_batched(transform=)`` hook physically rewriting rows
+    to the CURRENT evolved names (the fold's allowMissingColumns
+    union carries old and new names side by side; apply_schema_ops
+    resolves them by coalesce).  After this fold, plain
+    explicit-schema readers are exact again; the ops stay recorded
+    for any still-unfolded stragglers (in-flight batch dirs, staged
+    branches), which read_batched_evolved keeps handling."""
+    ops = schema_ops(root)
+
+    def t(df: DataFrame) -> tuple[DataFrame, dict]:
+        return apply_schema_ops(df, ops), {"schema_ops": ops}
+
+    return t
 
 
 def drop_branch(group_root: str, branch: str) -> None:

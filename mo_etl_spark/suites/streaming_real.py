@@ -4066,3 +4066,130 @@ def stream_state_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged_main.unionByName(audit).unionByName(published).unionByName(
         dropped_main
     )
+
+
+@query(
+    "stream_state_schema_evolution",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    extra AS (
+      SELECT o_orderkey + 10000000 AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 500 = 0
+    ),
+    evolved AS (SELECT * FROM base UNION ALL SELECT * FROM extra)
+    SELECT 'evolved' AS snapshot, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents_sum FROM evolved
+    UNION ALL
+    SELECT 'normalized', count(*), CAST(sum(cents) AS BIGINT) FROM evolved
+    UNION ALL
+    SELECT 'historical', count(*), CAST(sum(cents) AS BIGINT) FROM base
+    """,
+    tags=(
+        "schema_evolution",
+        "schema_rename_drop",
+        "time_travel_rollback",
+        "change_data_feed",
+        "index_compaction",
+    ),
+)
+def stream_state_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NON-ADDITIVE SCHEMA EVOLUTION as a contract query (r11): an
+    orders-derived batched table renames ``price_cents`` to
+    ``revenue_cents`` and drops ``status`` as a METADATA-ONLY
+    generation (zero rows rewritten — the move a 100 TB table needs);
+    new arrivals land under the new names; ``read_batched_evolved``
+    must mix pre- and post-rename dirs exactly (``evolved``); an
+    UNNORMALIZED plain fold then the ``normalize_schema_transform``
+    fold make plain explicit-schema readers exact again
+    (``normalized``); time travel to the pre-evolution generation
+    returns the HISTORICAL shape (``historical``); and a change-feed
+    window crossing the evolution is ASSERTED to raise the NAMED
+    SchemaEvolved rather than silently nulling the renamed column."""
+    prepare(spark)
+    from mo_etl_spark.streaming import (
+        SchemaEvolved,
+        compact_batched as _compact,
+        diff_batched,
+        evolve_schema,
+        normalize_schema_transform,
+        read_batched_at,
+        read_batched_evolved,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias(
+            "price_cents"
+        ),
+        F.col("o_orderstatus").alias("status"),
+        F.pmod("o_orderkey", F.lit(4)).alias("ob"),
+    )
+    root = _scratch("schevo_tbl")
+    idempotent_batch_write(orders, root, 0, partition_cols=["ob"])
+    _compact(
+        spark, root, min_dirs=0, partition_cols=["ob"],
+        gc_grace_sec=3600.0,
+    )  # gen 1: the historical shape
+    evolve_schema(
+        spark, root, rename={"price_cents": "revenue_cents"},
+        drop=["status"],
+    )  # gen 2: metadata only
+    idempotent_batch_write(
+        orders.where(F.pmod("k", F.lit(500)) == 0).select(
+            (F.col("k") + F.lit(10_000_000)).alias("k"),
+            F.col("price_cents").alias("revenue_cents"),
+            F.pmod("k", F.lit(4)).alias("ob"),
+        ),
+        root, 1, partition_cols=["ob"],
+    )
+    new_schema = "k BIGINT, revenue_cents BIGINT, ob BIGINT"
+
+    def summ(df: DataFrame, name: str, cents: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("cents_sum"),
+        ).select(F.lit(name).alias("snapshot"), "n", "cents_sum")
+
+    evolved = summ(
+        read_batched_evolved(spark, root, new_schema),
+        "evolved", "revenue_cents",
+    ).localCheckpoint(eager=True)  # pin before the folds rewrite
+    # a change-feed window crossing the evolution must refuse, NAMED
+    try:
+        diff_batched(spark, root, 1, 2, ["k"], new_schema)
+    except SchemaEvolved:
+        pass
+    else:  # pragma: no cover - regression guard
+        raise AssertionError(
+            "diff_batched crossed a schema evolution without raising"
+        )
+    # unnormalized plain fold, then the physical normalize fold
+    _compact(
+        spark, root, min_dirs=0, partition_cols=["ob"],
+        gc_grace_sec=3600.0,
+    )
+    _compact(
+        spark, root, min_dirs=0, partition_cols=["ob"],
+        gc_grace_sec=3600.0,
+        transform=normalize_schema_transform(root),
+    )
+    normalized = summ(
+        read_batched(spark, root, partitioned=True, schema=new_schema),
+        "normalized", "revenue_cents",
+    )
+    historical = summ(
+        read_batched_at(
+            spark, root, 1,
+            "k BIGINT, price_cents BIGINT, status STRING, ob BIGINT",
+            partitioned=True,
+        ),
+        "historical", "price_cents",
+    )
+    return evolved.unionByName(normalized).unionByName(historical)

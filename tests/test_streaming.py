@@ -6883,3 +6883,126 @@ def test_wap_threaded_model(spark, tmpdir, seed):
     assert S.txn_branch_vector(g, "audit") is None  # no branch left
     assert not S._staged_dirs(root, "audit", 1 << 62)  # no staged debris
     assert set(range(N + 1)) <= set(S.txn_log(g))  # full history published
+
+
+def test_schema_evolution_rename_drop(spark, tmpdir):
+    """NON-ADDITIVE SCHEMA EVOLUTION (r11 — rename/drop as
+    metadata-only generations): the ops commit without rewriting a
+    row; read_batched_evolved is exact across mixed pre/post-rename
+    dirs AND across an unnormalized plain fold (the base then carries
+    both names side by side); the normalize fold rewrites physically
+    so plain explicit-schema readers recover; time travel returns the
+    HISTORICAL shape; every change-feed path crossing the evolution
+    refuses with the NAMED SchemaEvolved instead of silently nulling
+    renamed columns; validation rejects unknown sources, name reuse,
+    and rename+drop of one column."""
+    from mo_etl_spark import streaming as S
+
+    root = f"{tmpdir}/evo"
+    rows0 = [(1, 10, 100, 1), (2, 20, 200, 0)]
+    spark.createDataFrame(
+        rows0, "a BIGINT, b BIGINT, c BIGINT, p BIGINT"
+    ).write.partitionBy("p").parquet(f"{root}/b0")
+    S.compact_batched(
+        spark, root, min_dirs=0, gc_grace_sec=3600.0,
+        partition_cols=["p"],
+    )
+    g1 = S.read_manifest_log(root)
+    assert 1 in g1
+    # metadata-only evolution: rename b -> d, drop c
+    gen = S.evolve_schema(spark, root, rename={"b": "d"}, drop=["c"])
+    assert gen == 2
+    assert [op["op"] for op in S.schema_ops(root)] == ["rename", "drop"]
+    got = sorted(
+        (r["a"], r["d"])
+        for r in S.read_batched_evolved(
+            spark, root, "a BIGINT, d BIGINT, p BIGINT"
+        ).collect()
+    )
+    assert got == [(1, 10), (2, 20)]
+    # a new batch written under the NEW names mixes exactly
+    S.idempotent_batch_write(
+        spark.createDataFrame([(3, 30, 1)], "a BIGINT, d BIGINT, p BIGINT"),
+        root, 1, partition_cols=["p"],
+    )
+    got = sorted(
+        (r["a"], r["d"])
+        for r in S.read_batched_evolved(
+            spark, root, "a BIGINT, d BIGINT, p BIGINT"
+        ).collect()
+    )
+    assert got == [(1, 10), (2, 20), (3, 30)]
+    # validation: unknown source, reused historical name, rename+drop
+    with pytest.raises(ValueError, match="not a live column"):
+        S.evolve_schema(spark, root, rename={"zz": "q"})
+    with pytest.raises(ValueError, match="historical"):
+        S.evolve_schema(spark, root, rename={"d": "b"})
+    with pytest.raises(ValueError, match="not a live column"):
+        S.evolve_schema(spark, root, drop=["c"])
+    with pytest.raises(ValueError, match="renamed and"):
+        S.evolve_schema(spark, root, rename={"d": "e"}, drop=["d"])
+    with pytest.raises(ValueError, match="partition column"):
+        S.evolve_schema(spark, root, rename={"p": "q"})
+    # change feeds refuse to cross the evolution, NAMED
+    with pytest.raises(S.SchemaEvolved):
+        S.diff_batched(spark, root, 1, 2, ["a"], "a BIGINT, d BIGINT")
+    assert S.diff_batched_adjacent(
+        spark, root, 1, 2, ["a"], "a BIGINT, d BIGINT"
+    ) is None
+    # an UNNORMALIZED plain fold: the base carries both names; the
+    # evolved read stays exact
+    S.compact_batched(
+        spark, root, min_dirs=0, gc_grace_sec=3600.0,
+        partition_cols=["p"],
+    )
+    got = sorted(
+        (r["a"], r["d"])
+        for r in S.read_batched_evolved(
+            spark, root, "a BIGINT, d BIGINT, p BIGINT"
+        ).collect()
+    )
+    assert got == [(1, 10), (2, 20), (3, 30)]
+    # normalize fold: plain explicit-schema readers recover
+    S.compact_batched(
+        spark, root, min_dirs=0, gc_grace_sec=3600.0,
+        partition_cols=["p"],
+        transform=S.normalize_schema_transform(root),
+    )
+    got = sorted(
+        (r["a"], r["d"])
+        for r in S.read_batched(
+            spark, root, partitioned=True,
+            schema="a BIGINT, d BIGINT, p BIGINT",
+        ).collect()
+    )
+    assert got == [(1, 10), (2, 20), (3, 30)]
+    assert S.schema_ops(root)  # ops stay recorded for stragglers
+    # time travel returns the historical shape (old names, old rows)
+    old = sorted(
+        (r["a"], r["b"], r["c"], r["p"])
+        for r in S.read_batched_at(
+            spark, root, 1, "a BIGINT, b BIGINT, c BIGINT, p BIGINT",
+            partitioned=True,
+        ).collect()
+    )
+    assert old == rows0
+    # group feed: a mirror lagging across a member's evolution is
+    # told to re-seed, NAMED — never a silently nulled feed
+    g = f"{tmpdir}/evo_grp"
+    root2 = f"{tmpdir}/evo_member"
+    mv = f"{tmpdir}/evo_mv"
+    S.idempotent_batch_write(
+        spark.createDataFrame([(1, 10)], "k BIGINT, v BIGINT"), root2, 0
+    )
+    S.compact_batched(spark, root2, min_dirs=0, gc_grace_sec=3600.0)
+    S.txn_commit(g, 0, {"t": root2})
+    S.materialize_group_member(spark, g, mv, "t", 0, "k BIGINT, v BIGINT")
+    S.evolve_schema(spark, root2, rename={"v": "w"})
+    S.idempotent_batch_write(
+        spark.createDataFrame([(2, 20)], "k BIGINT, w BIGINT"), root2, 1
+    )
+    S.txn_commit(g, 1, {"t": root2})
+    with pytest.raises(S.SchemaEvolved):
+        S.apply_group_feed_batched(
+            spark, g, mv, "t", ["k"], 1, "k BIGINT, w BIGINT"
+        )
