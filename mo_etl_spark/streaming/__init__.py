@@ -2848,11 +2848,24 @@ def evolve_schema(
     coalesce-based mixed-dir read ambiguous).  Requires a manifest
     (fold at least once before evolving).  Returns the new
     generation."""
+    import time as _time
+
     ren = dict(rename or {})
     drops = [str(c) for c in (drop or [])]
     if not ren and not drops:
         raise ValueError("evolve_schema: nothing to do")
-    lease = _acquire_lease(root, lease_ttl_sec)
+    # the op itself is metadata-scale; retry briefly through a racing
+    # fold's lease (txn_commit's discipline) before surfacing NAMED
+    lease = None
+    deadline = _time.monotonic() + 30.0
+    while True:
+        try:
+            lease = _acquire_lease(root, lease_ttl_sec)
+            break
+        except CompactorBusy:
+            if _time.monotonic() >= deadline:
+                raise
+            _time.sleep(0.05)
     try:
         man = _read_manifest(root)
         if man is None:
@@ -2864,9 +2877,22 @@ def evolve_schema(
             dict(man["extra"]) if isinstance(man.get("extra"), dict) else {}
         )
         ops = list(prior_extra.get("schema_ops") or [])
-        # current evolved live columns, from the live dirs' footers
+        # current evolved live columns, from the live dirs' footers —
+        # COMPLETE dirs only (an in-flight trigger write has no
+        # _SUCCESS and its files move under the reader), racing reads
+        # tolerated by skipping: the validation view is the stable
+        # dirs', which is what the ops will apply to
+        from pyspark.errors import AnalysisException
+
         live: set[str] = set()
         for p in _live_dirs(root):
+            name = os.path.basename(p)
+            if (
+                name.startswith("b")
+                and name[1:].isdigit()
+                and not os.path.exists(os.path.join(p, "_SUCCESS"))
+            ):
+                continue
             if not any(
                 n.endswith(".parquet")
                 for _, _, ns in os.walk(p)
@@ -2880,9 +2906,12 @@ def evolve_schema(
             r = spark.read
             if not hive:
                 r = r.option("recursiveFileLookup", "true")
-            live |= set(
-                apply_schema_ops(r.parquet(p), ops).columns
-            )
+            try:
+                live |= set(
+                    apply_schema_ops(r.parquet(p), ops).columns
+                )
+            except AnalysisException:
+                continue
         # partition columns are LAYOUT, not schema: renaming one would
         # orphan every hive dir name; that migration is a rebucket/
         # re-layout fold's job, not a metadata op

@@ -7006,3 +7006,164 @@ def test_schema_evolution_rename_drop(spark, tmpdir):
         S.apply_group_feed_batched(
             spark, g, mv, "t", ["k"], 1, "k BIGINT, w BIGINT"
         )
+
+
+@pytest.mark.parametrize("seed", [13, 47])
+def test_schema_evolution_threaded_model(spark, tmpdir, seed):
+    """SCHEMA EVOLUTION under the threaded harness (r11 — the
+    metadata-only ops join the seeded models): a writer keeps
+    committing batches under whatever names it last saw (an
+    old-name STRAGGLER after the rename is legal — ops apply by
+    presence, forever), an EVOLVER renames ``v``→``w`` then drops
+    ``pad`` mid-run, a plain compactor and a NORMALIZE compactor race
+    each other and the evolver through the table lease, and a reader
+    polls (count, sum(k)) — invariants chosen to be schema-independent
+    — through ``read_batched_evolved`` with the bounded-window
+    discipline.  Any per-dir op misapplication (double rename,
+    dropped rows, coalesce ambiguity) breaks the sums."""
+    import random
+    import threading
+
+    from mo_etl_spark import streaming as S
+
+    rng = random.Random(seed)
+    g = f"{tmpdir}/evo_threads"
+    root = f"{tmpdir}/evo_threads_tbl"
+    N, PER = 8, 5
+
+    def rows(b, names):
+        df = spark.range(b * PER, (b + 1) * PER).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 7).alias(names[0]),
+            F.lit("x").alias(names[1]) if names[1] else F.lit("x").alias("pad"),
+            F.pmod("id", F.lit(4)).alias("ib"),
+        )
+        return df.drop("pad") if names[1] is None else df
+
+    S.idempotent_batch_write(
+        rows(0, ("v", "pad")), root, 0, partition_cols=["ib"]
+    )
+    S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["ib"], gc_grace_sec=3600.0
+    )
+    S.txn_commit(g, 0, {"t": root})
+    errors: list[str] = []
+    stop = threading.Event()
+
+    def cur_names():
+        ops = S.schema_ops(root)
+        val = "v"
+        pad: str | None = "pad"
+        for op in ops:
+            if op["op"] == "rename" and op["from"] == val:
+                val = op["to"]
+            if op["op"] == "drop" and op["col"] == pad:
+                pad = None
+        return val, pad
+
+    def writer():
+        try:
+            for b in range(1, N + 1):
+                S.idempotent_batch_write(
+                    rows(b, cur_names()), root, b, partition_cols=["ib"]
+                )
+                S.txn_commit(g, b, {"t": root})
+                stop.wait(0.05)
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"writer: {e!r}")
+        finally:
+            stop.set()
+
+    def evolver():
+        try:
+            stop.wait(0.3)
+            S.evolve_schema(spark, root, rename={"v": "w"})
+            stop.wait(0.4)
+            val, pad = cur_names()
+            if pad is not None:
+                S.evolve_schema(spark, root, drop=[pad])
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"evolver: {e!r}")
+
+    def compactor(normalize: bool, cseed: int):
+        r = random.Random(cseed)
+        while not stop.is_set():
+            try:
+                kw = {}
+                if normalize:
+                    kw["transform"] = S.normalize_schema_transform(root)
+                S.compact_batched(
+                    spark, root, min_dirs=0, partition_cols=["ib"],
+                    gc_grace_sec=3600.0, lease_ttl_sec=60.0,
+                    max_batch=S.txn_watermark(g), **kw,
+                )
+            except S.CompactorBusy:
+                pass
+            except Exception as e:  # noqa: BLE001
+                errors.append(f"compactor(norm={normalize}): {e!r}")
+                return
+            stop.wait(r.uniform(0.05, 0.2))
+
+    def expected(w: int) -> tuple[int, int]:
+        n = (w + 1) * PER
+        return n, sum(range(n)) * 1  # count, sum(k)
+
+    def reader():
+        while not stop.is_set():
+            try:
+                w = S.txn_watermark(g)
+                if w is None:
+                    continue
+                val, pad = cur_names()
+                sch = f"k BIGINT, {val} BIGINT, ib BIGINT"
+                row = (
+                    S.read_batched_evolved(spark, root, sch, max_batch=w)
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum("k").alias("sk"),
+                        F.sum(val).alias("sv"),
+                    )
+                    .first()
+                )
+                w2 = S.txn_watermark(g)
+                ok = any(
+                    (row["n"], row["sk"]) == expected(v)
+                    and row["sv"] == row["sk"] * 7
+                    for v in range(w, w2 + 1)
+                )
+                assert ok, ("evolved read", w, w2, row)
+            except Exception as e:  # noqa: BLE001
+                errors.append(f"reader: {e!r}")
+                return
+
+    threads = [
+        threading.Thread(target=writer),
+        threading.Thread(target=evolver),
+        threading.Thread(target=compactor, args=(False, rng.randrange(1 << 30))),
+        threading.Thread(target=compactor, args=(True, rng.randrange(1 << 30))),
+        threading.Thread(target=reader),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(300)
+        assert not t.is_alive(), "thread wedged"
+    assert not errors, errors
+    # final: normalize once more, then the plain read is exact under
+    # the final names
+    S.compact_batched(
+        spark, root, min_dirs=0, partition_cols=["ib"],
+        gc_grace_sec=3600.0, max_batch=N,
+        transform=S.normalize_schema_transform(root),
+    )
+    val, pad = cur_names()
+    assert val == "w"
+    row = (
+        S.read_batched(
+            spark, root, partitioned=True,
+            schema=f"k BIGINT, {val} BIGINT, ib BIGINT",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sk"))
+        .first()
+    )
+    assert (row["n"], row["sk"]) == expected(N)
