@@ -7167,3 +7167,57 @@ def test_schema_evolution_threaded_model(spark, tmpdir, seed):
         .first()
     )
     assert (row["n"], row["sk"]) == expected(N)
+
+
+def test_wap_branch_multi_member(spark, tmpdir):
+    """WAP across a MULTI-MEMBER group (r11): two member tables stage
+    batches on one branch; the single pointer move publishes BOTH
+    atomically — before it, neither member's main read sees staged
+    rows; after it, both do; the staged-dir rename loop covers every
+    member."""
+    from mo_etl_spark import streaming as S
+
+    g = f"{tmpdir}/wapm"
+    ra, rb = f"{tmpdir}/wapm_a", f"{tmpdir}/wapm_b"
+    schema = "k BIGINT"
+
+    def ids(root, w):
+        return {
+            r["k"]
+            for r in S.read_batched(
+                spark, root, schema=schema, max_batch=w
+            ).collect()
+        }
+
+    for root, lo in ((ra, 0), (rb, 100)):
+        S.idempotent_batch_write(
+            spark.range(lo, lo + 10).select(F.col("id").alias("k")), root, 0
+        )
+    S.txn_commit(g, 0, {"a": ra, "b": rb})
+    for root, lo in ((ra, 10), (rb, 110)):
+        S.stage_batch_write(
+            spark.range(lo, lo + 10).select(F.col("id").alias("k")),
+            root, 1, "dual",
+        )
+    S.txn_commit(g, 1, {"a": ra, "b": rb}, branch="dual")
+    w = S.txn_watermark(g)
+    assert ids(ra, w) == set(range(10))
+    assert ids(rb, w) == set(range(100, 110))
+    # audit both members at the branch head
+    for alias, root, want in (
+        ("a", ra, set(range(20))), ("b", rb, set(range(100, 120)))
+    ):
+        got = {
+            r["k"]
+            for r in S.read_branch_head(
+                spark, g, "dual", alias, schema
+            ).collect()
+        }
+        assert got == want, alias
+    assert S.publish_branch(g, "dual") == 1
+    w = S.txn_watermark(g)
+    assert ids(ra, w) == set(range(20))
+    assert ids(rb, w) == set(range(100, 120))
+    assert os.path.isdir(f"{ra}/b1") and os.path.isdir(f"{rb}/b1")
+    assert not S._staged_dirs(ra, "dual", 1 << 62)
+    assert not S._staged_dirs(rb, "dual", 1 << 62)
