@@ -551,7 +551,14 @@ def _group_protected_names(
     tlog = txn_log(group_root)
     if not tlog:
         return set()
-    keep = sorted(tlog)[-max(int(k), 1):]
+    # TAGGED txns (r11): an immutable named ref pins its transaction
+    # against retention FOREVER, however small K is — the
+    # reproducible-dataset guarantee (Iceberg tag semantics); drop the
+    # tag to let the snapshot age out
+    keep = sorted(
+        set(sorted(tlog)[-max(int(k), 1):])
+        | {t for t in list_tags(group_root).values() if t in tlog}
+    )
     mlog = read_manifest_log(root)
     man = _read_manifest(root)
     candidates = {
@@ -2544,6 +2551,95 @@ def txn_watermark_logged(group_root: str) -> int | None:
         return None
     logged = [t for t in txn_log(group_root) if t <= w]
     return max(logged) if logged else None
+
+
+def create_tag(
+    group_root: str, name: str, txn_id: int | None = None
+) -> int:
+    """IMMUTABLE NAMED REF to a group transaction (r11 — Iceberg tag
+    semantics, the reproducible-dataset primitive): ``dataset-v1``
+    names the exact multi-table snapshot a training run consumed, and
+    every vacuum path carrying the group pin (``keep_last_txns=``)
+    exempts the tagged transaction's member generations FOREVER —
+    however aggressive the retention — until the tag is dropped.
+    Defaults to the current logged watermark; the transaction must
+    have a durable history record (that record is what the tag
+    resolves through).  Tags are IMMUTABLE: re-tagging the same txn is
+    an idempotent no-op, a different txn raises — drop first.
+    Returns the tagged txn id."""
+    _validate_branch(name)
+    if txn_id is None:
+        txn_id = txn_watermark_logged(group_root)
+        if txn_id is None:
+            raise ValueError(
+                f"create_tag: group {group_root!r} has no logged "
+                "transaction to tag"
+            )
+    txn_id = int(txn_id)
+    if txn_id not in txn_log(group_root):
+        raise ValueError(
+            f"create_tag: txn {txn_id} has no history record in "
+            f"{group_root!r} — only logged transactions are taggable"
+        )
+    path = os.path.join(group_root, f"{_TXN}.ref.{name}")
+    if os.path.exists(path):
+        cur = list_tags(group_root).get(name)
+        if cur == txn_id:
+            return txn_id  # idempotent re-tag
+        raise ValueError(
+            f"create_tag: tag {name!r} already names txn {cur} — tags "
+            "are immutable; drop_tag first"
+        )
+    _atomic_put_json(path, {"txn": txn_id}, fsync_dir=True)
+    return txn_id
+
+
+def drop_tag(group_root: str, name: str) -> None:
+    """Remove a tag — its transaction rejoins normal retention aging.
+    Unknown tags are a no-op."""
+    _validate_branch(name)
+    try:
+        os.remove(os.path.join(group_root, f"{_TXN}.ref.{name}"))
+    except FileNotFoundError:
+        pass
+
+
+def list_tags(group_root: str) -> dict[str, int]:
+    """name -> tagged txn id for every tag of the group."""
+    prefix = f"{_TXN}.ref."
+    out: dict[str, int] = {}
+    if not os.path.isdir(group_root):
+        return out
+    for n in os.listdir(group_root):
+        if not n.startswith(prefix) or ".tmp" in n:
+            continue
+        try:
+            with open(os.path.join(group_root, n)) as f:
+                out[n[len(prefix):]] = int(json.load(f)["txn"])
+        except (OSError, ValueError, KeyError, TypeError):
+            continue
+    return out
+
+
+def read_group_at_tag(
+    spark: SparkSession,
+    group_root: str,
+    name: str,
+    alias: str,
+    schema: str | None = None,
+    partitioned: bool = False,
+) -> DataFrame:
+    """Group time travel addressed by TAG — the consistent multi-table
+    snapshot the tag pinned, by name."""
+    tags = list_tags(group_root)
+    if name not in tags:
+        raise ValueError(
+            f"group {group_root!r} has no tag {name!r}; tags: "
+            f"{sorted(tags)}"
+        )
+    return read_group_at(
+        spark, group_root, tags[name], alias, schema, partitioned
+    )
 
 
 class BranchConflict(RuntimeError):

@@ -4193,3 +4193,99 @@ def stream_state_schema_evolution(
         "historical", "price_cents",
     )
     return evolved.unionByName(normalized).unionByName(historical)
+
+
+@query(
+    "stream_state_dataset_tag",
+    oracle="""
+    SELECT 'tag_v1' AS snapshot, TRUE AS travelable,
+           count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey % 4 IN (0, 1)
+    UNION ALL
+    SELECT 'txn0', FALSE, NULL, NULL
+    UNION ALL
+    SELECT 'txn2', FALSE, NULL, NULL
+    UNION ALL
+    SELECT 'live', TRUE, count(*), CAST(sum(o_orderkey) AS BIGINT)
+    FROM orders
+    """,
+    tags=(
+        "dataset_tags",
+        "time_travel_rollback",
+        "snapshot_retention_count",
+        "cross_table_txn",
+        "reproducibility",
+    ),
+)
+def stream_state_dataset_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET TAGS as a contract query (r11 — Iceberg tag semantics,
+    the reproducible-training-set primitive): four transactions commit
+    order slices under ZERO-GRACE folds and a count-1 expiry with
+    ``keep_last_txns=(group, 1)`` — the harshest retention the
+    protocol offers — while transaction 1 carries the immutable tag
+    ``v1``.  The tag's snapshot must stay travelable EXACTLY (a
+    retention implementation that ignores tag pins vacuums it and
+    hash-misses), its untagged neighbors must be NAMED-vacuumed (an
+    over-pin keeps them and hash-misses the other way), and the live
+    read stays exact throughout."""
+    prepare(spark)
+    from mo_etl_spark.streaming import (
+        SnapshotVacuumed,
+        compact_batched as _compact,
+        create_tag,
+        expire_snapshots,
+        read_group_at,
+        read_group_at_tag,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint")
+    )
+    root = _scratch("dstag_tbl")
+    group = _scratch("dstag_txn")
+    schema = "o_orderkey BIGINT"
+    for t in range(4):
+        idempotent_batch_write(
+            orders.where(F.pmod("o_orderkey", F.lit(4)) == t), root, t
+        )
+        txn_commit(group, t, {"t": root})
+        if t == 1:
+            assert create_tag(group, "v1") == 1
+        _compact(
+            spark, root, min_dirs=0, gc_grace_sec=0.0,
+            max_batch=txn_watermark(group), keep_last_txns=(group, 1),
+        )
+    expire_snapshots(
+        root, keep_last_n=1, older_than_sec=0.0, keep_last_txns=(group, 1)
+    )
+
+    def summ(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        ).select(
+            F.lit(name).alias("snapshot"),
+            F.lit(True).alias("travelable"),
+            "n",
+            "key_sum",
+        )
+
+    def gone(t: int, name: str) -> DataFrame:
+        try:
+            read_group_at(spark, group, t, "t", schema).first()
+        except SnapshotVacuumed:
+            return spark.createDataFrame(
+                [(name, False, None, None)],
+                "snapshot STRING, travelable BOOLEAN, n BIGINT, "
+                "key_sum BIGINT",
+            )
+        raise AssertionError(f"txn {t} should have been vacuumed")
+
+    return (
+        summ(read_group_at_tag(spark, group, "v1", "t", schema), "tag_v1")
+        .unionByName(gone(0, "txn0"))
+        .unionByName(gone(2, "txn2"))
+        .unionByName(
+            summ(read_group_at(spark, group, 3, "t", schema), "live")
+        )
+    )

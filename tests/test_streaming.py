@@ -7221,3 +7221,64 @@ def test_wap_branch_multi_member(spark, tmpdir):
     assert os.path.isdir(f"{ra}/b1") and os.path.isdir(f"{rb}/b1")
     assert not S._staged_dirs(ra, "dual", 1 << 62)
     assert not S._staged_dirs(rb, "dual", 1 << 62)
+
+
+def test_dataset_tags_pin_retention(spark, tmpdir):
+    """TAGS (r11 — Iceberg tag semantics): an immutable named ref
+    pins its transaction's member generations against EVERY vacuum
+    path carrying the group pin, forever — however small K is; drop
+    the tag and the snapshot ages out on the next pass.  Immutability
+    and unknown-tag reads raise NAMED."""
+    from mo_etl_spark import streaming as S
+
+    g = f"{tmpdir}/tags"
+    root = f"{tmpdir}/tags_tbl"
+    schema = "k BIGINT"
+    for b in range(4):
+        S.idempotent_batch_write(
+            spark.range(b * 5, (b + 1) * 5).select(F.col("id").alias("k")),
+            root, b,
+        )
+        S.txn_commit(g, b, {"t": root})
+        if b == 1:
+            assert S.create_tag(g, "dataset-v1") == 1  # logged watermark
+        S.compact_batched(
+            spark, root, min_dirs=0, gc_grace_sec=0.0,
+            max_batch=S.txn_watermark(g), keep_last_txns=(g, 1),
+        )
+    S.expire_snapshots(root, keep_last_n=1, keep_last_txns=(g, 1))
+    # the tag survives zero-grace folds + count-1 expiry with K=1
+    got = {
+        r["k"]
+        for r in S.read_group_at_tag(spark, g, "dataset-v1", "t", schema)
+        .collect()
+    }
+    assert got == set(range(10))
+    # untagged txns outside K=1 are vacuumed, NAMED
+    for t in (0, 2):
+        with pytest.raises(S.SnapshotVacuumed):
+            S.read_group_at(spark, g, t, "t", schema).collect()
+    # immutability + idempotence
+    assert S.create_tag(g, "dataset-v1", 1) == 1
+    with pytest.raises(ValueError, match="immutable"):
+        S.create_tag(g, "dataset-v1", 3)
+    with pytest.raises(ValueError, match="no tag"):
+        S.read_group_at_tag(spark, g, "nope", "t", schema)
+    with pytest.raises(ValueError, match="history record"):
+        S.create_tag(g, "future", 99)
+    # drop: the next maintenance pass ages the snapshot out
+    S.drop_tag(g, "dataset-v1")
+    assert "dataset-v1" not in S.list_tags(g)
+    S.compact_batched(
+        spark, root, min_dirs=0, gc_grace_sec=0.0,
+        max_batch=S.txn_watermark(g), keep_last_txns=(g, 1),
+    )
+    S.expire_snapshots(root, keep_last_n=1, keep_last_txns=(g, 1))
+    with pytest.raises(S.SnapshotVacuumed):
+        S.read_group_at(spark, g, 1, "t", schema).collect()
+    # the live watermark txn stays green throughout
+    got = {
+        r["k"]
+        for r in S.read_group_at(spark, g, 3, "t", schema).collect()
+    }
+    assert got == set(range(20))
