@@ -3138,10 +3138,25 @@ def drop_branch(group_root: str, branch: str) -> None:
     _validate_branch(branch)
     rec = txn_branch_vector(group_root, branch)
     if rec is not None:
+        head, base = int(rec["txn"]), int(rec["base_txn"])
+        logged = set(txn_log(group_root))
         for member in rec["tables"].values():
             root = member["root"]
             for p in _staged_dirs(root, branch, 1 << 62):
                 shutil.rmtree(p, ignore_errors=True)
+            # a publish that crashed AFTER renaming staged dirs into
+            # their b<id> names left them as uncommitted main-path
+            # dirs; dropping the branch without removing them would
+            # let a LATER main commit with the same id silently adopt
+            # the branch's data (idempotent_batch_write skips complete
+            # dirs).  Ids in the staged window that never reached the
+            # main txn log are the branch's — remove them with it.
+            for t in range(base + 1, head + 1):
+                if t in logged:
+                    continue
+                shutil.rmtree(
+                    os.path.join(root, f"b{t}"), ignore_errors=True
+                )
     if os.path.isdir(group_root):
         _cleanup_branch(group_root, branch)
 

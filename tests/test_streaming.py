@@ -7282,3 +7282,42 @@ def test_dataset_tags_pin_retention(spark, tmpdir):
         for r in S.read_group_at(spark, g, 3, "t", schema).collect()
     }
     assert got == set(range(20))
+
+
+def test_wap_drop_after_partial_publish(spark, tmpdir):
+    """r11 self-review pin: a publish that crashed AFTER renaming the
+    staged dirs into their ``b<id>`` names, followed by drop_branch
+    instead of re-publish, must not leave those dirs behind — the
+    next main commit reuses the same ids (watermark never moved) and
+    idempotent_batch_write would silently adopt the branch's data as
+    the commit's.  drop_branch removes staged-window ids that never
+    reached the main txn log."""
+    from mo_etl_spark import streaming as S
+
+    g = f"{tmpdir}/wapd"
+    root = f"{tmpdir}/wapd_tbl"
+    schema = "k BIGINT"
+    S.idempotent_batch_write(
+        spark.range(0, 10).select(F.col("id").alias("k")), root, 0
+    )
+    S.txn_commit(g, 0, {"t": root})
+    S.stage_batch_write(
+        spark.range(100, 110).select(F.col("id").alias("k")), root, 1, "x"
+    )
+    S.txn_commit(g, 1, {"t": root}, branch="x")
+    # simulate the crash window: the rename happened, nothing else
+    os.rename(f"{root}/b1.stage.x", f"{root}/b1")
+    S.drop_branch(g, "x")
+    assert not os.path.isdir(f"{root}/b1")  # the orphan is gone
+    # the writer reuses id 1 with ITS data — nothing adopted
+    S.idempotent_batch_write(
+        spark.range(10, 20).select(F.col("id").alias("k")), root, 1
+    )
+    S.txn_commit(g, 1, {"t": root})
+    got = {
+        r["k"]
+        for r in S.read_batched(
+            spark, root, schema=schema, max_batch=S.txn_watermark(g)
+        ).collect()
+    }
+    assert got == set(range(20))  # not the branch's 100..110
