@@ -3809,10 +3809,13 @@ def stream_state_change_feed_rebucket(
         change_feed=True,
         transform=_rb(
             "ob", lambda n: F.pmod("o_orderkey", F.lit(n)),
-            # cap sized so the fold doubles the spec a couple of times
-            # at sf0.01 (15k orders / 4 buckets ≈ 3.8k max) without
-            # exploding the partition-dir count at sf0.1
-            _spec(root, 4), cap_rows=2048, prior_extra=_extra(root),
+            # cap sized RELATIVE to the table so the fold doubles the
+            # spec (1-2×) at every sf — a fixed cap either never grows
+            # at sf0.001 (plan audit runs there) or explodes the
+            # partition-dir count at sf0.1
+            _spec(root, 4),
+            cap_rows=max(64, orders.count() // 8),
+            prior_extra=_extra(root),
         ),
     )  # gen 3: spec-doubling REBUCKET with its change file
     assert _spec(root, 4) > 4  # the spec actually grew
