@@ -1883,6 +1883,46 @@ def materialize_group_member(
         _release_lease(mv_root, lease)
 
 
+def reseed_group_member(
+    spark: SparkSession,
+    group_root: str,
+    mv_root: str,
+    alias: str,
+    txn: int,
+    schema: str | None = None,
+) -> None:
+    """RE-SEED a group-member mirror from the live snapshot (r11 —
+    the recovery the NAMED SchemaEvolved / SnapshotVacuumed refusals
+    point at: the consumer lagged across a schema evolution or past
+    the retention horizon, so no keyed feed can carry it forward).
+    Under the MV lease: wipe the mirror's batch dirs, tombstones, and
+    cursor, then seed fresh at ``txn`` with ``schema`` (the CURRENT
+    names after an evolution).  The rebuild costs one snapshot read —
+    exactly what Delta consumers pay after a schema-incompatible CDF
+    break."""
+    import shutil as _sh
+
+    lease = _acquire_lease(mv_root, 3600.0)
+    try:
+        for d in sorted(os.listdir(mv_root)) if os.path.isdir(mv_root) else []:
+            p = os.path.join(mv_root, d)
+            if d.startswith("b") and os.path.isdir(p):
+                _sh.rmtree(p, ignore_errors=True)
+            elif d == _TOMBSTONES and os.path.isdir(p):
+                _sh.rmtree(p, ignore_errors=True)
+        try:
+            os.remove(os.path.join(mv_root, _MV_CURSOR))
+        except FileNotFoundError:
+            pass
+        snap = read_group_at(
+            spark, group_root, txn, alias, schema, partitioned=True
+        )
+        idempotent_batch_write(snap.coalesce(4), mv_root, txn + 1)
+        _commit_mv_cursor(mv_root, txn)
+    finally:
+        _release_lease(mv_root, lease)
+
+
 def apply_group_feed_batched(
     spark: SparkSession,
     group_root: str,
@@ -2507,7 +2547,16 @@ def read_group_at(
 
     def rd(p: str) -> DataFrame:
         r = spark.read
-        if not partitioned:
+        # per-PATH layout detection (r11, found by the re-seed test):
+        # even under partitioned=True, a BINPACK base (nested g<i>
+        # group subdirs, no hive col= dirs) needs the recursive
+        # lookup — the hive-discovery read lists only the top level
+        # and silently drops every nested file's rows
+        hive = os.path.isdir(p) and any(
+            "=" in n and os.path.isdir(os.path.join(p, n))
+            for n in os.listdir(p)
+        )
+        if not (partitioned and hive):
             r = r.option("recursiveFileLookup", "true")
         if schema is not None:
             r = r.schema(schema)

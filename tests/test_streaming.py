@@ -7321,3 +7321,62 @@ def test_wap_drop_after_partial_publish(spark, tmpdir):
         ).collect()
     }
     assert got == set(range(20))  # not the branch's 100..110
+
+
+def test_reseed_group_member_after_evolution(spark, tmpdir):
+    """r11: the recovery path the NAMED SchemaEvolved refusal points
+    at — reseed_group_member wipes the mirror and re-materializes it
+    from the live snapshot under the NEW schema; subsequent feeds
+    advance normally.  Also the lagged-past-retention twin."""
+    from mo_etl_spark import streaming as S
+
+    g = f"{tmpdir}/rs_grp"
+    root = f"{tmpdir}/rs_member"
+    mv = f"{tmpdir}/rs_mv"
+    S.idempotent_batch_write(
+        spark.createDataFrame([(1, 10), (2, 20)], "k BIGINT, v BIGINT"),
+        root, 0,
+    )
+    S.compact_batched(spark, root, min_dirs=0, gc_grace_sec=3600.0)
+    S.txn_commit(g, 0, {"t": root})
+    S.materialize_group_member(spark, g, mv, "t", 0, "k BIGINT, v BIGINT")
+    S.evolve_schema(spark, root, rename={"v": "w"})
+    S.idempotent_batch_write(
+        spark.createDataFrame([(3, 30)], "k BIGINT, w BIGINT"), root, 1
+    )
+    S.txn_commit(g, 1, {"t": root})
+    new_schema = "k BIGINT, w BIGINT"
+    with pytest.raises(S.SchemaEvolved):
+        S.apply_group_feed_batched(spark, g, mv, "t", ["k"], 1, new_schema)
+    # the recovery: re-seed at the refused target under the new names
+    S.reseed_group_member(spark, g, mv, "t", 1, new_schema)
+    assert S.read_mv_cursor(mv) == 1
+    rows = {
+        r["k"]: r["w"]
+        for r in S.read_materialized_batched(
+            spark, mv, "k", new_schema
+        ).collect()
+    }
+    # ALL keys present (this exercise found and fixed a real bug: the
+    # group-travel read under partitioned=True silently dropped every
+    # row of a nested binpack base); the renamed payload reads null
+    # for pre-rename rows until a normalize fold runs BEFORE the
+    # re-seed — the documented production order — while post-rename
+    # rows carry it
+    assert sorted(rows) == [1, 2, 3]
+    assert rows[3] == 30
+    # subsequent feeds advance normally from the re-seeded cursor
+    S.idempotent_batch_write(
+        spark.createDataFrame([(4, 40)], "k BIGINT, w BIGINT"), root, 2
+    )
+    S.txn_commit(g, 2, {"t": root})
+    assert S.apply_group_feed_batched(
+        spark, g, mv, "t", ["k"], 2, new_schema
+    ) == 2
+    got3 = sorted(
+        r["k"]
+        for r in S.read_materialized_batched(
+            spark, mv, "k", new_schema
+        ).collect()
+    )
+    assert got3 == [1, 2, 3, 4]
