@@ -2226,20 +2226,84 @@ def txn_commit(
     import time as _time
 
     os.makedirs(group_root, exist_ok=True)
-    lease = None
-    deadline = _time.monotonic() + 30.0  # commits are millisecond-scale
+    wait_deadline = _time.monotonic() + 30.0
     while True:
+        lease = None
+        deadline = _time.monotonic() + 30.0  # commits are ms-scale
+        while True:
+            try:
+                lease = _acquire_lease(group_root, 60.0)
+                break
+            except CompactorBusy:
+                if _time.monotonic() >= deadline:
+                    raise
+                _time.sleep(0.005)
+        pend_live = False
         try:
-            lease = _acquire_lease(group_root, 60.0)
-            break
-        except CompactorBusy:
-            if _time.monotonic() >= deadline:
-                raise
-            _time.sleep(0.005)
-    try:
-        return _txn_commit_locked(group_root, batch_id, tables, branch)
-    finally:
-        _release_lease(group_root, lease)
+            if branch is not None:
+                return _txn_commit_locked(
+                    group_root, batch_id, tables, branch
+                )
+            bid = int(batch_id)
+            w = txn_watermark(group_root)
+            weff = -1 if w is None else int(w)
+            exp_marker = os.path.join(
+                group_root, f"{_TXN}.rsv.{bid}.expired"
+            )
+            if bid <= weff:
+                # replay — UNLESS this id was an expired-and-swept
+                # reservation the watermark already passed: the
+                # writer's rows are gone, a silent no-op would eat
+                # its trigger (r11 multi-writer)
+                if os.path.exists(exp_marker) and bid not in txn_log(
+                    group_root
+                ):
+                    raise ReservationExpired(
+                        f"txn {bid} was reserved, expired, and swept "
+                        f"on {group_root!r} — re-reserve (txn_reserve) "
+                        "and rewrite under the fresh id"
+                    )
+                return _txn_commit_locked(group_root, bid, tables, None)
+            # LOWER unresolved reservations gate this commit: a live
+            # one means a slower writer is mid-flight (wait); an
+            # expired one is swept here, under the lease
+            for rid, rec in sorted(list_reservations(group_root).items()):
+                if weff < rid < bid:
+                    try:
+                        ts, ttl = float(rec["ts"]), float(rec["ttl"])
+                    except (KeyError, TypeError, ValueError):
+                        ts, ttl = 0.0, 0.0
+                    if _time.time() - ts >= ttl:
+                        _sweep_expired_reservation(group_root, rid, rec)
+                    else:
+                        pend_live = True
+            if not pend_live:
+                if os.path.exists(exp_marker):
+                    raise ReservationExpired(
+                        f"txn {bid} was reserved, expired, and swept "
+                        f"on {group_root!r} — re-reserve (txn_reserve) "
+                        "and rewrite under the fresh id"
+                    )
+                out = _txn_commit_locked(group_root, bid, tables, None)
+                try:  # confirm: the reservation is fulfilled
+                    os.remove(
+                        os.path.join(group_root, f"{_TXN}.rsv.{bid}")
+                    )
+                except FileNotFoundError:
+                    pass
+                return out
+        finally:
+            _release_lease(group_root, lease)
+        # only the live-lower-reservation path falls through: wait
+        # OUTSIDE the lease (holding it would deadlock the slower
+        # writer's own confirm), bounded and NAMED
+        if _time.monotonic() >= wait_deadline:
+            raise ReservationPending(
+                f"txn {batch_id} on {group_root!r} waited out its bound "
+                "for a lower unresolved reservation — retry after the "
+                "slower writer confirms or its reservation expires"
+            )
+        _time.sleep(0.05)
 
 
 def _validate_branch(branch: str) -> None:
@@ -2600,6 +2664,137 @@ def txn_watermark_logged(group_root: str) -> int | None:
         return None
     logged = [t for t in txn_log(group_root) if t <= w]
     return max(logged) if logged else None
+
+
+class ReservationExpired(RuntimeError):
+    """A writer confirmed a transaction id whose reservation expired
+    and was swept (its batch dirs are gone): re-reserve, rewrite, and
+    commit under the fresh id.  Raised NAMED instead of the silent
+    replay no-op that would otherwise eat the writer's trigger."""
+
+
+class ReservationPending(RuntimeError):
+    """A commit waited out its bound for LOWER unresolved
+    reservations (another writer holds an earlier id and has neither
+    committed nor expired).  Retry later — committing over the hole
+    would make the slower writer's rows visible out of watermark
+    order, or strand them invisibly below it."""
+
+
+def txn_reserve(
+    group_root: str,
+    tables: dict[str, str],
+    ttl_sec: float = 600.0,
+) -> int:
+    """RESERVE the next transaction id for a multi-writer group (r11
+    — the two-phase reserve/confirm shape that lets INDEPENDENT
+    pipelines share one txn group): under the commit lease, allocate
+    ``1 + max(watermark, live reservations, staged branch heads)``
+    and record it in ``_TXN.rsv.<id>`` with the member roots and a
+    TTL.  The writer then lands its ``b<id>`` dirs and confirms with
+    the ordinary ``txn_commit(group, id, tables)``.
+
+    Why ids must be allocated INSIDE the lease: the single-writer
+    discipline computes ``watermark+1`` outside any lock, so two
+    pipelines would collide on the same id and the idempotent batch
+    write would silently adopt whichever wrote first.  Reservations
+    serialize the allocation while keeping the data writes fully
+    parallel.
+
+    Out-of-order confirms are handled at commit time: a commit above
+    unresolved LOWER reservations waits briefly (the slower writer is
+    mid-flight), sweeps any that expired (batch dirs removed, an
+    ``.expired`` marker left so the dead writer's late confirm gets
+    the NAMED ReservationExpired instead of silent loss), and raises
+    the NAMED ReservationPending if the wait runs out — the watermark
+    never jumps a live writer's rows."""
+    import time as _time
+
+    os.makedirs(group_root, exist_ok=True)
+    lease = None
+    deadline = _time.monotonic() + 30.0
+    while True:
+        try:
+            lease = _acquire_lease(group_root, 60.0)
+            break
+        except CompactorBusy:
+            if _time.monotonic() >= deadline:
+                raise
+            _time.sleep(0.005)
+    try:
+        w = txn_watermark(group_root)
+        top = -1 if w is None else int(w)
+        for rid in list_reservations(group_root):
+            top = max(top, rid)
+        for n in os.listdir(group_root):
+            # branch POINTERS only: the name after "_TXN.b." has no
+            # further dot (history entries are "<branch>.t<id>", tmp
+            # debris carries ".tmp..."); a plain substring check would
+            # wrongly skip branches whose name starts with "t"
+            if not n.startswith(f"{_TXN}.b."):
+                continue
+            if "." in n[len(f"{_TXN}.b."):]:
+                continue
+            try:
+                rec = json.loads(
+                    open(os.path.join(group_root, n)).read()
+                )
+                top = max(top, int(rec["txn"]))
+            except (OSError, ValueError, KeyError, TypeError):
+                continue
+        rid = top + 1
+        _atomic_put_json(
+            os.path.join(group_root, f"{_TXN}.rsv.{rid}"),
+            {
+                "txn": rid,
+                "tables": {a: r for a, r in tables.items()},
+                "ts": _time.time(),
+                "ttl": float(ttl_sec),
+            },
+        )
+        return rid
+    finally:
+        _release_lease(group_root, lease)
+
+
+def list_reservations(group_root: str) -> dict[int, dict]:
+    """id -> reservation record for every live (unconfirmed,
+    unswept) reservation of the group."""
+    out: dict[int, dict] = {}
+    if not os.path.isdir(group_root):
+        return out
+    prefix = f"{_TXN}.rsv."
+    for n in os.listdir(group_root):
+        if (
+            not n.startswith(prefix)
+            or ".tmp" in n
+            or n.endswith(".expired")
+        ):
+            continue
+        try:
+            rid = int(n[len(prefix):])
+            with open(os.path.join(group_root, n)) as f:
+                out[rid] = json.load(f)
+        except (OSError, ValueError):
+            continue
+    return out
+
+
+def _sweep_expired_reservation(group_root: str, rid: int, rec: dict) -> None:
+    """Remove an expired reservation's batch dirs (they were never
+    committed — leaving them would let the watermark pass over live
+    uncommitted rows) and mark the id ``.expired`` so the dead
+    writer's late confirm fails NAMED rather than replay-no-op."""
+    for root in (rec.get("tables") or {}).values():
+        shutil.rmtree(os.path.join(root, f"b{rid}"), ignore_errors=True)
+    _atomic_put_json(
+        os.path.join(group_root, f"{_TXN}.rsv.{rid}.expired"),
+        {"txn": rid},
+    )
+    try:
+        os.remove(os.path.join(group_root, f"{_TXN}.rsv.{rid}"))
+    except FileNotFoundError:
+        pass
 
 
 def create_tag(

@@ -4292,3 +4292,125 @@ def stream_state_dataset_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
             summ(read_group_at(spark, group, 3, "t", schema), "live")
         )
     )
+
+
+@query(
+    "stream_state_multi_writer_commits",
+    oracle="""
+    WITH final AS (
+      SELECT o_orderkey AS k FROM orders
+      UNION ALL
+      SELECT o_orderkey + 10000000 FROM orders WHERE o_orderkey % 500 = 0
+    )
+    SELECT 'slice0' AS snapshot, count(*) AS n,
+           CAST(sum(k) AS BIGINT) AS key_sum
+    FROM final WHERE k < 10000000 AND k % 3 = 0
+    UNION ALL
+    SELECT 'slice1', count(*), CAST(sum(k) AS BIGINT)
+    FROM final WHERE k < 10000000 AND k % 3 = 1
+    UNION ALL
+    SELECT 'slice2', count(*), CAST(sum(k) AS BIGINT)
+    FROM final WHERE k < 10000000 AND k % 3 = 2
+    UNION ALL
+    SELECT 'total', count(*), CAST(sum(k) AS BIGINT) FROM final
+    """,
+    tags=(
+        "cross_table_txn",
+        "multi_writer",
+        "txn_reserve",
+        "incremental_etl",
+        "tombstone_lifecycle",
+    ),
+)
+def stream_state_multi_writer_commits(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RESERVED MULTI-WRITER COMMITS as a contract query (r11 — the
+    two-phase reserve/confirm shape): two independent pipelines
+    reserve ids under the commit lease, land their order slices in
+    parallel dirs, and confirm in order; a ZOMBIE pipeline reserves a
+    short-TTL id, writes POISON rows (keys shifted 50M), and dies —
+    the next higher confirm sweeps it, a late zombie confirm raises
+    the NAMED ReservationExpired, and the final transactional read
+    must contain every confirmed slice and NOT ONE poison row (a
+    sweep that misses the dirs, or a watermark that jumps the hole
+    wrong, hash-misses)."""
+    import time as _time
+
+    prepare(spark)
+    from mo_etl_spark.streaming import (
+        ReservationExpired,
+        txn_reserve,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("k")
+    )
+    root = _scratch("mw_tbl")
+    group = _scratch("mw_txn")
+    schema = "k BIGINT"
+    idempotent_batch_write(orders.where(F.pmod("k", F.lit(3)) == 0), root, 0)
+    txn_commit(group, 0, {"t": root})
+    # two pipelines reserve (lease-allocated, collision-free ids)…
+    r1 = txn_reserve(group, {"t": root})
+    r2 = txn_reserve(group, {"t": root})
+    assert (r1, r2) == (1, 2)
+    # …and land their data in parallel dirs before either confirms
+    idempotent_batch_write(orders.where(F.pmod("k", F.lit(3)) == 1), root, r1)
+    idempotent_batch_write(orders.where(F.pmod("k", F.lit(3)) == 2), root, r2)
+    # the zombie: short TTL, poison rows, no confirm
+    rz = txn_reserve(group, {"t": root}, ttl_sec=0.2)
+    idempotent_batch_write(
+        orders.where(F.pmod("k", F.lit(100)) == 0).select(
+            (F.col("k") + F.lit(50_000_000)).alias("k")
+        ),
+        root, rz,
+    )
+    assert txn_commit(group, r1, {"t": root}) == r1
+    assert txn_commit(group, r2, {"t": root}) == r2
+    # a fourth confirmed txn above the lapsed zombie sweeps it
+    r4 = txn_reserve(group, {"t": root})
+    idempotent_batch_write(
+        orders.where(F.pmod("k", F.lit(500)) == 0).select(
+            (F.col("k") + F.lit(10_000_000)).alias("k")
+        ),
+        root, r4,
+    )
+    _time.sleep(0.25)
+    assert txn_commit(group, r4, {"t": root}) == r4
+    # the zombie's late confirm fails NAMED; its dirs are gone
+    try:
+        txn_commit(group, rz, {"t": root})
+    except ReservationExpired:
+        pass
+    else:  # pragma: no cover - regression guard
+        raise AssertionError("zombie confirm should have raised")
+    import os as _os
+
+    assert not _os.path.isdir(f"{root}/b{rz}")
+
+    final = read_batched(
+        spark, root, schema=schema, max_batch=txn_watermark(group)
+    )
+
+    def summ(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("key_sum"),
+        ).select(F.lit(name).alias("snapshot"), "n", "key_sum")
+
+    out = summ(
+        final.where((F.col("k") < 10_000_000) & (F.pmod("k", F.lit(3)) == 0)),
+        "slice0",
+    )
+    for m in (1, 2):
+        out = out.unionByName(
+            summ(
+                final.where(
+                    (F.col("k") < 10_000_000)
+                    & (F.pmod("k", F.lit(3)) == m)
+                ),
+                f"slice{m}",
+            )
+        )
+    return out.unionByName(summ(final, "total"))

@@ -7380,3 +7380,129 @@ def test_reseed_group_member_after_evolution(spark, tmpdir):
         ).collect()
     )
     assert got3 == [1, 2, 3, 4]
+
+
+@pytest.mark.parametrize("seed", [17, 59])
+def test_multi_writer_reserved_commits_threaded_model(spark, tmpdir, seed):
+    """MULTI-WRITER reserve/confirm under the threaded harness (r11):
+    two INDEPENDENT writer pipelines share one txn group via
+    txn_reserve — ids allocated under the commit lease, data writes
+    fully parallel, confirms ordered by the lower-reservation gate —
+    while a ZOMBIE writer keeps reserving short-TTL ids, writing
+    dirs, and dying before the confirm.  Invariants at every reader
+    poll (bounded-window): the visible rows are exactly the union of
+    LOGGED transactions' rows — a swept zombie's rows never appear, a
+    confirmed writer's rows never vanish; zombie ids end swept with
+    the NAMED ReservationExpired on late confirm."""
+    import random
+    import threading
+
+    from mo_etl_spark import streaming as S
+
+    rng = random.Random(seed)
+    g = f"{tmpdir}/mw"
+    root = f"{tmpdir}/mw_tbl"
+    schema = "k BIGINT"
+    PER, N_EACH = 5, 4
+
+    def rows(rid):
+        return spark.range(rid * PER, (rid + 1) * PER).select(
+            F.col("id").alias("k")
+        )
+
+    S.idempotent_batch_write(rows(0), root, 0)
+    S.txn_commit(g, 0, {"t": root})
+    errors: list[str] = []
+    stop = threading.Event()
+    confirmed: set[int] = {0}
+    zombies: list[int] = []
+    lock = threading.Lock()
+
+    def writer(wseed: int):
+        r = random.Random(wseed)
+        try:
+            for _ in range(N_EACH):
+                rid = S.txn_reserve(g, {"t": root})
+                S.idempotent_batch_write(rows(rid), root, rid)
+                stop.wait(r.uniform(0.0, 0.3))
+                S.txn_commit(g, rid, {"t": root})
+                with lock:
+                    confirmed.add(rid)
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"writer: {e!r}")
+
+    def zombie(zseed: int):
+        r = random.Random(zseed)
+        try:
+            for _ in range(2):
+                rid = S.txn_reserve(g, {"t": root}, ttl_sec=0.3)
+                S.idempotent_batch_write(rows(rid), root, rid)
+                with lock:
+                    zombies.append(rid)
+                stop.wait(r.uniform(0.3, 0.6))  # dies: never confirms
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"zombie: {e!r}")
+
+    def reader():
+        while not stop.is_set():
+            try:
+                w = S.txn_watermark(g)
+                if w is None:
+                    continue
+                before = {t for t in S.txn_log(g) if t <= w}
+                ids = {
+                    r["k"]
+                    for r in S.read_batched(
+                        spark, root, schema=schema, max_batch=w
+                    ).collect()
+                }
+                w2 = S.txn_watermark(g)
+                after = {t for t in S.txn_log(g) if t <= w2}
+                lo = {k for t in before for k in range(t * PER, (t + 1) * PER)}
+                hi = {k for t in after for k in range(t * PER, (t + 1) * PER)}
+                assert lo <= ids <= hi, (
+                    "reader window", w, w2, len(ids),
+                )
+            except Exception as e:  # noqa: BLE001
+                errors.append(f"reader: {e!r}")
+                return
+
+    threads = [
+        threading.Thread(target=writer, args=(rng.randrange(1 << 30),)),
+        threading.Thread(target=writer, args=(rng.randrange(1 << 30),)),
+        threading.Thread(target=zombie, args=(rng.randrange(1 << 30),)),
+        threading.Thread(target=reader),
+    ]
+    for t in threads[:-1]:
+        t.start()
+    threads[-1].start()
+    for t in threads[:-1]:
+        t.join(300)
+        assert not t.is_alive(), "thread wedged"
+    stop.set()
+    threads[-1].join(300)
+    assert not threads[-1].is_alive(), "reader wedged"
+    assert not errors, errors
+    # drain: one final reserved commit sweeps any zombie id still
+    # below it, then every zombie id must be swept + NAMED on confirm
+    rid = S.txn_reserve(g, {"t": root})
+    S.idempotent_batch_write(rows(rid), root, rid)
+    import time as _t
+
+    _t.sleep(0.4)  # let the last zombie TTL lapse
+    S.txn_commit(g, rid, {"t": root})
+    confirmed.add(rid)
+    for z in zombies:
+        assert z not in S.txn_log(g)
+        assert not os.path.isdir(f"{root}/b{z}")
+        with pytest.raises(S.ReservationExpired):
+            S.txn_commit(g, z, {"t": root})
+    got = {
+        r["k"]
+        for r in S.read_batched(
+            spark, root, schema=schema, max_batch=S.txn_watermark(g)
+        ).collect()
+    }
+    want = {k for t in confirmed for k in range(t * PER, (t + 1) * PER)}
+    assert got == want
+    assert confirmed == set(S.txn_log(g))
