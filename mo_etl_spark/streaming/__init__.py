@@ -548,8 +548,30 @@ def _group_protected_names(
     if not keep_last_txns:
         return set()
     group_root, k = keep_last_txns
+    # BRANCH SCAN FIRST, main log second (r11 ordering, found by the
+    # WAP threaded model): a publish_branch landing between the two
+    # reads moves records from the branch namespace into the main log
+    # — scanned in this order, a mid-flight publish's records are
+    # caught by one side or the other; the reverse order has a window
+    # where they are visible to neither and a racing vacuum reaps the
+    # stage-time generation that just became one of the last K.
+    staged_recs: list[tuple[int, dict]] = []
+    try:
+        gnames = os.listdir(group_root)
+    except OSError:
+        gnames = []
+    bprefix = f"{_TXN}.b."
+    for bn in gnames:
+        if not bn.startswith(bprefix) or ".tmp" in bn:
+            continue
+        try:
+            with open(os.path.join(group_root, bn)) as f:
+                rec = json.load(f)
+            staged_recs.append((int(rec["txn"]), rec))
+        except (OSError, ValueError, KeyError, TypeError):
+            continue
     tlog = txn_log(group_root)
-    if not tlog:
+    if not tlog and not staged_recs:
         return set()
     # TAGGED txns (r11): an immutable named ref pins its transaction
     # against retention FOREVER, however small K is — the
@@ -570,10 +592,16 @@ def _group_protected_names(
         for n in (man["consumed"] if man else {})
         if n.startswith("b") and n[1:].isdigit()
     }
+    # BRANCH-STAGED records join the pin (scanned above, before the
+    # main log, for the publish-race ordering): a staged txn's
+    # record is invisible to the main log until publish, yet its
+    # stage-time generation becomes one of the "last K" the instant
+    # the pointer moves.
     out: set[str] = set()
     rootn = os.path.normpath(root)
-    for t in keep:
-        for member in tlog[t]["tables"].values():
+    records = [(t, tlog[t]) for t in keep] + staged_recs
+    for t, rec in records:
+        for member in rec["tables"].values():
             if os.path.normpath(member["root"]) != rootn:
                 continue
             gen = int(member["gen"])
