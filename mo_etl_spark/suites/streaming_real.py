@@ -1125,6 +1125,7 @@ def stream_real_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         "stream_source",
     ),
 )
+@_stream_tuned
 def stream_real_group_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMED GROUP CONSUMER (r10 — round-11 lead #1 done early):
     a downstream serving tier mirrors ALL THREE dedup-trio tables
@@ -1808,6 +1809,7 @@ def stream_state_change_feed_apply(spark: SparkSession, sf_dir: str) -> DataFram
         "index_compaction",
     ),
 )
+@_stream_tuned
 def stream_real_change_feed_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMED CDF->MV consumer (r10, VERDICT r9 item #3): the
     change-feed maintenance loop as a REAL foreachBatch stream, resumed
@@ -2907,9 +2909,13 @@ def _grow_ivf_index(
         append_tombstones(tombstones.select("c_id"), idx_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # the batch projection appears twice in the write's plan (GEMM
+        # assign + payload join) — both legs re-scan the trigger's one
+        # parquet file, which is cheaper than the eager localCheckpoint
+        # job this used to pay per trigger (guide §1.2: fewer jobs)
         b = batch_df.select(
             F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec")
-        ).localCheckpoint(eager=True)
+        )
         idempotent_batch_write(
             _with_sub(S.ivf_cells(b, cents).join(b, "c_id")),
             idx_dir,
@@ -3212,6 +3218,7 @@ def stream_real_ivf_requantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quantizer_seeding_kpp",
     ),
 )
+@_stream_tuned
 def stream_real_ivf_auto_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AUTO ANN MAINTENANCE POLICY end to end (r10, VERDICT r9 item
     #6): the ``maintain_batched(ann=(cap_rows, retrain))`` knob —
