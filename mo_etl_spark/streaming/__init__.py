@@ -3483,6 +3483,57 @@ def _live_dirs(
     return out
 
 
+def _pack_union(spark: SparkSession, df: DataFrame, paths: Sequence[str]) -> DataFrame:
+    """SCALE-ADAPTIVE TASK PACKING for multi-dir unions (r11
+    optimization; guide §6 small files, §2.2 fewer map tasks).
+
+    Every per-dir relation in a union is split to >=
+    ``spark.sql.files.minPartitionNum`` scan partitions (default: the
+    core count), so a table of N live trigger dirs x ~32
+    hive-partition slivers schedules N*cores sliver tasks per
+    evaluation — measured 160 map tasks for a 5-dir index whose bytes
+    fit ONE 128 MB split, and a maintenance fold (k-means retrain)
+    evaluates its input union several times.  Coalesce the union to
+    the data-proportional count, ceil(total_bytes /
+    maxPartitionBytes): at contract scale that packs the slivers into
+    a handful of tasks; at 100 TB the target exceeds the union's
+    partition count and coalesce is a no-op (it never increases
+    partitions).  Sits ABOVE the per-leg scans, so per-leg partition
+    pruning / static probed-cell filters are untouched."""
+    total_bytes = 0
+    for p in paths:
+        for base, _dirs, names in os.walk(p):
+            for n in names:
+                if n.endswith(".parquet"):
+                    try:
+                        total_bytes += os.path.getsize(os.path.join(base, n))
+                    except OSError:
+                        pass
+    max_split = _size_conf_bytes(
+        spark, "spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024
+    )
+    target = max(1, -(-total_bytes // max(max_split, 1)))
+    return df.coalesce(int(target))
+
+
+def _size_conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    """A byte-size session conf as int (accepts plain ints and the
+    k/m/g suffix forms Spark's docs use)."""
+    try:
+        raw = str(spark.conf.get(key, str(default))).strip().lower()
+        mult = 1
+        for suf, m in (("kb", 1024), ("mb", 1024**2), ("gb", 1024**3),
+                       ("k", 1024), ("m", 1024**2), ("g", 1024**3),
+                       ("b", 1)):
+            if raw.endswith(suf):
+                raw = raw[: -len(suf)]
+                mult = m
+                break
+        return int(float(raw) * mult)
+    except Exception:
+        return default
+
+
 def read_batched(
     spark: SparkSession,
     root: str,
@@ -3564,9 +3615,10 @@ def read_batched(
         # change lack the newer columns — fill null instead of failing
         # the union (with schema= given, every per-root read already
         # projects the full schema and this is a no-op)
-        return reduce(
+        out = reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
         )
+        return _pack_union(spark, out, nonempty)
     r = spark.read.option("recursiveFileLookup", "true")
     if schema is not None:
         r = r.schema(schema)
@@ -3703,6 +3755,7 @@ def read_batched_pruned(
         else []
     )
     parts: list[DataFrame] = []
+    pruned_paths: list[str] = []
     for p in paths:
         if not any(
             n.endswith(".parquet") for _, _, names in os.walk(p) for n in names
@@ -3730,9 +3783,14 @@ def read_batched_pruned(
                     F.col(col).isin(vals) if vals else F.lit(False)
                 )
         parts.append(df)
+        pruned_paths.append(p)
     if not parts:
         return spark.createDataFrame([], schema)
-    return reduce(lambda a, b: a.unionByName(b), parts)
+    # task packing (see _pack_union); per-leg IN pruning is below the
+    # coalesce and untouched
+    return _pack_union(
+        spark, reduce(lambda a, b: a.unionByName(b), parts), pruned_paths
+    )
 
 
 #: per-dir LAYOUT marker (r9) — the equality-only sibling of the
@@ -3817,6 +3875,8 @@ def read_batched_layout_split(
     )
     matched: list[DataFrame] = []
     foreign: list[DataFrame] = []
+    matched_paths: list[str] = []
+    foreign_paths: list[str] = []
     vals = sorted(set(values))
     for p in paths:
         if not any(
@@ -3830,17 +3890,23 @@ def read_batched_layout_split(
         df = spark.read.schema(schema).parquet(p)
         if lid is not None and lid == str(layout_id):
             matched.append(df.where(F.col(col).isin(vals)))
+            matched_paths.append(p)
         else:
             foreign.append(df)
+            foreign_paths.append(p)
 
-    def _union(parts: list[DataFrame]) -> DataFrame:
+    def _union(parts: list[DataFrame], pack_paths: list[str]) -> DataFrame:
         if not parts:
             return spark.createDataFrame([], schema)
-        return reduce(lambda a, b: a.unionByName(b), parts)
+        # task packing (see _pack_union); the matched legs' isin
+        # pruning lives inside each leg, below the coalesce
+        return _pack_union(
+            spark, reduce(lambda a, b: a.unionByName(b), parts), pack_paths
+        )
 
     if not vals:
         matched = []
-    return _union(matched), _union(foreign)
+    return _union(matched, matched_paths), _union(foreign, foreign_paths)
 
 
 def rebucket_transform(
@@ -4245,8 +4311,8 @@ def _compact_batched_locked(
                 r = r.option("recursiveFileLookup", "true")
             return r.parquet(p)
 
-        parts = [
-            _rd_sub(p)
+        fold_dirs = [
+            p
             for p in subs
             if any(
                 n.endswith(".parquet")
@@ -4254,6 +4320,7 @@ def _compact_batched_locked(
                 for n in names
             )
         ]
+        parts = [_rd_sub(p) for p in fold_dirs]
         # ADDITIVE SCHEMA EVOLUTION (r8): a long-lived state table
         # gains columns over its life (a quality score on the dedup
         # index, a norm column on the ANN index) — batches written
@@ -4264,9 +4331,17 @@ def _compact_batched_locked(
         # stop depending on which generation a row came from.
         # Additive only: a renamed/retyped column is a different
         # column and needs a transform= rewrite, not a union.
+        # task packing (see _pack_union): the fold input union is the
+        # table's full sliver history, and a transform= (k-means
+        # retrain) evaluates it several times
         df = _fold(
-            reduce(
-                lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+            _pack_union(
+                spark,
+                reduce(
+                    lambda a, b: a.unionByName(b, allowMissingColumns=True),
+                    parts,
+                ),
+                fold_dirs,
             )
         )
         transform_extra: dict | None = None
