@@ -732,7 +732,11 @@ def simhash_hamming_pairs(
     candidates in ONE bucket self-join; exact hamming verifies.
     Shuffle volume = 4N + bucket pairs, never C(N,2).  Larger distances
     need more/smaller chunks (b+1 bands for distance <= b)."""
-    fps = simhash_md5_bits(df, text_col, id_col)
+    # the 64-sum fingerprint subtree feeds BOTH sides of the bucket
+    # self-join — materialize the narrow (id, fp) table once instead
+    # of planning + computing the subtree twice (guide §3.3; at scale
+    # the fingerprint table is the lightweight proxy, O(docs) rows)
+    fps = simhash_md5_bits(df, text_col, id_col).localCheckpoint(eager=True)
     chunks = fps.select(
         "id",
         "fp",

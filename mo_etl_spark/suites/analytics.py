@@ -727,6 +727,23 @@ def _src_mtime(src_path: str) -> float:
     )
 
 
+def _file_bytes(src_path: str) -> int:
+    """Total bytes under a source path — the free scale stat the
+    routing gates use (no Spark job)."""
+    import os
+
+    if not os.path.isdir(src_path):
+        try:
+            return os.path.getsize(src_path)
+        except OSError:
+            return 0
+    return sum(
+        os.path.getsize(os.path.join(dp, n))
+        for dp, _, names in os.walk(src_path)
+        for n in names
+    )
+
+
 def _marker_fresh(marker: str, src_mtime: float) -> bool:
     try:
         with open(marker) as fh:
@@ -884,14 +901,26 @@ def graph_pagerank_cobucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
-    src_mtime = _src_mtime(os.path.join(sf_dir, "lineitem.parquet"))
-    marker = f"/root/repo/.scratch/pr_edges_cob_{tag}.srcmtime"
+    src_path = os.path.join(sf_dir, "lineitem.parquet")
+    src_mtime = _src_mtime(src_path)
+    # DATA-PROPORTIONAL bucket count (r11 optimization; guide §2.2
+    # fewer-larger partitions, §6): a bucketed scan schedules exactly
+    # n_buckets tasks PER ITERATION and AQE cannot coalesce it, so a
+    # fixed 64 costs 8x64 sliver tasks at contract scale while
+    # starving nothing at 100 TB either (the count grows with the
+    # free file-size stat, same routing discipline as
+    # graph_pagerank_supply).  Floor 8 keeps the contract-scale scan
+    # parallel enough; the edge table is a distinct projection of
+    # lineitem, so lineitem's size bounds it.
+    n_buckets = max(8, -(-_file_bytes(src_path) // (128 << 20)))
+    marker = f"/root/repo/.scratch/pr_edges_cob_{tag}_b{n_buckets}.srcmtime"
     fresh = _marker_fresh(marker, src_mtime)
     ranks = pagerank_cobucketed(
         edges,
         iters=_PR_ITERS,
         d=_PR_D,
-        table=f"pr_edges_cob_{tag}",
+        table=f"pr_edges_cob_{tag}_b{n_buckets}",
+        n_buckets=int(n_buckets),
         reuse_existing=fresh,
     )
     if not fresh:

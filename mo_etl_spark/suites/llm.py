@@ -403,7 +403,15 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly closer than adjacent-id base pairs (avg 14.2) — the
     locality property that makes SimHash a dedup key at 100 TB."""
     corpus = _with_near_dups(_docs(spark, sf_dir))
-    fp = D.simhash64(corpus)
+    # the 64-agg fingerprint subtree is consumed FIVE times below
+    # (both join sides twice + the count) — materialize the narrow
+    # (id, simhash) proxy once so Catalyst plans and the executor
+    # computes it once (guide §3.3 plan truncation / §8 lightweight
+    # proxy; measured: the duplicated subtree cost ~14 s of driver
+    # planning alone on a warm run; eager: a lazy checkpoint only
+    # truncates AFTER materialization, and the one consuming action
+    # would still plan all five copies)
+    fp = D.simhash64(corpus).localCheckpoint(eager=True)
     a, b = fp.alias("a"), fp.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     planted = (
