@@ -18,6 +18,25 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def spread_groups(df: DataFrame, key: str) -> DataFrame:
+    """Pin full parallelism for a PYTHON-COMPUTE-heavy grouped stage
+    (r11 optimization; guide §2.5 / §4): AQE's partition coalescing
+    sizes post-shuffle partitions by BYTES (advisory/minPartitionSize),
+    which is right for JVM operators but starves an applyInPandas /
+    pandas-window stage whose cost is per-row Python time — a ~3 MB
+    events shuffle coalesced to 3-5 partitions serializes an O(n)
+    Python walk onto a few cores (measured: 5 tasks carrying 12-16 s
+    of summed task time, wall ~4x the ideal).  An explicit keyed
+    repartition to the cluster's default parallelism is exempt from
+    AQE coalescing, keeps the per-key grouping contract identical,
+    and costs no extra exchange (HashPartitioning(key, N) satisfies
+    the grouped-map/window distribution requirement for any N).  On a
+    real cluster defaultParallelism is the executor-core total, so the
+    pin stays scale-adaptive."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(key))
+
+
 def resample_ffill(
     df: DataFrame,
     key: str,
@@ -103,7 +122,7 @@ def ewma_halving(
         return pdf[[key, id_col, "ewma"]]
 
     return (
-        df.select(key, ts, id_col, value_col)
+        spread_groups(df.select(key, ts, id_col, value_col), key)
         .groupBy(key)
         .applyInPandas(walk, f"{key} long, {id_col} long, ewma double")
     )
@@ -151,7 +170,7 @@ def holt_halving(
         return pdf[[key, id_col, "level", "trend", "forecast"]]
 
     return (
-        df.select(key, ts, id_col, value_col)
+        spread_groups(df.select(key, ts, id_col, value_col), key)
         .groupBy(key)
         .applyInPandas(
             walk, f"{key} long, {id_col} long, level double, trend double, forecast double"
@@ -193,7 +212,7 @@ def capped_running_balance(
         return pdf[[key, id_col, "balance", "clipped"]]
 
     return (
-        df.select(key, ts, id_col, delta_col)
+        spread_groups(df.select(key, ts, id_col, delta_col), key)
         .groupBy(key)
         .applyInPandas(walk, f"{key} long, {id_col} long, balance long, clipped long")
     )

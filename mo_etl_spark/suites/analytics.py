@@ -1229,7 +1229,11 @@ def win_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         out["session_idx"] = sids
         return out
 
-    return pts.groupBy("user_id").applyInPandas(
+    from mo_etl_spark.operators.timeseries import spread_groups
+
+    # pin full parallelism for the Python-compute-bound walk (see
+    # spread_groups: AQE's bytes-based coalescing would serialize it)
+    return spread_groups(pts, "user_id").groupBy("user_id").applyInPandas(
         walk, "event_id long, user_id long, session_idx int"
     )
 

@@ -101,8 +101,13 @@ def udf_grouped_map_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     each user's events arrive as one pandas frame; output schema is
     declared, shuffle is one hash partition by user_id."""
     prepare(spark)
+    from mo_etl_spark.operators.timeseries import spread_groups
+
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("user_id").applyInPandas(
+    # pin full parallelism: AQE's bytes-based coalescing serializes
+    # this Python-compute-bound grouped map onto a few cores (see
+    # spread_groups — measured 5 tasks carrying 12-16 s summed)
+    return spread_groups(events, "user_id").groupBy("user_id").applyInPandas(
         _per_user_sequence,
         "event_id BIGINT, user_id BIGINT, seq BIGINT, purchases_so_far BIGINT",
     )
@@ -376,6 +381,11 @@ def udf_grouped_agg_over_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-2, Window.currentRow)
     )
-    return ev.select(
+    from mo_etl_spark.operators.timeseries import spread_groups
+
+    # pin full parallelism for the pandas-window stage (see
+    # spread_groups): the per-frame Arrow slicing is Python-cost-bound
+    # and AQE's bytes-based coalescing would serialize it
+    return spread_groups(ev, "user_id").select(
         "event_id", "user_id", trailing("vc").over(w).alias("trailing3_cents")
     )
