@@ -2254,13 +2254,22 @@ def txn_commit(
     import time as _time
 
     os.makedirs(group_root, exist_ok=True)
-    wait_deadline = _time.monotonic() + 30.0
+    # Bounds exist to surface a deadlock, not to enforce timing:
+    # commits are ms-scale, so a generous bound changes nothing on a
+    # healthy box while surviving the multi-second CPU-steal storms
+    # this sandbox exhibits (a 30 s bound fired spuriously under host
+    # contention in a driver verify run — r12 deflake).
+    wait_deadline = _time.monotonic() + 120.0
     while True:
         lease = None
-        deadline = _time.monotonic() + 30.0  # commits are ms-scale
+        deadline = _time.monotonic() + 120.0  # commits are ms-scale
         while True:
             try:
-                lease = _acquire_lease(group_root, 60.0)
+                # TTL reclaim only matters for a LIVE holder pid (a
+                # dead holder is reclaimed instantly via the pid
+                # check); 300 s keeps a storm-paused committer from
+                # being reclaimed out from under mid-commit
+                lease = _acquire_lease(group_root, 300.0)
                 break
             except CompactorBusy:
                 if _time.monotonic() >= deadline:
@@ -3483,7 +3492,28 @@ def _live_dirs(
     return out
 
 
-def _pack_union(spark: SparkSession, df: DataFrame, paths: Sequence[str]) -> DataFrame:
+def _dir_parquet_bytes(path: str) -> int:
+    """Total bytes of .parquet files under ``path`` (one recursive
+    walk; 0 means the dir holds no data files).  Callers use the same
+    walk for BOTH the emptiness check and _pack_union's sizing, so the
+    listing cost is paid once per dir per evaluation (ADVICE r11)."""
+    total = 0
+    for base, _dirs, names in os.walk(path):
+        for n in names:
+            if n.endswith(".parquet"):
+                try:
+                    total += os.path.getsize(os.path.join(base, n))
+                except OSError:
+                    pass
+    return total
+
+
+def _pack_union(
+    spark: SparkSession,
+    df: DataFrame,
+    paths: Sequence[str],
+    total_bytes: int | None = None,
+) -> DataFrame:
     """SCALE-ADAPTIVE TASK PACKING for multi-dir unions (r11
     optimization; guide §6 small files, §2.2 fewer map tasks).
 
@@ -3499,16 +3529,15 @@ def _pack_union(spark: SparkSession, df: DataFrame, paths: Sequence[str]) -> Dat
     a handful of tasks; at 100 TB the target exceeds the union's
     partition count and coalesce is a no-op (it never increases
     partitions).  Sits ABOVE the per-leg scans, so per-leg partition
-    pruning / static probed-cell filters are untouched."""
-    total_bytes = 0
-    for p in paths:
-        for base, _dirs, names in os.walk(p):
-            for n in names:
-                if n.endswith(".parquet"):
-                    try:
-                        total_bytes += os.path.getsize(os.path.join(base, n))
-                    except OSError:
-                        pass
+    pruning / static probed-cell filters are untouched.
+
+    ``total_bytes`` lets callers that already walked the dirs (the
+    emptiness check) pass the summed size instead of paying a second
+    O(files) driver-side listing per evaluation (ADVICE r11 — per
+    trigger in streaming sinks, several times per maintenance fold;
+    an object-store anti-pattern if this ever leaves local FS)."""
+    if total_bytes is None:
+        total_bytes = sum(_dir_parquet_bytes(p) for p in paths)
     max_split = _size_conf_bytes(
         spark, "spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024
     )
@@ -3588,15 +3617,10 @@ def read_batched(
 
         # an empty batch writes only _SUCCESS (no partition dirs, no
         # schema to infer) — skip such roots rather than failing the
-        # whole union
-        def has_data(p: str) -> bool:
-            return any(
-                n.endswith(".parquet")
-                for _, _, names in os.walk(p)
-                for n in names
-            )
-
-        nonempty = [p for p in paths if has_data(p)]
+        # whole union.  One walk per dir serves both the emptiness
+        # check and the _pack_union sizing (ADVICE r11).
+        sizes = {p: _dir_parquet_bytes(p) for p in paths}
+        nonempty = [p for p in paths if sizes[p] > 0]
         if not nonempty:
             if schema is not None:
                 return spark.createDataFrame([], schema)
@@ -3618,7 +3642,10 @@ def read_batched(
         out = reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
         )
-        return _pack_union(spark, out, nonempty)
+        return _pack_union(
+            spark, out, nonempty,
+            total_bytes=sum(sizes[p] for p in nonempty),
+        )
     r = spark.read.option("recursiveFileLookup", "true")
     if schema is not None:
         r = r.schema(schema)
@@ -3756,11 +3783,12 @@ def read_batched_pruned(
     )
     parts: list[DataFrame] = []
     pruned_paths: list[str] = []
+    pruned_bytes = 0
     for p in paths:
-        if not any(
-            n.endswith(".parquet") for _, _, names in os.walk(p) for n in names
-        ):
+        nbytes = _dir_parquet_bytes(p)
+        if nbytes == 0:
             continue
+        pruned_bytes += nbytes
         # per-dir spec: every root-local dir (batch OR compacted base)
         # answers for its own rows via its stamp — a compaction that
         # consolidated MIXED-spec inputs verbatim leaves its base
@@ -3789,7 +3817,8 @@ def read_batched_pruned(
     # task packing (see _pack_union); per-leg IN pruning is below the
     # coalesce and untouched
     return _pack_union(
-        spark, reduce(lambda a, b: a.unionByName(b), parts), pruned_paths
+        spark, reduce(lambda a, b: a.unionByName(b), parts), pruned_paths,
+        total_bytes=pruned_bytes,
     )
 
 
@@ -3877,11 +3906,11 @@ def read_batched_layout_split(
     foreign: list[DataFrame] = []
     matched_paths: list[str] = []
     foreign_paths: list[str] = []
+    matched_bytes = foreign_bytes = 0
     vals = sorted(set(values))
     for p in paths:
-        if not any(
-            n.endswith(".parquet") for _, _, names in os.walk(p) for n in names
-        ):
+        nbytes = _dir_parquet_bytes(p)
+        if nbytes == 0:
             continue
         if os.path.isabs(live_base) and p == live_base:
             lid = seed_layout
@@ -3891,22 +3920,30 @@ def read_batched_layout_split(
         if lid is not None and lid == str(layout_id):
             matched.append(df.where(F.col(col).isin(vals)))
             matched_paths.append(p)
+            matched_bytes += nbytes
         else:
             foreign.append(df)
             foreign_paths.append(p)
+            foreign_bytes += nbytes
 
-    def _union(parts: list[DataFrame], pack_paths: list[str]) -> DataFrame:
+    def _union(
+        parts: list[DataFrame], pack_paths: list[str], nbytes: int
+    ) -> DataFrame:
         if not parts:
             return spark.createDataFrame([], schema)
         # task packing (see _pack_union); the matched legs' isin
         # pruning lives inside each leg, below the coalesce
         return _pack_union(
-            spark, reduce(lambda a, b: a.unionByName(b), parts), pack_paths
+            spark, reduce(lambda a, b: a.unionByName(b), parts), pack_paths,
+            total_bytes=nbytes,
         )
 
     if not vals:
         matched = []
-    return _union(matched, matched_paths), _union(foreign, foreign_paths)
+    return (
+        _union(matched, matched_paths, matched_bytes),
+        _union(foreign, foreign_paths, foreign_bytes),
+    )
 
 
 def rebucket_transform(
@@ -4311,15 +4348,8 @@ def _compact_batched_locked(
                 r = r.option("recursiveFileLookup", "true")
             return r.parquet(p)
 
-        fold_dirs = [
-            p
-            for p in subs
-            if any(
-                n.endswith(".parquet")
-                for _, _, names in os.walk(p)
-                for n in names
-            )
-        ]
+        fold_sizes = {p: _dir_parquet_bytes(p) for p in subs}
+        fold_dirs = [p for p in subs if fold_sizes[p] > 0]
         parts = [_rd_sub(p) for p in fold_dirs]
         # ADDITIVE SCHEMA EVOLUTION (r8): a long-lived state table
         # gains columns over its life (a quality score on the dedup
@@ -4342,6 +4372,7 @@ def _compact_batched_locked(
                     parts,
                 ),
                 fold_dirs,
+                total_bytes=sum(fold_sizes[p] for p in fold_dirs),
             )
         )
         transform_extra: dict | None = None
