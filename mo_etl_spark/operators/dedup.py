@@ -735,7 +735,13 @@ def simhash_hamming_pairs(
     # the 64-sum fingerprint subtree feeds BOTH sides of the bucket
     # self-join — materialize the narrow (id, fp) table once instead
     # of planning + computing the subtree twice (guide §3.3; at scale
-    # the fingerprint table is the lightweight proxy, O(docs) rows)
+    # the fingerprint table is the lightweight proxy, O(docs) rows).
+    # NOTE (ADVICE r11): the EAGER checkpoint makes this builder run a
+    # Spark job at call time, and the checkpoint blocks are
+    # non-replicated executor storage freed by driver GC of the
+    # DataFrame (executor loss before then recomputes from the
+    # operator's caller; on a multi-node cluster prefer
+    # reliableCheckpoint if the job is long)
     fps = simhash_md5_bits(df, text_col, id_col).localCheckpoint(eager=True)
     chunks = fps.select(
         "id",

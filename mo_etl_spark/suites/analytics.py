@@ -760,6 +760,43 @@ def _marker_write(marker: str, src_mtime: float) -> None:
         fh.write(str(src_mtime))
 
 
+def _drop_bucket_variants(
+    spark, table_prefix: str, keep_n: int, marker_dir: str
+) -> None:
+    """Drop sibling bucket-count variants (``<prefix><N>`` tables,
+    their warehouse dirs, and their ``.srcmtime`` markers) for every N
+    != ``keep_n``.  A data-size change that moves the derived bucket
+    count across a 128 MB boundary would otherwise leave the old
+    variant's table on disk forever (ADVICE r11).  Only exact-suffix
+    integer matches are touched; errors are non-fatal (cleanup is
+    best-effort — the fresh build proceeds regardless)."""
+    import glob
+    import os
+    import shutil
+
+    base = os.path.basename(table_prefix)
+    for m in glob.glob(os.path.join(marker_dir, f"{base}*.srcmtime")):
+        suffix = os.path.basename(m)[len(base):-len(".srcmtime")]
+        if suffix.isdigit() and int(suffix) != keep_n:
+            try:
+                os.remove(m)
+            except OSError:
+                pass
+    try:
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    except Exception:
+        wh = ""
+    wh = wh.removeprefix("file:")
+    for d in glob.glob(os.path.join(wh, f"{table_prefix.lower()}*")) if wh else []:
+        suffix = os.path.basename(d)[len(base):]
+        if suffix.isdigit() and int(suffix) != keep_n:
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {base}{suffix}")
+            except Exception:
+                pass
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def _pagerank_oracle() -> str:
     head = """
     WITH edges0 AS (SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
@@ -915,6 +952,15 @@ def graph_pagerank_cobucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_buckets = max(8, -(-_file_bytes(src_path) // (128 << 20)))
     marker = f"/root/repo/.scratch/pr_edges_cob_{tag}_b{n_buckets}.srcmtime"
     fresh = _marker_fresh(marker, src_mtime)
+    if not fresh:
+        # the source size crossed a 128 MB boundary (or the snapshot
+        # changed): sibling bucket-count variants of this table are
+        # stale — drop their tables, warehouse dirs, and markers so
+        # they don't accumulate across data-size changes (ADVICE r11)
+        _drop_bucket_variants(
+            spark, f"pr_edges_cob_{tag}_b", n_buckets,
+            "/root/repo/.scratch",
+        )
     ranks = pagerank_cobucketed(
         edges,
         iters=_PR_ITERS,

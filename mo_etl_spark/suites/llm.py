@@ -410,7 +410,8 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # proxy; measured: the duplicated subtree cost ~14 s of driver
     # planning alone on a warm run; eager: a lazy checkpoint only
     # truncates AFTER materialization, and the one consuming action
-    # would still plan all five copies)
+    # would still plan all five copies; blocks are non-replicated
+    # executor storage, freed when driver GC drops this DataFrame)
     fp = D.simhash64(corpus).localCheckpoint(eager=True)
     a, b = fp.alias("a"), fp.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

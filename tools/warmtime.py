@@ -112,7 +112,9 @@ def main() -> None:
         for name in names:
             s = out[name].get("stats") or []
             pretty = " | ".join(
-                f"jobs={r['jobs']} tasks={r['tasks']} task_s={r['task_sec']}" for r in s
+                f"jobs={r['jobs']} tasks={r['tasks']} task_s={r['task_sec']}"
+                f" busy={r['busy_sec']} gap={r['gap_sec']}"
+                for r in s
             )
             print(f"STATS {name}: {pretty}")
 
@@ -148,16 +150,37 @@ def _attach_stats(evlog: str, out: dict, windows: dict) -> None:
                 ft = ti.get("Finish Time")
                 if lt and ft:
                     tasks.append((lt, ft - lt))
+
+    def _busy_ms(ivals: list[tuple[float, float]]) -> float:
+        """Union coverage of (start, end) task intervals — wall time
+        with at least one task running.  window_wall - busy is the
+        DRIVER-SIDE gap (planning, scheduling, py4j, commit), the
+        number the per-trigger-planning optimization watches."""
+        if not ivals:
+            return 0.0
+        ivals = sorted(ivals)
+        total, cs, ce = 0.0, ivals[0][0], ivals[0][1]
+        for s, e in ivals[1:]:
+            if s > ce:
+                total += ce - cs
+                cs, ce = s, e
+            else:
+                ce = max(ce, e)
+        return total + (ce - cs)
+
     for name, spans in windows.items():
         stats = []
         for lo, hi in spans:
             nj = sum(1 for t in jobs if lo <= t <= hi)
-            nt = [d for t, d in tasks if lo <= t <= hi]
+            nt = [(t, d) for t, d in tasks if lo <= t <= hi]
+            busy = _busy_ms([(t, t + d) for t, d in nt])
             stats.append(
                 {
                     "jobs": nj,
                     "tasks": len(nt),
-                    "task_sec": round(sum(nt) / 1000.0, 2),
+                    "task_sec": round(sum(d for _, d in nt) / 1000.0, 2),
+                    "busy_sec": round(busy / 1000.0, 2),
+                    "gap_sec": round(max(0.0, (hi - lo) - busy) / 1000.0, 2),
                 }
             )
         out[name]["stats"] = stats
